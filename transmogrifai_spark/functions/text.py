@@ -1,0 +1,141 @@
+"""Text column expressions: tokenization, validation, similarity.
+
+Re-expression of the reference's text operators with native Spark SQL
+functions wherever the semantics allow (SURVEY.md §2.7):
+  * TextTokenizer   core/.../impl/feature/TextTokenizer.scala:125
+  * OpNGram         core/.../impl/feature/OpNGram.scala:52
+  * OpStopWordsRemover  OpStopWordsRemover.scala:48
+  * TextLenTransformer  TextLenTransformer.scala:45
+  * NGramSimilarity     NGramSimilarity.scala:46,62
+  * JaccardSimilarity   JaccardSimilarity.scala:42 (math: utils/.../stats/JaccardSim.scala)
+  * email/url helpers   core/.../dsl/RichTextFeature.scala:589-654,
+                        ValidEmailTransformer.scala:41
+  * SubstringTransformer SubstringTransformer.scala:48
+
+The reference tokenizes through Lucene analyzers; the rebuild's default
+tokenizer is a regex split (lowercase, min token length) which covers the
+Latin-alphabet path. Language-aware analysis lives in llm/textqual.py.
+
+Everything here is a Catalyst expression — array functions stay JVM-side and
+vectorize under codegen; no Python in the hot path.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_TOKEN_PATTERN = r"[^\p{L}\p{N}]+"
+_EMAIL_RE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
+_URL_RE = r"^(https?|ftp)://[^\s/$.?#].[^\s]*$"
+
+
+def tokenize(c: Column, min_token_length: int = 1, to_lowercase: bool = True,
+             pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
+    """TextTokenizer.scala:125 — lowercase, split on non-alphanumerics,
+    drop tokens shorter than ``min_token_length``. NULL text -> empty list
+    (the reference's TextList.empty)."""
+    base = F.lower(c) if to_lowercase else c
+    toks = F.split(base, pattern)
+    toks = F.filter(toks, lambda t: F.length(t) >= F.lit(min_token_length))
+    return F.coalesce(toks, F.array().cast("array<string>"))
+
+
+def token_lengths(c: Column) -> Column:
+    """TextLenTransformer.scala:45 — per-token lengths."""
+    return F.transform(tokenize(c), lambda t: F.length(t))
+
+
+def text_len(c: Column) -> Column:
+    """Total text length with the reference's null->0 convention."""
+    return F.coalesce(F.length(c), F.lit(0)).cast("long")
+
+
+def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
+    """OpNGram.scala:52 — word n-grams over a token array (ml.feature.NGram
+    semantics: sliding window, joined by space)."""
+    size = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(-1)))
+    return F.when(size >= n,
+                  F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), sep))
+                  ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(c: Column, n: int = 3, to_lowercase: bool = True) -> Column:
+    """Character n-gram shingles (NGramSimilarity.scala uses char ngrams).
+    NULL -> empty list; texts shorter than n yield the single text itself."""
+    base = F.lower(c) if to_lowercase else c
+    ln = F.length(base)
+    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+    return F.when(base.isNull(), F.array().cast("array<string>")) \
+        .otherwise(F.transform(idx, lambda i: base.substr(i, F.lit(n))))
+
+
+def remove_stopwords(tokens: Column, stopwords: list[str]) -> Column:
+    """OpStopWordsRemover.scala:48 — drop stopwords (case-insensitive)."""
+    sw = F.array(*[F.lit(w.lower()) for w in stopwords])
+    return F.filter(tokens, lambda t: ~F.array_contains(sw, F.lower(t)))
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """JaccardSimilarity.scala:42 over two string-array sets:
+    |A ∩ B| / |A ∪ B|; both empty -> 1.0 (JaccardSim.scala convention)."""
+    ad, bd = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(ad, bd))
+    union = F.size(F.array_union(ad, bd))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union.cast("double"))
+
+
+def ngram_set_similarity(a: Column, b: Column, n: int = 3) -> Column:
+    """SetNGramSimilarity (NGramSimilarity.scala:46): char-n-gram Jaccard
+    similarity of two texts, 0.0 when either side empty."""
+    ga, gb = char_ngrams(a, n), char_ngrams(b, n)
+    return F.when((F.size(ga) == 0) | (F.size(gb) == 0), F.lit(0.0)) \
+        .otherwise(jaccard_similarity(ga, gb))
+
+
+def is_substring(needle: Column, haystack: Column) -> Column:
+    """SubstringTransformer.scala:48 — Text x Text -> Binary (case-insensitive,
+    null -> false)."""
+    return F.coalesce(F.lower(haystack).contains(F.lower(needle)), F.lit(False))
+
+
+# -- email (RichTextFeature.scala:589-596, ValidEmailTransformer.scala:41) --
+
+def is_valid_email(c: Column) -> Column:
+    return F.coalesce(c.rlike(_EMAIL_RE), F.lit(False))
+
+
+def email_prefix(c: Column) -> Column:
+    return F.when(is_valid_email(c), F.regexp_extract(c, r"^([^@]+)@", 1))
+
+
+def email_domain(c: Column) -> Column:
+    return F.when(is_valid_email(c), F.regexp_extract(c, r"@(.+)$", 1))
+
+
+# -- URL (RichTextFeature.scala:642-654) --
+
+def is_valid_url(c: Column) -> Column:
+    return F.coalesce(c.rlike(_URL_RE), F.lit(False))
+
+
+def url_domain(c: Column) -> Column:
+    return F.when(is_valid_url(c), F.parse_url(c, F.lit("HOST")))
+
+
+def url_protocol(c: Column) -> Column:
+    return F.when(is_valid_url(c), F.parse_url(c, F.lit("PROTOCOL")))
+
+
+# -- phone: lightweight normalization (PhoneNumberParser.scala:143-241 uses
+# libphonenumber; the rebuild's regex path covers NANP-style numbers and the
+# full library can slot in behind a pandas UDF when available) --
+
+def normalize_phone_digits(c: Column) -> Column:
+    return F.regexp_replace(c, r"[^0-9]", "")
+
+
+def is_valid_phone_us(c: Column) -> Column:
+    d = normalize_phone_digits(c)
+    d10 = F.when((F.length(d) == 11) & d.startswith("1"), F.substring(d, 2, 10)).otherwise(d)
+    return F.coalesce((F.length(d10) == 10) & ~d10.startswith("0") & ~d10.startswith("1"), F.lit(False))

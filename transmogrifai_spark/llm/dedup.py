@@ -1,0 +1,175 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These extend the reference's surface (BASELINE.json north star): exact,
+MinHash+LSH, SimHash, and n-gram-Jaccard near-duplicate detection over a
+document table. Designed for 100 TB:
+
+  * exact dedup      — one hash-groupBy on a digest of the text. The shuffle
+    carries (digest, id) pairs, never the documents themselves.
+  * n-gram Jaccard   — shingle -> inverted-index self-join -> pair counting.
+    The join is on the shingle key: at scale, frequency-cap the shingles
+    (drop shingles appearing in > max_doc_freq docs — they generate O(n²)
+    candidate pairs and carry no signal). ``max_doc_freq`` does this.
+  * MinHash + LSH    — k seeded xxhash64 min-signatures; band -> bucket join
+    so candidate generation is linear in documents, never all-pairs.
+  * SimHash          — 64-bit signature per doc; near-dups = signatures equal
+    (or banded by prefix for hamming<=r). One pass, no join for signature
+    computation.
+
+All signatures use Spark's native xxhash64 / md5 — JVM-side, deterministic
+across runs and cluster layouts.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+def text_digest(c: Column) -> Column:
+    """Stable 128-bit content digest (md5 hex) for exact dedup."""
+    return F.md5(c)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str,
+                normalize: bool = False) -> DataFrame:
+    """Exact duplicate groups: one row per distinct content, representative =
+    min id, with the duplicate count. ``normalize`` lowercases + collapses
+    whitespace first (near-exact)."""
+    c = F.col(text_col)
+    if normalize:
+        c = F.regexp_replace(F.lower(c), r"\s+", " ")
+    return (
+        df.select(text_digest(c).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("representative"),
+             F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text."""
+    from ..functions.text import ngrams
+    return F.array_distinct(ngrams(tokenize(c), n))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.8,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    Plan: explode distinct shingles -> (optional) drop ultra-common shingles
+    -> self-join on shingle -> count common shingles per (id1<id2) pair ->
+    jaccard = common / (|A| + |B| - common). Each step is a hash
+    aggregate/join on a bounded key; no all-pairs product ever forms.
+    """
+    sh = df.select(F.col(id_col).alias("_id"),
+                   F.explode(word_shingles(F.col(text_col), n)).alias("_sh"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(F.broadcast(freq.where(F.col("_df") <= max_doc_freq).select("_sh")), "_sh")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz1 = sizes.select(F.col("_id").alias("id1"), F.col("_sz").alias("sz1"))
+    sz2 = sizes.select(F.col("_id").alias("id2"), F.col("_sz").alias("sz2"))
+    pairs = (
+        common.join(sz1, "id1").join(sz2, "id2")
+        .withColumn("jaccard",
+                    F.col("common").cast("double") /
+                    (F.col("sz1") + F.col("sz2") - F.col("common")).cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "common", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signature(c: Column, n: int = 3, num_hashes: int = 32) -> Column:
+    """MinHash signature: for seed i, min over shingles of xxhash64(sh, i)."""
+    sh = word_shingles(c, n)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 3, num_hashes: int = 32,
+                           bands: int = 8) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join.
+
+    rows_per_band = num_hashes // bands; docs sharing any band bucket become
+    candidates. Bucket join is linear + per-bucket quadratic; ultra-hot
+    buckets should be capped upstream via shingle frequency capping.
+    """
+    rows = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("_id"),
+                    minhash_signature(F.col(text_col), n, num_hashes).alias("_sig"))
+    banded = sig.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws("_", *[
+                         F.element_at("_sig", b * rows + r + 1).cast("string")
+                         for r in range(rows)]), F.lit(b)).alias("bucket"))
+            for b in range(bands)])).alias("bb"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bb") == F.col("b.bb")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
+    )
+
+
+def simhash64(c: Column) -> Column:
+    """64-bit SimHash over tokens: per bit, sum +1/-1 by token-hash bit, sign
+    -> bit. One pass: a single ``aggregate`` folds every token hash into a
+    64-slot bit-count array, then the signature is assembled with literal
+    masks. Pure expressions: no UDF, no shuffle; empty/null text -> 0."""
+    hashes = F.transform(tokenize(c), lambda t: F.xxhash64(t))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda a, p: a + F.when(F.getbit(h, p) == 1, 1).otherwise(-1),
+        ),
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of int64
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(counts, b + 1) > 0, F.lit(mask).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Documents grouped by identical SimHash (extend with prefix-banding for
+    hamming-distance near-dups)."""
+    return (
+        df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("representative"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force; LSH variant in
+    llm/similarity.py for the scale path)."""
+    from .similarity import cosine_similarity
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.crossJoin(b).where(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine_similarity(F.col("v1"), F.col("v2")))
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

@@ -1,0 +1,123 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Extension surface (BASELINE.json north star). The Spark-side plumbing —
+schema, partitioning, Arrow-batched UDF signatures, batch shapes — is real
+and tested; the actual media decoding is STUBBED (this environment has no
+image/audio libraries): ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless ``fake=True``, in which case a clearly-marked
+deterministic fake derives features from the bytes' hash so the distributed
+pipeline can be exercised end-to-end.
+
+Design for 100 TB of media:
+  * Media rows are LARGE (MBs). ``maxPartitionBytes`` should be lowered (or
+    the table written with small row groups) so a partition holds a bounded
+    number of blobs; the repartition helper below spreads blobs by id hash.
+  * Decode runs in ``mapInPandas`` — Arrow ships the binary column to Python
+    in batches; per-batch decode amortizes interpreter cost. Feature output
+    is a fixed-width array<float> column: narrow, shuffle-friendly.
+  * Metadata (mime, width, height, duration) travels as plain columns so
+    filters on it prune parquet row groups BEFORE bytes are read.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+IMAGE_FEATURE_DIM = 16
+
+
+def repartition_media(df: DataFrame, target_blobs_per_partition: int = 64) -> DataFrame:
+    """Spread large blobs evenly by id hash; partition count derived from the
+    row count so each task holds a bounded number of blobs."""
+    n = df.count()
+    parts = max(1, n // target_blobs_per_partition)
+    return df.repartition(parts, F.col("media_id"))
+
+
+def _fake_features_from_bytes(data: bytes, dim: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decode — stands in for a real image/audio decoder.
+    Derives `dim` floats in [0,1) from the sha256 of the bytes."""
+    h = hashlib.sha256(data or b"").digest()
+    # extend deterministically to dim*4 bytes
+    buf = b"".join(hashlib.sha256(h + bytes([i])).digest() for i in range((dim * 4) // 32 + 1))
+    ints = np.frombuffer(buf[: dim * 4], dtype=np.uint32)
+    return (ints / np.float64(2 ** 32)).astype(np.float32)
+
+
+def decode_image(df: DataFrame, content_col: str = "content",
+                 dim: int = IMAGE_FEATURE_DIM, fake: bool = False) -> DataFrame:
+    """Image decode + feature extraction via mapInPandas (Arrow batches).
+
+    Real implementation requires an image library (PIL/cv2) — not available
+    here, so ``fake=False`` raises. ``fake=True`` uses the deterministic
+    byte-hash fake, keeping schema/batching/partitioning real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "environment; pass fake=True for the deterministic stub")
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != content_col]
+        + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
+    )
+    other_cols = [f.name for f in df.schema.fields if f.name != content_col]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_features_from_bytes(b if b is not None else b"", dim).tolist()
+                for b in pdf[content_col]
+            ]
+            out = pdf[other_cols].copy()
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def decode_audio(df: DataFrame, content_col: str = "content",
+                 dim: int = IMAGE_FEATURE_DIM, fake: bool = False) -> DataFrame:
+    """Audio decode stub — same contract as decode_image."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires an audio library not present in this "
+            "environment; pass fake=True for the deterministic stub")
+    return decode_image(df, content_col, dim, fake=True)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp —
+    the explode happens before decode so frame decoding parallelizes across
+    the cluster rather than within one task. Decode itself is stubbed."""
+    n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
+    return df.withColumn(
+        "frame_ts_ms",
+        F.explode(F.when(n_frames > 0, F.sequence(F.lit(0), (n_frames - 1) * every_ms, F.lit(every_ms)))
+                  .otherwise(F.array(F.lit(0)))),
+    )
+
+
+def synthetic_media_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (bytes derived from the id)."""
+    rows = []
+    for i in range(n):
+        content = hashlib.sha256(str(i).encode()).digest() * 8  # 256 bytes
+        rows.append((i, bytearray(content), "image/png" if i % 2 == 0 else "audio/wav",
+                     64 + i % 32, 64, 1000 * (i % 7 + 1)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface (BASELINE.json north star): brute-force cosine top-k as the
+correctness baseline; LSH-bucketed (random hyperplane) as the scale path.
+
+Physical notes:
+  * Dot products are ``zip_with`` + ``aggregate`` folds — native Catalyst
+    higher-order functions, JVM-side, no Python. Accumulation in double.
+  * Brute-force top-k is a broadcast of the (small) query set against the
+    corpus — the corpus is scanned once, never shuffled; top-k per query via
+    window rank with a deterministic tie-break.
+  * At 100 TB the corpus side must be bucketed: ``hyperplane_lsh_topk``
+    restricts the scan to matching LSH buckets (probe multiple buckets for
+    recall). Hyperplanes are derived deterministically from a seed via
+    xxhash64 -> uniform in [-1, 1], so plans are reproducible with no stored
+    model.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 5) -> DataFrame:
+    """Exact cosine top-k neighbors for each query over the corpus.
+
+    ``queries`` is broadcast (query sets are small relative to the corpus);
+    self-matches are excluded; ties broken by neighbor id ascending for
+    determinism."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("_qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane p =
+    xxhash64(p, j, seed) mapped to [-1, 1]."""
+    return F.array(*[
+        (F.xxhash64(F.lit(plane), F.lit(j), F.lit(seed)).cast("double") / F.lit(float(2 ** 63)))
+        for j in range(dim)
+    ])
+
+
+def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of <v, h_p> packed to long."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        s = dot(vec, _hyperplane(dim, p, seed))
+        bucket = bucket.bitwiseOR(
+            F.when(s >= 0, F.shiftleft(F.lit(1), p).cast("long")).otherwise(F.lit(0).cast("long")))
+    return bucket
+
+
+def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                        vec_col: str, dim: int, k: int = 5,
+                        num_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The corpus is bucketed once (a cheap narrow projection — at scale this is
+    the column you'd persist/bucket-by in storage); the join is an equi-join
+    on bucket, so candidate generation is linear, not all-pairs. Recall can
+    be raised by probing neighboring buckets (hamming-1 flips) — the plan
+    shape stays identical."""
+    cb = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+                       hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("_bucket"))
+    qb = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("_bucket")))
+    scored = (
+        cb.join(qb, "_bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,126 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Extension surface (BASELINE.json north star). All pure Catalyst expressions:
+regex + array higher-order functions, JVM-side, fused into the document scan
+— the shape that holds at 100 TB (no shuffle, no Python, columnar parquet in,
+narrow metrics out).
+
+The reference's language detection wraps Optimaize
+(core/.../utils/text/OptimaizeLanguageDetector.scala) and its analyzers wrap
+Lucene (utils/.../text/LuceneTextAnalyzer.scala); this module's heuristics
+(stopword-profile scores, n-gram stats) are the dependency-free rebuild, and
+a library-backed pandas-UDF detector can slot in where the environment has
+one.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+# Compact stopword profiles (top function words) — deterministic language-ID
+# heuristic: score(text, lang) = fraction of tokens in the profile.
+STOPWORD_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "de", "un", "una", "que"],
+}
+
+# BPE-ish word-piece pattern: runs of letters, runs of digits, or single
+# punctuation — the standard pre-tokenizer shape (cf. GPT-2's regex).
+TOKEN_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace+punctuation-aware token count via the BPE-ish pattern."""
+    return F.coalesce(F.regexp_count(c, F.lit(TOKEN_PATTERN)), F.lit(0)).cast("long")
+
+
+def whitespace_token_count(c: Column) -> Column:
+    return F.size(tokenize(c)).cast("long")
+
+
+def stopword_ratio(c: Column, stopwords: list[str]) -> Column:
+    toks = tokenize(c)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def punct_ratio(c: Column) -> Column:
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, r"[\p{L}\p{N}\s]", ""))
+    return F.when(F.coalesce(n, F.lit(0)) == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def digit_ratio(c: Column) -> Column:
+    n = F.length(c)
+    d = n - F.length(F.regexp_replace(c, r"[\p{N}]", ""))
+    return F.when(F.coalesce(n, F.lit(0)) == 0, F.lit(0.0)).otherwise(d.cast("double") / n.cast("double"))
+
+
+def mean_token_length(c: Column) -> Column:
+    toks = tokenize(c)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n.cast("double"))
+
+
+def quality_score(c: Column, stopwords: list[str] | None = None) -> Column:
+    """Composite quality heuristic in [0,1] (Gopher/C4-style signals):
+    penalizes empty text, extreme punctuation/digit density, missing
+    stopwords, degenerate token lengths. Weights fixed and documented so the
+    score is stable across versions."""
+    sw = stopwords or STOPWORD_PROFILES["en"]
+    ln = F.coalesce(F.length(c), F.lit(0))
+    len_ok = F.when((ln >= 50) & (ln <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    digit_ok = F.when(digit_ratio(c) <= 0.3, 1.0).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio(c, sw) >= 0.01, 1.0).otherwise(0.0)
+    tok_ok = F.when((mean_token_length(c) >= 2.0) & (mean_token_length(c) <= 12.0), 1.0).otherwise(0.0)
+    return (len_ok * 0.2 + punct_ok * 0.2 + digit_ok * 0.2 + sw_ok * 0.2 + tok_ok * 0.2)
+
+
+def language_id(c: Column, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Deterministic stopword-profile language guess; 'und' (undetermined)
+    when no profile scores > 0. Ties break by language code ascending."""
+    profiles = profiles or STOPWORD_PROFILES
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(profiles):  # ascending => earlier lang wins ties via strict >
+        score = stopword_ratio(c, profiles[lang])
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(c: Column) -> Column:
+    """Locality-insensitive document fingerprint: sorted distinct tokens
+    joined and hashed (the classic key-collision / clustering fingerprint).
+    Word order and duplication do not change the fingerprint."""
+    toks = F.array_sort(F.array_distinct(tokenize(c)))
+    return F.md5(F.array_join(toks, " "))
+
+
+def text_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document metric table (each metric one expression —
+    single projection over the scan)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.length(c), F.lit(0)).cast("long").alias("n_chars"),
+        whitespace_token_count(c).alias("n_tokens"),
+        token_count(c).alias("n_tokens_bpe"),
+        mean_token_length(c).alias("mean_token_len"),
+        punct_ratio(c).alias("punct_ratio"),
+        digit_ratio(c).alias("digit_ratio"),
+        stopword_ratio(c, STOPWORD_PROFILES["en"]).alias("stopword_ratio_en"),
+        quality_score(c).alias("quality"),
+        language_id(c).alias("lang_guess"),
+        fingerprint(c).alias("fingerprint"),
+    )

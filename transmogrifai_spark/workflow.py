@@ -1,0 +1,153 @@
+"""Workflow: lineage-driven DAG construction, layered fit, one-pass scoring.
+
+Re-expression of ``OpWorkflow`` / ``OpWorkflowModel``
+(core/src/main/scala/com/salesforce/op/OpWorkflow.scala:61,
+OpWorkflowModel.scala) and the DAG machinery in
+``FitStagesUtil`` (core/.../utils/stages/FitStagesUtil.scala:173-198
+``computeDAG``: stages grouped into layers by max distance-to-sink, dedup'd).
+
+Physical differences from the reference, per SURVEY.md §4:
+  * Each layer's ColumnTransformers are emitted as ONE ``select`` — Catalyst
+    fuses them under whole-stage codegen (the reference needed a hand-rolled
+    single RDD map pass, FitStagesUtil.applyOpTransformations:96-119).
+  * The reference's forced RDD-roundtrip persist every K stages
+    (applySparkTransformations:150-163, a Spark 2.x Catalyst-blowup
+    workaround [SPARK-13346]) is obsolete on Spark 4 + AQE; we keep an
+    optional ``checkpoint_every`` escape hatch using ``localCheckpoint``.
+  * Transform-only scoring builds a single lazy plan — no persist gymnastics;
+    persists happen only at estimator-fit boundaries, where a layer's output
+    is consumed by several fits.
+
+Scale note (100 TB): everything here is plan construction on the driver; the
+data path is pure DataFrame ops, so partitioning/shuffle behavior is decided
+by Catalyst/AQE from the expressions the stages emit.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .feature import Feature
+from .stages.base import ColumnTransformer, DataFrameTransformer, Estimator, Stage
+
+
+def compute_dag(result_features: Sequence[Feature]) -> list[list[Stage]]:
+    """Group ancestor stages into layers by max distance-to-sink.
+
+    Mirrors FitStagesUtil.computeDAG (FitStagesUtil.scala:173-198): a stage's
+    layer = max over all paths to any result feature; stages shared by several
+    results appear exactly once (common-subexpression elimination at the
+    logical-DAG level — Catalyst CSE works within one plan, but stage dedup
+    must happen here, SURVEY.md §4 row 1).
+    """
+    dist: dict[int, int] = {}
+    stages: dict[int, Stage] = {}
+
+    def walk(f: Feature, d: int) -> None:
+        st = f.origin_stage
+        if st is None:
+            return
+        stages[id(st)] = st
+        if dist.get(id(st), -1) < d:
+            dist[id(st)] = d
+        for p in f.parents:
+            walk(p, d + 1)
+
+    for f in result_features:
+        walk(f, 0)
+
+    by_layer: dict[int, list[Stage]] = {}
+    for sid, st in stages.items():
+        by_layer.setdefault(dist[sid], []).append(st)
+    # deepest (furthest from sink) first
+    return [by_layer[d] for d in sorted(by_layer, reverse=True)]
+
+
+def _apply_layer(df: DataFrame, layer: Sequence[Stage]) -> DataFrame:
+    """Apply one fitted layer: all column transformers fused in one select,
+    then df-level transformers sequentially."""
+    col_stages = [s for s in layer if isinstance(s, ColumnTransformer)]
+    df_stages = [s for s in layer if isinstance(s, DataFrameTransformer)]
+    if col_stages:
+        existing = [F.col(c) for c in df.columns]
+        df = df.select(*existing, *[s.expr() for s in col_stages])
+    for s in df_stages:
+        df = s.transform(df)
+    return df
+
+
+@dataclass
+class WorkflowModel:
+    """Fitted DAG: transformers only (reference OpWorkflowModel)."""
+
+    layers: list[list[Stage]]
+    result_features: list[Feature]
+
+    def score(self, df: DataFrame, keep_intermediate: bool = False) -> DataFrame:
+        """The 'SELECT' path (OpWorkflowModel.score, core/.../OpWorkflowModel.scala:261):
+        one lazy plan across all layers; Catalyst prunes and fuses."""
+        out = df
+        for layer in self.layers:
+            out = _apply_layer(out, layer)
+        if keep_intermediate:
+            return out
+        keep = [c for c in df.columns] + [f.name for f in self.result_features if f.name not in df.columns]
+        return out.select(*[c for c in keep if c in out.columns])
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.score(df, keep_intermediate=True)
+
+
+class Workflow:
+    """DAG of stages reconstructed from result-feature lineage."""
+
+    def __init__(self, result_features: Sequence[Feature], checkpoint_every: int | None = None):
+        self.result_features = list(result_features)
+        self.checkpoint_every = checkpoint_every
+        # static column pruning: only raw features reachable from results
+        # (OpWorkflow.setResultFeatures:93)
+        self.raw_features = []
+        seen: set[str] = set()
+        for f in self.result_features:
+            for r in f.raw_features():
+                if r.name not in seen:
+                    seen.add(r.name)
+                    self.raw_features.append(r)
+
+    def fit(self, df: DataFrame) -> WorkflowModel:
+        """Layer-by-layer fit (FitStagesUtil.fitAndTransformDAG:212-237).
+
+        Per layer: fit every estimator on the current frame (each fit is a
+        distributed agg/ml job), then substitute the fitted transformers and
+        apply the whole layer. The frame is persisted before a layer that
+        contains estimators, since each estimator triggers its own action
+        (the reference persists raw data the same way, OpWorkflow.scala:242).
+        """
+        dag = compute_dag(self.result_features)
+        fitted_layers: list[list[Stage]] = []
+        cur = df
+        persisted = []
+        applied = 0
+        for layer in dag:
+            estimators = [s for s in layer if isinstance(s, Estimator)]
+            if estimators:
+                cur = cur.persist()
+                persisted.append(cur)
+            fitted_layer: list[Stage] = []
+            for s in layer:
+                fitted_layer.append(s.fit(cur) if isinstance(s, Estimator) else s)
+            cur = _apply_layer(cur, fitted_layer)
+            applied += len(fitted_layer)
+            if self.checkpoint_every and applied >= self.checkpoint_every:
+                cur = cur.localCheckpoint(eager=False)
+                applied = 0
+            fitted_layers.append(fitted_layer)
+        for p in persisted:
+            p.unpersist()
+        return WorkflowModel(layers=fitted_layers, result_features=self.result_features)
+
+    def fit_score(self, df: DataFrame) -> DataFrame:
+        return self.fit(df).score(df)
