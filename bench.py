@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count()/collect() action after a warm-up of the
+session (one trivial job) so JVM startup isn't attributed to the first query.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline set: relational rollups, joins, event aggregation, LLM-pipeline
+# ops, streaming, and the full ML spine
+HEADLINE = [
+    "pricing_summary",
+    "multiway_broadcast",
+    "join_left_agg",
+    "agg_reader_cutoff",
+    "conditional_reader",
+    "date_ops",
+    "text_quality",
+    "dedup_exact",
+    "dedup_near_ngram_capped",   # scale path: frequency-capped shingles
+    "similarity_topk",
+    "streaming_window",
+    "ml_train_score",
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from transmogrifai_spark import session
+    from transmogrifai_spark.driver_queries import SPARK_QUERIES
+    from transmogrifai_spark.llm import dedup
+    from transmogrifai_spark.sources.tables import load_table
+
+    spark = session(cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).select(F.sum("id")).collect()  # warm up JVM/codegen
+
+    def near_ngram_capped(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                         threshold=0.5, max_doc_freq=200)
+
+    runners = dict(SPARK_QUERIES)
+    runners["dedup_near_ngram_capped"] = near_ngram_capped
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = runners[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record failures as -1, keep benching
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            times[name] = -1.0
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+"""Driver-contract smoke: entry() runs, every queries() entry has a callable,
+every oracle key has a matching query (the inverse of the driver's check)."""
+import importlib.util
+import os
+
+spec = importlib.util.spec_from_file_location(
+    "spark_entry", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                                "__spark_entry__.py"))
+entry_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry_mod)
+
+
+def test_oracle_keys_subset_of_queries():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(o) >= 20  # oracle coverage floor
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"key", "prediction"} <= set(df.columns)

@@ -1,0 +1,106 @@
+"""Scalar function libraries: math null semantics (MathTransformers
+NaN/Inf->None), text ops, date periods, map ops."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.functions import dates as D
+from transmogrifai_spark.functions import maps as M
+from transmogrifai_spark.functions import math as X
+from transmogrifai_spark.functions import text as TX
+
+
+def _one(spark, expr, schema="x double", row=(1.0,)):
+    return spark.createDataFrame([row], schema).select(expr.alias("r")).first()["r"]
+
+
+def test_divide_by_zero_is_null(spark):
+    df = spark.createDataFrame([(1.0, 0.0), (6.0, 2.0), (None, 2.0)], "a double, b double")
+    rows = df.select(X.divide(F.col("a"), F.col("b")).alias("r")).collect()
+    assert [r["r"] for r in rows] == [None, 3.0, None]
+
+
+def test_nan_inf_guards(spark):
+    # 0/0 -> NaN -> None; exp(1000) -> Inf -> None; sqrt(-1) -> NaN -> None
+    df = spark.createDataFrame([(0.0,)], "x double")
+    assert df.select(X.divide(F.col("x"), F.col("x")).alias("r")).first()["r"] is None
+    assert df.select(X.exp(F.col("x") + 1000).alias("r")).first()["r"] is None
+    assert df.select(X.sqrt(F.col("x") - 1).alias("r")).first()["r"] is None
+
+
+def test_log_nonpositive_null(spark):
+    assert _one(spark, X.log(F.col("x")), row=(0.0,)) is None
+    assert abs(_one(spark, X.log(F.col("x")), row=(math.e,)) - 1.0) < 1e-12
+
+
+def test_ceil_floor_round_types(spark):
+    assert _one(spark, X.ceil(F.col("x")), row=(1.2,)) == 2
+    assert _one(spark, X.floor(F.col("x")), row=(1.8,)) == 1
+    assert _one(spark, X.round_(F.col("x")), row=(2.5,)) == 3  # HALF_UP
+
+
+def test_tokenize_and_lengths(spark):
+    r = _one(spark, TX.tokenize(F.col("x"), min_token_length=2),
+             "x string", ("Hello, wide world! a",))
+    assert r == ["hello", "wide", "world"]
+    assert _one(spark, TX.text_len(F.col("x")), "x string", (None,)) == 0
+
+
+def test_ngrams(spark):
+    r = _one(spark, TX.ngrams(F.split(F.col("x"), " "), 2), "x string", ("a b c",))
+    assert r == ["a b", "b c"]
+    r1 = _one(spark, TX.ngrams(F.split(F.col("x"), " "), 3), "x string", ("a b",))
+    assert r1 == []
+
+
+def test_char_ngrams(spark):
+    assert _one(spark, TX.char_ngrams(F.col("x"), 2), "x string", ("abc",)) == ["ab", "bc"]
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame([(["a", "b"], ["b", "c"])], "a array<string>, b array<string>")
+    assert df.select(TX.jaccard_similarity(F.col("a"), F.col("b")).alias("r")).first()["r"] \
+        == pytest.approx(1 / 3)
+
+
+def test_email_parsing(spark):
+    good = _one(spark, TX.email_domain(F.col("x")), "x string", ("bob@corp.io",))
+    bad = _one(spark, TX.is_valid_email(F.col("x")), "x string", ("not-an-email",))
+    assert good == "corp.io" and bad is False
+
+
+def test_phone_validation(spark):
+    assert _one(spark, TX.is_valid_phone_us(F.col("x")), "x string", ("(415) 555-2671",)) is True
+    assert _one(spark, TX.is_valid_phone_us(F.col("x")), "x string", ("12345",)) is False
+
+
+def test_time_periods(spark):
+    df = spark.createDataFrame([("2024-03-15 13:45:00",)], "s string") \
+        .select(F.col("s").cast("timestamp").alias("ts"))
+    row = df.select(
+        D.time_period(F.col("ts"), "DayOfMonth").alias("dom"),
+        D.time_period(F.col("ts"), "HourOfDay").alias("hod"),
+        D.time_period(F.col("ts"), "MonthOfYear").alias("moy"),
+    ).first()
+    assert (row["dom"], row["hod"], row["moy"]) == (15, 13, 3)
+
+
+def test_unit_circle_inverse(spark):
+    df = spark.createDataFrame([("2024-03-15 06:00:00",)], "s string") \
+        .select(F.col("s").cast("timestamp").alias("ts"))
+    s, c = D.unit_circle(F.col("ts"), "HourOfDay")
+    row = df.select(s.alias("s"), c.alias("c")).first()
+    # hour 6 of 24 -> quarter circle -> sin=1, cos~0
+    assert row["s"] == pytest.approx(1.0) and row["c"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_filter_map_keys(spark):
+    df = spark.createDataFrame([({"a": "1", "b": "2", "C x": "3"},)], "m map<string,string>")
+    r = df.select(M.filter_map_keys(F.col("m"), block=["b"], clean_keys=True).alias("r")).first()["r"]
+    assert r == {"a": "1", "cx": "3"}
+
+
+def test_parse_json_map(spark):
+    df = spark.createDataFrame([('{"k": 5}',)], "s string")
+    assert df.select(M.parse_json_map(F.col("s"), "bigint").alias("m")).first()["m"] == {"k": 5}

@@ -1,0 +1,138 @@
+"""LLM-pipeline operators: dedup, similarity search, text analysis,
+multimodal plumbing — semantics checked against hand-computed / numpy
+references on small inputs, plus real-testdata sanity."""
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.llm import dedup, similarity, textqual
+from transmogrifai_spark.llm.multimodal import (decode_image, frame_sample_plan,
+                                                synthetic_media_table)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different words entirely unrelated text"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["representative"]: r["dup_count"] for r in
+           dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1] == 2      # docs 1 and 4
+    assert out[2] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    found = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs}
+    assert (1, 4) in found and found[(1, 4)] == 1.0   # exact dup
+    assert (1, 2) in found and 0.5 <= found[(1, 2)] < 1.0
+    assert (1, 3) not in found
+
+
+def test_minhash_lsh_candidates(docs):
+    cands = {(r["id1"], r["id2"]) for r in
+             dedup.minhash_lsh_candidates(docs, "doc_id", "text",
+                                          num_hashes=16, bands=8).collect()}
+    assert (1, 4) in cands  # identical signatures must collide
+
+
+def test_simhash_properties(docs, spark):
+    out = {r["doc_id"]: r["simhash"] for r in docs.select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("simhash")).collect()}
+    assert out[1] == out[4]           # identical text -> identical signature
+    assert out[5] == 0                # null text -> 0
+    # near-dup should be closer in hamming distance than unrelated
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    a, b = rng.rand(16).tolist(), rng.rand(16).tolist()
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(similarity.cosine_similarity(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_brute_force_topk_correct(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.rand(30, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(30)], "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(df, df.where(F.col("vec_id") == 0),
+                                      "vec_id", "embedding", k=3).collect()
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    v = vecs.astype(np.float64)
+    sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    sims[0] = -np.inf
+    want = list(np.argsort(-sims)[:3])
+    assert got == want
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.rand(50, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(50)], "vec_id long, embedding array<float>")
+    out = similarity.hyperplane_lsh_topk(df, df.where(F.col("vec_id") < 3),
+                                         "vec_id", "embedding", dim=8, k=5,
+                                         num_planes=4)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+def test_language_id_profiles(spark):
+    df = spark.createDataFrame([
+        (1, "the cat and the dog sat in a corner of the room"),
+        (2, "der hund und die katze ist mit einem ball"),
+        (3, "xyzzy plugh qwerty"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_guess"] for r in
+           df.select("doc_id", textqual.language_id(F.col("text")).alias("lang_guess")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame([(1, "b a c"), (2, "c b a a")], "doc_id long, text string")
+    fps = [r["fp"] for r in df.select(textqual.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_quality_score_range(spark, sf_dir):
+    from transmogrifai_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(textqual.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_multimodal_decode_shapes(spark):
+    media = synthetic_media_table(spark, 8)
+    out = decode_image(media, fake=True)
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(len(r["features"]) == 16 for r in rows)
+    # determinism: same bytes -> same features
+    again = decode_image(media, fake=True).collect()
+    assert rows[0]["features"] == again[0]["features"]
+
+
+def test_frame_sampling_explodes_by_duration(spark):
+    media = synthetic_media_table(spark, 4)
+    out = frame_sample_plan(media, every_ms=1000)
+    counts = out.groupBy("media_id").count().collect()
+    durations = {r["media_id"]: r["duration_ms"] for r in media.collect()}
+    for r in counts:
+        assert r["count"] == max(1, durations[r["media_id"]] // 1000)

@@ -1,0 +1,67 @@
+"""Workflow DAG construction + layered fit/score (OpWorkflow parity:
+computeDAG layering, stage dedup, one-select layer fusion)."""
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.feature import raw_feature
+from transmogrifai_spark.stages.base import Estimator, binary, unary
+from transmogrifai_spark.workflow import Workflow, compute_dag
+
+
+def _mk_chain():
+    a = raw_feature("a", "Real")
+    b = unary("inc", a, "b", "Real", lambda c: c + 1)
+    c = unary("dbl", b, "c", "Real", lambda col: col * 2)
+    d = binary("add", b, c, "d", "Real", lambda x, y: x + y)
+    return a, b, c, d
+
+
+def test_layering_by_distance_to_sink():
+    _, b, c, d = _mk_chain()
+    dag = compute_dag([d])
+    names = [[s.op_name for s in layer] for layer in dag]
+    assert names == [["inc"], ["dbl"], ["add"]]
+
+
+def test_stage_dedup_across_results():
+    # shared ancestor stage appears exactly once (FitStagesUtil dedup)
+    a = raw_feature("a", "Real")
+    b = unary("inc", a, "b", "Real", lambda c: c + 1)
+    c1 = unary("dbl", b, "c1", "Real", lambda col: col * 2)
+    c2 = unary("neg", b, "c2", "Real", lambda col: -col)
+    dag = compute_dag([c1, c2])
+    all_stages = [s for layer in dag for s in layer]
+    assert len(all_stages) == 3
+    assert sum(1 for s in all_stages if s.op_name == "inc") == 1
+
+
+def test_fit_score_chain(spark):
+    _, _, _, d = _mk_chain()
+    df = spark.createDataFrame([(1.0,), (2.0,), (None,)], "a double")
+    out = Workflow([d]).fit(df).score(df)
+    rows = {r["a"]: r["d"] for r in out.collect()}
+    # b = a+1, c = 2b, d = b+c = 3(a+1)
+    assert rows[1.0] == 6.0 and rows[2.0] == 9.0 and rows[None] is None
+
+
+def test_estimator_layer_fit(spark):
+    # estimator computing a mean, then a transformer using it downstream
+    a = raw_feature("x", "Real")
+
+    def fit_fn(stage, df):
+        m = df.agg(F.avg("x")).first()[0]
+        from transmogrifai_spark.stages.base import ColumnTransformer
+        return ColumnTransformer("centered", [a], "x_c", "Real", lambda c: c - F.lit(m))
+
+    est = Estimator("center", [a], "x_c", "Real", fit_fn)
+    top = unary("abs", est.output, "x_ca", "Real", F.abs)
+    df = spark.createDataFrame([(1.0,), (3.0,)], "x double")
+    out = Workflow([top]).fit(df).score(df, keep_intermediate=True)
+    vals = sorted(r["x_ca"] for r in out.collect())
+    assert vals == [1.0, 1.0]  # mean=2 -> |1-2|,|3-2|
+
+
+def test_score_prunes_intermediates(spark):
+    _, _, _, d = _mk_chain()
+    df = spark.createDataFrame([(1.0,)], "a double")
+    out = Workflow([d]).fit(df).score(df)
+    assert set(out.columns) == {"a", "d"}  # b, c pruned

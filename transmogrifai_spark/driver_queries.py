@@ -1,0 +1,806 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each expressed through the engine API, with a matching
+ANSI-SQL oracle for DuckDB.
+
+Conventions that make the cross-engine value-hash comparison exact:
+  * every computed column is aliased identically in the Spark plan and the
+    oracle SQL;
+  * double SUMs accumulate in DECIMAL (order-independent exact) and emit
+    DOUBLE (aggregators.agg_sum_exact) — a plain double sum is
+    partitioning-dependent;
+  * row-level double arithmetic (x*(1-d) etc.) is IEEE-identical in both
+    engines and is emitted raw;
+  * libm-backed functions (exp/ln/sin/cos) are rounded to 6 decimals on both
+    sides (last-ulp differences between JVM and C libm);
+  * integer-ratio values (Jaccard, token ratios) are single IEEE divisions —
+    exact, emitted raw;
+  * set/list aggregations are sorted and joined to strings; event-ordered
+    concats order by (ts, value).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .aggregators import agg_sum_exact
+from .functions import dates as D
+from .functions import maps as M
+from .functions import math as X
+from .functions import text as TX
+from .llm import dedup, similarity, textqual
+from .sources.joins import JoinedAggregateReader, JoinedReader
+from .sources.readers import (AggSpec, AggregateDataReader, ConditionalDataReader,
+                              CutOffTime, DataReader, InlineReader,
+                              aggregate_events, conditional_aggregate_events)
+from .sources.tables import load_table
+
+CUTOFF = "2024-01-15 00:00:00"
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# scans / joins / aggregation readers
+# ---------------------------------------------------------------------------
+
+def q_scan_pushdown(spark, sf_dir):
+    """Parquet scan with projection + filter pushdown (DataReader.generate —
+    the select happens at the scan so parquet reads 4 of 11 columns)."""
+    li = DataReader(path=f"{sf_dir}/lineitem.parquet", key_col="l_orderkey")
+    df = li.read(spark)
+    return (df.where(F.col("l_quantity") >= 45)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing rollup — the relational surface our DataFrame
+    substrate gives for free (SURVEY.md §2.12)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_quantity") <= 49)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            agg_sum_exact(F.col("l_quantity")).alias("sum_qty"),
+            agg_sum_exact(F.col("l_extendedprice")).alias("sum_base_price"),
+            agg_sum_exact(disc_price).alias("sum_disc_price"),
+            agg_sum_exact(charge).alias("sum_charge"),
+            (agg_sum_exact(F.col("l_quantity")) / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_inner_agg(spark, sf_dir):
+    """Inner equi-join (JoinedReader, JoinTypes.Inner) + segment rollup."""
+    jr = JoinedReader(left=DataReader(path=f"{sf_dir}/customer.parquet"),
+                      right=DataReader(path=f"{sf_dir}/orders.parquet"),
+                      left_key="c_custkey", right_key="o_custkey", join_type="inner")
+    return (jr.generate(spark)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 agg_sum_exact(F.col("o_totalprice")).alias("total_price"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+def q_join_left_agg(spark, sf_dir):
+    """LeftOuter join + per-key monoid aggregation (JoinedAggregateDataReader)."""
+    jr = JoinedReader(left=DataReader(path=f"{sf_dir}/customer.parquet"),
+                      right=DataReader(path=f"{sf_dir}/orders.parquet"),
+                      left_key="c_custkey", right_key="o_custkey", join_type="left")
+    ja = JoinedAggregateReader(
+        joined=jr, key_col="c_custkey",
+        specs=[
+            AggSpec("n_orders", "case when o_orderkey is not null then 1 end", "sum"),
+            AggSpec("total_spend", "o_totalprice", "sum_exact"),
+            AggSpec("max_order", "o_totalprice", "max"),
+        ])
+    return ja.generate(spark)
+
+
+def q_join_outer_combined(spark, sf_dir):
+    """FullOuter join with combined-key coalesce (combineKeysUDF ->
+    F.coalesce) + rollup."""
+    jr = JoinedReader(left=DataReader(path=f"{sf_dir}/nation.parquet"),
+                      right=DataReader(path=f"{sf_dir}/supplier.parquet"),
+                      left_key="n_nationkey", right_key="s_nationkey",
+                      join_type="outer", combine_keys_as="nationkey")
+    df = jr.generate(spark)
+    return (df.groupBy(F.col("nationkey").cast("long").alias("nationkey"))
+            .agg(F.max("n_name").alias("n_name"),
+                 F.sum(F.when(F.col("s_suppkey").isNotNull(), 1)).alias("n_suppliers"),
+                 agg_sum_exact(F.col("s_acctbal")).alias("total_bal")))
+
+
+def q_multiway_broadcast(spark, sf_dir):
+    """Left-deep 4-way join tree (JoinedDataReader leftReader recursion) with
+    broadcast dims — revenue per region. region/nation are broadcast
+    (dimension tables stay small at any scale factor); the customer⋈orders
+    shuffle is the only exchange of fact-sized data."""
+    j1 = JoinedReader(left=DataReader(path=f"{sf_dir}/nation.parquet"),
+                      right=DataReader(path=f"{sf_dir}/region.parquet"),
+                      left_key="n_regionkey", right_key="r_regionkey",
+                      join_type="inner", broadcast_right=True)
+    j2 = JoinedReader(left=JoinedReader(
+        left=DataReader(path=f"{sf_dir}/customer.parquet"),
+        right=DataReader(path=f"{sf_dir}/orders.parquet"),
+        left_key="c_custkey", right_key="o_custkey", join_type="inner"),
+        right=DataReader(path=f"{sf_dir}/nation.parquet"),
+        left_key="c_nationkey", right_key="n_nationkey",
+        join_type="inner", broadcast_right=True)
+    nr = j1.generate(spark).select(F.col("n_nationkey").alias("nk"), "r_name")
+    df = j2.generate(spark).join(F.broadcast(nr), F.col("c_nationkey") == F.col("nk"), "inner")
+    return (df.groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 agg_sum_exact(F.col("o_totalprice")).alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# event aggregation readers (the reference's GROUP BY)
+# ---------------------------------------------------------------------------
+
+def q_agg_reader_cutoff(spark, sf_dir):
+    """AggregateDataReader: predictors over t < cutoff, responses over
+    t >= cutoff, per-type monoids."""
+    ev = InlineReader(_t(spark, sf_dir, "events"))
+    r = AggregateDataReader(
+        reader=ev, key_col="user_id", time_col="ts",
+        cutoff=CutOffTime(timestamp=CUTOFF),
+        specs=[
+            AggSpec("total_value", "value", "sum_exact"),
+            AggSpec("n_events", "1", "sum"),
+            AggSpec("n_purchases", "case when event_type='purchase' then 1 end", "sum"),
+            AggSpec("max_value", "value", "max"),
+            AggSpec("types_seen", "event_type", "set_union"),
+            AggSpec("error_after", "event_type='error'", "logical_or", is_response=True),
+        ])
+    df = r.generate(spark)
+    return df.withColumn("types_seen", F.array_join(F.col("types_seen"), ","))
+
+
+def q_agg_first_last(spark, sf_dir):
+    """First/Last event aggregators (TimeBasedAggregator.scala:61-225)."""
+    ev = _t(spark, sf_dir, "events")
+    specs = [
+        AggSpec("first_type", "event_type", "first"),
+        AggSpec("last_type", "event_type", "last"),
+        AggSpec("first_value", "value", "first"),
+        AggSpec("last_value", "value", "last"),
+        AggSpec("min_ts_ms", "ts_ms", "min"),
+        AggSpec("max_ts_ms", "ts_ms", "max"),
+    ]
+    return aggregate_events(ev, "user_id", "ts", CutOffTime(), specs)
+
+
+def q_agg_concat_mode_logical(spark, sf_dir):
+    """Concat (event-time order), deterministic mode, logical or/and/xor
+    monoids (Text.scala:56-69, ExtendedMultiset mode, Numerics.scala:118-120)."""
+    ev = _t(spark, sf_dir, "events")
+    specs = [
+        AggSpec("type_concat", "event_type", "concat"),
+        AggSpec("type_mode", "event_type", "mode"),
+        AggSpec("any_high", "value > 90", "logical_or"),
+        AggSpec("all_positive", "value > 0", "logical_and"),
+        AggSpec("odd_purchases", "event_type = 'purchase'", "logical_xor"),
+    ]
+    return aggregate_events(ev, "user_id", "ts", CutOffTime(), specs)
+
+
+def q_conditional_reader(spark, sf_dir):
+    """ConditionalDataReader: per-key cutoff = time of first 'purchase';
+    keys without the condition dropped; predictors aggregated before it."""
+    ev = _t(spark, sf_dir, "events")
+    specs = [
+        AggSpec("pre_value", "value", "sum_exact"),
+        AggSpec("pre_events", "1", "sum"),
+        AggSpec("pre_types", "event_type", "set_union"),
+    ]
+    df = conditional_aggregate_events(ev, "user_id", "ts", "event_type = 'purchase'",
+                                      specs, timestamp_to_keep="min")
+    return df.withColumn("pre_types", F.array_join(F.coalesce(
+        F.col("pre_types"), F.array().cast("array<string>")), ","))
+
+
+def q_map_monoid(spark, sf_dir):
+    """Map monoid (Union*Map, aggregators/Maps.scala): parse JSON props to a
+    map, key-wise sum per user, emitted relationally (key, map_key, total)."""
+    from .aggregators import aggregate_map_column
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props_map", M.parse_json_map(F.col("props"), "bigint"))
+    agg = aggregate_map_column(ev, "user_id", "props_map", "m", "sum")
+    return (agg.select(F.col("user_id").cast("string").alias("key"),
+                       F.explode(F.col("m")).alias("map_key", "total")))
+
+
+# ---------------------------------------------------------------------------
+# row-level operators: filters / math / text / dates
+# ---------------------------------------------------------------------------
+
+def q_filter_ops(spark, sf_dir):
+    """FilterTransformer / ReplaceTransformer / ExistsTransformer /
+    ToOccurTransformer as fused column expressions."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty, flag = F.col("l_quantity"), F.col("l_returnflag")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(qty > 25, qty).otherwise(F.lit(None)).alias("qty_filtered"),
+        F.when(flag.eqNullSafe("N"), F.lit("NONE")).otherwise(flag).alias("flag_replaced"),
+        F.coalesce(flag.isin("A", "R"), F.lit(False)).alias("is_returned"),
+        F.when(F.col("l_tax").isNotNull() & (F.col("l_tax") > 0), 1.0).otherwise(0.0).alias("tax_occurs"),
+    )
+
+
+def q_math_ops(spark, sf_dir):
+    """MathTransformers null-safe arithmetic incl. NaN/Inf->NULL guards."""
+    li = _t(spark, sf_dir, "lineitem")
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    disc, tax = F.col("l_discount"), F.col("l_tax")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        X.multiply(price, (1 - disc) * (1 + tax)).alias("charge"),
+        X.divide(price, qty).alias("unit_price"),
+        X.ceil(price).alias("price_ceil"),
+        X.floor(price).alias("price_floor"),
+        X.round_digits(price, 1).alias("price_round1"),
+        X.sqrt(qty).alias("qty_sqrt"),
+        F.round(X.log(price), 6).alias("price_ln6"),
+        F.round(X.exp(disc), 6).alias("disc_exp6"),
+        X.power(qty, 2.0).alias("qty_sq"),
+        X.absolute(disc - F.lit(0.05)).alias("disc_dev"),
+    )
+
+
+def q_text_ops(spark, sf_dir):
+    """Tokenizer / text length / substring / email parse-and-validate
+    (TextTokenizer, SubstringTransformer, RichTextFeature email DSL)."""
+    cust = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    email = F.concat(F.regexp_replace(F.lower(name), r"[^a-z0-9]", ""), F.lit("@example.com"))
+    return cust.select(
+        "c_custkey",
+        F.size(TX.tokenize(name)).alias("n_tokens"),
+        TX.text_len(name).alias("name_len"),
+        TX.is_substring(F.lit("customer"), name).alias("has_customer"),
+        email.alias("email"),
+        TX.is_valid_email(email).alias("email_valid"),
+        TX.email_prefix(email).alias("email_prefix"),
+        TX.email_domain(email).alias("email_domain"),
+        F.array_join(TX.tokenize(name), "|").alias("tokens_joined"),
+    )
+
+
+def q_date_ops(spark, sf_dir):
+    """TimePeriodTransformer calendar units + DateToUnitCircle projection."""
+    o = _t(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    sin_doy, cos_doy = D.unit_circle(ts, "DayOfYear")
+    return o.select(
+        "o_orderkey",
+        D.time_period(ts, "DayOfMonth").alias("day_of_month"),
+        D.time_period(ts, "DayOfWeek").alias("day_of_week"),
+        D.time_period(ts, "DayOfYear").alias("day_of_year"),
+        D.time_period(ts, "MonthOfYear").alias("month_of_year"),
+        D.time_period(ts, "WeekOfYear").alias("week_of_year"),
+        F.unix_millis(F.date_trunc("month", ts)).alias("month_start_ms"),
+        F.round(sin_doy, 6).alias("doy_sin6"),
+        F.round(cos_doy, 6).alias("doy_cos6"),
+    )
+
+
+def q_text_similarity(spark, sf_dir):
+    """JaccardSimilarity over token sets of adjacent document pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    d1 = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
+    d2 = docs.select((F.col("doc_id") - 1).alias("id1"), F.col("doc_id").alias("id2"),
+                     F.col("text").alias("t2"))
+    pairs = d1.join(d2, "id1", "inner")
+    tok1, tok2 = TX.tokenize(F.col("t1")), TX.tokenize(F.col("t2"))
+    return pairs.select(
+        "id1", "id2",
+        TX.jaccard_similarity(tok1, tok2).alias("token_jaccard"),
+    )
+
+
+def q_onehot_topk(spark, sf_dir):
+    """OpSetVectorizer TopK pivot semantics, exposed relationally: each row's
+    category mapped to its fitted bucket (top-K by support, else OTHER)."""
+    from .feature import from_dataframe
+    from .operators.vectorizers import one_hot_estimator
+    cust = _t(spark, sf_dir, "customer")
+    feats = from_dataframe(cust, overrides={"c_mktsegment": "PickList"})
+    est = one_hot_estimator(feats["c_mktsegment"], top_k=3, min_support=10)
+    fitted = est.fit(cust)
+    values = [s.indicator_value for s in fitted.slots
+              if s.indicator_value not in ("OTHER", "NullIndicatorValue")]
+    bucket = F.lit("OTHER")
+    for v in values:
+        bucket = F.when(F.col("c_mktsegment").eqNullSafe(F.lit(v)), F.lit(v)).otherwise(bucket)
+    return cust.select("c_custkey", bucket.alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+def q_dedup_near_ngram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textqual.text_metrics(docs, "doc_id", "text")
+
+
+def q_similarity_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 20),
+                                      "vec_id", "embedding", k=5)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round(F.col("cosine"), 6).alias("cosine6"))
+
+
+def q_streaming_window(spark, sf_dir):
+    """Structured Streaming tumbling-window aggregation run to completion
+    (Trigger.AvailableNow) — must equal the batch SQL on the same files."""
+    from .streaming.windows import run_stream_available_now, windowed_event_aggregate
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    return run_stream_available_now(
+        spark, f"{sf_dir}/events.parquet", schema,
+        lambda s: windowed_event_aggregate(s, "ts", "1 day", "1 day"),
+        nanos_ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible (rows-only gate): hashing-based + ML + vectorizers
+# ---------------------------------------------------------------------------
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_groups(docs, "doc_id", "text")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=4)
+
+
+def q_similarity_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_lsh_topk(emb, emb.where(F.col("vec_id") < 20),
+                                          "vec_id", "embedding", dim=64, k=5)
+
+
+def q_transmogrify_vector(spark, sf_dir):
+    """transmogrify() auto-vectorization over mixed types (vector output —
+    rows-only check; slot semantics covered by q_onehot_topk oracle)."""
+    from .feature import from_dataframe
+    from .operators.vectorizers import transmogrify
+    from .workflow import Workflow
+    cust = _t(spark, sf_dir, "customer")
+    feats = from_dataframe(cust, overrides={"c_mktsegment": "PickList",
+                                            "c_acctbal": "Currency"})
+    vec = transmogrify([feats["c_mktsegment"], feats["c_acctbal"]], top_k=5, min_support=5)
+    model = Workflow([vec]).fit(cust)
+    out = model.score(cust, keep_intermediate=True)
+    return out.select("c_custkey", F.col("features").alias("features"))
+
+
+def q_sanity_checker(spark, sf_dir):
+    """SanityChecker: leakage slot removal — returns kept-slot count per row
+    (rows-only; the leaky slot must be gone)."""
+    from .feature import from_dataframe
+    from .operators.preparators import sanity_checker
+    from .operators.vectorizers import transmogrify
+    from .workflow import Workflow
+    cust = _t(spark, sf_dir, "customer")
+    df = cust.withColumn("label", (F.col("c_acctbal") > 5000).cast("double"))
+    feats = from_dataframe(df, overrides={"c_mktsegment": "PickList"})
+    vec = transmogrify([feats["c_mktsegment"], feats["c_acctbal"]], top_k=5, min_support=5)
+    checked = sanity_checker(vec, feats["label"], max_correlation=0.9)
+    model = Workflow([checked.output]).fit(df)
+    out = model.score(df, keep_intermediate=True)
+    return out.select("c_custkey", F.size(F.col(checked.output.name)).alias("n_slots_kept"))
+
+
+def q_ml_train_score(spark, sf_dir):
+    """Full spine: joined+aggregated reader -> transmogrify -> LR ->
+    predictions (OpWorkflow.train + score re-expressed)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import vector_to_array
+    from .feature import from_dataframe
+    from .operators.vectorizers import to_ml_vector, transmogrify
+    from .workflow import Workflow
+
+    jr = JoinedReader(left=DataReader(path=f"{sf_dir}/customer.parquet"),
+                      right=DataReader(path=f"{sf_dir}/orders.parquet"),
+                      left_key="c_custkey", right_key="o_custkey", join_type="left")
+    ja = JoinedAggregateReader(
+        joined=jr, key_col="c_custkey",
+        specs=[
+            AggSpec("n_orders", "case when o_orderkey is not null then 1 end", "sum"),
+            AggSpec("total_spend", "o_totalprice", "sum_exact"),
+            AggSpec("mkt", "c_mktsegment", "max"),
+            AggSpec("acctbal", "c_acctbal", "max"),
+            AggSpec("label_raw", "o_orderstatus = 'F'", "logical_or", is_response=True),
+        ])
+    base = ja.generate(spark).withColumn(
+        "label", F.coalesce(F.col("label_raw").cast("double"), F.lit(0.0)))
+    feats = from_dataframe(base, response="label",
+                           overrides={"mkt": "PickList", "total_spend": "Currency",
+                                      "acctbal": "Currency", "n_orders": "Integral"})
+    vec = transmogrify([feats["mkt"], feats["total_spend"], feats["acctbal"],
+                        feats["n_orders"]], top_k=10, min_support=5)
+    model = Workflow([vec]).fit(base)
+    scored = to_ml_vector(model.score(base, keep_intermediate=True), "features")
+    lr = LogisticRegression(featuresCol="features_ml", labelCol="label",
+                            maxIter=10, regParam=0.01)
+    preds = lr.fit(scored).transform(scored)
+    return preds.select(
+        "key", "label", F.col("prediction").alias("prediction"),
+        F.round(vector_to_array(F.col("probability"))[1], 4).alias("p1"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views: region nation customer supplier part
+# orders lineitem events documents embeddings)
+# ---------------------------------------------------------------------------
+
+_TOKENIZE = r"regexp_split_to_array(lower({c}), '[^\p{{L}}\p{{N}}]+')"
+_TOKENS = f"list_filter({_TOKENIZE}, t -> length(t) >= 1)"
+
+
+def _tokens(col: str) -> str:
+    return _TOKENS.format(c=col)
+
+
+_SUM = "CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _sum(x: str) -> str:
+    return _SUM.format(x=x)
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["scan_pushdown"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity >= 45
+"""
+
+ORACLES["pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sum('l_quantity')} AS sum_qty,
+       {_sum('l_extendedprice')} AS sum_base_price,
+       {_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_sum('l_quantity')} / CAST(count(*) AS DOUBLE) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_quantity <= 49
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["join_inner_agg"] = f"""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       {_sum('o_totalprice')} AS total_price,
+       max(o_totalprice) AS max_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+ORACLES["join_left_agg"] = f"""
+SELECT CAST(c_custkey AS VARCHAR) AS key,
+       CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS BIGINT) AS n_orders,
+       {_sum('o_totalprice')} AS total_spend,
+       max(o_totalprice) AS max_order
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+ORACLES["join_outer_combined"] = f"""
+SELECT CAST(COALESCE(n_nationkey, s_nationkey) AS BIGINT) AS nationkey,
+       max(n_name) AS n_name,
+       CAST(SUM(CASE WHEN s_suppkey IS NOT NULL THEN 1 END) AS BIGINT) AS n_suppliers,
+       {_sum('s_acctbal')} AS total_bal
+FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+GROUP BY COALESCE(n_nationkey, s_nationkey)
+"""
+
+ORACLES["multiway_broadcast"] = f"""
+SELECT r_name, count(*) AS n_orders, {_sum('o_totalprice')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+ORACLES["agg_reader_cutoff"] = f"""
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUTOFF}'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS total_value,
+       CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN 1 END) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUTOFF}' AND event_type = 'purchase'
+                THEN 1 END) AS BIGINT) AS n_purchases,
+       max(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN value END) AS max_value,
+       COALESCE(array_to_string(list_sort(list(DISTINCT event_type)
+                FILTER (WHERE ts < TIMESTAMP '{CUTOFF}')), ','), '') AS types_seen,
+       bool_or(event_type = 'error') FILTER (WHERE ts >= TIMESTAMP '{CUTOFF}') AS error_after
+FROM events
+GROUP BY user_id
+"""
+
+ORACLES["agg_first_last"] = """
+SELECT CAST(user_id AS VARCHAR) AS key,
+       (min(struct_pack(t := ts, v := event_type))).v AS first_type,
+       (max(struct_pack(t := ts, v := event_type))).v AS last_type,
+       (min(struct_pack(t := ts, v := value))).v AS first_value,
+       (max(struct_pack(t := ts, v := value))).v AS last_value,
+       min(epoch_ms(ts)) AS min_ts_ms,
+       max(epoch_ms(ts)) AS max_ts_ms
+FROM events
+GROUP BY user_id
+"""
+
+ORACLES["agg_concat_mode_logical"] = """
+WITH mode_pick AS (
+  SELECT user_id, event_type AS type_mode,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+)
+SELECT CAST(e.user_id AS VARCHAR) AS key,
+       string_agg(e.event_type, ',' ORDER BY e.ts, e.event_type) AS type_concat,
+       max(m.type_mode) AS type_mode,
+       bool_or(e.value > 90) AS any_high,
+       bool_and(e.value > 0) AS all_positive,
+       (CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) % 2) = 1
+         AS odd_purchases
+FROM events e JOIN mode_pick m ON e.user_id = m.user_id AND m.rn = 1
+GROUP BY e.user_id
+"""
+
+ORACLES["conditional_reader"] = """
+WITH cut AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'purchase') AS cutoff
+  FROM events GROUP BY user_id
+)
+SELECT CAST(e.user_id AS VARCHAR) AS key,
+       CAST(SUM(CASE WHEN e.ts < c.cutoff
+                THEN CAST(e.value AS DECIMAL(28,6)) END) AS DOUBLE) AS pre_value,
+       CAST(SUM(CASE WHEN e.ts < c.cutoff THEN 1 END) AS BIGINT) AS pre_events,
+       COALESCE(array_to_string(list_sort(list(DISTINCT e.event_type)
+                FILTER (WHERE e.ts < c.cutoff)), ','), '') AS pre_types
+FROM events e JOIN cut c ON e.user_id = c.user_id
+WHERE c.cutoff IS NOT NULL
+GROUP BY e.user_id
+"""
+
+ORACLES["map_monoid"] = """
+SELECT CAST(user_id AS VARCHAR) AS key,
+       'k' AS map_key,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY user_id
+"""
+
+ORACLES["filter_ops"] = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity > 25 THEN l_quantity END AS qty_filtered,
+       CASE WHEN l_returnflag = 'N' THEN 'NONE' ELSE l_returnflag END AS flag_replaced,
+       COALESCE(l_returnflag IN ('A','R'), FALSE) AS is_returned,
+       CASE WHEN l_tax IS NOT NULL AND l_tax > 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS tax_occurs
+FROM lineitem
+"""
+
+ORACLES["math_ops"] = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN isnan(x) OR abs(x) = 'infinity'::DOUBLE THEN NULL ELSE x END AS charge,
+       CASE WHEN isnan(u) OR abs(u) = 'infinity'::DOUBLE THEN NULL ELSE u END AS unit_price,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       round(l_extendedprice, 1) AS price_round1,
+       sqrt(l_quantity) AS qty_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln6,
+       round(exp(l_discount), 6) AS disc_exp6,
+       pow(l_quantity, 2.0) AS qty_sq,
+       abs(l_discount - 0.05) AS disc_dev
+FROM (SELECT *, l_extendedprice * ((1 - l_discount) * (1 + l_tax)) AS x,
+             l_extendedprice / l_quantity AS u
+      FROM lineitem)
+"""
+
+_EMAIL_RE_SQL = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+
+ORACLES["text_ops"] = f"""
+SELECT c_custkey,
+       CAST(len({_tokens('c_name')}) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(length(c_name), 0) AS BIGINT) AS name_len,
+       COALESCE(contains(lower(c_name), 'customer'), FALSE) AS has_customer,
+       email,
+       regexp_matches(email, '{_EMAIL_RE_SQL}') AS email_valid,
+       CASE WHEN regexp_matches(email, '{_EMAIL_RE_SQL}')
+            THEN regexp_extract(email, '^([^@]+)@', 1) END AS email_prefix,
+       CASE WHEN regexp_matches(email, '{_EMAIL_RE_SQL}')
+            THEN regexp_extract(email, '@(.+)$', 1) END AS email_domain,
+       array_to_string({_tokens('c_name')}, '|') AS tokens_joined
+FROM (SELECT *, regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g') || '@example.com' AS email
+      FROM customer)
+"""
+
+ORACLES["date_ops"] = """
+SELECT o_orderkey,
+       CAST(dayofmonth(o_orderdate) AS BIGINT) AS day_of_month,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS day_of_week,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS day_of_year,
+       CAST(month(o_orderdate) AS BIGINT) AS month_of_year,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS week_of_year,
+       epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+       round(sin(CAST(dayofyear(o_orderdate) AS DOUBLE) * 2 * pi() / 366.0), 6) AS doy_sin6,
+       round(cos(CAST(dayofyear(o_orderdate) AS DOUBLE) * 2 * pi() / 366.0), 6) AS doy_cos6
+FROM orders
+"""
+
+ORACLES["text_similarity"] = f"""
+WITH t AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 1.0
+            ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+       END AS token_jaccard
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+ORACLES["onehot_topk"] = """
+WITH topk AS (
+  SELECT c_mktsegment AS v
+  FROM customer WHERE c_mktsegment IS NOT NULL
+  GROUP BY c_mktsegment HAVING count(*) >= 10
+  ORDER BY count(*) DESC, v ASC LIMIT 3
+)
+SELECT c_custkey, COALESCE(t.v, 'OTHER') AS bucket
+FROM customer LEFT JOIN topk t ON c_mktsegment = t.v
+"""
+
+ORACLES["dedup_exact"] = """
+SELECT md5(text) AS digest, min(doc_id) AS representative,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+ORACLES["dedup_near_ngram"] = f"""
+WITH t AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+           ELSE [] END)) AS sh
+  FROM t
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2, common,
+       CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
+FROM pairs JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+WHERE CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) >= 0.5
+"""
+
+_SW = {k: "[" + ",".join(f"'{w}'" for w in v) + "]"
+       for k, v in textqual.STOPWORD_PROFILES.items()}
+_BPE = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
+
+ORACLES["text_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, text, {_tokens('text')} AS toks,
+         COALESCE(length(text), 0) AS ln
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks, ln,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(len(regexp_extract_all(text, '{_BPE}')), 0) AS BIGINT) AS n_tokens_bpe,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS mean_token_len,
+         CASE WHEN ln = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+                   / CAST(ln AS DOUBLE) END AS punct_ratio,
+         CASE WHEN ln = 0 THEN 0.0
+              ELSE CAST(ln - length(regexp_replace(text, '[\\p{{N}}]', '', 'g')) AS DOUBLE)
+                   / CAST(ln AS DOUBLE) END AS digit_ratio,
+         {{sw_exprs}}
+  FROM base
+)
+SELECT doc_id, CAST(ln AS BIGINT) AS n_chars, n_tokens, n_tokens_bpe, mean_token_len,
+       punct_ratio, digit_ratio, s_en AS stopword_ratio_en,
+       ((CASE WHEN ln BETWEEN 50 AND 100000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN punct_ratio <= 0.2 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN digit_ratio <= 0.3 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN s_en >= 0.01 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+        * 0.2::DOUBLE) AS quality,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM m
+""".replace("{sw_exprs}", ", ".join(
+    f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, "
+    f"t -> list_contains({_SW[lang]}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS s_{lang}"
+    for lang in sorted(_SW)))
+
+ORACLES["similarity_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) DESC,
+                                     c.vec_id ASC) AS rank
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine6
+FROM scored WHERE rank <= 5
+"""
+
+ORACLES["streaming_window"] = """
+SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
+       event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+"""
+
+
+SPARK_QUERIES = {
+    "scan_pushdown": q_scan_pushdown,
+    "pricing_summary": q_pricing_summary,
+    "join_inner_agg": q_join_inner_agg,
+    "join_left_agg": q_join_left_agg,
+    "join_outer_combined": q_join_outer_combined,
+    "multiway_broadcast": q_multiway_broadcast,
+    "agg_reader_cutoff": q_agg_reader_cutoff,
+    "agg_first_last": q_agg_first_last,
+    "agg_concat_mode_logical": q_agg_concat_mode_logical,
+    "conditional_reader": q_conditional_reader,
+    "map_monoid": q_map_monoid,
+    "filter_ops": q_filter_ops,
+    "math_ops": q_math_ops,
+    "text_ops": q_text_ops,
+    "date_ops": q_date_ops,
+    "text_similarity": q_text_similarity,
+    "onehot_topk": q_onehot_topk,
+    "dedup_exact": q_dedup_exact,
+    "dedup_near_ngram": q_dedup_near_ngram,
+    "text_quality": q_text_quality,
+    "similarity_topk": q_similarity_topk,
+    "streaming_window": q_streaming_window,
+    # rows-only (non-SQL-expressible: seeded hashing / ML / vectors)
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "similarity_ann_lsh": q_similarity_ann_lsh,
+    "transmogrify_vector": q_transmogrify_vector,
+    "sanity_checker": q_sanity_checker,
+    "ml_train_score": q_ml_train_score,
+}

@@ -43,8 +43,9 @@ def filter_map_keys(m: Column, allow: list[str] | None = None,
 
 
 def map_get(m: Column, key: str) -> Column:
-    """Typed per-key extraction (the core move of OPMapVectorizer.scala:60)."""
-    return F.element_at(m, F.lit(key))
+    """Typed per-key extraction (the core move of OPMapVectorizer.scala:60).
+    try_element_at: NULL for absent keys under ANSI mode too."""
+    return F.try_element_at(m, F.lit(key))
 
 
 def map_to_multipicklist(m: Column) -> Column:

@@ -37,8 +37,11 @@ def multiply(a: Column, b: Column) -> Column:  # MultiplyTransformer:138
     return nan_inf_to_null(a * b)
 
 
-def divide(a: Column, b: Column) -> Column:  # DivideTransformer:185
-    return nan_inf_to_null(a / b)
+def divide(a: Column, b: Column) -> Column:
+    """DivideTransformer:185. ``try_divide`` instead of ``/``: Spark 4's ANSI
+    mode (on by default) raises on division by zero; try_divide yields NULL,
+    which is exactly the reference's Inf->None semantics."""
+    return nan_inf_to_null(F.try_divide(a, b))
 
 
 def scalar_add(c: Column, s: float) -> Column:  # ScalarAddTransformer:70
@@ -54,7 +57,7 @@ def scalar_subtract(c: Column, s: float) -> Column:  # ScalarSubtractTransformer
 
 
 def scalar_divide(c: Column, s: float) -> Column:  # ScalarDivideTransformer:213
-    return nan_inf_to_null(c / F.lit(s))
+    return nan_inf_to_null(F.try_divide(c, F.lit(s)))
 
 
 def absolute(c: Column) -> Column:  # AbsoluteValueTransformer:232

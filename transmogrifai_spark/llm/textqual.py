@@ -82,7 +82,9 @@ def quality_score(c: Column, stopwords: list[str] | None = None) -> Column:
     digit_ok = F.when(digit_ratio(c) <= 0.3, 1.0).otherwise(0.0)
     sw_ok = F.when(stopword_ratio(c, sw) >= 0.01, 1.0).otherwise(0.0)
     tok_ok = F.when((mean_token_length(c) >= 2.0) & (mean_token_length(c) <= 12.0), 1.0).otherwise(0.0)
-    return (len_ok * 0.2 + punct_ok * 0.2 + digit_ok * 0.2 + sw_ok * 0.2 + tok_ok * 0.2)
+    # sum the 0/1 signals first (exact in double), scale once — a single
+    # float rounding, deterministic across engines
+    return (len_ok + punct_ok + digit_ok + sw_ok + tok_ok) * F.lit(0.2)
 
 
 def language_id(c: Column, profiles: dict[str, list[str]] | None = None) -> Column:

@@ -1,0 +1,80 @@
+"""Structured Streaming: scoring and event-time windowed aggregation.
+
+The reference's streaming surface is legacy DStreams used only for scoring
+(readers/.../StreamingReader.scala:54, FileStreamingAvroReader
+AvroReaders.scala:110, OpWorkflowRunner.streamingScore
+core/.../OpWorkflowRunner.scala:232-250) — no watermarks, no event-time
+windows. The rebuild is Structured Streaming (SURVEY.md §2.13): the batch
+cutoff-aggregation semantics (§2.4) become watermark + tumbling-window
+aggregation, and model scoring becomes the same column pipeline under
+``foreachBatch``/``transform``.
+
+Scale notes: windowed aggregation state is partitioned by (key, window) —
+the same hash-partitioned shuffle as the batch groupBy; the watermark bounds
+state size. ``available_now`` runs the stream to completion over existing
+files, which is also how the correctness oracle checks streaming output
+against the equivalent batch SQL.
+"""
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..aggregators import agg_sum_exact
+
+
+def windowed_event_aggregate(events: DataFrame, time_col: str = "ts",
+                             window: str = "1 day", watermark: str = "1 day",
+                             group_cols: list[str] | None = None) -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark (the modern
+    carrier of the reference's cutoff/window semantics)."""
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    w = events.withWatermark(time_col, watermark) if events.isStreaming else events
+    return (
+        w.groupBy(F.window(F.col(time_col), window).alias("win"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             agg_sum_exact(F.col("value")).alias("total_value"))
+        .select(F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+                *group_cols, "n_events", "total_value")
+    )
+
+
+def run_stream_available_now(spark: SparkSession, src_path: str, schema: str,
+                             transform, nanos_ts_col: str | None = None) -> DataFrame:
+    """Run a file-source stream to completion (Trigger.AvailableNow) into a
+    memory sink and return the result as a DataFrame.
+
+    ``transform`` maps the streaming DataFrame to the output frame. Used by
+    tests and the oracle gate: a stream over static files must equal the
+    batch plan on the same files.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema)
+    # the file source requires a directory; a single-file source is expressed
+    # as its parent directory + a glob filter on the file name
+    if src_path.endswith(".parquet"):
+        parent, _, fname = src_path.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        src_path = parent
+    stream = reader.parquet(src_path)
+    if nanos_ts_col:
+        stream = stream.withColumn(
+            nanos_ts_col,
+            F.timestamp_micros(F.floor(F.col(nanos_ts_col) / 1_000).cast("long")))
+    out = transform(stream)
+    sink = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def score_stream(stream: DataFrame, model, checkpoint: str | None = None):
+    """Streaming scoring: apply a fitted WorkflowModel's column pipeline to a
+    stream (OpWorkflowRunner.streamingScore re-expressed). Returns the
+    transformed streaming DataFrame; caller attaches the sink. Pure column
+    pipelines apply directly — no foreachBatch needed unless the model
+    contains df-level (ml-wrapped) transformers."""
+    return model.transform(stream)
