@@ -51,7 +51,8 @@ def main() -> None:
     def near_ngram_capped(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                                         threshold=0.5, max_doc_freq=200)
+                                         threshold=0.5, max_doc_freq=200,
+                                         hash_shingles=True)
 
     runners = dict(SPARK_QUERIES)
     runners["dedup_near_ngram_capped"] = near_ngram_capped

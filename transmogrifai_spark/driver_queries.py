@@ -441,8 +441,10 @@ def q_ml_train_score(spark, sf_dir):
                                       "acctbal": "Currency", "n_orders": "Integral"})
     vec = transmogrify([feats["mkt"], feats["total_spend"], feats["acctbal"],
                         feats["n_orders"]], top_k=10, min_support=5)
+    from .util import right_size_for_iteration
     model = Workflow([vec]).fit(base)
-    scored = to_ml_vector(model.score(base, keep_intermediate=True), "features")
+    scored = to_ml_vector(model.score(base, keep_intermediate=True), "features").persist()
+    scored = right_size_for_iteration(scored)
     lr = LogisticRegression(featuresCol="features_ml", labelCol="label",
                             maxIter=10, regParam=0.01)
     preds = lr.fit(scored).transform(scored)

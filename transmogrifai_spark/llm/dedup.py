@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+from ..util import ensure_parallelism
 
 
 def text_digest(c: Column) -> Column:
@@ -56,21 +57,45 @@ def word_shingles(c: Column, n: int = 3) -> Column:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        hash_shingles: bool = False) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
 
-    Plan: explode distinct shingles -> (optional) drop ultra-common shingles
-    -> self-join on shingle -> count common shingles per (id1<id2) pair ->
-    jaccard = common / (|A| + |B| - common). Each step is a hash
-    aggregate/join on a bounded key; no all-pairs product ever forms.
+    Plan: distinct shingle arrays once (set size taken from the array — no
+    extra aggregation) -> explode -> (optional) drop ultra-common shingles ->
+    inverted-index self-join on shingle -> count common shingles per
+    (id1<id2) pair -> jaccard = common / (|A| + |B| - common). Each step is a
+    hash aggregate/join on a bounded key; no all-pairs product ever forms.
+
+    Scale knobs:
+      * ``max_doc_freq`` drops shingles occurring in more than N docs — they
+        generate O(df²) candidate pairs and carry no near-dup signal; at
+        100 TB this cap is what keeps the join linear-ish.
+      * ``hash_shingles`` replaces shingle strings with xxhash64 — the
+        shuffle carries 8-byte keys instead of n-word strings (the scale
+        path; leave off when hash-free semantics are needed, e.g. the SQL
+        oracle gate).
     """
-    sh = df.select(F.col(id_col).alias("_id"),
-                   F.explode(word_shingles(F.col(text_col), n)).alias("_sh"))
+    df = ensure_parallelism(df)
+    sh_arr = df.select(F.col(id_col).alias("_id"),
+                       word_shingles(F.col(text_col), n).alias("_shs"))
+    # set sizes straight from the array — a narrow projection, no aggregation
+    sizes = sh_arr.select("_id", F.size("_shs").alias("_sz"))
+    sh = sh_arr.select("_id", F.explode("_shs").alias("_sh"))
+    if hash_shingles:
+        sh = sh.withColumn("_sh", F.xxhash64("_sh"))
+    # persist: the shingle table feeds 2-3 plan branches (frequency pass +
+    # both sides of the self-join); without it Spark recomputes the regex
+    # tokenize + n-gram expressions per branch — measured 3-4x the whole
+    # query's cost. At cluster scale this is the stage you'd checkpoint or
+    # write as a bucketed temp table (bucketed by _sh to pre-shuffle the join).
+    sh = sh.persist()
     if max_doc_freq is not None:
         freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
         sh = sh.join(F.broadcast(freq.where(F.col("_df") <= max_doc_freq).select("_sh")), "_sh")
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a, b = sh.alias("a"), sh.alias("b")
+    # the join rows stay (8B, 8B[, 8B]) narrow; sizes attach AFTER the pair
+    # aggregation, when only one row per surviving candidate pair remains
     common = (
         a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
@@ -78,7 +103,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     sz1 = sizes.select(F.col("_id").alias("id1"), F.col("_sz").alias("sz1"))
     sz2 = sizes.select(F.col("_id").alias("id2"), F.col("_sz").alias("sz2"))
-    pairs = (
+    # no broadcast hint: sizes is per-doc (unbounded at scale); AQE promotes
+    # the join to broadcast when the runtime size allows
+    return (
         common.join(sz1, "id1").join(sz2, "id2")
         .withColumn("jaccard",
                     F.col("common").cast("double") /
@@ -86,7 +113,6 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("jaccard") >= threshold)
         .select("id1", "id2", "common", "jaccard")
     )
-    return pairs
 
 
 def minhash_signature(c: Column, n: int = 3, num_hashes: int = 32) -> Column:
@@ -108,8 +134,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     buckets should be capped upstream via shingle frequency capping.
     """
     rows = num_hashes // bands
+    df = ensure_parallelism(df)
     sig = df.select(F.col(id_col).alias("_id"),
                     minhash_signature(F.col(text_col), n, num_hashes).alias("_sig"))
+    # persist: signatures feed both sides of the bucket self-join; minhash
+    # signatures are the most expensive expression in this module
+    sig = sig.persist()
     banded = sig.select(
         "_id",
         F.explode(F.array(*[
@@ -154,7 +184,8 @@ def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Documents grouped by identical SimHash (extend with prefix-banding for
     hamming-distance near-dups)."""
     return (
-        df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+        ensure_parallelism(df)
+        .select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
         .groupBy("simhash")
         .agg(F.min(id_col).alias("representative"), F.count(F.lit(1)).alias("dup_count"))
     )

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..util import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -50,7 +52,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     determinism."""
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
                                    F.col(vec_col).alias("_qv")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -93,7 +95,7 @@ def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     on bucket, so candidate generation is linear, not all-pairs. Recall can
     be raised by probing neighboring buckets (hamming-1 flips) — the plan
     shape stays identical."""
-    cb = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+    cb = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
                        hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("_bucket"))
     qb = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+from ..util import ensure_parallelism
 
 # Compact stopword profiles (top function words) — deterministic language-ID
 # heuristic: score(text, lang) = fraction of tokens in the profile.
@@ -113,7 +114,7 @@ def text_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document metric table (each metric one expression —
     single projection over the scan)."""
     c = F.col(text_col)
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         F.coalesce(F.length(c), F.lit(0)).cast("long").alias("n_chars"),
         whitespace_token_count(c).alias("n_tokens"),
