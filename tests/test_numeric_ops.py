@@ -1,0 +1,94 @@
+"""Fitted numeric operators (§2.6): fills, scalers, bucketizers, calibrators."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.feature import from_dataframe
+from transmogrifai_spark.operators.numeric import (ScalingArgs,
+                                                   decision_tree_bucketizer,
+                                                   descaler,
+                                                   fill_missing_with_mean,
+                                                   isotonic_calibrator,
+                                                   numeric_bucketizer,
+                                                   percentile_calibrator,
+                                                   scaler, standard_scaler)
+
+
+def test_fill_missing_with_mean(spark):
+    df = spark.createDataFrame([(2.0,), (4.0,), (None,)], "x double")
+    f = from_dataframe(df)["x"]
+    fitted = fill_missing_with_mean(f).fit(df)
+    assert [r["x_imputed"] for r in df.select(fitted.expr()).collect()] == [2.0, 4.0, 3.0]
+    assert fitted.params["mean"] == 3.0
+
+
+def test_standard_scaler(spark):
+    df = spark.createDataFrame([(1.0,), (3.0,)], "x double")
+    f = from_dataframe(df)["x"]
+    fitted = standard_scaler(f).fit(df)
+    vals = sorted(r["x_scaled"] for r in df.select(fitted.expr()).collect())
+    assert vals == [-1.0, 1.0]  # mean 2, pop std 1
+
+
+def test_scaler_descaler_roundtrip(spark):
+    df = spark.createDataFrame([(10.0,), (20.0,)], "x double")
+    f = from_dataframe(df)["x"]
+    args = ScalingArgs(family="linear", slope=2.0, intercept=3.0)
+    s = scaler(f, args)
+    d = descaler(s.output, args)
+    out = df.select(F.col("x"), s.expr()).select("x", d._make_expr(F.col(s.output_name)).alias("back"))
+    for r in out.collect():
+        assert r["back"] == pytest.approx(r["x"])
+
+
+def test_log_scaler_descaler(spark):
+    df = spark.createDataFrame([(math.e,)], "x double")
+    f = from_dataframe(df)["x"]
+    args = ScalingArgs(family="log")
+    out = df.select(scaler(f, args).expr()).first()[0]
+    assert out == pytest.approx(1.0)
+
+
+def test_numeric_bucketizer(spark):
+    df = spark.createDataFrame([(-5.0,), (0.5,), (1.5,), (99.0,), (None,)], "x double")
+    f = from_dataframe(df)["x"]
+    st = numeric_bucketizer(f, splits=[-math.inf, 0.0, 1.0, math.inf])
+    assert [r["x_bucket"] for r in df.select(st.expr()).collect()] == [0, 1, 2, 2, None]
+
+
+def test_numeric_bucketizer_onehot(spark):
+    df = spark.createDataFrame([(0.5,), (None,)], "x double")
+    f = from_dataframe(df)["x"]
+    st = numeric_bucketizer(f, splits=[0.0, 1.0, 2.0], as_onehot=True)
+    rows = [r["x_bucket"] for r in df.select(st.expr()).collect()]
+    assert rows == [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+
+
+def test_percentile_calibrator(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    f = from_dataframe(df)["x"]
+    fitted = percentile_calibrator(f, buckets=4).fit(df)
+    out = df.select(F.col("x"), fitted.expr().alias("b")).collect()
+    by_val = {r["x"]: r["b"] for r in out}
+    assert by_val[0.0] == 0 and by_val[50.0] == 2 and by_val[99.0] == 3
+
+
+def test_decision_tree_bucketizer_finds_boundary(spark):
+    rows = [(float(i), 0.0 if i < 50 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    feats = from_dataframe(df, response="y")
+    fitted = decision_tree_bucketizer(feats["x"], feats["y"], max_depth=1).fit(df)
+    splits = fitted.params["splits"]
+    assert len(splits) >= 1 and 40 <= splits[0] <= 60  # boundary near 50
+
+
+def test_isotonic_calibrator_monotone(spark):
+    import random
+    rng = random.Random(1)
+    rows = [(i / 100, 1.0 if rng.random() < i / 100 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y double")
+    feats = from_dataframe(df, response="y")
+    fitted = isotonic_calibrator(feats["s"], feats["y"]).fit(df)
+    out = [r["c"] for r in df.orderBy("s").select(fitted.expr().alias("c")).collect()]
+    assert all(a <= b + 1e-9 for a, b in zip(out, out[1:]))  # monotone

@@ -322,6 +322,59 @@ def q_onehot_topk(spark, sf_dir):
     return cust.select("c_custkey", bucket.alias("bucket"))
 
 
+def q_string_indexer(spark, sf_dir):
+    """OpStringIndexer: deterministic label indexing (freq desc, value asc),
+    null -> keep bucket."""
+    from .feature import from_dataframe
+    from .operators.categorical import string_indexer
+    cust = _t(spark, sf_dir, "customer")
+    feats = from_dataframe(cust, overrides={"c_mktsegment": "PickList"})
+    fitted = string_indexer(feats["c_mktsegment"], handle_invalid="keep").fit(cust)
+    return cust.select("c_custkey", fitted.expr().alias("seg_idx"))
+
+
+def q_numeric_fitted(spark, sf_dir):
+    """Fitted numeric estimators: standard scaler (decimal-exact moments),
+    mean imputation, explicit-split bucketizer, percentile calibrator."""
+    import math as _m
+    from .feature import from_dataframe
+    from .operators.numeric import (fill_missing_with_mean, numeric_bucketizer,
+                                    percentile_calibrator, standard_scaler)
+    o = _t(spark, sf_dir, "orders")
+    feats = from_dataframe(o, overrides={"o_totalprice": "Currency"})
+    price = feats["o_totalprice"]
+    scaled = standard_scaler(price, output_name="price_scaled").fit(o)
+    imputed = fill_missing_with_mean(price, output_name="price_imputed").fit(o)
+    bucket = numeric_bucketizer(price, [-_m.inf, 100000.0, 200000.0, 300000.0, _m.inf],
+                                output_name="price_bucket")
+    decile = percentile_calibrator(price, buckets=10, output_name="price_decile").fit(o)
+    return o.select("o_orderkey", F.round(scaled.expr(), 6).alias("price_scaled"),
+                    imputed.expr(), bucket.expr(), decile.expr())
+
+
+def q_auroc_eval(spark, sf_dir):
+    """OpBinaryClassificationEvaluator AuROC — exact integer Mann-Whitney."""
+    from .ml.evaluators import auroc_frame
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(F.col("o_totalprice").alias("score"),
+                      (F.col("o_orderstatus") == "F").cast("double").alias("label"))
+    return auroc_frame(scored, "score", "label")
+
+
+def q_binary_eval(spark, sf_dir):
+    """Threshold confusion metrics + Brier (decimal-exact mean) as one row."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.col("o_totalprice") / F.lit(1000000.0)
+    y = (F.col("o_orderstatus") == "F").cast("double")
+    pred = (s >= 0.15).cast("long")
+    return o.agg(
+        F.sum(((pred == 1) & (y == 1)).cast("long")).alias("tp"),
+        F.sum(((pred == 1) & (y == 0)).cast("long")).alias("fp"),
+        F.sum(((pred == 0) & (y == 1)).cast("long")).alias("fn"),
+        F.sum(((pred == 0) & (y == 0)).cast("long")).alias("tn"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators
 # ---------------------------------------------------------------------------
@@ -364,6 +417,77 @@ def q_streaming_window(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # non-SQL-expressible (rows-only gate): hashing-based + ML + vectorizers
 # ---------------------------------------------------------------------------
+
+def q_smart_text(spark, sf_dir):
+    """SmartTextVectorizer: per-column pivot-vs-hash decision (rows-only —
+    hash path uses seeded xxhash64)."""
+    from .feature import from_dataframe
+    from .operators.categorical import smart_text_vectorizer
+    docs = _t(spark, sf_dir, "documents")
+    feats = from_dataframe(docs, overrides={"source": "Text", "text": "TextArea"})
+    src_vec = smart_text_vectorizer(feats["source"], max_cardinality=2000,
+                                    top_k=20, output_name="src_vec").fit(docs)
+    txt_vec = smart_text_vectorizer(feats["text"], max_cardinality=30,
+                                    hash_features=64, output_name="txt_vec").fit(docs)
+    return docs.select(
+        "doc_id", src_vec.expr(), txt_vec.expr(),
+    ).select("doc_id",
+             F.size("src_vec").alias("src_vec_len"),
+             F.size("txt_vec").alias("txt_vec_len"),
+             F.lit(src_vec.params["strategy"]).alias("src_strategy"),
+             F.lit(txt_vec.params["strategy"]).alias("txt_strategy"))
+
+
+def q_mime_detector(spark, sf_dir):
+    """MIME magic-byte sniffing over synthesized base64 content (rows-only)."""
+    from .operators.categorical import detect_mime_type
+    p = _t(spark, sf_dir, "part")
+    payload = F.when(F.col("p_partkey") % 3 == 0,
+                     F.concat(F.unhex(F.lit("89504E470D0A1A0A")), F.encode(F.col("p_name"), "UTF-8"))) \
+        .when(F.col("p_partkey") % 3 == 1,
+              F.concat(F.unhex(F.lit("FFD8FFE0")), F.encode(F.col("p_name"), "UTF-8"))) \
+        .otherwise(F.encode(F.col("p_name"), "UTF-8"))
+    b64 = F.base64(payload)
+    return p.select("p_partkey", detect_mime_type(b64).alias("mime"))
+
+
+def q_model_selection(spark, sf_dir):
+    """BinaryClassificationModelSelector: k-fold CV leaderboard (rows-only —
+    ml fits)."""
+    from pyspark.ml.functions import array_to_vector
+    from .ml.selectors import default_binary_candidates, select_binary_model
+    o = _t(spark, sf_dir, "orders")
+    data = o.select(
+        "o_orderkey",
+        array_to_vector(F.array(
+            (F.col("o_totalprice") / 1e6),
+            F.month(F.col("o_orderdate")).cast("double") / 12.0,
+        )).alias("fv"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("label"))
+    sel = select_binary_model(data, "fv", "label", "o_orderkey",
+                              candidates=default_binary_candidates(small=True), k=3)
+    rows = [(c.name, str(c.params), float(c.metric)) for c in sel.leaderboard]
+    return spark.createDataFrame(rows, "model string, params string, cv_auroc double")
+
+
+def q_loco_insights(spark, sf_dir):
+    """RecordInsightsLOCO over a fitted LR (rows-only — ml fit)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+    from .ml.insights import loco_linear
+    o = _t(spark, sf_dir, "orders")
+    data = o.select(
+        "o_orderkey",
+        F.array((F.col("o_totalprice") / 1e6),
+                F.month(F.col("o_orderdate")).cast("double") / 12.0).alias("arr"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("label")) \
+        .withColumn("fv", array_to_vector(F.col("arr")))
+    lr = LogisticRegression(featuresCol="fv", labelCol="label", maxIter=10).fit(data)
+    out = loco_linear(data, "arr", float(lr.intercept),
+                      list(lr.coefficients.toArray()), top_k=2)
+    return out.select("o_orderkey", F.round(F.col("base_score"), 6).alias("score6"),
+                      F.col("loco")[0]["slot"].alias("top_slot"))
+
 
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -676,6 +800,68 @@ SELECT c_custkey, COALESCE(t.v, 'OTHER') AS bucket
 FROM customer LEFT JOIN topk t ON c_mktsegment = t.v
 """
 
+ORACLES["string_indexer"] = """
+WITH ranks AS (
+  SELECT c_mktsegment AS v,
+         row_number() OVER (ORDER BY count(*) DESC, c_mktsegment ASC) - 1 AS idx,
+         count(*) OVER () AS n_labels
+  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment
+)
+SELECT c_custkey,
+       CAST(COALESCE(r.idx, (SELECT max(n_labels) FROM ranks)) AS BIGINT) AS seg_idx
+FROM customer LEFT JOIN ranks r ON c_mktsegment = r.v
+"""
+
+ORACLES["numeric_fitted"] = """
+WITH m AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / count(o_totalprice) AS mu,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           / count(o_totalprice) AS m2,
+         quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+  FROM orders
+), s AS (
+  SELECT mu, sqrt(m2 - mu * mu) AS sigma, qs FROM m
+)
+SELECT o_orderkey,
+       round((o_totalprice - s.mu) / s.sigma, 6) AS price_scaled,
+       COALESCE(o_totalprice, s.mu) AS price_imputed,
+       CAST(CASE WHEN o_totalprice < 100000 THEN 0
+                 WHEN o_totalprice < 200000 THEN 1
+                 WHEN o_totalprice < 300000 THEN 2
+                 ELSE 3 END AS BIGINT) AS price_bucket,
+       CAST(len(list_filter(s.qs, q -> o_totalprice >= q)) AS BIGINT) AS price_decile
+FROM orders, s
+"""
+
+ORACLES["auroc_eval"] = """
+WITH g AS (
+  SELECT o_totalprice AS s, count(*) AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np
+  FROM orders GROUP BY o_totalprice
+), r AS (
+  SELECT n, np,
+         COALESCE(SUM(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS below
+  FROM g
+)
+SELECT CAST(SUM((2 * below + n + 1) * np) - SUM(np) * (SUM(np) + 1) AS DOUBLE)
+       / (2.0 * SUM(np) * SUM(n - np)) AS auroc
+FROM r
+"""
+
+ORACLES["binary_eval"] = """
+SELECT CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM (
+  SELECT o_totalprice / 1000000.0 AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+         CASE WHEN o_totalprice / 1000000.0 >= 0.15 THEN 1 ELSE 0 END AS pred
+  FROM orders
+)
+"""
+
 ORACLES["dedup_exact"] = """
 SELECT md5(text) AS digest, min(doc_id) AS representative,
        count(*) AS dup_count
@@ -793,12 +979,20 @@ SPARK_QUERIES = {
     "date_ops": q_date_ops,
     "text_similarity": q_text_similarity,
     "onehot_topk": q_onehot_topk,
+    "string_indexer": q_string_indexer,
+    "numeric_fitted": q_numeric_fitted,
+    "auroc_eval": q_auroc_eval,
+    "binary_eval": q_binary_eval,
     "dedup_exact": q_dedup_exact,
     "dedup_near_ngram": q_dedup_near_ngram,
     "text_quality": q_text_quality,
     "similarity_topk": q_similarity_topk,
     "streaming_window": q_streaming_window,
     # rows-only (non-SQL-expressible: seeded hashing / ML / vectors)
+    "smart_text": q_smart_text,
+    "mime_detector": q_mime_detector,
+    "model_selection": q_model_selection,
+    "loco_insights": q_loco_insights,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "similarity_ann_lsh": q_similarity_ann_lsh,

@@ -1,0 +1,158 @@
+"""Categorical / text estimators (SURVEY.md §2.7, §2.10).
+
+Re-expression of:
+  * OpStringIndexer / OpStringIndexerNoFilter  core/.../impl/feature/
+    OpStringIndexer.scala:53, OpStringIndexerNoFilter.scala:48 — label
+    indexing with handle-invalid policies (error / skip-to-null / keep).
+  * OpIndexToString / NoFilter  OpIndexToString.scala:50 — inverse lookup.
+  * SmartTextVectorizer  SmartTextVectorizer.scala:62 (decision logic
+    :113-152 — cardinality <= maxCard -> pivot; topK coverage >= minPct ->
+    pivot; else hash) — the fit collects bounded stats only
+    (approx_count_distinct + topK counts), mirroring the reference's bounded
+    TextStats maps (:232-260).
+  * MimeTypeDetector  MimeTypeDetector.scala:49 — the reference wraps Tika;
+    this rebuild sniffs magic bytes of base64 content with pure column
+    expressions (no library, covers the common container formats), with room
+    for a pandas-UDF Tika/python-magic backend where available.
+
+Determinism: index assignment orders by (frequency desc, value asc) — the
+same deterministic tie-break the oracle gate requires everywhere.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..feature import Feature
+from ..stages.base import ColumnTransformer, Estimator
+from .numeric import FittedParamTransformer
+from .vectorizers import (MIN_SUPPORT, TOP_K, FittedVectorizer, VectorSlot,
+                          hashing_vectorizer, one_hot_estimator)
+
+
+def string_indexer(feat: Feature, handle_invalid: str = "keep",
+                   output_name: str | None = None) -> Estimator:
+    """OpStringIndexer.scala:53. handle_invalid: 'keep' (unseen -> max index,
+    the NoFilter variant), 'skip' (unseen/null -> null), 'error' is validated
+    at transform time by the caller."""
+    out = output_name or f"{feat.name}_idx"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedParamTransformer:
+        counts = (
+            df.where(F.col(feat.name).isNotNull())
+            .groupBy(feat.name).agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col(feat.name).asc())
+            .collect()
+        )
+        labels = [r[feat.name] for r in counts]
+        index = {v: i for i, v in enumerate(labels)}
+        unseen = len(labels) if handle_invalid == "keep" else None
+
+        def make_expr(c: Column) -> Column:
+            m = F.create_map(*[x for v, i in index.items()
+                               for x in (F.lit(v), F.lit(i))]) if index else None
+            looked = F.try_element_at(m, c) if m is not None else F.lit(None).cast("int")
+            if handle_invalid == "keep":
+                return F.coalesce(looked, F.lit(unseen)).cast("long")
+            return looked.cast("long")
+
+        return FittedParamTransformer("stringIndexer", [feat], out, "Integral",
+                                      make_expr, {"labels": labels,
+                                                  "handle_invalid": handle_invalid})
+
+    return Estimator("stringIndexer", [feat], out, "Integral", fit)
+
+
+def index_to_string(idx_feat: Feature, labels: list[str], unseen: str = "UnseenLabel",
+                    output_name: str | None = None) -> ColumnTransformer:
+    """OpIndexToString.scala:50 — inverse of string_indexer from its fitted
+    labels."""
+    out = output_name or f"{idx_feat.name}_label"
+
+    def make_expr(c: Column) -> Column:
+        arr = F.array(*[F.lit(v) for v in labels])
+        i = c.cast("int")
+        return F.when((i >= 0) & (i < len(labels)),
+                      F.try_element_at(arr, i + 1)).otherwise(F.lit(unseen))
+
+    return FittedParamTransformer("indexToString", [idx_feat], out, "Text",
+                                  make_expr, {"labels": labels, "unseen": unseen})
+
+
+def smart_text_vectorizer(feat: Feature, max_cardinality: int = 30,
+                          top_k: int = TOP_K, min_support: int = MIN_SUPPORT,
+                          coverage_pct: float = 0.9, hash_features: int = 512,
+                          output_name: str | None = None) -> Estimator:
+    """SmartTextVectorizer.scala:62 — decide pivot vs hash per column from
+    bounded fitted stats (decision logic :113-152):
+      cardinality <= max_cardinality          -> pivot (one-hot TopK)
+      topK covers >= coverage_pct of rows     -> pivot
+      else                                    -> hashing trick
+    The fit never materializes an unbounded vocabulary: one pass collects
+    approx_count_distinct + the topK counts.
+    """
+    out = output_name or f"{feat.name}_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        c = F.col(feat.name)
+        stats = df.agg(
+            F.approx_count_distinct(c).alias("card"),
+            F.count(c).alias("n_nonnull"),
+        ).first()
+        topk_rows = (
+            df.where(c.isNotNull())
+            .groupBy(feat.name).agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col(feat.name).asc())
+            .limit(top_k).collect()
+        )
+        covered = sum(r["n"] for r in topk_rows)
+        pivot = (stats["card"] <= max_cardinality) or (
+            stats["n_nonnull"] > 0 and covered / stats["n_nonnull"] >= coverage_pct)
+
+        if pivot:
+            inner = one_hot_estimator(feat, top_k=top_k, min_support=min_support).fit(df)
+            fitted = FittedVectorizer("smartText[pivot]", [feat], out,
+                                      inner._make_expr, inner.slots)
+        else:
+            from ..functions.text import tokenize
+            tok_expr = lambda c2: tokenize(c2)
+            hasher = hashing_vectorizer(feat, num_features=hash_features)
+            fitted = FittedVectorizer(
+                "smartText[hash]", [feat], out,
+                lambda c2: hasher._make_expr(tok_expr(c2)), hasher.slots)
+        fitted.params = {"strategy": "pivot" if pivot else "hash"}  # type: ignore[attr-defined]
+        return fitted
+
+    return Estimator("smartText", [feat], out, "OPVector", fit)
+
+
+# -- MIME sniffing over Base64 content (MimeTypeDetector.scala:49) ----------
+
+_MAGIC = [
+    # (mime, hex prefix of decoded bytes)
+    ("image/png", bytes.fromhex("89504e47")),
+    ("image/jpeg", bytes.fromhex("ffd8ff")),
+    ("image/gif", b"GIF8"),
+    ("application/pdf", b"%PDF"),
+    ("application/zip", b"PK\x03\x04"),
+    ("image/bmp", b"BM"),
+    ("audio/wav", b"RIFF"),
+]
+
+
+def detect_mime_type(c: Column, default: str = "application/octet-stream") -> Column:
+    """Magic-byte MIME sniff of a Base64 Text column — pure expressions
+    (unbase64 + prefix compare); NULL input -> NULL."""
+    raw = F.unbase64(c)
+    out = F.lit(default)
+    for mime, magic in reversed(_MAGIC):
+        hexpat = magic.hex()
+        out = F.when(F.hex(raw).startswith(hexpat.upper()) |
+                     F.hex(raw).startswith(hexpat.lower()), F.lit(mime)).otherwise(out)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def mime_type_detector(feat: Feature, output_name: str | None = None) -> ColumnTransformer:
+    out = output_name or f"{feat.name}_mime"
+    return ColumnTransformer("mimeType", [feat], out, "PickList",
+                             lambda c: detect_mime_type(c))

@@ -169,6 +169,7 @@ _DTYPE_DEFAULTS: list[tuple[type, str]] = [
     (T.ByteType, "Integral"),
     (T.StringType, "Text"),
     (T.TimestampType, "DateTime"),
+    (T.TimestampNTZType, "DateTime"),
     (T.DateType, "Date"),
 ]
 
