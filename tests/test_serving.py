@@ -1,0 +1,116 @@
+"""Serving path: the reference's OpTransformerSpec triple-equality law
+(features/.../test/OpTransformerSpec.scala:53-91) — for each fitted stage:
+Spark transform == local row fn == save/load round-trip — plus full-model
+persistence and Spark-free scoring (OpWorkflowModelLocal parity)."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.feature import from_dataframe
+from transmogrifai_spark.serving import registry
+from transmogrifai_spark.serving.local import compile_local
+from transmogrifai_spark.serving.persistence import (_rebuild_stage, _stage_dict,
+                                                     load_model, save_model)
+
+
+def triple_check(spark, df, stage, input_cols):
+    """Spark expr == local fn == rebuilt-from-manifest expr, row by row."""
+    spark_out = [r[stage.output_name] for r in df.select(stage.expr()).collect()]
+    local_fn = registry.local_for(stage.op_name, stage.params)
+    rows = df.select(*input_cols).collect()
+    local_out = [local_fn(*[r[c] for c in input_cols]) for r in rows]
+    rebuilt = _rebuild_stage(_stage_dict(stage))
+    rebuilt_out = [r[stage.output_name] for r in df.select(rebuilt.expr()).collect()]
+    for s, l, rb in zip(spark_out, local_out, rebuilt_out):
+        if isinstance(s, list):
+            assert list(s) == pytest.approx(list(l)), (stage.op_name, s, l)
+            assert list(s) == list(rb)
+        else:
+            if s is None:
+                assert l is None and rb is None
+            else:
+                assert s == pytest.approx(l), (stage.op_name, s, l)
+                assert s == rb or s == pytest.approx(rb)
+
+
+def test_triple_equality_vectorizers(spark):
+    from transmogrifai_spark.operators.vectorizers import (binary_vectorizer,
+                                                           integral_vectorizer,
+                                                           one_hot_estimator,
+                                                           real_vectorizer)
+    df = spark.createDataFrame(
+        [("a", 1.0, 5, True), ("b", None, 7, None), (None, 3.0, None, False),
+         ("c", 2.0, 7, True)],
+        "cat string, real double, n bigint, b boolean")
+    feats = from_dataframe(df, overrides={"cat": "PickList"})
+    triple_check(spark, df, one_hot_estimator(feats["cat"], top_k=2, min_support=1).fit(df), ["cat"])
+    triple_check(spark, df, real_vectorizer(feats["real"]).fit(df), ["real"])
+    triple_check(spark, df, integral_vectorizer(feats["n"]).fit(df), ["n"])
+    triple_check(spark, df, binary_vectorizer(feats["b"]), ["b"])
+
+
+def test_triple_equality_numeric(spark):
+    from transmogrifai_spark.operators.numeric import (ScalingArgs,
+                                                       fill_missing_with_mean,
+                                                       numeric_bucketizer,
+                                                       percentile_calibrator,
+                                                       scaler, standard_scaler)
+    df = spark.createDataFrame([(float(i),) for i in range(20)] + [(None,)], "x double")
+    f = from_dataframe(df)["x"]
+    triple_check(spark, df, fill_missing_with_mean(f).fit(df), ["x"])
+    triple_check(spark, df, standard_scaler(f).fit(df), ["x"])
+    triple_check(spark, df, numeric_bucketizer(f, [-math.inf, 5.0, 10.0, math.inf]), ["x"])
+    triple_check(spark, df, percentile_calibrator(f, buckets=4).fit(df), ["x"])
+    triple_check(spark, df, scaler(f, ScalingArgs("linear", 2.0, 1.0)), ["x"])
+
+
+def test_triple_equality_categorical(spark):
+    from transmogrifai_spark.operators.categorical import string_indexer
+    df = spark.createDataFrame([("a",), ("b",), ("b",), (None,)], "x string")
+    f = from_dataframe(df, overrides={"x": "PickList"})["x"]
+    triple_check(spark, df, string_indexer(f).fit(df), ["x"])
+
+
+def test_full_model_save_load_local(spark, tmp_path):
+    from transmogrifai_spark.operators.vectorizers import transmogrify
+    from transmogrifai_spark.workflow import Workflow
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", None), (None, 3.0), ("a", 4.0)],
+        "cat string, real double")
+    feats = from_dataframe(df, overrides={"cat": "PickList"})
+    vec = transmogrify([feats["cat"], feats["real"]], top_k=3, min_support=1)
+    model = Workflow([vec]).fit(df)
+
+    path = str(tmp_path / "model")
+    save_model(model, path)
+    loaded = load_model(path)
+
+    orig = [tuple(r) for r in model.score(df).select("features").collect()]
+    reloaded = [tuple(r) for r in loaded.score(df).select("features").collect()]
+    assert orig == reloaded
+
+    local = compile_local(loaded)
+    rows = df.collect()
+    for r, (expected,) in zip(rows, orig):
+        got = local({"cat": r["cat"], "real": r["real"]})
+        assert got["features"] == pytest.approx(list(expected))
+
+
+def test_local_compile_rejects_unsupported(spark):
+    from transmogrifai_spark.feature import raw_feature
+    from transmogrifai_spark.stages.base import unary
+    from transmogrifai_spark.workflow import Workflow, WorkflowModel
+
+    a = raw_feature("a", "Real")
+    lam = unary("customLambda", a, "b", "Real", lambda c: c + 1)
+    df = spark.createDataFrame([(1.0,)], "a double")
+    model = Workflow([lam]).fit(df)
+    with pytest.raises(NotImplementedError):
+        compile_local(model)
+
+
+def test_hashing_local_raises_cleanly():
+    with pytest.raises(NotImplementedError, match="no local"):
+        registry.local_for("hashingTF", {"num_features": 8, "seed": 42})

@@ -178,7 +178,7 @@ def numeric_bucketizer(feat: Feature, splits: list[float], track_nulls: bool = T
     idx_expr = _bucket_expr(splits)
     if not as_onehot:
         return FittedParamTransformer("numericBucketizer", [feat], out, "Integral",
-                                      idx_expr, {"splits": splits})
+                                      idx_expr, {"splits": list(splits)})
     n = len(splits) - 1
 
     def make_onehot(c: Column) -> Column:
@@ -215,7 +215,7 @@ def percentile_calibrator(feat: Feature, buckets: int = 100,
                 splits.append(q)
         splits.append(math.inf)
         return FittedParamTransformer("percentileCalibrator", [feat], out, "Integral",
-                                      _bucket_expr(splits), {"splits": splits[1:-1]})
+                                      _bucket_expr(splits), {"splits": list(splits)})
 
     return Estimator("percentileCalibrator", [feat], out, "Integral", fit)
 
@@ -243,7 +243,7 @@ def decision_tree_bucketizer(feat: Feature, label: Feature, max_depth: int = 2,
                       re.findall(r"feature 0 <= ([0-9eE.+-]+)", dt.toDebugString)}
         splits = [-math.inf] + sorted(thresholds) + [math.inf]
         return FittedParamTransformer("dtBucketizer", [feat], out, "Integral",
-                                      _bucket_expr(splits), {"splits": splits[1:-1]})
+                                      _bucket_expr(splits), {"splits": list(splits)})
 
     return Estimator("dtBucketizer", [feat, label], out, "Integral", fit)
 

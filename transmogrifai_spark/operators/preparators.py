@@ -48,7 +48,8 @@ def min_variance_filter(vec: Feature, min_variance: float = 1e-5,
         stats = pos.groupBy("_i").agg(F.var_pop("_x").alias("v")).orderBy("_i").collect()
         keep = [int(r["_i"]) for r in stats if r["v"] is not None and r["v"] > min_variance]
         return FittedVectorizer("minVariance", [vec], out, slice_slots_expr(keep),
-                                [VectorSlot(vec.name, descriptor=f"slot_{i}") for i in keep])
+                                [VectorSlot(vec.name, descriptor=f"slot_{i}") for i in keep],
+                                {"keep": keep})
 
     return Estimator("minVariance", [vec], out, "OPVector", fit)
 
@@ -86,7 +87,8 @@ def sanity_checker(vec: Feature, label: Feature, max_correlation: float = 0.95,
             keep.append(int(r["_i"]))
         return FittedVectorizer("sanityChecker", [vec, label], out,
                                 lambda c, _y: slice_slots_expr(keep)(c),
-                                [VectorSlot(vec.name, descriptor=f"slot_{i}") for i in keep])
+                                [VectorSlot(vec.name, descriptor=f"slot_{i}") for i in keep],
+                                {"keep": keep})
 
     return Estimator("sanityChecker", [vec, label], out, "OPVector", fit)
 

@@ -59,11 +59,14 @@ class VectorSlot:
 
 
 class FittedVectorizer(ColumnTransformer):
-    """A fitted vectorizer: a Column expression + slot metadata."""
+    """A fitted vectorizer: a Column expression + slot metadata + the fitted
+    parameters as plain data (the save/load + local-scoring contract)."""
 
-    def __init__(self, op_name, inputs, output_name, make_expr, slots: list[VectorSlot]):
+    def __init__(self, op_name, inputs, output_name, make_expr, slots: list[VectorSlot],
+                 params: dict | None = None):
         super().__init__(op_name, inputs, output_name, "OPVector", make_expr)
         self.slots = slots
+        self.params = params or {}
 
 
 def one_hot_estimator(feat: Feature, top_k: int = TOP_K, min_support: int = MIN_SUPPORT,
@@ -103,7 +106,8 @@ def one_hot_estimator(feat: Feature, top_k: int = TOP_K, min_support: int = MIN_
                 parts.append(F.when(c.isNull(), 1.0).otherwise(0.0))
             return F.array(*parts)
 
-        return FittedVectorizer("oneHot", [feat], out, make_expr, slots)
+        return FittedVectorizer("oneHot", [feat], out, make_expr, slots,
+                                {"values": values, "track_nulls": track_nulls})
 
     return Estimator("oneHot", [feat], out, "OPVector", fit)
 
@@ -128,7 +132,8 @@ def real_vectorizer(feat: Feature, fill_with_mean: bool = True,
                 parts.append(F.when(c.isNull(), 1.0).otherwise(0.0))
             return F.array(*parts)
 
-        return FittedVectorizer("realVec", [feat], out, make_expr, slots)
+        return FittedVectorizer("realVec", [feat], out, make_expr, slots,
+                                {"fill": fill, "track_nulls": track_nulls})
 
     return Estimator("realVec", [feat], out, "OPVector", fit)
 
@@ -156,7 +161,8 @@ def integral_vectorizer(feat: Feature, track_nulls: bool = True,
                 parts.append(F.when(c.isNull(), 1.0).otherwise(0.0))
             return F.array(*parts)
 
-        return FittedVectorizer("integralVec", [feat], out, make_expr, slots)
+        return FittedVectorizer("integralVec", [feat], out, make_expr, slots,
+                                {"fill": fill, "track_nulls": track_nulls})
 
     return Estimator("integralVec", [feat], out, "OPVector", fit)
 
@@ -175,7 +181,8 @@ def binary_vectorizer(feat: Feature, track_nulls: bool = True,
     slots = [VectorSlot(feat.name, descriptor="value")]
     if track_nulls:
         slots.append(VectorSlot(feat.name, indicator_value="NullIndicatorValue"))
-    return FittedVectorizer("binaryVec", [feat], out, make_expr, slots)
+    return FittedVectorizer("binaryVec", [feat], out, make_expr, slots,
+                            {"track_nulls": track_nulls})
 
 
 def hashing_vectorizer(feat: Feature, num_features: int = 512, seed: int = 42,
@@ -198,7 +205,8 @@ def hashing_vectorizer(feat: Feature, num_features: int = 512, seed: int = 42,
             lambda b: F.size(F.filter(idx, lambda i: i == b)).cast("double"),
         )
 
-    return FittedVectorizer("hashingTF", [feat], out, make_expr, slots)
+    return FittedVectorizer("hashingTF", [feat], out, make_expr, slots,
+                            {"num_features": num_features, "seed": seed})
 
 
 def geolocation_vectorizer(feat: Feature, track_nulls: bool = True,
@@ -224,7 +232,8 @@ def geolocation_vectorizer(feat: Feature, track_nulls: bool = True,
                 parts.append(F.when(ok, 0.0).otherwise(1.0))
             return F.array(*parts)
 
-        return FittedVectorizer("geoVec", [feat], out, make_expr, slots)
+        return FittedVectorizer("geoVec", [feat], out, make_expr, slots,
+                                {"fills": fills, "track_nulls": track_nulls})
 
     return Estimator("geoVec", [feat], out, "OPVector", fit)
 

@@ -1,0 +1,390 @@
+"""Stage builder registry: fitted params -> (Spark expression, local row fn).
+
+This is the contract behind the reference's ``OpTransformer`` triple path
+(features/.../stages/OpPipelineStages.scala:526-550: ``transform`` /
+``transformRow`` / ``transformKeyValue``) and its save/load machinery
+(OpPipelineStageReaderWriter.scala): every fitted stage is reducible to
+(op_name, params), from which BOTH the distributed Column expression and a
+pure-Python row function can be rebuilt. Spark path and local path are
+asserted equal in tests (the reference's OpTransformerSpec law,
+features/.../test/OpTransformerSpec.scala:53-91).
+
+Local fns receive the input values (already Python scalars) and return the
+output value; None propagates per the reference's null semantics.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# op_name -> (make_expr_builder(params) -> Callable[[Column...], Column],
+#             local_builder(params) -> Callable[[Any...], Any] | None)
+REGISTRY: dict[str, tuple[Callable, Callable | None]] = {}
+
+
+def register(op_name: str, expr_builder: Callable, local_builder: Callable | None):
+    REGISTRY[op_name] = (expr_builder, local_builder)
+
+
+def expr_for(op_name: str, params: dict) -> Callable:
+    return REGISTRY[op_name][0](params)
+
+
+def local_for(op_name: str, params: dict) -> Callable:
+    builder = REGISTRY[op_name][1]
+    if builder is None:
+        raise NotImplementedError(f"stage {op_name!r} has no local (Spark-free) form")
+    return builder(params)
+
+
+def supports(op_name: str) -> bool:
+    return op_name in REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# vectorizers
+# ---------------------------------------------------------------------------
+
+def _onehot_expr(p):
+    values, track_nulls = p["values"], p["track_nulls"]
+
+    def make_expr(c: Column) -> Column:
+        hot = [F.when(c.eqNullSafe(F.lit(v)), 1.0).otherwise(0.0) for v in values]
+        known = F.lit(False)
+        for v in values:
+            known = known | c.eqNullSafe(F.lit(v))
+        parts = hot + [F.when(c.isNotNull() & ~known, 1.0).otherwise(0.0)]
+        if track_nulls:
+            parts.append(F.when(c.isNull(), 1.0).otherwise(0.0))
+        return F.array(*parts)
+    return make_expr
+
+
+def _onehot_local(p):
+    values, track_nulls = p["values"], p["track_nulls"]
+
+    def fn(x):
+        out = [1.0 if x == v and x is not None else 0.0 for v in values]
+        out.append(1.0 if x is not None and x not in values else 0.0)
+        if track_nulls:
+            out.append(1.0 if x is None else 0.0)
+        return out
+    return fn
+
+
+register("oneHot", _onehot_expr, _onehot_local)
+
+
+def _fillvec_expr(p):
+    fill, track_nulls = p["fill"], p["track_nulls"]
+
+    def make_expr(c: Column) -> Column:
+        parts = [F.coalesce(c.cast("double"), F.lit(fill))]
+        if track_nulls:
+            parts.append(F.when(c.isNull(), 1.0).otherwise(0.0))
+        return F.array(*parts)
+    return make_expr
+
+
+def _fillvec_local(p):
+    fill, track_nulls = p["fill"], p["track_nulls"]
+
+    def fn(x):
+        out = [float(x) if x is not None else fill]
+        if track_nulls:
+            out.append(1.0 if x is None else 0.0)
+        return out
+    return fn
+
+
+register("realVec", _fillvec_expr, _fillvec_local)
+register("integralVec", _fillvec_expr, _fillvec_local)
+
+
+def _binaryvec_expr(p):
+    track_nulls = p["track_nulls"]
+
+    def make_expr(c: Column) -> Column:
+        parts = [F.when(c.eqNullSafe(F.lit(True)), 1.0).otherwise(0.0)]
+        if track_nulls:
+            parts.append(F.when(c.isNull(), 1.0).otherwise(0.0))
+        return F.array(*parts)
+    return make_expr
+
+
+def _binaryvec_local(p):
+    track_nulls = p["track_nulls"]
+
+    def fn(x):
+        out = [1.0 if x is True else 0.0]
+        if track_nulls:
+            out.append(1.0 if x is None else 0.0)
+        return out
+    return fn
+
+
+register("binaryVec", _binaryvec_expr, _binaryvec_local)
+
+
+def _geovec_expr(p):
+    fills, track_nulls = p["fills"], p["track_nulls"]
+
+    def make_expr(c: Column) -> Column:
+        ok = c.isNotNull() & (F.size(c) >= 3)
+        parts = [F.when(ok, F.element_at(c, i + 1)).otherwise(F.lit(fills[i]))
+                 for i in range(3)]
+        if track_nulls:
+            parts.append(F.when(ok, 0.0).otherwise(1.0))
+        return F.array(*parts)
+    return make_expr
+
+
+def _geovec_local(p):
+    fills, track_nulls = p["fills"], p["track_nulls"]
+
+    def fn(x):
+        ok = x is not None and len(x) >= 3
+        out = [float(x[i]) if ok else fills[i] for i in range(3)]
+        if track_nulls:
+            out.append(0.0 if ok else 1.0)
+        return out
+    return fn
+
+
+register("geoVec", _geovec_expr, _geovec_local)
+
+
+def _hashing_expr(p):
+    n, seed = p["num_features"], p["seed"]
+
+    def make_expr(tokens: Column) -> Column:
+        idx = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(n)))
+        buckets = F.sequence(F.lit(0), F.lit(n - 1))
+        return F.transform(buckets,
+                           lambda b: F.size(F.filter(idx, lambda i: i == b)).cast("double"))
+    return make_expr
+
+
+# local form needs an xxhash64 implementation; deliberately unsupported until
+# one is vendored — the registry raises a precise error
+register("hashingTF", _hashing_expr, None)
+
+
+def _combiner_expr(p):
+    def make_expr(*cols: Column) -> Column:
+        return F.concat(*cols)
+    return make_expr
+
+
+def _combiner_local(p):
+    def fn(*vecs):
+        out = []
+        for v in vecs:
+            out.extend(v or [])
+        return out
+    return fn
+
+
+register("vectorsCombiner", _combiner_expr, _combiner_local)
+
+
+def _slice_expr(p):
+    keep = p["keep"]
+
+    def make_expr(c: Column, *_rest: Column) -> Column:
+        return F.array(*[F.element_at(c, i + 1) for i in keep])
+    return make_expr
+
+
+def _slice_local(p):
+    keep = p["keep"]
+
+    def fn(x, *_rest):
+        return [x[i] for i in keep] if x is not None else None
+    return fn
+
+
+register("minVariance", _slice_expr, _slice_local)
+register("sanityChecker", _slice_expr, _slice_local)
+
+
+# ---------------------------------------------------------------------------
+# numeric fitted ops
+# ---------------------------------------------------------------------------
+
+register("fillMean",
+         lambda p: (lambda c: F.coalesce(c.cast("double"), F.lit(p["mean"]))),
+         lambda p: (lambda x: float(x) if x is not None else p["mean"]))
+
+
+def _stdscaler_expr(p):
+    mean, std = p["mean"], p["std"]
+    return lambda c: (c.cast("double") - F.lit(mean)) / F.lit(std)
+
+
+register("stdScaler", _stdscaler_expr,
+         lambda p: (lambda x: None if x is None else (float(x) - p["mean"]) / p["std"]))
+
+
+def _bucket_local(splits):
+    """``splits`` is the FULL ascending boundary list (may start/end with
+    +/-inf); values outside finite endpoints map to None (Bucketizer
+    semantics)."""
+    def fn(x):
+        if x is None:
+            return None
+        x = float(x)
+        full = [float(v) for v in splits]
+        for i in range(len(full) - 1):
+            lo, hi = full[i], full[i + 1]
+            last = i == len(full) - 2
+            if x >= lo and (x < hi or (last and x <= hi)):
+                return i
+        return None
+    return fn
+
+
+def _bucket_expr_from_params(p):
+    from ..operators.numeric import _bucket_expr
+    return _bucket_expr([float(v) for v in p["splits"]])
+
+
+register("numericBucketizer", _bucket_expr_from_params,
+         lambda p: _bucket_local(p["splits"]))
+register("percentileCalibrator", _bucket_expr_from_params,
+         lambda p: _bucket_local(p["splits"]))
+register("dtBucketizer",
+         lambda p: (lambda c, *_r: _bucket_expr_from_params(p)(c)),
+         lambda p: (lambda x, *_r: _bucket_local(p["splits"])(x)))
+
+
+def _iso_local(p):
+    bounds, preds = p["boundaries"], p["predictions"]
+
+    def fn(x, *_rest):
+        if x is None:
+            return None
+        x = float(x)
+        if x <= bounds[0]:
+            return preds[0]
+        if x > bounds[-1]:
+            return preds[-1]
+        for i in range(1, len(bounds)):
+            if x <= bounds[i]:
+                x0, x1, y0, y1 = bounds[i - 1], bounds[i], preds[i - 1], preds[i]
+                if x1 == x0:
+                    return y1
+                return y0 + (x - x0) * ((y1 - y0) / (x1 - x0))
+        return preds[-1]
+    return fn
+
+
+def _iso_expr(p):
+    bounds, preds = p["boundaries"], p["predictions"]
+
+    def make_expr(c: Column, *_rest: Column) -> Column:
+        x = c.cast("double")
+        expr = F.lit(preds[0])
+        for i in range(1, len(bounds)):
+            x0, x1, y0, y1 = bounds[i - 1], bounds[i], preds[i - 1], preds[i]
+            seg = F.lit(y1) if x1 == x0 else \
+                F.lit(y0) + (x - F.lit(x0)) * F.lit((y1 - y0) / (x1 - x0))
+            expr = F.when((x > F.lit(x0)) & (x <= F.lit(x1)), seg).otherwise(expr)
+        return F.when(x > F.lit(bounds[-1]), F.lit(preds[-1])).otherwise(expr)
+    return make_expr
+
+
+register("isotonicCalibrator", _iso_expr, _iso_local)
+
+
+# ---------------------------------------------------------------------------
+# categorical fitted ops
+# ---------------------------------------------------------------------------
+
+def _indexer_expr(p):
+    labels, policy = p["labels"], p["handle_invalid"]
+    index = {v: i for i, v in enumerate(labels)}
+
+    def make_expr(c: Column) -> Column:
+        m = F.create_map(*[x for v, i in index.items()
+                           for x in (F.lit(v), F.lit(i))]) if index else None
+        looked = F.try_element_at(m, c) if m is not None else F.lit(None).cast("int")
+        if policy == "keep":
+            return F.coalesce(looked, F.lit(len(labels))).cast("long")
+        return looked.cast("long")
+    return make_expr
+
+
+def _indexer_local(p):
+    labels, policy = p["labels"], p["handle_invalid"]
+    index = {v: i for i, v in enumerate(labels)}
+
+    def fn(x):
+        got = index.get(x)
+        if got is None and policy == "keep":
+            return len(labels)
+        return got
+    return fn
+
+
+register("stringIndexer", _indexer_expr, _indexer_local)
+
+
+def _index_to_string_expr(p):
+    labels, unseen = p["labels"], p["unseen"]
+
+    def make_expr(c: Column) -> Column:
+        arr = F.array(*[F.lit(v) for v in labels])
+        i = c.cast("int")
+        return F.when((i >= 0) & (i < len(labels)),
+                      F.try_element_at(arr, i + 1)).otherwise(F.lit(unseen))
+    return make_expr
+
+
+register("indexToString", _index_to_string_expr,
+         lambda p: (lambda x: p["labels"][int(x)]
+                    if x is not None and 0 <= int(x) < len(p["labels"]) else p["unseen"]))
+
+
+def _scaling_args(p):
+    a = p["scaling"]
+    if isinstance(a, dict):
+        return a
+    return {"family": a.family, "slope": a.slope, "intercept": a.intercept,
+            "log_base": a.log_base}
+
+
+def _scaler_expr(p):
+    a = _scaling_args(p)
+    if a["family"] == "linear":
+        return lambda c: c * F.lit(a["slope"]) + F.lit(a["intercept"])
+    return lambda c: F.log(a["log_base"], c)
+
+
+def _scaler_local(p):
+    a = _scaling_args(p)
+    if a["family"] == "linear":
+        return lambda x: None if x is None else float(x) * a["slope"] + a["intercept"]
+    return lambda x: (None if x is None or float(x) <= 0
+                      else math.log(float(x)) / math.log(a["log_base"]))
+
+
+def _descaler_expr(p):
+    a = _scaling_args(p)
+    if a["family"] == "linear":
+        return lambda c: (c - F.lit(a["intercept"])) / F.lit(a["slope"])
+    return lambda c: F.pow(F.lit(a["log_base"]), c)
+
+
+def _descaler_local(p):
+    a = _scaling_args(p)
+    if a["family"] == "linear":
+        return lambda x: None if x is None else (float(x) - a["intercept"]) / a["slope"]
+    return lambda x: None if x is None else a["log_base"] ** float(x)
+
+
+register("scaler", _scaler_expr, _scaler_local)
+register("descaler", _descaler_expr, _descaler_local)
