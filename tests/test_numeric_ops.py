@@ -79,8 +79,8 @@ def test_decision_tree_bucketizer_finds_boundary(spark):
     df = spark.createDataFrame(rows, "x double, y double")
     feats = from_dataframe(df, response="y")
     fitted = decision_tree_bucketizer(feats["x"], feats["y"], max_depth=1).fit(df)
-    splits = fitted.params["splits"]
-    assert len(splits) >= 1 and 40 <= splits[0] <= 60  # boundary near 50
+    interior = fitted.params["splits"][1:-1]  # full list is [-inf, ..., inf]
+    assert len(interior) >= 1 and 40 <= interior[0] <= 60  # boundary near 50
 
 
 def test_isotonic_calibrator_monotone(spark):

@@ -138,9 +138,11 @@ def agg_last(c: Column, ts: Column) -> Column:
 
 def agg_geo_midpoint(c: Column, ts: Column | None = None) -> Column:
     """GeolocationMidpoint (aggregators/Geolocation.scala): mean of lat/lon/
-    accuracy slots over array<double> columns (the reference's 3D-mean)."""
+    accuracy slots over array<double> columns (the reference's 3D-mean).
+    Decimal-accumulated sums: order-independent, exact at any parallelism."""
     n = F.count(c)
-    sums = [F.sum(F.element_at(c, i + 1)) for i in range(3)]
+    sums = [F.sum(F.try_element_at(c, F.lit(i + 1)).cast("decimal(30,8)")).cast("double")
+            for i in range(3)]
     return F.array(*[s / n for s in sums])
 
 

@@ -262,7 +262,7 @@ def q_text_ops(spark, sf_dir):
     email = F.concat(F.regexp_replace(F.lower(name), r"[^a-z0-9]", ""), F.lit("@example.com"))
     return cust.select(
         "c_custkey",
-        F.size(TX.tokenize(name)).alias("n_tokens"),
+        F.size(TX.tokenize(name)).cast("long").alias("n_tokens"),
         TX.text_len(name).alias("name_len"),
         TX.is_substring(F.lit("customer"), name).alias("has_customer"),
         email.alias("email"),
@@ -373,6 +373,71 @@ def q_binary_eval(spark, sf_dir):
         F.sum(((pred == 0) & (y == 1)).cast("long")).alias("fn"),
         F.sum(((pred == 0) & (y == 0)).cast("long")).alias("tn"),
     )
+
+
+def q_map_vectorizer(spark, sf_dir):
+    """RealMapVectorizer over the parsed props map, relationalized: fitted
+    per-key mean-fill + null slot emitted as columns."""
+    from .feature import from_dataframe
+    from .operators.map_vectorizers import real_map_vectorizer
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props_map", M.parse_json_map(F.col("props"), "double"))
+    feats = from_dataframe(ev, overrides={"props_map": "RealMap"})
+    fitted = real_map_vectorizer(feats["props_map"], output_name="pv").fit(ev)
+    vec = fitted.expr()
+    return ev.select("event_id", vec).select(
+        "event_id",
+        F.col("pv")[0].alias("k_value"),
+        F.col("pv")[1].alias("k_null"))
+
+
+def q_date_list_vectorizer(spark, sf_dir):
+    """DateListVectorizer SinceFirst/SinceLast over per-user event-time lists
+    (explicit reference date — the reference's now() made deterministic)."""
+    from .feature import from_dataframe
+    from .operators.date_ops import date_list_vectorizer
+    ev = _t(spark, sf_dir, "events")
+    lists = ev.groupBy(F.col("user_id").cast("string").alias("key")) \
+        .agg(F.collect_list("ts_ms").alias("ts_list"))
+    feats = from_dataframe(lists, overrides={"ts_list": "DateTimeList"})
+    st = date_list_vectorizer(feats["ts_list"], reference_date="2024-02-01 00:00:00",
+                              output_name="dv")
+    return lists.select("key", st.expr()).select(
+        "key",
+        F.col("dv")[0].alias("days_since_first"),
+        F.col("dv")[1].alias("days_since_last"))
+
+
+def q_geo_midpoint(spark, sf_dir):
+    """Geolocation midpoint monoid (3D mean) over synthesized per-customer
+    geolocations, grouped by segment."""
+    from .aggregators import agg_geo_midpoint
+    cust = _t(spark, sf_dir, "customer")
+    geo = cust.select(
+        "c_mktsegment",
+        F.array((F.col("c_custkey") % 180 - 90).cast("double"),
+                (F.col("c_custkey") % 360 - 180).cast("double"),
+                F.lit(1.0)).alias("loc"))
+    mid = geo.groupBy("c_mktsegment").agg(agg_geo_midpoint(F.col("loc")).alias("m"))
+    return mid.select("c_mktsegment",
+                      F.col("m")[0].alias("mid_lat"),
+                      F.col("m")[1].alias("mid_lon"),
+                      F.col("m")[2].alias("mid_acc"))
+
+
+def q_stopwords_ngrams(spark, sf_dir):
+    """OpStopWordsRemover + OpNGram as expressions over document tokens."""
+    from .llm.textqual import STOPWORD_PROFILES
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokenize(F.col("text"))
+    nostop = TX.remove_stopwords(toks, STOPWORD_PROFILES["en"])
+    bigrams = TX.ngrams(nostop, 2)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(nostop).cast("long").alias("n_tokens_nostop"),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.coalesce(F.try_element_at(bigrams, F.lit(1)), F.lit("")).alias("first_bigram"))
 
 
 # ---------------------------------------------------------------------------
@@ -800,6 +865,60 @@ SELECT c_custkey, COALESCE(t.v, 'OTHER') AS bucket
 FROM customer LEFT JOIN topk t ON c_mktsegment = t.v
 """
 
+ORACLES["map_vectorizer"] = """
+WITH m AS (
+  SELECT CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                       AS DECIMAL(30,8))) AS DOUBLE)
+         / count(json_extract_string(props, '$.k')) AS fill
+  FROM events
+)
+SELECT event_id,
+       COALESCE(CAST(json_extract_string(props, '$.k') AS DOUBLE), m.fill) AS k_value,
+       CASE WHEN json_extract_string(props, '$.k') IS NULL
+            THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS k_null
+FROM events, m
+"""
+
+ORACLES["date_list_vectorizer"] = """
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(DATE '2024-02-01' - CAST(make_timestamp(min(epoch_ms(ts)) * 1000) AS DATE)
+            AS DOUBLE) AS days_since_first,
+       CAST(DATE '2024-02-01' - CAST(make_timestamp(max(epoch_ms(ts)) * 1000) AS DATE)
+            AS DOUBLE) AS days_since_last
+FROM events
+GROUP BY user_id
+"""
+
+ORACLES["geo_midpoint"] = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(CAST(c_custkey % 180 - 90 AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE)
+         / count(*) AS mid_lat,
+       CAST(SUM(CAST(CAST(c_custkey % 360 - 180 AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE)
+         / count(*) AS mid_lon,
+       CAST(SUM(CAST(1.0 AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS mid_acc
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+_EN_SW = "[" + ",".join(f"'{w}'" for w in
+                        ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]) + "]"
+
+ORACLES["stopwords_ngrams"] = f"""
+WITH t AS (
+  SELECT doc_id, {_tokens('text')} AS toks FROM documents
+), ns AS (
+  SELECT doc_id, toks,
+         list_filter(toks, x -> NOT list_contains({_EN_SW}, x)) AS nostop
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(nostop) AS BIGINT) AS n_tokens_nostop,
+       CAST(CASE WHEN len(nostop) >= 2 THEN len(nostop) - 1 ELSE 0 END AS BIGINT) AS n_bigrams,
+       CASE WHEN len(nostop) >= 2 THEN nostop[1] || ' ' || nostop[2] ELSE '' END AS first_bigram
+FROM ns
+"""
+
 ORACLES["string_indexer"] = """
 WITH ranks AS (
   SELECT c_mktsegment AS v,
@@ -979,6 +1098,10 @@ SPARK_QUERIES = {
     "date_ops": q_date_ops,
     "text_similarity": q_text_similarity,
     "onehot_topk": q_onehot_topk,
+    "map_vectorizer": q_map_vectorizer,
+    "date_list_vectorizer": q_date_list_vectorizer,
+    "geo_midpoint": q_geo_midpoint,
+    "stopwords_ngrams": q_stopwords_ngrams,
     "string_indexer": q_string_indexer,
     "numeric_fitted": q_numeric_fitted,
     "auroc_eval": q_auroc_eval,

@@ -1,0 +1,159 @@
+"""Map-typed vectorizers — the OPMapVectorizer family (SURVEY.md §2.10).
+
+Re-expression of:
+  * OPMapVectorizer family  core/.../impl/feature/OPMapVectorizer.scala:60
+    (BinaryMapVectorizer:107, IntegralMapVectorizer:120, RealMapVectorizer:224,
+    DateMapVectorizer:150) — per-key numeric vectorization with allow/block
+    lists and fitted fills
+  * TextMapPivotVectorizer  TextMapPivotVectorizer.scala:53 — categorical map
+    pivot (per key, top-K values one-hot)
+  * MultiPickListMapVectorizer  MultiPickListMapVectorizer.scala:49
+  * TextMapLenEstimator / TextMapNullEstimator  TextMapLenEstimator.scala:44,
+    TextMapNullEstimator.scala:47
+
+Fit plan: ONE explode -> groupBy(key) aggregation discovers the key universe
++ per-key statistics (fills / top values) — the shuffle carries (key, stats)
+pairs, bounded by the number of distinct map keys, not by rows. Transform is
+a pure expression over ``try_element_at`` per fitted key — fused, no
+explode in the hot path.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..feature import Feature
+from ..stages.base import Estimator
+from .vectorizers import FittedVectorizer, VectorSlot
+
+
+def real_map_vectorizer(feat: Feature, allow_keys: list[str] | None = None,
+                        block_keys: list[str] | None = None,
+                        fill_with_mean: bool = True, track_nulls: bool = True,
+                        output_name: str | None = None) -> Estimator:
+    """RealMapVectorizer (OPMapVectorizer.scala:224): one slot per discovered
+    map key (+ null indicator), missing values filled with that key's fitted
+    mean."""
+    out = output_name or f"{feat.name}_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        exploded = df.select(F.explode(F.col(feat.name)).alias("_k", "_v"))
+        if allow_keys is not None:
+            exploded = exploded.where(F.col("_k").isin(allow_keys))
+        if block_keys:
+            exploded = exploded.where(~F.col("_k").isin(block_keys))
+        stats = (exploded.groupBy("_k")
+                 .agg((F.sum(F.col("_v").cast("decimal(30,8)")).cast("double")
+                       / F.count("_v")).alias("mean"))
+                 .orderBy("_k").collect())
+        keys = [r["_k"] for r in stats]
+        fills = {r["_k"]: (float(r["mean"]) if fill_with_mean and r["mean"] is not None
+                           else 0.0) for r in stats}
+        slots = [VectorSlot(feat.name, group=k, descriptor="value") for k in keys]
+        if track_nulls:
+            slots += [VectorSlot(feat.name, group=k, indicator_value="NullIndicatorValue")
+                      for k in keys]
+
+        def make_expr(m: Column) -> Column:
+            vals = [F.coalesce(F.try_element_at(m, F.lit(k)).cast("double"),
+                               F.lit(fills[k])) for k in keys]
+            parts = list(vals)
+            if track_nulls:
+                parts += [F.when(F.try_element_at(m, F.lit(k)).isNull(), 1.0).otherwise(0.0)
+                          for k in keys]
+            return F.array(*parts)
+
+        return FittedVectorizer("realMapVec", [feat], out, make_expr, slots,
+                                {"keys": keys, "fills": fills, "track_nulls": track_nulls})
+
+    return Estimator("realMapVec", [feat], out, "OPVector", fit)
+
+
+def binary_map_vectorizer(feat: Feature, track_nulls: bool = True,
+                          output_name: str | None = None) -> Estimator:
+    """BinaryMapVectorizer (OPMapVectorizer.scala:107)."""
+    out = output_name or f"{feat.name}_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        keys = [r["_k"] for r in df.select(F.explode(F.map_keys(F.col(feat.name))).alias("_k"))
+                .distinct().orderBy("_k").collect()]
+        slots = [VectorSlot(feat.name, group=k, descriptor="value") for k in keys]
+        if track_nulls:
+            slots += [VectorSlot(feat.name, group=k, indicator_value="NullIndicatorValue")
+                      for k in keys]
+
+        def make_expr(m: Column) -> Column:
+            parts = [F.when(F.try_element_at(m, F.lit(k)).eqNullSafe(F.lit(True)), 1.0)
+                     .otherwise(0.0) for k in keys]
+            if track_nulls:
+                parts += [F.when(F.try_element_at(m, F.lit(k)).isNull(), 1.0).otherwise(0.0)
+                          for k in keys]
+            return F.array(*parts)
+
+        return FittedVectorizer("binaryMapVec", [feat], out, make_expr, slots,
+                                {"keys": keys, "track_nulls": track_nulls})
+
+    return Estimator("binaryMapVec", [feat], out, "OPVector", fit)
+
+
+def text_map_pivot_vectorizer(feat: Feature, top_k: int = 20, min_support: int = 1,
+                              track_nulls: bool = True,
+                              output_name: str | None = None) -> Estimator:
+    """TextMapPivotVectorizer.scala:53 — per map key, one-hot the top-K
+    values (+ OTHER + null indicator per key)."""
+    out = output_name or f"{feat.name}_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        counts = (df.select(F.explode(F.col(feat.name)).alias("_k", "_v"))
+                  .groupBy("_k", "_v").agg(F.count(F.lit(1)).alias("n"))
+                  .where(F.col("n") >= min_support).collect())
+        by_key: dict[str, list[tuple[str, int]]] = {}
+        for r in counts:
+            by_key.setdefault(r["_k"], []).append((r["_v"], r["n"]))
+        pivots = {k: [v for v, _ in sorted(vs, key=lambda t: (-t[1], t[0]))[:top_k]]
+                  for k, vs in sorted(by_key.items())}
+        slots, parts_builders = [], []
+        for k in sorted(pivots):
+            for v in pivots[k]:
+                slots.append(VectorSlot(feat.name, group=k, indicator_value=str(v)))
+            slots.append(VectorSlot(feat.name, group=k, indicator_value="OTHER"))
+            if track_nulls:
+                slots.append(VectorSlot(feat.name, group=k, indicator_value="NullIndicatorValue"))
+
+        def make_expr(m: Column) -> Column:
+            parts = []
+            for k in sorted(pivots):
+                val = F.try_element_at(m, F.lit(k))
+                known = F.lit(False)
+                for v in pivots[k]:
+                    parts.append(F.when(val.eqNullSafe(F.lit(v)), 1.0).otherwise(0.0))
+                    known = known | val.eqNullSafe(F.lit(v))
+                parts.append(F.when(val.isNotNull() & ~known, 1.0).otherwise(0.0))
+                if track_nulls:
+                    parts.append(F.when(val.isNull(), 1.0).otherwise(0.0))
+            return F.array(*parts)
+
+        return FittedVectorizer("textMapPivotVec", [feat], out, make_expr, slots,
+                                {"pivots": pivots, "track_nulls": track_nulls})
+
+    return Estimator("textMapPivotVec", [feat], out, "OPVector", fit)
+
+
+def text_map_len_vectorizer(feat: Feature, output_name: str | None = None) -> Estimator:
+    """TextMapLenEstimator.scala:44 — per-key value lengths."""
+    out = output_name or f"{feat.name}_len_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        keys = [r["_k"] for r in df.select(F.explode(F.map_keys(F.col(feat.name))).alias("_k"))
+                .distinct().orderBy("_k").collect()]
+        slots = [VectorSlot(feat.name, group=k, descriptor="length") for k in keys]
+
+        def make_expr(m: Column) -> Column:
+            return F.array(*[
+                F.coalesce(F.length(F.try_element_at(m, F.lit(k))).cast("double"), F.lit(0.0))
+                for k in keys])
+
+        return FittedVectorizer("textMapLenVec", [feat], out, make_expr, slots,
+                                {"keys": keys})
+
+    return Estimator("textMapLenVec", [feat], out, "OPVector", fit)
