@@ -440,6 +440,50 @@ def q_stopwords_ngrams(spark, sf_dir):
         F.coalesce(F.try_element_at(bigrams, F.lit(1)), F.lit("")).alias("first_bigram"))
 
 
+def q_multilabel_topn(spark, sf_dir):
+    """TopNLabelProbMap / TopNLabelJoiner: deterministic probability triple
+    per order -> argmax label + prob (ties -> label ascending)."""
+    from .operators.multilabel import top_n_label_prob_map
+    o = _t(spark, sf_dir, "orders")
+    probs = F.array((F.col("o_totalprice") % 97) / 97.0,
+                    (F.col("o_totalprice") % 89) / 89.0,
+                    (F.col("o_totalprice") % 83) / 83.0)
+    m = top_n_label_prob_map(["a", "b", "c"], probs, 1)
+    entry = F.map_entries(m)[0]
+    return o.select("o_orderkey",
+                    entry["key"].alias("top1_label"),
+                    entry["value"].alias("top1_p"))
+
+
+def q_name_lang_detect(spark, sf_dir):
+    """HumanNameDetector + LangDetector confidences (dictionary membership +
+    stopword profiles, both pure expressions)."""
+    from .operators.detectors import is_human_name, language_scores
+    docs = _t(spark, sf_dir, "documents")
+    fake_name = F.concat(
+        F.element_at(F.array(F.lit("James"), F.lit("Maria"), F.lit("Wei"), F.lit("Zzyzx")),
+                     (F.col("doc_id") % 4 + 1).cast("int")),
+        F.lit(" Smith"))
+    scores = language_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fake_name.alias("synth_name"),
+        is_human_name(fake_name).alias("is_name"),
+        F.try_element_at(scores, F.lit("en")).alias("score_en"),
+        F.try_element_at(scores, F.lit("de")).alias("score_de"))
+
+
+def q_raw_feature_filter(spark, sf_dir):
+    """RawFeatureFilter fill-rate sweep as a one-row frame (exact ratios)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.withColumn("qty_sparse", F.when(F.col("l_quantity") > 10, F.col("l_quantity")))
+    n = F.count(F.lit(1))
+    return li.agg(
+        (F.count("l_quantity") / n).alias("fill_qty"),
+        (F.count("qty_sparse") / n).alias("fill_qty_sparse"),
+        (F.count("l_returnflag") / n).alias("fill_flag"))
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators
 # ---------------------------------------------------------------------------
@@ -919,6 +963,59 @@ SELECT doc_id,
 FROM ns
 """
 
+ORACLES["multilabel_topn"] = """
+SELECT o_orderkey,
+       CASE WHEN pa >= pb AND pa >= pc THEN 'a'
+            WHEN pb >= pc THEN 'b' ELSE 'c' END AS top1_label,
+       CASE WHEN pa >= pb AND pa >= pc THEN pa
+            WHEN pb >= pc THEN pb ELSE pc END AS top1_p
+FROM (SELECT o_orderkey,
+             (o_totalprice % 97) / 97.0 AS pa,
+             (o_totalprice % 89) / 89.0 AS pb,
+             (o_totalprice % 83) / 83.0 AS pc
+      FROM orders)
+"""
+
+_NAMES_SQL = "[" + ",".join(f"'{n}'" for n in [
+    "james", "mary", "john", "patricia", "robert", "jennifer", "michael",
+    "linda", "william", "elizabeth", "david", "barbara", "richard", "susan",
+    "joseph", "jessica", "thomas", "sarah", "charles", "karen", "maria",
+    "anna", "jose", "juan", "luis", "carlos", "ana", "wei", "li", "chen",
+]) + "]"
+
+ORACLES["name_lang_detect"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         (['James','Maria','Wei','Zzyzx'])[CAST(doc_id % 4 + 1 AS INT)] || ' Smith'
+           AS synth_name,
+         {_tokens('text')} AS toks
+  FROM documents
+), nm AS (
+  SELECT *, {_tokens('synth_name')} AS ntoks FROM base
+)
+SELECT doc_id, synth_name,
+       (CASE WHEN len(ntoks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(ntoks, t -> list_contains({_NAMES_SQL}, t))) AS DOUBLE)
+                  / CAST(len(ntoks) AS DOUBLE) END) >= 0.5 AS is_name,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(toks, t -> list_contains(
+                 ['the','and','of','to','a','in','is','it','that','for'], t))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) END AS score_en,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(toks, t -> list_contains(
+                 ['der','die','das','und','ist','von','mit','ein','eine','zu'], t))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) END AS score_de
+FROM nm
+"""
+
+ORACLES["raw_feature_filter"] = """
+SELECT CAST(count(l_quantity) AS DOUBLE) / count(*) AS fill_qty,
+       CAST(count(CASE WHEN l_quantity > 10 THEN l_quantity END) AS DOUBLE)
+         / count(*) AS fill_qty_sparse,
+       CAST(count(l_returnflag) AS DOUBLE) / count(*) AS fill_flag
+FROM lineitem
+"""
+
 ORACLES["string_indexer"] = """
 WITH ranks AS (
   SELECT c_mktsegment AS v,
@@ -1103,6 +1200,9 @@ SPARK_QUERIES = {
     "geo_midpoint": q_geo_midpoint,
     "stopwords_ngrams": q_stopwords_ngrams,
     "string_indexer": q_string_indexer,
+    "multilabel_topn": q_multilabel_topn,
+    "name_lang_detect": q_name_lang_detect,
+    "raw_feature_filter": q_raw_feature_filter,
     "numeric_fitted": q_numeric_fitted,
     "auroc_eval": q_auroc_eval,
     "binary_eval": q_binary_eval,

@@ -113,3 +113,77 @@ def raw_feature_filter(df: DataFrame, feature_cols: list[str],
     fill = {c: float(row[c]) for c in feature_cols}
     dropped = [c for c, r in fill.items() if r < min_fill_rate]
     return RawFeatureFilterResult(fill_rates=fill, dropped=dropped)
+
+
+def numeric_histograms(df: DataFrame, cols: list[str], bins: int = 20,
+                       ranges: dict[str, tuple[float, float]] | None = None):
+    """Per-column equal-width histograms in ONE aggregation pass (the
+    reference computes FeatureDistribution summaries the same single-sweep
+    way, filters/FeatureDistribution.scala). Returns ({col: counts}, ranges).
+    """
+    if ranges is None:
+        rng_row = df.agg(*[F.min(F.col(c).cast("double")).alias(f"{c}__min") for c in cols],
+                         *[F.max(F.col(c).cast("double")).alias(f"{c}__max") for c in cols]).first()
+        ranges = {c: (rng_row[f"{c}__min"], rng_row[f"{c}__max"]) for c in cols}
+    aggs = []
+    for c in cols:
+        lo, hi = ranges[c]
+        if lo is None or hi is None or hi <= lo:
+            lo, hi = 0.0, 1.0
+        x = F.col(c).cast("double")
+        b = F.least(F.floor((x - F.lit(lo)) / F.lit((hi - lo) / bins)).cast("int"),
+                    F.lit(bins - 1))
+        for i in range(bins):
+            aggs.append(F.sum(F.when(b == i, 1).otherwise(0)).alias(f"{c}__{i}"))
+    row = df.agg(*aggs).first()
+    hists = {c: [int(row[f"{c}__{i}"] or 0) for i in range(bins)] for c in cols}
+    return hists, ranges
+
+
+def _js_divergence(p: list[int], q: list[int]) -> float:
+    import math
+    sp, sq = sum(p) or 1, sum(q) or 1
+    pn, qn = [x / sp for x in p], [x / sq for x in q]
+    m = [(a + b) / 2 for a, b in zip(pn, qn)]
+
+    def kl(a, b):
+        return sum(ai * math.log(ai / bi) for ai, bi in zip(a, b) if ai > 0 and bi > 0)
+
+    return 0.5 * kl(pn, m) + 0.5 * kl(qn, m)
+
+
+@dataclass
+class RawFeatureFilterFullResult:
+    fill_rates_train: dict[str, float]
+    fill_rates_score: dict[str, float]
+    js_divergence: dict[str, float]
+    dropped: list[str]
+    reasons: dict[str, str]
+
+
+def raw_feature_filter_full(train: DataFrame, score: DataFrame,
+                            numeric_cols: list[str],
+                            min_fill_rate: float = 0.001,
+                            max_fill_rate_diff: float = 0.9,
+                            max_js_divergence: float = 0.9,
+                            bins: int = 20) -> RawFeatureFilterFullResult:
+    """RawFeatureFilter.scala:90,486 — full surface: drop raw features by
+    train fill rate, train/score fill-rate difference, and Jensen-Shannon
+    divergence between train and score distributions.
+
+    Three aggregation sweeps total (train fill+range, train hist, score
+    fill+hist) — statistics are O(cols x bins), never row-sized."""
+    ft = raw_feature_filter(train, numeric_cols, min_fill_rate)
+    fs = raw_feature_filter(score, numeric_cols, 0.0)
+    h_train, ranges = numeric_histograms(train, numeric_cols, bins)
+    h_score, _ = numeric_histograms(score, numeric_cols, bins, ranges)
+    js = {c: _js_divergence(h_train[c], h_score[c]) for c in numeric_cols}
+    dropped, reasons = [], {}
+    for c in numeric_cols:
+        if ft.fill_rates[c] < min_fill_rate:
+            dropped.append(c); reasons[c] = "fill_rate"
+        elif abs(ft.fill_rates[c] - fs.fill_rates[c]) > max_fill_rate_diff:
+            dropped.append(c); reasons[c] = "fill_rate_diff"
+        elif js[c] > max_js_divergence:
+            dropped.append(c); reasons[c] = "js_divergence"
+    return RawFeatureFilterFullResult(ft.fill_rates, fs.fill_rates, js, dropped, reasons)
