@@ -511,6 +511,14 @@ def q_similarity_topk(spark, sf_dir):
                       F.round(F.col("cosine"), 6).alias("cosine6"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Sessionization (custom stateful operator, batch/backfill form):
+    30-minute-gap sessions per user, rolled up per session."""
+    from .streaming.stateful import session_stats_batch
+    ev = _t(spark, sf_dir, "events")
+    return session_stats_batch(ev, "user_id", "ts", gap_minutes=30.0)
+
+
 def q_streaming_window(spark, sf_dir):
     """Structured Streaming tumbling-window aggregation run to completion
     (Trigger.AvailableNow) — must equal the batch SQL on the same files."""
@@ -1167,6 +1175,28 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cos
 FROM scored WHERE rank <= 5
 """
 
+ORACLES["sessionize"] = """
+WITH s AS (
+  SELECT user_id, ts, value, epoch_ms(ts) AS tms,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+             AS session_id
+  FROM s
+)
+SELECT CAST(user_id AS VARCHAR) AS key, session_id,
+       count(*) AS n_events,
+       min(tms) AS start_ms, max(tms) AS end_ms,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
 ORACLES["streaming_window"] = """
 SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
        event_type,
@@ -1210,6 +1240,7 @@ SPARK_QUERIES = {
     "dedup_near_ngram": q_dedup_near_ngram,
     "text_quality": q_text_quality,
     "similarity_topk": q_similarity_topk,
+    "sessionize": q_sessionize,
     "streaming_window": q_streaming_window,
     # rows-only (non-SQL-expressible: seeded hashing / ML / vectors)
     "smart_text": q_smart_text,

@@ -286,3 +286,29 @@ def to_ml_vector(df: DataFrame, array_col: str, out_col: str = "features_ml") ->
     """array<double> -> ml VectorUDT at the model boundary."""
     from pyspark.ml.functions import array_to_vector
     return df.withColumn(out_col, array_to_vector(F.col(array_col)))
+
+
+def collect_slots(model, vector_name: str = "features") -> list[VectorSlot]:
+    """Resolve the slot metadata of a (possibly combined) vector feature from
+    a fitted WorkflowModel — the engine-side OpVectorMetadata lookup
+    (features/.../utils/spark/OpVectorMetadata.scala).
+
+    Walks the fitted layers: a vectorizer's slots are its own; a combiner's
+    slots are the concatenation of its inputs' slots in input order."""
+    by_output: dict[str, object] = {}
+    for layer in model.layers:
+        for s in layer:
+            by_output[s.output_name] = s
+
+    def resolve(name: str) -> list[VectorSlot]:
+        st = by_output.get(name)
+        if st is None:
+            return []
+        if st.op_name == "vectorsCombiner":
+            out: list[VectorSlot] = []
+            for f in st.inputs:
+                out.extend(resolve(f.name))
+            return out
+        return list(getattr(st, "slots", []))
+
+    return resolve(vector_name)

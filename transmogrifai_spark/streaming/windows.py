@@ -62,7 +62,7 @@ def run_stream_available_now(spark: SparkSession, src_path: str, schema: str,
     if nanos_ts_col:
         stream = stream.withColumn(
             nanos_ts_col,
-            F.timestamp_micros(F.floor(F.col(nanos_ts_col) / 1_000).cast("long")))
+            F.timestamp_micros(F.expr(f"{nanos_ts_col} div 1000").cast("long")))
     out = transform(stream)
     sink = f"mem_{uuid.uuid4().hex[:12]}"
     q = (out.writeStream.format("memory").queryName(sink)
