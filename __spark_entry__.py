@@ -21,9 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from transmogrifai_spark.driver_queries import q_ml_train_score
-    return q_ml_train_score(spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001 (driver checks rows>0): the full
+    AutoML spine — joined+aggregated reader -> transmogrify -> sanity check
+    -> CV model selection -> scores (the reference's README flow)."""
+    from transmogrifai_spark.flagship import entry_frame
+    return entry_frame(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -180,6 +180,60 @@ def select_binary_model(df: DataFrame, features_col: str, label_col: str,
                          leaderboard, fitted)
 
 
+def random_param_builder(name: str, space: dict[str, tuple[float, float] | list],
+                         n: int, seed: int = 42) -> list[tuple[str, dict]]:
+    """RandomParamBuilder.scala:52 — seeded random hyperparameter search:
+    numeric (lo, hi) ranges sample log-uniform when lo>0 and hi/lo>100, else
+    uniform; list values sample uniformly."""
+    import math
+    import random as _random
+    rng = _random.Random(seed)
+    out = []
+    for _ in range(n):
+        params = {}
+        for k, spec in space.items():
+            if isinstance(spec, list):
+                params[k] = rng.choice(spec)
+            else:
+                lo, hi = spec
+                if lo > 0 and hi / lo > 100:
+                    params[k] = math.exp(rng.uniform(math.log(lo), math.log(hi)))
+                else:
+                    params[k] = rng.uniform(lo, hi)
+        out.append((name, params))
+    return out
+
+
+def combine_top_models(selected: SelectedModel, df: DataFrame, features_col: str,
+                       label_col: str, key_col: str, top_n: int = 2) -> DataFrame:
+    """SelectedModelCombiner.scala:72 — ensemble the top-N candidates by
+    averaging their probability-1 scores (each refit on the full frame);
+    rows aligned by the caller's key column."""
+    scored = None
+    taken = 0
+    for cand in selected.leaderboard[:top_n]:
+        model = _make_classifier(cand.name, cand.params, features_col, label_col).fit(df)
+        preds = _binary_score_col(model.transform(df)).select(
+            F.col(key_col), F.col("score").alias(f"_s{taken}"))
+        scored = preds if scored is None else scored.join(preds, key_col)
+        taken += 1
+    cols = [F.col(f"_s{i}") for i in range(taken)]
+    avg = sum(cols[1:], cols[0]) / float(taken)
+    return scored.select(F.col(key_col), avg.alias("ensemble_score"))
+
+
+def xgboost_classifier(features_col: str, label_col: str, **params):
+    """OpXGBoostClassifier parity — available only when the optional
+    xgboost.spark package is installed; raises a precise error otherwise."""
+    try:
+        from xgboost.spark import SparkXGBClassifier  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "xgboost.spark is not installed in this environment; install "
+            "xgboost>=1.7 to enable OpXGBoostClassifier parity") from e
+    return SparkXGBClassifier(features_col=features_col, label_col=label_col, **params)
+
+
 def train_validation_split_select(df: DataFrame, features_col: str, label_col: str,
                                   key_col: str, candidates=None,
                                   test_fraction: float = 0.25, seed: int = 42) -> SelectedModel:
