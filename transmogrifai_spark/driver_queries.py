@@ -660,7 +660,7 @@ def q_ml_train_score(spark, sf_dir):
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import vector_to_array
     from .feature import from_dataframe
-    from .operators.vectorizers import to_ml_vector, transmogrify
+    from .operators.vectorizers import to_ml_vector, transmogrify_batched
     from .workflow import Workflow
 
     jr = JoinedReader(left=DataReader(path=f"{sf_dir}/customer.parquet"),
@@ -680,8 +680,9 @@ def q_ml_train_score(spark, sf_dir):
     feats = from_dataframe(base, response="label",
                            overrides={"mkt": "PickList", "total_spend": "Currency",
                                       "acctbal": "Currency", "n_orders": "Integral"})
-    vec = transmogrify([feats["mkt"], feats["total_spend"], feats["acctbal"],
-                        feats["n_orders"]], top_k=10, min_support=5)
+    vec = transmogrify_batched([feats["mkt"], feats["total_spend"],
+                                feats["acctbal"], feats["n_orders"]],
+                               top_k=10, min_support=5)
     from .util import right_size_for_iteration
     model = Workflow([vec]).fit(base)
     scored = to_ml_vector(model.score(base, keep_intermediate=True), "features").persist()

@@ -15,7 +15,7 @@ from .ml.evaluators import binary_metrics
 from .ml.insights import model_insights
 from .ml.selectors import default_binary_candidates, select_binary_model
 from .operators.preparators import sanity_checker
-from .operators.vectorizers import collect_slots, to_ml_vector, transmogrify
+from .operators.vectorizers import collect_slots, to_ml_vector, transmogrify_batched
 from .sources.joins import JoinedAggregateReader, JoinedReader
 from .sources.readers import AggSpec, DataReader
 from .util import right_size_for_iteration
@@ -47,9 +47,10 @@ def automl_flagship(spark: SparkSession, sf_dir: str,
         overrides={"mkt": "PickList", "total_spend": "Currency",
                    "acctbal": "Currency", "max_order": "Currency",
                    "n_orders": "Integral"})
-    vec = transmogrify([feats["mkt"], feats["total_spend"], feats["acctbal"],
-                        feats["max_order"], feats["n_orders"]],
-                       top_k=10, min_support=2)
+    vec = transmogrify_batched(
+        [feats["mkt"], feats["total_spend"], feats["acctbal"],
+         feats["max_order"], feats["n_orders"]],
+        top_k=10, min_support=2)
     checked = sanity_checker(vec, feats["label"], max_correlation=0.99)
 
     model = Workflow([checked.output]).fit(base)

@@ -120,8 +120,9 @@ def real_vectorizer(feat: Feature, fill_with_mean: bool = True,
     def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
         fill = 0.0
         if fill_with_mean:
-            row = df.agg(F.avg(F.col(feat.name).cast("double")).alias("m")).first()
-            fill = float(row["m"]) if row["m"] is not None else 0.0
+            from .numeric import exact_mean
+            m = exact_mean(df, feat.name)
+            fill = m if m is not None else 0.0
         slots = [VectorSlot(feat.name, descriptor="value")]
         if track_nulls:
             slots.append(VectorSlot(feat.name, indicator_value="NullIndicatorValue"))
@@ -245,6 +246,122 @@ def combine_vectors(vecs: list[Feature], output_name: str = "features") -> Colum
 
     st = FittedVectorizer("vectorsCombiner", list(vecs), output_name, make_expr, [])
     return st
+
+
+def transmogrify_batched(features: list[Feature], top_k: int = TOP_K,
+                         min_support: int = MIN_SUPPORT, track_nulls: bool = True,
+                         output_name: str = "features") -> Feature:
+    """Batched transmogrify: ONE estimator fitting every column in two jobs.
+
+    The per-column path runs one fit job per estimator — fine for a handful
+    of columns, linear job overhead for hundreds. This form melts all
+    categorical/integral columns into (col, value) pairs and aggregates them
+    in a single shuffle (per-column topK picked by a window rank, so the
+    collect is bounded by cols x topK), and computes every numeric mean in
+    one decimal-exact agg pass. 2 jobs total regardless of column count —
+    the 100-column/100 TB fitting path.
+
+    Scalar categorical/numeric/binary types only (lists/maps/geo dispatch
+    through the per-column ``transmogrify``)."""
+    from pyspark.sql.window import Window
+
+    cat_cols, int_cols, real_cols, bin_cols = [], [], [], []
+    for f in features:
+        t = f.type_tag
+        if t.name == "Binary":
+            bin_cols.append(f)
+        elif not t.is_list and not t.is_map and (t.categorical or t.is_text):
+            cat_cols.append(f)
+        elif t.name in ("Integral", "Date", "DateTime"):
+            int_cols.append(f)
+        elif t.is_numeric:
+            real_cols.append(f)
+        else:
+            raise ValueError(f"transmogrify_batched: unsupported type {t.name} "
+                             f"({f.name}); use transmogrify()")
+
+    est = Estimator("transmogrify", features, output_name, "OPVector",
+                    lambda st, df: _fit_batched(st, df, cat_cols, int_cols,
+                                                real_cols, bin_cols, top_k,
+                                                min_support, track_nulls,
+                                                output_name))
+    return est.output
+
+
+def _fit_batched(stage, df: DataFrame, cat_cols, int_cols, real_cols, bin_cols,
+                 top_k, min_support, track_nulls, output_name) -> "FittedVectorizer":
+    from pyspark.sql.window import Window
+
+    # job 1: melt categorical+integral columns -> one groupBy(col, value)
+    pivot_values: dict[str, list] = {}
+    int_modes: dict[str, float] = {}
+    melt_feats = cat_cols + int_cols
+    if melt_feats:
+        pairs = F.array(*[
+            F.struct(F.lit(f.name).alias("c"), F.col(f.name).cast("string").alias("v"))
+            for f in melt_feats])
+        melted = df.select(F.explode(pairs).alias("p")) \
+            .select(F.col("p.c").alias("c"), F.col("p.v").alias("v")) \
+            .where(F.col("v").isNotNull())
+        counts = melted.groupBy("c", "v").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("c").orderBy(F.col("n").desc(), F.col("v").asc())
+        top = counts.withColumn("rn", F.row_number().over(w)) \
+            .where((F.col("rn") <= top_k) &
+                   ((F.col("n") >= min_support) | (F.col("rn") == 1))).collect()
+        by_col: dict[str, list] = {}
+        for r in sorted(top, key=lambda r: (r["c"], r["rn"])):
+            by_col.setdefault(r["c"], []).append((r["v"], r["n"]))
+        for f in cat_cols:
+            pivot_values[f.name] = [v for v, n in by_col.get(f.name, [])
+                                    if n >= min_support]
+        for f in int_cols:
+            vs = by_col.get(f.name, [])
+            int_modes[f.name] = float(vs[0][0]) if vs else 0.0
+
+    # job 2: every real mean in one decimal-exact agg
+    real_fills: dict[str, float] = {}
+    if real_cols:
+        aggs = []
+        for f in real_cols:
+            x = F.col(f.name).cast("double")
+            aggs.append(F.sum(x.cast("decimal(30,8)")).alias(f"{f.name}__s"))
+            aggs.append(F.count(F.col(f.name)).alias(f"{f.name}__n"))
+        row = df.agg(*aggs).first()
+        for f in real_cols:
+            n = row[f"{f.name}__n"]
+            real_fills[f.name] = float(row[f"{f.name}__s"]) / n if n else 0.0
+
+    # assemble the fused expression + slots + serializable params
+    slots: list[VectorSlot] = []
+    col_specs: list[dict] = []
+    for f in stage.inputs:
+        if f in bin_cols:
+            col_specs.append({"name": f.name, "kind": "binary"})
+            slots.append(VectorSlot(f.name, descriptor="value"))
+            if track_nulls:
+                slots.append(VectorSlot(f.name, indicator_value="NullIndicatorValue"))
+        elif f in cat_cols:
+            values = pivot_values.get(f.name, [])
+            col_specs.append({"name": f.name, "kind": "pivot", "values": values})
+            slots += [VectorSlot(f.name, indicator_value=str(v)) for v in values]
+            slots.append(VectorSlot(f.name, indicator_value="OTHER"))
+            if track_nulls:
+                slots.append(VectorSlot(f.name, indicator_value="NullIndicatorValue"))
+        elif f in int_cols:
+            col_specs.append({"name": f.name, "kind": "fill", "fill": int_modes.get(f.name, 0.0)})
+            slots.append(VectorSlot(f.name, descriptor="value"))
+            if track_nulls:
+                slots.append(VectorSlot(f.name, indicator_value="NullIndicatorValue"))
+        else:
+            col_specs.append({"name": f.name, "kind": "fill", "fill": real_fills.get(f.name, 0.0)})
+            slots.append(VectorSlot(f.name, descriptor="value"))
+            if track_nulls:
+                slots.append(VectorSlot(f.name, indicator_value="NullIndicatorValue"))
+
+    params = {"columns": col_specs, "track_nulls": track_nulls}
+    from ..serving.registry import expr_for
+    return FittedVectorizer("transmogrify", list(stage.inputs), output_name,
+                            expr_for("transmogrify", params), slots, params)
 
 
 def transmogrify(features: list[Feature], top_k: int = TOP_K,

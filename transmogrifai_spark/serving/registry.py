@@ -191,6 +191,57 @@ def _combiner_local(p):
 register("vectorsCombiner", _combiner_expr, _combiner_local)
 
 
+def _transmogrify_expr(p):
+    specs, track_nulls = p["columns"], p["track_nulls"]
+
+    def make_expr(*cols: Column) -> Column:
+        parts: list[Column] = []
+        for spec, c in zip(specs, cols):
+            kind = spec["kind"]
+            if kind == "binary":
+                parts.append(F.when(c.eqNullSafe(F.lit(True)), 1.0).otherwise(0.0))
+            elif kind == "pivot":
+                values = spec["values"]
+                known = F.lit(False)
+                sc = c.cast("string")
+                for v in values:
+                    parts.append(F.when(sc.eqNullSafe(F.lit(v)), 1.0).otherwise(0.0))
+                    known = known | sc.eqNullSafe(F.lit(v))
+                parts.append(F.when(c.isNotNull() & ~known, 1.0).otherwise(0.0))
+            else:  # fill
+                parts.append(F.coalesce(c.cast("double"), F.lit(spec["fill"])))
+            if track_nulls:
+                parts.append(F.when(c.isNull(), 1.0).otherwise(0.0))
+        return F.array(*parts)
+    return make_expr
+
+
+def _transmogrify_local(p):
+    specs, track_nulls = p["columns"], p["track_nulls"]
+
+    def fn(*vals):
+        out: list[float] = []
+        for spec, x in zip(specs, vals):
+            kind = spec["kind"]
+            if kind == "binary":
+                out.append(1.0 if x is True else 0.0)
+            elif kind == "pivot":
+                values = spec["values"]
+                s = None if x is None else str(x)
+                for v in values:
+                    out.append(1.0 if s == v else 0.0)
+                out.append(1.0 if s is not None and s not in values else 0.0)
+            else:
+                out.append(float(x) if x is not None else spec["fill"])
+            if track_nulls:
+                out.append(1.0 if x is None else 0.0)
+        return out
+    return fn
+
+
+register("transmogrify", _transmogrify_expr, _transmogrify_local)
+
+
 def _slice_expr(p):
     keep = p["keep"]
 
