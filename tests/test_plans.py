@@ -1,0 +1,72 @@
+"""Physical-plan shape guards: pushdown, broadcast, codegen, no Python in
+hot paths. A correct result from a bad plan is a regression at 100 TB."""
+import pytest
+
+from transmogrifai_spark.driver_queries import (q_multiway_broadcast,
+                                                q_pricing_summary,
+                                                q_scan_pushdown)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted") if False else \
+        df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    df = q_scan_pushdown(spark, sf_dir)
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)" in plan
+    # column pruning: only the 4 selected columns in ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_shipdate" not in read_schema
+
+
+def test_dims_are_broadcast(spark, sf_dir):
+    plan = _formatted(q_multiway_broadcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_rollup_is_partial_aggregated(spark, sf_dir):
+    """The pricing rollup must show two-phase hash aggregation (map-side
+    partial + final) — the shuffle carries combiner-reduced rows."""
+    plan = _plan(q_pricing_summary(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_no_python_udf_in_headline_plans(spark, sf_dir):
+    for q in (q_scan_pushdown, q_pricing_summary, q_multiway_broadcast):
+        plan = _formatted(q(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = q_pricing_summary(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = _plan(df)
+    assert "*(1)" in plan  # whole-stage-codegen stage markers
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from transmogrifai_spark.util import salted_aggregate
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = salted_aggregate(
+        li, ["l_returnflag"],
+        {"total_qty": ("sum", "cast(l_quantity as decimal(28,6))"),
+         "n": ("count", "l_orderkey"),
+         "max_price": ("max", "l_extendedprice")})
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("total_qty"),
+        F.count("l_orderkey").alias("n"),
+        F.max("l_extendedprice").alias("max_price"))
+    s = {r["l_returnflag"]: (r["total_qty"], r["n"], r["max_price"]) for r in salted.collect()}
+    p = {r["l_returnflag"]: (r["total_qty"], r["n"], r["max_price"]) for r in plain.collect()}
+    assert s == p

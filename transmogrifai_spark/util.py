@@ -19,6 +19,44 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def salted_aggregate(df: DataFrame, key_cols: list[str], aggs: dict[str, tuple],
+                     salt: int = 16) -> DataFrame:
+    """Two-stage aggregation for skewed keys (SURVEY.md §7 hard parts).
+
+    Stage 1 groups by (key, xxhash64(row-salt) % salt) so a hot key's rows
+    spread over ``salt`` reducers; stage 2 merges the partials per key. Only
+    monoidal aggregates compose across stages — supported combiners:
+    sum / min / max / count / collect-free logical ops.
+
+    ``aggs``: {output: (combiner, sql_expr)} with combiner in
+    {'sum','min','max','count'}. AQE's skew handling covers joins; this is
+    the aggregation-side analogue for keys hot enough to overflow a single
+    reducer's memory.
+    """
+    from pyspark.sql import functions as F
+
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    stage1_aggs, stage2_aggs = [], []
+    for out, (comb, expr) in aggs.items():
+        col = F.expr(expr)
+        if comb == "sum":
+            stage1_aggs.append(F.sum(col).alias(out))
+            stage2_aggs.append(F.sum(out).alias(out))
+        elif comb == "min":
+            stage1_aggs.append(F.min(col).alias(out))
+            stage2_aggs.append(F.min(out).alias(out))
+        elif comb == "max":
+            stage1_aggs.append(F.max(col).alias(out))
+            stage2_aggs.append(F.max(out).alias(out))
+        elif comb == "count":
+            stage1_aggs.append(F.count(col).alias(out))
+            stage2_aggs.append(F.sum(out).cast("long").alias(out))
+        else:
+            raise ValueError(f"non-monoidal combiner {comb!r} cannot be salted")
+    partial = df.withColumn("_salt", salt_col).groupBy(*key_cols, "_salt").agg(*stage1_aggs)
+    return partial.groupBy(*key_cols).agg(*stage2_aggs)
+
+
 def right_size_for_iteration(df: DataFrame, rows_per_partition: int = 100_000) -> DataFrame:
     """Coalesce over-partitioned frames before iterative ML fits.
 
