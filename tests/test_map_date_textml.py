@@ -139,3 +139,21 @@ def test_runner_train_score_roundtrip(spark, tmp_path, monkeypatch):
     scores = run(RunParams(mode="score", pipeline="fixture_pipeline",
                            data_dir="unused", model_dir=model_dir), spark=spark)
     assert scores.count() == 3 and "features" in scores.columns
+
+
+def test_smart_text_map_vectorizer(spark):
+    from transmogrifai_spark.operators.map_vectorizers import smart_text_map_vectorizer
+    rows = []
+    for i in range(40):
+        rows.append(({"color": ["red", "blue"][i % 2],
+                      "note": f"unique text number {i} with words"},))
+    df = spark.createDataFrame(rows, "m map<string,string>")
+    f = from_dataframe(df, overrides={"m": "TextMap"})["m"]
+    fitted = smart_text_map_vectorizer(f, max_cardinality=5, top_k=3,
+                                       hash_features=16).fit(df)
+    assert fitted.params["strategies"] == {"color": "pivot", "note": "hash"}
+    v = df.select(fitted.expr()).first()["m_vec"]
+    # color: red,blue,OTHER,null (4) + note: 16 hash + null (17)
+    assert len(v) == 4 + 17
+    assert len(v) == len(fitted.slots)
+    assert sum(v[:3]) == 1.0  # exactly one pivot indicator hot

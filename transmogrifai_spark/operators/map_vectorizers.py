@@ -139,6 +139,78 @@ def text_map_pivot_vectorizer(feat: Feature, top_k: int = 20, min_support: int =
     return Estimator("textMapPivotVec", [feat], out, "OPVector", fit)
 
 
+def smart_text_map_vectorizer(feat: Feature, max_cardinality: int = 30,
+                              top_k: int = 20, min_support: int = 1,
+                              hash_features: int = 64, track_nulls: bool = True,
+                              output_name: str | None = None) -> Estimator:
+    """SmartTextMapVectorizer.scala:61 — per map key, decide pivot vs hash
+    from bounded fitted stats (the per-column SmartTextVectorizer decision,
+    applied key-wise). One explode + one groupBy(key, value) with a window
+    topK discovers everything; high-cardinality keys fall back to the
+    hashing trick over their tokenized values."""
+    from pyspark.sql.window import Window
+    from ..functions.text import tokenize
+
+    out = output_name or f"{feat.name}_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        exploded = df.select(F.explode(F.col(feat.name)).alias("_k", "_v"))
+        card = {r["_k"]: r["c"] for r in
+                exploded.groupBy("_k").agg(F.approx_count_distinct("_v").alias("c")).collect()}
+        counts = exploded.groupBy("_k", "_v").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("_k").orderBy(F.col("n").desc(), F.col("_v").asc())
+        top = counts.withColumn("rn", F.row_number().over(w)) \
+            .where((F.col("rn") <= top_k) & (F.col("n") >= min_support)).collect()
+        by_key: dict[str, list[str]] = {}
+        for r in sorted(top, key=lambda r: (r["_k"], r["rn"])):
+            by_key.setdefault(r["_k"], []).append(r["_v"])
+        strategies = {k: ("pivot" if card.get(k, 0) <= max_cardinality else "hash")
+                      for k in sorted(card)}
+        slots: list[VectorSlot] = []
+        for k in sorted(strategies):
+            if strategies[k] == "pivot":
+                for v in by_key.get(k, []):
+                    slots.append(VectorSlot(feat.name, group=k, indicator_value=str(v)))
+                slots.append(VectorSlot(feat.name, group=k, indicator_value="OTHER"))
+            else:
+                slots += [VectorSlot(feat.name, group=k, descriptor=f"hash_{i}")
+                          for i in range(hash_features)]
+            if track_nulls:
+                slots.append(VectorSlot(feat.name, group=k, indicator_value="NullIndicatorValue"))
+
+        def make_expr(m: Column) -> Column:
+            # segments: each either a 1-element array (scalar slot) or the
+            # hash-bucket array; one flatten assembles the vector
+            segments: list[Column] = []
+            for k in sorted(strategies):
+                val = F.try_element_at(m, F.lit(k))
+                if strategies[k] == "pivot":
+                    known = F.lit(False)
+                    for v in by_key.get(k, []):
+                        segments.append(F.array(
+                            F.when(val.eqNullSafe(F.lit(v)), 1.0).otherwise(0.0)))
+                        known = known | val.eqNullSafe(F.lit(v))
+                    segments.append(F.array(
+                        F.when(val.isNotNull() & ~known, 1.0).otherwise(0.0)))
+                else:
+                    idx = F.transform(tokenize(val),
+                                      lambda t: F.pmod(F.xxhash64(t, F.lit(42)),
+                                                       F.lit(hash_features)))
+                    buckets = F.sequence(F.lit(0), F.lit(hash_features - 1))
+                    segments.append(F.transform(buckets, lambda b: F.size(
+                        F.filter(idx, lambda i: i == b)).cast("double")))
+                if track_nulls:
+                    segments.append(F.array(F.when(val.isNull(), 1.0).otherwise(0.0)))
+            return F.flatten(F.array(*segments))
+
+        return FittedVectorizer("smartTextMapVec", [feat], out, make_expr, slots,
+                                {"strategies": strategies, "pivots": by_key,
+                                 "hash_features": hash_features,
+                                 "track_nulls": track_nulls})
+
+    return Estimator("smartTextMapVec", [feat], out, "OPVector", fit)
+
+
 def text_map_len_vectorizer(feat: Feature, output_name: str | None = None) -> Estimator:
     """TextMapLenEstimator.scala:44 — per-key value lengths."""
     out = output_name or f"{feat.name}_len_vec"
