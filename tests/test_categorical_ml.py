@@ -195,3 +195,35 @@ def test_model_insights_and_loco(spark, trainable):
     assert len(row["loco"]) == 2
     # slot deltas ordered by |delta| desc
     assert abs(row["loco"][0]["delta"]) >= abs(row["loco"][1]["delta"])
+
+
+def test_regression_selector(spark):
+    import random
+    from pyspark.ml.functions import array_to_vector
+    from transmogrifai_spark.ml.selectors import select_regression_model
+    rng = random.Random(4)
+    rows = [(i, [x := rng.random()], 3.0 * x + rng.gauss(0, 0.05)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k bigint, arr array<double>, y double") \
+        .withColumn("fv", array_to_vector("arr"))
+    sel = select_regression_model(df, "fv", "y", "k", k=2)
+    assert sel.best_metric > -0.2  # -RMSE close to 0
+    assert sel.fitted_model is not None
+
+
+def test_multiclass_selector_and_prediction_map(spark):
+    import random
+    from pyspark.ml.functions import array_to_vector
+    from transmogrifai_spark.ml.selectors import (select_multiclass_model,
+                                                  to_prediction_map)
+    rng = random.Random(6)
+    rows = []
+    for i in range(300):
+        x = rng.random()
+        rows.append((i, [x], float(min(2, int(x * 3)))))
+    df = spark.createDataFrame(rows, "k bigint, arr array<double>, y double") \
+        .withColumn("fv", array_to_vector("arr"))
+    sel = select_multiclass_model(df, "fv", "y", "k", k=2)
+    assert sel.best_metric > 0.8
+    preds = sel.fitted_model.transform(df)
+    mapped = to_prediction_map(preds).first()["prediction_map"]
+    assert "prediction" in mapped and "probability_0" in mapped

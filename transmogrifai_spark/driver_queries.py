@@ -305,6 +305,32 @@ def q_text_similarity(spark, sf_dir):
     )
 
 
+def q_phone_ops(spark, sf_dir):
+    """Phone validation/normalization (PhoneNumberParser surface) over
+    synthesized numbers."""
+    cust = _t(spark, sf_dir, "customer")
+    digits = F.lpad((F.col("c_custkey") * 7919 % 10000000000).cast("string"), 10, "2")
+    phone = F.concat(F.lit("("), F.substring(digits, 1, 3), F.lit(") "),
+                     F.substring(digits, 4, 3), F.lit("-"), F.substring(digits, 7, 4))
+    return cust.select(
+        "c_custkey", phone.alias("phone"),
+        TX.normalize_phone_digits(phone).alias("phone_digits"),
+        TX.is_valid_phone_us(phone).alias("phone_valid"))
+
+
+def q_bin_score_calibration(spark, sf_dir):
+    """OpBinScoreEvaluator: per-decile calibration table (decimal-exact
+    averages)."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.col("o_totalprice") / F.lit(600000.0)
+    y = (F.col("o_orderstatus") == "F").cast("double")
+    b = F.least(F.floor(s * 10).cast("long"), F.lit(9))
+    return (o.groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(s.cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias("avg_score"),
+                 (F.sum(y.cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias("rate")))
+
+
 def q_onehot_topk(spark, sf_dir):
     """OpSetVectorizer TopK pivot semantics, exposed relationally: each row's
     category mapped to its fitted bucket (top-K by support, else OTHER)."""
@@ -907,6 +933,37 @@ SELECT a.doc_id AS id1, b.doc_id AS id2,
 FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 """
 
+ORACLES["phone_ops"] = """
+SELECT c_custkey, phone,
+       regexp_replace(phone, '[^0-9]', '', 'g') AS phone_digits,
+       CASE WHEN length(d10) = 10 AND d10 NOT LIKE '0%' AND d10 NOT LIKE '1%'
+            THEN TRUE ELSE FALSE END AS phone_valid
+FROM (
+  SELECT c_custkey, phone,
+         CASE WHEN length(d) = 11 AND d LIKE '1%' THEN substr(d, 2, 10) ELSE d END AS d10
+  FROM (
+    SELECT c_custkey, phone, regexp_replace(phone, '[^0-9]', '', 'g') AS d
+    FROM (
+      SELECT c_custkey,
+             '(' || substr(p, 1, 3) || ') ' || substr(p, 4, 3) || '-' || substr(p, 7, 4) AS phone
+      FROM (SELECT c_custkey,
+                   lpad(CAST(c_custkey * 7919 % 10000000000 AS VARCHAR), 10, '2') AS p
+            FROM customer)
+    )
+  )
+)
+"""
+
+ORACLES["bin_score_calibration"] = """
+SELECT CAST(least(floor(o_totalprice / 600000.0 * 10), 9) AS BIGINT) AS bin,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice / 600000.0 AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS avg_score,
+       CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END
+                AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS rate
+FROM orders
+GROUP BY least(floor(o_totalprice / 600000.0 * 10), 9)
+"""
+
 ORACLES["onehot_topk"] = """
 WITH topk AS (
   SELECT c_mktsegment AS v
@@ -1226,6 +1283,8 @@ SPARK_QUERIES = {
     "date_ops": q_date_ops,
     "text_similarity": q_text_similarity,
     "onehot_topk": q_onehot_topk,
+    "phone_ops": q_phone_ops,
+    "bin_score_calibration": q_bin_score_calibration,
     "map_vectorizer": q_map_vectorizer,
     "date_list_vectorizer": q_date_list_vectorizer,
     "geo_midpoint": q_geo_midpoint,

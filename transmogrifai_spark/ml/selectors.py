@@ -180,6 +180,91 @@ def select_binary_model(df: DataFrame, features_col: str, label_col: str,
                          leaderboard, fitted)
 
 
+def default_regression_candidates(small: bool = False) -> list[tuple[str, dict]]:
+    """RegressionModelSelector defaults (DefaultSelectorParams.scala:38-70)."""
+    cands = [("LinearRegression", {"regParam": 0.01, "elasticNetParam": 0.0, "maxIter": 20}),
+             ("RandomForestRegressor", {"maxDepth": 5, "numTrees": 20, "seed": 42})]
+    if not small:
+        cands += [("GBTRegressor", {"maxDepth": 3, "maxIter": 20, "seed": 42}),
+                  ("DecisionTreeRegressor", {"maxDepth": 6, "seed": 42}),
+                  ("GeneralizedLinearRegression", {"family": "gaussian", "maxIter": 20})]
+    return cands
+
+
+def _make_regressor(name: str, params: dict, features_col: str, label_col: str):
+    import pyspark.ml.regression as R
+    return getattr(R, name)(featuresCol=features_col, labelCol=label_col, **params)
+
+
+def select_regression_model(df: DataFrame, features_col: str, label_col: str,
+                            key_col: str, candidates=None, k: int = 3,
+                            seed: int = 42) -> SelectedModel:
+    """RegressionModelSelector: k-fold CV, metric = -RMSE (higher better)."""
+    candidates = candidates or default_regression_candidates(small=True)
+    df = df.persist()
+    folds = list(kfold_by_key(df, key_col, k=k, seed=seed))
+    leaderboard = []
+    for name, params in candidates:
+        fold_metrics = []
+        for train, valid in folds:
+            model = _make_regressor(name, params, features_col, label_col).fit(train)
+            preds = model.transform(valid)
+            fold_metrics.append(-regression_metrics(preds, "prediction", label_col)["rmse"])
+        m = sum(fold_metrics) / len(fold_metrics)
+        leaderboard.append(CandidateResult(name, params, m, fold_metrics))
+    leaderboard.sort(key=lambda c: (-c.metric, c.name))
+    best = leaderboard[0]
+    fitted = _make_regressor(best.name, best.params, features_col, label_col).fit(df)
+    df.unpersist()
+    return SelectedModel(best.name, best.params, best.metric, leaderboard, fitted)
+
+
+def select_multiclass_model(df: DataFrame, features_col: str, label_col: str,
+                            key_col: str, candidates=None, k: int = 3,
+                            seed: int = 42) -> SelectedModel:
+    """MultiClassificationModelSelector: k-fold CV, metric = accuracy."""
+    from .evaluators import multiclass_metrics
+    candidates = candidates or [
+        ("LogisticRegression", {"regParam": 0.01, "maxIter": 20}),
+        ("RandomForestClassifier", {"maxDepth": 5, "numTrees": 20, "seed": 42}),
+    ]
+    df = df.persist()
+    folds = list(kfold_by_key(df, key_col, k=k, seed=seed))
+    leaderboard = []
+    for name, params in candidates:
+        fold_metrics = []
+        for train, valid in folds:
+            model = _make_classifier(name, params, features_col, label_col).fit(train)
+            preds = model.transform(valid)
+            fold_metrics.append(multiclass_metrics(preds, "prediction", label_col)["accuracy"])
+        m = sum(fold_metrics) / len(fold_metrics)
+        leaderboard.append(CandidateResult(name, params, m, fold_metrics))
+    leaderboard.sort(key=lambda c: (-c.metric, c.name))
+    best = leaderboard[0]
+    fitted = _make_classifier(best.name, best.params, features_col, label_col).fit(df)
+    df.unpersist()
+    return SelectedModel(best.name, best.params, best.metric, leaderboard, fitted)
+
+
+def to_prediction_map(pred_df: DataFrame, out_col: str = "prediction_map") -> DataFrame:
+    """The reference's Prediction feature type (types/Maps.scala:339 —
+    reserved keys prediction/probability/rawPrediction) as a
+    map<string,double> column over an ml prediction frame."""
+    from pyspark.ml.functions import vector_to_array
+    keys, vals = [F.lit("prediction")], [F.col("prediction").cast("double")]
+    if "probability" in pred_df.columns:
+        p = vector_to_array(F.col("probability"))
+        for i in (0, 1):
+            keys.append(F.lit(f"probability_{i}"))
+            vals.append(F.try_element_at(p, F.lit(i + 1)))
+    if "rawPrediction" in pred_df.columns:
+        r = vector_to_array(F.col("rawPrediction"))
+        for i in (0, 1):
+            keys.append(F.lit(f"rawPrediction_{i}"))
+            vals.append(F.try_element_at(r, F.lit(i + 1)))
+    return pred_df.withColumn(out_col, F.map_from_arrays(F.array(*keys), F.array(*vals)))
+
+
 def random_param_builder(name: str, space: dict[str, tuple[float, float] | list],
                          n: int, seed: int = 42) -> list[tuple[str, dict]]:
     """RandomParamBuilder.scala:52 — seeded random hyperparameter search:

@@ -19,6 +19,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # calendar functions must not depend on the caller session's locale —
+    # force UTC (the oracle gate's DuckDB timestamps are naive/UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
