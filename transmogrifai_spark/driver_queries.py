@@ -632,6 +632,29 @@ def q_loco_insights(spark, sf_dir):
                       F.col("loco")[0]["slot"].alias("top_slot"))
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute force, id1<id2)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return pairs.select("id1", "id2", F.round(F.col("cosine"), 6).alias("cosine6"))
+
+
+def q_tfidf_vectors(spark, sf_dir):
+    """TF-IDF over document tokens (ml-wrapped HashingTF+IDF — rows-only,
+    hash-based)."""
+    from .feature import from_dataframe
+    from .operators.text_ml import tfidf
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks", TX.tokenize(F.col("text")))
+    feats = from_dataframe(docs, overrides={"toks": "TextList"})
+    fitted = tfidf(feats["toks"], num_features=64).fit(docs)
+    out = fitted.transform(docs)
+    return out.select("doc_id",
+                      F.size("toks_tfidf").alias("dim"),
+                      F.round(F.aggregate(F.col("toks_tfidf"), F.lit(0.0),
+                                          lambda a, x: a + x), 4).alias("tfidf_sum"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_groups(docs, "doc_id", "text")
@@ -1217,6 +1240,14 @@ FROM m
     f"t -> list_contains({_SW[lang]}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS s_{lang}"
     for lang in sorted(_SW)))
 
+ORACLES["embedding_near_dup"] = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cosine6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
 ORACLES["similarity_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 20),
@@ -1300,10 +1331,12 @@ SPARK_QUERIES = {
     "dedup_near_ngram": q_dedup_near_ngram,
     "text_quality": q_text_quality,
     "similarity_topk": q_similarity_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "sessionize": q_sessionize,
     "streaming_window": q_streaming_window,
     # rows-only (non-SQL-expressible: seeded hashing / ML / vectors)
     "smart_text": q_smart_text,
+    "tfidf_vectors": q_tfidf_vectors,
     "mime_detector": q_mime_detector,
     "model_selection": q_model_selection,
     "loco_insights": q_loco_insights,

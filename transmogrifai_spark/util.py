@@ -12,6 +12,8 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     the work. At real scale inputs arrive with adequate partitioning and this
     is a no-op; the round-robin shuffle it inserts for small inputs costs
     milliseconds."""
+    if df.isStreaming:  # no static partition count; micro-batches are sized upstream
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
