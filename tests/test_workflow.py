@@ -65,3 +65,18 @@ def test_score_prunes_intermediates(spark):
     df = spark.createDataFrame([(1.0,)], "a double")
     out = Workflow([d]).fit(df).score(df)
     assert set(out.columns) == {"a", "d"}  # b, c pruned
+
+
+def test_fit_sample_estimators(spark):
+    """fit_sample: estimators fit on a sample, transforms see all rows."""
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.vectorizers import transmogrify
+    df = spark.createDataFrame([(float(i % 100), f"c{i % 3}") for i in range(2000)],
+                               "x double, cat string")
+    feats = from_dataframe(df, overrides={"cat": "PickList"})
+    vec = transmogrify([feats["x"], feats["cat"]], top_k=5, min_support=1)
+    model = Workflow([vec], fit_sample=0.3).fit(df)
+    out = model.score(df, keep_intermediate=True)
+    assert out.count() == 2000  # full data transformed
+    lens = {len(r["features"]) for r in out.select("features").collect()}
+    assert len(lens) == 1
