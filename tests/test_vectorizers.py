@@ -110,3 +110,15 @@ def test_raw_feature_filter(spark):
     res = raw_feature_filter(df, ["a", "b"], min_fill_rate=0.5)
     assert res.dropped == ["b"]
     assert res.fill_rates["a"] == pytest.approx(2 / 3)
+
+
+def test_cramers_v_association(spark):
+    from transmogrifai_spark.operators.preparators import cramers_v
+    # perfectly associated: V = 1
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "c string, l string")
+    assert cramers_v(df, "c", "l") == pytest.approx(1.0)
+    # independent-ish: V near 0
+    rows2 = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 10
+    df2 = spark.createDataFrame(rows2, "c string, l string")
+    assert cramers_v(df2, "c", "l") == pytest.approx(0.0, abs=1e-9)

@@ -331,6 +331,33 @@ def q_bin_score_calibration(spark, sf_dir):
                  (F.sum(y.cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias("rate")))
 
 
+def q_cramers_v(spark, sf_dir):
+    """Chi² / Cramér's V between segment and order status (the
+    SanityChecker's categorical association check, OpStatistics parity).
+    Integer contingency cells; one rounded double out."""
+    from .operators.preparators import contingency_counts
+    jr = JoinedReader(left=DataReader(path=f"{sf_dir}/customer.parquet"),
+                      right=DataReader(path=f"{sf_dir}/orders.parquet"),
+                      left_key="c_custkey", right_key="o_custkey", join_type="inner")
+    df = jr.generate(spark)
+    cells = contingency_counts(df, "c_mktsegment", "o_orderstatus")
+    rt = cells.groupBy("c_mktsegment").agg(F.sum("n").alias("rt"))
+    ct = cells.groupBy("o_orderstatus").agg(F.sum("n").alias("ct"))
+    tot = cells.agg(F.sum("n").alias("NT"),
+                    F.countDistinct("c_mktsegment").alias("NR"),
+                    F.countDistinct("o_orderstatus").alias("NC"))
+    joined = cells.join(rt, "c_mktsegment").join(ct, "o_orderstatus").crossJoin(tot)
+    chi2 = joined.agg(
+        F.sum((F.col("n") * F.col("n")).cast("double")
+              / (F.col("rt") * F.col("ct")).cast("double")).alias("s"),
+        F.first("NT").alias("NT"), F.first("NR").alias("NR"), F.first("NC").alias("NC"))
+    return chi2.select(
+        F.col("NT").alias("n_pairs"),
+        F.round(F.sqrt((F.col("NT") * (F.col("s") - 1)).cast("double")
+                       / (F.col("NT") * F.least(F.col("NR") - 1, F.col("NC") - 1)).cast("double")),
+                6).alias("cramers_v6"))
+
+
 def q_onehot_topk(spark, sf_dir):
     """OpSetVectorizer TopK pivot semantics, exposed relationally: each row's
     category mapped to its fitted bucket (top-K by support, else OTHER)."""
@@ -987,6 +1014,25 @@ FROM orders
 GROUP BY least(floor(o_totalprice / 600000.0 * 10), 9)
 """
 
+ORACLES["cramers_v"] = """
+WITH cells AS (
+  SELECT c_mktsegment AS a, o_orderstatus AS b, count(*) AS n
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_mktsegment, o_orderstatus
+), rt AS (SELECT a, SUM(n) AS rt FROM cells GROUP BY a),
+ct AS (SELECT b, SUM(n) AS ct FROM cells GROUP BY b),
+tot AS (SELECT SUM(n) AS N, count(DISTINCT a) AS R, count(DISTINCT b) AS C FROM cells),
+s AS (
+  SELECT SUM(CAST(c.n * c.n AS DOUBLE) / CAST(rt.rt * ct.ct AS DOUBLE)) AS s,
+         max(tot.N) AS N, max(tot.R) AS R, max(tot.C) AS C
+  FROM cells c JOIN rt ON c.a = rt.a JOIN ct ON c.b = ct.b CROSS JOIN tot
+)
+SELECT CAST(N AS BIGINT) AS n_pairs,
+       round(sqrt(CAST(N * (s - 1) AS DOUBLE) / CAST(N * least(R - 1, C - 1) AS DOUBLE)), 6)
+         AS cramers_v6
+FROM s
+"""
+
 ORACLES["onehot_topk"] = """
 WITH topk AS (
   SELECT c_mktsegment AS v
@@ -1314,6 +1360,7 @@ SPARK_QUERIES = {
     "date_ops": q_date_ops,
     "text_similarity": q_text_similarity,
     "onehot_topk": q_onehot_topk,
+    "cramers_v": q_cramers_v,
     "phone_ops": q_phone_ops,
     "bin_score_calibration": q_bin_score_calibration,
     "map_vectorizer": q_map_vectorizer,

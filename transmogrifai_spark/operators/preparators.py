@@ -93,6 +93,39 @@ def sanity_checker(vec: Feature, label: Feature, max_correlation: float = 0.95,
     return Estimator("sanityChecker", [vec, label], out, "OPVector", fit)
 
 
+def contingency_counts(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Contingency table as (a, b, n) rows — one hash aggregation; the
+    shuffle is bounded by |A|x|B| cells, not rows."""
+    return df.groupBy(a, b).agg(F.count(F.lit(1)).alias("n"))
+
+
+def cramers_v(df: DataFrame, cat_col: str, label_col: str) -> float:
+    """Cramér's V between two categorical columns
+    (utils/.../stats/OpStatistics.scala:108-141, used by SanityChecker's
+    maxCramersV check). chi² from the contingency cells; all arithmetic on
+    exact integer counts, one final sqrt."""
+    cells = contingency_counts(
+        df.where(F.col(cat_col).isNotNull() & F.col(label_col).isNotNull()),
+        cat_col, label_col).collect()
+    if not cells:
+        return 0.0
+    row_tot: dict = {}
+    col_tot: dict = {}
+    n = 0
+    for c in cells:
+        row_tot[c[cat_col]] = row_tot.get(c[cat_col], 0) + c["n"]
+        col_tot[c[label_col]] = col_tot.get(c[label_col], 0) + c["n"]
+        n += c["n"]
+    # chi² = N (Σ n_ij² / (rt_i ct_j) − 1): the observed-cells-only form —
+    # unobserved cells (n=0) are handled implicitly, unlike Σ(n−e)²/e
+    s = sum(c["n"] ** 2 / (row_tot[c[cat_col]] * col_tot[c[label_col]]) for c in cells)
+    chi2 = n * (s - 1)
+    k = min(len(row_tot) - 1, len(col_tot) - 1)
+    if k <= 0 or n == 0:
+        return 0.0
+    return (chi2 / (n * k)) ** 0.5
+
+
 @dataclass
 class RawFeatureFilterResult:
     fill_rates: dict[str, float]
