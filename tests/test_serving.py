@@ -111,6 +111,30 @@ def test_local_compile_rejects_unsupported(spark):
         compile_local(model)
 
 
-def test_hashing_local_raises_cleanly():
-    with pytest.raises(NotImplementedError, match="no local"):
-        registry.local_for("hashingTF", {"num_features": 8, "seed": 42})
+def test_hashing_local_matches_spark(spark):
+    """The vendored pure-Python XXH64 reproduces Spark's xxhash64 exactly,
+    so hashing-trick vectors have a local form too."""
+    from transmogrifai_spark.operators.vectorizers import hashing_vectorizer
+    df = spark.createDataFrame(
+        [(["alpha", "beta", "alpha", "\u00dcn\u00efcode"],), ([],), (None,)],
+        "toks array<string>")
+    f = from_dataframe(df, overrides={"toks": "TextList"})["toks"]
+    st = hashing_vectorizer(f, num_features=16)
+    spark_out = [r["toks_vec"] for r in df.select(st.expr()).collect()]
+    local = registry.local_for("hashingTF", st.params)
+    local_out = [local(r["toks"]) for r in df.collect()]
+    assert spark_out == local_out
+
+
+def test_xxhash64_bit_parity(spark):
+    from pyspark.sql import functions as F
+    from transmogrifai_spark.serving.xxhash import spark_xxhash64
+    r = spark.range(1).select(
+        F.xxhash64(F.lit("hello")).alias("s"),
+        F.xxhash64(F.lit(7)).alias("i"),
+        F.xxhash64(F.lit(7).cast("long")).alias("l"),
+        F.xxhash64(F.lit("a"), F.lit("b"), F.lit(3)).alias("c")).first()
+    assert r["s"] == spark_xxhash64("hello")
+    assert r["i"] == spark_xxhash64(7)
+    assert r["l"] == spark_xxhash64(("long", 7))
+    assert r["c"] == spark_xxhash64("a", "b", 3)

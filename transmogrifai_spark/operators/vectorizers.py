@@ -199,7 +199,8 @@ def hashing_vectorizer(feat: Feature, num_features: int = 512, seed: int = 42,
     slots = [VectorSlot(feat.name, descriptor=f"hash_{i}") for i in range(num_features)]
 
     def make_expr(tokens: Column) -> Column:
-        idx = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(num_features)))
+        toks = F.coalesce(tokens, F.array().cast("array<string>"))  # null -> zero vector
+        idx = F.transform(toks, lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(num_features)))
         buckets = F.sequence(F.lit(0), F.lit(num_features - 1))
         return F.transform(
             buckets,

@@ -161,16 +161,27 @@ def _hashing_expr(p):
     n, seed = p["num_features"], p["seed"]
 
     def make_expr(tokens: Column) -> Column:
-        idx = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(n)))
+        toks = F.coalesce(tokens, F.array().cast("array<string>"))  # null -> zero vector
+        idx = F.transform(toks, lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(n)))
         buckets = F.sequence(F.lit(0), F.lit(n - 1))
         return F.transform(buckets,
                            lambda b: F.size(F.filter(idx, lambda i: i == b)).cast("double"))
     return make_expr
 
 
-# local form needs an xxhash64 implementation; deliberately unsupported until
-# one is vendored — the registry raises a precise error
-register("hashingTF", _hashing_expr, None)
+def _hashing_local(p):
+    n, seed = p["num_features"], p["seed"]
+    from .xxhash import spark_xxhash64
+
+    def fn(tokens):
+        out = [0.0] * n
+        for t in tokens or []:
+            out[spark_xxhash64(t, seed) % n] += 1.0
+        return out
+    return fn
+
+
+register("hashingTF", _hashing_expr, _hashing_local)
 
 
 def _combiner_expr(p):
