@@ -136,3 +136,12 @@ def test_frame_sampling_explodes_by_duration(spark):
     durations = {r["media_id"]: r["duration_ms"] for r in media.collect()}
     for r in counts:
         assert r["count"] == max(1, durations[r["media_id"]] // 1000)
+
+
+def test_duplicate_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)], "id1 long, id2 long")
+    out = {r["doc"]: r["cluster_id"] for r in
+           dedup.duplicate_clusters(pairs).collect()}
+    # chain 1-2-3 -> cluster 1; 5-6 -> 5; chain 8-9-10-11 -> 8
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}

@@ -551,6 +551,14 @@ def q_dedup_near_ngram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs -> cluster assignments
+    (iterative label propagation; oracle = recursive SQL reachability)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return textqual.text_metrics(docs, "doc_id", "text")
@@ -1241,6 +1249,39 @@ FROM pairs JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
 WHERE CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) >= 0.5
 """
 
+ORACLES["dedup_clusters"] = f"""
+WITH t AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+           ELSE [] END)) AS sh
+  FROM t
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id1, id2 FROM p JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+  WHERE CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) >= 0.3
+),
+edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.lbl FROM edges e JOIN r ON e.dst = r.node
+  )
+  SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node
+)
+SELECT node AS doc, cluster_id FROM reach
+"""
+
 _SW = {k: "[" + ",".join(f"'{w}'" for w in v) + "]"
        for k, v in textqual.STOPWORD_PROFILES.items()}
 _BPE = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
@@ -1376,6 +1417,7 @@ SPARK_QUERIES = {
     "binary_eval": q_binary_eval,
     "dedup_exact": q_dedup_exact,
     "dedup_near_ngram": q_dedup_near_ngram,
+    "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
     "similarity_topk": q_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,

@@ -191,6 +191,40 @@ def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
+                       max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document gets
+    the minimum reachable id as its ``cluster_id`` (the canonical
+    representative), so pair-level dedup becomes group-level dedup.
+
+    Plan: iterative label propagation — each round joins current labels to
+    the (symmetrized) edge list and takes the min neighbor label; stops when
+    a round changes nothing. Rounds needed = graph diameter (near-dup
+    clusters are shallow; the cap is a safety bound). Each round is one
+    shuffle join + one aggregation; labels/edges are persisted so rounds
+    don't recompute the pair mining."""
+    edges = (pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+             .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")).persist())
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src").agg(F.min("lbl").alias("nlbl")))
+        new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
+                              .alias("lbl")).persist())
+        changed = (new_labels.alias("n").join(labels.alias("o"), "node")
+                   .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster_id"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute-force; LSH variant in
