@@ -50,6 +50,47 @@ def frame_sig(cols, rows):
     return sorted(cols), lines
 
 
+_SPARK_T = {"bigint": "i64", "int": "i32", "smallint": "i16", "double": "f64",
+            "float": "f32", "string": "str", "boolean": "bool",
+            "timestamp": "ts", "timestamp_ntz": "ts", "date": "date"}
+
+
+def norm_spark_type(t: str) -> str:
+    return _SPARK_T.get(t, t)
+
+
+def norm_arrow_type(t) -> str:
+    import pyarrow as pa
+    if pa.types.is_int64(t):
+        return "i64"
+    if pa.types.is_int32(t):
+        return "i32"
+    if pa.types.is_float64(t):
+        return "f64"
+    if pa.types.is_float32(t):
+        return "f32"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    return str(t)
+
+
+def type_report(sdf, arrow_schema) -> list[str]:
+    """Column-level normalized-type mismatches (the driver's schema check)."""
+    stypes = {f.name: norm_spark_type(f.dataType.simpleString()) for f in sdf.schema.fields}
+    dtypes = {f.name: norm_arrow_type(f.type) for f in arrow_schema}
+    out = []
+    for c in sorted(set(stypes) & set(dtypes)):
+        if stypes[c] != dtypes[c]:
+            out.append(f"{c}: spark={stypes[c]} duck={dtypes[c]}")
+    return out
+
+
 def main():
     only = set(sys.argv[1:])
     from transmogrifai_spark import session
@@ -80,13 +121,16 @@ def main():
             n_rows_only += 1
             continue
         try:
-            cur = con.execute(ORACLES[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            tbl = con.execute(ORACLES[name]).fetch_arrow_table()
+            ocols = tbl.column_names
+            orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
             continue
+        mismatched_types = type_report(sdf, tbl.schema)
+        if mismatched_types:
+            print(f"TYPE {name}: {'; '.join(mismatched_types)}")
         sc, sl = frame_sig(scols, srows)
         oc, ol = frame_sig(ocols, orows)
         if sc != oc:

@@ -145,3 +145,10 @@ def test_duplicate_clusters(spark):
            dedup.duplicate_clusters(pairs).collect()}
     # chain 1-2-3 -> cluster 1; 5-6 -> 5; chain 8-9-10-11 -> 8
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}
+
+
+def test_simhash_near_dup_pairs(docs, spark):
+    pairs = dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=10)
+    found = {(r["id1"], r["id2"]): r["hamming"] for r in pairs.collect()}
+    assert found.get((1, 4)) == 0         # identical text, hamming 0
+    assert all(h <= 10 for h in found.values())

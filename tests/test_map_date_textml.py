@@ -157,3 +157,15 @@ def test_smart_text_map_vectorizer(spark):
     assert len(v) == 4 + 17
     assert len(v) == len(fitted.slots)
     assert sum(v[:3]) == 1.0  # exactly one pivot indicator hot
+
+
+def test_null_tracking_vectorizers(spark):
+    from transmogrifai_spark.operators.map_vectorizers import (
+        text_list_null_vectorizer, text_map_null_vectorizer)
+    df = spark.createDataFrame([(["a"], {"k": "v"}), (None, {})],
+                               "l array<string>, m map<string,string>")
+    feats = from_dataframe(df, overrides={"l": "TextList", "m": "TextMap"})
+    lst = text_list_null_vectorizer(feats["l"])
+    assert [r[lst.output_name] for r in df.select(lst.expr()).collect()] == [[0.0], [1.0]]
+    fitted = text_map_null_vectorizer(feats["m"]).fit(df)
+    assert [r[fitted.output_name] for r in df.select(fitted.expr()).collect()] == [[0.0], [1.0]]

@@ -191,6 +191,31 @@ def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicates within a hamming radius: band the 64-bit
+    signature into 4 x 16-bit keys (pigeonhole: any pair within hamming<=3
+    shares at least one exact band), bucket-join candidates, then filter by
+    exact hamming distance via bit_count — all native expressions."""
+    sig = df.select(F.col(id_col).alias("_id"),
+                    simhash64(F.col(text_col)).alias("_sig"))
+    sig = ensure_parallelism(sig).persist()
+    banded = sig.select("_id", "_sig", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("_sig"), b * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("bits"))
+        for b in range(4)])).alias("bb"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.bb") == F.col("b.bb")) & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"),
+                    F.col("a._sig").alias("s1"), F.col("b._sig").alias("s2"))
+            .distinct())
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id1", "id2", "hamming"))
+
+
 def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
                        max_iter: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs: every document gets

@@ -211,6 +211,35 @@ def smart_text_map_vectorizer(feat: Feature, max_cardinality: int = 30,
     return Estimator("smartTextMapVec", [feat], out, "OPVector", fit)
 
 
+def text_list_null_vectorizer(feat: Feature, output_name: str | None = None):
+    """TextListNullTransformer.scala:48 — (isEmpty) indicator for a list."""
+    from ..stages.base import ColumnTransformer
+    out = output_name or f"{feat.name}_null_vec"
+    return ColumnTransformer(
+        "textListNull", [feat], out, "OPVector",
+        lambda c: F.array(F.when(c.isNull() | (F.size(c) == 0), 1.0).otherwise(0.0)))
+
+
+def text_map_null_vectorizer(feat: Feature, output_name: str | None = None) -> Estimator:
+    """TextMapNullEstimator.scala:47 — per fitted key, null indicator."""
+    out = output_name or f"{feat.name}_null_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        keys = [r["_k"] for r in df.select(F.explode(F.map_keys(F.col(feat.name))).alias("_k"))
+                .distinct().orderBy("_k").collect()]
+        slots = [VectorSlot(feat.name, group=k, indicator_value="NullIndicatorValue")
+                 for k in keys]
+
+        def make_expr(m: Column) -> Column:
+            return F.array(*[F.when(F.try_element_at(m, F.lit(k)).isNull(), 1.0)
+                             .otherwise(0.0) for k in keys])
+
+        return FittedVectorizer("textMapNullVec", [feat], out, make_expr, slots,
+                                {"keys": keys})
+
+    return Estimator("textMapNullVec", [feat], out, "OPVector", fit)
+
+
 def text_map_len_vectorizer(feat: Feature, output_name: str | None = None) -> Estimator:
     """TextMapLenEstimator.scala:44 — per-key value lengths."""
     out = output_name or f"{feat.name}_len_vec"
