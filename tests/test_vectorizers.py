@@ -122,3 +122,13 @@ def test_cramers_v_association(spark):
     rows2 = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 10
     df2 = spark.createDataFrame(rows2, "c string, l string")
     assert cramers_v(df2, "c", "l") == pytest.approx(0.0, abs=1e-9)
+
+
+def test_spearman_corr(spark):
+    from transmogrifai_spark.operators.preparators import spearman_corr
+    # monotone relationship -> 1.0 exactly (rank-based)
+    df = spark.createDataFrame([(float(i), float(i * i)) for i in range(50)], "a double, b double")
+    assert spearman_corr(df, "a", "b") == pytest.approx(1.0)
+    # anti-monotone -> -1.0
+    df2 = spark.createDataFrame([(float(i), float(-i)) for i in range(50)], "a double, b double")
+    assert spearman_corr(df2, "a", "b") == pytest.approx(-1.0)

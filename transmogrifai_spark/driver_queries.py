@@ -331,6 +331,51 @@ def q_bin_score_calibration(spark, sf_dir):
                  (F.sum(y.cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias("rate")))
 
 
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation (SanityChecker corrType=spearman) between
+    order price and a derived noisy signal — exact integer rank arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(F.col("o_totalprice").alias("x"),
+                  (F.col("o_totalprice") % 1000).alias("y"))
+    from pyspark.sql.window import Window
+
+    def ranked(col):
+        g = (df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+             .groupBy("v").agg(F.count(F.lit(1)).alias("n")))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return g.withColumn("below", F.coalesce(F.sum("n").over(w), F.lit(0))) \
+            .select(F.col("v").alias(col), (2 * F.col("below") + F.col("n") + 1).alias(f"_r_{col}"))
+
+    j = df.join(ranked("x"), "x").join(ranked("y"), "y")
+    agg = j.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("_r_x").alias("sx"), F.sum("_r_y").alias("sy"),
+                F.sum(F.col("_r_x") * F.col("_r_y")).alias("sxy"),
+                F.sum(F.col("_r_x") * F.col("_r_x")).alias("sxx"),
+                F.sum(F.col("_r_y") * F.col("_r_y")).alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # each variance factor fits in int64 exactly; their PRODUCT does not -
+    # convert to double first (deterministic nearest-even, same in DuckDB)
+    fx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    fy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    den = F.sqrt(fx * fy)
+    return agg.select(F.col("n").alias("n_rows"),
+                      F.round(num.cast("double") / den, 6).alias("spearman6"))
+
+
+def q_joined_secondary_agg(spark, sf_dir):
+    """JoinedAggregateReader withSecondaryAggregation (TimeBasedFilter):
+    customer x events join, then cutoff-windowed per-key aggregation."""
+    from .sources.joins import TimeBasedFilter
+    cust = DataReader(path=f"{sf_dir}/customer.parquet")
+    ev = _t(spark, sf_dir, "events")
+    joined = cust.read(spark).join(ev, F.col("c_custkey") == F.col("user_id"), "inner")
+    specs = [AggSpec("pre_value", "value", "sum_exact"),
+             AggSpec("pre_events", "1", "sum"),
+             AggSpec("bal", "c_acctbal", "max")]
+    return aggregate_events(joined, "c_custkey", "ts",
+                            CutOffTime(timestamp=CUTOFF), specs)
+
+
 def q_cramers_v(spark, sf_dir):
     """Chi² / Cramér's V between segment and order status (the
     SanityChecker's categorical association check, OpStatistics parity).
@@ -1022,6 +1067,44 @@ FROM orders
 GROUP BY least(floor(o_totalprice / 600000.0 * 10), 9)
 """
 
+ORACLES["spearman"] = """
+WITH d AS (SELECT o_totalprice AS x, o_totalprice % 1000 AS y FROM orders),
+rx AS (
+  SELECT v AS x, 2 * COALESCE(SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         PRECEDING AND 1 PRECEDING), 0) + n + 1 AS rx2
+  FROM (SELECT x AS v, count(*) AS n FROM d GROUP BY x)
+),
+ry AS (
+  SELECT v AS y, 2 * COALESCE(SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         PRECEDING AND 1 PRECEDING), 0) + n + 1 AS ry2
+  FROM (SELECT y AS v, count(*) AS n FROM d GROUP BY y)
+),
+j AS (SELECT rx2, ry2 FROM d JOIN rx USING (x) JOIN ry USING (y)),
+s AS (
+  SELECT count(*) AS n, CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
+         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+  FROM j
+)
+SELECT n AS n_rows,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+         AS spearman6
+FROM s
+"""
+
+ORACLES["joined_secondary_agg"] = f"""
+SELECT CAST(c_custkey AS VARCHAR) AS key,
+       CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUTOFF}'
+                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS pre_value,
+       CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN 1 END) AS BIGINT) AS pre_events,
+       max(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN c_acctbal END) AS bal
+FROM customer JOIN events ON c_custkey = user_id
+GROUP BY c_custkey
+"""
+
 ORACLES["cramers_v"] = """
 WITH cells AS (
   SELECT c_mktsegment AS a, o_orderstatus AS b, count(*) AS n
@@ -1401,6 +1484,8 @@ SPARK_QUERIES = {
     "date_ops": q_date_ops,
     "text_similarity": q_text_similarity,
     "onehot_topk": q_onehot_topk,
+    "spearman": q_spearman,
+    "joined_secondary_agg": q_joined_secondary_agg,
     "cramers_v": q_cramers_v,
     "phone_ops": q_phone_ops,
     "bin_score_calibration": q_bin_score_calibration,

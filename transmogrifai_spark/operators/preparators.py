@@ -93,6 +93,38 @@ def sanity_checker(vec: Feature, label: Feature, max_correlation: float = 0.95,
     return Estimator("sanityChecker", [vec, label], out, "OPVector", fit)
 
 
+def spearman_corr(df: DataFrame, a: str, b: str) -> float:
+    """Spearman rank correlation (SanityChecker's corrType=spearman,
+    SanityChecker.scala:58-231): Pearson over average ranks, computed with
+    integer arithmetic (2x-scaled average ranks are integers) so the result
+    is exact and partitioning-invariant. Ranks come from one groupBy per
+    column — the shuffle carries distinct values, not rows."""
+    from pyspark.sql.window import Window
+
+    def ranked(col):
+        g = (df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+             .groupBy("v").agg(F.count(F.lit(1)).alias("n")))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return g.withColumn("below", F.coalesce(F.sum("n").over(w), F.lit(0))) \
+            .select("v", (2 * F.col("below") + F.col("n") + 1).alias("r2"))  # 2*avg_rank
+
+    ra = ranked(a).withColumnRenamed("v", a).withColumnRenamed("r2", "_ra")
+    rb = ranked(b).withColumnRenamed("v", b).withColumnRenamed("r2", "_rb")
+    j = df.select(a, b).where(F.col(a).isNotNull() & F.col(b).isNotNull()) \
+        .join(ra, a).join(rb, b)
+    row = j.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("_ra").alias("sx"), F.sum("_rb").alias("sy"),
+                F.sum(F.col("_ra") * F.col("_rb")).alias("sxy"),
+                F.sum(F.col("_ra") * F.col("_ra")).alias("sxx"),
+                F.sum(F.col("_rb") * F.col("_rb")).alias("syy")).first()
+    n = row["n"]
+    if not n:
+        return 0.0
+    num = n * row["sxy"] - row["sx"] * row["sy"]
+    den = ((n * row["sxx"] - row["sx"] ** 2) * (n * row["syy"] - row["sy"] ** 2)) ** 0.5
+    return float(num / den) if den else 0.0
+
+
 def contingency_counts(df: DataFrame, a: str, b: str) -> DataFrame:
     """Contingency table as (a, b, n) rows — one hash aggregation; the
     shuffle is bounded by |A|x|B| cells, not rows."""
