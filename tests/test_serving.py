@@ -138,3 +138,43 @@ def test_xxhash64_bit_parity(spark):
     assert r["i"] == spark_xxhash64(7)
     assert r["l"] == spark_xxhash64(("long", 7))
     assert r["c"] == spark_xxhash64("a", "b", 3)
+
+
+def test_triple_equality_map_and_smart_text(spark):
+    from transmogrifai_spark.operators.categorical import smart_text_vectorizer
+    from transmogrifai_spark.operators.map_vectorizers import (
+        binary_map_vectorizer, real_map_vectorizer, text_map_pivot_vectorizer)
+
+    mdf = spark.createDataFrame(
+        [({"a": 1.0, "b": 2.0},), ({"a": 3.0},), (None,)], "m map<string,double>")
+    f = from_dataframe(mdf, overrides={"m": "RealMap"})["m"]
+    triple_check(spark, mdf, real_map_vectorizer(f).fit(mdf), ["m"])
+
+    bdf = spark.createDataFrame([({"x": True},), ({"y": False},)], "m map<string,boolean>")
+    fb = from_dataframe(bdf, overrides={"m": "BinaryMap"})["m"]
+    triple_check(spark, bdf, binary_map_vectorizer(fb).fit(bdf), ["m"])
+
+    pdf = spark.createDataFrame([({"c": "red"},), ({"c": "blue"},), ({"c": "red"},)],
+                                "m map<string,string>")
+    fp = from_dataframe(pdf, overrides={"m": "PickListMap"})["m"]
+    triple_check(spark, pdf, text_map_pivot_vectorizer(fp, top_k=1).fit(pdf), ["m"])
+
+    tdf = spark.createDataFrame([("hello world",), ("hello spark engine",), (None,)],
+                                "t string")
+    ft = from_dataframe(tdf, overrides={"t": "Text"})["t"]
+    hashed = smart_text_vectorizer(ft, max_cardinality=1, coverage_pct=2.0,
+                                   hash_features=16).fit(tdf)
+    assert hashed.params["strategy"] == "hash"
+    triple_check(spark, tdf, hashed, ["t"])
+    pivoted = smart_text_vectorizer(ft, max_cardinality=100).fit(tdf)
+    assert pivoted.params["strategy"] == "pivot"
+    triple_check(spark, tdf, pivoted, ["t"])
+
+
+def test_triple_equality_date_map(spark):
+    from transmogrifai_spark.operators.date_ops import date_map_days_ago
+    df = spark.createDataFrame([({"signup": 1704067200000},), (None,)],
+                               "m map<string,bigint>")
+    f = from_dataframe(df, overrides={"m": "DateMap"})["m"]
+    st = date_map_days_ago(f, ["signup", "churn"], "2024-01-11 00:00:00")
+    triple_check(spark, df, st, ["m"])

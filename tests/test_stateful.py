@@ -56,3 +56,17 @@ def test_streaming_running_totals_equals_batch(spark, sf_dir):
     s = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in streamed.collect()}
     b = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch.collect()}
     assert s == b
+
+
+def test_session_window_equals_batch_sessionize(spark, sf_dir):
+    """Native session_window agg == label-propagation-free batch
+    sessionization (same 30-minute gap semantics)."""
+    from transmogrifai_spark.streaming.windows import session_windowed_aggregate
+    ev = load_table(spark, sf_dir, "events")
+    native = session_windowed_aggregate(ev, "user_id", "ts", gap="30 minutes")
+    batch = session_stats_batch(ev, "user_id", "ts", gap_minutes=30.0)
+    n = {(r["user_id"], r["session_start_ms"]): (r["n_events"], round(r["total_value"], 6))
+         for r in native.collect()}
+    b = {(int(r["key"]), r["start_ms"]): (r["n_events"], round(r["total_value"], 6))
+         for r in batch.collect()}
+    assert n == b

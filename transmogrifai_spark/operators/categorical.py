@@ -111,16 +111,16 @@ def smart_text_vectorizer(feat: Feature, max_cardinality: int = 30,
 
         if pivot:
             inner = one_hot_estimator(feat, top_k=top_k, min_support=min_support).fit(df)
-            fitted = FittedVectorizer("smartText[pivot]", [feat], out,
-                                      inner._make_expr, inner.slots)
+            fitted = FittedVectorizer(
+                "smartTextPivot", [feat], out, inner._make_expr, inner.slots,
+                {"strategy": "pivot", **inner.params})
         else:
             from ..functions.text import tokenize
-            tok_expr = lambda c2: tokenize(c2)
             hasher = hashing_vectorizer(feat, num_features=hash_features)
             fitted = FittedVectorizer(
-                "smartText[hash]", [feat], out,
-                lambda c2: hasher._make_expr(tok_expr(c2)), hasher.slots)
-        fitted.params = {"strategy": "pivot" if pivot else "hash"}  # type: ignore[attr-defined]
+                "smartTextHash", [feat], out,
+                lambda c2: hasher._make_expr(tokenize(c2)), hasher.slots,
+                {"strategy": "hash", **hasher.params})
         return fitted
 
     return Estimator("smartText", [feat], out, "OPVector", fit)

@@ -273,6 +273,192 @@ register("minVariance", _slice_expr, _slice_local)
 register("sanityChecker", _slice_expr, _slice_local)
 
 
+def local_tokenize(text, min_token_length: int = 1) -> list[str]:
+    """Python mirror of functions.text.tokenize (lowercase, split on
+    non-alphanumerics). Uses str.isalnum() for the \\p{L}\\p{N} classes —
+    equivalent on the BMP alphanumerics the tokenizer targets."""
+    if text is None:
+        return []
+    toks, cur = [], []
+    for ch in text.lower():
+        if ch.isalnum():
+            cur.append(ch)
+        elif cur:
+            toks.append("".join(cur))
+            cur = []
+    if cur:
+        toks.append("".join(cur))
+    return [t for t in toks if len(t) >= min_token_length]
+
+
+def _smart_text_hash_expr(p):
+    from ..functions.text import tokenize
+    inner = _hashing_expr(p)
+    return lambda c: inner(tokenize(c))
+
+
+def _smart_text_hash_local(p):
+    inner = _hashing_local(p)
+    return lambda x: inner(local_tokenize(x))
+
+
+register("smartTextPivot", _onehot_expr, _onehot_local)
+register("smartTextHash", _smart_text_hash_expr, _smart_text_hash_local)
+
+
+# ---------------------------------------------------------------------------
+# map / smart-text / date vectorizers
+# ---------------------------------------------------------------------------
+
+def _real_map_expr(p):
+    keys, fills, track_nulls = p["keys"], p["fills"], p["track_nulls"]
+
+    def make_expr(m: Column) -> Column:
+        parts = [F.coalesce(F.try_element_at(m, F.lit(k)).cast("double"),
+                            F.lit(fills[k])) for k in keys]
+        if track_nulls:
+            parts += [F.when(F.try_element_at(m, F.lit(k)).isNull(), 1.0).otherwise(0.0)
+                      for k in keys]
+        return F.array(*parts)
+    return make_expr
+
+
+def _real_map_local(p):
+    keys, fills, track_nulls = p["keys"], p["fills"], p["track_nulls"]
+
+    def fn(m):
+        m = m or {}
+        out = [float(m[k]) if m.get(k) is not None else fills[k] for k in keys]
+        if track_nulls:
+            out += [1.0 if m.get(k) is None else 0.0 for k in keys]
+        return out
+    return fn
+
+
+register("realMapVec", _real_map_expr, _real_map_local)
+
+
+def _binary_map_expr(p):
+    keys, track_nulls = p["keys"], p["track_nulls"]
+
+    def make_expr(m: Column) -> Column:
+        parts = [F.when(F.try_element_at(m, F.lit(k)).eqNullSafe(F.lit(True)), 1.0)
+                 .otherwise(0.0) for k in keys]
+        if track_nulls:
+            parts += [F.when(F.try_element_at(m, F.lit(k)).isNull(), 1.0).otherwise(0.0)
+                      for k in keys]
+        return F.array(*parts)
+    return make_expr
+
+
+def _binary_map_local(p):
+    keys, track_nulls = p["keys"], p["track_nulls"]
+
+    def fn(m):
+        m = m or {}
+        out = [1.0 if m.get(k) is True else 0.0 for k in keys]
+        if track_nulls:
+            out += [1.0 if m.get(k) is None else 0.0 for k in keys]
+        return out
+    return fn
+
+
+register("binaryMapVec", _binary_map_expr, _binary_map_local)
+
+
+def _text_map_pivot_expr(p):
+    pivots, track_nulls = p["pivots"], p["track_nulls"]
+
+    def make_expr(m: Column) -> Column:
+        parts = []
+        for k in sorted(pivots):
+            val = F.try_element_at(m, F.lit(k))
+            known = F.lit(False)
+            for v in pivots[k]:
+                parts.append(F.when(val.eqNullSafe(F.lit(v)), 1.0).otherwise(0.0))
+                known = known | val.eqNullSafe(F.lit(v))
+            parts.append(F.when(val.isNotNull() & ~known, 1.0).otherwise(0.0))
+            if track_nulls:
+                parts.append(F.when(val.isNull(), 1.0).otherwise(0.0))
+        return F.array(*parts)
+    return make_expr
+
+
+def _text_map_pivot_local(p):
+    pivots, track_nulls = p["pivots"], p["track_nulls"]
+
+    def fn(m):
+        m = m or {}
+        out = []
+        for k in sorted(pivots):
+            v = m.get(k)
+            for val in pivots[k]:
+                out.append(1.0 if v == val else 0.0)
+            out.append(1.0 if v is not None and v not in pivots[k] else 0.0)
+            if track_nulls:
+                out.append(1.0 if v is None else 0.0)
+        return out
+    return fn
+
+
+register("textMapPivotVec", _text_map_pivot_expr, _text_map_pivot_local)
+
+
+def _text_map_len_expr(p):
+    keys = p["keys"]
+
+    def make_expr(m: Column) -> Column:
+        return F.array(*[
+            F.coalesce(F.length(F.try_element_at(m, F.lit(k))).cast("double"), F.lit(0.0))
+            for k in keys])
+    return make_expr
+
+
+register("textMapLenVec", _text_map_len_expr,
+         lambda p: (lambda m: [float(len((m or {}).get(k) or "")) for k in p["keys"]]))
+
+register("textMapNullVec",
+         lambda p: (lambda m: F.array(*[
+             F.when(F.try_element_at(m, F.lit(k)).isNull(), 1.0).otherwise(0.0)
+             for k in p["keys"]])),
+         lambda p: (lambda m: [1.0 if (m or {}).get(k) is None else 0.0
+                               for k in p["keys"]]))
+
+
+def _date_map_expr(p):
+    keys, ref = p["keys"], p["reference_date"]
+
+    def make_expr(m: Column) -> Column:
+        refc = F.lit(ref).cast("timestamp")
+        return F.array(*[
+            F.coalesce(F.datediff(refc, F.timestamp_millis(
+                F.try_element_at(m, F.lit(k)).cast("long"))).cast("double"), F.lit(0.0))
+            for k in keys])
+    return make_expr
+
+
+def _date_map_local(p):
+    import datetime
+    keys = p["keys"]
+    ref = datetime.datetime.fromisoformat(p["reference_date"]).date()
+
+    def fn(m):
+        m = m or {}
+        out = []
+        for k in keys:
+            v = m.get(k)
+            if v is None:
+                out.append(0.0)
+            else:
+                d = datetime.datetime.utcfromtimestamp(v / 1000.0).date()
+                out.append(float((ref - d).days))
+        return out
+    return fn
+
+
+register("dateMapVec", _date_map_expr, _date_map_local)
+
+
 # ---------------------------------------------------------------------------
 # numeric fitted ops
 # ---------------------------------------------------------------------------

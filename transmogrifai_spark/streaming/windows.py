@@ -41,6 +41,24 @@ def windowed_event_aggregate(events: DataFrame, time_col: str = "ts",
     )
 
 
+def session_windowed_aggregate(events: DataFrame, key_col: str,
+                               time_col: str = "ts", gap: str = "30 minutes",
+                               watermark: str = "1 hour") -> DataFrame:
+    """Gap-based session windows (F.session_window) — the native streaming
+    form of stateful.sessionize_batch: same gap semantics, state bounded by
+    the watermark. Per (key, session): event count + exact value sum."""
+    w = events.withWatermark(time_col, watermark) if events.isStreaming else events
+    return (
+        w.groupBy(F.session_window(F.col(time_col), gap).alias("win"),
+                  F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             agg_sum_exact(F.col("value")).alias("total_value"))
+        .select(F.col(key_col),
+                F.unix_millis(F.col("win.start")).alias("session_start_ms"),
+                "n_events", "total_value")
+    )
+
+
 def run_stream_available_now(spark: SparkSession, src_path: str, schema: str,
                              transform, nanos_ts_col: str | None = None) -> DataFrame:
     """Run a file-source stream to completion (Trigger.AvailableNow) into a
