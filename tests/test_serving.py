@@ -178,3 +178,37 @@ def test_triple_equality_date_map(spark):
     f = from_dataframe(df, overrides={"m": "DateMap"})["m"]
     st = date_map_days_ago(f, ["signup", "churn"], "2024-01-11 00:00:00")
     triple_check(spark, df, st, ["m"])
+
+
+def test_triple_equality_date_list_and_scaler_json(spark, tmp_path):
+    import json
+    from transmogrifai_spark.operators.date_ops import date_list_vectorizer
+    from transmogrifai_spark.operators.numeric import ScalingArgs, scaler
+    from transmogrifai_spark.workflow import Workflow
+    from transmogrifai_spark.serving.persistence import load_model, save_model
+
+    jan1 = 1704067200000
+    df = spark.createDataFrame(
+        [([jan1, jan1 + 86400000, jan1 + 86400000],), ([],), (None,)],
+        "d array<bigint>")
+    f = from_dataframe(df, overrides={"d": "DateTimeList"})["d"]
+    st = date_list_vectorizer(f, "2024-01-15 00:00:00",
+                              pivots=("SinceFirst", "SinceLast", "ModeDay"))
+    triple_check(spark, df, st, ["d"])
+
+    # scaler params must survive an actual JSON round trip
+    df2 = spark.createDataFrame([(2.0,), (4.0,)], "x double")
+    fx = from_dataframe(df2)["x"]
+    sc = scaler(fx, ScalingArgs("linear", 3.0, 1.0))
+    model = Workflow([sc.output, st.output]).fit(
+        df2.crossJoin(df.limit(1)))
+    path = str(tmp_path / "m2")
+    save_model(model, path)
+    json.load(open(f"{path}/manifest.json"))  # strictly valid JSON
+    loaded = load_model(path)
+    src = df2.crossJoin(df.limit(1))
+    a = [tuple(r) for r in model.score(src, keep_intermediate=True)
+         .select(sc.output_name, st.output_name).collect()]
+    b = [tuple(r) for r in loaded.score(src, keep_intermediate=True)
+         .select(sc.output_name, st.output_name).collect()]
+    assert a == b

@@ -21,15 +21,8 @@ from ..stages.base import ColumnTransformer
 from .vectorizers import FittedVectorizer, VectorSlot
 
 
-def date_list_vectorizer(feat: Feature, reference_date: str,
-                         pivots: tuple[str, ...] = ("SinceFirst", "SinceLast"),
-                         output_name: str | None = None) -> ColumnTransformer:
-    """DateListVectorizer.scala:103 — whole-day distances from the reference
-    date to the first/last event, and/or modal calendar units of the list.
-
-    Empty/null lists produce 0.0 for Since* (with the implicit semantics of
-    the reference's fill) and -1.0 for Mode* slots."""
-    out = output_name or f"{feat.name}_vec"
+def date_list_expr_builder(reference_date: str, pivots):
+    """Expression factory shared by the stage and the serving registry."""
     ref = F.lit(reference_date).cast("timestamp")
 
     def since(ms: Column) -> Column:
@@ -54,7 +47,6 @@ def date_list_vectorizer(feat: Feature, reference_date: str,
         return folded.cast("double")
 
     unit_fns = {"ModeDay": F.dayofweek, "ModeMonth": F.month, "ModeHour": F.hour}
-    slots = [VectorSlot(feat.name, descriptor=p) for p in pivots]
 
     def make_expr(lst: Column) -> Column:
         empty = lst.isNull() | (F.size(lst) == 0)
@@ -70,7 +62,21 @@ def date_list_vectorizer(feat: Feature, reference_date: str,
                 raise ValueError(f"unknown DateList pivot {p!r}")
         return F.array(*parts)
 
-    return FittedVectorizer("dateListVec", [feat], out, make_expr, slots,
+    return make_expr
+
+
+def date_list_vectorizer(feat: Feature, reference_date: str,
+                         pivots: tuple[str, ...] = ("SinceFirst", "SinceLast"),
+                         output_name: str | None = None) -> ColumnTransformer:
+    """DateListVectorizer.scala:103 — whole-day distances from the reference
+    date to the first/last event, and/or modal calendar units of the list.
+
+    Empty/null lists produce 0.0 for Since* (with the implicit semantics of
+    the reference's fill) and -1.0 for Mode* slots."""
+    out = output_name or f"{feat.name}_vec"
+    slots = [VectorSlot(feat.name, descriptor=p) for p in pivots]
+    return FittedVectorizer("dateListVec", [feat], out,
+                            date_list_expr_builder(reference_date, pivots), slots,
                             {"reference_date": reference_date, "pivots": list(pivots)})
 
 

@@ -130,8 +130,10 @@ def scaler(feat: Feature, args: ScalingArgs, output_name: str | None = None) -> 
         expr = lambda c: F.log(args.log_base, c)
     else:
         raise ValueError(f"unknown scaling family {args.family!r}")
-    st = FittedParamTransformer("scaler", [feat], out, "Real", expr, {"scaling": args})
-    return st
+    return FittedParamTransformer(
+        "scaler", [feat], out, "Real", expr,
+        {"scaling": {"family": args.family, "slope": args.slope,
+                     "intercept": args.intercept, "log_base": args.log_base}})
 
 
 def descaler(scaled: Feature, args: ScalingArgs, output_name: str | None = None) -> ColumnTransformer:
@@ -145,7 +147,10 @@ def descaler(scaled: Feature, args: ScalingArgs, output_name: str | None = None)
         expr = lambda c: F.pow(F.lit(args.log_base), c)
     else:
         raise ValueError(f"unknown scaling family {args.family!r}")
-    return FittedParamTransformer("descaler", [scaled], out, "Real", expr, {"scaling": args})
+    return FittedParamTransformer(
+        "descaler", [scaled], out, "Real", expr,
+        {"scaling": {"family": args.family, "slope": args.slope,
+                     "intercept": args.intercept, "log_base": args.log_base}})
 
 
 def _bucket_expr(splits: list[float], right_inclusive_last: bool = True):

@@ -459,6 +459,51 @@ def _date_map_local(p):
 register("dateMapVec", _date_map_expr, _date_map_local)
 
 
+def _date_list_expr(p):
+    from ..operators.date_ops import date_list_expr_builder
+    return date_list_expr_builder(p["reference_date"], p["pivots"])
+
+
+def _date_list_local(p):
+    import datetime
+    from collections import Counter
+    ref = datetime.datetime.fromisoformat(p["reference_date"])
+    ref_date = ref.date()
+    pivots = p["pivots"]
+
+    def to_dt(ms):
+        return datetime.datetime.utcfromtimestamp(ms / 1000.0)
+
+    def fn(lst):
+        out = []
+        for piv in pivots:
+            if not lst:
+                out.append(0.0 if piv.startswith("Since") else -1.0)
+                continue
+            if piv == "SinceFirst":
+                out.append(float((ref_date - to_dt(min(lst)).date()).days))
+            elif piv == "SinceLast":
+                out.append(float((ref_date - to_dt(max(lst)).date()).days))
+            else:
+                units = []
+                for ms in lst:
+                    d = to_dt(ms)
+                    if piv == "ModeDay":
+                        units.append(d.isoweekday() % 7 + 1)  # Spark dayofweek: Sun=1
+                    elif piv == "ModeMonth":
+                        units.append(d.month)
+                    elif piv == "ModeHour":
+                        units.append(d.hour)
+                counts = Counter(units)
+                best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                out.append(float(best))
+        return out
+    return fn
+
+
+register("dateListVec", _date_list_expr, _date_list_local)
+
+
 # ---------------------------------------------------------------------------
 # numeric fitted ops
 # ---------------------------------------------------------------------------
