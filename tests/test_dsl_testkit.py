@@ -100,3 +100,17 @@ def test_testkit_through_transmogrify(spark):
     out = Workflow([vec]).fit(df).score(df, keep_intermediate=True)
     lens = {len(r["features"]) for r in out.collect()}
     assert len(lens) == 1  # fixed-width vectors
+
+
+def test_dsl_map_ops(spark):
+    df = spark.createDataFrame([({"k": 5.0, "j": 1.0},), ({"k": 7.0},)],
+                               "m map<string,double>")
+    feats = fluent(from_dataframe(df, overrides={"m": "RealMap"}))
+    k = feats.m.map_get("k").alias("k_val")
+    filtered = feats.m.filter_map(allow=["k"])
+    vec = feats.m.map_vectorize()
+    out = Workflow([k.f, filtered.f, vec.f]).fit(df).score(df, keep_intermediate=True)
+    rows = out.collect()
+    assert [r["k_val"] for r in rows] == [5.0, 7.0]
+    assert rows[0][filtered.f.name] == {"k": 5.0}
+    assert len(rows[0][vec.f.name]) == 4  # j,k values + null slots

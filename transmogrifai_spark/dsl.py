@@ -147,6 +147,34 @@ class FluentFeature:
             "unitCircle", self.f, out, "OPVector",
             lambda c: SF.array(*unit_circle(c, period))))
 
+    # -- maps (RichMapFeature.scala:91-1084) --------------------------------
+    def map_get(self, key: str, output: str | None = None):
+        from .functions.maps import map_get
+        out = output or f"{self.f.name}_{key}"
+        value_type = {"RealMap": "Real", "IntegralMap": "Integral",
+                      "BinaryMap": "Binary"}.get(self.f.type_tag.name, "Text")
+        return FluentFeature(_unary("mapGet", self.f, out, value_type,
+                                    lambda c: map_get(c, key)))
+
+    def filter_map(self, allow=None, block=None, clean_keys=False,
+                   output: str | None = None):
+        from .operators.filters import filter_map
+        return FluentFeature(filter_map(self.f, allow, block, clean_keys, output))
+
+    def map_values_set(self, output: str | None = None):
+        from .functions.maps import map_to_multipicklist
+        out = output or f"{self.f.name}_values"
+        return FluentFeature(_unary("mapValues", self.f, out, "MultiPickList",
+                                    map_to_multipicklist))
+
+    def map_vectorize(self, **kw):
+        from .operators.map_vectorizers import (real_map_vectorizer,
+                                                text_map_pivot_vectorizer)
+        if self.f.type_tag.name in ("RealMap", "IntegralMap", "CurrencyMap",
+                                    "PercentMap"):
+            return FluentFeature(real_map_vectorizer(self.f, **kw).output)
+        return FluentFeature(text_map_pivot_vectorizer(self.f, **kw).output)
+
     # -- vectorization ------------------------------------------------------
     def vectorize(self, **kw):
         from .operators.vectorizers import transmogrify
