@@ -83,3 +83,50 @@ def test_lineage_walks():
     c = unary("dec", b, "c", "Real", lambda col: col - 1)
     assert [f.name for f in c.raw_features()] == ["a"]
     assert len(c.parent_stages()) == 2
+
+
+def test_all_types_constructible_and_mapped():
+    """Every registered logical type builds a raw feature, maps to a physical
+    Spark type, and has a coherent empty default (FeatureTypeDefaults
+    parity)."""
+    from transmogrifai_spark.types import empty_value
+    for name, t in REGISTRY.items():
+        f = raw_feature(f"col_{name}", name)
+        assert f.type_tag is t
+        assert t.spark_type.simpleString()  # physical mapping exists
+        ev = empty_value(t)
+        if t.is_map:
+            assert ev == {}
+        elif t.is_list:
+            assert ev == []
+        elif t.name == "RealNN" or (t.non_nullable and t.is_numeric):
+            assert ev == 0.0
+        else:
+            assert ev is None
+        assert isinstance(t.default_aggregator, str)
+
+
+def test_scalar_types_transmogrify(spark):
+    """Every scalar (non-collection) type dispatches through transmogrify."""
+    from transmogrifai_spark.operators.vectorizers import transmogrify
+    from transmogrifai_spark.workflow import Workflow
+    scalar_types = [n for n, t in REGISTRY.items()
+                    if not t.is_list and not t.is_map and n != "Prediction"]
+    cols, overrides = [], {}
+    for i, n in enumerate(scalar_types):
+        t = REGISTRY[n]
+        cols.append(f"c{i} {t.spark_type.simpleString()}")
+        overrides[f"c{i}"] = n
+    row = []
+    for n in scalar_types:
+        t = REGISTRY[n]
+        st = t.spark_type.simpleString()
+        row.append({"double": 1.5, "bigint": 3, "boolean": True,
+                    "string": "v"}.get(st))
+    df = spark.createDataFrame([tuple(row)] * 20, ", ".join(cols))
+    from transmogrifai_spark.feature import from_dataframe
+    feats = from_dataframe(df, overrides=overrides)
+    vec = transmogrify(list(feats.values()), top_k=3, min_support=1)
+    out = Workflow([vec]).fit(df).score(df, keep_intermediate=True)
+    v = out.select("features").first()["features"]
+    assert len(v) > len(scalar_types)  # every column contributed slots

@@ -142,8 +142,9 @@ _MAGIC = [
 
 def detect_mime_type(c: Column, default: str = "application/octet-stream") -> Column:
     """Magic-byte MIME sniff of a Base64 Text column — pure expressions
-    (unbase64 + prefix compare); NULL input -> NULL."""
-    raw = F.unbase64(c)
+    (try_to_binary + prefix compare). NULL input -> NULL; malformed base64
+    decodes to NULL (try_to_binary) and falls back to the default."""
+    raw = F.try_to_binary(c, F.lit("base64"))
     out = F.lit(default)
     for mime, magic in reversed(_MAGIC):
         hexpat = magic.hex()

@@ -387,11 +387,40 @@ def transmogrify(features: list[Feature], top_k: int = TOP_K,
             stages.append(integral_vectorizer(f, track_nulls))
         elif t.is_numeric:
             stages.append(real_vectorizer(f, True, track_nulls))
-        elif t.name in ("Text", "TextArea"):
+        elif t.name == "Email":
+            # Transmogrifier: Email -> domain pivot (RichTextFeature.toEmailDomain)
+            from ..functions.text import email_domain
+            dom = ColumnTransformer("emailDomain", [f], f"{f.name}_domain", "PickList",
+                                    email_domain)
+            stages.append(one_hot_estimator(dom.output, top_k, min_support, track_nulls,
+                                            output_name=f"{f.name}_vec"))
+        elif t.name == "URL":
+            from ..functions.text import url_domain
+            dom = ColumnTransformer("urlDomain", [f], f"{f.name}_domain", "PickList",
+                                    url_domain)
+            stages.append(one_hot_estimator(dom.output, top_k, min_support, track_nulls,
+                                            output_name=f"{f.name}_vec"))
+        elif t.name == "Phone":
+            # Transmogrifier: Phone -> isValid Binary
+            from ..functions.text import is_valid_phone_us
+            valid = ColumnTransformer("phoneValid", [f], f"{f.name}_valid", "Binary",
+                                      lambda c: F.when(c.isNull(), F.lit(None).cast("boolean"))
+                                      .otherwise(is_valid_phone_us(c)))
+            stages.append(binary_vectorizer(valid.output, track_nulls,
+                                            output_name=f"{f.name}_vec"))
+        elif t.name == "Base64":
+            # Transmogrifier: Base64 -> detected MIME type pivot
+            from .categorical import detect_mime_type
+            mime = ColumnTransformer("mimeType", [f], f"{f.name}_mime", "PickList",
+                                     detect_mime_type)
+            stages.append(one_hot_estimator(mime.output, top_k, min_support, track_nulls,
+                                            output_name=f"{f.name}_vec"))
+        elif t.is_text:
+            # Text/TextArea/ID and remaining free-text subtypes: tokenize+hash
             from ..functions.text import tokenize
             tok = ColumnTransformer("tokenize", [f], f"{f.name}_tok", "TextList",
                                     lambda c: tokenize(c))
-            stages.append(hashing_vectorizer(tok.output))
+            stages.append(hashing_vectorizer(tok.output, output_name=f"{f.name}_vec"))
         elif t.is_list:
             stages.append(hashing_vectorizer(f))
         else:

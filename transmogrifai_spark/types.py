@@ -146,6 +146,22 @@ def tag(name: str) -> FeatureTypeTag:
         raise KeyError(f"unknown feature type {name!r}" + (f"; did you mean {close[0]}?" if close else "")) from None
 
 
+def empty_value(t: FeatureTypeTag | str):
+    """Canonical empty value per type (types/FeatureTypeDefaults.scala):
+    scalars -> None, collections -> empty list, maps -> empty dict,
+    non-nullable numerics -> 0.0. Used by the local scoring path and the
+    testkit's null-injection."""
+    if isinstance(t, str):
+        t = tag(t)
+    if t.non_nullable and isinstance(t.spark_type, T.DoubleType):
+        return 0.0
+    if t.is_map:
+        return {}
+    if t.is_list:
+        return []
+    return None
+
+
 def is_subtype(child: str, ancestor: str) -> bool:
     """Semantic subtype check along the `parent` chain (Email <: Text)."""
     cur: str | None = child
