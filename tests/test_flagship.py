@@ -53,3 +53,60 @@ def test_xgboost_gate():
         pass
     with pytest.raises(NotImplementedError, match="xgboost"):
         xgboost_classifier("f", "y")
+
+
+def test_cv_equals_manual_folds(spark):
+    """OpWorkflowCVTest parity: the selector's fold metrics equal manually
+    computed per-fold AUROCs for the same deterministic folds."""
+    import random
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+    from transmogrifai_spark.ml.evaluators import auroc
+    from transmogrifai_spark.ml.selectors import (kfold_by_key,
+                                                  select_binary_model,
+                                                  _binary_score_col)
+    rng = random.Random(12)
+    rows = [(i, [x := rng.random()], 1.0 if x + rng.gauss(0, 0.2) > 0.5 else 0.0)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "k bigint, arr array<double>, y double") \
+        .withColumn("fv", array_to_vector("arr"))
+    params = {"regParam": 0.01, "maxIter": 20, "elasticNetParam": 0.0}
+    sel = select_binary_model(df, "fv", "y", "k",
+                              candidates=[("LogisticRegression", params)], k=3)
+    manual = []
+    for train, valid in kfold_by_key(df, "k", k=3, seed=42):
+        m = LogisticRegression(featuresCol="fv", labelCol="y", **params).fit(train)
+        manual.append(auroc(_binary_score_col(m.transform(valid)), "score", "y"))
+    assert sel.leaderboard[0].fold_metrics == pytest.approx(manual)
+
+
+def test_runner_evaluate_mode(spark, tmp_path, monkeypatch):
+    import json
+    import sys
+    import types
+    from pyspark.sql import functions as F
+    from transmogrifai_spark.runner import RunParams, run
+
+    mod = types.ModuleType("fixture_pipeline_eval")
+
+    def build(sp, params):
+        df = sp.createDataFrame(
+            [(float(i % 2), 0.9 if i % 2 else 0.1) for i in range(40)],
+            "label double, raw double")
+        from transmogrifai_spark.feature import from_dataframe
+        from transmogrifai_spark.operators.filters import alias
+        feats = from_dataframe(df)
+        return df, [alias(feats["raw"], "score")]
+
+    mod.build = build
+    monkeypatch.setitem(sys.modules, "fixture_pipeline_eval", mod)
+
+    model_dir, out_dir = str(tmp_path / "m"), str(tmp_path / "out")
+    run(RunParams(mode="train", pipeline="fixture_pipeline_eval",
+                  data_dir="x", model_dir=model_dir), spark=spark)
+    metrics = run(RunParams(mode="evaluate", pipeline="fixture_pipeline_eval",
+                            data_dir="x", model_dir=model_dir, output_dir=out_dir),
+                  spark=spark)
+    assert metrics["auroc"] == 1.0  # perfectly separable by construction
+    on_disk = json.load(open(f"{out_dir}/metrics.json"))
+    assert on_disk["auroc"] == 1.0

@@ -679,5 +679,6 @@ def _descaler_local(p):
     return lambda x: None if x is None else a["log_base"] ** float(x)
 
 
+register("alias", lambda p: (lambda c: c), lambda p: (lambda x: x))
 register("scaler", _scaler_expr, _scaler_local)
 register("descaler", _descaler_expr, _descaler_local)
