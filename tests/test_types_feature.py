@@ -130,3 +130,21 @@ def test_scalar_types_transmogrify(spark):
     out = Workflow([vec]).fit(df).score(df, keep_intermediate=True)
     v = out.select("features").first()["features"]
     assert len(v) > len(scalar_types)  # every column contributed slots
+
+
+def test_semantic_sniffing(spark):
+    from transmogrifai_spark.feature import from_dataframe
+    rows = [(f"user{i}@corp.io", f"https://x.io/{i}", "(415) 555-26%02d" % (i % 99),
+             ["a", "b", "c"][i % 3], f"free text number {i} with words")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "email string, url string, phone string, "
+                                     "seg string, note string")
+    feats = from_dataframe(df, infer_semantic=True)
+    assert feats["email"].type_tag.name == "Email"
+    assert feats["url"].type_tag.name == "URL"
+    assert feats["phone"].type_tag.name == "Phone"
+    assert feats["seg"].type_tag.name == "PickList"
+    assert feats["note"].type_tag.name == "Text"
+    # explicit overrides still win
+    feats2 = from_dataframe(df, infer_semantic=True, overrides={"email": "ID"})
+    assert feats2["email"].type_tag.name == "ID"

@@ -137,22 +137,71 @@ def raw_feature(
 
 
 def from_dataframe(
-    df, response: str | None = None, overrides: dict[str, str] | None = None
+    df, response: str | None = None, overrides: dict[str, str] | None = None,
+    infer_semantic: bool = False, sample_rows: int = 1000,
 ) -> dict[str, Feature]:
     """Infer raw features from a DataFrame schema
     (reference FeatureBuilder.fromDataFrame, features/.../FeatureBuilder.scala:232).
 
     Returns {column -> Feature} with the response carved out. ``overrides``
     maps column name -> logical type name for semantic refinement (e.g.
-    'c_mktsegment' -> 'PickList').
+    'c_mktsegment' -> 'PickList'). ``infer_semantic=True`` additionally
+    sniffs string columns on a bounded sample (emails / URLs / phones by
+    regex hit-rate, low-cardinality -> PickList) — the optional semantic
+    inference the reference performs when building features from raw frames.
     """
     from .types import default_tag_for_dtype
 
-    overrides = overrides or {}
+    overrides = dict(overrides or {})
+    if infer_semantic:
+        for col, t in sniff_semantic_types(df, sample_rows).items():
+            overrides.setdefault(col, t)
     out: dict[str, Feature] = {}
     for f in df.schema.fields:
         t = tag(overrides[f.name]) if f.name in overrides else default_tag_for_dtype(f.dataType)
         out[f.name] = Feature(
             name=f.name, type_tag=t, is_response=(f.name == response), source_expr=f.name
         )
+    return out
+
+
+_SNIFF_PATTERNS = [
+    # (type, regex, min hit rate among non-nulls)
+    ("Email", r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$", 0.9),
+    ("URL", r"^(https?|ftp)://\S+$", 0.9),
+    ("Phone", r"^\+?[0-9 ().-]{7,20}$", 0.9),
+]
+
+
+def sniff_semantic_types(df, sample_rows: int = 1000,
+                         picklist_max_card: int = 30) -> dict[str, str]:
+    """One bounded-sample aggregation classifying string columns: regex
+    hit-rates for Email/URL/Phone, approximate cardinality for PickList.
+    Driver-side cost is O(string columns); the scan reads ``sample_rows``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+    if not str_cols:
+        return {}
+    sample = df.select(*str_cols).limit(sample_rows)
+    aggs = []
+    for c in str_cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
+        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__card"))
+        for t, pat, _ in _SNIFF_PATTERNS:
+            aggs.append(F.sum(F.col(c).rlike(pat).cast("long")).alias(f"{c}__{t}"))
+    row = sample.agg(*aggs).first()
+    out: dict[str, str] = {}
+    for c in str_cols:
+        n = row[f"{c}__n"] or 0
+        if n == 0:
+            continue
+        for t, _, min_rate in _SNIFF_PATTERNS:
+            if (row[f"{c}__{t}"] or 0) / n >= min_rate:
+                out[c] = t
+                break
+        else:
+            if row[f"{c}__card"] <= picklist_max_card:
+                out[c] = "PickList"
     return out
