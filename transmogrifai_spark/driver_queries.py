@@ -331,6 +331,26 @@ def q_bin_score_calibration(spark, sf_dir):
                  (F.sum(y.cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias("rate")))
 
 
+def q_set_ops(spark, sf_dir):
+    """Relational set operators (SURVEY §2.12 — free from the DataFrame
+    substrate): customers with orders INTERSECT/EXCEPT customers with
+    events, plus the union count."""
+    cust_o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    cust_e = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    both = cust_o.intersect(cust_e).withColumn("set_op", F.lit("both"))
+    only_orders = cust_o.exceptAll(cust_e).withColumn("set_op", F.lit("orders_only"))
+    return both.union(only_orders)
+
+
+def q_sort_limit(spark, sf_dir):
+    """ORDER BY + LIMIT with a deterministic tie-break (free via DataFrames;
+    the reference has no relational sort/limit surface)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(20)
+            .select("o_orderkey", "o_totalprice"))
+
+
 def q_spearman(spark, sf_dir):
     """Spearman rank correlation (SanityChecker corrType=spearman) between
     order price and a derived noisy signal — exact integer rank arithmetic."""
@@ -1067,6 +1087,27 @@ FROM orders
 GROUP BY least(floor(o_totalprice / 600000.0 * 10), 9)
 """
 
+ORACLES["set_ops"] = """
+SELECT k, 'both' AS set_op FROM (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  INTERSECT
+  SELECT DISTINCT user_id AS k FROM events
+)
+UNION ALL
+SELECT k, 'orders_only' AS set_op FROM (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  EXCEPT
+  SELECT DISTINCT user_id AS k FROM events
+)
+"""
+
+ORACLES["sort_limit"] = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
 ORACLES["spearman"] = """
 WITH d AS (SELECT o_totalprice AS x, o_totalprice % 1000 AS y FROM orders),
 rx AS (
@@ -1484,6 +1525,8 @@ SPARK_QUERIES = {
     "date_ops": q_date_ops,
     "text_similarity": q_text_similarity,
     "onehot_topk": q_onehot_topk,
+    "set_ops": q_set_ops,
+    "sort_limit": q_sort_limit,
     "spearman": q_spearman,
     "joined_secondary_agg": q_joined_secondary_agg,
     "cramers_v": q_cramers_v,
