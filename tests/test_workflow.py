@@ -80,3 +80,26 @@ def test_fit_sample_estimators(spark):
     assert out.count() == 2000  # full data transformed
     lens = {len(r["features"]) for r in out.select("features").collect()}
     assert len(lens) == 1
+
+
+def test_score_schema_validation(spark):
+    """Scoring a frame missing/mistyping raw inputs fails with one precise
+    error listing every problem (validateSchema parity)."""
+    import pytest as _pytest
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.vectorizers import transmogrify
+    df = spark.createDataFrame([("a", 1.0)], "cat string, x double")
+    feats = from_dataframe(df, overrides={"cat": "PickList"})
+    vec = transmogrify([feats["cat"], feats["x"]], top_k=2, min_support=1)
+    model = Workflow([vec]).fit(df)
+
+    missing = spark.createDataFrame([("a",)], "cat string")
+    with _pytest.raises(ValueError, match="missing column 'x'"):
+        model.score(missing)
+
+    mistyped = spark.createDataFrame([("a", ["oops"])], "cat string, x array<string>")
+    with _pytest.raises(ValueError, match="column 'x' has type"):
+        model.score(mistyped)
+
+    ok_widened = spark.createDataFrame([("a", 3)], "cat string, x bigint")
+    assert model.score(ok_widened).count() == 1  # numeric widening allowed

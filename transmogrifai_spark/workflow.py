@@ -86,9 +86,40 @@ class WorkflowModel:
     layers: list[list[Stage]]
     result_features: list[Feature]
 
+    def validate_schema(self, df: DataFrame) -> None:
+        """Scoring-schema validation (FeatureSparkTypes.validateSchema,
+        features/.../FeatureSparkTypes.scala:580): every stage input that is
+        not produced by an earlier layer must exist in the frame with a
+        compatible physical type. Raises one error listing ALL problems."""
+        produced = {s.output_name for layer in self.layers for s in layer}
+        problems: list[str] = []
+        have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        numeric = {"double", "float", "bigint", "int", "smallint", "tinyint", "decimal"}
+        for layer in self.layers:
+            for s in layer:
+                for feat in s.inputs:
+                    if feat.name in produced:
+                        continue
+                    if feat.name not in have:
+                        problems.append(f"missing column {feat.name!r} "
+                                        f"(needed by {s.op_name})")
+                        continue
+                    want = feat.type_tag.spark_type.simpleString()
+                    got = have[feat.name]
+                    compatible = (got == want
+                                  or (want in numeric and got.split("(")[0] in numeric)
+                                  or (want == "string")
+                                  or (got.startswith("timestamp") and want == "bigint"))
+                    if not compatible:
+                        problems.append(f"column {feat.name!r} has type {got}, "
+                                        f"{s.op_name} expects {want}")
+        if problems:
+            raise ValueError("scoring schema mismatch:\n  " + "\n  ".join(problems))
+
     def score(self, df: DataFrame, keep_intermediate: bool = False) -> DataFrame:
         """The 'SELECT' path (OpWorkflowModel.score, core/.../OpWorkflowModel.scala:261):
         one lazy plan across all layers; Catalyst prunes and fuses."""
+        self.validate_schema(df)
         out = df
         for layer in self.layers:
             out = _apply_layer(out, layer)
