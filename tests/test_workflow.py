@@ -103,3 +103,20 @@ def test_score_schema_validation(spark):
 
     ok_widened = spark.createDataFrame([("a", 3)], "cat string, x bigint")
     assert model.score(ok_widened).count() == 1  # numeric widening allowed
+
+
+def test_save_scores_with_metadata(spark, tmp_path):
+    import json
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.vectorizers import transmogrify
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "cat string, x double")
+    feats = from_dataframe(df, overrides={"cat": "PickList"})
+    vec = transmogrify([feats["cat"], feats["x"]], top_k=2, min_support=1)
+    model = Workflow([vec]).fit(df)
+    out = str(tmp_path / "scores")
+    model.save_scores(df, out)
+    assert spark.read.parquet(out).count() == 2
+    meta = json.load(open(f"{out}/_feature_metadata.json"))
+    rf = meta["result_features"][0]
+    assert rf["name"] == "features" and rf["type"] == "OPVector"
+    assert len(rf["slots"]) > 0  # slot provenance travels with the data

@@ -131,6 +131,28 @@ class WorkflowModel:
     def transform(self, df: DataFrame) -> DataFrame:
         return self.score(df, keep_intermediate=True)
 
+    def save_scores(self, df: DataFrame, path: str, fmt: str = "parquet",
+                    keep_intermediate: bool = False) -> None:
+        """saveScores (OpWorkflowModel.scala:383): write scores plus a
+        metadata sidecar (result features, their types, and vector slot
+        provenance) so downstream consumers can interpret the columns
+        without the model object."""
+        import json
+        import os
+        scores = self.score(df, keep_intermediate=keep_intermediate)
+        scores.write.mode("overwrite").format(fmt).save(path)
+        from .operators.vectorizers import collect_slots
+        meta = {"result_features": [
+            {"name": f.name, "type": f.type_tag.name,
+             "is_response": f.is_response,
+             "slots": [
+                 {"parent": s.parent, "group": s.group,
+                  "indicator_value": s.indicator_value, "descriptor": s.descriptor}
+                 for s in collect_slots(self, f.name)]}
+            for f in self.result_features]}
+        with open(os.path.join(path, "_feature_metadata.json"), "w") as fh:
+            json.dump(meta, fh, indent=2)
+
 
 class Workflow:
     """DAG of stages reconstructed from result-feature lineage.
