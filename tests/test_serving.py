@@ -212,3 +212,17 @@ def test_triple_equality_date_list_and_scaler_json(spark, tmp_path):
     b = [tuple(r) for r in loaded.score(src, keep_intermediate=True)
          .select(sc.output_name, st.output_name).collect()]
     assert a == b
+
+
+def test_local_tokenizer_matches_spark_on_unicode(spark):
+    """local_tokenize (str.isalnum) vs the Spark regex tokenizer on unicode
+    and punctuation-heavy samples — the basis of smartTextHash local parity."""
+    from transmogrifai_spark.functions.text import tokenize
+    from transmogrifai_spark.serving.registry import local_tokenize
+    samples = ["Hello, World!", "Ünïcode ✓ tëst", "a-b_c d.e", "123 abc x7",
+               "", "...", "CAFÉ crème brûlée", "日本語 テスト words"]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    from pyspark.sql import functions as F
+    spark_toks = [r["x"] for r in df.select(tokenize(F.col("t")).alias("x")).collect()]
+    for s, st in zip(samples, spark_toks):
+        assert local_tokenize(s) == list(st), s
