@@ -152,3 +152,31 @@ def test_simhash_near_dup_pairs(docs, spark):
     found = {(r["id1"], r["id2"]): r["hamming"] for r in pairs.collect()}
     assert found.get((1, 4)) == 0         # identical text, hamming 0
     assert all(h <= 10 for h in found.values())
+
+
+def test_curation_sampling_and_mixture(spark):
+    from transmogrifai_spark.llm import curation
+    df = spark.createDataFrame([(i, ["en", "fr"][i % 2], f"text {i}")
+                                for i in range(2000)],
+                               "doc_id long, lang string, text string")
+    half = curation.deterministic_sample(df, "doc_id", 0.5, seed=1)
+    n = half.count()
+    assert 850 < n < 1150
+    # reproducible: same rows every time
+    assert half.collect() == curation.deterministic_sample(df, "doc_id", 0.5, seed=1).collect()
+    # subset law: a lower rate selects a subset of a higher rate
+    q = curation.deterministic_sample(df, "doc_id", 0.25, seed=1)
+    assert q.exceptAll(half).count() == 0
+    mixed = curation.mix_corpora(df, "doc_id", "lang", {"en": 1.0, "fr": 0.1})
+    counts = {r["lang"]: r["n"] for r in
+              mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["en"] == 1000 and 50 < counts["fr"] < 160
+
+
+def test_filter_documents(spark):
+    from transmogrifai_spark.llm import curation
+    rows = [(1, "the quick brown fox jumps over the lazy dog and runs far away today"),
+            (2, "#### ???? !!!! ****"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = curation.filter_documents(df, min_quality=0.6)
+    assert [r["doc_id"] for r in kept.collect()] == [1]

@@ -624,6 +624,18 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs)
 
 
+def q_corpus_mixture(spark, sf_dir):
+    """Curation: deterministic per-language mixture sampling + counts
+    (hash-filter sampling — reproducible on any cluster layout)."""
+    from .llm.curation import mix_corpora
+    docs = _t(spark, sf_dir, "documents")
+    mixed = mix_corpora(docs, "doc_id", "lang",
+                        {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.1})
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"))
+
+
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return textqual.text_metrics(docs, "doc_id", "text")
@@ -1459,6 +1471,19 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
 """
 
+ORACLES["corpus_mixture"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM documents
+WHERE CASE lang
+        WHEN 'en' THEN ((doc_id % 1000000 + 42) * 2654435761) % 1000000 < 1000000
+        WHEN 'fr' THEN ((doc_id % 1000000 + 42) * 2654435761) % 1000000 < 500000
+        WHEN 'de' THEN ((doc_id % 1000000 + 42) * 2654435761) % 1000000 < 250000
+        WHEN 'es' THEN ((doc_id % 1000000 + 42) * 2654435761) % 1000000 < 100000
+        ELSE FALSE END
+GROUP BY lang
+"""
+
 ORACLES["similarity_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 20),
@@ -1546,6 +1571,7 @@ SPARK_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_near_ngram": q_dedup_near_ngram,
     "dedup_clusters": q_dedup_clusters,
+    "corpus_mixture": q_corpus_mixture,
     "text_quality": q_text_quality,
     "similarity_topk": q_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,

@@ -1,0 +1,68 @@
+"""Corpus curation: deterministic sampling, mixture weighting, quality
+filtering — the dataset-assembly surface of a training-data pipeline.
+
+Physical rules:
+  * Sampling is a pure filter on a multiplicative hash of the id — no RNG
+    state, no shuffle, reproducible on any cluster layout, and expressible
+    in plain SQL (oracle-checkable), unlike rand(seed) whose stream depends
+    on partitioning.
+  * Mixture weighting composes per-source sampled filters with union —
+    at 100 TB each source is pruned at its own scan; nothing materializes.
+  * Quality filtering reuses llm.textqual metrics — one projection, no
+    shuffle; the filter pushes into the scan where metrics allow.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textqual import language_id, quality_score
+
+# a large odd multiplier gives good avalanche for sequential ids
+# (Knuth multiplicative hashing); modulus 1e6 gives ppm-resolution rates
+_MULT = 2654435761
+_MOD = 1_000_000
+
+
+def hash_bucket(id_col: Column, seed: int = 42) -> Column:
+    """Deterministic bucket in [0, 1e6): ((id mod 1e6 + seed) * M) mod 1e6.
+    The inner mod keeps the product within int64 for any id (ANSI mode
+    raises on overflow; silent wrapping would also differ across engines)."""
+    reduced = F.pmod(id_col.cast("long"), F.lit(_MOD)) + F.lit(seed)
+    return F.pmod(reduced * F.lit(_MULT), F.lit(_MOD))
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float,
+                         seed: int = 42) -> DataFrame:
+    """Keep ~rate of rows, chosen by id hash — same rows on every run and
+    every cluster layout."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.where(hash_bucket(F.col(id_col), seed) < int(rate * _MOD))
+
+
+def mix_corpora(df: DataFrame, id_col: str, group_col: str,
+                rates: dict[str, float], seed: int = 42,
+                keep_ungrouped: bool = False) -> DataFrame:
+    """Mixture weighting: per-group deterministic sampling rates (e.g.
+    {'en': 1.0, 'fr': 0.5, 'de': 0.25}). Groups not listed are dropped
+    unless ``keep_ungrouped``."""
+    bucket = hash_bucket(F.col(id_col), seed)
+    keep = F.lit(keep_ungrouped)
+    for g, r in sorted(rates.items()):
+        keep = F.when(F.col(group_col) == g, bucket < int(r * _MOD)).otherwise(keep)
+    return df.where(keep)
+
+
+def filter_documents(df: DataFrame, text_col: str = "text",
+                     min_quality: float = 0.6,
+                     languages: list[str] | None = None,
+                     min_chars: int = 1, max_chars: int = 10_000_000) -> DataFrame:
+    """Quality gate: composite quality score threshold, optional language
+    allowlist, length bounds — one fused filter over the scan."""
+    c = F.col(text_col)
+    cond = (quality_score(c) >= min_quality) & \
+        (F.coalesce(F.length(c), F.lit(0)).between(min_chars, max_chars))
+    if languages:
+        cond = cond & language_id(c).isin(languages)
+    return df.where(cond)
