@@ -286,8 +286,9 @@ def q_date_ops(spark, sf_dir):
         D.time_period(ts, "MonthOfYear").alias("month_of_year"),
         D.time_period(ts, "WeekOfYear").alias("week_of_year"),
         F.unix_millis(F.date_trunc("month", ts)).alias("month_start_ms"),
-        F.round(sin_doy, 6).alias("doy_sin6"),
-        F.round(cos_doy, 6).alias("doy_cos6"),
+        # + 0.0 canonicalizes IEEE -0.0 so Spark and the DuckDB oracle hash alike
+        (F.round(sin_doy, 6) + F.lit(0.0)).alias("doy_sin6"),
+        (F.round(cos_doy, 6) + F.lit(0.0)).alias("doy_cos6"),
     )
 
 
@@ -1053,8 +1054,8 @@ SELECT o_orderkey,
        CAST(month(o_orderdate) AS BIGINT) AS month_of_year,
        CAST(weekofyear(o_orderdate) AS BIGINT) AS week_of_year,
        epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
-       round(sin(CAST(dayofyear(o_orderdate) AS DOUBLE) * 2 * pi() / 366.0), 6) AS doy_sin6,
-       round(cos(CAST(dayofyear(o_orderdate) AS DOUBLE) * 2 * pi() / 366.0), 6) AS doy_cos6
+       round(sin(CAST(dayofyear(o_orderdate) AS DOUBLE) * 2 * pi() / 366.0), 6) + 0.0 AS doy_sin6,
+       round(cos(CAST(dayofyear(o_orderdate) AS DOUBLE) * 2 * pi() / 366.0), 6) + 0.0 AS doy_cos6
 FROM orders
 """
 
