@@ -17,7 +17,14 @@ document table. Designed for 100 TB:
     computation.
 
 All signatures use Spark's native xxhash64 / md5 — JVM-side, deterministic
-across runs and cluster layouts.
+across runs and cluster layouts. Every hashing operator also has a
+``portable=True`` mode that derives the hash from md5 hex prefixes
+(``portable_hash64``): the same value is computable in ANSI SQL / DuckDB
+(``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``), which is what lets the
+driver's SQL oracle replicate the banded LSH plans exactly. The plan shape
+(shingle -> signature -> band -> bucket join) is identical in both modes —
+only the hash family changes — so verifying the portable instantiation
+verifies the operator.
 """
 from __future__ import annotations
 
@@ -31,6 +38,18 @@ from ..util import ensure_parallelism
 def text_digest(c: Column) -> Column:
     """Stable 128-bit content digest (md5 hex) for exact dedup."""
     return F.md5(c)
+
+
+def portable_hash64(c: Column, seed: int | None = None) -> Column:
+    """60-bit deterministic hash shared bit-for-bit with DuckDB and Python:
+    ``int(md5(s [+ '#seed'])[:15], 16)``. 15 hex chars = 60 bits, so the value
+    always fits a signed 64-bit integer in every engine. Slower than
+    ``xxhash64`` (md5 + string slice) — use for oracle-gated paths and
+    portability; xxhash64 remains the throughput default."""
+    c = c.cast("string")
+    if seed is not None:
+        c = F.concat(c, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str,
@@ -115,28 +134,50 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def minhash_signature(c: Column, n: int = 3, num_hashes: int = 32) -> Column:
-    """MinHash signature: for seed i, min over shingles of xxhash64(sh, i)."""
+def minhash_signature(c: Column, n: int = 3, num_hashes: int = 32,
+                      portable: bool = False) -> Column:
+    """MinHash signature: for seed i, min over shingles of hash(sh, i).
+    Hash family: seeded xxhash64 (default) or ``portable_hash64`` (md5-based,
+    SQL-oracle-replicable)."""
     sh = word_shingles(c, n)
+    if portable:
+        def h(s, i):
+            return portable_hash64(s, i)
+    else:
+        def h(s, i):
+            return F.xxhash64(s, F.lit(i))
     return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform(sh, lambda s, i=i: h(s, i)))
         for i in range(num_hashes)
     ])
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            n: int = 3, num_hashes: int = 32,
-                           bands: int = 8) -> DataFrame:
+                           bands: int = 8, portable: bool = False) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, bucket-join.
 
     rows_per_band = num_hashes // bands; docs sharing any band bucket become
     candidates. Bucket join is linear + per-bucket quadratic; ultra-hot
     buckets should be capped upstream via shingle frequency capping.
+
+    Documents with no shingles (shorter than n tokens) are excluded — an
+    empty shingle set has no MinHash and would otherwise collide into one
+    giant all-pairs bucket.
+
+    Identical documents have identical signatures, hence share every band:
+    exact duplicates are ALWAYS candidates (the determinism law the tests
+    assert); near-duplicates are candidates with probability
+    1-(1-j^rows)^bands for Jaccard j.
     """
     rows = num_hashes // bands
+    bucket_hash = portable_hash64 if portable else (
+        lambda c, seed: F.xxhash64(c, F.lit(seed)))
     df = ensure_parallelism(df)
     sig = df.select(F.col(id_col).alias("_id"),
-                    minhash_signature(F.col(text_col), n, num_hashes).alias("_sig"))
+                    minhash_signature(F.col(text_col), n, num_hashes,
+                                      portable=portable).alias("_sig"))
+    sig = sig.where(F.element_at("_sig", 1).isNotNull())
     # persist: signatures feed both sides of the bucket self-join; minhash
     # signatures are the most expensive expression in this module
     sig = sig.persist()
@@ -144,9 +185,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         "_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws("_", *[
+                     bucket_hash(F.concat_ws("_", *[
                          F.element_at("_sig", b * rows + r + 1).cast("string")
-                         for r in range(rows)]), F.lit(b)).alias("bucket"))
+                         for r in range(rows)]), b).alias("bucket"))
             for b in range(bands)])).alias("bb"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -156,19 +197,35 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def simhash64(c: Column) -> Column:
+def simhash64(c: Column, portable: bool = False) -> Column:
     """64-bit SimHash over tokens: per bit, sum +1/-1 by token-hash bit, sign
     -> bit. One pass: a single ``aggregate`` folds every token hash into a
     64-slot bit-count array, then the signature is assembled with literal
-    masks. Pure expressions: no UDF, no shuffle; empty/null text -> 0."""
-    hashes = F.transform(tokenize(c), lambda t: F.xxhash64(t))
+    masks. Pure expressions: no UDF, no shuffle; empty/null text -> 0.
+
+    ``portable=True`` draws the 64 token-hash bits from the md5 hex digest
+    (bits 0-59 from hex chars 1-15, bits 60-63 from hex char 16) so a SQL
+    oracle can recompute the signature exactly."""
+    if portable:
+        hashes = F.transform(tokenize(c), lambda t: F.struct(
+            portable_hash64(t).alias("lo"),
+            F.conv(F.substring(F.md5(t.cast("string")), 16, 1), 16, 10)
+            .cast("long").alias("hi")))
+
+        def bit(h, p):
+            return F.when(p < 60, F.getbit(h["lo"], p)).otherwise(F.getbit(h["hi"], p - 60))
+    else:
+        hashes = F.transform(tokenize(c), lambda t: F.xxhash64(t))
+
+        def bit(h, p):
+            return F.getbit(h, p)
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), 64),
         lambda acc, h: F.zip_with(
             acc,
             F.sequence(F.lit(0), F.lit(63)),
-            lambda a, p: a + F.when(F.getbit(h, p) == 1, 1).otherwise(-1),
+            lambda a, p: a + F.when(bit(h, p) == 1, 1).otherwise(-1),
         ),
     )
     sig = F.lit(0).cast("long")
@@ -180,25 +237,26 @@ def simhash64(c: Column) -> Column:
     return sig
 
 
-def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_groups(df: DataFrame, id_col: str, text_col: str,
+                   portable: bool = False) -> DataFrame:
     """Documents grouped by identical SimHash (extend with prefix-banding for
     hamming-distance near-dups)."""
     return (
         ensure_parallelism(df)
-        .select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+        .select(F.col(id_col), simhash64(F.col(text_col), portable=portable).alias("simhash"))
         .groupBy("simhash")
         .agg(F.min(id_col).alias("representative"), F.count(F.lit(1)).alias("dup_count"))
     )
 
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                           max_hamming: int = 3) -> DataFrame:
+                           max_hamming: int = 3, portable: bool = False) -> DataFrame:
     """SimHash near-duplicates within a hamming radius: band the 64-bit
     signature into 4 x 16-bit keys (pigeonhole: any pair within hamming<=3
     shares at least one exact band), bucket-join candidates, then filter by
     exact hamming distance via bit_count — all native expressions."""
     sig = df.select(F.col(id_col).alias("_id"),
-                    simhash64(F.col(text_col)).alias("_sig"))
+                    simhash64(F.col(text_col), portable=portable).alias("_sig"))
     sig = ensure_parallelism(sig).persist()
     banded = sig.select("_id", "_sig", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),

@@ -75,9 +75,43 @@ def _hyperplane(dim: int, plane: int, seed: int) -> Column:
     ])
 
 
-def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8, seed: int = 42) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of <v, h_p> packed to long."""
+def rademacher_signs(dim: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic ±1 (Rademacher) hyperplane components: sign(p, j) = +1
+    iff md5('hp#seed#p#j') has an odd low hex-prefix value. Signed random
+    projections with ±1 entries are a standard SRP family (Charikar 2002 uses
+    Gaussian; ±1 entries preserve the collision-probability guarantee up to
+    constants and need no RNG). The same formula is computable in ANSI
+    SQL / DuckDB (md5 + hex-prefix parse), so LSH plans built from these
+    planes are SQL-oracle-replicable."""
+    import hashlib
+    return [
+        1.0 if int(hashlib.md5(f"hp#{seed}#{plane}#{j}".encode()).hexdigest()[:15], 16) & 1
+        else -1.0
+        for j in range(dim)
+    ]
+
+
+def plane_bits(vec: Column, dim: int, num_planes: int, seed: int = 42) -> list[Column]:
+    """Sign bits of <v, s_p> for each Rademacher plane p (1 if dot >= 0)."""
+    bits = []
+    for p in range(num_planes):
+        s = dot(vec, F.array(*[F.lit(x) for x in rademacher_signs(dim, p, seed)]))
+        bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8, seed: int = 42,
+                      planes: str = "signs") -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of <v, h_p> packed to long.
+
+    ``planes``: "signs" (default) = deterministic ±1 Rademacher components,
+    portable to the SQL oracle; "uniform" = xxhash64-derived components in
+    [-1, 1]."""
     bucket = F.lit(0).cast("long")
+    if planes == "signs":
+        for p, bit in enumerate(plane_bits(vec, dim, num_planes, seed)):
+            bucket = bucket + bit.cast("long") * F.lit(1 << p).cast("long")
+        return bucket
     for p in range(num_planes):
         s = dot(vec, _hyperplane(dim, p, seed))
         bucket = bucket.bitwiseOR(
@@ -87,7 +121,8 @@ def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8, seed: int = 42
 
 def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                         vec_col: str, dim: int, k: int = 5,
-                        num_planes: int = 8, seed: int = 42) -> DataFrame:
+                        num_planes: int = 8, seed: int = 42,
+                        planes: str = "signs") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     The corpus is bucketed once (a cheap narrow projection — at scale this is
@@ -96,10 +131,10 @@ def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     be raised by probing neighboring buckets (hamming-1 flips) — the plan
     shape stays identical."""
     cb = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-                       hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("_bucket"))
+                       hyperplane_bucket(F.col(vec_col), dim, num_planes, seed, planes).alias("_bucket"))
     qb = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-        hyperplane_bucket(F.col(vec_col), dim, num_planes, seed).alias("_bucket")))
+        hyperplane_bucket(F.col(vec_col), dim, num_planes, seed, planes).alias("_bucket")))
     scored = (
         cb.join(qb, "_bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
