@@ -104,3 +104,14 @@ def test_logical_xor(spark):
     out = aggregate_events(df.withColumn("ts", F.current_timestamp()), "key", "ts",
                            CutOffTime(), [AggSpec("x", "b", "logical_xor")]).collect()
     assert out[0]["x"] is True  # odd count of trues
+
+
+def test_concat_list_deterministic_without_time(spark):
+    """ADVICE regression: agg_concat_list with no time column sorts the
+    collected arrays before flattening — layout-independent output."""
+    from transmogrifai_spark.aggregators import agg_concat_list
+    df = spark.createDataFrame(
+        [("k", ["b", "z"]), ("k", ["a", "c"]), ("k", ["a", "b"])],
+        "key string, v array<string>").repartition(5)
+    out = df.groupBy("key").agg(agg_concat_list(F.col("v")).alias("l")).collect()
+    assert out[0]["l"] == ["a", "b", "a", "c", "b", "z"]  # arrays sorted, order stable

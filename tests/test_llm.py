@@ -180,3 +180,92 @@ def test_filter_documents(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = curation.filter_documents(df, min_quality=0.6)
     assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# portable (SQL-oracle-replicable) hash family laws
+# ---------------------------------------------------------------------------
+
+def test_portable_hash64_matches_python_md5(spark):
+    """Law: portable_hash64(s, seed) == int(md5(s [+ '#seed'])[:15], 16) —
+    the exact formula the DuckDB oracle uses (llm/dedup.py docstring)."""
+    import hashlib
+    samples = ["hello", "world wide web", "", "Ünïcode tëst", "a#1"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    out = df.select(
+        dedup.portable_hash64(F.col("s")).alias("h0"),
+        dedup.portable_hash64(F.col("s"), seed=3).alias("h3")).collect()
+    for s, r in zip(samples, out):
+        assert r["h0"] == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        assert r["h3"] == int(hashlib.md5(f"{s}#3".encode()).hexdigest()[:15], 16)
+
+
+def test_portable_minhash_exact_dups_always_collide(docs):
+    """Determinism law (llm/dedup.py:170-177): identical documents share every
+    band, so exact duplicates are ALWAYS candidate pairs — portable mode."""
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1000))
+    cands = dedup.minhash_lsh_candidates(dup, "doc_id", "text",
+                                         num_hashes=16, bands=4, portable=True)
+    pairs = {(r["id1"], r["id2"]) for r in cands.collect()}
+    eligible = docs.select(
+        "doc_id", F.size(dedup.word_shingles(F.col("text"), 3)).alias("nsh")).collect()
+    checked = 0
+    for r in eligible:
+        if r["nsh"] and r["nsh"] >= 1:  # has shingles -> must collide with clone
+            assert (r["doc_id"], r["doc_id"] + 1000) in pairs, r["doc_id"]
+            checked += 1
+    assert checked > 0
+
+
+def test_portable_simhash_matches_python(docs, spark):
+    """Portable SimHash recomputed in pure Python from md5 digests must equal
+    the Spark column expression bit-for-bit."""
+    import hashlib
+    import re as _re
+    rows = docs.select("doc_id", "text",
+                       dedup.simhash64(F.col("text"), portable=True).alias("sh")).collect()
+
+    def py_simhash(text):
+        toks = [t for t in _re.split(r"[^\w]+", (text or "").lower(), flags=_re.UNICODE) if t]
+        counts = [0] * 64
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            lo = int(hx[:15], 16)
+            hi = int(hx[15], 16)
+            for p in range(64):
+                bit = (lo >> p) & 1 if p < 60 else (hi >> (p - 60)) & 1
+                counts[p] += 1 if bit else -1
+        sig = 0
+        for b in range(64):
+            if counts[b] > 0:
+                sig |= (1 << b)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    for r in rows:
+        assert r["sh"] == py_simhash(r["text"]), r["doc_id"]
+
+
+def test_hyperplane_planes_validated(spark):
+    """ADVICE regression: a typo'd planes value raises instead of silently
+    selecting the xxhash64-uniform family."""
+    with pytest.raises(ValueError, match="planes"):
+        similarity.hyperplane_bucket(F.lit([1.0, 2.0]), dim=2, planes="sign")
+
+
+def test_rademacher_plane_bits_match_python(spark):
+    """Portable plane bits: fixed-point dot + sign must equal a Python
+    recomputation using the same md5-derived ±1 components."""
+    import hashlib
+    vecs = [[0.5, -0.25, 0.125, 1.0], [-1.0, 2.0, -3.0, 0.0], [0.0, 0.0, 0.0, 0.0]]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    bits_cols = similarity.plane_bits(F.col("v"), dim=4, num_planes=6, seed=42)
+    out = df.select(*[b.alias(f"b{p}") for p, b in enumerate(bits_cols)]).collect()
+
+    def signs(p):
+        return [1.0 if int(hashlib.md5(f"hp#42#{p}#{j}".encode()).hexdigest()[:15], 16) & 1
+                else -1.0 for j in range(4)]
+
+    for v, r in zip(vecs, out):
+        for p in range(6):
+            d = sum(x * s for x, s in zip(v, signs(p)))
+            assert r[f"b{p}"] == (1 if d >= 0 else 0), (v, p)

@@ -226,3 +226,31 @@ def test_local_tokenizer_matches_spark_on_unicode(spark):
     spark_toks = [r["x"] for r in df.select(tokenize(F.col("t")).alias("x")).collect()]
     for s, st in zip(samples, spark_toks):
         assert local_tokenize(s) == list(st), s
+
+
+def test_triple_equality_isotonic_with_null(spark):
+    """ADVICE r2 regression: isotonicCalibrator Spark expr must return NULL
+    for NULL input, matching the local fn (triple-equality law)."""
+    import random
+    from transmogrifai_spark.operators.numeric import isotonic_calibrator
+    rng = random.Random(7)
+    rows = [(i / 50, 1.0 if rng.random() < i / 50 else 0.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "s double, y double")
+    feats = from_dataframe(df, response="y")
+    fitted = isotonic_calibrator(feats["s"], feats["y"]).fit(df)
+    score_df = spark.createDataFrame(
+        [(0.1,), (0.5,), (None,), (0.9,)], "s double")
+    triple_check(spark, score_df, fitted, ["s"])
+
+
+def test_persistence_rejects_unserializable_params(tmp_path):
+    """ADVICE r2 regression: params that aren't JSON types fail the save
+    loudly instead of being silently stringified; numpy scalars convert."""
+    import numpy as np
+    import pytest as _pytest
+    from transmogrifai_spark.serving.persistence import _json_default
+    assert _json_default(np.float64(1.5)) == 1.5
+    assert _json_default(np.int32(7)) == 7
+    assert _json_default(np.array([1.0, 2.0])) == [1.0, 2.0]
+    with _pytest.raises(TypeError):
+        _json_default(object())

@@ -87,3 +87,16 @@ def test_batched_triple_law(spark, mixed_df, tmp_path):
     for r, expected in zip(mixed_df.collect(), spark_out):
         got = local(r.asDict())
         assert got["features"] == pytest.approx(list(expected))
+
+
+def test_batched_integral_mode_numeric_tie_break(spark):
+    """ADVICE regression: integral mode ties break by numeric value (2 < 10),
+    not string order ("10" < "2") — same rule as the per-column path."""
+    from transmogrifai_spark.feature import from_dataframe
+    rows = [(10,)] * 3 + [(2,)] * 3 + [(None,)]
+    df = spark.createDataFrame(rows, "n bigint")
+    feats = from_dataframe(df, overrides={"n": "Integral"})
+    v = transmogrify_batched([feats["n"]], top_k=5, min_support=1)
+    st = Workflow([v]).fit(df).layers[0][0]
+    fills = {c["name"]: c for c in st.params["columns"]}
+    assert fills["n"]["fill"] == 2.0

@@ -89,7 +89,9 @@ def agg_concat_list(c: Column, ts: Column | None = None) -> Column:
     if ts is not None:
         pairs = F.array_sort(F.collect_list(F.struct(ts.alias("t"), c.alias("v"))))
         return F.flatten(F.transform(pairs, lambda p: p["v"]))
-    return F.flatten(F.collect_list(c))
+    # no time column: sort the collected arrays lexicographically before
+    # flattening — collect_list order is partition-layout-dependent
+    return F.flatten(F.array_sort(F.collect_list(c)))
 
 
 def agg_set_union(c: Column, ts: Column | None = None) -> Column:

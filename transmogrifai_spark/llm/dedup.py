@@ -207,10 +207,15 @@ def simhash64(c: Column, portable: bool = False) -> Column:
     (bits 0-59 from hex chars 1-15, bits 60-63 from hex char 16) so a SQL
     oracle can recompute the signature exactly."""
     if portable:
-        hashes = F.transform(tokenize(c), lambda t: F.struct(
-            portable_hash64(t).alias("lo"),
-            F.conv(F.substring(F.md5(t.cast("string")), 16, 1), 16, 10)
-            .cast("long").alias("hi")))
+        # one md5 per token (hashing dominates signature cost): materialize the
+        # digest array first, then slice lo = hex chars 1-15 (60 bits, ==
+        # portable_hash64) and hi = hex char 16 (4 bits) from the same digest
+        digests = F.transform(tokenize(c), lambda t: F.md5(t.cast("string")))
+        hashes = F.transform(
+            digests,
+            lambda d: F.struct(
+                F.conv(F.substring(d, 1, 15), 16, 10).cast("long").alias("lo"),
+                F.conv(F.substring(d, 16, 1), 16, 10).cast("long").alias("hi")))
 
         def bit(h, p):
             return F.when(p < 60, F.getbit(h["lo"], p)).otherwise(F.getbit(h["hi"], p - 60))

@@ -11,9 +11,12 @@ Physical notes:
     window rank with a deterministic tie-break.
   * At 100 TB the corpus side must be bucketed: ``hyperplane_lsh_topk``
     restricts the scan to matching LSH buckets (probe multiple buckets for
-    recall). Hyperplanes are derived deterministically from a seed via
-    xxhash64 -> uniform in [-1, 1], so plans are reproducible with no stored
-    model.
+    recall). Two deterministic hyperplane families, chosen by ``planes``:
+    "uniform" (the default — seeded xxhash64 components in [-1, 1], the
+    throughput path) and "signs" (±1 Rademacher components derived from md5,
+    SQL-oracle-replicable; plane-bit dots accumulate in fixed-point so the bit
+    is independent of float fold order). Both are reproducible from a seed with
+    no stored model.
 """
 from __future__ import annotations
 
@@ -28,6 +31,24 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_fixed(a: Column, b: Column, scale: int = 15) -> Column:
+    """Dot product in fixed-point: each IEEE product (identical in every
+    engine) is rounded to ``scale`` decimal places and accumulated as a scaled
+    64-bit integer. Integer addition is exact and associative, so the result
+    does not depend on fold/partition/SQL aggregation order — a DuckDB oracle
+    computing ``SUM(CAST(round(x*y*1e15) AS BIGINT))`` lands on the identical
+    integer. Used for LSH plane bits (sign tests), where a last-ulp
+    fold-order difference would otherwise flip a bucket. Headroom: |dot| must
+    stay < 2^63 / 10^scale (~9200 at scale 15) — embedding-scale data."""
+    mult = F.lit(float(10 ** scale))
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * mult)
+                   .cast("long")),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
@@ -92,21 +113,29 @@ def rademacher_signs(dim: int, plane: int, seed: int = 42) -> list[float]:
 
 
 def plane_bits(vec: Column, dim: int, num_planes: int, seed: int = 42) -> list[Column]:
-    """Sign bits of <v, s_p> for each Rademacher plane p (1 if dot >= 0)."""
+    """Sign bits of <v, s_p> for each Rademacher plane p (1 if dot >= 0).
+    Dots accumulate in fixed-point (``dot_fixed``) so the bit does not depend
+    on float fold order — a SQL oracle summing the same per-component
+    products in any order lands on the identical bit."""
     bits = []
     for p in range(num_planes):
-        s = dot(vec, F.array(*[F.lit(x) for x in rademacher_signs(dim, p, seed)]))
+        s = dot_fixed(vec, F.array(*[F.lit(x) for x in rademacher_signs(dim, p, seed)]))
         bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
     return bits
 
 
+_PLANE_FAMILIES = ("uniform", "signs")
+
+
 def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8, seed: int = 42,
-                      planes: str = "signs") -> Column:
+                      planes: str = "uniform") -> Column:
     """Random-hyperplane LSH bucket id: sign bits of <v, h_p> packed to long.
 
-    ``planes``: "signs" (default) = deterministic ±1 Rademacher components,
-    portable to the SQL oracle; "uniform" = xxhash64-derived components in
-    [-1, 1]."""
+    ``planes``: "uniform" (default) = seeded xxhash64-derived components in
+    [-1, 1] (throughput path); "signs" = deterministic ±1 Rademacher
+    components, portable to the SQL oracle (opt in at oracle-gated sites)."""
+    if planes not in _PLANE_FAMILIES:
+        raise ValueError(f"planes must be one of {_PLANE_FAMILIES}, got {planes!r}")
     bucket = F.lit(0).cast("long")
     if planes == "signs":
         for p, bit in enumerate(plane_bits(vec, dim, num_planes, seed)):
@@ -122,7 +151,7 @@ def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8, seed: int = 42
 def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                         vec_col: str, dim: int, k: int = 5,
                         num_planes: int = 8, seed: int = 42,
-                        planes: str = "signs") -> DataFrame:
+                        planes: str = "uniform") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     The corpus is bucketed once (a cheap narrow projection — at scale this is

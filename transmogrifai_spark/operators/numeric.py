@@ -284,10 +284,13 @@ def isotonic_calibrator(score: Feature, label: Feature,
                     seg = F.lit(y0) + (x - F.lit(x0)) * F.lit((y1 - y0) / (x1 - x0))
                 expr = F.when((x > F.lit(x0)) & (x <= F.lit(x1)), seg).otherwise(expr)
             expr = F.when(x > F.lit(bounds[-1]), F.lit(preds[-1])).otherwise(expr)
-            return expr
+            return F.when(x.isNull(), F.lit(None).cast("double")).otherwise(expr)
 
-        return FittedParamTransformer("isotonicCalibrator", [score, label], out, "Real",
-                                      lambda c, _y: make_expr(c),
+        # the label is fit-time-only: the fitted stage takes [score] alone so
+        # unlabeled data passes score-time schema validation (same shape as
+        # decision_tree_bucketizer's fitted form)
+        return FittedParamTransformer("isotonicCalibrator", [score], out, "Real",
+                                      make_expr,
                                       {"boundaries": bounds, "predictions": preds})
 
     return Estimator("isotonicCalibrator", [score, label], out, "Real", fit)

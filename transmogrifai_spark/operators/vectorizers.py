@@ -305,7 +305,15 @@ def _fit_batched(stage, df: DataFrame, cat_cols, int_cols, real_cols, bin_cols,
             .select(F.col("p.c").alias("c"), F.col("p.v").alias("v")) \
             .where(F.col("v").isNotNull())
         counts = melted.groupBy("c", "v").agg(F.count(F.lit(1)).alias("n"))
-        w = Window.partitionBy("c").orderBy(F.col("n").desc(), F.col("v").asc())
+        # integral columns tie-break numerically (the per-column path's rule:
+        # smallest VALUE, not smallest string — "2" < "10"); categorical
+        # columns keep the string order. try_cast: ANSI-safe under Spark 4.
+        int_names = [f.name for f in int_cols]
+        num_v = F.when(F.col("c").isin(int_names),
+                       F.expr("try_cast(v as double)")) if int_names else F.lit(None)
+        w = Window.partitionBy("c").orderBy(F.col("n").desc(),
+                                            num_v.asc_nulls_last(),
+                                            F.col("v").asc())
         top = counts.withColumn("rn", F.row_number().over(w)) \
             .where((F.col("rn") <= top_k) &
                    ((F.col("n") >= min_support) | (F.col("rn") == 1))).collect()

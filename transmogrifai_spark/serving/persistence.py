@@ -50,6 +50,18 @@ def _stage_dict(stage) -> dict:
     }
 
 
+def _json_default(o: Any):
+    """Convert the numeric types fitted params legitimately carry (numpy
+    scalars); anything else raises so a non-round-trippable param fails the
+    save loudly instead of being silently stringified."""
+    tolist = getattr(o, "tolist", None)
+    if callable(tolist):  # numpy scalar -> python scalar; numpy array -> list
+        return tolist()
+    raise TypeError(
+        f"stage param of type {type(o).__name__} is not JSON-serializable; "
+        f"convert it to plain python types before fitting persistence")
+
+
 def save_model(model: WorkflowModel, path: str) -> None:
     os.makedirs(path, exist_ok=True)
     manifest = {
@@ -58,7 +70,7 @@ def save_model(model: WorkflowModel, path: str) -> None:
         "layers": [[_stage_dict(s) for s in layer] for layer in model.layers],
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=2, default=str)
+        json.dump(manifest, f, indent=2, default=_json_default)
 
 
 def _rebuild_stage(d: dict) -> ColumnTransformer:

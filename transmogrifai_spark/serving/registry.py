@@ -586,7 +586,11 @@ def _iso_expr(p):
             seg = F.lit(y1) if x1 == x0 else \
                 F.lit(y0) + (x - F.lit(x0)) * F.lit((y1 - y0) / (x1 - x0))
             expr = F.when((x > F.lit(x0)) & (x <= F.lit(x1)), seg).otherwise(expr)
-        return F.when(x > F.lit(bounds[-1]), F.lit(preds[-1])).otherwise(expr)
+        expr = F.when(x > F.lit(bounds[-1]), F.lit(preds[-1])).otherwise(expr)
+        # NULL input -> NULL output, matching _iso_local's None guard (the
+        # Spark==local triple-equality law); without this the otherwise-chain
+        # bottoms out at preds[0] for NULL.
+        return F.when(x.isNull(), F.lit(None).cast("double")).otherwise(expr)
     return make_expr
 
 
