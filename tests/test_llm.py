@@ -269,3 +269,19 @@ def test_rademacher_plane_bits_match_python(spark):
         for p in range(6):
             d = sum(x * s for x, s in zip(v, signs(p)))
             assert r[f"b{p}"] == (1 if d >= 0 else 0), (v, p)
+
+
+def test_embedding_lsh_near_dup_finds_exact_dups(spark):
+    """Banded SRP-LSH law: identical vectors share every plane bit, hence
+    every band bucket — exact duplicates are ALWAYS candidate pairs."""
+    import random
+    rng = random.Random(3)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + \
+           [(i + 100, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    pairs = dedup.embedding_near_dup_pairs_lsh(df, "id", "v", dim=16,
+                                               threshold=0.99)
+    found = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    for i in range(20):
+        assert (i, i + 100) in found, i

@@ -613,15 +613,21 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_near_ngram(spark, sf_dir):
+    """Near-dup pairs with the scale-safe shingle frequency cap ON (hot
+    shingles occurring in > 200 docs are dropped from the inverted index —
+    they generate O(df²) candidates; the oracle mirrors the cap)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5,
+                                     max_doc_freq=200)
 
 
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over near-dup pairs -> cluster assignments
-    (iterative label propagation; oracle = recursive SQL reachability)."""
+    (iterative label propagation; oracle = recursive SQL reachability).
+    Pair mining runs with the scale-safe doc-frequency cap."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3,
+                                      max_doc_freq=200)
     return dedup.duplicate_clusters(pairs)
 
 
@@ -746,10 +752,14 @@ def q_loco_insights(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute force, id1<id2)."""
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets (the
+    scale path: bucket equi-join, never all-pairs; portable "signs" planes so
+    the oracle reproduces the buckets exactly). id1<id2."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
-    return pairs.select("id1", "id2", F.round(F.col("cosine"), 6).alias("cosine6"))
+    pairs = dedup.embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding",
+                                               dim=64, threshold=0.35)
+    return pairs.select("id1", "id2",
+                        (F.round(F.col("cosine"), 6) + F.lit(0.0)).alias("cosine6"))
 
 
 def q_tfidf_vectors(spark, sf_dir):
@@ -769,19 +779,30 @@ def q_tfidf_vectors(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash duplicate groups, portable md5-bit mode — the DuckDB oracle
+    recomputes every 64-bit signature from token md5 digests."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_groups(docs, "doc_id", "text")
+    return dedup.simhash_groups(docs, "doc_id", "text", portable=True)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs, portable mode: signatures and band
+    buckets from md5 hex prefixes so the oracle replicates the banded plan
+    (llm/dedup.py portable_hash64 formula)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=4)
+    return dedup.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16,
+                                        bands=4, portable=True)
 
 
 def q_similarity_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN top-k with the portable ±1 "signs" plane family
+    (fixed-point dots -> fold-order-independent bucket bits)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.hyperplane_lsh_topk(emb, emb.where(F.col("vec_id") < 20),
-                                          "vec_id", "embedding", dim=64, k=5)
+    out = similarity.hyperplane_lsh_topk(emb, emb.where(F.col("vec_id") < 20),
+                                         "vec_id", "embedding", dim=64, k=5,
+                                         planes="signs")
+    return out.select("query_id", "neighbor_id", "rank",
+                      (F.round(F.col("cosine"), 6) + F.lit(0.0)).alias("cosine6"))
 
 
 def q_transmogrify_vector(spark, sf_dir):
@@ -1375,9 +1396,11 @@ g AS (
   FROM t
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+freq AS (SELECT sh FROM g GROUP BY sh HAVING count(*) <= 200),
+gc AS (SELECT g.doc_id, g.sh FROM g JOIN freq USING (sh)),
 pairs AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM gc a JOIN gc b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id1, id2, common,
@@ -1397,9 +1420,11 @@ g AS (
   FROM t
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+freq AS (SELECT sh FROM g GROUP BY sh HAVING count(*) <= 200),
+gc AS (SELECT g.doc_id, g.sh FROM g JOIN freq USING (sh)),
 p AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM gc a JOIN gc b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
 pairs AS (
@@ -1464,12 +1489,130 @@ FROM m
     f"t -> list_contains({_SW[lang]}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS s_{lang}"
     for lang in sorted(_SW)))
 
-ORACLES["embedding_near_dup"] = """
-SELECT a.vec_id AS id1, b.vec_id AS id2,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-         AS cosine6
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+# -- portable LSH bucket SQL ------------------------------------------------
+# The bucket formula must match llm/similarity.py bit-for-bit: per plane p,
+# bit_p = (sum_j round(v[j] * sign(p,j) * 1e15)::BIGINT) >= 0, with the ±1
+# signs from rademacher_signs (md5-derived — generated here by the SAME
+# python function the Spark plan uses, inlined as SQL literals). Fixed-point
+# accumulation makes the sum order-independent, so SUM in any engine agrees.
+
+
+def _signs_bucket_sql(vec: str, dim: int = 64, num_planes: int = 8,
+                      seed: int = 42, plane_offset: int = 0) -> str:
+    from .llm.similarity import rademacher_signs
+    bits = []
+    for k in range(num_planes):
+        p = plane_offset + k
+        signs = "[" + ",".join("1.0" if s > 0 else "-1.0"
+                               for s in rademacher_signs(dim, p, seed)) + "]"
+        dot = (f"list_sum(list_transform(range(1, {dim + 1}), j -> "
+               f"CAST(round({vec}[j] * ({signs})[j] * 1000000000000000.0) AS BIGINT)))")
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << k}::BIGINT ELSE 0::BIGINT END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+_ND_BANDS = " ".join(
+    f"WHEN {b} THEN {_signs_bucket_sql('v', num_planes=4, plane_offset=b * 4)}"
+    for b in range(4))
+
+ORACLES["embedding_near_dup"] = f"""
+WITH cb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS (
+  SELECT vec_id, v, b, CASE b {_ND_BANDS} END AS bucket
+  FROM cb, range(0, 4) bands(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+  FROM banded a JOIN banded b2
+    ON a.b = b2.b AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id1, id2,
+       round(list_cosine_similarity(ca.v, cb2.v), 6) + 0.0 AS cosine6
+FROM cand JOIN cb ca ON ca.vec_id = id1 JOIN cb cb2 ON cb2.vec_id = id2
+WHERE list_cosine_similarity(ca.v, cb2.v) >= 0.35
+"""
+
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH t AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+           ELSE [] END) AS shs
+  FROM t
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(list_transform(shs,
+           s -> CAST(('0x' || substr(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)))) AS sg
+  FROM sh WHERE len(shs) > 0
+),
+banded AS (
+  SELECT doc_id, b,
+         CAST(('0x' || substr(md5(
+           array_to_string(list_transform(range(b * 4 + 1, b * 4 + 5),
+                                          r -> CAST(sg[r] AS VARCHAR)), '_')
+           || '#' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS bucket
+  FROM sig, range(0, 4) bands(b)
+)
+SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+FROM banded a JOIN banded b2
+  ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+"""
+
+ORACLES["dedup_simhash"] = f"""
+WITH t AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS lo,
+         CAST(('0x' || substr(md5(tk), 16, 1)) AS BIGINT) AS hi
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, ps.p,
+         SUM(CASE WHEN (CASE WHEN ps.p < 60 THEN (lo >> ps.p) & 1
+                        ELSE (hi >> (ps.p - 60)) & 1 END) = 1
+                  THEN 1 ELSE -1 END) AS cnt
+  FROM h, range(0, 64) ps(p)
+  GROUP BY doc_id, ps.p
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN cnt > 0 THEN
+             CASE WHEN p = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                  ELSE (1::BIGINT << p) END
+           ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+full_sig AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+)
+SELECT simhash, min(doc_id) AS representative, count(*) AS dup_count
+FROM full_sig GROUP BY simhash
+"""
+
+ORACLES["similarity_ann_lsh"] = f"""
+WITH cb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_signs_bucket_sql('(embedding::DOUBLE[])')} AS bucket
+  FROM embeddings
+),
+qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 20),
+scored AS (
+  SELECT qb.query_id, cb.vec_id AS neighbor_id,
+         list_cosine_similarity(qb.qv, cb.v) AS cosine,
+         row_number() OVER (PARTITION BY qb.query_id
+                            ORDER BY list_cosine_similarity(qb.qv, cb.v) DESC,
+                                     cb.vec_id ASC) AS rank
+  FROM cb JOIN qb ON cb.bucket = qb.bucket
+  WHERE cb.vec_id != qb.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       round(cosine, 6) + 0.0 AS cosine6
+FROM scored WHERE rank <= 5
 """
 
 ORACLES["corpus_mixture"] = """

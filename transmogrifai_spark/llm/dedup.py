@@ -315,8 +315,12 @@ def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force; LSH variant in
-    llm/similarity.py for the scale path)."""
+    """Embedding-cosine near-duplicate pairs — EXACT small-data fallback.
+
+    This is an O(n²) crossJoin: use only when the corpus fits comfortably on
+    one executor (debugging, oracle cross-checks at tiny SF). The scale path
+    is ``embedding_near_dup_pairs_lsh`` (bucket equi-join, linear candidate
+    generation), which is also the driver-verified path."""
     from .similarity import cosine_similarity
     a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
@@ -326,3 +330,43 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
         .where(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
+                                 dim: int, threshold: float = 0.95,
+                                 bands: int = 4, planes_per_band: int = 4,
+                                 seed: int = 42) -> DataFrame:
+    """Embedding near-duplicate pairs, scale path: banded random-hyperplane
+    LSH (OR-construction) — candidates are pairs sharing ANY band bucket
+    (equi-join on (band, bucket) — linear candidate generation, never
+    all-pairs), then filtered by exact cosine >= threshold.
+
+    Per Charikar-2002 SRP, a pair at angle theta shares one band with
+    probability (1 - theta/pi)^planes_per_band; ``bands`` independent bands
+    raise recall to 1-(1-p)^bands while each extra band costs only one more
+    exploded row per doc. True near-duplicates (theta ~ 0) are found with
+    near-certainty. Planes are the md5-derived ±1 "signs" family with
+    fixed-point dots, so the whole plan is SQL-oracle-replicable."""
+    from .similarity import cosine_similarity, plane_bits
+    bits = plane_bits(F.col(vec_col), dim, bands * planes_per_band, seed)
+    band_buckets = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("long")
+        for k in range(planes_per_band):
+            bucket = bucket + bits[b * planes_per_band + k].cast("long") * F.lit(1 << k)
+        band_buckets.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    bk = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                   F.explode(F.array(*band_buckets)).alias("_bb"))
+    # persist: the banded projection feeds both sides of the self-join and
+    # bucket computation is ~bands*planes_per_band*dim fused multiplies/row
+    bk = ensure_parallelism(bk).persist()
+    a, c = bk.alias("a"), bk.alias("b")
+    cand = (a.join(c, (F.col("a._bb") == F.col("b._bb")) &
+                   (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"),
+                    F.col("a._v").alias("_v1"), F.col("b._v").alias("_v2"))
+            .distinct())
+    return (cand
+            .select("id1", "id2",
+                    cosine_similarity(F.col("_v1"), F.col("_v2")).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
