@@ -104,3 +104,54 @@ def test_filter_map_keys(spark):
 def test_parse_json_map(spark):
     df = spark.createDataFrame([('{"k": 5}',)], "s string")
     assert df.select(M.parse_json_map(F.col("s"), "bigint").alias("m")).first()["m"] == {"k": 5}
+
+
+# -- language-aware analysis (TextTokenizer language routing parity) --
+
+def test_analyze_per_language(spark):
+    """Analyzer chain parity over 3+ languages: stopwords of THAT language
+    removed, light suffix stemming applied, unknown lang = plain tokenize."""
+    from transmogrifai_spark.functions.text import analyze, tokenize
+    df = spark.createDataFrame(
+        [("the cats are running quickly",),
+         ("der hunden und die katzen laufen",),
+         ("les fleurs des jardins sont belles",)], "t string")
+    en, de, fr, und = [
+        df.select(analyze(F.col("t"), lg).alias("a")).collect()
+        for lg in ("en", "de", "fr", "zz")]
+    # en: stopwords the/are dropped, plural-s stripped
+    assert en[0]["a"] == ["cat", "running", "quickly"]
+    # de: der/und/die dropped, -en stripped
+    assert "der" not in de[1]["a"] and "und" not in de[1]["a"]
+    assert "hund" in de[1]["a"]
+    # fr: les/des/sont dropped, -s stripped
+    assert "les" not in fr[2]["a"]
+    assert "fleur" in fr[2]["a"]
+    # unknown language: plain tokenizer, nothing dropped
+    plain = df.select(tokenize(F.col("t")).alias("p")).collect()
+    assert und[0]["a"] == plain[0]["p"]
+
+
+def test_analyze_auto_routes_by_detected_language(spark):
+    from transmogrifai_spark.functions.text import analyze, analyze_auto
+    df = spark.createDataFrame(
+        [(1, "the cats are running in the garden with the dogs"),
+         (2, "der hund und die katze sind mit einem ball im garten"),
+         (3, "xyzzy plugh qwerty")], "i long, t string")
+    auto = {r["i"]: r["a"] for r in
+            df.select("i", analyze_auto(F.col("t")).alias("a")).collect()}
+    en = {r["i"]: r["a"] for r in
+          df.select("i", analyze(F.col("t"), "en").alias("a")).collect()}
+    de = {r["i"]: r["a"] for r in
+          df.select("i", analyze(F.col("t"), "de").alias("a")).collect()}
+    assert auto[1] == en[1]          # detected en -> english chain
+    assert auto[2] == de[2]          # detected de -> german chain
+    assert auto[3] == en[3]          # undetermined -> default (en)
+
+
+def test_analyze_never_mangles_short_tokens(spark):
+    from transmogrifai_spark.functions.text import analyze
+    df = spark.createDataFrame([("as is bus mes",)], "t string")
+    out = df.select(analyze(F.col("t"), "en").alias("a")).first()["a"]
+    # min-stem guard: 'bus'/'mes' stay intact ('as'/'is' are stopwords)
+    assert "bus" in out and "mes" in out

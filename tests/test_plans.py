@@ -70,3 +70,27 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
     s = {r["l_returnflag"]: (r["total_qty"], r["n"], r["max_price"]) for r in salted.collect()}
     p = {r["l_returnflag"]: (r["total_qty"], r["n"], r["max_price"]) for r in plain.collect()}
     assert s == p
+
+
+def test_rank_windows_are_partitioned(spark, sf_dir):
+    """Spearman / AuROC rank plans must not contain a window without a
+    PARTITION BY (a global Window.orderBy funnels every distinct value
+    through one task — a scale-killer for continuous scores). Physical
+    Window nodes print `Window [exprs], [partSpec], [orderSpec]` when
+    partitioned and only `Window [exprs], [orderSpec]` when global."""
+    import re
+    from transmogrifai_spark.driver_queries import q_correlation_stats
+    from transmogrifai_spark.ml.evaluators import _auroc_terms
+    from pyspark.sql import functions as F
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    scored = o.select(F.col("o_totalprice").alias("score"),
+                      (F.col("o_orderstatus") == "F").cast("double").alias("label"))
+    for df in (q_correlation_stats(spark, sf_dir),
+               _auroc_terms(scored, "score", "label")):
+        plan = _plan(df)
+        for line in plan.splitlines():
+            m = re.search(r"\bWindow\b", line)
+            if m and "windowspecdefinition" in line:
+                # count top-level bracket groups after the expr list
+                assert re.search(r"\], \[[^\]]*\], \[", line), (
+                    "global (unpartitioned) window found:\n" + line)

@@ -139,3 +139,90 @@ def is_valid_phone_us(c: Column) -> Column:
     d = normalize_phone_digits(c)
     d10 = F.when((F.length(d) == 11) & d.startswith("1"), F.substring(d, 2, 10)).otherwise(d)
     return F.coalesce((F.length(d10) == 10) & ~d10.startswith("0") & ~d10.startswith("1"), F.lit(False))
+
+
+# -- language-aware analysis (TextTokenizer.scala:125 language routing +
+# utils/.../text/LuceneTextAnalyzer.scala per-language analyzers). The
+# reference ships Lucene's per-language analyzer chain (stopword filter +
+# light stemmer); this re-expression keeps the chain shape — tokenize ->
+# language stopwords -> light suffix stemming — as pure Catalyst
+# expressions. The stemmers are ordered suffix-strip rules approximating
+# Lucene's *LightStemmer / *MinimalStemmer behavior (guarded by a minimum
+# stem length so short tokens never get mangled). --
+
+# analyzer stopword sets — richer than llm.textqual.STOPWORD_PROFILES (those
+# 10-word lists are tuned for language DETECTION scoring and feed oracle SQL;
+# these mirror the Lucene analyzers' stop sets used at tokenize time)
+ANALYZER_STOPWORDS: dict[str, list[str]] = {
+    "en": ["a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+           "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+           "such", "that", "the", "their", "then", "there", "these", "they",
+           "this", "to", "was", "will", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine",
+           "einer", "einem", "einen", "zu", "den", "dem", "des", "im", "in",
+           "auf", "für", "an", "als", "auch", "aus", "bei", "sind", "oder",
+           "nicht", "sich", "war", "wie", "es"],
+    "fr": ["le", "la", "les", "et", "est", "de", "des", "du", "un", "une",
+           "que", "qui", "pour", "dans", "en", "au", "aux", "avec", "sur",
+           "sont", "ce", "cette", "ces", "il", "elle", "ne", "pas", "se"],
+    "es": ["el", "la", "los", "las", "y", "es", "de", "del", "un", "una",
+           "unos", "unas", "que", "en", "con", "por", "para", "son", "se",
+           "su", "sus", "al", "lo", "como", "más", "pero", "no"],
+}
+
+# longest-first suffix rules per language; (suffix, min_remaining_stem)
+ANALYZER_PROFILES: dict[str, list[tuple[str, int]]] = {
+    # EnglishMinimalStemFilter: plural-s only (not -ss)
+    "en": [("ies", 3), ("es", 3), ("s", 3)],
+    # GermanLightStemmer suffix subset
+    "de": [("ern", 3), ("en", 3), ("er", 3), ("es", 3), ("em", 3), ("e", 3)],
+    # FrenchLightStemmer suffix subset
+    "fr": [("ements", 3), ("ement", 3), ("ments", 3), ("ment", 3),
+           ("es", 3), ("s", 3), ("e", 3)],
+    # SpanishLightStemmer suffix subset
+    "es": [("amientos", 3), ("amiento", 3), ("aciones", 3), ("acion", 3),
+           ("es", 3), ("s", 3)],
+}
+
+
+def _stem_token(t: Column, rules: list[tuple[str, int]]) -> Column:
+    """First matching suffix rule wins (rules ordered longest-first)."""
+    out = t
+    for sfx, min_stem in reversed(rules):
+        keep = F.length(t) - F.lit(len(sfx))
+        cond = t.endswith(F.lit(sfx)) & (keep >= F.lit(min_stem))
+        if sfx == "s":  # minimal-English guard: never strip -ss
+            cond = cond & ~t.endswith(F.lit("ss"))
+        out = F.when(cond, t.substr(F.lit(1), keep)).otherwise(out)
+    return out
+
+
+def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
+            to_lowercase: bool = True, stem: bool = True) -> Column:
+    """Per-language analyzer chain: tokenize -> language stopword removal ->
+    light suffix stemming. Unknown languages fall back to the plain
+    tokenizer (the reference's default-analyzer path)."""
+    toks = tokenize(c, min_token_length, to_lowercase)
+    sw = ANALYZER_STOPWORDS.get(lang)
+    if sw:
+        toks = remove_stopwords(toks, sw)
+    rules = ANALYZER_PROFILES.get(lang) if stem else None
+    if rules:
+        toks = F.transform(toks, lambda t: _stem_token(t, rules))
+    return toks
+
+
+def analyze_auto(c: Column, default_lang: str = "en",
+                 min_token_length: int = 1, to_lowercase: bool = True,
+                 stem: bool = True) -> Column:
+    """TextTokenizer.scala autoDetectLanguage=true: each row routes through
+    the analyzer of its detected language (argmax of the stopword-profile
+    scores; undetermined -> ``default_lang``). One pass, no UDF: the
+    language CASE selects among per-language analyzer expressions."""
+    from ..llm.textqual import language_id
+    lang = language_id(c)
+    out = analyze(c, default_lang, min_token_length, to_lowercase, stem)
+    for lg in ANALYZER_PROFILES:
+        out = F.when(lang == F.lit(lg),
+                     analyze(c, lg, min_token_length, to_lowercase, stem)).otherwise(out)
+    return out

@@ -45,13 +45,16 @@ def _auroc_terms(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     (2*count_below + n + 1) * n_pos  ==  2 * sum(avg_rank * n_pos).
     Keeping the numerator integral makes AUC bit-identical at any
     parallelism (double summation of .5-ranks would be order-dependent)."""
+    from ..util import counts_below
     g = (df.select(F.col(score_col).cast("double").alias("s"),
                    F.col(label_col).cast("double").alias("y"))
          .where(F.col("s").isNotNull() & F.col("y").isNotNull())
          .groupBy("s")
          .agg(F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("np")))
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = g.withColumn("below", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    # range-partitioned parallel rank windows (no single-partition global
+    # Window.orderBy) — survives continuous scores where every value is
+    # distinct and the grouped table is as large as the input
+    ranked = counts_below(g, "s", "n")
     return ranked.agg(
         F.sum((2 * F.col("below") + F.col("n") + 1) * F.col("np")).alias("rank_pos2"),
         F.sum("np").alias("P"),
