@@ -169,3 +169,132 @@ def test_null_tracking_vectorizers(spark):
     assert [r[lst.output_name] for r in df.select(lst.expr()).collect()] == [[0.0], [1.0]]
     fitted = text_map_null_vectorizer(feats["m"]).fit(df)
     assert [r[fitted.output_name] for r in df.select(fitted.expr()).collect()] == [[0.0], [1.0]]
+
+
+# -- DateListVectorizer Mode* one-hot pivots (DateListVectorizer.scala:218) --
+
+def test_date_list_mode_pivots(spark):
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.date_ops import date_list_pivot_vectorizer
+    # 2024-01-01 is a Monday; millis at 05:00 and 13:00 UTC
+    mon5 = 1704085200000   # 2024-01-01 05:00 UTC (Monday, January)
+    mon13 = 1704114000000  # 2024-01-01 13:00 UTC
+    tue5 = 1704171600000   # 2024-01-02 05:00 UTC (Tuesday)
+    df = spark.createDataFrame(
+        [(1, [mon5, mon13, tue5]), (2, []), (3, None)],
+        "k long, ts_list array<bigint>")
+    feats = from_dataframe(df, overrides={"ts_list": "DateTimeList"})
+    day = date_list_pivot_vectorizer(feats["ts_list"], "ModeDay", output_name="d")
+    hour = date_list_pivot_vectorizer(feats["ts_list"], "ModeHour", output_name="h")
+    month = date_list_pivot_vectorizer(feats["ts_list"], "ModeMonth", output_name="m")
+    out = {r["k"]: r for r in
+           df.select("k", day.expr(), hour.expr(), month.expr()).collect()}
+    # Monday appears twice vs Tuesday once -> slot 0 hot, 7 slots + null ind
+    assert out[1]["d"] == [1.0, 0, 0, 0, 0, 0, 0, 0.0]
+    # hour 5 appears twice (tie-break not needed), slot 5 of 24 hot
+    assert out[1]["h"][5] == 1.0 and sum(out[1]["h"]) == 1.0
+    # January -> slot 0 of 12 hot
+    assert out[1]["m"][0] == 1.0 and sum(out[1]["m"]) == 1.0
+    # empty and null lists -> all zeros + null indicator
+    assert out[2]["d"] == [0.0] * 7 + [1.0]
+    assert out[3]["d"] == [0.0] * 7 + [1.0]
+
+
+def test_date_list_pivot_tie_breaks_smallest_unit(spark):
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.date_ops import date_list_pivot_vectorizer
+    mon = 1704085200000   # Monday
+    tue = 1704171600000   # Tuesday
+    df = spark.createDataFrame([(1, [mon, tue])], "k long, ts_list array<bigint>")
+    feats = from_dataframe(df, overrides={"ts_list": "DateTimeList"})
+    st = date_list_pivot_vectorizer(feats["ts_list"], "ModeDay", output_name="d")
+    out = df.select(st.expr()).first()["d"]
+    assert out[0] == 1.0 and out[1] == 0.0  # 1-1 tie -> Monday (smallest)
+
+
+def test_date_list_pivot_triple_equality(spark):
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.date_ops import date_list_pivot_vectorizer
+    from tests.test_serving import triple_check
+    df = spark.createDataFrame(
+        [(1, [1704085200000, 1704114000000]), (2, []), (3, None)],
+        "k long, ts_list array<bigint>")
+    feats = from_dataframe(df, overrides={"ts_list": "DateTimeList"})
+    for piv in ("ModeDay", "ModeMonth", "ModeHour"):
+        st = date_list_pivot_vectorizer(feats["ts_list"], piv, output_name="v")
+        triple_check(spark, df, st, ["ts_list"])
+
+
+# -- GeolocationMapVectorizer (GeolocationMapVectorizer.scala:42) --
+
+def test_geolocation_map_vectorizer(spark):
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.map_vectorizers import geolocation_map_vectorizer
+    df = spark.createDataFrame(
+        [(1, {"home": [37.77, -122.4, 5.0], "work": [40.7, -74.0, 3.0]}),
+         (2, {"home": [51.5, -0.1, 4.0]}),
+         (3, None)],
+        "k long, m map<string, array<double>>")
+    feats = from_dataframe(df, overrides={"m": "GeolocationMap"})
+    fitted = geolocation_map_vectorizer(feats["m"], output_name="v").fit(df)
+    # slots: home(lat,lon,acc,null) work(lat,lon,acc,null) — sorted keys
+    names = [(s.group, s.indicator_value or s.descriptor) for s in fitted.slots]
+    assert names == [("home", "lat"), ("home", "lon"), ("home", "accuracy"),
+                     ("home", "NullIndicatorValue"),
+                     ("work", "lat"), ("work", "lon"), ("work", "accuracy"),
+                     ("work", "NullIndicatorValue")]
+    out = {r["k"]: r["v"] for r in df.select("k", fitted.expr()).collect()}
+    assert out[1] == [37.77, -122.4, 5.0, 0.0, 40.7, -74.0, 3.0, 0.0]
+    # missing key -> default geolocation (0,0,0) + null indicator 1
+    assert out[2] == [51.5, -0.1, 4.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+    assert out[3] == [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+
+
+def test_geolocation_map_triple_equality(spark):
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.map_vectorizers import geolocation_map_vectorizer
+    from tests.test_serving import triple_check
+    df = spark.createDataFrame(
+        [(1, {"a": [1.0, 2.0, 3.0]}), (2, None)],
+        "k long, m map<string, array<double>>")
+    feats = from_dataframe(df, overrides={"m": "GeolocationMap"})
+    fitted = geolocation_map_vectorizer(feats["m"], output_name="v").fit(df)
+    triple_check(spark, df, fitted, ["m"])
+
+
+# -- RecordInsightsCorr (RecordInsightsCorr.scala:55) --
+
+def test_record_insights_corr_ranks_correlated_slot_first(spark):
+    from transmogrifai_spark.ml.insights import record_insights_corr
+    import random
+    rng = random.Random(5)
+    rows = []
+    for _ in range(200):
+        x0 = rng.uniform(0, 1)            # drives the score
+        x1 = rng.uniform(0, 1)            # noise
+        score = x0
+        rows.append(([score], [x0, x1]))
+    df = spark.createDataFrame(rows, "pred array<double>, fv array<double>")
+    out = record_insights_corr(df, "pred", "fv", pred_size=1, feature_size=2,
+                               top_k=2)
+    rows_out = out.collect()
+    # slot 0 (perfectly correlated) must rank first for (almost) every record
+    firsts = [r["insights"][0]["slot"] for r in rows_out]
+    assert firsts.count(0) > len(firsts) * 0.9
+    # importance = corr * minmax-normalized value; corr(x0, score) == 1
+    top = rows_out[0]["insights"][0]
+    assert top["pred"] == 0
+    assert -1.0001 <= top["importance"] <= 1.0001
+
+
+def test_record_insights_corr_handles_constant_feature(spark):
+    from transmogrifai_spark.ml.insights import record_insights_corr
+    rows = [([float(i % 2)], [float(i % 2), 7.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "pred array<double>, fv array<double>")
+    out = record_insights_corr(df, "pred", "fv", pred_size=1, feature_size=2)
+    # constant slot 1: NaN corr -> importance 0, never NaN in output
+    for r in out.collect():
+        for e in r["insights"]:
+            assert e["importance"] == e["importance"]  # not NaN
+            if e["slot"] == 1:
+                assert e["importance"] == 0.0

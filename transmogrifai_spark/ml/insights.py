@@ -107,3 +107,87 @@ def loco_linear(df: DataFrame, vec_col: str, intercept: float,
                                .otherwise(F.when(a["slot"] < b["slot"], -1).otherwise(1))),
                   1, top_k)
     return df.withColumn("base_score", base).withColumn("loco", top)
+
+
+def record_insights_corr(df: DataFrame, pred_col: str, features_col: str,
+                         pred_size: int, feature_size: int, top_k: int = 20,
+                         norm: str = "minmax") -> DataFrame:
+    """RecordInsightsCorr (RecordInsightsCorr.scala:55): model-agnostic
+    per-record insights — importance(record, pred p, slot j) =
+    corr(feature_j, pred_p) * normalized(feature_j(record)); top-K slots by
+    |importance| kept per prediction column (NaN correlations -> 0, the
+    reference's guard).
+
+    Fit plan: ONE posexplode + groupBy(slot) pass computes every slot's
+    moments and cross-moments with each prediction column — the shuffle
+    carries (slot, stats), bounded by the vector width, never by rows. The
+    per-pred label moments come from one whole-frame aggregate. Both reduce
+    to a literal corr matrix + normalizer, so the transform is a pure
+    column expression (no model, no second pass over the data).
+
+    ``norm``: "minmax" ((x-min)/range, the reference default) or "znorm"
+    ((x-mean)/std). Output column ``insights``:
+    array<struct<pred:int, slot:int, importance:double>>."""
+    import math as _math
+    if norm not in ("minmax", "znorm"):
+        raise ValueError(f"norm must be 'minmax' or 'znorm', got {norm!r}")
+    p_arr, x_arr = F.col(pred_col), F.col(features_col)
+
+    ex = df.select(p_arr.alias("_p"), F.posexplode(x_arr).alias("_j", "_x"))
+    per = ex.groupBy("_j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.min("_x").alias("mn"), F.max("_x").alias("mx"),
+        *[F.sum(F.col("_x") * F.col("_p")[p]).alias(f"sxy{p}")
+          for p in range(pred_size)]).collect()
+    yrow = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(p_arr[p]).alias(f"sy{p}") for p in range(pred_size)],
+        *[F.sum(p_arr[p] * p_arr[p]).alias(f"syy{p}") for p in range(pred_size)]).first()
+
+    stats = {r["_j"]: r for r in per}
+    n = float(yrow["n"])
+    corr = [[0.0] * feature_size for _ in range(pred_size)]
+    mins, ranges, means, stds = ([0.0] * feature_size for _ in range(4))
+    for j in range(feature_size):
+        r = stats.get(j)
+        if r is None:
+            continue
+        sx, sxx = float(r["sx"]), float(r["sxx"])
+        mins[j] = float(r["mn"])
+        ranges[j] = float(r["mx"]) - float(r["mn"])
+        means[j] = sx / n
+        var = max(0.0, (sxx - sx * sx / n) / n)
+        stds[j] = _math.sqrt(var)
+        for p in range(pred_size):
+            sy, syy = float(yrow[f"sy{p}"]), float(yrow[f"syy{p}"])
+            sxy = float(r[f"sxy{p}"])
+            den = _math.sqrt(max(0.0, n * sxx - sx * sx)) * \
+                _math.sqrt(max(0.0, n * syy - sy * sy))
+            c = (n * sxy - sx * sy) / den if den > 0 else float("nan")
+            corr[p][j] = 0.0 if _math.isnan(c) else c  # NaN corr -> 0
+
+    def norm_expr(j):
+        x = F.try_element_at(x_arr, F.lit(j + 1))
+        if norm == "minmax":
+            if ranges[j] == 0:
+                return F.lit(0.0)
+            return (x - F.lit(mins[j])) / F.lit(ranges[j])
+        if stds[j] == 0:
+            return F.lit(0.0)
+        return (x - F.lit(means[j])) / F.lit(stds[j])
+
+    per_pred = []
+    for p in range(pred_size):
+        entries = F.array(*[
+            F.struct(F.lit(p).alias("pred"), F.lit(j).alias("slot"),
+                     (F.lit(corr[p][j]) * norm_expr(j)).alias("importance"))
+            for j in range(feature_size)])
+        top = F.slice(F.array_sort(entries, lambda a, b:
+                      F.when(F.abs(a["importance"]) > F.abs(b["importance"]), -1)
+                      .when(F.abs(a["importance"]) < F.abs(b["importance"]), 1)
+                      .otherwise(F.when(a["slot"] < b["slot"], -1).otherwise(1))),
+                      1, top_k)
+        per_pred.append(top)
+    return df.withColumn("insights", F.flatten(F.array(*per_pred)))

@@ -258,3 +258,39 @@ def text_map_len_vectorizer(feat: Feature, output_name: str | None = None) -> Es
                                 {"keys": keys})
 
     return Estimator("textMapLenVec", [feat], out, "OPVector", fit)
+
+
+def geolocation_map_vectorizer(feat: Feature, allow_keys: list[str] | None = None,
+                               block_keys: list[str] | None = None,
+                               track_nulls: bool = True,
+                               default_value: tuple[float, float, float] = (0.0, 0.0, 0.0),
+                               output_name: str | None = None) -> Estimator:
+    """GeolocationMapVectorizer (GeolocationMapVectorizer.scala:42): fit
+    discovers the key universe (one explode -> distinct keys, sorted);
+    transform emits (lat, lon, accuracy) per fitted key — missing keys fill
+    with the default geolocation (reference default Geolocation(0,0,Unknown)
+    = (0,0,0)) — with a per-key null indicator appended after each triple
+    when ``track_nulls`` (the reference's grouped(3) interleave)."""
+    out = output_name or f"{feat.name}_vec"
+
+    def fit(stage: Estimator, df: DataFrame) -> FittedVectorizer:
+        exploded = df.select(F.explode(F.map_keys(F.col(feat.name))).alias("_k"))
+        if allow_keys is not None:
+            exploded = exploded.where(F.col("_k").isin(allow_keys))
+        if block_keys:
+            exploded = exploded.where(~F.col("_k").isin(block_keys))
+        keys = [r["_k"] for r in exploded.distinct().orderBy("_k").collect()]
+        slots: list[VectorSlot] = []
+        for k in keys:
+            slots += [VectorSlot(feat.name, group=k, descriptor=d)
+                      for d in ("lat", "lon", "accuracy")]
+            if track_nulls:
+                slots.append(VectorSlot(feat.name, group=k,
+                                        indicator_value="NullIndicatorValue"))
+        params = {"keys": keys, "track_nulls": track_nulls,
+                  "default_value": [float(v) for v in default_value]}
+        from ..serving.registry import expr_for
+        return FittedVectorizer("geoMapVec", [feat], out,
+                                expr_for("geoMapVec", params), slots, params)
+
+    return Estimator("geoMapVec", [feat], out, "OPVector", fit)

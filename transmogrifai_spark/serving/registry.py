@@ -504,6 +504,77 @@ def _date_list_local(p):
 register("dateListVec", _date_list_expr, _date_list_local)
 
 
+def _date_list_pivot_expr(p):
+    from ..operators.date_ops import date_list_pivot_expr_builder
+    return date_list_pivot_expr_builder(p["pivot"], p["track_nulls"])
+
+
+def _date_list_pivot_local(p):
+    import datetime
+    from collections import Counter
+    from ..operators.date_ops import _PIVOT_SLOTS
+    pivot, track_nulls = p["pivot"], p["track_nulls"]
+    size = len(_PIVOT_SLOTS[pivot])
+
+    def fn(lst):
+        if not lst:
+            out = [0.0] * size
+            return out + [1.0] if track_nulls else out
+        units = []
+        for ms in lst:
+            d = datetime.datetime.utcfromtimestamp(ms / 1000.0)
+            if pivot == "ModeDay":
+                units.append(d.weekday())        # Mon=0..Sun=6 (joda - 1)
+            elif pivot == "ModeMonth":
+                units.append(d.month - 1)
+            else:
+                units.append(d.hour)
+        counts = Counter(units)
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        out = [1.0 if i == best else 0.0 for i in range(size)]
+        return out + [0.0] if track_nulls else out
+    return fn
+
+
+register("dateListPivotVec", _date_list_pivot_expr, _date_list_pivot_local)
+
+
+def _geo_map_expr(p):
+    keys, track_nulls, dv = p["keys"], p["track_nulls"], p["default_value"]
+
+    def make_expr(m: Column) -> Column:
+        parts = []
+        for k in keys:
+            v = F.try_element_at(m, F.lit(k))
+            for i in range(3):
+                parts.append(F.coalesce(F.try_element_at(v, F.lit(i + 1)).cast("double"),
+                                        F.lit(float(dv[i]))))
+            if track_nulls:
+                parts.append(F.when(v.isNull(), 1.0).otherwise(0.0))
+        return F.array(*parts)
+    return make_expr
+
+
+def _geo_map_local(p):
+    keys, track_nulls, dv = p["keys"], p["track_nulls"], p["default_value"]
+
+    def fn(m):
+        m = m or {}
+        out = []
+        for k in keys:
+            v = m.get(k)
+            for i in range(3):
+                ok = v is not None and i < len(v) and v[i] is not None
+                out.append(float(v[i]) if ok else float(dv[i]))
+            if track_nulls:
+                out.append(0.0 if v is not None else 1.0)
+        return out
+    return fn
+
+
+register("geoMapVec", _geo_map_expr, _geo_map_local)
+
+
 # ---------------------------------------------------------------------------
 # numeric fitted ops
 # ---------------------------------------------------------------------------
