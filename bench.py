@@ -57,17 +57,26 @@ def main() -> None:
     runners = dict(SPARK_QUERIES)
     runners["dedup_near_ngram_capped"] = near_ngram_capped
 
+    # median of N repeats per query: single runs at this scale have 10-20%
+    # run-to-run noise (JIT, page cache, GC), which made round-over-round
+    # deltas unattributable. Median (not mean) discards one-off GC spikes.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = runners[name]
-        t0 = time.time()
-        try:
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:  # record failures as -1, keep benching
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            times[name] = -1.0
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                df = fn(spark, SF_DIR)
+                df.count()
+                samples.append(round(time.time() - t0, 3))
+            except Exception as e:  # record failures as -1, keep benching
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                samples.append(-1.0)
+                break
+        good = sorted(t for t in samples if t >= 0)
+        times[name] = good[len(good) // 2] if good else -1.0
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

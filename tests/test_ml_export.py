@@ -1,0 +1,158 @@
+"""Spark-free scoring across the ML boundary (OpWorkflowModelLocal parity):
+exported predictor params must reproduce the fitted Spark ML model through
+the registry's triple paths — Spark Column expr == local row fn ==
+model.transform — and LOCO must work for any model via one exploded pass."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.ml.functions import array_to_vector, vector_to_array
+
+from transmogrifai_spark.serving import registry
+from transmogrifai_spark.serving.ml_export import export_model_params
+
+
+def _fit_df(spark, n=200, classify=True):
+    import random
+    rng = random.Random(9)
+    rows = []
+    for _ in range(n):
+        x0, x1 = rng.uniform(-2, 2), rng.uniform(-2, 2)
+        y = (1.0 if x0 + 0.5 * x1 + rng.gauss(0, 0.3) > 0 else 0.0) if classify \
+            else x0 * 2 + x1 + rng.gauss(0, 0.1)
+        rows.append(([x0, x1], y))
+    df = spark.createDataFrame(rows, "arr array<double>, label double")
+    return df.withColumn("fv", array_to_vector(F.col("arr")))
+
+
+def _check_export(spark, df, model, spark_score_col, tol=1e-9):
+    """model.transform score == registry expr == local fn, row by row."""
+    params = export_model_params(model)
+    expr = registry.expr_for("mlPredictor", params)
+    local = registry.local_for("mlPredictor", params)
+    scored = model.transform(df).select("arr", spark_score_col.alias("want"),
+                                        expr(F.col("arr")).alias("got_expr"))
+    for r in scored.collect():
+        assert r["got_expr"] == pytest.approx(r["want"], rel=tol, abs=tol)
+        assert local(r["arr"]) == pytest.approx(r["want"], rel=tol, abs=tol)
+
+
+def test_logistic_export(spark):
+    from pyspark.ml.classification import LogisticRegression
+    df = _fit_df(spark)
+    m = LogisticRegression(featuresCol="fv", labelCol="label", maxIter=20).fit(df)
+    _check_export(spark, df, m, vector_to_array(F.col("probability"))[1])
+
+
+def test_linear_export(spark):
+    from pyspark.ml.regression import LinearRegression
+    df = _fit_df(spark, classify=False)
+    m = LinearRegression(featuresCol="fv", labelCol="label", maxIter=20).fit(df)
+    _check_export(spark, df, m, F.col("prediction"))
+
+
+def test_decision_tree_export(spark):
+    from pyspark.ml.classification import DecisionTreeClassifier
+    df = _fit_df(spark)
+    m = DecisionTreeClassifier(featuresCol="fv", labelCol="label",
+                               maxDepth=4, seed=7).fit(df)
+    _check_export(spark, df, m, F.col("prediction"), tol=0.0)
+
+
+def test_gbt_regressor_export(spark):
+    from pyspark.ml.regression import GBTRegressor
+    df = _fit_df(spark, classify=False)
+    m = GBTRegressor(featuresCol="fv", labelCol="label", maxIter=5,
+                     maxDepth=3, seed=7).fit(df)
+    _check_export(spark, df, m, F.col("prediction"))
+
+
+def test_gbt_classifier_export(spark):
+    from pyspark.ml.classification import GBTClassifier
+    df = _fit_df(spark)
+    m = GBTClassifier(featuresCol="fv", labelCol="label", maxIter=5,
+                      maxDepth=3, seed=7).fit(df)
+    _check_export(spark, df, m, vector_to_array(F.col("probability"))[1])
+
+
+def test_rf_regressor_export(spark):
+    from pyspark.ml.regression import RandomForestRegressor
+    df = _fit_df(spark, classify=False)
+    m = RandomForestRegressor(featuresCol="fv", labelCol="label", numTrees=5,
+                              maxDepth=3, seed=7).fit(df)
+    _check_export(spark, df, m, F.col("prediction"))
+
+
+def test_rf_classifier_export_refuses(spark):
+    from pyspark.ml.classification import RandomForestClassifier
+    df = _fit_df(spark)
+    m = RandomForestClassifier(featuresCol="fv", labelCol="label", numTrees=3,
+                               maxDepth=2, seed=7).fit(df)
+    with pytest.raises(NotImplementedError, match="RandomForest"):
+        export_model_params(m)
+
+
+def test_loco_any_model_matches_linear_loco(spark):
+    """For a logistic model, loco_any_model's zeroed-slot deltas must equal
+    loco_linear's closed-form deltas (same definition, two computations)."""
+    from pyspark.ml.classification import LogisticRegression
+    from transmogrifai_spark.ml.insights import loco_any_model, loco_linear
+    df = _fit_df(spark, n=40).withColumn("id", F.monotonically_increasing_id())
+    m = LogisticRegression(featuresCol="fv", labelCol="label", maxIter=20).fit(df)
+    any_out = {r["id"]: r for r in
+               loco_any_model(df, m, "arr", ["id"], top_k=2).collect()}
+    lin_out = {r["id"]: r for r in
+               loco_linear(df, "arr", float(m.intercept),
+                           list(m.coefficients.toArray()), top_k=2).collect()}
+    assert set(any_out) == set(lin_out)
+    for k in any_out:
+        a, l = any_out[k], lin_out[k]
+        assert a["base_score"] == pytest.approx(l["base_score"], rel=1e-9)
+        assert [e["slot"] for e in a["loco"]] == [e["slot"] for e in l["loco"]]
+        for ea, el in zip(a["loco"], l["loco"]):
+            assert ea["delta"] == pytest.approx(el["delta"], rel=1e-6, abs=1e-9)
+
+
+def test_loco_any_model_works_on_trees(spark):
+    """Model-agnostic path: LOCO over a GBT classifier (no closed form)."""
+    from pyspark.ml.classification import GBTClassifier
+    from transmogrifai_spark.ml.insights import loco_any_model
+    df = _fit_df(spark, n=60).withColumn("id", F.monotonically_increasing_id())
+    m = GBTClassifier(featuresCol="fv", labelCol="label", maxIter=3,
+                      maxDepth=2, seed=7).fit(df)
+    out = loco_any_model(df, m, "arr", ["id"], top_k=2).collect()
+    assert len(out) == 60
+    for r in out:
+        assert 0.0 <= r["base_score"] <= 1.0
+        assert len(r["loco"]) == 2
+        assert {e["slot"] for e in r["loco"]} <= {0, 1}
+
+
+def test_predictor_stage_full_persistence_roundtrip(spark, tmp_path):
+    """Workflow + model persist together and score Spark-free: transmogrify
+    -> exported LR predictor stage -> save -> load -> identical scores, and
+    the local compiled form agrees row by row."""
+    from pyspark.ml.classification import LogisticRegression
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.serving.ml_export import predictor_stage
+    from transmogrifai_spark.serving.persistence import load_model, save_model
+    from transmogrifai_spark.serving.local import compile_local
+    from transmogrifai_spark.operators.vectorizers import to_ml_vector, transmogrify_batched
+    from transmogrifai_spark.workflow import Workflow
+
+    df = _fit_df(spark)
+    feats = from_dataframe(df.select("arr", "label"), response="label")
+    lr = LogisticRegression(featuresCol="fv", labelCol="label", maxIter=10).fit(df)
+    st = predictor_stage(lr, feats["arr"], output_name="score")
+    model = Workflow([st.output]).fit(df)
+    path = str(tmp_path / "m")
+    save_model(model, path)
+    loaded = load_model(path)
+    a = [r["score"] for r in model.score(df, keep_intermediate=True).select("score").collect()]
+    b = [r["score"] for r in loaded.score(df, keep_intermediate=True).select("score").collect()]
+    assert a == b
+    local = compile_local(loaded)
+    rows = df.select("arr").collect()
+    for r, want in zip(rows, a):
+        got = local({"arr": list(r["arr"])})["score"]
+        assert got == pytest.approx(want, rel=1e-9)

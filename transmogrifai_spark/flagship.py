@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from .feature import from_dataframe
 from .ml.evaluators import binary_metrics
-from .ml.insights import model_insights
+from .ml.insights import merged_model_insights
 from .ml.selectors import default_binary_candidates, select_binary_model
 from .operators.preparators import sanity_checker
 from .operators.vectorizers import collect_slots, to_ml_vector, transmogrify_batched
@@ -67,10 +67,18 @@ def automl_flagship(spark: SparkSession, sf_dir: str,
     fitted_checker = checked.fitted
     keep = fitted_checker.params.get("keep", []) if fitted_checker else []
     kept_slots = [all_slots[i] for i in keep if i < len(all_slots)]
-    report = model_insights(selected, kept_slots)
 
     from .ml.selectors import _binary_score_col
     preds = _binary_score_col(selected.fitted_model.transform(scored))
+    evaluation = binary_metrics(preds, "score", "label")
+    # the MERGED insights document (ModelInsights.scala:74): provenance +
+    # sanity-checker stats + leaderboard + holdout evaluation in one report
+    report = merged_model_insights(
+        selected, kept_slots, label_name="label",
+        train_rows=scored.count(),
+        sanity_params=(fitted_checker.params if fitted_checker else None),
+        evaluation=evaluation)
+
     out = preds.select("key", "label",
                        F.round(F.col("score"), 6).alias("score"),
                        F.col("prediction").alias("prediction"))

@@ -191,3 +191,115 @@ def record_insights_corr(df: DataFrame, pred_col: str, features_col: str,
                       1, top_k)
         per_pred.append(top)
     return df.withColumn("insights", F.flatten(F.array(*per_pred)))
+
+
+def loco_any_model(df: DataFrame, model, vec_col: str, id_cols: list[str],
+                   top_k: int = 5, slots: list[int] | None = None,
+                   n_slots: int | None = None) -> DataFrame:
+    """RecordInsightsLOCO for ANY fitted Spark ML model
+    (RecordInsightsLOCO.scala:100 handles arbitrary models the same way):
+    re-score each record with one vector slot zeroed; delta = base - zeroed.
+
+    Plan: ONE ``model.transform`` over a slot-exploded frame — each record
+    becomes (candidate_slots + 1) rows (slot -1 carries the unmodified
+    vector), the model scores them all in a single distributed pass, and a
+    groupBy pivots the deltas back, keeping the top-K |delta| slots. No
+    per-slot transform passes, no driver loop. Cost scales linearly with the
+    number of candidate slots; at scale restrict ``slots`` to the
+    highest-weighted ones (e.g. from ModelInsights) rather than all.
+
+    ``df[vec_col]`` must be array<double>; ``model`` any fitted estimator
+    exposing featuresCol (+ probabilityCol for classifiers — the score is
+    P(class 1); otherwise predictionCol is used)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    if slots is None:
+        if n_slots is None:
+            n_slots = len(df.select(vec_col).first()[0])
+        slots = list(range(n_slots))
+    x = F.col(vec_col)
+    ex = df.select(*id_cols, x.alias("_arr"),
+                   F.explode(F.array(F.lit(-1), *[F.lit(s) for s in slots])).alias("_slot"))
+    zeroed = F.transform(F.col("_arr"),
+                         lambda v, i: F.when(i == F.col("_slot"), F.lit(0.0)).otherwise(v))
+    fcol = model.getOrDefault(model.featuresCol)
+    ex = ex.withColumn(fcol, array_to_vector(zeroed))
+    scored = model.transform(ex)
+    if model.hasParam("probabilityCol") and model.isDefined(model.probabilityCol):
+        sc = vector_to_array(F.col(model.getOrDefault(model.probabilityCol)))[1]
+    else:
+        sc = F.col(model.getOrDefault(model.predictionCol)).cast("double")
+    g = (scored.select(*id_cols, F.col("_slot"), sc.alias("_s"))
+         .groupBy(*id_cols)
+         .agg(F.max(F.when(F.col("_slot") == -1, F.col("_s"))).alias("base_score"),
+              F.collect_list(F.when(F.col("_slot") >= 0,
+                                    F.struct(F.col("_slot").alias("slot"),
+                                             F.col("_s").alias("s")))).alias("_zs")))
+    deltas = F.transform(F.col("_zs"), lambda z: F.struct(
+        z["slot"].alias("slot"),
+        (F.col("base_score") - z["s"]).alias("delta")))
+    top = F.slice(F.array_sort(deltas, lambda a, b:
+                  F.when(F.abs(a["delta"]) > F.abs(b["delta"]), -1)
+                  .when(F.abs(a["delta"]) < F.abs(b["delta"]), 1)
+                  .otherwise(F.when(a["slot"] < b["slot"], -1).otherwise(1))),
+                  1, top_k)
+    return g.withColumn("loco", top).drop("_zs")
+
+
+def merged_model_insights(selected, slots: list[VectorSlot],
+                          label_name: str | None = None,
+                          train_rows: int | None = None,
+                          sanity_params: dict | None = None,
+                          rff_result=None,
+                          evaluation: dict | None = None,
+                          metric_name: str = "auroc") -> dict:
+    """ModelInsights.scala:74 — the MERGED report: the reference fuses
+    feature provenance (OpVectorMetadata), SanityChecker statistics
+    (variance / label correlation / exclusion reasons), RawFeatureFilter
+    results (fill rates, dropped features), model weights/importances, the
+    selection leaderboard, and evaluation metrics into one serializable
+    document. This builds the same fusion from the engine's artifacts:
+
+      selected       — SelectedModel (leaderboard + best fitted model)
+      slots          — vector slot metadata (the OpVectorMetadata analogue)
+      sanity_params  — fitted sanityChecker stage params
+                       ({"keep", "slot_stats"} with per-slot variance /
+                        label_corr / dropped reason)
+      rff_result     — RawFeatureFilterResult / RawFeatureFilterFullResult
+      evaluation     — metric dict from ml.evaluators (holdout metrics)
+
+    Returns a plain JSON-able dict (json.dumps-ready)."""
+    base = model_insights(selected, slots, metric_name)
+    stats_by_slot = {}
+    if sanity_params:
+        stats_by_slot = {s["slot"]: s for s in sanity_params.get("slot_stats", [])}
+    features = []
+    for f in base.features:
+        d = asdict(f)
+        st = stats_by_slot.get(f.slot)
+        if st:
+            d["variance"] = st["variance"]
+            d["label_corr"] = st["label_corr"]
+            d["excluded_reason"] = st["dropped"]
+        features.append(d)
+    report = {
+        "label": {"name": label_name, "train_rows": train_rows},
+        "selected_model": {
+            "name": base.model_name,
+            "params": base.model_params,
+            "validation_metric": {base.metric_name: base.metric_value},
+        },
+        "leaderboard": base.leaderboard,
+        "features": features,
+        "evaluation": evaluation or {},
+    }
+    if rff_result is not None:
+        rff = {"fill_rates": getattr(rff_result, "fill_rates", None) or
+               getattr(rff_result, "train_fill", None),
+               "dropped": list(getattr(rff_result, "dropped", []) or [])}
+        js = getattr(rff_result, "js_divergence", None)
+        if js is not None:
+            rff["js_divergence"] = js
+            rff["reasons"] = getattr(rff_result, "reasons", None)
+        report["raw_feature_filter"] = rff
+    return report

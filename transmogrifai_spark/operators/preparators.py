@@ -76,19 +76,25 @@ def sanity_checker(vec: Feature, label: Feature, max_correlation: float = 0.95,
             .orderBy("_i").collect()
         )
         keep: list[int] = []
+        slot_stats: list[dict] = []
         for r in stats:
-            if r["vx"] is None or r["vx"] <= min_variance:
-                continue
+            variance = float(r["vx"]) if r["vx"] is not None else None
             corr = 0.0
-            if r["vy"] and r["vy"] > 0:
-                corr = (r["mxy"] - r["mx"] * r["my"]) / ((r["vx"] ** 0.5) * (r["vy"] ** 0.5))
-            if abs(corr) >= max_correlation:
-                continue  # label leakage (SanityChecker maxCorrelation:94)
-            keep.append(int(r["_i"]))
+            if variance and variance > 0 and r["vy"] and r["vy"] > 0:
+                corr = (r["mxy"] - r["mx"] * r["my"]) / ((variance ** 0.5) * (r["vy"] ** 0.5))
+            dropped_reason = None
+            if variance is None or variance <= min_variance:
+                dropped_reason = "low_variance"
+            elif abs(corr) >= max_correlation:
+                dropped_reason = "label_leakage"  # SanityChecker maxCorrelation:94
+            slot_stats.append({"slot": int(r["_i"]), "variance": variance,
+                               "label_corr": float(corr), "dropped": dropped_reason})
+            if dropped_reason is None:
+                keep.append(int(r["_i"]))
         return FittedVectorizer("sanityChecker", [vec, label], out,
                                 lambda c, _y: slice_slots_expr(keep)(c),
                                 [VectorSlot(vec.name, descriptor=f"slot_{i}") for i in keep],
-                                {"keep": keep})
+                                {"keep": keep, "slot_stats": slot_stats})
 
     return Estimator("sanityChecker", [vec, label], out, "OPVector", fit)
 
@@ -98,15 +104,16 @@ def spearman_corr(df: DataFrame, a: str, b: str) -> float:
     SanityChecker.scala:58-231): Pearson over average ranks, computed with
     integer arithmetic (2x-scaled average ranks are integers) so the result
     is exact and partitioning-invariant. Ranks come from one groupBy per
-    column — the shuffle carries distinct values, not rows."""
-    from pyspark.sql.window import Window
+    column — the shuffle carries distinct values, not rows — and the running
+    counts use range-partitioned parallel windows (util.counts_below), so
+    continuous all-distinct columns never funnel through one task."""
+    from ..util import counts_below
 
     def ranked(col):
         g = (df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
              .groupBy("v").agg(F.count(F.lit(1)).alias("n")))
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-        return g.withColumn("below", F.coalesce(F.sum("n").over(w), F.lit(0))) \
-            .select("v", (2 * F.col("below") + F.col("n") + 1).alias("r2"))  # 2*avg_rank
+        g = counts_below(g, "v", "n")
+        return g.select("v", (2 * F.col("below") + F.col("n") + 1).alias("r2"))  # 2*avg_rank
 
     ra = ranked(a).withColumnRenamed("v", a).withColumnRenamed("r2", "_ra")
     rb = ranked(b).withColumnRenamed("v", b).withColumnRenamed("r2", "_rb")

@@ -1,0 +1,242 @@
+"""Export fitted Spark ML predictor params for model-free scoring.
+
+Re-expression of the reference's MLeap-backed local scoring across the ML
+boundary (local/.../OpWorkflowModelLocal.scala:79): the fitted predictor's
+parameters (linear coefficients, tree structures) are extracted into plain
+JSON-able dicts and registered as a serving-registry op ("mlPredictor"), so
+a saved workflow can score through the SAME three paths as every other
+stage — Spark Column expression, local row fn, and manifest round-trip —
+with no Spark ML model object (and no JVM) in the serving hot path.
+
+Tree structures come from ``toDebugString`` — the stable public surface
+(Scala's Double.toString is shortest-roundtrip, so thresholds and leaf
+values are bit-exact). Supported:
+
+  * LogisticRegressionModel (binomial)   -> kind "logistic"  (P(class 1))
+  * LinearRegressionModel               -> kind "linear"
+  * DecisionTreeClassifier / Regressor  -> kind "dt"
+  * RandomForestRegressionModel         -> kind "rf_regressor" (tree mean)
+  * GBTRegressionModel                  -> kind "gbt_regressor" (weighted sum)
+  * GBTClassificationModel              -> kind "gbt_classifier"
+    (P(1) = 1/(1+exp(-2*margin)), Spark's logistic loss inversion)
+
+RandomForestClassificationModel is NOT exportable: its probability averages
+per-leaf class distributions, which toDebugString does not carry — scoring
+it locally would silently disagree with Spark, so it raises instead.
+"""
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import registry
+
+_IF_RE = re.compile(r"^If \(feature (\d+) (<=|>) ([0-9eE.+-]+)\)$")
+_IF_IN_RE = re.compile(r"^If \(feature (\d+) (in|not in) \{([^}]*)\}\)$")
+_PREDICT_RE = re.compile(r"^Predict: ([0-9eE.+-]+)$")
+
+
+def parse_debug_tree(lines: list[str]) -> dict:
+    """Parse one tree's ``toDebugString`` body (If/Else/Predict lines,
+    indentation-nested) into {"f", "t"|"in", "l", "r"} / {"p"} node dicts."""
+    pos = 0
+
+    def parse() -> dict:
+        nonlocal pos
+        line = lines[pos].strip()
+        m = _PREDICT_RE.match(line)
+        if m:
+            pos += 1
+            return {"p": float(m.group(1))}
+        m = _IF_RE.match(line)
+        if m:
+            pos += 1
+            feat, op, thr = int(m.group(1)), m.group(2), float(m.group(3))
+            left = parse()
+            if not lines[pos].strip().startswith("Else"):
+                raise ValueError(f"expected Else at line {pos}: {lines[pos]!r}")
+            pos += 1
+            right = parse()
+            node = {"f": feat, "t": thr, "l": left, "r": right}
+            if op == ">":  # normalize: left branch is always <=
+                node["l"], node["r"] = right, left
+            return node
+        m = _IF_IN_RE.match(line)
+        if m:
+            pos += 1
+            feat, op = int(m.group(1)), m.group(2)
+            vals = [float(v) for v in m.group(3).split(",") if v.strip()]
+            left = parse()
+            pos += 1  # Else
+            right = parse()
+            node = {"f": feat, "in": vals, "l": left, "r": right}
+            if op == "not in":
+                node["l"], node["r"] = right, left
+            return node
+        raise ValueError(f"unparseable tree line: {line!r}")
+
+    root = parse()
+    return root
+
+
+def _tree_bodies(debug: str) -> tuple[list[list[str]], list[float]]:
+    """Split an ensemble debugString into per-tree line blocks + weights."""
+    lines = debug.splitlines()
+    blocks: list[list[str]] = []
+    weights: list[float] = []
+    cur: list[str] = []
+    for ln in lines:
+        s = ln.strip()
+        m = re.match(r"^Tree (\d+) \(weight ([0-9eE.+-]+)\):$", s)
+        if m:
+            if cur:
+                blocks.append(cur)
+            cur = []
+            weights.append(float(m.group(2)))
+        elif s.startswith(("If ", "Else", "Predict:")):
+            cur.append(s)
+    if cur:
+        blocks.append(cur)
+    if not weights:
+        weights = [1.0] * len(blocks)
+    return blocks, weights
+
+
+def export_model_params(model) -> dict:
+    """Fitted Spark ML model -> serving params dict for op "mlPredictor"."""
+    cls = type(model).__name__
+    if cls == "LogisticRegressionModel":
+        if model.numClasses != 2:
+            raise NotImplementedError("only binomial logistic export supported")
+        return {"kind": "logistic", "intercept": float(model.intercept),
+                "coefficients": [float(c) for c in model.coefficients.toArray()]}
+    if cls == "LinearRegressionModel":
+        return {"kind": "linear", "intercept": float(model.intercept),
+                "coefficients": [float(c) for c in model.coefficients.toArray()]}
+    if cls in ("DecisionTreeClassificationModel", "DecisionTreeRegressionModel"):
+        blocks, _ = _tree_bodies(model.toDebugString)
+        return {"kind": "dt", "trees": [parse_debug_tree(blocks[0])],
+                "weights": [1.0]}
+    if cls == "RandomForestRegressionModel":
+        blocks, _ = _tree_bodies(model.toDebugString)
+        return {"kind": "rf_regressor",
+                "trees": [parse_debug_tree(b) for b in blocks],
+                "weights": [1.0] * len(blocks)}
+    if cls == "GBTRegressionModel":
+        blocks, weights = _tree_bodies(model.toDebugString)
+        return {"kind": "gbt_regressor",
+                "trees": [parse_debug_tree(b) for b in blocks],
+                "weights": weights}
+    if cls == "GBTClassificationModel":
+        blocks, weights = _tree_bodies(model.toDebugString)
+        return {"kind": "gbt_classifier",
+                "trees": [parse_debug_tree(b) for b in blocks],
+                "weights": weights}
+    if cls == "RandomForestClassificationModel":
+        raise NotImplementedError(
+            "RandomForestClassificationModel probabilities average per-leaf "
+            "class distributions, which toDebugString does not expose — "
+            "export would silently disagree with Spark")
+    raise NotImplementedError(f"no param export for {cls}")
+
+
+# -- registry op ------------------------------------------------------------
+
+def _tree_expr(node: dict, x: Column) -> Column:
+    if "p" in node:
+        return F.lit(node["p"])
+    v = F.try_element_at(x, F.lit(node["f"] + 1)).cast("double")
+    cond = (v <= F.lit(node["t"])) if "t" in node else v.isin(node["in"])
+    return F.when(cond, _tree_expr(node["l"], x)).otherwise(_tree_expr(node["r"], x))
+
+
+def _margin_expr(p, x: Column) -> Column:
+    coefs = p["coefficients"]
+    dotc = F.aggregate(
+        F.zip_with(x, F.array(*[F.lit(c) for c in coefs]),
+                   lambda xi, wi: xi.cast("double") * wi),
+        F.lit(0.0), lambda a, v: a + v)
+    return F.lit(p["intercept"]) + dotc
+
+
+def _ml_pred_expr(p):
+    kind = p["kind"]
+
+    def make_expr(x: Column) -> Column:
+        if kind == "linear":
+            return _margin_expr(p, x)
+        if kind == "logistic":
+            m = _margin_expr(p, x)
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        trees = [_tree_expr(t, x) for t in p["trees"]]
+        ws = p["weights"]
+        if kind == "dt":
+            return trees[0]
+        if kind == "rf_regressor":
+            total = trees[0]
+            for t in trees[1:]:
+                total = total + t
+            return total / F.lit(float(len(trees)))
+        acc = trees[0] * F.lit(ws[0])
+        for t, w in zip(trees[1:], ws[1:]):
+            acc = acc + t * F.lit(w)
+        if kind == "gbt_regressor":
+            return acc
+        if kind == "gbt_classifier":  # Spark's logistic-loss inversion
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-2.0) * acc))
+        raise ValueError(f"unknown mlPredictor kind {kind!r}")
+    return make_expr
+
+
+def _eval_tree(node: dict, xs) -> float:
+    while "p" not in node:
+        v = xs[node["f"]]
+        if "t" in node:
+            node = node["l"] if v <= node["t"] else node["r"]
+        else:
+            node = node["l"] if v in node["in"] else node["r"]
+    return node["p"]
+
+
+def _ml_pred_local(p):
+    kind = p["kind"]
+
+    def fn(xs):
+        if xs is None:
+            return None
+        xs = [float(v) for v in xs]
+        if kind in ("linear", "logistic"):
+            m = p["intercept"] + sum(x * c for x, c in zip(xs, p["coefficients"]))
+            return m if kind == "linear" else 1.0 / (1.0 + math.exp(-m))
+        vals = [_eval_tree(t, xs) for t in p["trees"]]
+        if kind == "dt":
+            return vals[0]
+        if kind == "rf_regressor":
+            return sum(vals) / len(vals)
+        acc = sum(v * w for v, w in zip(vals, p["weights"]))
+        if kind == "gbt_regressor":
+            return acc
+        if kind == "gbt_classifier":
+            return 1.0 / (1.0 + math.exp(-2.0 * acc))
+        raise ValueError(f"unknown mlPredictor kind {kind!r}")
+    return fn
+
+
+registry.register("mlPredictor", _ml_pred_expr, _ml_pred_local)
+
+
+def predictor_stage(model, features, output_name: str = "score"):
+    """Wrap a fitted Spark ML predictor as a serving-registry stage
+    (op "mlPredictor"): the exported params score through the same three
+    paths as every fitted stage — Spark expr, local row fn, and manifest
+    save/load — so a full workflow INCLUDING its model persists and scores
+    with no Spark ML object (the reference needs MLeap for this,
+    OpWorkflowModelLocal.scala:79). ``features`` must be an array<double>
+    Feature (e.g. the transmogrified vector)."""
+    from ..operators.numeric import FittedParamTransformer
+    params = export_model_params(model)
+    return FittedParamTransformer("mlPredictor", [features], output_name,
+                                  "RealNN", _ml_pred_expr(params), params)
