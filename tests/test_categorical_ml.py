@@ -69,6 +69,44 @@ def test_mime_detection(spark):
                    "application/octet-stream", None]
 
 
+def test_mime_riff_containers_disambiguate(spark):
+    """RIFF is a container: bytes 8-11 decide wav vs avi vs webp; a RIFF
+    header with an unknown subtype is NOT claimed as audio."""
+    def riff(subtype: bytes) -> str:
+        return base64.b64encode(b"RIFF\x24\x00\x00\x00" + subtype + b"data").decode()
+    df = spark.createDataFrame(
+        [(riff(b"WAVE"),), (riff(b"AVI "),), (riff(b"WEBP"),), (riff(b"XXXX"),)],
+        "b64 string")
+    out = [r["m"] for r in df.select(detect_mime_type(F.col("b64")).alias("m")).collect()]
+    assert out == ["audio/wav", "video/x-msvideo", "image/webp",
+                   "application/octet-stream"]
+
+
+def test_mime_breadth(spark):
+    cases = [
+        (b"GIF89a" + b"x" * 8, "image/gif"),
+        (bytes.fromhex("1f8b08") + b"x" * 8, "application/gzip"),
+        (bytes.fromhex("377abcaf271c") + b"x" * 8, "application/x-7z-compressed"),
+        (b"Rar!\x1a\x07\x00" + b"x" * 8, "application/x-rar-compressed"),
+        (bytes.fromhex("49492a00") + b"x" * 8, "image/tiff"),
+        (bytes.fromhex("4d4d002a") + b"x" * 8, "image/tiff"),
+        (b"ID3\x03\x00" + b"x" * 8, "audio/mpeg"),
+        (b"OggS\x00" + b"x" * 8, "audio/ogg"),
+        (b"fLaC\x00" + b"x" * 8, "audio/flac"),
+        (b"\x00\x00\x00\x18ftypmp42" + b"x" * 8, "video/mp4"),  # ftyp @ offset 4
+        (bytes.fromhex("1a45dfa3") + b"x" * 8, "video/x-matroska"),
+        (b"\x7fELF\x02\x01" + b"x" * 8, "application/x-elf"),
+        (b"<?xml version='1.0'?>", "application/xml"),
+        (b"BM\x36\x00" + b"x" * 8, "image/bmp"),
+        (b"MZ\x90\x00" + b"x" * 8, "application/x-msdownload"),
+        (b"PK\x03\x04" + b"x" * 8, "application/zip"),
+    ]
+    df = spark.createDataFrame(
+        [(base64.b64encode(raw).decode(),) for raw, _ in cases], "b64 string")
+    out = [r["m"] for r in df.select(detect_mime_type(F.col("b64")).alias("m")).collect()]
+    assert out == [want for _, want in cases]
+
+
 # -- evaluators -------------------------------------------------------------
 
 def test_auroc_hand_computed(spark):

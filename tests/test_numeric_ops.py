@@ -92,3 +92,59 @@ def test_isotonic_calibrator_monotone(spark):
     fitted = isotonic_calibrator(feats["s"], feats["y"]).fit(df)
     out = [r["c"] for r in df.orderBy("s").select(fitted.expr().alias("c")).collect()]
     assert all(a <= b + 1e-9 for a, b in zip(out, out[1:]))  # monotone
+
+
+def test_decision_tree_map_bucketizer(spark):
+    """Map form (DecisionTreeNumericMapBucketizer.scala:46): per-key trees
+    find each key's boundary; vector = per-key one-hot + null slot; the
+    Spark expr and the serving-registry local fn agree row by row."""
+    from transmogrifai_spark.operators.numeric import decision_tree_map_bucketizer
+    from transmogrifai_spark.serving import registry
+    rows = []
+    for i in range(100):
+        m = {"a": float(i), "b": float(100 - i)}
+        if i % 10 == 0:
+            m.pop("b")  # missing key -> null slot
+        rows.append((m, 0.0 if i < 50 else 1.0))
+    df = spark.createDataFrame(rows, "m map<string,double>, y double")
+    feats = from_dataframe(df, response="y")
+    fitted = decision_tree_map_bucketizer(feats["m"], feats["y"], max_depth=1).fit(df)
+    assert fitted.params["keys"] == ["a", "b"]
+    for k in ("a", "b"):
+        interior = fitted.params["splits"][k][1:-1]
+        assert len(interior) >= 1 and 40 <= interior[0] <= 60
+    # fitted stage takes the map alone (label is fit-time-only)
+    assert [f.name for f in fitted.inputs] == ["m"]
+    out = df.select(F.col("m"), fitted.expr().alias("v")).collect()
+    local = registry.local_for("dtMapBucketizer", fitted.params)
+    for r in out:
+        v = r["v"]
+        assert len(v) == len(fitted.slots)
+        assert v == local(r["m"])
+        # each key contributes exactly one hot bucket, or the null slot
+        assert sum(v) == pytest.approx(2.0)
+
+
+def test_mlp_in_classifier_zoo(spark):
+    """MultilayerPerceptronClassifier with layers="auto" resolves the layer
+    spec from the data and competes in the CV leaderboard."""
+    import random
+    from transmogrifai_spark.ml.selectors import select_binary_model
+    from pyspark.ml.functions import array_to_vector
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1), rng.uniform(-1, 1)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "k long, arr array<double>") \
+        .withColumn("fv", array_to_vector(F.col("arr"))) \
+        .withColumn("y", (F.col("arr")[0] + F.col("arr")[1] > 0).cast("double"))
+    sel = select_binary_model(
+        df, "fv", "y", "k",
+        candidates=[("MultilayerPerceptronClassifier",
+                     {"layers": "auto", "maxIter": 30, "seed": 42}),
+                    ("LogisticRegression", {"regParam": 0.01, "maxIter": 10})],
+        k=2)
+    names = {c.name for c in sel.leaderboard}
+    assert "MultilayerPerceptronClassifier" in names
+    mlp = next(c for c in sel.leaderboard if c.name == "MultilayerPerceptronClassifier")
+    assert mlp.metric > 0.5  # separable-ish problem, better than random
+    # the stored params keep the "auto" marker (resolved only at fit time)
+    assert mlp.params["layers"] == "auto"

@@ -1372,9 +1372,22 @@ ORACLES["correlation_stats"] = (
 ORACLES["binary_eval"] = (
     f"SELECT * FROM ({_CONFUSION_SQL}) cm CROSS JOIN ({_AUROC_SQL}) au")
 
-# mirror of operators/categorical._MAGIC prefix rules (same priority order)
-# over the same synthesized payloads (magic || utf8(p_name))
-ORACLES["mime_detector"] = """
+# mirror of operators/categorical._MAGIC offset rules: the CASE is GENERATED
+# from the same table (same priority order, same offsets), so the oracle
+# cannot drift from the Spark expression.
+def _mime_case_sql() -> str:
+    from .operators.categorical import _MAGIC
+    whens = []
+    for mime, parts in _MAGIC:
+        conds = " AND ".join(
+            f"substr(hx, {2 * off + 1}, {2 * len(magic)}) = '{magic.hex().upper()}'"
+            for off, magic in parts)
+        whens.append(f"WHEN {conds} THEN '{mime}'")
+    return "CASE " + "\n            ".join(whens) + \
+        " ELSE 'application/octet-stream' END"
+
+
+ORACLES["mime_detector"] = f"""
 WITH payload AS (
   SELECT p_partkey,
          CASE WHEN p_partkey % 3 = 0 THEN '89504E470D0A1A0A' || hex(encode(p_name))
@@ -1383,14 +1396,7 @@ WITH payload AS (
   FROM part
 )
 SELECT p_partkey,
-       CASE WHEN starts_with(hx, '89504E47') THEN 'image/png'
-            WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
-            WHEN starts_with(hx, hex(encode('GIF8'))) THEN 'image/gif'
-            WHEN starts_with(hx, hex(encode('%PDF'))) THEN 'application/pdf'
-            WHEN starts_with(hx, '504B0304') THEN 'application/zip'
-            WHEN starts_with(hx, hex(encode('BM'))) THEN 'image/bmp'
-            WHEN starts_with(hx, hex(encode('RIFF'))) THEN 'audio/wav'
-            ELSE 'application/octet-stream' END AS mime
+       {_mime_case_sql()} AS mime
 FROM payload
 """
 

@@ -129,7 +129,22 @@ def default_binary_candidates(small: bool = False) -> list[tuple[str, dict]]:
         cands.append(("LinearSVC", {"regParam": 0.01, "maxIter": 20}))
         cands.append(("DecisionTreeClassifier", {"maxDepth": 6, "seed": 42}))
         cands.append(("NaiveBayes", {"smoothing": 1.0}))
+        cands.append(("MultilayerPerceptronClassifier",
+                      {"layers": "auto", "maxIter": 50, "seed": 42}))
     return cands
+
+
+def _resolve_auto_layers(name: str, params: dict, df: DataFrame,
+                         features_col: str, n_classes: int = 2) -> dict:
+    """MLP needs a concrete layer spec; ``layers="auto"`` (or absent) becomes
+    [input_dim, max(2, input_dim // 2), n_classes], resolved from the data at
+    fit time (OpMultilayerPerceptronClassifier's layers param is likewise
+    data-shaped)."""
+    if name != "MultilayerPerceptronClassifier" or \
+            params.get("layers") not in (None, "auto"):
+        return params
+    dim = df.select(features_col).first()[0].size
+    return {**params, "layers": [dim, max(2, dim // 2), n_classes]}
 
 
 def _make_classifier(name: str, params: dict, features_col: str, label_col: str):
@@ -166,15 +181,18 @@ def select_binary_model(df: DataFrame, features_col: str, label_col: str,
         fold_metrics = []
         for train, valid in folds:
             t = prepare(train) if prepare else train
-            model = _make_classifier(name, params, features_col, label_col).fit(t)
+            p = _resolve_auto_layers(name, params, t, features_col)
+            model = _make_classifier(name, p, features_col, label_col).fit(t)
             preds = _binary_score_col(model.transform(valid))
             fold_metrics.append(auroc(preds, "score", label_col))
         m = sum(fold_metrics) / len(fold_metrics)
         leaderboard.append(CandidateResult(name, params, m, fold_metrics))
     leaderboard.sort(key=lambda c: (-c.metric, c.name))
     best = leaderboard[0]
-    fitted = _make_classifier(best.name, best.params, features_col, label_col).fit(
-        prepare(df) if prepare else df)
+    full = prepare(df) if prepare else df
+    fitted = _make_classifier(
+        best.name, _resolve_auto_layers(best.name, best.params, full, features_col),
+        features_col, label_col).fit(full)
     df.unpersist()
     return SelectedModel(best.name, best.params, best.metric,
                          leaderboard, fitted)
@@ -229,19 +247,27 @@ def select_multiclass_model(df: DataFrame, features_col: str, label_col: str,
         ("RandomForestClassifier", {"maxDepth": 5, "numTrees": 20, "seed": 42}),
     ]
     df = df.persist()
+    n_classes = None
+    if any(n == "MultilayerPerceptronClassifier" for n, _ in candidates):
+        n_classes = int(df.agg(F.max(F.col(label_col))).first()[0]) + 1
     folds = list(kfold_by_key(df, key_col, k=k, seed=seed))
     leaderboard = []
     for name, params in candidates:
         fold_metrics = []
         for train, valid in folds:
-            model = _make_classifier(name, params, features_col, label_col).fit(train)
+            p = _resolve_auto_layers(name, params, train, features_col,
+                                     n_classes or 2)
+            model = _make_classifier(name, p, features_col, label_col).fit(train)
             preds = model.transform(valid)
             fold_metrics.append(multiclass_metrics(preds, "prediction", label_col)["accuracy"])
         m = sum(fold_metrics) / len(fold_metrics)
         leaderboard.append(CandidateResult(name, params, m, fold_metrics))
     leaderboard.sort(key=lambda c: (-c.metric, c.name))
     best = leaderboard[0]
-    fitted = _make_classifier(best.name, best.params, features_col, label_col).fit(df)
+    fitted = _make_classifier(
+        best.name, _resolve_auto_layers(best.name, best.params, df, features_col,
+                                        n_classes or 2),
+        features_col, label_col).fit(df)
     df.unpersist()
     return SelectedModel(best.name, best.params, best.metric, leaderboard, fitted)
 

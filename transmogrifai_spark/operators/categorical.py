@@ -128,28 +128,54 @@ def smart_text_vectorizer(feat: Feature, max_cardinality: int = 30,
 
 # -- MIME sniffing over Base64 content (MimeTypeDetector.scala:49) ----------
 
-_MAGIC = [
-    # (mime, hex prefix of decoded bytes)
-    ("image/png", bytes.fromhex("89504e47")),
-    ("image/jpeg", bytes.fromhex("ffd8ff")),
-    ("image/gif", b"GIF8"),
-    ("application/pdf", b"%PDF"),
-    ("application/zip", b"PK\x03\x04"),
-    ("image/bmp", b"BM"),
-    ("audio/wav", b"RIFF"),
+# (mime, [(byte_offset, magic_bytes), ...]) — ALL parts must match; rules are
+# tried top-down, first match wins, so multi-part / longer signatures come
+# before ambiguous short ones (RIFF containers need bytes 8-11 to tell
+# wav/avi/webp apart; "BM" and "MZ" are 2-byte and sit near the bottom).
+# Signature values are the standard public magic numbers (as in file(1) /
+# Apache Tika's magic database, MimeTypeDetector.scala:49).
+_MAGIC: list[tuple[str, list[tuple[int, bytes]]]] = [
+    ("image/png", [(0, bytes.fromhex("89504e47"))]),
+    ("image/jpeg", [(0, bytes.fromhex("ffd8ff"))]),
+    ("image/gif", [(0, b"GIF8")]),
+    ("image/webp", [(0, b"RIFF"), (8, b"WEBP")]),
+    ("audio/wav", [(0, b"RIFF"), (8, b"WAVE")]),
+    ("video/x-msvideo", [(0, b"RIFF"), (8, b"AVI ")]),
+    ("application/pdf", [(0, b"%PDF")]),
+    ("application/zip", [(0, b"PK\x03\x04")]),
+    ("application/gzip", [(0, bytes.fromhex("1f8b"))]),
+    ("application/x-7z-compressed", [(0, bytes.fromhex("377abcaf271c"))]),
+    ("application/x-rar-compressed", [(0, b"Rar!")]),
+    ("image/tiff", [(0, bytes.fromhex("49492a00"))]),   # little-endian
+    ("image/tiff", [(0, bytes.fromhex("4d4d002a"))]),   # big-endian
+    ("image/x-icon", [(0, bytes.fromhex("00000100"))]),
+    ("audio/mpeg", [(0, b"ID3")]),
+    ("audio/ogg", [(0, b"OggS")]),
+    ("audio/flac", [(0, b"fLaC")]),
+    ("video/mp4", [(4, b"ftyp")]),
+    ("video/x-matroska", [(0, bytes.fromhex("1a45dfa3"))]),
+    ("application/x-elf", [(0, b"\x7fELF")]),
+    ("application/xml", [(0, b"<?xml")]),
+    ("image/bmp", [(0, b"BM")]),
+    ("application/x-msdownload", [(0, b"MZ")]),
 ]
 
 
 def detect_mime_type(c: Column, default: str = "application/octet-stream") -> Column:
     """Magic-byte MIME sniff of a Base64 Text column — pure expressions
-    (try_to_binary + prefix compare). NULL input -> NULL; malformed base64
-    decodes to NULL (try_to_binary) and falls back to the default."""
+    (try_to_binary + hex-substring compares at the signature offsets, so
+    container formats like RIFF disambiguate on their subtype bytes).
+    NULL input -> NULL; malformed base64 decodes to NULL (try_to_binary)
+    and falls back to the default."""
     raw = F.try_to_binary(c, F.lit("base64"))
+    hx = F.hex(raw)  # uppercase hex, 2 chars per byte
     out = F.lit(default)
-    for mime, magic in reversed(_MAGIC):
-        hexpat = magic.hex()
-        out = F.when(F.hex(raw).startswith(hexpat.upper()) |
-                     F.hex(raw).startswith(hexpat.lower()), F.lit(mime)).otherwise(out)
+    for mime, parts in reversed(_MAGIC):
+        cond = F.lit(True)
+        for off, magic in parts:
+            cond = cond & (F.substring(hx, 2 * off + 1, 2 * len(magic))
+                           == F.lit(magic.hex().upper()))
+        out = F.when(cond, F.lit(mime)).otherwise(out)
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
 
 

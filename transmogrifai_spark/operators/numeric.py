@@ -253,6 +253,80 @@ def decision_tree_bucketizer(feat: Feature, label: Feature, max_depth: int = 2,
     return Estimator("dtBucketizer", [feat, label], out, "Integral", fit)
 
 
+def decision_tree_map_bucketizer(feat: Feature, label: Feature,
+                                 keys: list[str] | None = None,
+                                 max_depth: int = 2, track_nulls: bool = True,
+                                 output_name: str | None = None) -> Estimator:
+    """DecisionTreeNumericMapBucketizer.scala:46 — the map form of supervised
+    bucketing: one single-feature decision tree per map key (fit on that
+    key's values against the label), the learned thresholds become that
+    key's splits, and the output vector concatenates each key's bucket
+    one-hot plus a null-tracking slot.
+
+    Fit plan: keys are discovered from ONE exploded distinct aggregation;
+    the exploded (key, value, label) projection is persisted once and each
+    per-key tree fits from a filtered slice (the reference likewise fits one
+    tree per key via its sequence-estimator). Key count is the map's schema
+    arity — small — so the K tree fits are bounded; the scoring expression
+    is pure Columns (no model object in the hot path)."""
+    import re
+
+    out = output_name or f"{feat.name}_dt_map_bucket"
+
+    def fit(stage: Estimator, df: DataFrame):
+        from pyspark.ml.classification import DecisionTreeClassifier
+        from pyspark.ml.functions import array_to_vector
+        from .vectorizers import FittedVectorizer, VectorSlot
+        ex = (df.select(F.explode_outer(F.col(feat.name)).alias("_k", "_x"),
+                        F.col(label.name).cast("double").alias("_y"))
+              .where(F.col("_k").isNotNull() & F.col("_x").isNotNull()
+                     & F.col("_y").isNotNull())
+              .withColumn("_x", F.col("_x").cast("double"))
+              .persist())
+        ks = keys or [r["_k"] for r in ex.select("_k").distinct().orderBy("_k").collect()]
+        splits_by_key: dict[str, list[float]] = {}
+        for k in ks:
+            data = ex.where(F.col("_k") == F.lit(k)) \
+                .withColumn("_v", array_to_vector(F.array(F.col("_x"))))
+            dt = DecisionTreeClassifier(featuresCol="_v", labelCol="_y",
+                                        maxDepth=max_depth, seed=42).fit(data)
+            thresholds = {float(t) for t in
+                          re.findall(r"feature 0 <= ([0-9eE.+-]+)", dt.toDebugString)}
+            splits_by_key[k] = [-math.inf] + sorted(thresholds) + [math.inf]
+        ex.unpersist()
+        params = {"keys": list(ks),
+                  "splits": {k: list(v) for k, v in splits_by_key.items()},
+                  "track_nulls": bool(track_nulls)}
+        slots = []
+        for k in ks:
+            nb = len(splits_by_key[k]) - 1
+            slots += [VectorSlot(feat.name, descriptor=f"{k}_bucket_{i}")
+                      for i in range(nb)]
+            if track_nulls:
+                slots.append(VectorSlot(feat.name, descriptor=f"{k}_null"))
+        return FittedVectorizer("dtMapBucketizer", [feat], out,
+                                _dt_map_bucket_expr(params), slots, params)
+
+    return Estimator("dtMapBucketizer", [feat, label], out, "OPVector", fit)
+
+
+def _dt_map_bucket_expr(params: dict):
+    """Concatenated per-key bucket one-hots (+ null slots) over a map column;
+    shared with the serving registry (op "dtMapBucketizer")."""
+    def make_expr(c: Column) -> Column:
+        parts = []
+        for k in params["keys"]:
+            splits = [float(s) for s in params["splits"][k]]
+            v = F.try_element_at(c, F.lit(k)).cast("double")
+            idx = _bucket_expr(splits)(v)
+            for i in range(len(splits) - 1):
+                parts.append(F.when(idx == i, 1.0).otherwise(0.0))
+            if params["track_nulls"]:
+                parts.append(F.when(v.isNull(), 1.0).otherwise(0.0))
+        return F.array(*parts)
+    return make_expr
+
+
 def isotonic_calibrator(score: Feature, label: Feature,
                         output_name: str | None = None) -> Estimator:
     """IsotonicRegressionCalibrator.scala:44 — monotone score calibration via

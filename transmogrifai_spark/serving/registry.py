@@ -625,6 +625,30 @@ register("dtBucketizer",
          lambda p: (lambda x, *_r: _bucket_local(p["splits"])(x)))
 
 
+def _dt_map_bucket_expr_from_params(p):
+    from ..operators.numeric import _dt_map_bucket_expr
+    return _dt_map_bucket_expr(p)
+
+
+def _dt_map_bucket_local(p):
+    def fn(m, *_rest):
+        out = []
+        for k in p["keys"]:
+            v = None if m is None else m.get(k)
+            v = None if v is None else float(v)
+            idx = _bucket_local(p["splits"][k])(v)
+            nb = len(p["splits"][k]) - 1
+            out += [1.0 if idx == i else 0.0 for i in range(nb)]
+            if p["track_nulls"]:
+                out.append(1.0 if v is None else 0.0)
+        return out
+    return fn
+
+
+register("dtMapBucketizer", _dt_map_bucket_expr_from_params,
+         _dt_map_bucket_local)
+
+
 def _iso_local(p):
     bounds, preds = p["boundaries"], p["predictions"]
 
