@@ -52,11 +52,14 @@ def test_linear_export(spark):
 
 
 def test_decision_tree_export(spark):
+    """Classifier trees export leaf CLASS DISTRIBUTIONS (via the Java node
+    walk), so the exported score equals Spark's probability[1], not just the
+    argmax prediction."""
     from pyspark.ml.classification import DecisionTreeClassifier
     df = _fit_df(spark)
     m = DecisionTreeClassifier(featuresCol="fv", labelCol="label",
                                maxDepth=4, seed=7).fit(df)
-    _check_export(spark, df, m, F.col("prediction"), tol=0.0)
+    _check_export(spark, df, m, vector_to_array(F.col("probability"))[1])
 
 
 def test_gbt_regressor_export(spark):
@@ -83,13 +86,15 @@ def test_rf_regressor_export(spark):
     _check_export(spark, df, m, F.col("prediction"))
 
 
-def test_rf_classifier_export_refuses(spark):
+def test_rf_classifier_export(spark):
+    """RF probability = mean over trees of per-leaf class distributions —
+    exportable only through the Java node walk (toDebugString lacks the
+    distributions)."""
     from pyspark.ml.classification import RandomForestClassifier
     df = _fit_df(spark)
-    m = RandomForestClassifier(featuresCol="fv", labelCol="label", numTrees=3,
-                               maxDepth=2, seed=7).fit(df)
-    with pytest.raises(NotImplementedError, match="RandomForest"):
-        export_model_params(m)
+    m = RandomForestClassifier(featuresCol="fv", labelCol="label", numTrees=5,
+                               maxDepth=3, seed=7).fit(df)
+    _check_export(spark, df, m, vector_to_array(F.col("probability"))[1])
 
 
 def test_loco_any_model_matches_linear_loco(spark):

@@ -8,21 +8,25 @@ a saved workflow can score through the SAME three paths as every other
 stage — Spark Column expression, local row fn, and manifest round-trip —
 with no Spark ML model object (and no JVM) in the serving hot path.
 
-Tree structures come from ``toDebugString`` — the stable public surface
-(Scala's Double.toString is shortest-roundtrip, so thresholds and leaf
-values are bit-exact). Supported:
+Regression tree structures come from ``toDebugString`` — the stable public
+surface (Scala's Double.toString is shortest-roundtrip, so thresholds and
+leaf values are bit-exact). Classifier trees need the per-leaf CLASS
+DISTRIBUTIONS (Spark's probability averages them), which toDebugString does
+not carry — those walk the model's public Java node objects
+(rootNode / impurityStats) via py4j instead. Supported:
 
   * LogisticRegressionModel (binomial)   -> kind "logistic"  (P(class 1))
   * LinearRegressionModel               -> kind "linear"
   * DecisionTreeClassifier / Regressor  -> kind "dt"
   * RandomForestRegressionModel         -> kind "rf_regressor" (tree mean)
+  * RandomForestClassificationModel     -> kind "rf_classifier"
+    (P(1) = mean over trees of leaf class distributions)
   * GBTRegressionModel                  -> kind "gbt_regressor" (weighted sum)
   * GBTClassificationModel              -> kind "gbt_classifier"
     (P(1) = 1/(1+exp(-2*margin)), Spark's logistic loss inversion)
 
-RandomForestClassificationModel is NOT exportable: its probability averages
-per-leaf class distributions, which toDebugString does not carry — scoring
-it locally would silently disagree with Spark, so it raises instead.
+Multiclass (numClasses > 2) classifiers are not exportable (binary P(1)
+only) and raise NotImplementedError.
 """
 from __future__ import annotations
 
@@ -105,6 +109,32 @@ def _tree_bodies(debug: str) -> tuple[list[list[str]], list[float]]:
     return blocks, weights
 
 
+def _java_tree_to_dict(jnode, prob_class: int | None = None) -> dict:
+    """Walk a fitted tree's public Java node objects (rootNode /
+    InternalNode / LeafNode of org.apache.spark.ml.tree) into the same node
+    dicts parse_debug_tree produces. With ``prob_class`` set, leaves carry
+    that class's probability from the leaf's impurity class counts
+    (counts normalized to sum 1 — exactly what Spark's
+    ProbabilisticClassifier averages for DT/RF probability), which
+    toDebugString does NOT expose."""
+    cls = jnode.getClass().getSimpleName()
+    if cls == "LeafNode":
+        if prob_class is not None:
+            stats = list(jnode.impurityStats().stats())
+            tot = sum(stats) or 1.0
+            return {"p": float(stats[prob_class] / tot)}
+        return {"p": float(jnode.prediction())}
+    split = jnode.split()
+    node = {"f": int(split.featureIndex()),
+            "l": _java_tree_to_dict(jnode.leftChild(), prob_class),
+            "r": _java_tree_to_dict(jnode.rightChild(), prob_class)}
+    if split.getClass().getSimpleName() == "ContinuousSplit":
+        node["t"] = float(split.threshold())
+    else:  # CategoricalSplit: left branch taken when value in leftCategories
+        node["in"] = [float(v) for v in split.leftCategories()]
+    return node
+
+
 def export_model_params(model) -> dict:
     """Fitted Spark ML model -> serving params dict for op "mlPredictor"."""
     cls = type(model).__name__
@@ -116,7 +146,13 @@ def export_model_params(model) -> dict:
     if cls == "LinearRegressionModel":
         return {"kind": "linear", "intercept": float(model.intercept),
                 "coefficients": [float(c) for c in model.coefficients.toArray()]}
-    if cls in ("DecisionTreeClassificationModel", "DecisionTreeRegressionModel"):
+    if cls == "DecisionTreeClassificationModel":
+        if model.numClasses != 2:
+            raise NotImplementedError("only binary classifier export supported")
+        # leaf P(1) from class counts -> scores equal Spark's probability[1]
+        root = _java_tree_to_dict(model._java_obj.rootNode(), prob_class=1)
+        return {"kind": "dt", "trees": [root], "weights": [1.0]}
+    if cls == "DecisionTreeRegressionModel":
         blocks, _ = _tree_bodies(model.toDebugString)
         return {"kind": "dt", "trees": [parse_debug_tree(blocks[0])],
                 "weights": [1.0]}
@@ -125,6 +161,16 @@ def export_model_params(model) -> dict:
         return {"kind": "rf_regressor",
                 "trees": [parse_debug_tree(b) for b in blocks],
                 "weights": [1.0] * len(blocks)}
+    if cls == "RandomForestClassificationModel":
+        if model.numClasses != 2:
+            raise NotImplementedError("only binary classifier export supported")
+        # Spark RF probability = mean over trees of the leaf class
+        # distribution; with leaves carrying P(1) that mean is exactly the
+        # rf_regressor tree-average
+        trees = [_java_tree_to_dict(t._java_obj.rootNode(), prob_class=1)
+                 for t in model.trees]
+        return {"kind": "rf_classifier", "trees": trees,
+                "weights": [1.0] * len(trees)}
     if cls == "GBTRegressionModel":
         blocks, weights = _tree_bodies(model.toDebugString)
         return {"kind": "gbt_regressor",
@@ -135,11 +181,6 @@ def export_model_params(model) -> dict:
         return {"kind": "gbt_classifier",
                 "trees": [parse_debug_tree(b) for b in blocks],
                 "weights": weights}
-    if cls == "RandomForestClassificationModel":
-        raise NotImplementedError(
-            "RandomForestClassificationModel probabilities average per-leaf "
-            "class distributions, which toDebugString does not expose — "
-            "export would silently disagree with Spark")
     raise NotImplementedError(f"no param export for {cls}")
 
 
@@ -175,7 +216,7 @@ def _ml_pred_expr(p):
         ws = p["weights"]
         if kind == "dt":
             return trees[0]
-        if kind == "rf_regressor":
+        if kind in ("rf_regressor", "rf_classifier"):
             total = trees[0]
             for t in trees[1:]:
                 total = total + t
@@ -214,7 +255,7 @@ def _ml_pred_local(p):
         vals = [_eval_tree(t, xs) for t in p["trees"]]
         if kind == "dt":
             return vals[0]
-        if kind == "rf_regressor":
+        if kind in ("rf_regressor", "rf_classifier"):
             return sum(vals) / len(vals)
         acc = sum(v * w for v, w in zip(vals, p["weights"]))
         if kind == "gbt_regressor":
