@@ -161,3 +161,49 @@ def test_predictor_stage_full_persistence_roundtrip(spark, tmp_path):
     for r, want in zip(rows, a):
         got = local({"arr": list(r["arr"])})["score"]
         assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_model_selector_stage_in_workflow(spark, tmp_path):
+    """ModelSelector as a workflow stage: CV selection happens inside
+    Workflow.fit, the winner persists WITH the workflow (manifest carries the
+    exported params + leaderboard), and the loaded model scores unlabeled
+    frames identically — including Spark-free via compile_local."""
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.ml.selectors import model_selector_stage
+    from transmogrifai_spark.serving.local import compile_local
+    from transmogrifai_spark.serving.persistence import load_model, save_model
+    from transmogrifai_spark.workflow import Workflow
+
+    df = _fit_df(spark).withColumn("k", F.monotonically_increasing_id())
+    feats = from_dataframe(df.select("k", "arr", "label"), response="label")
+    st = model_selector_stage(
+        feats["arr"], feats["label"], feats["k"],
+        candidates=[("LogisticRegression", {"regParam": 0.01, "maxIter": 15}),
+                    ("RandomForestClassifier",
+                     {"maxDepth": 3, "numTrees": 5, "seed": 7})],
+        k=2)
+    model = Workflow([st.output]).fit(df)
+    path = str(tmp_path / "wf")
+    save_model(model, path)
+    loaded = load_model(path)
+
+    unlabeled = df.select("k", "arr")  # label/key are fit-time-only
+    a = {r["k"]: r["score"] for r in
+         model.score(df, keep_intermediate=True).select("k", "score").collect()}
+    b = {r["k"]: r["score"] for r in
+         loaded.score(unlabeled, keep_intermediate=True).select("k", "score").collect()}
+    assert a == b and len(a) == 200
+    assert all(0.0 <= v <= 1.0 for v in a.values())
+
+    # the selection leaderboard survives the manifest round-trip
+    fitted = loaded.layers[-1][-1]
+    sel = fitted.params["selection"]
+    assert {c["name"] for c in sel["leaderboard"]} == \
+        {"LogisticRegression", "RandomForestClassifier"}
+    assert sel["best_metric"] > 0.5
+
+    # Spark-free local scoring agrees row by row
+    local = compile_local(loaded)
+    for r in df.select("k", "arr").collect():
+        got = local({"k": r["k"], "arr": list(r["arr"])})["score"]
+        assert got == pytest.approx(a[r["k"]], rel=1e-9)

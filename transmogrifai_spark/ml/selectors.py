@@ -362,3 +362,57 @@ def train_validation_split_select(df: DataFrame, features_col: str, label_col: s
     fitted = _make_classifier(best.name, best.params, features_col, label_col).fit(df)
     train.unpersist()
     return SelectedModel(best.name, best.params, best.metric, leaderboard, fitted)
+
+
+def model_selector_stage(features, label, key, candidates=None, k: int = 3,
+                         seed: int = 42, problem: str = "binary",
+                         output_name: str | None = None):
+    """ModelSelector as a WORKFLOW STAGE (the reference workflow treats its
+    selector as just another estimator in the DAG, ModelSelector.scala:90;
+    until now the rebuild wired selection manually around the workflow).
+
+    Fit: leakage-safe k-fold CV over the candidate grid (folds hash the
+    ``key`` feature), winner refit on the full frame — then the fitted Spark
+    ML model's parameters are EXPORTED (serving.ml_export) into a registry
+    "mlPredictor" stage. The fitted workflow therefore persists feature prep
+    AND model as one manifest and scores through every serving path —
+    Spark Column expr, local Spark-free row fn, save/load — with no Spark ML
+    object in the hot path (the reference needs MLeap for the same,
+    OpWorkflowModelLocal.scala:79). The selection leaderboard rides along in
+    ``params["selection"]`` and survives the manifest round-trip.
+
+    ``features`` must be an array<double> vector feature (e.g. transmogrify
+    output); ``label``/``key`` are fit-time-only inputs — the fitted stage
+    takes the vector alone, so unlabeled frames score cleanly.
+    """
+    from ..stages.base import Estimator
+
+    out = output_name or "score"
+
+    def fit(stage, df: DataFrame):
+        from pyspark.ml.functions import array_to_vector
+        from ..operators.numeric import FittedParamTransformer
+        from ..serving.ml_export import _ml_pred_expr, export_model_params
+        data = df.withColumn("_fv", array_to_vector(F.col(features.name)))
+        if problem == "binary":
+            sel = select_binary_model(data, "_fv", label.name, key.name,
+                                      candidates=candidates, k=k, seed=seed)
+        elif problem == "regression":
+            sel = select_regression_model(data, "_fv", label.name, key.name,
+                                          candidates=candidates, k=k, seed=seed)
+        else:
+            raise ValueError(f"problem must be binary or regression, got {problem!r}")
+        params = export_model_params(sel.fitted_model)
+        params["selection"] = {
+            "best_name": sel.best_name,
+            "best_params": sel.best_params,
+            "best_metric": sel.best_metric,
+            "leaderboard": [{"name": c.name, "params": c.params,
+                             "metric": c.metric, "fold_metrics": c.fold_metrics}
+                            for c in sel.leaderboard]}
+        fitted = FittedParamTransformer("mlPredictor", [features], out, "RealNN",
+                                        _ml_pred_expr(params), params)
+        fitted.selected = sel  # full SelectedModel for insights at fit time
+        return fitted
+
+    return Estimator("modelSelector", [features, label, key], out, "RealNN", fit)
