@@ -42,3 +42,62 @@ def test_streaming_scoring_pipeline(spark, sf_dir):
     row = streamed.first()
     n_batch = batch_events.count()
     assert row["n"] == n_batch
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (click -> purchase by the same user within
+    1 day): append-mode streaming output over static files must equal the
+    identical batch join."""
+    from transmogrifai_spark.streaming.windows import (file_stream,
+                                                       run_to_memory,
+                                                       stream_stream_interval_join)
+
+    def sides(df):
+        clicks = df.where(F.col("event_type") == "click") \
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                    F.col("event_id").alias("c_id"))
+        buys = df.where(F.col("event_type") == "purchase") \
+            .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+                    F.col("event_id").alias("b_id"))
+        return clicks, buys
+
+    src = f"{sf_dir}/events.parquet"
+    sc, sb = sides(file_stream(spark, src, SCHEMA, nanos_ts_col="ts"))
+    streamed = run_to_memory(
+        stream_stream_interval_join(sc, sb, "c_user", "b_user", "c_ts", "b_ts",
+                                    within="1 day", watermark="2 days"),
+        output_mode="append")
+
+    bc, bb = sides(load_table(spark, sf_dir, "events"))
+    batch = stream_stream_interval_join(bc, bb, "c_user", "b_user",
+                                        "c_ts", "b_ts", within="1 day")
+    s_rows = sorted((r["c_id"], r["b_id"]) for r in streamed.collect())
+    b_rows = sorted((r["c_id"], r["b_id"]) for r in batch.collect())
+    assert s_rows == b_rows
+    assert len(s_rows) > 0
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, sf_dir):
+    """Watermark expiry: in append mode a window is emitted only once the
+    final watermark (max event time - delay) passes its end; the trailing
+    windows stay buffered. Complete mode emits everything."""
+    from transmogrifai_spark.streaming.windows import windowed_event_aggregate
+
+    tf = lambda s: windowed_event_aggregate(s, "ts", "1 day", "1 day")
+    src = f"{sf_dir}/events.parquet"
+    complete = run_stream_available_now(spark, src, SCHEMA, tf, nanos_ts_col="ts")
+    append = run_stream_available_now(spark, src, SCHEMA, tf, nanos_ts_col="ts",
+                                      output_mode="append")
+    c_rows = {tuple(r) for r in complete.collect()}
+    a_rows = {tuple(r) for r in append.collect()}
+    assert a_rows <= c_rows          # append is a subset
+    assert len(a_rows) < len(c_rows)  # trailing windows withheld...
+    # ...and exactly those the final watermark has not passed: wm = max_ts - 1d
+    import datetime
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    wm_ms = (max_ts - datetime.timedelta(days=1)).replace(
+        tzinfo=datetime.timezone.utc).timestamp() * 1000
+    day_ms = 86_400_000
+    expected_open = {t for t in c_rows if t[0] + day_ms > wm_ms}
+    assert c_rows - a_rows == expected_open

@@ -59,19 +59,14 @@ def session_windowed_aggregate(events: DataFrame, key_col: str,
     )
 
 
-def run_stream_available_now(spark: SparkSession, src_path: str, schema: str,
-                             transform, nanos_ts_col: str | None = None) -> DataFrame:
-    """Run a file-source stream to completion (Trigger.AvailableNow) into a
-    memory sink and return the result as a DataFrame.
-
-    ``transform`` maps the streaming DataFrame to the output frame. Used by
-    tests and the oracle gate: a stream over static files must equal the
-    batch plan on the same files.
-    """
+def file_stream(spark: SparkSession, src_path: str, schema: str,
+                nanos_ts_col: str | None = None) -> DataFrame:
+    """A parquet file-source stream over an existing path (single files are
+    expressed as parent dir + glob, since the file source wants a
+    directory); ``nanos_ts_col`` converts an int64-nanos column back to a
+    timestamp (events.parquet stores TIMESTAMP(NANOS))."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(schema)
-    # the file source requires a directory; a single-file source is expressed
-    # as its parent directory + a glob filter on the file name
     if src_path.endswith(".parquet"):
         parent, _, fname = src_path.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
@@ -81,12 +76,56 @@ def run_stream_available_now(spark: SparkSession, src_path: str, schema: str,
         stream = stream.withColumn(
             nanos_ts_col,
             F.timestamp_micros(F.expr(f"{nanos_ts_col} div 1000").cast("long")))
-    out = transform(stream)
+    return stream
+
+
+def run_stream_available_now(spark: SparkSession, src_path: str, schema: str,
+                             transform, nanos_ts_col: str | None = None,
+                             output_mode: str = "complete") -> DataFrame:
+    """Run a file-source stream to completion (Trigger.AvailableNow) into a
+    memory sink and return the result as a DataFrame.
+
+    ``transform`` maps the streaming DataFrame to the output frame. Used by
+    tests and the oracle gate: a stream over static files must equal the
+    batch plan on the same files. ``output_mode="append"`` exercises the
+    watermark-expiry path: only windows the final watermark has passed are
+    emitted (stream-stream joins likewise require append)."""
+    out = transform(file_stream(spark, src_path, schema, nanos_ts_col))
+    return run_to_memory(out, output_mode)
+
+
+def run_to_memory(out: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run any streaming frame to completion (AvailableNow) into a memory
+    sink; returns the sink contents."""
     sink = f"mem_{uuid.uuid4().hex[:12]}"
     q = (out.writeStream.format("memory").queryName(sink)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.table(sink)
+    return out.sparkSession.table(sink)
+
+
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                left_key: str, right_key: str,
+                                left_time: str, right_time: str,
+                                within: str = "1 hour",
+                                watermark: str = "2 hours",
+                                how: str = "inner") -> DataFrame:
+    """Stream-stream join with an event-time interval bound: right-side rows
+    must land in [left_time, left_time + within].
+
+    Both sides are watermarked; Spark derives each side's state watermark
+    from the interval condition, so buffered state is dropped once the
+    watermark passes the bound — state stays bounded regardless of stream
+    length (the 100 TB/day requirement). Works identically on batch frames
+    (watermarks are skipped), which is how the oracle checks it.
+    Column names must be pre-disambiguated (the two inputs share no output
+    column names other than via the keys)."""
+    l = left.withWatermark(left_time, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_time, watermark) if right.isStreaming else right
+    cond = F.expr(
+        f"{left_key} = {right_key} AND {right_time} >= {left_time} "
+        f"AND {right_time} <= {left_time} + INTERVAL {within}")
+    return l.join(r, cond, how)
 
 
 def score_stream(stream: DataFrame, model, checkpoint: str | None = None):
