@@ -155,3 +155,48 @@ def test_analyze_never_mangles_short_tokens(spark):
     out = df.select(analyze(F.col("t"), "en").alias("a")).first()["a"]
     # min-stem guard: 'bus'/'mes' stay intact ('as'/'is' are stopwords)
     assert "bus" in out and "mes" in out
+
+
+def test_parse_phone_multi_region(spark):
+    """Metadata-driven multi-region parse (libphonenumber re-expression):
+    international prefix routing, trunk stripping, per-region validation."""
+    from transmogrifai_spark.functions.text import parse_phone
+    cases = [
+        ("+1 650-253-0000", "US", "+16502530000", True),
+        ("(650) 253-0000", "US", "+16502530000", True),
+        ("1-650-253-0000", "US", "+16502530000", True),   # NANP trunk '1'
+        ("650-153-0000", "US", None, False),               # exchange starts 1
+        ("011 44 7911 123456", "US", "+447911123456", True),  # NANP intl prefix
+        ("+44 7911 123456", "US", "+447911123456", True),
+        ("0044 7911 123456", "US", "+447911123456", True),
+        ("+91 98765 43210", "US", "+919876543210", True),
+        ("+91 12345 43210", "US", None, False),            # IN mobiles lead 6-9
+        ("+852 2345 6789", "US", "+85223456789", True),    # 3-digit cc
+        ("+86 139 1099 8888", "US", "+8613910998888", True),
+        (None, "US", None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, *_ in cases], "p string")
+    out = df.select(parse_phone(F.col("p")).alias("r")).collect()
+    for (s, _reg, e164, valid), r in zip(cases, out):
+        got = r["r"]
+        if s is None:
+            assert got is None
+            continue
+        assert got["e164"] == e164, s
+        assert got["valid"] == valid, s
+
+
+def test_parse_phone_national_default_region(spark):
+    """National numbers route through default_region's trunk rules."""
+    from transmogrifai_spark.functions.text import is_valid_phone, parse_phone
+    df = spark.createDataFrame(
+        [("07911 123456",), ("01632 960983",), ("791112345",)], "p string")
+    out = df.select(parse_phone(F.col("p"), "GB").alias("r")).collect()
+    assert out[0]["r"]["e164"] == "+447911123456"   # trunk 0 stripped
+    assert out[0]["r"]["valid"] is True
+    assert out[1]["r"]["e164"] == "+441632960983"
+    assert out[2]["r"]["valid"] is True             # 9-digit GB ok without trunk
+    # FR national: 9 digits after trunk 0
+    df2 = spark.createDataFrame([("06 12 34 56 78",), ("061234567",)], "p string")
+    v = df2.select(is_valid_phone(F.col("p"), "FR").alias("v")).collect()
+    assert [r["v"] for r in v] == [True, False]  # 10-digit-less-trunk=9 ok; 9-digit with no trunk stays 9 but leading 0 stripped -> 8 -> invalid

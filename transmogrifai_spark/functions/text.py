@@ -127,12 +127,109 @@ def url_protocol(c: Column) -> Column:
     return F.when(is_valid_url(c), F.parse_url(c, F.lit("PROTOCOL")))
 
 
-# -- phone: lightweight normalization (PhoneNumberParser.scala:143-241 uses
-# libphonenumber; the rebuild's regex path covers NANP-style numbers and the
-# full library can slot in behind a pandas UDF when available) --
+# -- phone: multi-region parse/validate (PhoneNumberParser.scala:143-241
+# wraps libphonenumber; this is a metadata-driven re-expression — per-region
+# country code, national length range, and leading-digit pattern, the same
+# public facts libphonenumber's metadata encodes — compiled into pure
+# Catalyst CASE expressions. Regions beyond the table validate as NULL
+# (unknown), never false-positive) --
+
+_PHONE_REGIONS: list[tuple[str, str, int, int, str]] = [
+    # (region, country_code, min_national_len, max_national_len, lead-digit class)
+    ("US", "1", 10, 10, "[2-9]"), ("CA", "1", 10, 10, "[2-9]"),
+    ("RU", "7", 10, 10, "[3489]"), ("ZA", "27", 9, 9, "[1-9]"),
+    ("NL", "31", 9, 9, "[1-9]"), ("FR", "33", 9, 9, "[1-9]"),
+    ("ES", "34", 9, 9, "[6789]"), ("IT", "39", 6, 11, "[03]"),
+    ("CH", "41", 9, 9, "[2-9]"), ("GB", "44", 9, 10, "[1-9]"),
+    ("SE", "46", 7, 10, "[1-9]"), ("PL", "48", 9, 9, "[1-9]"),
+    ("DE", "49", 6, 11, "[1-9]"), ("MX", "52", 10, 10, "[1-9]"),
+    ("AR", "54", 10, 10, "[1-9]"), ("BR", "55", 10, 11, "[1-9]"),
+    ("AU", "61", 9, 9, "[2-578]"), ("NZ", "64", 8, 10, "[2-9]"),
+    ("SG", "65", 8, 8, "[3689]"), ("JP", "81", 9, 10, "[1-9]"),
+    ("KR", "82", 8, 10, "[1-9]"), ("CN", "86", 10, 11, "[1-9]"),
+    ("TR", "90", 10, 10, "[2-9]"), ("IN", "91", 10, 10, "[6-9]"),
+    ("NG", "234", 8, 10, "[1-9]"), ("IE", "353", 7, 9, "[1-9]"),
+    ("HK", "852", 8, 8, "[2-9]"),
+]
+_REGION_META = {r: (cc, lo, hi, lead) for r, cc, lo, hi, lead in _PHONE_REGIONS}
+# country code -> canonical region (shared codes: +1 -> US, +7 -> RU)
+_CC_TO_REGION: dict[str, str] = {}
+for _r, _cc, _lo, _hi, _lead in _PHONE_REGIONS:
+    _CC_TO_REGION.setdefault(_cc, _r)
+
 
 def normalize_phone_digits(c: Column) -> Column:
     return F.regexp_replace(c, r"[^0-9]", "")
+
+
+def _national_valid(national: Column, region: str) -> Column:
+    cc, lo, hi, lead = _REGION_META[region]
+    ok = (F.length(national) >= lo) & (F.length(national) <= hi) & \
+        national.rlike(f"^{lead}")
+    if cc == "1":  # NANP: area code AND exchange both [2-9]XX
+        ok = ok & national.rlike("^[2-9][0-9]{2}[2-9]")
+    return ok
+
+
+def parse_phone(c: Column, default_region: str = "US") -> Column:
+    """Parse free-form phone text to struct(e164, region, valid).
+
+    International inputs ("+CC...", "00CC...", or NANP "011CC...") resolve
+    their region by longest-country-code match; everything else is treated
+    as a national number of ``default_region`` (trunk '0' — or NANP '1' —
+    stripped). ``valid`` applies the region's length range and leading-digit
+    pattern; numbers of regions outside the metadata table get valid=NULL
+    (unknown), never a false negative. NULL/empty input -> all-NULL struct."""
+    if default_region not in _REGION_META:
+        raise ValueError(f"unknown default_region {default_region!r}")
+    d = normalize_phone_digits(c)
+    is_intl = F.trim(c).startswith("+") | d.startswith("00") | \
+        (d.startswith("011") if _REGION_META[default_region][0] == "1"
+         else F.lit(False))
+    intl_digits = F.when(F.trim(c).startswith("+"), d) \
+        .when(d.startswith("011") & F.lit(_REGION_META[default_region][0] == "1"),
+              F.substring(d, 4, 20)) \
+        .otherwise(F.substring(d, 3, 20))
+
+    # longest-cc-first match -> (region, national)
+    intl_region = F.lit(None).cast("string")
+    intl_national = F.lit(None).cast("string")
+    for cc in sorted(_CC_TO_REGION, key=len):
+        hit = intl_digits.startswith(cc)
+        intl_region = F.when(hit, F.lit(_CC_TO_REGION[cc])).otherwise(intl_region)
+        intl_national = F.when(hit, F.substring(intl_digits, len(cc) + 1, 20)) \
+            .otherwise(intl_national)
+
+    def_cc, _lo, _hi, _lead = _REGION_META[default_region]
+    if def_cc == "1":  # NANP trunk prefix is '1'
+        nat = F.when((F.length(d) == 11) & d.startswith("1"),
+                     F.substring(d, 2, 20)).otherwise(d)
+    else:  # trunk prefix '0' elsewhere in the table
+        nat = F.when(d.startswith("0"), F.substring(d, 2, 20)).otherwise(d)
+
+    region = F.when(is_intl, intl_region).otherwise(F.lit(default_region))
+    national = F.when(is_intl, intl_national).otherwise(nat)
+
+    valid = F.lit(None).cast("boolean")
+    for r in _REGION_META:
+        valid = F.when(region == r, _national_valid(national, r)).otherwise(valid)
+
+    cc_expr = F.lit(None).cast("string")
+    for r, (cc, _l, _h, _ld) in _REGION_META.items():
+        cc_expr = F.when(region == r, F.lit(cc)).otherwise(cc_expr)
+    e164 = F.when(valid, F.concat(F.lit("+"), cc_expr, national))
+
+    empty = c.isNull() | (F.length(d) == 0)
+    return F.when(empty, F.lit(None).cast(
+        "struct<e164:string,region:string,valid:boolean>")) \
+        .otherwise(F.struct(e164.alias("e164"), region.alias("region"),
+                            valid.alias("valid")))
+
+
+def is_valid_phone(c: Column, region: str = "US") -> Column:
+    """Region-aware validity (libphonenumber isValidNumber analogue for the
+    metadata table's regions). NULL input -> false."""
+    return F.coalesce(parse_phone(c, region)["valid"], F.lit(False))
 
 
 def is_valid_phone_us(c: Column) -> Column:
