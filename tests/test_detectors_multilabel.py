@@ -88,3 +88,41 @@ def test_raw_feature_filter_full(spark):
     assert "shifted" in res.dropped and res.reasons["shifted"] == "js_divergence"
     assert "stable" not in res.dropped
     assert res.js_divergence["stable"] < 0.2
+
+
+def test_language_id_extended_scripts_and_latin(spark):
+    """Script-first ID: non-Latin scripts decide directly (kana outranks han
+    for Japanese); Latin text falls back to the extended stopword profiles."""
+    from transmogrifai_spark.llm.textqual import language_id_extended
+    cases = [
+        ("これはテストです", "ja"),          # kana
+        ("日本語のテキストです", "ja"),      # kanji + kana -> ja, not zh
+        ("这是一个简单的中文测试文本", "zh"),
+        ("안녕하세요 한국어 텍스트입니다", "ko"),
+        ("Это простой русский текст для проверки", "ru"),
+        ("هذا نص عربي بسيط للاختبار", "ar"),
+        ("यह एक सरल हिंदी पाठ है", "hi"),
+        ("Αυτό είναι ένα απλό ελληνικό κείμενο", "el"),
+        ("the quick brown fox and the lazy dog for a test", "en"),
+        ("il gatto e il cane sono che un per del testo", "it"),
+        ("o gato e um texto de teste para que os gatos", "pt"),
+        ("de kat en de hond is een tekst met het huis", "nl"),
+        ("", "und"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "t string")
+    out = [r["l"] for r in
+           df.select(language_id_extended(F.col("t")).alias("l")).collect()]
+    assert out == [want for _, want in cases]
+
+
+def test_name_stats_gender(spark):
+    from transmogrifai_spark.operators.detectors import name_stats
+    df = spark.createDataFrame(
+        [("john michael smith",), ("mary anna jones",), ("wei chen",),
+         ("john mary",), ("qwerty asdf",)], "t string")
+    out = [r["m"] for r in
+           df.select(name_stats(F.col("t"), include_gender=True).alias("m")).collect()]
+    assert [m["genderValue"] for m in out] == ["M", "F", "U", "U", "U"]
+    # default shape unchanged: no genderValue key
+    base = df.select(name_stats(F.col("t")).alias("m")).first()["m"]
+    assert set(base.keys()) == {"isName", "nameRatio"}

@@ -102,6 +102,75 @@ def language_id(c: Column, profiles: dict[str, list[str]] | None = None) -> Colu
     return best_lang
 
 
+# extended Latin-script detection profiles. Detection-only surface: the
+# 4-language core STOPWORD_PROFILES feeds oracle SQL and stays frozen.
+STOPWORD_PROFILES_EXTENDED: dict[str, list[str]] = {
+    **STOPWORD_PROFILES,
+    "it": ["il", "la", "di", "che", "e", "un", "per", "sono", "con", "del"],
+    "pt": ["o", "a", "de", "que", "e", "um", "uma", "para", "com", "os"],
+    "nl": ["de", "het", "een", "en", "van", "is", "dat", "op", "te", "met"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med"],
+    "pl": ["i", "w", "na", "z", "do", "że", "się", "jest", "nie", "to"],
+    "tr": ["ve", "bir", "bu", "da", "de", "için", "ile", "olarak", "çok", "en"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "akan"],
+}
+
+# Unicode script blocks -> language guess for scripts that identify a
+# language (or near enough) by themselves — far stronger signal than
+# stopwords, and O(1) regexp_count passes per script.
+_SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("kana", r"[぀-ヿ]"),        # hiragana+katakana -> ja
+    ("han", r"[一-鿿]"),         # han without kana -> zh
+    ("hangul", r"[가-힯]"),      # -> ko
+    ("cyrillic", r"[Ѐ-ӿ]"),    # -> ru (closest single guess)
+    ("arabic", r"[؀-ۿ]"),      # -> ar
+    ("devanagari", r"[ऀ-ॿ]"),  # -> hi
+    ("greek", r"[Ͱ-Ͽ]"),       # -> el
+    ("thai", r"[฀-๿]"),        # -> th
+    ("hebrew", r"[֐-׿]"),      # -> he
+]
+_SCRIPT_LANG = {"kana": "ja", "han": "zh", "hangul": "ko", "cyrillic": "ru",
+                "arabic": "ar", "devanagari": "hi", "greek": "el",
+                "thai": "th", "hebrew": "he"}
+
+
+def script_ratios(c: Column) -> Column:
+    """map<script, fraction-of-letters> for the known script blocks (letters
+    counted via \\p{L}; zero-letter text -> empty map)."""
+    letters = F.regexp_count(c, F.lit(r"\p{L}"))
+    keys, vals = [], []
+    for name, rng in _SCRIPT_RANGES:
+        keys.append(F.lit(name))
+        vals.append(F.when(letters > 0,
+                           F.regexp_count(c, F.lit(rng)).cast("double")
+                           / letters.cast("double")).otherwise(F.lit(0.0)))
+    return F.when(letters > 0, F.map_from_arrays(F.array(*keys), F.array(*vals))) \
+        .otherwise(F.map_from_arrays(F.array().cast("array<string>"),
+                                     F.array().cast("array<double>")))
+
+
+def language_id_extended(c: Column, min_script_ratio: float = 0.3) -> Column:
+    """Script-first language ID: when a non-Latin script covers >=
+    ``min_script_ratio`` of the letters, its language wins (kana outranks
+    han so Japanese text with kanji reads ja, not zh); otherwise the
+    extended Latin stopword profiles decide. Deterministic, pure
+    expressions, one projection."""
+    letters = F.regexp_count(c, F.lit(r"\p{L}"))
+
+    def ratio(rng: str) -> Column:
+        return F.when(letters > 0,
+                      F.regexp_count(c, F.lit(rng)).cast("double")
+                      / letters.cast("double")).otherwise(F.lit(0.0))
+
+    out = language_id(c, STOPWORD_PROFILES_EXTENDED)
+    # reversed: kana (listed first) ends up the outermost/winning WHEN
+    for name, rng in reversed(_SCRIPT_RANGES):
+        out = F.when(ratio(rng) >= min_script_ratio,
+                     F.lit(_SCRIPT_LANG[name])).otherwise(out)
+    return out
+
+
 def fingerprint(c: Column) -> Column:
     """Locality-insensitive document fingerprint: sorted distinct tokens
     joined and hashed (the classic key-collision / clustering fingerprint).

@@ -33,17 +33,44 @@ FIRST_NAMES = [
 ]
 
 
-def name_stats(c: Column, threshold: float = 0.5) -> Column:
+# given-name -> gender for the dictionary above (NameDetectUtils'
+# GenderDictionary analogue; unisex/unknown -> U). Public census-style facts.
+GENDER_BY_NAME = {
+    "james": "M", "john": "M", "robert": "M", "michael": "M", "william": "M",
+    "david": "M", "richard": "M", "joseph": "M", "thomas": "M", "charles": "M",
+    "jose": "M", "juan": "M", "luis": "M", "carlos": "M",
+    "mary": "F", "patricia": "F", "jennifer": "F", "linda": "F",
+    "elizabeth": "F", "barbara": "F", "susan": "F", "jessica": "F",
+    "sarah": "F", "karen": "F", "maria": "F", "anna": "F", "ana": "F",
+    "wei": "U", "li": "U", "chen": "U",
+}
+
+
+def name_stats(c: Column, threshold: float = 0.5,
+               include_gender: bool = False) -> Column:
     """HumanNameDetector: fraction of tokens found in the name dictionary +
-    is-name flag, as a NameStats-like map<string,string>."""
+    is-name flag, as a NameStats-like map<string,string>.
+
+    ``include_gender=True`` adds the reference NameStats genderValue
+    (NameDetectUtils.GenderDictionary): majority gender among dictionary-hit
+    tokens, ties/none -> "U". Opt-in so the default output shape (and its
+    oracle SQL) stays frozen."""
     toks = tokenize(c)
     dict_arr = F.array(*[F.lit(n) for n in FIRST_NAMES])
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(dict_arr, t)))
     ratio = F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
-    return F.map_from_arrays(
-        F.array(F.lit("isName"), F.lit("nameRatio")),
-        F.array((ratio >= threshold).cast("string"), ratio.cast("string")))
+    keys = [F.lit("isName"), F.lit("nameRatio")]
+    vals = [(ratio >= threshold).cast("string"), ratio.cast("string")]
+    if include_gender:
+        males = F.array(*[F.lit(k) for k, g in GENDER_BY_NAME.items() if g == "M"])
+        females = F.array(*[F.lit(k) for k, g in GENDER_BY_NAME.items() if g == "F"])
+        m = F.size(F.filter(toks, lambda t: F.array_contains(males, t)))
+        f = F.size(F.filter(toks, lambda t: F.array_contains(females, t)))
+        gender = F.when(m > f, F.lit("M")).when(f > m, F.lit("F")).otherwise(F.lit("U"))
+        keys.append(F.lit("genderValue"))
+        vals.append(gender)
+    return F.map_from_arrays(F.array(*keys), F.array(*vals))
 
 
 def is_human_name(c: Column, threshold: float = 0.5) -> Column:
