@@ -803,8 +803,10 @@ def q_similarity_ann_lsh(spark, sf_dir):
 
 
 def q_transmogrify_vector(spark, sf_dir):
-    """transmogrify() auto-vectorization over mixed types (vector output —
-    rows-only check; slot semantics covered by q_onehot_topk oracle)."""
+    """transmogrify() auto-vectorization over mixed types, exploded to
+    (key, slot, value) rows so the oracle verifies EVERY slot value: the
+    one-hot layout (count desc / value asc order, min_support, OTHER + null
+    slots) and the mean-filled real slots."""
     from .feature import from_dataframe
     from .operators.vectorizers import transmogrify
     from .workflow import Workflow
@@ -814,7 +816,8 @@ def q_transmogrify_vector(spark, sf_dir):
     vec = transmogrify([feats["c_mktsegment"], feats["c_acctbal"]], top_k=5, min_support=5)
     model = Workflow([vec]).fit(cust)
     out = model.score(cust, keep_intermediate=True)
-    return out.select("c_custkey", F.col("features").alias("features"))
+    return out.select("c_custkey",
+                      F.posexplode(F.col("features")).alias("slot", "value"))
 
 
 def q_sanity_checker(spark, sf_dir):
@@ -1694,6 +1697,96 @@ SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms,
        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY date_trunc('day', ts), event_type
+"""
+
+# full slot-level replica of q_sanity_checker: rebuild the transmogrify
+# layout (5 one-hot values by (count desc, value asc) with min_support, an
+# OTHER slot, a null slot, acctbal mean-filled value + null slot), compute
+# the same var_pop / moment-based Pearson stats per slot, apply the same
+# keep rule (vx > 1e-5 AND NOT |corr| >= 0.9). The mean-fill COALESCE only
+# fires when nulls exist (exact_mean is decimal-exact in Spark; TPC-H
+# acctbal is non-null, so the fill never engages at the gate's SF).
+ORACLES["sanity_checker"] = """
+WITH y AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CASE WHEN c_acctbal > 5000 THEN 1.0 ELSE 0.0 END AS y
+  FROM customer
+),
+seg AS (
+  SELECT c_mktsegment AS v FROM y WHERE c_mktsegment IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= 5
+  ORDER BY count(*) DESC, v ASC LIMIT 5
+),
+slotvals AS (
+  SELECT y.y, 'hot_' || s.v AS slot,
+         CASE WHEN y.c_mktsegment = s.v THEN 1.0 ELSE 0.0 END AS x
+  FROM y CROSS JOIN seg s
+  UNION ALL
+  SELECT y.y, 'other', CASE WHEN c_mktsegment IS NOT NULL
+         AND c_mktsegment NOT IN (SELECT v FROM seg) THEN 1.0 ELSE 0.0 END
+  FROM y
+  UNION ALL
+  SELECT y.y, 'null_mkt', CASE WHEN c_mktsegment IS NULL THEN 1.0 ELSE 0.0 END
+  FROM y
+  UNION ALL
+  SELECT y.y, 'acctbal',
+         COALESCE(c_acctbal, (SELECT avg(c_acctbal) FROM y))
+  FROM y
+  UNION ALL
+  SELECT y.y, 'null_acctbal', CASE WHEN c_acctbal IS NULL THEN 1.0 ELSE 0.0 END
+  FROM y
+),
+stats AS (
+  SELECT slot, var_pop(x) AS vx, var_pop(y) AS vy,
+         avg(x) AS mx, avg(y) AS my, avg(x * y) AS mxy
+  FROM slotvals GROUP BY slot
+),
+kept AS (
+  SELECT count(*) AS k FROM stats
+  WHERE vx IS NOT NULL AND vx > 1e-5
+    AND NOT (vx > 0 AND vy > 0
+             AND abs((mxy - mx * my) / (sqrt(vx) * sqrt(vy))) >= 0.9)
+)
+SELECT c_custkey, (SELECT CAST(k AS INTEGER) FROM kept) AS n_slots_kept
+FROM customer
+"""
+
+# slot-exact replica of q_transmogrify_vector's exploded layout: one-hot
+# slots indexed by (count desc, value asc), then OTHER, null, acctbal
+# mean-filled value, acctbal null (transmogrify concatenation order)
+ORACLES["transmogrify_vector"] = """
+WITH seg0 AS (
+  SELECT c_mktsegment AS v, count(*) AS n FROM customer
+  WHERE c_mktsegment IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= 5
+  ORDER BY n DESC, v ASC LIMIT 5
+),
+seg AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY n DESC, v ASC) - 1 AS INTEGER) AS i
+  FROM seg0
+),
+nseg AS (SELECT CAST(count(*) AS INTEGER) AS c FROM seg)
+SELECT c_custkey, s.i AS slot,
+       CASE WHEN c_mktsegment = s.v THEN 1.0 ELSE 0.0 END AS value
+FROM customer CROSS JOIN seg s
+UNION ALL
+SELECT c_custkey, (SELECT c FROM nseg),
+       CASE WHEN c_mktsegment IS NOT NULL
+            AND c_mktsegment NOT IN (SELECT v FROM seg) THEN 1.0 ELSE 0.0 END
+FROM customer
+UNION ALL
+SELECT c_custkey, (SELECT c FROM nseg) + 1,
+       CASE WHEN c_mktsegment IS NULL THEN 1.0 ELSE 0.0 END
+FROM customer
+UNION ALL
+SELECT c_custkey, (SELECT c FROM nseg) + 2,
+       COALESCE(CAST(c_acctbal AS DOUBLE),
+                (SELECT avg(c_acctbal) FROM customer))
+FROM customer
+UNION ALL
+SELECT c_custkey, (SELECT c FROM nseg) + 3,
+       CASE WHEN c_acctbal IS NULL THEN 1.0 ELSE 0.0 END
+FROM customer
 """
 
 
