@@ -285,3 +285,38 @@ def test_embedding_lsh_near_dup_finds_exact_dups(spark):
     found = {(r["id1"], r["id2"]) for r in pairs.collect()}
     for i in range(20):
         assert (i, i + 100) in found, i
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """Law: probing every cell degenerates IVF to exact brute force."""
+    rng = np.random.RandomState(17)
+    vecs = rng.rand(60, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(60)], "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 4)
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in
+             similarity.brute_force_topk(df, q, "vec_id", "embedding", k=3).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in
+           similarity.ivf_topk(df, q, "vec_id", "embedding", k=3,
+                               n_lists=4, n_probe=4, seed=7).collect()}
+    assert ivf == exact
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    """Partial probing scans a fraction of the corpus but keeps useful
+    recall; results are a subset of valid neighbors with correct cosines."""
+    rng = np.random.RandomState(23)
+    # clustered data so cells are meaningful
+    centers = rng.rand(4, 8) * 4
+    vecs = np.vstack([c + rng.rand(25, 8) * 0.5 for c in centers]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(100)], "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id").isin([0, 30, 55, 80]))
+    exact = similarity.brute_force_topk(df, q, "vec_id", "embedding", k=5).collect()
+    approx = similarity.ivf_topk(df, q, "vec_id", "embedding", k=5,
+                                 n_lists=8, n_probe=2, seed=7).collect()
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.6  # deterministic (fixed seeds); measured higher
+    assert len(approx) <= len(exact)
