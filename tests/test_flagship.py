@@ -128,3 +128,4 @@ def test_flagship_merged_insights_report(spark):
     # per-feature sanity stats merged in
     assert any(f.get("label_corr") is not None for f in report["features"])
     json.dumps(report, default=str)  # serializable end-to-end
+

@@ -13,9 +13,9 @@ from pyspark.sql import functions as F
 from .feature import from_dataframe
 from .ml.evaluators import binary_metrics
 from .ml.insights import merged_model_insights
-from .ml.selectors import default_binary_candidates, select_binary_model
+from .ml.selectors import default_binary_candidates, model_selector_stage
 from .operators.preparators import sanity_checker
-from .operators.vectorizers import collect_slots, to_ml_vector, transmogrify_batched
+from .operators.vectorizers import collect_slots, transmogrify_batched
 from .sources.joins import JoinedAggregateReader, JoinedReader
 from .sources.readers import AggSpec, DataReader
 from .util import right_size_for_iteration
@@ -53,14 +53,18 @@ def automl_flagship(spark: SparkSession, sf_dir: str,
         top_k=10, min_support=2)
     checked = sanity_checker(vec, feats["label"], max_correlation=0.99)
 
-    model = Workflow([checked.output]).fit(base)
-    scored = model.score(base, keep_intermediate=True)
-    scored = to_ml_vector(scored, checked.output.name).persist()
-    scored = right_size_for_iteration(scored)
-
-    selected = select_binary_model(
-        scored, "features_ml", "label", "key",
+    # model selection is a STAGE in the same DAG (ModelSelector.scala:90):
+    # CV + winner refit happen inside Workflow.fit and the winning model's
+    # params are exported into the serving registry — the entire fitted
+    # flagship (feature prep AND model) persists as ONE manifest and scores
+    # Spark-free
+    sel_stage = model_selector_stage(
+        checked.output, feats["label"], feats["key"],
         candidates=default_binary_candidates(small=True), k=cv_folds)
+
+    model = Workflow([sel_stage.output]).fit(
+        right_size_for_iteration(base, rows_per_partition=25_000))
+    scored = model.score(base, keep_intermediate=True).persist()
 
     # slot metadata: combined slots filtered by the sanity checker's keep set
     all_slots = collect_slots(model, "features")
@@ -68,20 +72,18 @@ def automl_flagship(spark: SparkSession, sf_dir: str,
     keep = fitted_checker.params.get("keep", []) if fitted_checker else []
     kept_slots = [all_slots[i] for i in keep if i < len(all_slots)]
 
-    from .ml.selectors import _binary_score_col
-    preds = _binary_score_col(selected.fitted_model.transform(scored))
-    evaluation = binary_metrics(preds, "score", "label")
+    evaluation = binary_metrics(scored, "score", "label")
     # the MERGED insights document (ModelInsights.scala:74): provenance +
     # sanity-checker stats + leaderboard + holdout evaluation in one report
     report = merged_model_insights(
-        selected, kept_slots, label_name="label",
+        sel_stage.fitted.selected, kept_slots, label_name="label",
         train_rows=scored.count(),
         sanity_params=(fitted_checker.params if fitted_checker else None),
         evaluation=evaluation)
 
-    out = preds.select("key", "label",
-                       F.round(F.col("score"), 6).alias("score"),
-                       F.col("prediction").alias("prediction"))
+    out = scored.select("key", "label",
+                        F.round(F.col("score"), 6).alias("score"),
+                        (F.col("score") >= 0.5).cast("double").alias("prediction"))
     return out, report
 
 
