@@ -207,3 +207,52 @@ def test_model_selector_stage_in_workflow(spark, tmp_path):
     for r in df.select("k", "arr").collect():
         got = local({"k": r["k"], "arr": list(r["arr"])})["score"]
         assert got == pytest.approx(a[r["k"]], rel=1e-9)
+
+
+def _multi_df(spark, n=240):
+    import random
+    rng = random.Random(13)
+    rows = []
+    for _ in range(n):
+        x0, x1 = rng.uniform(-2, 2), rng.uniform(-2, 2)
+        y = 0.0 if x0 + x1 < -0.5 else (1.0 if x0 + x1 < 0.5 else 2.0)
+        rows.append(([x0, x1], y))
+    df = spark.createDataFrame(rows, "arr array<double>, label double")
+    return df.withColumn("fv", array_to_vector(F.col("arr")))
+
+
+def _check_multi_export(spark, df, model, tol=1e-9):
+    """Exported probability ARRAY == Spark's probability vector, both paths."""
+    params = export_model_params(model)
+    expr = registry.expr_for("mlPredictor", params)
+    local = registry.local_for("mlPredictor", params)
+    scored = model.transform(df).select(
+        "arr", vector_to_array(F.col("probability")).alias("want"),
+        expr(F.col("arr")).alias("got"))
+    for r in scored.collect():
+        assert list(r["got"]) == pytest.approx(list(r["want"]), rel=tol, abs=tol)
+        assert local(r["arr"]) == pytest.approx(list(r["want"]), rel=tol, abs=tol)
+
+
+def test_multinomial_logistic_export(spark):
+    from pyspark.ml.classification import LogisticRegression
+    df = _multi_df(spark)
+    m = LogisticRegression(featuresCol="fv", labelCol="label", maxIter=25).fit(df)
+    assert m.numClasses == 3
+    _check_multi_export(spark, df, m)
+
+
+def test_multiclass_dt_export(spark):
+    from pyspark.ml.classification import DecisionTreeClassifier
+    df = _multi_df(spark)
+    m = DecisionTreeClassifier(featuresCol="fv", labelCol="label",
+                               maxDepth=4, seed=7).fit(df)
+    _check_multi_export(spark, df, m, tol=0.0)
+
+
+def test_multiclass_rf_export(spark):
+    from pyspark.ml.classification import RandomForestClassifier
+    df = _multi_df(spark)
+    m = RandomForestClassifier(featuresCol="fv", labelCol="label", numTrees=5,
+                               maxDepth=3, seed=7).fit(df)
+    _check_multi_export(spark, df, m)

@@ -25,8 +25,10 @@ not carry — those walk the model's public Java node objects
   * GBTClassificationModel              -> kind "gbt_classifier"
     (P(1) = 1/(1+exp(-2*margin)), Spark's logistic loss inversion)
 
-Multiclass (numClasses > 2) classifiers are not exportable (binary P(1)
-only) and raise NotImplementedError.
+Multiclass: multinomial LogisticRegression exports as kind "softmax"
+(per-class margin rows + softmax, matching Spark's probability vector) and
+DT/RF classifiers as "dt_multi"/"rf_multi" (leaf class-distribution arrays,
+tree-mean for RF) — these score an array<double> of class probabilities.
 """
 from __future__ import annotations
 
@@ -119,6 +121,10 @@ def _java_tree_to_dict(jnode, prob_class: int | None = None) -> dict:
     toDebugString does NOT expose."""
     cls = jnode.getClass().getSimpleName()
     if cls == "LeafNode":
+        if prob_class == "dist":  # full normalized class distribution
+            stats = list(jnode.impurityStats().stats())
+            tot = sum(stats) or 1.0
+            return {"d": [float(v / tot) for v in stats]}
         if prob_class is not None:
             stats = list(jnode.impurityStats().stats())
             tot = sum(stats) or 1.0
@@ -140,7 +146,12 @@ def export_model_params(model) -> dict:
     cls = type(model).__name__
     if cls == "LogisticRegressionModel":
         if model.numClasses != 2:
-            raise NotImplementedError("only binomial logistic export supported")
+            # multinomial: per-class margin rows + softmax (Spark's
+            # probability without pivoting)
+            mat = model.coefficientMatrix.toArray()
+            return {"kind": "softmax",
+                    "intercepts": [float(b) for b in model.interceptVector.toArray()],
+                    "coefficients": [[float(v) for v in row] for row in mat]}
         return {"kind": "logistic", "intercept": float(model.intercept),
                 "coefficients": [float(c) for c in model.coefficients.toArray()]}
     if cls == "LinearRegressionModel":
@@ -148,7 +159,10 @@ def export_model_params(model) -> dict:
                 "coefficients": [float(c) for c in model.coefficients.toArray()]}
     if cls == "DecisionTreeClassificationModel":
         if model.numClasses != 2:
-            raise NotImplementedError("only binary classifier export supported")
+            # multiclass: leaves carry the full class distribution
+            root = _java_tree_to_dict(model._java_obj.rootNode(), prob_class="dist")
+            return {"kind": "dt_multi", "trees": [root],
+                    "n_classes": int(model.numClasses)}
         # leaf P(1) from class counts -> scores equal Spark's probability[1]
         root = _java_tree_to_dict(model._java_obj.rootNode(), prob_class=1)
         return {"kind": "dt", "trees": [root], "weights": [1.0]}
@@ -163,7 +177,10 @@ def export_model_params(model) -> dict:
                 "weights": [1.0] * len(blocks)}
     if cls == "RandomForestClassificationModel":
         if model.numClasses != 2:
-            raise NotImplementedError("only binary classifier export supported")
+            trees = [_java_tree_to_dict(t._java_obj.rootNode(), prob_class="dist")
+                     for t in model.trees]
+            return {"kind": "rf_multi", "trees": trees,
+                    "n_classes": int(model.numClasses)}
         # Spark RF probability = mean over trees of the leaf class
         # distribution; with leaves carrying P(1) that mean is exactly the
         # rf_regressor tree-average
@@ -203,10 +220,40 @@ def _margin_expr(p, x: Column) -> Column:
     return F.lit(p["intercept"]) + dotc
 
 
+def _dist_tree_expr(node: dict, x: Column) -> Column:
+    """Tree whose leaves are class-distribution arrays."""
+    if "d" in node:
+        return F.array(*[F.lit(v) for v in node["d"]])
+    v = F.try_element_at(x, F.lit(node["f"] + 1)).cast("double")
+    cond = (v <= F.lit(node["t"])) if "t" in node else v.isin(node["in"])
+    return F.when(cond, _dist_tree_expr(node["l"], x))         .otherwise(_dist_tree_expr(node["r"], x))
+
+
+def _softmax_expr(margins: list[Column]) -> Column:
+    arr = F.array(*margins)
+    mx = F.array_max(arr)
+    exps = F.transform(arr, lambda m: F.exp(m - mx))
+    tot = F.aggregate(exps, F.lit(0.0), lambda a, v: a + v)
+    return F.transform(exps, lambda e: e / tot)
+
+
 def _ml_pred_expr(p):
     kind = p["kind"]
 
     def make_expr(x: Column) -> Column:
+        if kind == "softmax":  # multinomial: array of class probabilities
+            margins = [
+                _margin_expr({"intercept": b, "coefficients": row}, x)
+                for b, row in zip(p["intercepts"], p["coefficients"])]
+            return _softmax_expr(margins)
+        if kind == "dt_multi":
+            return _dist_tree_expr(p["trees"][0], x)
+        if kind == "rf_multi":  # elementwise mean of per-tree distributions
+            acc = _dist_tree_expr(p["trees"][0], x)
+            for t in p["trees"][1:]:
+                acc = F.zip_with(acc, _dist_tree_expr(t, x), lambda a, b: a + b)
+            n = float(len(p["trees"]))
+            return F.transform(acc, lambda v: v / F.lit(n))
         if kind == "linear":
             return _margin_expr(p, x)
         if kind == "logistic":
@@ -242,6 +289,16 @@ def _eval_tree(node: dict, xs) -> float:
     return node["p"]
 
 
+def _eval_dist_tree(node: dict, xs) -> list[float]:
+    while "d" not in node:
+        v = xs[node["f"]]
+        if "t" in node:
+            node = node["l"] if v <= node["t"] else node["r"]
+        else:
+            node = node["l"] if v in node["in"] else node["r"]
+    return node["d"]
+
+
 def _ml_pred_local(p):
     kind = p["kind"]
 
@@ -249,6 +306,19 @@ def _ml_pred_local(p):
         if xs is None:
             return None
         xs = [float(v) for v in xs]
+        if kind == "softmax":
+            margins = [b + sum(x * c for x, c in zip(xs, row))
+                       for b, row in zip(p["intercepts"], p["coefficients"])]
+            mx = max(margins)
+            exps = [math.exp(m - mx) for m in margins]
+            tot = sum(exps)
+            return [e / tot for e in exps]
+        if kind == "dt_multi":
+            return _eval_dist_tree(p["trees"][0], xs)
+        if kind == "rf_multi":
+            dists = [_eval_dist_tree(t, xs) for t in p["trees"]]
+            n = len(dists)
+            return [sum(d[i] for d in dists) / n for i in range(len(dists[0]))]
         if kind in ("linear", "logistic"):
             m = p["intercept"] + sum(x * c for x, c in zip(xs, p["coefficients"]))
             return m if kind == "linear" else 1.0 / (1.0 + math.exp(-m))
@@ -279,5 +349,7 @@ def predictor_stage(model, features, output_name: str = "score"):
     Feature (e.g. the transmogrified vector)."""
     from ..operators.numeric import FittedParamTransformer
     params = export_model_params(model)
+    out_type = "OPVector" if params["kind"] in ("softmax", "dt_multi",
+                                                "rf_multi") else "RealNN"
     return FittedParamTransformer("mlPredictor", [features], output_name,
-                                  "RealNN", _ml_pred_expr(params), params)
+                                  out_type, _ml_pred_expr(params), params)
