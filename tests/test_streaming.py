@@ -77,6 +77,56 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     assert len(s_rows) > 0
 
 
+def test_stream_stream_left_outer_expiry_nulls(spark, sf_dir):
+    """Left-outer stream-stream join: matched pairs equal the batch join;
+    unmatched left rows are emitted null-joined exactly when the final
+    watermark passes their join upper bound (c_ts + within) — i.e. when
+    their buffered state can be evicted; trailing rows stay withheld. This
+    is the state-expiry law that bounds join state on an unbounded stream."""
+    import datetime
+
+    from transmogrifai_spark.streaming.windows import (file_stream,
+                                                       run_to_memory,
+                                                       stream_stream_interval_join)
+
+    def sides(df):
+        clicks = df.where(F.col("event_type") == "click") \
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                    F.col("event_id").alias("c_id"))
+        buys = df.where(F.col("event_type") == "purchase") \
+            .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+                    F.col("event_id").alias("b_id"))
+        return clicks, buys
+
+    src = f"{sf_dir}/events.parquet"
+    sc, sb = sides(file_stream(spark, src, SCHEMA, nanos_ts_col="ts"))
+    streamed = run_to_memory(
+        stream_stream_interval_join(sc, sb, "c_user", "b_user", "c_ts", "b_ts",
+                                    within="1 day", watermark="2 days",
+                                    how="left_outer"),
+        output_mode="append").collect()
+    s_matched = sorted((r["c_id"], r["b_id"]) for r in streamed
+                       if r["b_id"] is not None)
+    s_null_ids = {r["c_id"] for r in streamed if r["b_id"] is None}
+
+    bc, bb = sides(load_table(spark, sf_dir, "events"))
+    batch = stream_stream_interval_join(bc, bb, "c_user", "b_user",
+                                        "c_ts", "b_ts", within="1 day",
+                                        how="left_outer").collect()
+    b_matched = sorted((r["c_id"], r["b_id"]) for r in batch
+                       if r["b_id"] is not None)
+    assert s_matched == b_matched and len(s_matched) > 0
+
+    # final watermark = max event time - delay; expiry bound = c_ts + within
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    wm = max_ts - datetime.timedelta(days=2)
+    b_null = {r["c_id"]: r["c_ts"] for r in batch if r["b_id"] is None}
+    expected = {i for i, t in b_null.items()
+                if t + datetime.timedelta(days=1) < wm}
+    assert s_null_ids == expected
+    assert 0 < len(s_null_ids) < len(b_null)  # some emitted, trailing withheld
+
+
 def test_append_mode_emits_only_watermark_closed_windows(spark, sf_dir):
     """Watermark expiry: in append mode a window is emitted only once the
     final watermark (max event time - delay) passes its end; the trailing

@@ -209,6 +209,17 @@ def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
         F.lit(0.0), lambda a, x: a + x)
 
 
+def _probe_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """Explodable list of the ``n_probe`` nearest centroid ids for a query
+    vector. Centroid coords are plan literals — no second join; ties broken
+    by cell id ascending via the struct sort."""
+    cells = F.array(*[
+        F.struct(_sq_dist_to(vec, ctr).alias("d"), F.lit(i).alias("cell"))
+        for i, ctr in enumerate(centroids)])
+    probe = F.slice(F.array_sort(cells), 1, min(n_probe, len(centroids)))
+    return F.transform(probe, lambda s: s["cell"])
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
              k: int = 5, n_lists: int = 16, n_probe: int = 2, seed: int = 42,
              max_iter: int = 10, fit_sample: float | None = None) -> DataFrame:
@@ -225,18 +236,138 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     assigned, centroids = ivf_assignments(corpus, id_col, vec_col, n_lists,
                                           seed, max_iter, fit_sample)
     # n_probe nearest centroids per query, centroid coords inlined as literals
-    cells = F.array(*[
-        F.struct(_sq_dist_to(F.col("_qv"), ctr).alias("d"),
-                 F.lit(i).alias("cell"))
-        for i, ctr in enumerate(centroids)])
-    probe = F.slice(F.array_sort(cells), 1, min(n_probe, len(centroids)))
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .withColumn("_cell", F.explode(F.transform(probe, lambda s: s["cell"]))))
+        .withColumn("_cell", F.explode(_probe_cells(F.col("_qv"), centroids, n_probe))))
     scored = (
         assigned.join(qb, "_cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+
+
+def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int,
+              n_lists: int = 16, m: int = 4, k_codes: int = 16,
+              seed: int = 42, max_iter: int = 10,
+              fit_sample: float | None = None):
+    """IVF-PQ encoder (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): after the IVF coarse quantizer, the
+    residual (vec - cell centroid) is split into ``m`` subvectors and each
+    subspace gets its own ``k_codes``-word KMeans codebook. A vector is then
+    stored as (cell, m codes, reconstruction norm) — m bytes of payload
+    instead of ``dim`` floats, which is what makes a 100 TB corpus fit the
+    memory/scan budget of the query tier.
+
+    Returns ``(encoded, model)``: ``encoded`` has columns
+    (neighbor_id, _cell, _codes array<int>, _rnorm double); ``model`` is
+    ``{"centroids": [...], "codebooks": [per-subspace [codeword vectors]]}``
+    (plain floats — persistable as JSON, inlined as plan literals at query
+    time). Fit runs on ``fit_sample`` at scale; encoding is one full pass of
+    pure Catalyst expressions (argmin over codeword literals), no Python.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_d = dim // m
+    assigned, centroids = ivf_assignments(corpus, id_col, vec_col, n_lists,
+                                          seed, max_iter, fit_sample)
+    ctr_mat = _lit_matrix(centroids)
+    residual = F.zip_with(F.col("_cv"),
+                          F.element_at(ctr_mat, F.col("_cell") + 1),
+                          lambda x, y: x.cast("double") - y)
+    assigned = assigned.withColumn("_res", residual).persist()
+
+    codebooks = []
+    for i in range(m):
+        sl = assigned.select(
+            array_to_vector(F.slice(F.col("_res"), i * sub_d + 1, sub_d)).alias("_fv"))
+        fit_on = sl.sample(fit_sample, seed=seed + i) if fit_sample else sl
+        km = KMeans(k=k_codes, seed=seed + i, maxIter=max_iter,
+                    featuresCol="_fv", predictionCol="_code")
+        codebooks.append([[float(x) for x in c]
+                          for c in km.fit(fit_on).clusterCenters()])
+
+    def argmin_code(res_slice: Column, book: list[list[float]]) -> Column:
+        cands = F.array(*[
+            F.struct(_sq_dist_to(res_slice, cw).alias("d"),
+                     F.lit(c).alias("code"))
+            for c, cw in enumerate(book)])
+        return F.array_sort(cands)[0]["code"]
+
+    codes = F.array(*[
+        argmin_code(F.slice(F.col("_res"), i * sub_d + 1, sub_d), codebooks[i])
+        for i in range(m)])
+    # reconstruction = cell centroid + concat of chosen codewords; its norm is
+    # the only full-precision scalar the query tier needs for cosine
+    recon = F.concat(*[
+        F.zip_with(
+            F.slice(F.element_at(ctr_mat, F.col("_cell") + 1), i * sub_d + 1, sub_d),
+            F.element_at(_lit_matrix(codebooks[i]), F.element_at(F.col("_codes"), i + 1) + 1),
+            lambda x, y: x + y)
+        for i in range(m)])
+    encoded = (assigned
+               .withColumn("_codes", codes)
+               .withColumn("_rnorm", l2_norm(recon))
+               .select("neighbor_id", "_cell", "_codes", "_rnorm"))
+    assigned.unpersist()
+    return encoded, {"centroids": centroids, "codebooks": codebooks}
+
+
+def pq_adc_score(qv: Column, model: dict) -> Column:
+    """Asymmetric-distance (ADC) approximate dot product of a query against a
+    PQ-encoded row (needs ``_cell`` and ``_codes`` in scope):
+    dot(q, recon) = dot(q, centroid[cell]) + sum_i LUT_i[code_i], where
+    LUT_i[c] = dot(q_sub_i, codebook_i[c]). The LUT is a per-query array
+    expression over codeword literals — the corpus vectors are never read."""
+    centroids = model["centroids"]
+    codebooks = model["codebooks"]
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    score = dot(qv, F.element_at(_lit_matrix(centroids), F.col("_cell") + 1))
+    for i in range(m):
+        lut = F.array(*[
+            dot(F.slice(qv, i * sub_d + 1, sub_d), F.array(*[F.lit(x) for x in cw]))
+            for cw in codebooks[i]])
+        score = score + F.element_at(lut, F.element_at(F.col("_codes"), i + 1) + 1)
+    return score
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, dim: int, k: int = 5, n_lists: int = 16,
+                n_probe: int = 2, m: int = 4, k_codes: int = 16,
+                seed: int = 42, max_iter: int = 10,
+                fit_sample: float | None = None) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF restricts the scan to ``n_probe`` cells,
+    PQ-ADC scores candidates from m-byte codes without touching the stored
+    vectors. Same output shape as the other top-k operators; ``cosine`` is
+    the PQ approximation dot(q, recon)/(|q|·|recon|). Plan: encoded corpus
+    (persist/bucket it at scale) equi-joined to the broadcast exploded query
+    probes — identical shuffle shape to ``ivf_topk`` but the scanned payload
+    per row is m codes + one norm, not ``dim`` floats."""
+    encoded, model = pq_encode(corpus, id_col, vec_col, dim, n_lists, m,
+                               k_codes, seed, max_iter, fit_sample)
+    qb = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_cell", F.explode(_probe_cells(F.col("_qv"), model["centroids"], n_probe))))
+    denom = l2_norm(F.col("_qv")) * F.col("_rnorm")
+    scored = (
+        encoded.join(qb, "_cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.when(denom == 0, F.lit(0.0))
+                    .otherwise(pq_adc_score(F.col("_qv"), model) / denom))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
