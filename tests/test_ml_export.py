@@ -256,3 +256,53 @@ def test_multiclass_rf_export(spark):
     m = RandomForestClassifier(featuresCol="fv", labelCol="label", numTrees=5,
                                maxDepth=3, seed=7).fit(df)
     _check_multi_export(spark, df, m)
+
+
+def test_linear_svc_export(spark):
+    """SVC exports the raw margin: rawPrediction[1] == w.x + b."""
+    from pyspark.ml.classification import LinearSVC
+    df = _fit_df(spark)
+    m = LinearSVC(featuresCol="fv", labelCol="label", maxIter=20).fit(df)
+    _check_export(spark, df, m, vector_to_array(F.col("rawPrediction"))[1])
+
+
+def test_naive_bayes_export(spark):
+    """Multinomial NB over count features: exported probability array equals
+    Spark's probability vector (pi + theta.x, exp-normalized)."""
+    import random
+    from pyspark.ml.classification import NaiveBayes
+    rng = random.Random(11)
+    rows = []
+    for _ in range(240):
+        y = float(rng.randrange(3))
+        # class-dependent count features (NB needs nonnegative values)
+        rows.append(([float(rng.randrange(int(2 + 3 * y) + 1)),
+                      float(rng.randrange(6 - int(y))),
+                      float(rng.randrange(4))], y))
+    df = spark.createDataFrame(rows, "arr array<double>, label double") \
+        .withColumn("fv", array_to_vector(F.col("arr")))
+    m = NaiveBayes(featuresCol="fv", labelCol="label",
+                   modelType="multinomial").fit(df)
+    assert m.numClasses == 3
+    _check_multi_export(spark, df, m)
+
+
+def test_naive_bayes_non_multinomial_gated(spark):
+    from pyspark.ml.classification import NaiveBayes
+    df = _fit_df(spark).withColumn(
+        "fv", array_to_vector(F.transform("arr", lambda v: F.abs(v))))
+    m = NaiveBayes(featuresCol="fv", labelCol="label",
+                   modelType="gaussian").fit(df)
+    with pytest.raises(NotImplementedError, match="multinomial"):
+        export_model_params(m)
+
+
+def test_mlp_export(spark):
+    """MLP: column-major affine unroll + sigmoid hidden + softmax top must
+    reproduce Spark's probability vector through both registry paths."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    df = _multi_df(spark)
+    m = MultilayerPerceptronClassifier(
+        featuresCol="fv", labelCol="label", layers=[2, 5, 4, 3],
+        maxIter=40, seed=7).fit(df)
+    _check_multi_export(spark, df, m, tol=1e-7)

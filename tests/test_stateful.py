@@ -38,11 +38,9 @@ def test_streaming_running_totals_equals_batch(spark, sf_dir):
     """applyInPandasWithState over the events file (availableNow) must end at
     the same totals as the batch aggregate."""
     import uuid
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
-    stream = spark.readStream.schema(schema) \
-        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+
+    from transmogrifai_spark.streaming.windows import file_stream
+    stream = file_stream(spark, f"{sf_dir}/events.parquet", ts_col="ts")
     out = running_totals_stream(stream)
     sink = f"mem_{uuid.uuid4().hex[:10]}"
     q = (out.writeStream.format("memory").queryName(sink)

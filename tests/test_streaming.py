@@ -6,15 +6,14 @@ from transmogrifai_spark.sources.tables import load_table
 from transmogrifai_spark.streaming.windows import (run_stream_available_now,
                                                    windowed_event_aggregate)
 
-SCHEMA = ("event_id long, ts long, user_id long, event_type string, "
-          "value double, props string")
+SCHEMA = None  # derived from the parquet footer by file_stream
 
 
 def test_stream_equals_batch(spark, sf_dir):
     streamed = run_stream_available_now(
         spark, f"{sf_dir}/events.parquet", SCHEMA,
         lambda s: windowed_event_aggregate(s, "ts", "1 day", "1 day"),
-        nanos_ts_col="ts")
+        ts_col="ts")
     batch = windowed_event_aggregate(load_table(spark, sf_dir, "events"), "ts", "1 day")
     s_rows = sorted(tuple(r) for r in streamed.collect())
     b_rows = sorted(tuple(r) for r in batch.collect())
@@ -38,7 +37,7 @@ def test_streaming_scoring_pipeline(spark, sf_dir):
         lambda s: model.transform(s).groupBy().agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value_x2").cast("decimal(28,6)")).cast("double").alias("total")),
-        nanos_ts_col="ts")
+        ts_col="ts")
     row = streamed.first()
     n_batch = batch_events.count()
     assert row["n"] == n_batch
@@ -62,7 +61,7 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
         return clicks, buys
 
     src = f"{sf_dir}/events.parquet"
-    sc, sb = sides(file_stream(spark, src, SCHEMA, nanos_ts_col="ts"))
+    sc, sb = sides(file_stream(spark, src, SCHEMA, ts_col="ts"))
     streamed = run_to_memory(
         stream_stream_interval_join(sc, sb, "c_user", "b_user", "c_ts", "b_ts",
                                     within="1 day", watermark="2 days"),
@@ -99,7 +98,7 @@ def test_stream_stream_left_outer_expiry_nulls(spark, sf_dir):
         return clicks, buys
 
     src = f"{sf_dir}/events.parquet"
-    sc, sb = sides(file_stream(spark, src, SCHEMA, nanos_ts_col="ts"))
+    sc, sb = sides(file_stream(spark, src, SCHEMA, ts_col="ts"))
     streamed = run_to_memory(
         stream_stream_interval_join(sc, sb, "c_user", "b_user", "c_ts", "b_ts",
                                     within="1 day", watermark="2 days",
@@ -135,8 +134,8 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, sf_dir):
 
     tf = lambda s: windowed_event_aggregate(s, "ts", "1 day", "1 day")
     src = f"{sf_dir}/events.parquet"
-    complete = run_stream_available_now(spark, src, SCHEMA, tf, nanos_ts_col="ts")
-    append = run_stream_available_now(spark, src, SCHEMA, tf, nanos_ts_col="ts",
+    complete = run_stream_available_now(spark, src, SCHEMA, tf, ts_col="ts")
+    append = run_stream_available_now(spark, src, SCHEMA, tf, ts_col="ts",
                                       output_mode="append")
     c_rows = {tuple(r) for r in complete.collect()}
     a_rows = {tuple(r) for r in append.collect()}

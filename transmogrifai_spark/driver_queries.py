@@ -671,12 +671,10 @@ def q_streaming_window(spark, sf_dir):
     """Structured Streaming tumbling-window aggregation run to completion
     (Trigger.AvailableNow) — must equal the batch SQL on the same files."""
     from .streaming.windows import run_stream_available_now, windowed_event_aggregate
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
     return run_stream_available_now(
-        spark, f"{sf_dir}/events.parquet", schema,
-        lambda s: windowed_event_aggregate(s, "ts", "1 day", "1 day"),
-        nanos_ts_col="ts")
+        spark, f"{sf_dir}/events.parquet", schema=None,
+        transform=lambda s: windowed_event_aggregate(s, "ts", "1 day", "1 day"),
+        ts_col="ts")
 
 
 # ---------------------------------------------------------------------------
@@ -838,11 +836,18 @@ def q_sanity_checker(spark, sf_dir):
 
 
 def q_ml_train_score(spark, sf_dir):
-    """Full spine: joined+aggregated reader -> transmogrify -> LR ->
-    predictions (OpWorkflow.train + score re-expressed)."""
+    """Full spine: joined+aggregated reader -> transmogrify -> LR on a
+    deterministic hash-split train set -> per-split quality metrics
+    (OpWorkflow.train + score + evaluate re-expressed).
+
+    No SQL oracle (seeded LBFGS), but the OUTPUT is deterministic and
+    comparable across rounds: per split n / n_pos / n_correct are integers
+    and AuROC uses the integer Mann-Whitney numerator (ml/evaluators.py),
+    rounded to 4dp only at the end."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import vector_to_array
     from .feature import from_dataframe
+    from .ml.evaluators import _auroc_terms
     from .operators.vectorizers import to_ml_vector, transmogrify_batched
     from .workflow import Workflow
 
@@ -868,14 +873,30 @@ def q_ml_train_score(spark, sf_dir):
                                top_k=10, min_support=5)
     from .util import right_size_for_iteration
     model = Workflow([vec]).fit(base)
-    scored = to_ml_vector(model.score(base, keep_intermediate=True), "features").persist()
+    scored = to_ml_vector(model.score(base, keep_intermediate=True), "features")
+    # deterministic 80/20 hash split on the key — layout-independent, the
+    # same rows land in the holdout at any partitioning or scale
+    scored = scored.withColumn(
+        "split", F.when(F.pmod(F.xxhash64(F.col("key")), F.lit(5)) == 0,
+                        F.lit("holdout")).otherwise(F.lit("train"))).persist()
     scored = right_size_for_iteration(scored)
     lr = LogisticRegression(featuresCol="features_ml", labelCol="label",
                             maxIter=10, regParam=0.01)
-    preds = lr.fit(scored).transform(scored)
-    return preds.select(
-        "key", "label", F.col("prediction").alias("prediction"),
-        F.round(vector_to_array(F.col("probability"))[1], 4).alias("p1"))
+    preds = lr.fit(scored.where(F.col("split") == "train")).transform(scored) \
+        .withColumn("p1", vector_to_array(F.col("probability"))[1]).persist()
+    counts = preds.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label").cast("long")).alias("n_pos"),
+        F.sum((F.col("prediction") == F.col("label")).cast("long")).alias("n_correct"))
+    aucs = [
+        _auroc_terms(preds.where(F.col("split") == s), "p1", "label")
+        .select(F.lit(s).alias("split"),
+                F.round((F.col("rank_pos2") - F.col("P") * (F.col("P") + 1))
+                        .cast("double") / (2.0 * F.col("P") * F.col("N")),
+                        4).alias("auc4"))
+        for s in ("train", "holdout")]
+    return counts.join(aucs[0].unionAll(aucs[1]), "split") \
+        .select("split", "n", "n_pos", "n_correct", "auc4")
 
 
 # ---------------------------------------------------------------------------

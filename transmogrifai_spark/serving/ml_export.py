@@ -29,6 +29,13 @@ Multiclass: multinomial LogisticRegression exports as kind "softmax"
 (per-class margin rows + softmax, matching Spark's probability vector) and
 DT/RF classifiers as "dt_multi"/"rf_multi" (leaf class-distribution arrays,
 tree-mean for RF) — these score an array<double> of class probabilities.
+
+Also:
+  * LinearSVCModel                     -> kind "svc_margin" (raw w.x + b)
+  * NaiveBayesModel (multinomial)      -> kind "nb_multi"
+    (probabilities = exp(pi + theta.x - max)/sum, Spark's raw2probability)
+  * MultilayerPerceptronClassification -> kind "mlp" (affine layers column-
+    major unrolled, sigmoid hidden + softmax top, FeedForwardTopology)
 """
 from __future__ import annotations
 
@@ -198,6 +205,39 @@ def export_model_params(model) -> dict:
         return {"kind": "gbt_classifier",
                 "trees": [parse_debug_tree(b) for b in blocks],
                 "weights": weights}
+    if cls == "LinearSVCModel":
+        # raw margin w.x + b (LinearSVC has no probability; the reference's
+        # Prediction carries rawPrediction = [-m, m])
+        return {"kind": "svc_margin", "intercept": float(model.intercept),
+                "coefficients": [float(c) for c in model.coefficients.toArray()]}
+    if cls == "NaiveBayesModel":
+        model_type = model.getModelType()
+        if model_type != "multinomial":
+            raise NotImplementedError(
+                f"NaiveBayes export supports multinomial, got {model_type}")
+        # raw(c) = pi(c) + theta(c,:).x ; probability = exp(raw-max)/sum
+        # (NaiveBayesModel.multinomialCalculation + raw2probabilityInPlace)
+        return {"kind": "nb_multi",
+                "pi": [float(v) for v in model.pi.toArray()],
+                "theta": [[float(v) for v in row]
+                          for row in model.theta.toArray()]}
+    if cls == "MultilayerPerceptronClassificationModel":
+        # FeedForwardTopology.multiLayerPerceptron weight layout: per affine
+        # layer, n_in*n_out entries = W as (n_out x n_in) COLUMN-MAJOR, then
+        # n_out bias entries; hidden activation sigmoid, softmax on top
+        layers = [int(v) for v in model.getLayers()]
+        flat = [float(v) for v in model.weights.toArray()]
+        mats, off = [], 0
+        for n_in, n_out in zip(layers, layers[1:]):
+            w = flat[off:off + n_in * n_out]
+            off += n_in * n_out
+            b = flat[off:off + n_out]
+            off += n_out
+            rows = [[w[i * n_out + j] for i in range(n_in)]
+                    for j in range(n_out)]
+            mats.append({"W": rows, "b": b})
+        assert off == len(flat), "MLP weight layout mismatch"
+        return {"kind": "mlp", "layers": layers, "weights": mats}
     raise NotImplementedError(f"no param export for {cls}")
 
 
@@ -237,6 +277,27 @@ def _softmax_expr(margins: list[Column]) -> Column:
     return F.transform(exps, lambda e: e / tot)
 
 
+def _affine_expr(layer: dict, x: Column) -> list[Column]:
+    """y_j = b_j + W[j,:].x — the fold seeds at the bias, matching gemm's
+    C := bias; C += W*x accumulation order."""
+    outs = []
+    for row, b in zip(layer["W"], layer["b"]):
+        outs.append(F.aggregate(
+            F.zip_with(x, F.array(*[F.lit(w) for w in row]),
+                       lambda xi, wi: xi.cast("double") * wi),
+            F.lit(b), lambda a, v: a + v))
+    return outs
+
+
+def _mlp_expr(p, x: Column) -> Column:
+    """Hidden layers sigmoid, softmax on top (FeedForwardTopology)."""
+    cur = x
+    for layer in p["weights"][:-1]:
+        outs = _affine_expr(layer, cur)
+        cur = F.array(*[F.lit(1.0) / (F.lit(1.0) + F.exp(-o)) for o in outs])
+    return _softmax_expr(_affine_expr(p["weights"][-1], cur))
+
+
 def _ml_pred_expr(p):
     kind = p["kind"]
 
@@ -246,6 +307,15 @@ def _ml_pred_expr(p):
                 _margin_expr({"intercept": b, "coefficients": row}, x)
                 for b, row in zip(p["intercepts"], p["coefficients"])]
             return _softmax_expr(margins)
+        if kind == "svc_margin":
+            return _margin_expr(p, x)
+        if kind == "nb_multi":
+            margins = [
+                _margin_expr({"intercept": b, "coefficients": row}, x)
+                for b, row in zip(p["pi"], p["theta"])]
+            return _softmax_expr(margins)
+        if kind == "mlp":
+            return _mlp_expr(p, x)
         if kind == "dt_multi":
             return _dist_tree_expr(p["trees"][0], x)
         if kind == "rf_multi":  # elementwise mean of per-tree distributions
@@ -313,6 +383,27 @@ def _ml_pred_local(p):
             exps = [math.exp(m - mx) for m in margins]
             tot = sum(exps)
             return [e / tot for e in exps]
+        if kind == "svc_margin":
+            return p["intercept"] + sum(x * c for x, c in zip(xs, p["coefficients"]))
+        if kind == "nb_multi":
+            margins = [b + sum(x * c for x, c in zip(xs, row))
+                       for b, row in zip(p["pi"], p["theta"])]
+            mx = max(margins)
+            exps = [math.exp(m - mx) for m in margins]
+            tot = sum(exps)
+            return [e / tot for e in exps]
+        if kind == "mlp":
+            cur = xs
+            for layer in p["weights"][:-1]:
+                cur = [1.0 / (1.0 + math.exp(-(b + sum(x * w for x, w in zip(cur, row)))))
+                       for row, b in zip(layer["W"], layer["b"])]
+            last = p["weights"][-1]
+            margins = [b + sum(x * w for x, w in zip(cur, row))
+                       for row, b in zip(last["W"], last["b"])]
+            mx = max(margins)
+            exps = [math.exp(m - mx) for m in margins]
+            tot = sum(exps)
+            return [e / tot for e in exps]
         if kind == "dt_multi":
             return _eval_dist_tree(p["trees"][0], xs)
         if kind == "rf_multi":
@@ -350,6 +441,7 @@ def predictor_stage(model, features, output_name: str = "score"):
     from ..operators.numeric import FittedParamTransformer
     params = export_model_params(model)
     out_type = "OPVector" if params["kind"] in ("softmax", "dt_multi",
-                                                "rf_multi") else "RealNN"
+                                                "rf_multi", "nb_multi",
+                                                "mlp") else "RealNN"
     return FittedParamTransformer("mlPredictor", [features], output_name,
                                   out_type, _ml_pred_expr(params), params)

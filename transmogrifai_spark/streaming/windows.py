@@ -59,28 +59,39 @@ def session_windowed_aggregate(events: DataFrame, key_col: str,
     )
 
 
-def file_stream(spark: SparkSession, src_path: str, schema: str,
-                nanos_ts_col: str | None = None) -> DataFrame:
+def file_stream(spark: SparkSession, src_path: str, schema=None,
+                ts_col: str | None = None) -> DataFrame:
     """A parquet file-source stream over an existing path (single files are
     expressed as parent dir + glob, since the file source wants a
-    directory); ``nanos_ts_col`` converts an int64-nanos column back to a
-    timestamp (events.parquet stores TIMESTAMP(NANOS))."""
+    directory).
+
+    The stream schema is derived from the batch parquet footer
+    (``spark.read.parquet(path).schema``), never hardcoded — a hardcoded
+    ``ts long`` against a micros-timestamp file reads garbage *silently*.
+    ``ts_col`` normalizes that column to an instant TimestampType whatever
+    its physical form (int64-nanos, TIMESTAMP, TIMESTAMP_NTZ) via the same
+    schema-driven branch as the batch loader (sources.tables)."""
+    from ..sources.tables import ts_to_timestamp
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # harmless for micros/NTZ files; required to even read nanos files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
     reader = spark.readStream.schema(schema)
     if src_path.endswith(".parquet"):
         parent, _, fname = src_path.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         src_path = parent
     stream = reader.parquet(src_path)
-    if nanos_ts_col:
-        stream = stream.withColumn(
-            nanos_ts_col,
-            F.timestamp_micros(F.expr(f"{nanos_ts_col} div 1000").cast("long")))
+    if ts_col:
+        dtype = stream.schema[ts_col].dataType
+        stream = stream.withColumn(ts_col, ts_to_timestamp(ts_col, dtype))
     return stream
 
 
-def run_stream_available_now(spark: SparkSession, src_path: str, schema: str,
-                             transform, nanos_ts_col: str | None = None,
+def run_stream_available_now(spark: SparkSession, src_path: str, schema=None,
+                             transform=None, ts_col: str | None = None,
                              output_mode: str = "complete") -> DataFrame:
     """Run a file-source stream to completion (Trigger.AvailableNow) into a
     memory sink and return the result as a DataFrame.
@@ -90,7 +101,7 @@ def run_stream_available_now(spark: SparkSession, src_path: str, schema: str,
     batch plan on the same files. ``output_mode="append"`` exercises the
     watermark-expiry path: only windows the final watermark has passed are
     emitted (stream-stream joins likewise require append)."""
-    out = transform(file_stream(spark, src_path, schema, nanos_ts_col))
+    out = transform(file_stream(spark, src_path, schema, ts_col))
     return run_to_memory(out, output_mode)
 
 
