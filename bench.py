@@ -54,8 +54,20 @@ def main() -> None:
                                          threshold=0.5, max_doc_freq=200,
                                          hash_shingles=True)
 
+    def brute_topk(spark, sf_dir):
+        # the registry query additionally runs IVF-at-full-probe for the
+        # correctness gate; the bench keeps measuring what BASELINE.md
+        # recorded: the brute-force top-k scan itself
+        from transmogrifai_spark.llm import similarity
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 20),
+                                          "vec_id", "embedding", k=5)
+        return out.select("query_id", "neighbor_id", "rank",
+                          F.round(F.col("cosine"), 6).alias("cosine6"))
+
     runners = dict(SPARK_QUERIES)
     runners["dedup_near_ngram_capped"] = near_ngram_capped
+    runners["similarity_topk"] = brute_topk
 
     # median of N repeats per query: single runs at this scale have 10-20%
     # run-to-run noise (JIT, page cache, GC), which made round-over-round

@@ -265,3 +265,28 @@ def test_multiclass_selector_and_prediction_map(spark):
     preds = sel.fitted_model.transform(df)
     mapped = to_prediction_map(preds).first()["prediction_map"]
     assert "prediction" in mapped and "probability_0" in mapped
+
+
+def test_multiclass_metrics_frame_matches_dict(spark):
+    """The distributed one-row frame must agree with the collect-based dict
+    evaluator on every shared metric (including top-N hit counts)."""
+    from transmogrifai_spark.ml.evaluators import multiclass_metrics_frame
+    rows = [
+        (0.0, 0.0, [0.7, 0.2, 0.1]),
+        (1.0, 1.0, [0.1, 0.6, 0.3]),
+        (2.0, 2.0, [0.2, 0.3, 0.5]),
+        (0.0, 1.0, [0.5, 0.4, 0.1]),
+        (2.0, 0.0, [0.3, 0.2, 0.5]),
+        (1.0, 2.0, [0.2, 0.5, 0.3]),
+    ]
+    df = spark.createDataFrame(rows, "p double, y double, probs array<double>")
+    d = multiclass_metrics(df, "p", "y", prob_col="probs", top_ns=(1, 2))
+    f = multiclass_metrics_frame(df, "p", "y", prob_col="probs",
+                                 top_ns=(1, 2)).first()
+    n = len(rows)
+    assert f["n_correct"] / f["n_rows"] == pytest.approx(d["accuracy"])
+    assert f["macro_precision6"] == pytest.approx(d["macro_precision"], abs=1e-6)
+    assert f["macro_recall6"] == pytest.approx(d["macro_recall"], abs=1e-6)
+    assert f["macro_f16"] == pytest.approx(d["macro_f1"], abs=1e-6)
+    assert f["top1_hits"] / n == pytest.approx(d["top1_accuracy"])
+    assert f["top2_hits"] / n == pytest.approx(d["top2_accuracy"])

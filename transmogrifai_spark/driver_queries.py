@@ -481,9 +481,13 @@ def q_auroc_eval(spark, sf_dir):
 
 
 def q_binary_eval(spark, sf_dir):
-    """OpBinaryClassificationEvaluator in one row: threshold confusion
-    metrics + exact integer Mann-Whitney AuROC (merged with the former
-    auroc_eval so every registry entry fits the 50-query window)."""
+    """Binary + multiclass evaluators in one row: threshold confusion
+    metrics, exact integer Mann-Whitney AuROC, and
+    OpMultiClassificationEvaluator top-N correctness / macro P-R-F1 over a
+    deterministic 3-class problem (orderstatus; per-class scores are exact
+    integer arithmetic so the rank comparisons are reproducible in SQL).
+    Merged so every registry entry fits the 50-query window."""
+    from .ml.evaluators import multiclass_metrics_frame
     o = _t(spark, sf_dir, "orders")
     s = F.col("o_totalprice") / F.lit(1000000.0)
     y = (F.col("o_orderstatus") == "F").cast("double")
@@ -494,7 +498,21 @@ def q_binary_eval(spark, sf_dir):
         F.sum(((pred == 0) & (y == 1)).cast("long")).alias("fn"),
         F.sum(((pred == 0) & (y == 0)).cast("long")).alias("tn"),
     )
-    return confusion.crossJoin(q_auroc_eval(spark, sf_dir))
+    # 3-class eval: label = orderstatus index; "probabilities" are
+    # deterministic integer-derived scores (rank order is what matters)
+    k = F.col("o_orderkey")
+    mc = o.select(
+        F.when(F.col("o_orderstatus") == "F", 0.0)
+        .when(F.col("o_orderstatus") == "O", 1.0).otherwise(2.0).alias("my"),
+        F.array((k * 7 % 100).cast("double") / 100.0,
+                ((k * 13 + 3) % 100).cast("double") / 100.0,
+                ((k * 29 + 7) % 100).cast("double") / 100.0).alias("probs"))
+    p0, p1, p2 = (F.col("probs")[i] for i in range(3))
+    mc = mc.withColumn(
+        "mpred", F.when((p0 >= p1) & (p0 >= p2), 0.0)
+        .when(p1 >= p2, 1.0).otherwise(2.0))
+    multi = multiclass_metrics_frame(mc, "mpred", "my", "probs", top_ns=(1, 3))
+    return confusion.crossJoin(q_auroc_eval(spark, sf_dir)).crossJoin(multi)
 
 
 def q_map_vectorizer(spark, sf_dir):
@@ -652,11 +670,21 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-k AND IVF at full probe (n_probe == n_lists):
+    every cell is scanned, so the IVF plan — KMeans coarse quantizer, cell
+    equi-join, per-query window — must land on EXACTLY the brute-force
+    answer whatever the (seeded, float-order-dependent) centroids are. This
+    oracle-gates the IVF machinery itself, not just the LSH ANN path."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 20),
-                                      "vec_id", "embedding", k=5)
-    return out.select("query_id", "neighbor_id", "rank",
-                      F.round(F.col("cosine"), 6).alias("cosine6"))
+    q = emb.where(F.col("vec_id") < 20)
+    brute = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=5) \
+        .withColumn("method", F.lit("brute"))
+    ivf = similarity.ivf_topk(emb, q, "vec_id", "embedding", k=5,
+                              n_lists=8, n_probe=8) \
+        .withColumn("method", F.lit("ivf_full_probe"))
+    return brute.unionAll(ivf).select(
+        "method", "query_id", "neighbor_id", "rank",
+        F.round(F.col("cosine"), 6).alias("cosine6"))
 
 
 def q_sessionize(spark, sf_dir):
@@ -1393,8 +1421,59 @@ FROM (
 # one-row frames compose by cross join (column sets are disjoint)
 ORACLES["correlation_stats"] = (
     f"SELECT * FROM ({_SPEARMAN_SQL}) sp CROSS JOIN ({_CRAMERS_SQL}) cv")
+
+# OpMultiClassificationEvaluator: macro P/R/F1 + top-N correctness over the
+# same deterministic 3-class scores as q_binary_eval (integer arithmetic ->
+# identical rank order in both engines; hit counts are exact integers)
+_MULTICLASS_SQL = """
+WITH mc AS (
+  SELECT CASE o_orderstatus WHEN 'F' THEN 0.0 WHEN 'O' THEN 1.0
+         ELSE 2.0 END AS my,
+         [ CAST((o_orderkey * 7) % 100 AS DOUBLE) / 100.0,
+           CAST((o_orderkey * 13 + 3) % 100 AS DOUBLE) / 100.0,
+           CAST((o_orderkey * 29 + 7) % 100 AS DOUBLE) / 100.0 ] AS probs
+  FROM orders
+), mp AS (
+  SELECT my, probs,
+         CASE WHEN probs[1] >= probs[2] AND probs[1] >= probs[3] THEN 0.0
+              WHEN probs[2] >= probs[3] THEN 1.0 ELSE 2.0 END AS mpred,
+         probs[CAST(my AS INT) + 1] AS label_p
+  FROM mc
+), per_class AS (
+  SELECT my AS cls, COUNT(*) AS support,
+         SUM(CASE WHEN mpred = my THEN 1 ELSE 0 END) AS tp
+  FROM mp GROUP BY my
+), pred_counts AS (
+  SELECT mpred AS cls, COUNT(*) AS pred_n FROM mp GROUP BY mpred
+), pc AS (
+  SELECT support, tp, COALESCE(pred_n, 0) AS pred_n,
+         CASE WHEN COALESCE(pred_n, 0) > 0
+              THEN CAST(tp AS DOUBLE) / pred_n ELSE 0.0 END AS prec,
+         CASE WHEN support > 0
+              THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END AS rec
+  FROM per_class LEFT JOIN pred_counts USING (cls)
+), macro AS (
+  SELECT CAST(SUM(tp) AS BIGINT) AS n_correct,
+         CAST(SUM(support) AS BIGINT) AS n_rows,
+         ROUND(AVG(prec), 6) AS macro_precision6,
+         ROUND(AVG(rec), 6) AS macro_recall6,
+         ROUND(AVG(CASE WHEN prec + rec > 0
+                   THEN 2 * prec * rec / (prec + rec)
+                   ELSE 0.0 END), 6) AS macro_f16
+  FROM pc
+), tops AS (
+  SELECT CAST(SUM(CASE WHEN label_p >= list_sort(probs, 'DESC')[1]
+                  THEN 1 ELSE 0 END) AS BIGINT) AS top1_hits,
+         CAST(SUM(CASE WHEN label_p >= list_sort(probs, 'DESC')[3]
+                  THEN 1 ELSE 0 END) AS BIGINT) AS top3_hits
+  FROM mp
+)
+SELECT * FROM macro CROSS JOIN tops
+"""
+
 ORACLES["binary_eval"] = (
-    f"SELECT * FROM ({_CONFUSION_SQL}) cm CROSS JOIN ({_AUROC_SQL}) au")
+    f"SELECT * FROM ({_CONFUSION_SQL}) cm CROSS JOIN ({_AUROC_SQL}) au "
+    f"CROSS JOIN ({_MULTICLASS_SQL}) mu")
 
 # mirror of operators/categorical._MAGIC offset rules: the CASE is GENERATED
 # from the same table (same priority order, same offsets), so the oracle
@@ -1685,8 +1764,10 @@ scored AS (
   FROM embeddings c CROSS JOIN q
   WHERE c.vec_id != q.query_id
 )
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine6
-FROM scored WHERE rank <= 5
+SELECT m.method, s.query_id, s.neighbor_id, CAST(s.rank AS INT) AS rank,
+       round(s.cosine, 6) AS cosine6
+FROM scored s CROSS JOIN (VALUES ('brute'), ('ivf_full_probe')) m(method)
+WHERE s.rank <= 5
 """
 
 ORACLES["sessionize"] = """

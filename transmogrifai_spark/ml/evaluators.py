@@ -141,10 +141,53 @@ def multiclass_metrics(df: DataFrame, pred_col: str, label_col: str,
             probs = F.col(prob_col)
             label_p = F.try_element_at(probs, y.cast("int") + 1)
             nth = F.try_element_at(F.array_sort(probs, lambda a, b: F.when(a > b, -1)
-                                                .when(a < b, 1).otherwise(0)), n)
+                                                .when(a < b, 1).otherwise(0)),
+                                   F.lit(n))
             hit = (label_p >= nth).cast("long")
             out[f"top{n}_accuracy"] = (df.agg(F.avg(hit)).first()[0]) or 0.0
     return out
+
+
+def multiclass_metrics_frame(df: DataFrame, pred_col: str, label_col: str,
+                             prob_col: str | None = None,
+                             top_ns: tuple[int, ...] = (1, 3)) -> DataFrame:
+    """One-row DataFrame form of multiclass_metrics
+    (OpMultiClassificationEvaluator.scala:59), fully distributed — no driver
+    collect. Exact integer numerators where possible (n_correct, n_rows,
+    topN hit counts); macro P/R/F1 are per-class double averages, rounded to
+    6dp (the float-association boundary, same convention as the libm
+    roundings in driver_queries)."""
+    p = F.col(pred_col).cast("double")
+    y = F.col(label_col).cast("double")
+    per_class = (df.groupBy(y.alias("cls"))
+                 .agg(F.count(F.lit(1)).alias("support"),
+                      F.sum((p == y).cast("long")).alias("tp")))
+    pred_counts = df.groupBy(p.alias("cls")).agg(
+        F.count(F.lit(1)).alias("pred_n"))
+    j = per_class.join(pred_counts, "cls", "left").select(
+        "support", "tp", F.coalesce(F.col("pred_n"), F.lit(0)).alias("pred_n"))
+    prec = F.when(F.col("pred_n") > 0,
+                  F.col("tp") / F.col("pred_n")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("support") > 0,
+                 F.col("tp") / F.col("support")).otherwise(F.lit(0.0))
+    f1 = F.when(prec + rec > 0,
+                2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0))
+    stats = j.agg(
+        F.sum("tp").alias("n_correct"),
+        F.sum("support").alias("n_rows"),
+        F.round(F.avg(prec), 6).alias("macro_precision6"),
+        F.round(F.avg(rec), 6).alias("macro_recall6"),
+        F.round(F.avg(f1), 6).alias("macro_f16"))
+    if prob_col is None:
+        return stats
+    probs = F.col(prob_col)
+    label_p = F.try_element_at(probs, y.cast("int") + 1)
+    desc = F.array_sort(probs, lambda a, b: F.when(a > b, -1)
+                        .when(a < b, 1).otherwise(0))
+    tops = df.agg(*[
+        F.sum((label_p >= F.try_element_at(desc, F.lit(n))).cast("long"))
+        .alias(f"top{n}_hits") for n in top_ns])
+    return stats.crossJoin(tops)
 
 
 def regression_metrics(df: DataFrame, pred_col: str, label_col: str) -> dict:
