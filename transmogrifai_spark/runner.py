@@ -31,10 +31,13 @@ from typing import Optional
 
 from pyspark.sql import SparkSession
 
+from .params import OpParams
+
 
 @dataclass
 class RunParams:
-    """OpParams equivalent (features/.../OpParams.scala)."""
+    """Run dispatch config; external overrides ride in ``op_params``
+    (OpParams.scala:81 — see transmogrifai_spark.params)."""
 
     mode: str                      # train | score | features | evaluate | stream
     pipeline: str                  # importable module with build(spark, params)
@@ -44,6 +47,14 @@ class RunParams:
     label_col: str = "label"
     score_col: str = "score"
     options: dict = field(default_factory=dict)
+    op_params: "OpParams | None" = None
+
+    def __post_init__(self):
+        # file locations: explicit args win, then the params JSON
+        op = self.op_params
+        if op is not None:
+            self.model_dir = self.model_dir or op.model_location
+            self.output_dir = self.output_dir or op.write_location
 
 
 def run(params: RunParams, spark: SparkSession | None = None):
@@ -52,6 +63,8 @@ def run(params: RunParams, spark: SparkSession | None = None):
     from .workflow import Workflow
 
     spark = spark or session(app=f"transmogrifai-{params.mode}")
+    if params.op_params is not None:
+        params.op_params.stamp(spark)
     mod = importlib.import_module(params.pipeline)
     df, result_features = mod.build(spark, params)
 
@@ -81,10 +94,12 @@ def run(params: RunParams, spark: SparkSession | None = None):
         model = load_model(params.model_dir)
         scores = model.score(df)
         metrics = binary_metrics(scores, params.score_col, params.label_col)
-        if params.output_dir:
+        metrics_dir = params.output_dir or (
+            params.op_params.metrics_location if params.op_params else None)
+        if metrics_dir:
             import os
-            os.makedirs(params.output_dir, exist_ok=True)
-            with open(f"{params.output_dir}/metrics.json", "w") as f:
+            os.makedirs(metrics_dir, exist_ok=True)
+            with open(f"{metrics_dir}/metrics.json", "w") as f:
                 json.dump(metrics, f, indent=2)
         return metrics
 
@@ -112,10 +127,14 @@ def main(argv=None):
     ap.add_argument("--output-dir")
     ap.add_argument("--label-col", default="label")
     ap.add_argument("--score-col", default="score")
+    ap.add_argument("--params", help="OpParams JSON file (reader/stage/"
+                    "location overrides, OpParams.scala:300 fromFile)")
     a = ap.parse_args(argv)
+    from .params import OpParams
+    op = OpParams.from_file(a.params) if a.params else None
     run(RunParams(mode=a.mode, pipeline=a.pipeline, data_dir=a.data_dir,
                   model_dir=a.model_dir, output_dir=a.output_dir,
-                  label_col=a.label_col, score_col=a.score_col))
+                  label_col=a.label_col, score_col=a.score_col, op_params=op))
 
 
 if __name__ == "__main__":
