@@ -875,7 +875,6 @@ def q_ml_train_score(spark, sf_dir):
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import vector_to_array
     from .feature import from_dataframe
-    from .ml.evaluators import _auroc_terms
     from .operators.vectorizers import to_ml_vector, transmogrify_batched
     from .workflow import Workflow
 
@@ -911,20 +910,25 @@ def q_ml_train_score(spark, sf_dir):
     lr = LogisticRegression(featuresCol="features_ml", labelCol="label",
                             maxIter=10, regParam=0.01)
     preds = lr.fit(scored.where(F.col("split") == "train")).transform(scored) \
-        .withColumn("p1", vector_to_array(F.col("probability"))[1]).persist()
-    counts = preds.groupBy("split").agg(
+        .withColumn("p1", vector_to_array(F.col("probability"))[1])
+    # all metrics in ONE grouped pass: distinct (split, score) rows carry
+    # counts, positives, and correct-prediction counts; per-split AuROC comes
+    # from the same table via split-grouped parallel rank windows
+    from .util import counts_below
+    g = preds.groupBy("split", F.col("p1").alias("s")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("label").cast("long")).alias("n_pos"),
-        F.sum((F.col("prediction") == F.col("label")).cast("long")).alias("n_correct"))
-    aucs = [
-        _auroc_terms(preds.where(F.col("split") == s), "p1", "label")
-        .select(F.lit(s).alias("split"),
-                F.round((F.col("rank_pos2") - F.col("P") * (F.col("P") + 1))
-                        .cast("double") / (2.0 * F.col("P") * F.col("N")),
-                        4).alias("auc4"))
-        for s in ("train", "holdout")]
-    return counts.join(aucs[0].unionAll(aucs[1]), "split") \
-        .select("split", "n", "n_pos", "n_correct", "auc4")
+        F.sum(F.col("label").cast("long")).alias("np"),
+        F.sum((F.col("prediction") == F.col("label")).cast("long")).alias("ncorr"))
+    ranked = counts_below(g, "s", "n", group_cols=["split"])
+    return ranked.groupBy("split").agg(
+        F.sum("n").alias("n"),
+        F.sum("np").alias("n_pos"),
+        F.sum("ncorr").alias("n_correct"),
+        F.round(
+            (F.sum((2 * F.col("below") + F.col("n") + 1) * F.col("np"))
+             - F.sum("np") * (F.sum("np") + 1)).cast("double")
+            / (2.0 * F.sum("np") * F.sum(F.col("n") - F.col("np"))),
+            4).alias("auc4"))
 
 
 # ---------------------------------------------------------------------------

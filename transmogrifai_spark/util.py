@@ -76,7 +76,8 @@ def right_size_for_iteration(df: DataFrame, rows_per_partition: int = 100_000) -
 
 
 def counts_below(g: DataFrame, value_col: str, count_col: str,
-                 out_col: str = "below", partitions: int | None = None) -> DataFrame:
+                 out_col: str = "below", partitions: int | None = None,
+                 group_cols: list[str] | None = None) -> DataFrame:
     """Exclusive running count ("rows with value < v") per distinct value —
     the building block of average-rank statistics (Spearman, Mann-Whitney
     AuROC) — computed with RANGE-PARTITIONED parallel windows instead of a
@@ -89,27 +90,44 @@ def counts_below(g: DataFrame, value_col: str, count_col: str,
     per-partition — no stage funnels all distinct values through one task,
     so the rank computation survives continuous (all-distinct) scores at
     100 TB. The input is persisted so the sampled range boundaries are
-    computed once and shared by the totals job and the output plan."""
+    computed once and shared by the totals job and the output plan.
+
+    ``group_cols`` computes an independent ranking per group (e.g. one AuROC
+    per data split) in the SAME single pass: range partitioning becomes
+    (group..., value) so each group's values stay contiguous, windows
+    partition by (partition, group...), and the driver-side offsets
+    accumulate per group."""
+    from collections import defaultdict
+
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     sc = g.sparkSession.sparkContext
+    groups = list(group_cols or [])
     nparts = partitions or sc.defaultParallelism
-    rp = (g.repartitionByRange(nparts, F.col(value_col))
+    rp = (g.repartitionByRange(nparts, *[F.col(c) for c in groups],
+                               F.col(value_col))
           .withColumn("_pid", F.spark_partition_id())
           .persist())
-    totals = {r["_pid"]: r["_t"] for r in
-              rp.groupBy("_pid").agg(F.sum(count_col).alias("_t")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += int(totals[pid])
+    totals = rp.groupBy("_pid", *groups).agg(
+        F.sum(count_col).alias("_t")).collect()
+    offsets, acc = {}, defaultdict(int)
+    for r in sorted(totals,
+                    key=lambda r: (tuple(str(r[c]) for c in groups), r["_pid"])):
+        gk = "\x00".join(str(r[c]) for c in groups)
+        offsets[(gk, r["_pid"])] = acc[gk]
+        acc[gk] += int(r["_t"])
     if offsets:
-        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-        off = F.coalesce(omap[F.col("_pid")], F.lit(0))
+        omap = F.create_map(*[
+            F.lit(x) for (gk, pid), v in offsets.items()
+            for x in ((f"{gk}\x00{pid}" if gk else str(pid)), v)])
+        okey = F.concat_ws("\x00",
+                           *[F.col(c).cast("string") for c in groups],
+                           F.col("_pid").cast("string"))
+        off = F.coalesce(omap[okey], F.lit(0))
     else:
         off = F.lit(0)
-    w = (Window.partitionBy("_pid").orderBy(value_col)
+    w = (Window.partitionBy("_pid", *groups).orderBy(value_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     return (rp.withColumn(out_col,
                           F.coalesce(F.sum(count_col).over(w), F.lit(0)) + off)
