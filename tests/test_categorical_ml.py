@@ -100,6 +100,29 @@ def test_mime_breadth(spark):
         (b"BM\x36\x00" + b"x" * 8, "image/bmp"),
         (b"MZ\x90\x00" + b"x" * 8, "application/x-msdownload"),
         (b"PK\x03\x04" + b"x" * 8, "application/zip"),
+        # specific ISO-BMFF brands outrank the generic ftyp -> mp4 row
+        (b"\x00\x00\x00\x18ftypavif" + b"x" * 8, "image/avif"),
+        (b"\x00\x00\x00\x18ftypheic" + b"x" * 8, "image/heic"),
+        (b"\x00\x00\x00\x18ftypM4A " + b"x" * 8, "audio/mp4"),
+        (b"\x00\x00\x00\x18ftypqt  " + b"x" * 8, "video/quicktime"),
+        (b"FORM\x00\x00\x00\x24AIFF" + b"x" * 8, "audio/aiff"),
+        (b"MThd\x00\x00\x00\x06" + b"x" * 8, "audio/midi"),
+        (bytes.fromhex("fd377a585a00") + b"x" * 8, "application/x-xz"),
+        (bytes.fromhex("28b52ffd") + b"x" * 8, "application/zstd"),
+        (b"BZh91AY" + b"x" * 8, "application/x-bzip2"),
+        (bytes.fromhex("04224d18") + b"x" * 8, "application/x-lz4"),
+        (b"x" * 257 + b"ustar\x0000" + b"x" * 8, "application/x-tar"),
+        (b"SQLite format 3\x00" + b"x" * 8, "application/vnd.sqlite3"),
+        (b"wOFF\x00\x01\x00\x00" + b"x" * 8, "font/woff"),
+        (b"wOF2\x00\x01\x00\x00" + b"x" * 8, "font/woff2"),
+        (bytes.fromhex("0000000c6a5020200d0a870a") + b"x" * 8, "image/jp2"),
+        (bytes.fromhex("0061736d01000000") + b"x" * 8, "application/wasm"),
+        (bytes.fromhex("cafebabe00000041") + b"x" * 8, "application/java-vm"),
+        (b"PAR1" + b"x" * 8, "application/vnd.apache.parquet"),
+        (b"ORC\x00" + b"x" * 8, "application/vnd.apache.orc"),
+        (b"Obj\x01\x04" + b"x" * 8, "application/avro"),
+        (b"%!PS-Adobe-3.0" + b"x" * 8, "application/postscript"),
+        (b"{\\rtf1\\ansi" + b"x" * 8, "application/rtf"),
     ]
     df = spark.createDataFrame(
         [(base64.b64encode(raw).decode(),) for raw, _ in cases], "b64 string")

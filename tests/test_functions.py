@@ -200,3 +200,25 @@ def test_parse_phone_national_default_region(spark):
     df2 = spark.createDataFrame([("06 12 34 56 78",), ("061234567",)], "p string")
     v = df2.select(is_valid_phone(F.col("p"), "FR").alias("v")).collect()
     assert [r["v"] for r in v] == [True, False]  # 10-digit-less-trunk=9 ok; 9-digit with no trunk stays 9 but leading 0 stripped -> 8 -> invalid
+
+
+def test_parse_phone_extended_regions(spark):
+    """Round-4 metadata breadth: the extended region table routes and
+    validates; unknown country codes stay valid=NULL (never false)."""
+    from transmogrifai_spark.functions.text import parse_phone
+    cases = [
+        ("+351 912 345 678", "+351912345678", True),    # PT
+        ("+420 601 123 456", "+420601123456", True),    # CZ
+        ("+972 50-123-4567", "+972501234567", True),    # IL
+        ("+66 81 234 5678", "+66812345678", True),      # TH
+        ("+254 712 345678", "+254712345678", True),     # KE
+        ("+45 32 12 34 56", "+4532123456", True),       # DK
+        ("+45 02 12 34 56", None, False),               # DK lead 0 invalid
+        ("+371 21234567", "+37121234567", True),        # LV (lead 2)
+        ("+998 90 123 4567", None, None),               # UZ: not in table
+    ]
+    df = spark.createDataFrame([(s,) for s, *_ in cases], "p string")
+    out = df.select(parse_phone(F.col("p")).alias("r")).collect()
+    for (s, e164, valid), r in zip(cases, out):
+        assert r["r"]["e164"] == e164, s
+        assert r["r"]["valid"] == valid, s

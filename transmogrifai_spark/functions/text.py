@@ -150,6 +150,27 @@ _PHONE_REGIONS: list[tuple[str, str, int, int, str]] = [
     ("TR", "90", 10, 10, "[2-9]"), ("IN", "91", 10, 10, "[6-9]"),
     ("NG", "234", 8, 10, "[1-9]"), ("IE", "353", 7, 9, "[1-9]"),
     ("HK", "852", 8, 8, "[2-9]"),
+    # breadth beyond the original 27 (lead classes kept broad so unknown
+    # sub-ranges validate as unknown-true rather than false-negative)
+    ("GR", "30", 10, 10, "[26]"), ("BE", "32", 8, 9, "[1-9]"),
+    ("HU", "36", 8, 9, "[1-9]"), ("RO", "40", 9, 9, "[237]"),
+    ("AT", "43", 6, 13, "[1-9]"), ("DK", "45", 8, 8, "[2-9]"),
+    ("NO", "47", 8, 8, "[2-9]"), ("PE", "51", 8, 9, "[1-9]"),
+    ("CO", "57", 10, 10, "[1-9]"), ("VE", "58", 10, 10, "[24]"),
+    ("CL", "56", 9, 9, "[2-9]"), ("MY", "60", 8, 10, "[1-9]"),
+    ("ID", "62", 8, 12, "[1-9]"), ("PH", "63", 8, 10, "[2-9]"),
+    ("TH", "66", 8, 9, "[2-9]"), ("VN", "84", 9, 10, "[1-9]"),
+    ("PK", "92", 9, 10, "[1-9]"), ("MA", "212", 9, 9, "[5-8]"),
+    ("EG", "20", 8, 10, "[1-9]"), ("KE", "254", 9, 9, "[127]"),
+    ("GH", "233", 9, 9, "[2-5]"), ("PT", "351", 9, 9, "[2-9]"),
+    ("FI", "358", 6, 11, "[1-9]"), ("BG", "359", 7, 9, "[2-9]"),
+    ("LT", "370", 8, 8, "[3-8]"), ("LV", "371", 8, 8, "[26]"),
+    ("EE", "372", 7, 8, "[3-9]"), ("UA", "380", 9, 9, "[3-9]"),
+    ("RS", "381", 8, 9, "[1-9]"), ("HR", "385", 8, 9, "[1-9]"),
+    ("SI", "386", 8, 8, "[1-9]"), ("CZ", "420", 9, 9, "[2-9]"),
+    ("SK", "421", 9, 9, "[2-9]"), ("TW", "886", 8, 9, "[2-9]"),
+    ("BD", "880", 8, 10, "[1-9]"), ("IL", "972", 8, 9, "[2-9]"),
+    ("SA", "966", 8, 9, "[15]"), ("AE", "971", 8, 9, "[2-9]"),
 ]
 _REGION_META = {r: (cc, lo, hi, lead) for r, cc, lo, hi, lead in _PHONE_REGIONS}
 # country code -> canonical region (shared codes: +1 -> US, +7 -> RU)
@@ -160,15 +181,6 @@ for _r, _cc, _lo, _hi, _lead in _PHONE_REGIONS:
 
 def normalize_phone_digits(c: Column) -> Column:
     return F.regexp_replace(c, r"[^0-9]", "")
-
-
-def _national_valid(national: Column, region: str) -> Column:
-    cc, lo, hi, lead = _REGION_META[region]
-    ok = (F.length(national) >= lo) & (F.length(national) <= hi) & \
-        national.rlike(f"^{lead}")
-    if cc == "1":  # NANP: area code AND exchange both [2-9]XX
-        ok = ok & national.rlike("^[2-9][0-9]{2}[2-9]")
-    return ok
 
 
 def parse_phone(c: Column, default_region: str = "US") -> Column:
@@ -210,14 +222,26 @@ def parse_phone(c: Column, default_region: str = "US") -> Column:
     region = F.when(is_intl, intl_region).otherwise(F.lit(default_region))
     national = F.when(is_intl, intl_national).otherwise(nat)
 
-    valid = F.lit(None).cast("boolean")
-    for r in _REGION_META:
-        valid = F.when(region == r, _national_valid(national, r)).otherwise(valid)
+    # region metadata as MAP LITERALS keyed by region, not nested whens:
+    # a when-chain here re-inlines the (already deep) `national` expression
+    # once per region — quadratic plan growth that stalls Catalyst past ~30
+    # regions. Map lookups keep the plan linear; unknown regions look up to
+    # NULL, which propagates to valid=NULL (the documented "unknown").
+    def _meta_map(f):
+        return F.create_map(*[x for r, m in _REGION_META.items()
+                              for x in (F.lit(r), F.lit(f(m)))])
+    lo_map = _meta_map(lambda m: m[1])
+    hi_map = _meta_map(lambda m: m[2])
+    lead_map = _meta_map(lambda m: m[3])
+    cc_map = _meta_map(lambda m: m[0])
 
-    cc_expr = F.lit(None).cast("string")
-    for r, (cc, _l, _h, _ld) in _REGION_META.items():
-        cc_expr = F.when(region == r, F.lit(cc)).otherwise(cc_expr)
-    e164 = F.when(valid, F.concat(F.lit("+"), cc_expr, national))
+    base = (F.length(national) >= lo_map[region]) & \
+        (F.length(national) <= hi_map[region]) & \
+        F.regexp_like(national, F.concat(F.lit("^"), lead_map[region]))
+    nanp_ok = F.regexp_like(national, F.lit("^[2-9][0-9]{2}[2-9]"))
+    valid = F.when(cc_map[region] == "1", base & nanp_ok).otherwise(base)
+
+    e164 = F.when(valid, F.concat(F.lit("+"), cc_map[region], national))
 
     empty = c.isNull() | (F.length(d) == 0)
     return F.when(empty, F.lit(None).cast(

@@ -152,8 +152,31 @@ _MAGIC: list[tuple[str, list[tuple[int, bytes]]]] = [
     ("audio/mpeg", [(0, b"ID3")]),
     ("audio/ogg", [(0, b"OggS")]),
     ("audio/flac", [(0, b"fLaC")]),
+    ("audio/aiff", [(0, b"FORM"), (8, b"AIFF")]),
+    ("audio/midi", [(0, b"MThd")]),
+    # specific ISO-BMFF brands must outrank the generic ftyp -> mp4 row
+    ("image/avif", [(4, b"ftypavif")]),
+    ("image/heic", [(4, b"ftypheic")]),
+    ("audio/mp4", [(4, b"ftypM4A ")]),
+    ("video/quicktime", [(4, b"ftypqt  ")]),
     ("video/mp4", [(4, b"ftyp")]),
     ("video/x-matroska", [(0, bytes.fromhex("1a45dfa3"))]),
+    ("application/x-xz", [(0, bytes.fromhex("fd377a585a00"))]),
+    ("application/zstd", [(0, bytes.fromhex("28b52ffd"))]),
+    ("application/x-bzip2", [(0, b"BZh")]),
+    ("application/x-lz4", [(0, bytes.fromhex("04224d18"))]),
+    ("application/x-tar", [(257, b"ustar")]),
+    ("application/vnd.sqlite3", [(0, b"SQLite format 3\x00")]),
+    ("font/woff", [(0, b"wOFF")]),
+    ("font/woff2", [(0, b"wOF2")]),
+    ("image/jp2", [(0, bytes.fromhex("0000000c6a5020200d0a870a"))]),
+    ("application/wasm", [(0, bytes.fromhex("0061736d"))]),
+    ("application/java-vm", [(0, bytes.fromhex("cafebabe"))]),
+    ("application/vnd.apache.parquet", [(0, b"PAR1")]),
+    ("application/vnd.apache.orc", [(0, b"ORC")]),
+    ("application/avro", [(0, b"Obj\x01")]),
+    ("application/postscript", [(0, b"%!PS")]),
+    ("application/rtf", [(0, b"{\\rtf")]),
     ("application/x-elf", [(0, b"\x7fELF")]),
     ("application/xml", [(0, b"<?xml")]),
     ("image/bmp", [(0, b"BM")]),
