@@ -107,6 +107,14 @@ def test_language_id_extended_scripts_and_latin(spark):
         ("il gatto e il cane sono che un per del testo", "it"),
         ("o gato e um texto de teste para que os gatos", "pt"),
         ("de kat en de hond is een tekst met het huis", "nl"),
+        # round-4 script breadth
+        ("এটি একটি সহজ বাংলা লেখা", "bn"),
+        ("இது ஒரு எளிய தமிழ் உரை", "ta"),
+        ("ఇది ఒక సాధారణ తెలుగు వచనం", "te"),
+        ("นี่คือข้อความภาษาไทยง่ายๆ", "th"),
+        ("ეს არის მარტივი ქართული ტექსტი", "ka"),
+        ("ይህ ቀላል የአማርኛ ጽሑፍ ነው", "am"),
+        ("đây là một văn bản tiếng việt đơn giản cho những thử nghiệm", "vi"),
         ("", "und"),
     ]
     df = spark.createDataFrame([(s,) for s, _ in cases], "t string")

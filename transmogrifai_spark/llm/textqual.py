@@ -90,16 +90,25 @@ def quality_score(c: Column, stopwords: list[str] | None = None) -> Column:
 
 def language_id(c: Column, profiles: dict[str, list[str]] | None = None) -> Column:
     """Deterministic stopword-profile language guess; 'und' (undetermined)
-    when no profile scores > 0. Ties break by language code ascending."""
+    when no profile scores > 0. Ties break by language code ascending.
+
+    Winner selection is array_max over (score, -index) structs — NOT a
+    running best_lang/best_score when-chain: that chain references itself
+    twice per language, doubling the expression tree each step (2^n nodes —
+    OOMs Catalyst past ~15 profiles). Struct comparison is lexicographic,
+    so equal scores fall to max(-index) = the earliest (ascending) code —
+    identical tie semantics to the strict-> chain this replaces."""
     profiles = profiles or STOPWORD_PROFILES
-    best_lang = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang in sorted(profiles):  # ascending => earlier lang wins ties via strict >
-        score = stopword_ratio(c, profiles[lang])
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    langs = sorted(profiles)
+    entries = F.array(*[
+        F.struct(F.coalesce(stopword_ratio(c, profiles[l]), F.lit(0.0)).alias("s"),
+                 F.lit(-i).alias("ni"))
+        for i, l in enumerate(langs)])
+    best = F.array_max(entries)
+    lang_arr = F.array(*[F.lit(l) for l in langs])
+    return F.when(best["s"] > 0.0,
+                  F.element_at(lang_arr, (-best["ni"] + 1).cast("int"))) \
+        .otherwise(F.lit("und"))
 
 
 # extended Latin-script detection profiles. Detection-only surface: the
@@ -114,6 +123,14 @@ STOPWORD_PROFILES_EXTENDED: dict[str, list[str]] = {
     "tr": ["ve", "bir", "bu", "da", "de", "için", "ile", "olarak", "çok", "en"],
     "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
            "dari", "akan"],
+    "ro": ["și", "de", "în", "la", "cu", "este", "un", "o", "pentru", "care"],
+    "cs": ["a", "se", "na", "je", "že", "do", "pro", "jako", "ale", "by"],
+    "hu": ["a", "az", "és", "hogy", "nem", "is", "egy", "van", "volt", "meg"],
+    "fi": ["ja", "on", "ei", "että", "oli", "hän", "se", "mutta", "kun", "niin"],
+    "da": ["og", "i", "at", "det", "en", "den", "til", "er", "som", "på"],
+    "no": ["og", "i", "det", "som", "en", "til", "er", "av", "at", "på"],
+    "vi": ["và", "của", "là", "có", "được", "trong", "cho", "không", "này",
+           "những"],
 }
 
 # Unicode script blocks -> language guess for scripts that identify a
@@ -129,10 +146,28 @@ _SCRIPT_RANGES: list[tuple[str, str]] = [
     ("greek", r"[Ͱ-Ͽ]"),       # -> el
     ("thai", r"[฀-๿]"),        # -> th
     ("hebrew", r"[֐-׿]"),      # -> he
+    ("bengali", r"[ঀ-৿]"),     # -> bn
+    ("tamil", r"[஀-௿]"),       # -> ta
+    ("telugu", r"[ఀ-౿]"),      # -> te
+    ("kannada", r"[ಀ-೿]"),     # -> kn
+    ("malayalam", r"[ഀ-ൿ]"),   # -> ml
+    ("gujarati", r"[઀-૿]"),    # -> gu
+    ("gurmukhi", r"[਀-੿]"),    # -> pa
+    ("sinhala", r"[඀-෿]"),     # -> si
+    ("myanmar", r"[က-႟]"),     # -> my
+    ("khmer", r"[ក-៿]"),       # -> km
+    ("lao", r"[຀-໿]"),         # -> lo
+    ("georgian", r"[Ⴀ-ჿ]"),    # -> ka
+    ("armenian", r"[԰-֏]"),    # -> hy
+    ("ethiopic", r"[ሀ-፿]"),    # -> am
 ]
 _SCRIPT_LANG = {"kana": "ja", "han": "zh", "hangul": "ko", "cyrillic": "ru",
                 "arabic": "ar", "devanagari": "hi", "greek": "el",
-                "thai": "th", "hebrew": "he"}
+                "thai": "th", "hebrew": "he", "bengali": "bn", "tamil": "ta",
+                "telugu": "te", "kannada": "kn", "malayalam": "ml",
+                "gujarati": "gu", "gurmukhi": "pa", "sinhala": "si",
+                "myanmar": "my", "khmer": "km", "lao": "lo", "georgian": "ka",
+                "armenian": "hy", "ethiopic": "am"}
 
 
 def script_ratios(c: Column) -> Column:
