@@ -222,3 +222,35 @@ def test_parse_phone_extended_regions(spark):
     for (s, e164, valid), r in zip(cases, out):
         assert r["r"]["e164"] == e164, s
         assert r["r"]["valid"] == valid, s
+
+
+def test_analyze_round4_languages(spark):
+    """it/pt/nl/sv analyzer chains: that language's stopwords drop and its
+    light-stemmer endings strip."""
+    from transmogrifai_spark.functions.text import analyze
+    cases = [
+        ("it", "il gatto e i gatti sono nella stagione delle informazioni",
+         {"gatt"}, {"il", "e", "i", "sono"}),
+        ("pt", "o gato e os gatos de casa para as informações",
+         {"gato", "informaç"}, {"o", "e", "os", "de", "para", "as"}),
+        ("nl", "de katten en de honden zijn bij het huis",
+         {"katt", "hond"}, {"de", "en", "zijn", "het"}),
+        ("sv", "katterna och hundarna är med en bil",
+         {"katt", "hund"}, {"och", "är", "med", "en"}),
+    ]
+    for lang, text, want_in, want_out in cases:
+        df = spark.createDataFrame([(text,)], "t string")
+        out = set(df.select(analyze(F.col("t"), lang).alias("a")).first()["a"])
+        assert want_in <= out, (lang, out)
+        assert not (want_out & out), (lang, out)
+
+
+def test_analyze_auto_reaches_extended_languages(spark):
+    """analyze_auto routes via the EXTENDED detection profiles, so an
+    Italian sentence gets the Italian chain (not the en default)."""
+    from transmogrifai_spark.functions.text import analyze, analyze_auto
+    t = "il gatto e il cane sono che un per del testo di casa"
+    df = spark.createDataFrame([(t,)], "t string")
+    auto = df.select(analyze_auto(F.col("t")).alias("a")).first()["a"]
+    it = df.select(analyze(F.col("t"), "it").alias("a")).first()["a"]
+    assert auto == it

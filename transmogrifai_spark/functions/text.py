@@ -289,6 +289,18 @@ ANALYZER_STOPWORDS: dict[str, list[str]] = {
     "es": ["el", "la", "los", "las", "y", "es", "de", "del", "un", "una",
            "unos", "unas", "que", "en", "con", "por", "para", "son", "se",
            "su", "sus", "al", "lo", "como", "más", "pero", "no"],
+    "it": ["il", "la", "lo", "le", "gli", "i", "di", "del", "della", "che",
+           "e", "ed", "un", "una", "uno", "per", "con", "su", "sono", "in",
+           "non", "si", "da", "al", "come", "anche"],
+    "pt": ["o", "a", "os", "as", "de", "do", "da", "dos", "das", "que", "e",
+           "um", "uma", "uns", "umas", "para", "com", "em", "no", "na",
+           "por", "se", "não", "mais", "como", "são"],
+    "nl": ["de", "het", "een", "en", "van", "is", "dat", "op", "te", "met",
+           "voor", "in", "zijn", "er", "aan", "niet", "ook", "als", "bij",
+           "maar", "om", "dan", "die", "dit"],
+    "sv": ["och", "att", "det", "som", "en", "ett", "på", "är", "av", "för",
+           "med", "den", "till", "i", "inte", "har", "de", "om", "så",
+           "men", "var"],
 }
 
 # longest-first suffix rules per language; (suffix, min_remaining_stem)
@@ -303,6 +315,16 @@ ANALYZER_PROFILES: dict[str, list[tuple[str, int]]] = {
     # SpanishLightStemmer suffix subset
     "es": [("amientos", 3), ("amiento", 3), ("aciones", 3), ("acion", 3),
            ("es", 3), ("s", 3)],
+    # ItalianLightStemmer suffix subset (noun/adjective endings)
+    "it": [("zioni", 3), ("zione", 3), ("amenti", 3), ("amento", 3),
+           ("i", 3), ("e", 3), ("o", 3), ("a", 3)],
+    # PortugueseMinimalStemmer: plural-only
+    "pt": [("ões", 3), ("es", 3), ("s", 3)],
+    # Dutch: plural/diminutive-adjacent light endings
+    "nl": [("eren", 3), ("en", 3), ("e", 3), ("s", 3)],
+    # SwedishLightStemmer suffix subset (definite/plural endings)
+    "sv": [("arna", 3), ("erna", 3), ("orna", 3), ("ar", 3), ("er", 3),
+           ("or", 3), ("en", 3), ("et", 3), ("a", 3), ("e", 3)],
 }
 
 
@@ -340,8 +362,11 @@ def analyze_auto(c: Column, default_lang: str = "en",
     the analyzer of its detected language (argmax of the stopword-profile
     scores; undetermined -> ``default_lang``). One pass, no UDF: the
     language CASE selects among per-language analyzer expressions."""
-    from ..llm.textqual import language_id
-    lang = language_id(c)
+    from ..llm.textqual import STOPWORD_PROFILES_EXTENDED, language_id
+    # route with the extended detection profiles so every language that HAS
+    # an analyzer can be reached; detected languages without one fall back
+    # to the default chain (the reference's default-analyzer path)
+    lang = language_id(c, STOPWORD_PROFILES_EXTENDED)
     out = analyze(c, default_lang, min_token_length, to_lowercase, stem)
     for lg in ANALYZER_PROFILES:
         out = F.when(lang == F.lit(lg),
