@@ -22,3 +22,17 @@ def test_entry_runs(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"key", "prediction"} <= set(df.columns)
+
+
+def test_every_registry_query_runs(spark, sf_dir):
+    """Round-3's lesson: driver rows can break while unit tests stay green.
+    Execute EVERY queries() entry at sf0.001 — each must build its plan and
+    produce a materializable result (count, not collect — cheap)."""
+    failures = {}
+    for name, fn in entry_mod.queries().items():
+        try:
+            n = fn(spark, sf_dir).count()
+            assert n >= 0
+        except Exception as e:  # collect all failures, report once
+            failures[name] = f"{type(e).__name__}: {str(e)[:200]}"
+    assert not failures, failures
