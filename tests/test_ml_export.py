@@ -306,3 +306,44 @@ def test_mlp_export(spark):
         featuresCol="fv", labelCol="label", layers=[2, 5, 4, 3],
         maxIter=40, seed=7).fit(df)
     _check_multi_export(spark, df, m, tol=1e-7)
+
+
+def test_svc_and_mlp_predictor_stage_roundtrip(spark, tmp_path):
+    """Manifest round-trip + local scoring for the round-4 export families
+    (SVC margin is a scalar; MLP scores an array of class probabilities)."""
+    from pyspark.ml.classification import (LinearSVC,
+                                           MultilayerPerceptronClassifier)
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.serving.local import compile_local
+    from transmogrifai_spark.serving.ml_export import predictor_stage
+    from transmogrifai_spark.serving.persistence import load_model, save_model
+    from transmogrifai_spark.workflow import Workflow
+
+    df = _fit_df(spark)
+    feats = from_dataframe(df.select("arr", "label"), response="label")
+    svc = LinearSVC(featuresCol="fv", labelCol="label", maxIter=15).fit(df)
+    mdf = _multi_df(spark)
+    mfeats = from_dataframe(mdf.select("arr", "label"), response="label")
+    mlp = MultilayerPerceptronClassifier(
+        featuresCol="fv", labelCol="label", layers=[2, 4, 3],
+        maxIter=25, seed=7).fit(mdf)
+
+    for data, fts, model, out_name in ((df, feats, svc, "margin"),
+                                       (mdf, mfeats, mlp, "probs")):
+        st = predictor_stage(model, fts["arr"], output_name=out_name)
+        wf = Workflow([st.output]).fit(data)
+        path = str(tmp_path / out_name)
+        save_model(wf, path)
+        loaded = load_model(path)
+        a = [r[out_name] for r in
+             wf.score(data, keep_intermediate=True).select(out_name).collect()]
+        b = [r[out_name] for r in
+             loaded.score(data, keep_intermediate=True).select(out_name).collect()]
+        assert a == b and len(a) > 0
+        local = compile_local(loaded)
+        for r, want in zip(data.select("arr").collect(), a):
+            got = local({"arr": list(r["arr"])})[out_name]
+            if isinstance(want, list):
+                assert got == pytest.approx(want, rel=1e-9)
+            else:
+                assert got == pytest.approx(want, rel=1e-9)
