@@ -26,13 +26,18 @@ def test_entry_runs(spark):
 
 def test_every_registry_query_runs(spark, sf_dir):
     """Round-3's lesson: driver rows can break while unit tests stay green.
-    Execute EVERY queries() entry at sf0.001 — each must build its plan and
-    produce a materializable result (count, not collect — cheap)."""
+    Execute EVERY queries() entry at sf0.001 — each must build its plan,
+    produce a materializable result (count, not collect — cheap), and keep
+    Python out of the executed plan (no BatchEvalPython/ArrowEvalPython:
+    the whole registry is JVM-side column expressions)."""
     failures = {}
     for name, fn in entry_mod.queries().items():
         try:
-            n = fn(spark, sf_dir).count()
-            assert n >= 0
+            df = fn(spark, sf_dir)
+            assert df.count() >= 0
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan, f"{name}: python UDF in plan"
+            assert "ArrowEvalPython" not in plan, f"{name}: pandas UDF in plan"
         except Exception as e:  # collect all failures, report once
-            failures[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            failures[name] = f"{type(e).__name__}: {str(e)[:300]}"
     assert not failures, failures
