@@ -100,3 +100,21 @@ def test_runner_accepts_params_file(spark, tmp_path, monkeypatch):
     assert seen == {"top_k": 2, "min_support": 1}      # JSON overrode top_k
     assert (tmp_path / "model").exists()               # modelLocation used
     assert spark.sparkContext.getLocalProperty("opAppName") == "t"
+
+
+def test_from_file_yaml(tmp_path):
+    """YAML params documents load identically to JSON (OpParams.scala:316)."""
+    y = tmp_path / "params.yaml"
+    y.write_text(
+        "readerParams:\n"
+        "  events:\n"
+        "    path: /alt/events\n"
+        "    partitions: 8\n"
+        "stageParams:\n"
+        "  one_hot: {top_k: 25}\n"
+        "modelLocation: /models/m1\n")
+    p = OpParams.from_file(str(y))
+    assert p.reader_params["events"].path == "/alt/events"
+    assert p.reader_params["events"].partitions == 8
+    assert p.stage_params["one_hot"]["top_k"] == 25
+    assert p.model_location == "/models/m1"

@@ -150,3 +150,25 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, sf_dir):
     day_ms = 86_400_000
     expected_open = {t for t in c_rows if t[0] + day_ms > wm_ms}
     assert c_rows - a_rows == expected_open
+
+
+def test_file_stream_max_files_per_trigger(spark, sf_dir, tmp_path):
+    """Source throttling: with N input files and maxFilesPerTrigger=1, the
+    availableNow run processes N micro-batches, not one — the backfill
+    knob that keeps a 100 TB directory from becoming a single batch."""
+    import uuid
+
+    from transmogrifai_spark.sources.tables import load_table
+    from transmogrifai_spark.streaming.windows import file_stream
+
+    src = str(tmp_path / "many")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(4).write.parquet(src)
+    stream = file_stream(spark, src, max_files_per_trigger=1)
+    sink = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (stream.groupBy().count().writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 4                      # one file per micro-batch
+    assert spark.table(sink).first()["count"] == ev.count()

@@ -93,12 +93,22 @@ class OpParams:
 
     @classmethod
     def from_string(cls, s: str) -> "OpParams":
-        return cls.from_dict(json.loads(s))
+        """JSON or YAML text (the reference accepts both,
+        OpParams.fromString :308 / toYamlString :316); JSON is a YAML
+        subset, so one safe_load covers both when PyYAML is present."""
+        try:
+            return cls.from_dict(json.loads(s))
+        except json.JSONDecodeError:
+            import yaml  # in-env; gate stays soft for pure-JSON users
+            d = yaml.safe_load(s)
+            if not isinstance(d, dict):
+                raise ValueError("params document must be a mapping")
+            return cls.from_dict(d)
 
     @classmethod
     def from_file(cls, path: str) -> "OpParams":
         with open(path) as f:
-            return cls.from_dict(json.load(f))
+            return cls.from_string(f.read())
 
     # -- reference operations ----------------------------------------------
 

@@ -60,7 +60,9 @@ def session_windowed_aggregate(events: DataFrame, key_col: str,
 
 
 def file_stream(spark: SparkSession, src_path: str, schema=None,
-                ts_col: str | None = None) -> DataFrame:
+                ts_col: str | None = None,
+                max_files_per_trigger: int | None = None,
+                latest_first: bool = False) -> DataFrame:
     """A parquet file-source stream over an existing path (single files are
     expressed as parent dir + glob, since the file source wants a
     directory).
@@ -70,7 +72,11 @@ def file_stream(spark: SparkSession, src_path: str, schema=None,
     ``ts long`` against a micros-timestamp file reads garbage *silently*.
     ``ts_col`` normalizes that column to an instant TimestampType whatever
     its physical form (int64-nanos, TIMESTAMP, TIMESTAMP_NTZ) via the same
-    schema-driven branch as the batch loader (sources.tables)."""
+    schema-driven branch as the batch loader (sources.tables).
+
+    ``max_files_per_trigger`` bounds each micro-batch (backfill over a
+    100 TB directory must not load everything into one batch);
+    ``latest_first`` processes newest files first (catch-up mode)."""
     from ..sources.tables import ts_to_timestamp
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -79,6 +85,10 @@ def file_stream(spark: SparkSession, src_path: str, schema=None,
     if schema is None:
         schema = spark.read.parquet(src_path).schema
     reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if latest_first:
+        reader = reader.option("latestFirst", "true")
     if src_path.endswith(".parquet"):
         parent, _, fname = src_path.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
