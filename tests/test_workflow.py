@@ -120,3 +120,72 @@ def test_save_scores_with_metadata(spark, tmp_path):
     rf = meta["result_features"][0]
     assert rf["name"] == "features" and rf["type"] == "OPVector"
     assert len(rf["slots"]) > 0  # slot provenance travels with the data
+
+
+def test_workflow_raw_feature_filter_prunes_and_rebuilds(spark):
+    """withRawFeatureFilter (OpWorkflow.scala:544): a nearly-empty raw
+    feature is excluded at fit time; its vectorizer disappears and the
+    combiner REGENERATES over the survivors — scoring works end to end and
+    the sparse column contributes no slots."""
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.vectorizers import transmogrify
+    from transmogrifai_spark.workflow import Workflow
+
+    rows = [(f"c{i % 3}", float(i), None if i else 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "cat string, x double, sparse double")
+    feats = from_dataframe(df, overrides={"cat": "PickList"})
+    vec = transmogrify([feats["cat"], feats["x"], feats["sparse"]],
+                       top_k=5, min_support=1)
+
+    full = Workflow([vec]).fit(df)
+    filtered = Workflow([vec], raw_feature_filter={"min_fill_rate": 0.1}).fit(df)
+    n_full = len(full.score(df, keep_intermediate=True).first()["features"])
+    n_filt = len(filtered.score(df, keep_intermediate=True).first()["features"])
+    assert n_filt < n_full                       # sparse slots gone
+    assert filtered.rff is not None
+    assert "sparse" in filtered.rff.dropped
+    # protected features are never excluded
+    prot = Workflow([vec], raw_feature_filter={
+        "min_fill_rate": 0.1, "protected": ["sparse"]}).fit(df)
+    n_prot = len(prot.score(df, keep_intermediate=True).first()["features"])
+    assert n_prot == n_full
+
+
+def test_workflow_rff_strict_retention_raises(spark):
+    """A result feature whose whole ancestry is excluded must raise
+    (ResultFeatureRetention.Strict), not silently disappear."""
+    import pytest
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.stages.base import unary
+    from transmogrifai_spark.workflow import Workflow
+
+    df = spark.createDataFrame([(None,)] * 20, "sparse double")
+    feats = from_dataframe(df)
+    doubled = unary("dbl", feats["sparse"], "sparse_x2", "Real", lambda c: c * 2)
+    with pytest.raises(ValueError, match="Strict"):
+        Workflow([doubled],
+                 raw_feature_filter={"min_fill_rate": 0.5}).fit(df)
+
+
+def test_workflow_rff_with_scoring_frame_js_divergence(spark):
+    """Train/score divergence: a numeric raw whose scoring distribution
+    shifted beyond max_js_divergence is excluded, stable ones kept."""
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.vectorizers import transmogrify
+    from transmogrifai_spark.workflow import Workflow
+
+    train = spark.createDataFrame(
+        [(float(i % 10), float(i % 7)) for i in range(200)],
+        "stable double, shifty double")
+    score = spark.createDataFrame(
+        [(float(i % 10), 1000.0 + i % 3) for i in range(200)],
+        "stable double, shifty double")
+    feats = from_dataframe(train)
+    vec = transmogrify([feats["stable"], feats["shifty"]], top_k=5, min_support=1)
+    model = Workflow([vec], raw_feature_filter={
+        "min_fill_rate": 0.001, "scoring_df": score,
+        "max_js_divergence": 0.4}).fit(train)
+    assert "shifty" in model.rff.dropped
+    assert model.rff.reasons["shifty"] in ("js_divergence", "fill_rate_diff")
+    assert "stable" not in model.rff.dropped
+    assert model.score(score, keep_intermediate=True).count() == 200

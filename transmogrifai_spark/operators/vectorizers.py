@@ -246,6 +246,8 @@ def combine_vectors(vecs: list[Feature], output_name: str = "features") -> Colum
         return F.concat(*cols)
 
     st = FittedVectorizer("vectorsCombiner", list(vecs), output_name, make_expr, [])
+    # RFF: a combiner regenerates over the surviving vector inputs
+    st.rebuilder = lambda survivors: combine_vectors(survivors, output_name)
     return st
 
 
@@ -286,6 +288,9 @@ def transmogrify_batched(features: list[Feature], top_k: int = TOP_K,
                                                 real_cols, bin_cols, top_k,
                                                 min_support, track_nulls,
                                                 output_name))
+    # RFF: the batched vectorizer regenerates over the surviving columns
+    est.rebuilder = lambda survivors: transmogrify_batched(
+        survivors, top_k, min_support, track_nulls, output_name).origin_stage
     return est.output
 
 

@@ -42,6 +42,11 @@ class Stage:
         self.uid = _uid(op_name)
         self.op_name = op_name
         self.inputs = tuple(inputs)
+        # RawFeatureFilter hook (OpWorkflow.withRawFeatureFilter): a stage
+        # that can be REGENERATED on a surviving subset of its inputs (e.g.
+        # vector combiners) sets this to `lambda survivors: new_stage`;
+        # stages without it are dropped whole when any input is excluded.
+        self.rebuilder = None
         self.output_name = output_name
         self.output_type: FeatureTypeTag = tag(output_type)
         if input_types is not None:

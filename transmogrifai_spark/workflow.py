@@ -85,6 +85,7 @@ class WorkflowModel:
 
     layers: list[list[Stage]]
     result_features: list[Feature]
+    rff: object = None  # RawFeatureFilter result when fit ran with one
 
     def validate_schema(self, df: DataFrame) -> None:
         """Scoring-schema validation (FeatureSparkTypes.validateSchema,
@@ -166,11 +167,22 @@ class Workflow:
     """
 
     def __init__(self, result_features: Sequence[Feature], checkpoint_every: int | None = None,
-                 fit_sample: float | None = None, fit_sample_seed: int = 42):
+                 fit_sample: float | None = None, fit_sample_seed: int = 42,
+                 raw_feature_filter: dict | None = None):
         self.result_features = list(result_features)
         self.checkpoint_every = checkpoint_every
         self.fit_sample = fit_sample
         self.fit_sample_seed = fit_sample_seed
+        # OpWorkflow.withRawFeatureFilter (OpWorkflow.scala:544): optional
+        # fit-time raw-feature exclusion config. Keys: min_fill_rate,
+        # scoring_df (enables fill-diff + JS-divergence checks on numeric
+        # raws), max_fill_rate_diff, max_js_divergence, protected (names
+        # never excluded). Stages over excluded raws are dropped; stages
+        # with a ``rebuilder`` (vector combiners, batched transmogrify)
+        # regenerate over the surviving inputs — the reference's vectorizer
+        # regeneration. A result feature that becomes unreachable raises
+        # (ResultFeatureRetention.Strict).
+        self.rff_config = raw_feature_filter
         # static column pruning: only raw features reachable from results
         # (OpWorkflow.setResultFeatures:93)
         self.raw_features = []
@@ -191,6 +203,9 @@ class Workflow:
         (the reference persists raw data the same way, OpWorkflow.scala:242).
         """
         dag = compute_dag(self.result_features)
+        rff_result = None
+        if self.rff_config:
+            dag, rff_result = self._apply_raw_feature_filter(dag, df)
         fitted_layers: list[list[Stage]] = []
         cur = df
         persisted = []
@@ -215,7 +230,60 @@ class Workflow:
             fitted_layers.append(fitted_layer)
         for p in persisted:
             p.unpersist()
-        return WorkflowModel(layers=fitted_layers, result_features=self.result_features)
+        return WorkflowModel(layers=fitted_layers,
+                             result_features=self.result_features,
+                             rff=rff_result)
+
+    def _apply_raw_feature_filter(self, dag, df: DataFrame):
+        """Run the RawFeatureFilter checks over this workflow's raw features
+        and prune the DAG (OpWorkflow.scala:544 withRawFeatureFilter)."""
+        from .operators.preparators import (raw_feature_filter,
+                                            raw_feature_filter_full)
+
+        cfg = dict(self.rff_config)
+        protected = set(cfg.pop("protected", ()))
+        scoring_df = cfg.pop("scoring_df", None)
+        min_fill = cfg.pop("min_fill_rate", 0.001)
+        max_fill_diff = cfg.pop("max_fill_rate_diff", 0.9)
+        max_js = cfg.pop("max_js_divergence", 0.9)
+        bins = cfg.pop("bins", 20)
+        if cfg:
+            raise ValueError(f"unknown raw_feature_filter keys: {sorted(cfg)}")
+
+        raw_names = [r.name for r in self.raw_features if r.name in df.columns]
+        if scoring_df is not None:
+            numeric = [r.name for r in self.raw_features
+                       if r.name in raw_names and r.type_tag.is_numeric]
+            other = [c for c in raw_names if c not in numeric]
+            result = raw_feature_filter_full(
+                df, scoring_df, numeric, min_fill, max_fill_diff, max_js, bins)
+            fill_only = raw_feature_filter(df, other, min_fill) if other else None
+            dropped = set(result.dropped) | set(fill_only.dropped if fill_only else ())
+        else:
+            result = raw_feature_filter(df, raw_names, min_fill)
+            dropped = set(result.dropped)
+        dead = {c for c in dropped if c not in protected}
+
+        pruned = []
+        for layer in dag:
+            new_layer = []
+            for st in layer:
+                if not any(f.name in dead for f in st.inputs):
+                    new_layer.append(st)
+                    continue
+                survivors = [f for f in st.inputs if f.name not in dead]
+                if survivors and st.rebuilder is not None:
+                    new_layer.append(st.rebuilder(survivors))
+                else:
+                    dead.add(st.output_name)
+            if new_layer:
+                pruned.append(new_layer)
+        unreachable = [f.name for f in self.result_features if f.name in dead]
+        if unreachable:
+            raise ValueError(
+                "RawFeatureFilter excluded raw features that result features "
+                f"depend on (Strict retention): {unreachable}; excluded={sorted(dead)}")
+        return pruned, result
 
     def fit_score(self, df: DataFrame) -> DataFrame:
         return self.fit(df).score(df)
