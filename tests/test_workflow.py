@@ -189,3 +189,29 @@ def test_workflow_rff_with_scoring_frame_js_divergence(spark):
     assert model.rff.reasons["shifty"] in ("js_divergence", "fill_rate_diff")
     assert "stable" not in model.rff.dropped
     assert model.score(score, keep_intermediate=True).count() == 200
+
+
+def test_workflow_rff_categorical_divergence(spark):
+    """Categorical raws get distribution checks too: a category column whose
+    value mix flipped between train and score is excluded by top-K-profile
+    JS divergence; a stable one survives."""
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.vectorizers import transmogrify
+    from transmogrifai_spark.workflow import Workflow
+
+    train = spark.createDataFrame(
+        [("a" if i % 2 else "b", f"k{i % 4}", float(i)) for i in range(200)],
+        "flip string, stable string, x double")
+    score = spark.createDataFrame(
+        [("zzz", f"k{i % 4}", float(i)) for i in range(200)],
+        "flip string, stable string, x double")
+    feats = from_dataframe(train, overrides={"flip": "PickList",
+                                             "stable": "PickList"})
+    vec = transmogrify([feats["flip"], feats["stable"], feats["x"]],
+                       top_k=5, min_support=1)
+    model = Workflow([vec], raw_feature_filter={
+        "scoring_df": score, "max_js_divergence": 0.5}).fit(train)
+    assert "flip" in model.rff.dropped
+    assert model.rff.reasons["flip"] == "js_divergence"
+    assert "stable" not in model.rff.dropped and "x" not in model.rff.dropped
+    assert model.score(score, keep_intermediate=True).count() == 200

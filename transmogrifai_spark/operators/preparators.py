@@ -233,25 +233,70 @@ class RawFeatureFilterFullResult:
     reasons: dict[str, str]
 
 
+def categorical_histograms(df: DataFrame, cols: list[str],
+                           values: dict[str, list[str]] | None = None,
+                           top_k: int = 50):
+    """Per-column value-frequency profiles for categorical raws in ONE
+    shuffle regardless of column count: melt every (col, value) pair via
+    explode, one groupBy(col, value), per-column top-K picked by a window
+    rank (collect bounded by cols x top_k). Values outside the profile
+    collapse into an ``__other__`` bucket so distributions stay comparable
+    across frames. Returns ({col: counts aligned to values}, values)."""
+    from pyspark.sql.window import Window
+
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("c"),
+                 F.col(c).cast("string").alias("v")) for c in cols])).alias("p")) \
+        .select("p.c", "p.v").where(F.col("v").isNotNull())
+    counts = pairs.groupBy("c", "v").agg(F.count(F.lit(1)).alias("n"))
+    if values is None:
+        w = Window.partitionBy("c").orderBy(F.col("n").desc(), F.col("v").asc())
+        top = counts.withColumn("r", F.row_number().over(w)) \
+            .where(F.col("r") <= top_k).collect()
+        values = {c: [] for c in cols}
+        for r in sorted(top, key=lambda r: (r["c"], r["r"])):
+            values[r["c"]].append(r["v"])
+    rows = counts.collect() if sum(len(v) for v in values.values()) else []
+    hists = {}
+    for c in cols:
+        vals = values[c]
+        idx = {v: i for i, v in enumerate(vals)}
+        counts_c = [0] * (len(vals) + 1)  # +1 = __other__ bucket
+        for r in rows:
+            if r["c"] == c:
+                counts_c[idx.get(r["v"], len(vals))] += int(r["n"])
+        hists[c] = counts_c
+    return hists, values
+
+
 def raw_feature_filter_full(train: DataFrame, score: DataFrame,
                             numeric_cols: list[str],
                             min_fill_rate: float = 0.001,
                             max_fill_rate_diff: float = 0.9,
                             max_js_divergence: float = 0.9,
-                            bins: int = 20) -> RawFeatureFilterFullResult:
+                            bins: int = 20,
+                            categorical_cols: list[str] | None = None) -> RawFeatureFilterFullResult:
     """RawFeatureFilter.scala:90,486 — full surface: drop raw features by
     train fill rate, train/score fill-rate difference, and Jensen-Shannon
-    divergence between train and score distributions.
+    divergence between train and score distributions. Numeric raws compare
+    equal-width histograms; categorical raws (``categorical_cols``) compare
+    top-K value-frequency profiles with an __other__ bucket (the
+    reference's text-bins path, RawFeatureFilter.textBinsFormula).
 
-    Three aggregation sweeps total (train fill+range, train hist, score
-    fill+hist) — statistics are O(cols x bins), never row-sized."""
-    ft = raw_feature_filter(train, numeric_cols, min_fill_rate)
-    fs = raw_feature_filter(score, numeric_cols, 0.0)
+    Aggregation sweeps are O(cols x bins) statistics, never row-sized."""
+    cat_cols = list(categorical_cols or [])
+    all_cols = numeric_cols + cat_cols
+    ft = raw_feature_filter(train, all_cols, min_fill_rate)
+    fs = raw_feature_filter(score, all_cols, 0.0)
     h_train, ranges = numeric_histograms(train, numeric_cols, bins)
     h_score, _ = numeric_histograms(score, numeric_cols, bins, ranges)
     js = {c: _js_divergence(h_train[c], h_score[c]) for c in numeric_cols}
+    if cat_cols:
+        c_train, profile = categorical_histograms(train, cat_cols, top_k=bins)
+        c_score, _ = categorical_histograms(score, cat_cols, values=profile)
+        js.update({c: _js_divergence(c_train[c], c_score[c]) for c in cat_cols})
     dropped, reasons = [], {}
-    for c in numeric_cols:
+    for c in all_cols:
         if ft.fill_rates[c] < min_fill_rate:
             dropped.append(c); reasons[c] = "fill_rate"
         elif abs(ft.fill_rates[c] - fs.fill_rates[c]) > max_fill_rate_diff:

@@ -254,9 +254,15 @@ class Workflow:
         if scoring_df is not None:
             numeric = [r.name for r in self.raw_features
                        if r.name in raw_names and r.type_tag.is_numeric]
-            other = [c for c in raw_names if c not in numeric]
+            categorical = [
+                r.name for r in self.raw_features
+                if r.name in raw_names and r.name not in numeric
+                and not r.type_tag.is_list and not r.type_tag.is_map]
+            other = [c for c in raw_names
+                     if c not in numeric and c not in categorical]
             result = raw_feature_filter_full(
-                df, scoring_df, numeric, min_fill, max_fill_diff, max_js, bins)
+                df, scoring_df, numeric, min_fill, max_fill_diff, max_js,
+                bins, categorical_cols=categorical)
             fill_only = raw_feature_filter(df, other, min_fill) if other else None
             dropped = set(result.dropped) | set(fill_only.dropped if fill_only else ())
         else:
