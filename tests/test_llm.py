@@ -377,3 +377,37 @@ def test_ivf_pq_topk_recall_and_compression(spark):
     for r in approx:
         ranks.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in ranks.values())
+
+
+def test_sq_quantization_error_bounded(spark, sf_dir):
+    """Reconstruction error is bounded by step/2 per dimension (the SQ
+    contract that makes recall predictable)."""
+    from transmogrifai_spark.llm import similarity as S
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = S.sq_train(emb, "embedding", dim=64, levels=256)
+    err = emb.select(F.array_max(F.zip_with(
+        F.transform(S.sq_reconstruct(
+            S.sq_encode(F.col("embedding"), model), model),
+            lambda r: r),
+        F.col("embedding"),
+        lambda r, x: F.abs(r - x.cast("double")))).alias("e")).agg(
+        F.max("e")).first()[0]
+    max_half_step = max(model["step"]) / 2
+    assert err <= max_half_step + 1e-9
+
+
+def test_sq_topk_recall_vs_brute_force(spark, sf_dir):
+    """256-level SQ must agree with exact brute force on nearly every
+    neighbor (recall@5 >= 0.9 on the synthetic embeddings)."""
+    from transmogrifai_spark.llm import similarity as S
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    approx = S.sq_topk(emb, q, "vec_id", "embedding", k=5, dim=64)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.9
+    # coarse quantization degrades recall (monotonicity sanity)
+    coarse = S.sq_topk(emb, q, "vec_id", "embedding", k=5, dim=64, levels=4)
+    c = {(r["query_id"], r["neighbor_id"]) for r in coarse.collect()}
+    assert len(e & c) <= len(e & a)

@@ -376,3 +376,79 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# -- scalar quantization (SQ) -----------------------------------------------
+
+def sq_train(corpus: DataFrame, vec_col: str, dim: int, levels: int = 256):
+    """Scalar-quantizer grid (FAISS SQ8 analogue): per-dimension [lo, hi]
+    over the corpus — ONE aggregation pass, O(dim) statistics — and a
+    uniform ``levels``-step grid per dimension. Returns
+    {"lo": [...], "step": [...], "levels": levels} (plain floats, JSON-able,
+    inlined as plan literals at encode/query time)."""
+    aggs = []
+    for i in range(dim):
+        x = F.try_element_at(F.col(vec_col), F.lit(i + 1)).cast("double")
+        aggs += [F.min(x).alias(f"lo{i}"), F.max(x).alias(f"hi{i}")]
+    row = corpus.agg(*aggs).first()
+    lo = [float(row[f"lo{i}"] or 0.0) for i in range(dim)]
+    hi = [float(row[f"hi{i}"] or 0.0) for i in range(dim)]
+    step = [(h - l) / (levels - 1) if h > l else 1.0 for l, h in zip(lo, hi)]
+    return {"lo": lo, "step": step, "levels": levels}
+
+
+def sq_encode(vec: Column, model: dict) -> Column:
+    """array<float> -> array<int> codes: round((x - lo)/step), clamped to
+    [0, levels-1]. At levels<=256 the code column stores as 1 byte/dim in
+    parquet (dictionary/bit-packing) vs 4-8 for the float — the scan-budget
+    win that makes a 100 TB corpus queryable."""
+    lo = F.array(*[F.lit(v) for v in model["lo"]])
+    step = F.array(*[F.lit(v) for v in model["step"]])
+    lvl = model["levels"]
+    scaled = F.zip_with(vec, lo, lambda x, l: x.cast("double") - l)
+    return F.zip_with(scaled, step,
+                      lambda d, s: F.greatest(
+                          F.lit(0),
+                          F.least(F.lit(lvl - 1), F.round(d / s).cast("int"))))
+
+
+def sq_reconstruct(codes: Column, model: dict) -> Column:
+    """codes -> approximate vector: lo + code*step (inverse of sq_encode;
+    max per-dimension error = step/2)."""
+    lo = F.array(*[F.lit(v) for v in model["lo"]])
+    step = F.array(*[F.lit(v) for v in model["step"]])
+    scaled = F.zip_with(codes, step, lambda c, s: c.cast("double") * s)
+    return F.zip_with(scaled, lo, lambda v, l: v + l)
+
+
+def sq_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+            k: int = 5, levels: int = 256, dim: int | None = None,
+            model: dict | None = None) -> DataFrame:
+    """Approximate top-k over SCALAR-QUANTIZED vectors: the corpus is
+    scanned as codes (1 byte/dim), reconstructed on the fly inside the
+    scan stage, and scored with exact cosine against the full-precision
+    broadcast queries — the asymmetric-distance pattern (full-precision
+    query vs compressed corpus) at the simplest compression level.
+    Composable with IVF/LSH bucketing: quantize the bucketed table."""
+    from ..util import ensure_parallelism
+
+    if model is None:
+        if dim is None:
+            raise ValueError("sq_topk needs dim when no trained model given")
+        model = sq_train(corpus, vec_col, dim, levels)
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        sq_encode(F.col(vec_col), model).alias("_codes"))
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("_qv")))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity(
+            F.col("_qv"), sq_reconstruct(F.col("_codes"), model)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
