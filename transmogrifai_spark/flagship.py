@@ -62,7 +62,11 @@ def automl_flagship(spark: SparkSession, sf_dir: str,
         checked.output, feats["label"], feats["key"],
         candidates=default_binary_candidates(small=True), k=cv_folds)
 
-    model = Workflow([sel_stage.output]).fit(
+    # withRawFeatureFilter in the same fit (OpWorkflow.scala:544): raw
+    # features failing the fill-rate check would be excluded and their
+    # vectorizer slots regenerated away before any estimator fits
+    model = Workflow([sel_stage.output],
+                     raw_feature_filter={"min_fill_rate": 0.001}).fit(
         right_size_for_iteration(base, rows_per_partition=25_000))
     scored = model.score(base, keep_intermediate=True).persist()
 
@@ -79,6 +83,7 @@ def automl_flagship(spark: SparkSession, sf_dir: str,
         sel_stage.fitted.selected, kept_slots, label_name="label",
         train_rows=scored.count(),
         sanity_params=(fitted_checker.params if fitted_checker else None),
+        rff_result=model.rff,
         evaluation=evaluation)
 
     out = scored.select("key", "label",
