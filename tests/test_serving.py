@@ -254,3 +254,24 @@ def test_persistence_rejects_unserializable_params(tmp_path):
     assert _json_default(np.array([1.0, 2.0])) == [1.0, 2.0]
     with _pytest.raises(TypeError):
         _json_default(object())
+
+
+def test_rff_result_persists_with_model(spark, tmp_path):
+    """The RawFeatureFilter outcome rides the manifest: after save/load the
+    excluded-features record is still on the model (as a plain dict)."""
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.vectorizers import transmogrify
+    from transmogrifai_spark.serving.persistence import load_model, save_model
+    from transmogrifai_spark.workflow import Workflow
+
+    rows = [(float(i), None if i else 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "x double, sparse double")
+    feats = from_dataframe(df)
+    vec = transmogrify([feats["x"], feats["sparse"]], top_k=3, min_support=1)
+    model = Workflow([vec], raw_feature_filter={"min_fill_rate": 0.1}).fit(df)
+    assert "sparse" in model.rff.dropped
+    path = str(tmp_path / "m")
+    save_model(model, path)
+    loaded = load_model(path)
+    assert loaded.rff is not None and "sparse" in loaded.rff["dropped"]
+    assert loaded.score(df, keep_intermediate=True).count() == 40

@@ -69,6 +69,10 @@ def save_model(model: WorkflowModel, path: str) -> None:
         "result_features": [f.name for f in model.result_features],
         "layers": [[_stage_dict(s) for s in layer] for layer in model.layers],
     }
+    if model.rff is not None:  # RawFeatureFilter result rides the manifest
+        from dataclasses import asdict, is_dataclass
+        manifest["rff"] = asdict(model.rff) if is_dataclass(model.rff) \
+            else model.rff
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2, default=_json_default)
 
@@ -96,4 +100,5 @@ def load_model(path: str) -> WorkflowModel:
     layers = [[_rebuild_stage(d) for d in layer] for layer in manifest["layers"]]
     outputs = {s.output_name: s.output for layer in layers for s in layer}
     result_features = [outputs[n] for n in manifest["result_features"] if n in outputs]
-    return WorkflowModel(layers=layers, result_features=result_features)
+    return WorkflowModel(layers=layers, result_features=result_features,
+                         rff=manifest.get("rff"))
