@@ -313,3 +313,42 @@ def test_multiclass_metrics_frame_matches_dict(spark):
     assert f["macro_f16"] == pytest.approx(d["macro_f1"], abs=1e-6)
     assert f["top1_hits"] / n == pytest.approx(d["top1_accuracy"])
     assert f["top2_hits"] / n == pytest.approx(d["top2_accuracy"])
+
+
+def test_forecast_metrics_matches_reference_loop(spark):
+    """forecast_metrics == a literal Python replica of
+    OpForecastEvaluator.computeMetrics (same formulas, same seasonal-naive
+    definition y_i vs y_{i+window}, same guards)."""
+    import random
+    from transmogrifai_spark.ml.evaluators import forecast_metrics
+    rng = random.Random(3)
+    series = [(float(t), 10 + 5 * (t % 7) + rng.gauss(0, 1)) for t in range(60)]
+    rows = [(t, y, y + rng.gauss(0, 2)) for t, y in series]
+    sw = 7
+
+    # reference loop (OpForecastEvaluator.scala:89-114)
+    cnt = len(rows)
+    seasonal_abs = sum(abs(rows[i][1] - rows[i + sw][1])
+                       for i in range(cnt - sw))
+    abs_diff = sum(abs(y - p) for _, y, p in rows)
+    smape_sum = sum(abs(y - p) / (abs(y) + abs(p))
+                    for _, y, p in rows if abs(y) + abs(p) > 0)
+    seasonal_error = seasonal_abs / (cnt - sw)
+    want = {"SMAPE": 2 * smape_sum / cnt,
+            "SeasonalError": seasonal_error,
+            "MASE": abs_diff / (seasonal_error * cnt)}
+
+    df = spark.createDataFrame(rows, "t double, y double, p double")
+    got = forecast_metrics(df, "p", "y", "t", seasonal_window=sw)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+    # per-series: two identical series -> identical metrics per the shared
+    # seasonal window (counts double, ratios unchanged)
+    df2 = spark.createDataFrame(
+        [(s, t, y, p) for s in ("a", "b") for t, y, p in rows],
+        "s string, t double, y double, p double")
+    got2 = forecast_metrics(df2, "p", "y", "t", seasonal_window=sw,
+                            series_col="s")
+    for k in want:
+        assert got2[k] == pytest.approx(want[k], rel=1e-9), k

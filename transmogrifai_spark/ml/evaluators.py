@@ -217,6 +217,49 @@ def smape(df: DataFrame, pred_col: str, label_col: str) -> float:
     return float(row[0] or 0.0)
 
 
+def forecast_metrics(df: DataFrame, pred_col: str, label_col: str,
+                     time_col: str, seasonal_window: int = 1,
+                     series_col: str | None = None) -> dict:
+    """OpForecastEvaluator.scala:83-120 — SMAPE + SeasonalError + MASE.
+
+    The reference takes the series to the driver (``take(maxItems)``) and
+    loops; here the seasonal-naive error uses ``lead(label, window)`` over
+    event-time order, so the whole computation is one window + one
+    aggregate. Pass ``series_col`` for per-series forecasts — the window
+    partitions by series and stays parallel (a global single-series order
+    funnels one sort partition, exactly like the reference's take)."""
+    from pyspark.sql.window import Window
+
+    if seasonal_window <= 0:
+        raise ValueError("seasonal_window must be positive")
+    p = F.col(pred_col).cast("double")
+    y = F.col(label_col).cast("double")
+    w = (Window.partitionBy(series_col) if series_col else
+         Window.partitionBy()).orderBy(F.col(time_col))
+    y_seasonal = F.lead(y, seasonal_window).over(w)
+    denom = F.abs(p) + F.abs(y)
+    row = df.select(
+        y.alias("_y"), p.alias("_p"), y_seasonal.alias("_ys"),
+        F.when(denom != 0, F.abs(p - y) / denom).otherwise(0.0).alias("_sm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("_y") - F.col("_p"))).alias("abs_diff"),
+        F.sum("_sm").alias("smape_sum"),
+        F.sum(F.abs(F.col("_y") - F.col("_ys"))).alias("seasonal_abs"),
+        F.count("_ys").alias("seasonal_n"),
+    ).first()
+    n = int(row["n"] or 0)
+    seasonal_n = int(row["seasonal_n"] or 0)
+    seasonal_error = (float(row["seasonal_abs"]) / seasonal_n
+                      if seasonal_n else 0.0)
+    mase_denom = seasonal_error * n
+    return {
+        "SMAPE": 2 * float(row["smape_sum"]) / n if n else 0.0,
+        "SeasonalError": seasonal_error,
+        "MASE": (float(row["abs_diff"]) / mase_denom) if mase_denom > 0 else 0.0,
+    }
+
+
 def auroc_frame(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """AuROC as a one-row DataFrame (for the oracle gate); exact integer
     numerator, single final double division."""
