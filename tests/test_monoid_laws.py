@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 from transmogrifai_spark.aggregators import MONOIDS
 
-SCALAR_MONOIDS = ["sum", "sum_exact", "min", "max", "mean", "logical_or",
+SCALAR_MONOIDS = ["sum", "sum_exact", "min", "max", "mean", "mean_exact",
+                  "logical_or",
                   "logical_and", "logical_xor", "concat", "set_union",
                   "mode", "first", "last"]
 ARRAY_MONOIDS = ["concat_list", "set_union_flat", "geo_midpoint"]

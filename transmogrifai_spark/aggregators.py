@@ -61,6 +61,15 @@ def agg_sum_exact(c: Column, ts: Column | None = None, precision: int = 28, scal
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
 
 
+def agg_mean_exact(c: Column, ts: Column | None = None,
+                   precision: int = 28, scale: int = 6) -> Column:
+    """Order-exact mean: decimal-accumulated sum over the count, one final
+    double division (same rationale as sum_exact — plain avg() of doubles
+    is partition-order-dependent at 1000 executors)."""
+    return (F.sum(c.cast(f"decimal({precision},{scale})"))
+            / F.count(c)).cast("double")
+
+
 def agg_logical_or(c: Column, ts: Column | None = None) -> Column:  # LogicalOr:118
     return F.max(c.cast("boolean"))
 
@@ -154,6 +163,7 @@ MONOIDS: dict[str, AggFactory] = {
     "min": agg_min,
     "max": agg_max,
     "mean": agg_mean,
+    "mean_exact": agg_mean_exact,
     "logical_or": agg_logical_or,
     "logical_and": agg_logical_and,
     "logical_xor": agg_logical_xor,
