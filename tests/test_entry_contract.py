@@ -41,3 +41,19 @@ def test_every_registry_query_runs(spark, sf_dir):
         except Exception as e:  # collect all failures, report once
             failures[name] = f"{type(e).__name__}: {str(e)[:300]}"
     assert not failures, failures
+
+
+def test_bench_headline_queries_resolvable():
+    """bench.py is the driver's perf artifact: every HEADLINE name must
+    resolve to a registry query or a bench-local override, so a registry
+    rename can never turn the bench into a DNF silently."""
+    import importlib.util as iu
+    spec = iu.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = iu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    overrides = {"dedup_near_ngram_capped", "similarity_topk"}
+    q = set(entry_mod.queries())
+    for name in bench.HEADLINE:
+        assert name in q or name in overrides, name
