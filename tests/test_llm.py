@@ -411,3 +411,28 @@ def test_sq_topk_recall_vs_brute_force(spark, sf_dir):
     coarse = S.sq_topk(emb, q, "vec_id", "embedding", k=5, dim=64, levels=4)
     c = {(r["query_id"], r["neighbor_id"]) for r in coarse.collect()}
     assert len(e & c) <= len(e & a)
+
+
+def test_ann_model_dicts_json_roundtrip(spark, sf_dir):
+    """SQ and IVF-PQ models are plain-float dicts by contract (persistable
+    next to the workflow manifest): a json round-trip must reproduce
+    identical codes and scores."""
+    import json
+    from transmogrifai_spark.llm import similarity as S
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    sq = S.sq_train(emb, "embedding", dim=64, levels=64)
+    sq2 = json.loads(json.dumps(sq))
+    a = emb.select(S.sq_encode(F.col("embedding"), sq).alias("c")).collect()
+    b = emb.select(S.sq_encode(F.col("embedding"), sq2).alias("c")).collect()
+    assert [r["c"] for r in a] == [r["c"] for r in b]
+
+    enc, pq_model = S.pq_encode(emb, "vec_id", "embedding", dim=64,
+                                n_lists=4, m=4, k_codes=8)
+    pq2 = json.loads(json.dumps(pq_model))
+    scored = enc.where(F.col("neighbor_id") == 1).crossJoin(
+        F.broadcast(emb.where(F.col("vec_id") == 0)
+                    .select(F.col("embedding").alias("_qv"))))
+    s1 = scored.select(S.pq_adc_score(F.col("_qv"), pq_model).alias("s")).first()
+    s2 = scored.select(S.pq_adc_score(F.col("_qv"), pq2).alias("s")).first()
+    assert s1["s"] == s2["s"]
