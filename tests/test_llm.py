@@ -436,3 +436,15 @@ def test_ann_model_dicts_json_roundtrip(spark, sf_dir):
     s1 = scored.select(S.pq_adc_score(F.col("_qv"), pq_model).alias("s")).first()
     s2 = scored.select(S.pq_adc_score(F.col("_qv"), pq2).alias("s")).first()
     assert s1["s"] == s2["s"]
+
+
+def test_language_id_tie_and_null_semantics(spark):
+    """The array_max argmax rewrite must keep the when-chain's contract:
+    equal scores -> earliest language code wins; no signal / null -> und."""
+    from transmogrifai_spark.llm.textqual import language_id
+    profiles = {"bb": ["tok"], "aa": ["tok"], "cc": ["other"]}
+    df = spark.createDataFrame(
+        [("tok tok here",), ("nothing matches",), (None,)], "t string")
+    out = [r["l"] for r in
+           df.select(language_id(F.col("t"), profiles).alias("l")).collect()]
+    assert out == ["aa", "und", "und"]
