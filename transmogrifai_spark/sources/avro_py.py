@@ -1,0 +1,623 @@
+"""Pure-Python Avro Object Container File codec (public Avro 1.x spec).
+
+The reference's default record format is Avro (readers/.../AvroReaders.scala:55
+``AvroReader``, streaming form at AvroReaders.scala:110); Spark's own reader is
+the external ``spark-avro`` datasource, which is not bundled in this
+environment (only the avro core jars ship with pyspark). This module is the
+fallback that keeps the Avro surface *working* instead of error-gated: a
+from-scratch implementation of the published container-file format
+
+    header  = magic 'Obj\\x01' + metadata map (avro.schema, avro.codec)
+            + 16-byte sync marker
+    block   = count:long + byteSize:long + serialized objects + sync marker
+
+with the spec's zig-zag varint primitives. Three pieces:
+
+  * schema translation  avro JSON <-> Spark StructType (both directions,
+    logical types date / timestamp-millis / timestamp-micros / decimal),
+  * a per-schema compiled decoder/encoder (closure tree, one dispatch per
+    field per row, no per-value schema inspection),
+  * container read/write with ``null`` and ``deflate`` codecs (snappy /
+    zstandard are gated: the Python libs are absent here).
+
+Scale design (the part that must survive 100 TB): files are read in
+HADOOP-STYLE BYTE-RANGE SPLITS. A split [start, end) owns every block whose
+*preceding sync marker* starts inside the range — the same ownership rule as
+Hadoop's AvroInputFormat, so contiguous splits partition the file's blocks
+exactly once with no coordination. Each task seeks to its range, scans for the
+first sync, then walks blocks by computed offsets (count/size prefixes), so a
+1 TB avro file fans out across executors without any driver-side decode. The
+driver reads ONLY file headers (schema + codec + sync, a few hundred bytes per
+file). Decoding is Python-side and therefore the slow path by design — the
+documented trade for not having the JVM datasource — but it is batch-oriented
+(one Arrow-friendly column batch per container block) rather than per-row
+IPC.
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+
+#: codecs implemented here; snappy/zstandard would need absent Python libs
+CODECS = ("null", "deflate")
+
+
+# --------------------------------------------------------------------------
+# schema translation
+# --------------------------------------------------------------------------
+
+_PRIMITIVES = {
+    "null": T.NullType(),
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+}
+
+
+def avro_to_spark_type(schema) -> T.DataType:
+    """Spark DataType for an avro schema node (writer schema, no resolution)."""
+    if isinstance(schema, str):
+        return _PRIMITIVES[schema]
+    if isinstance(schema, list):  # union
+        branches = [b for b in schema if b != "null"]
+        if len(branches) != 1:
+            raise NotImplementedError(
+                f"non-nullable multi-branch unions unsupported: {schema}")
+        return avro_to_spark_type(branches[0])
+    t = schema["type"]
+    logical = schema.get("logicalType")
+    if logical == "date" and t == "int":
+        return T.DateType()
+    if logical in ("timestamp-millis", "timestamp-micros") and t == "long":
+        return T.TimestampType()
+    if logical == "decimal" and t in ("bytes", "fixed"):
+        return T.DecimalType(schema["precision"], schema.get("scale", 0))
+    if t in _PRIMITIVES:
+        return _PRIMITIVES[t]
+    if t == "record":
+        return T.StructType([
+            T.StructField(f["name"], avro_to_spark_type(f["type"]),
+                          nullable=_is_nullable(f["type"]))
+            for f in schema["fields"]])
+    if t == "enum":
+        return T.StringType()
+    if t == "array":
+        return T.ArrayType(avro_to_spark_type(schema["items"]),
+                           containsNull=_is_nullable(schema["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), avro_to_spark_type(schema["values"]),
+                         valueContainsNull=_is_nullable(schema["values"]))
+    if t == "fixed":
+        return T.BinaryType()
+    raise NotImplementedError(f"avro type {t!r}")
+
+
+def _is_nullable(schema) -> bool:
+    return isinstance(schema, list) and "null" in schema
+
+
+def avro_to_spark_schema(schema: dict) -> T.StructType:
+    st = avro_to_spark_type(schema)
+    if not isinstance(st, T.StructType):
+        raise ValueError("top-level avro schema must be a record")
+    return st
+
+
+def spark_to_avro_schema(schema: T.StructType, name: str = "topLevelRecord") -> dict:
+    """Avro record schema for a Spark StructType (write path), matching
+    spark-avro's mapping (nullable -> [null, T] unions)."""
+    return {"type": "record", "name": name, "fields": [
+        {"name": f.name,
+         "type": _spark_to_avro_type(f.dataType, f.nullable, f"{name}_{f.name}")}
+        for f in schema.fields]}
+
+
+def _spark_to_avro_type(dt: T.DataType, nullable: bool, name: str):
+    if isinstance(dt, T.BooleanType):
+        out = "boolean"
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        out = "int"
+    elif isinstance(dt, T.LongType):
+        out = "long"
+    elif isinstance(dt, T.FloatType):
+        out = "float"
+    elif isinstance(dt, T.DoubleType):
+        out = "double"
+    elif isinstance(dt, T.StringType):
+        out = "string"
+    elif isinstance(dt, T.BinaryType):
+        out = "bytes"
+    elif isinstance(dt, T.DateType):
+        out = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        out = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.DecimalType):
+        out = {"type": "bytes", "logicalType": "decimal",
+               "precision": dt.precision, "scale": dt.scale}
+    elif isinstance(dt, T.ArrayType):
+        out = {"type": "array",
+               "items": _spark_to_avro_type(dt.elementType, dt.containsNull,
+                                            name + "_item")}
+    elif isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise NotImplementedError("avro maps require string keys")
+        out = {"type": "map",
+               "values": _spark_to_avro_type(dt.valueType,
+                                             dt.valueContainsNull,
+                                             name + "_value")}
+    elif isinstance(dt, T.StructType):
+        out = spark_to_avro_schema(dt, name)
+    else:
+        raise NotImplementedError(f"spark type {dt} has no avro mapping")
+    return ["null", out] if nullable else out
+
+
+# --------------------------------------------------------------------------
+# binary decode (compiled per schema)
+# --------------------------------------------------------------------------
+
+class _Bin:
+    """Cursor over one decompressed block."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def long(self) -> int:  # zig-zag varint
+        buf, pos = self.buf, self.pos
+        b = buf[pos]
+        n = b & 0x7F
+        shift = 7
+        while b & 0x80:
+            pos += 1
+            b = buf[pos]
+            n |= (b & 0x7F) << shift
+            shift += 7
+        self.pos = pos + 1
+        return (n >> 1) ^ -(n & 1)
+
+    def bytes_(self) -> bytes:
+        n = self.long()
+        out = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def fixed(self, n: int) -> bytes:
+        out = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+
+def _compile_decoder(schema):
+    """A ``f(bin) -> value`` closure for one avro schema node. Logical types
+    surface as the Python value Spark's converter expects for the Spark type
+    chosen by :func:`avro_to_spark_type` (datetime/date/Decimal)."""
+    import datetime
+    import decimal
+
+    if isinstance(schema, str):
+        t, logical = schema, None
+        node = {}
+    elif isinstance(schema, list):
+        branches = schema
+        decoders = [None if b == "null" else _compile_decoder(b)
+                    for b in branches]
+
+        def union(b):
+            d = decoders[b.long()]
+            return None if d is None else d(b)
+        return union
+    else:
+        node = schema
+        t = schema["type"]
+        logical = schema.get("logicalType")
+
+    if t == "null":
+        return lambda b: None
+    if t == "boolean":
+        def boolean(b):
+            v = b.buf[b.pos] == 1
+            b.pos += 1
+            return v
+        return boolean
+    if t == "int":
+        if logical == "date":
+            epoch = datetime.date(1970, 1, 1)
+            day = datetime.timedelta(days=1)
+            return lambda b: epoch + day * b.long()
+        return lambda b: b.long()
+    if t == "long":
+        if logical == "timestamp-millis":
+            ep = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            ms = datetime.timedelta(milliseconds=1)
+            return lambda b: ep + ms * b.long()
+        if logical == "timestamp-micros":
+            ep = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            us = datetime.timedelta(microseconds=1)
+            return lambda b: ep + us * b.long()
+        return lambda b: b.long()
+    if t == "float":
+        unpack = struct.Struct("<f").unpack_from
+
+        def float_(b):
+            (v,) = unpack(b.buf, b.pos)
+            b.pos += 4
+            return v
+        return float_
+    if t == "double":
+        unpack = struct.Struct("<d").unpack_from
+
+        def double(b):
+            (v,) = unpack(b.buf, b.pos)
+            b.pos += 8
+            return v
+        return double
+    if t in ("bytes", "fixed"):
+        if t == "fixed":
+            size = node["size"]
+            raw = (lambda b: b.fixed(size))
+        else:
+            raw = _Bin.bytes_
+        if logical == "decimal":
+            scale = node.get("scale", 0)
+
+            def dec(b):
+                bs = raw(b)
+                unscaled = int.from_bytes(bs, "big", signed=True)
+                return decimal.Decimal(unscaled).scaleb(-scale)
+            return dec
+        return raw
+    if t == "string":
+        return lambda b: b.bytes_().decode("utf-8")
+    if t == "record":
+        field_decoders = [_compile_decoder(f["type"]) for f in node["fields"]]
+
+        def record(b):
+            return tuple(d(b) for d in field_decoders)
+        return record
+    if t == "enum":
+        symbols = node["symbols"]
+        return lambda b: symbols[b.long()]
+    if t == "array":
+        item = _compile_decoder(node["items"])
+
+        def array(b):
+            out = []
+            n = b.long()
+            while n != 0:
+                if n < 0:  # negative count: block byte-size follows (skip it)
+                    n = -n
+                    b.long()
+                for _ in range(n):
+                    out.append(item(b))
+                n = b.long()
+            return out
+        return array
+    if t == "map":
+        value = _compile_decoder(node["values"])
+
+        def map_(b):
+            out = {}
+            n = b.long()
+            while n != 0:
+                if n < 0:
+                    n = -n
+                    b.long()
+                for _ in range(n):
+                    k = b.bytes_().decode("utf-8")
+                    out[k] = value(b)
+                n = b.long()
+            return out
+        return map_
+    raise NotImplementedError(f"avro type {t!r}")
+
+
+# --------------------------------------------------------------------------
+# binary encode (compiled per schema) — write path / test fixtures
+# --------------------------------------------------------------------------
+
+def _zigzag(out: bytearray, v: int) -> None:
+    v = (v << 1) ^ (v >> 63) if v >= 0 else (((-v) << 1) - 1)
+    while v > 0x7F:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def _compile_encoder(schema):
+    import datetime
+
+    if isinstance(schema, str):
+        t, logical, node = schema, None, {}
+    elif isinstance(schema, list):
+        branches = schema
+        null_idx = branches.index("null") if "null" in branches else None
+        enc = [(i, _compile_encoder(b)) for i, b in enumerate(branches)
+               if b != "null"]
+        if len(enc) != 1:
+            raise NotImplementedError("multi-branch unions unsupported")
+        idx, inner = enc[0]
+
+        def union(out, v):
+            if v is None:
+                _zigzag(out, null_idx)
+            else:
+                _zigzag(out, idx)
+                inner(out, v)
+        return union
+    else:
+        node, t, logical = schema, schema["type"], schema.get("logicalType")
+
+    if t == "null":
+        return lambda out, v: None
+    if t == "boolean":
+        return lambda out, v: out.append(1 if v else 0)
+    if t == "int":
+        if logical == "date":
+            epoch = datetime.date(1970, 1, 1)
+            return lambda out, v: _zigzag(out, (v - epoch).days)
+        return _zigzag
+    if t == "long":
+        if logical == "timestamp-micros":
+            ep = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+            def ts(out, v):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=datetime.timezone.utc)
+                d = v - ep
+                _zigzag(out, (d.days * 86400 + d.seconds) * 1_000_000
+                        + d.microseconds)
+            return ts
+        if logical == "timestamp-millis":
+            ep = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+            def tsm(out, v):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=datetime.timezone.utc)
+                d = v - ep
+                _zigzag(out, (d.days * 86400 + d.seconds) * 1_000
+                        + d.microseconds // 1000)
+            return tsm
+        return _zigzag
+    if t == "float":
+        pack = struct.Struct("<f").pack
+        return lambda out, v: out.extend(pack(v))
+    if t == "double":
+        pack = struct.Struct("<d").pack
+        return lambda out, v: out.extend(pack(v))
+    if t == "bytes":
+        if logical == "decimal":
+            scale = node.get("scale", 0)
+
+            def dec(out, v):
+                unscaled = int(v.scaleb(scale).to_integral_value())
+                n = max(1, (unscaled.bit_length() + 8) // 8)
+                bs = unscaled.to_bytes(n, "big", signed=True)
+                _zigzag(out, len(bs))
+                out.extend(bs)
+            return dec
+
+        def bytes_(out, v):
+            _zigzag(out, len(v))
+            out.extend(v)
+        return bytes_
+    if t == "string":
+        def string(out, v):
+            bs = v.encode("utf-8")
+            _zigzag(out, len(bs))
+            out.extend(bs)
+        return string
+    if t == "fixed":
+        return lambda out, v: out.extend(v)
+    if t == "record":
+        encoders = [_compile_encoder(f["type"]) for f in node["fields"]]
+        names = [f["name"] for f in node["fields"]]
+
+        def record(out, v):
+            if isinstance(v, dict):
+                for name, e in zip(names, encoders):
+                    e(out, v[name])
+            else:
+                for x, e in zip(v, encoders):
+                    e(out, x)
+        return record
+    if t == "enum":
+        index = {s: i for i, s in enumerate(node["symbols"])}
+        return lambda out, v: _zigzag(out, index[v])
+    if t == "array":
+        item = _compile_encoder(node["items"])
+
+        def array(out, v):
+            if v:
+                _zigzag(out, len(v))
+                for x in v:
+                    item(out, x)
+            _zigzag(out, 0)
+        return array
+    if t == "map":
+        value = _compile_encoder(node["values"])
+
+        def map_(out, v):
+            if v:
+                _zigzag(out, len(v))
+                for k, x in v.items():
+                    bs = k.encode("utf-8")
+                    _zigzag(out, len(bs))
+                    out.extend(bs)
+                    value(out, x)
+            _zigzag(out, 0)
+        return map_
+    raise NotImplementedError(f"avro type {t!r}")
+
+
+# --------------------------------------------------------------------------
+# container files
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class AvroHeader:
+    schema: dict
+    codec: str
+    sync: bytes
+    first_block: int  # byte offset just past the header's sync marker
+    size: int         # file size in bytes
+
+
+def read_header(path: str) -> AvroHeader:
+    """Parse a container-file header (driver-side: a few hundred bytes)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(min(size, 1 << 20))
+        if head[:4] != MAGIC:
+            raise ValueError(f"{path}: not an avro container file")
+        b = _Bin(head)
+        b.pos = 4
+        meta = {}
+        n = b.long()
+        while n != 0:
+            if n < 0:
+                n = -n
+                b.long()
+            for _ in range(n):
+                k = b.bytes_().decode("utf-8")
+                meta[k] = b.bytes_()
+            n = b.long()
+        sync = b.fixed(SYNC_SIZE)
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+        if codec not in CODECS:
+            raise NotImplementedError(
+                f"avro codec {codec!r} needs a Python lib absent from this "
+                f"environment; supported: {CODECS}")
+        return AvroHeader(schema=json.loads(meta["avro.schema"]), codec=codec,
+                          sync=sync, first_block=b.pos, size=size)
+
+
+def _decompress(codec: str, data: bytes) -> bytes:
+    if codec == "deflate":
+        return zlib.decompress(data, -15)  # raw deflate, per spec
+    return data
+
+
+def iter_split_blocks(path: str, header: AvroHeader, start: int, end: int):
+    """Yield decoded-row lists for every block owned by byte range
+    [start, end).
+
+    Ownership: a block belongs to the split containing the FIRST BYTE of its
+    preceding sync marker (the header's trailing sync precedes block 1, and
+    every block carries a trailing sync preceding the next) — Hadoop's
+    AvroInputFormat rule, so contiguous ranges cover each block exactly once.
+    After locating the first sync by scanning, subsequent positions are
+    computed from the count/size prefixes (no further scanning).
+    """
+    decode = _compile_decoder(header.schema)
+    first_sync = header.first_block - SYNC_SIZE
+    start = max(start, first_sync)
+    with open(path, "rb") as f:
+        sync_pos = _find_sync(f, header.sync, start, end, first_sync)
+        while sync_pos is not None and sync_pos < end:
+            f.seek(sync_pos + SYNC_SIZE)
+            prefix = f.read(20)  # two varint longs: count, byteSize
+            if len(prefix) == 0:
+                return  # trailing sync at EOF
+            b = _Bin(prefix)
+            count = b.long()
+            nbytes = b.long()
+            data_start = sync_pos + SYNC_SIZE + b.pos
+            f.seek(data_start)
+            block = _Bin(_decompress(header.codec, f.read(nbytes)))
+            yield [decode(block) for _ in range(count)]
+            sync_pos = data_start + nbytes  # this block's trailing sync
+
+
+def _find_sync(f, sync: bytes, start: int, end: int, first_sync: int):
+    """First offset >= start where the 16-byte sync marker occurs (bounded by
+    ``end + 15`` so a marker straddling ``end`` still resolves ownership)."""
+    if start <= first_sync:
+        return first_sync
+    chunk_size = 1 << 20
+    pos = start
+    tail = b""
+    f.seek(start)
+    while pos - len(tail) < end + SYNC_SIZE:
+        chunk = f.read(chunk_size)
+        if not chunk:
+            return None
+        buf = tail + chunk
+        idx = buf.find(sync)
+        if idx != -1:
+            found = pos - len(tail) + idx
+            return found if found < end else None
+        tail = buf[-(SYNC_SIZE - 1):]
+        pos += len(chunk)
+    return None
+
+
+def write_container(path: str, schema: dict, rows, codec: str = "null",
+                    block_rows: int = 4096) -> int:
+    """Write rows (dicts or tuples in field order) as one container file.
+    Returns the row count. The sync marker is derived deterministically from
+    (schema, path) so identical writes are byte-identical."""
+    import hashlib
+    if codec not in CODECS:
+        raise NotImplementedError(f"codec {codec!r}; supported: {CODECS}")
+    encode = _compile_encoder(schema)
+    sync = hashlib.md5(
+        (json.dumps(schema, sort_keys=True) + "\x00" + path).encode()
+    ).digest()
+    n = 0
+    with open(path, "wb") as f:
+        header = bytearray(MAGIC)
+        meta = {"avro.schema": json.dumps(schema).encode(),
+                "avro.codec": codec.encode()}
+        _zigzag(header, len(meta))
+        for k, v in meta.items():
+            kb = k.encode()
+            _zigzag(header, len(kb))
+            header.extend(kb)
+            _zigzag(header, len(v))
+            header.extend(v)
+        _zigzag(header, 0)
+        header.extend(sync)
+        f.write(header)
+
+        block = bytearray()
+        count = 0
+
+        def flush():
+            nonlocal block, count
+            if count == 0:
+                return
+            data = bytes(block)
+            if codec == "deflate":
+                co = zlib.compressobj(9, zlib.DEFLATED, -15)
+                data = co.compress(data) + co.flush()
+            out = bytearray()
+            _zigzag(out, count)
+            _zigzag(out, len(data))
+            f.write(bytes(out) + data + sync)
+            block = bytearray()
+            count = 0
+
+        for row in rows:
+            encode(block, row)
+            count += 1
+            n += 1
+            if count >= block_rows:
+                flush()
+        flush()
+    return n

@@ -57,12 +57,18 @@ class DataReader:
     repartition: int | None = None  # DataReader.maybeRepartition:147-164
 
     def read(self, spark: SparkSession) -> DataFrame:
+        fmt = self.fmt
+        if fmt == "avro":
+            # JVM spark-avro if on the classpath, else the pure-Python
+            # splittable fallback datasource (sources/avro_source.py)
+            from .avro_source import register_avro
+            fmt = register_avro(spark)
         reader = spark.read.options(**self.options)
         if self.schema:
             reader = reader.schema(self.schema)
-        if self.fmt == "csv" and "header" not in self.options:
+        if fmt == "csv" and "header" not in self.options:
             reader = reader.option("header", True).option("inferSchema", self.schema is None)
-        df = reader.format(self.fmt).load(self.path)
+        df = reader.format(fmt).load(self.path)
         if self.repartition:
             df = df.repartition(self.repartition)
         return df
