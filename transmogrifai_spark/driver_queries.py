@@ -670,11 +670,17 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_similarity_topk(spark, sf_dir):
-    """Brute-force cosine top-k AND IVF at full probe (n_probe == n_lists):
-    every cell is scanned, so the IVF plan — KMeans coarse quantizer, cell
-    equi-join, per-query window — must land on EXACTLY the brute-force
-    answer whatever the (seeded, float-order-dependent) centroids are. This
-    oracle-gates the IVF machinery itself, not just the LSH ANN path."""
+    """Brute-force cosine top-k AND IVF at full probe (n_probe == n_lists)
+    AND scalar-quantized (SQ8) top-k:
+    - IVF at full probe scans every cell, so the IVF plan — KMeans coarse
+      quantizer, cell equi-join, per-query window — must land on EXACTLY the
+      brute-force answer whatever the (seeded, float-order-dependent)
+      centroids are. This oracle-gates the IVF machinery itself.
+    - The SQ path is gated AT ITS OWN quantized answer: the oracle replicates
+      the per-dimension min/max grid, round/clamp codes, and lo + code*step
+      reconstruction in SQL (every step a single IEEE double op in matching
+      order), so the compressed-corpus scoring — not just the exact math —
+      is verified."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
     brute = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=5) \
@@ -682,9 +688,12 @@ def q_similarity_topk(spark, sf_dir):
     ivf = similarity.ivf_topk(emb, q, "vec_id", "embedding", k=5,
                               n_lists=8, n_probe=8) \
         .withColumn("method", F.lit("ivf_full_probe"))
-    return brute.unionAll(ivf).select(
+    sq = similarity.sq_topk(emb, q, "vec_id", "embedding", k=5, levels=256,
+                            dim=64) \
+        .withColumn("method", F.lit("sq_reconstructed"))
+    return brute.unionAll(ivf).unionAll(sq).select(
         "method", "query_id", "neighbor_id", "rank",
-        F.round(F.col("cosine"), 6).alias("cosine6"))
+        (F.round(F.col("cosine"), 6) + F.lit(0.0)).alias("cosine6"))
 
 
 def q_sessionize(spark, sf_dir):
@@ -1767,11 +1776,45 @@ scored AS (
                                      c.vec_id ASC) AS rank
   FROM embeddings c CROSS JOIN q
   WHERE c.vec_id != q.query_id
+),
+-- SQ8 grid replica (llm/similarity.py sq_train/sq_encode/sq_reconstruct):
+-- per-dimension [lo, hi] over the corpus, uniform 256-level grid,
+-- code = clamp(round((x - lo)/step)), recon = code*step + lo. Each step is
+-- one IEEE double op in the same order as the Spark plan, so recon vectors
+-- are bit-identical across engines.
+grid AS (
+  SELECT i.i AS i, min(c.embedding[i.i]::DOUBLE) AS lo,
+         CASE WHEN max(c.embedding[i.i]::DOUBLE) > min(c.embedding[i.i]::DOUBLE)
+              THEN (max(c.embedding[i.i]::DOUBLE) - min(c.embedding[i.i]::DOUBLE)) / 255
+              ELSE 1.0 END AS step
+  FROM embeddings c CROSS JOIN range(1, 65) i(i)
+  GROUP BY i.i
+),
+recon AS (
+  SELECT c.vec_id,
+         list(LEAST(255.0, GREATEST(0.0,
+                round((c.embedding[g.i]::DOUBLE - g.lo) / g.step)))
+              * g.step + g.lo ORDER BY g.i) AS rv
+  FROM embeddings c CROSS JOIN grid g
+  GROUP BY c.vec_id
+),
+sq_scored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, r.rv) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, r.rv) DESC,
+                                     r.vec_id ASC) AS rank
+  FROM recon r CROSS JOIN q
+  WHERE r.vec_id != q.query_id
 )
 SELECT m.method, s.query_id, s.neighbor_id, CAST(s.rank AS INT) AS rank,
-       round(s.cosine, 6) AS cosine6
+       round(s.cosine, 6) + 0.0 AS cosine6
 FROM scored s CROSS JOIN (VALUES ('brute'), ('ivf_full_probe')) m(method)
 WHERE s.rank <= 5
+UNION ALL
+SELECT 'sq_reconstructed', query_id, neighbor_id, CAST(rank AS INT),
+       round(cosine, 6) + 0.0
+FROM sq_scored WHERE rank <= 5
 """
 
 ORACLES["sessionize"] = """
