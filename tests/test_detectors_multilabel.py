@@ -90,6 +90,94 @@ def test_raw_feature_filter_full(spark):
     assert res.js_divergence["stable"] < 0.2
 
 
+def test_text_token_histograms_match_hashingtf(spark):
+    """The text-bins histogram is Spark ML HashingTF's (the reference's
+    hasher, FeatureDistribution.scala:326) summed over rows, per column —
+    verified against a manual HashingTF + vector-sum on the same frame."""
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.stat import Summarizer
+
+    from transmogrifai_spark.functions.text import tokenize
+    from transmogrifai_spark.operators.preparators import text_token_histograms
+
+    df = spark.createDataFrame(
+        [("the quick brown fox", "alpha beta"),
+         ("jumps over the lazy dog", "beta gamma gamma"),
+         (None, "alpha"),
+         ("the end", None)],
+        "a string, b string")
+    hists, widths = text_token_histograms(df, ["a", "b"], bins=16)
+    assert widths == {"a": 16, "b": 16}
+    for c in ("a", "b"):
+        manual = (HashingTF(inputCol="toks", outputCol="v", numFeatures=16)
+                  .transform(df.select(tokenize(F.col(c)).alias("toks")))
+                  .agg(Summarizer.sum(F.col("v")).alias("s"))
+                  .first()["s"].toArray())
+        assert hists[c] == list(manual), c
+    assert sum(hists["a"]) == 11.0 and sum(hists["b"]) == 6.0
+
+
+def test_text_bins_formula_override(spark):
+    """textBinsFormula (RawFeatureFilter.scala:588): the override sees the
+    token-count Summary and sets per-column widths; the scoring pass reuses
+    the train widths via bins_by_col."""
+    from transmogrifai_spark.operators.preparators import text_token_histograms
+
+    df = spark.createDataFrame(
+        [("one two three four five six", "hi")] * 10, "long string, short string")
+    hists, widths = text_token_histograms(
+        df, ["long", "short"], bins=32,
+        text_bins_formula=lambda s, b: 8 if s["max"] < 3 else b)
+    assert widths == {"long": 32, "short": 8}
+    assert len(hists["long"]) == 32 and len(hists["short"]) == 8
+    h2, w2 = text_token_histograms(df, ["long", "short"], bins_by_col=widths)
+    assert h2 == hists and w2 == widths
+
+
+def test_rff_text_divergence_drops_shifted_vocab(spark):
+    """Free-text raws go through the hashed-token JS check: identical vocab
+    passes, disjoint vocab exceeds max_js_divergence and is dropped."""
+    base = [("the cat sat on the mat", "common words here") for _ in range(200)]
+    shifted = [("zorp blik quux flarn wibble", "common words here")
+               for _ in range(200)]
+    train = spark.createDataFrame(base, "drifting string, stable string")
+    score = spark.createDataFrame(shifted, "drifting string, stable string")
+    res = raw_feature_filter_full(train, score, [], max_js_divergence=0.5,
+                                  text_cols=["drifting", "stable"])
+    assert "drifting" in res.dropped
+    assert res.reasons["drifting"] == "js_divergence"
+    assert "stable" not in res.dropped
+    assert res.js_divergence["stable"] < 0.05
+    assert res.js_divergence["drifting"] > 0.5
+
+
+def test_workflow_rff_routes_free_text(spark):
+    """Workflow(raw_feature_filter={scoring_df}) sends free-Text raws through
+    the hashed-token JS check: a vocab-drifted text raw is excluded and the
+    vector combiner rebuilds over the survivors."""
+    from transmogrifai_spark.feature import from_dataframe
+    from transmogrifai_spark.operators.vectorizers import transmogrify
+    from transmogrifai_spark.workflow import Workflow
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat here", "stable text", float(i)) for i in range(100)],
+        "key long, drift string, keep string, x double")
+    score = spark.createDataFrame(
+        [(i, "zorp blik quux xyzzy", "stable text", float(i))
+         for i in range(100)],
+        "key long, drift string, keep string, x double")
+    feats = from_dataframe(train, overrides={"drift": "Text", "keep": "Text"})
+    vec = transmogrify([feats["drift"], feats["keep"], feats["x"]],
+                       top_k=5, min_support=1)
+    model = Workflow([vec],
+                     raw_feature_filter={"scoring_df": score,
+                                         "max_js_divergence": 0.5}).fit(train)
+    assert "drift" in model.rff.dropped
+    assert model.rff.reasons["drift"] == "js_divergence"
+    assert "keep" not in model.rff.dropped and "x" not in model.rff.dropped
+    assert model.score(train).count() == 100
+
+
 def test_language_id_extended_scripts_and_latin(spark):
     """Script-first ID: non-Latin scripts decide directly (kana outranks han
     for Japanese); Latin text falls back to the extended stopword profiles."""

@@ -193,6 +193,8 @@ def numeric_histograms(df: DataFrame, cols: list[str], bins: int = 20,
     reference computes FeatureDistribution summaries the same single-sweep
     way, filters/FeatureDistribution.scala). Returns ({col: counts}, ranges).
     """
+    if not cols:
+        return {}, (ranges or {})
     if ranges is None:
         rng_row = df.agg(*[F.min(F.col(c).cast("double")).alias(f"{c}__min") for c in cols],
                          *[F.max(F.col(c).cast("double")).alias(f"{c}__max") for c in cols]).first()
@@ -269,23 +271,94 @@ def categorical_histograms(df: DataFrame, cols: list[str],
     return hists, values
 
 
+def text_summaries(df: DataFrame, cols: list[str]):
+    """Per-column token-count Summary(min, max, sum, count) — the reference's
+    text Summary (filters/Summary.scala via PreparedFeatures): statistics of
+    tokens-per-row, ONE aggregation sweep for every column."""
+    from ..functions.text import tokenize
+
+    aggs = []
+    for c in cols:
+        n = F.size(tokenize(F.col(c).cast("string")))
+        aggs += [F.min(n).alias(f"{c}__min"), F.max(n).alias(f"{c}__max"),
+                 F.sum(n).alias(f"{c}__sum"),
+                 F.count(F.col(c)).alias(f"{c}__count")]
+    row = df.agg(*aggs).first()
+    return {c: {"min": float(row[f"{c}__min"] or 0),
+                "max": float(row[f"{c}__max"] or 0),
+                "sum": float(row[f"{c}__sum"] or 0),
+                "count": float(row[f"{c}__count"] or 0)} for c in cols}
+
+
+def default_text_bins_formula(summary: dict, bins: int) -> int:
+    """RawFeatureFilter.textBinsFormula (RawFeatureFilter.scala:588) — the
+    reference default is the identity on ``bins``; override with any
+    ``(summary, bins) -> int`` (summary has min/max/sum/count of
+    tokens-per-row, the quantities the reference's suggested formula uses)."""
+    return bins
+
+
+def text_token_histograms(df: DataFrame, cols: list[str], bins: int = 20,
+                          text_bins_formula=None,
+                          bins_by_col: dict[str, int] | None = None):
+    """Hashed token histograms for text raws — FeatureDistribution.histValues'
+    text branch (FeatureDistribution.scala:321-328): tokenize, hash each token
+    with Spark ML's HashingTF (murmur3, non-binary counts — the REFERENCE'S
+    hasher, bit-identical buckets), sum term-frequency vectors per column.
+
+    One melt + one HashingTF pass + one groupBy per distinct bin width (with
+    the default identity formula: exactly one shuffle for all columns);
+    results are O(cols x bins) statistics. Returns ({col: counts},
+    {col: num_bins}). ``bins_by_col`` pins the widths (the scoring frame must
+    reuse the TRAIN widths for comparable distributions)."""
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.stat import Summarizer
+
+    from ..functions.text import tokenize
+
+    if bins_by_col is None:
+        formula = text_bins_formula or default_text_bins_formula
+        summaries = text_summaries(df, cols)
+        bins_by_col = {c: int(formula(summaries[c], bins)) for c in cols}
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("c"),
+                 tokenize(F.col(c).cast("string")).alias("toks"))
+        for c in cols])).alias("p")).select("p.c", "p.toks")
+    hists: dict[str, list[float]] = {}
+    for width in sorted(set(bins_by_col.values())):
+        group = [c for c in cols if bins_by_col[c] == width]
+        tf = HashingTF(inputCol="toks", outputCol="tfv", numFeatures=width,
+                       binary=False)
+        agg = (tf.transform(pairs.where(F.col("c").isin(group)))
+               .groupBy("c").agg(Summarizer.sum(F.col("tfv")).alias("h")))
+        got = {r["c"]: list(r["h"].toArray()) for r in agg.collect()}
+        for c in group:
+            hists[c] = got.get(c, [0.0] * width)
+    return hists, bins_by_col
+
+
 def raw_feature_filter_full(train: DataFrame, score: DataFrame,
                             numeric_cols: list[str],
                             min_fill_rate: float = 0.001,
                             max_fill_rate_diff: float = 0.9,
                             max_js_divergence: float = 0.9,
                             bins: int = 20,
-                            categorical_cols: list[str] | None = None) -> RawFeatureFilterFullResult:
+                            categorical_cols: list[str] | None = None,
+                            text_cols: list[str] | None = None,
+                            text_bins_formula=None) -> RawFeatureFilterFullResult:
     """RawFeatureFilter.scala:90,486 — full surface: drop raw features by
     train fill rate, train/score fill-rate difference, and Jensen-Shannon
     divergence between train and score distributions. Numeric raws compare
     equal-width histograms; categorical raws (``categorical_cols``) compare
-    top-K value-frequency profiles with an __other__ bucket (the
-    reference's text-bins path, RawFeatureFilter.textBinsFormula).
+    top-K value-frequency profiles with an __other__ bucket; free-text raws
+    (``text_cols``) compare HASHED TOKEN histograms with the bin count from
+    ``text_bins_formula`` (FeatureDistribution.scala:321-328 +
+    RawFeatureFilter.textBinsFormula at :588, identity by default).
 
     Aggregation sweeps are O(cols x bins) statistics, never row-sized."""
     cat_cols = list(categorical_cols or [])
-    all_cols = numeric_cols + cat_cols
+    txt_cols = list(text_cols or [])
+    all_cols = numeric_cols + cat_cols + txt_cols
     ft = raw_feature_filter(train, all_cols, min_fill_rate)
     fs = raw_feature_filter(score, all_cols, 0.0)
     h_train, ranges = numeric_histograms(train, numeric_cols, bins)
@@ -295,6 +368,13 @@ def raw_feature_filter_full(train: DataFrame, score: DataFrame,
         c_train, profile = categorical_histograms(train, cat_cols, top_k=bins)
         c_score, _ = categorical_histograms(score, cat_cols, values=profile)
         js.update({c: _js_divergence(c_train[c], c_score[c]) for c in cat_cols})
+    if txt_cols:
+        t_train, widths = text_token_histograms(
+            train, txt_cols, bins, text_bins_formula=text_bins_formula)
+        t_score, _ = text_token_histograms(score, txt_cols,
+                                           bins_by_col=widths)
+        js.update({c: _js_divergence(t_train[c], t_score[c])
+                   for c in txt_cols})
     dropped, reasons = [], {}
     for c in all_cols:
         if ft.fill_rates[c] < min_fill_rate:

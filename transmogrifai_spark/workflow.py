@@ -254,15 +254,23 @@ class Workflow:
         if scoring_df is not None:
             numeric = [r.name for r in self.raw_features
                        if r.name in raw_names and r.type_tag.is_numeric]
+            # free text -> hashed-token histograms (textBinsFormula path);
+            # categorical-tagged strings and the rest of the scalar types ->
+            # top-K value profiles
+            text = [r.name for r in self.raw_features
+                    if r.name in raw_names and r.type_tag.is_text
+                    and not r.type_tag.categorical]
             categorical = [
                 r.name for r in self.raw_features
                 if r.name in raw_names and r.name not in numeric
+                and r.name not in text
                 and not r.type_tag.is_list and not r.type_tag.is_map]
             other = [c for c in raw_names
-                     if c not in numeric and c not in categorical]
+                     if c not in numeric and c not in categorical
+                     and c not in text]
             result = raw_feature_filter_full(
                 df, scoring_df, numeric, min_fill, max_fill_diff, max_js,
-                bins, categorical_cols=categorical)
+                bins, categorical_cols=categorical, text_cols=text)
             fill_only = raw_feature_filter(df, other, min_fill) if other else None
             dropped = set(result.dropped) | set(fill_only.dropped if fill_only else ())
         else:
