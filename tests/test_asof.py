@@ -1,0 +1,125 @@
+"""As-of join (sources/asof.py) — semantics cross-checked against DuckDB's
+native ASOF JOIN and pandas-style expectations, plan checked for the
+single-shuffle union+window shape."""
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.sources.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    trades = spark.createDataFrame(
+        [("A", 1000, 10.0), ("A", 2000, 11.0), ("A", 3500, 12.0),
+         ("B", 1500, 20.0), ("B", 9000, 21.0), ("C", 500, 30.0)],
+        "sym string, t long, px double")
+    quotes = spark.createDataFrame(
+        [("A", 900, 9.9), ("A", 2000, 10.9), ("A", 3000, 11.9),
+         ("B", 1000, 19.9), ("B", 8000, 20.9), ("D", 1, 0.0)],
+        "sym string, t long, bid double")
+    return trades, quotes
+
+
+def _duck_asof(trades_rows, quotes_rows, direction="backward"):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(sym VARCHAR, t BIGINT, px DOUBLE)")
+    con.execute("CREATE TABLE q(sym VARCHAR, t BIGINT, bid DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", trades_rows)
+    con.executemany("INSERT INTO q VALUES (?,?,?)", quotes_rows)
+    op = ">=" if direction == "backward" else "<="
+    return sorted(con.execute(
+        f"SELECT t.sym, t.t, t.px, q.bid FROM t "
+        f"ASOF LEFT JOIN q ON t.sym = q.sym AND t.t {op} q.t").fetchall())
+
+
+def test_backward_matches_duckdb_asof(spark, frames):
+    trades, quotes = frames
+    out = asof_join(trades, quotes, on="sym", left_time="t", right_time="t")
+    got = sorted(tuple(r) for r in out.select("sym", "t", "px", "bid").collect())
+    assert got == _duck_asof([tuple(r) for r in trades.collect()],
+                             [tuple(r) for r in quotes.collect()])
+    # spot semantics: exact-instant match taken; no-earlier-quote -> null
+    by = {(r[0], r[1]): r[3] for r in got}
+    assert by[("A", 2000)] == 10.9       # exact instant
+    assert by[("A", 3500)] == 11.9       # most recent before
+    assert by[("C", 500)] is None        # no quotes for key
+
+
+def test_forward_direction(spark, frames):
+    trades, quotes = frames
+    out = asof_join(trades, quotes, on="sym", left_time="t", right_time="t",
+                    direction="forward")
+    got = sorted(tuple(r) for r in out.select("sym", "t", "px", "bid").collect())
+    assert got == _duck_asof([tuple(r) for r in trades.collect()],
+                             [tuple(r) for r in quotes.collect()],
+                             direction="forward")
+    by = {(r[0], r[1]): r[3] for r in got}
+    assert by[("A", 1000)] == 10.9       # earliest at-or-after 1000 is 2000
+    assert by[("B", 9000)] is None       # nothing after
+
+
+def test_tolerance_and_exact_matches(spark, frames):
+    trades, quotes = frames
+    out = asof_join(trades, quotes, on="sym", left_time="t", right_time="t",
+                    tolerance_ms=600)
+    by = {(r["sym"], r["t"]): r["bid"] for r in out.collect()}
+    assert by[("A", 1000)] == 9.9        # age 100 <= 600
+    assert by[("B", 9000)] is None       # age 1000 > 600 -> nulled
+    strict = asof_join(trades, quotes, on="sym", left_time="t",
+                       right_time="t", allow_exact_matches=False)
+    sby = {(r["sym"], r["t"]): r["bid"] for r in strict.collect()}
+    assert sby[("A", 2000)] == 9.9       # the 2000 quote no longer eligible
+
+
+def test_timestamp_columns_and_name_collision(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", 1.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05", 2.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join(left, right, on="k", left_time="ts", suffix="_r")
+    row = out.first()
+    assert out.columns == ["k", "ts", "v", "v_r"]
+    assert row["v"] == 1.0 and row["v_r"] == 2.0
+
+
+def test_plan_is_single_shuffle_no_crossjoin(spark, frames):
+    """The plan must be union -> one Exchange on the key -> window; never a
+    range/cross join whose intermediate is O(|L| x |R|) per key."""
+    trades, quotes = frames
+    plan = asof_join(trades, quotes, on="sym", left_time="t",
+                     right_time="t")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_events_enrichment_on_testdata(spark, sf_dir):
+    """Point-in-time enrichment over real testdata: each event joined to the
+    latest earlier event of the same user; verified against a window-lag
+    formulation."""
+    from transmogrifai_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_ms", "event_id", "value").limit(2000)
+    prev = ev.select("user_id", F.col("ts_ms").alias("pts"),
+                     F.col("value").alias("prev_value"))
+    out = asof_join(ev, prev.dropDuplicates(["user_id", "pts"]),
+                    on="user_id", left_time="ts_ms", right_time="pts",
+                    allow_exact_matches=False)
+    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    # events sharing (user_id, ts_ms) make lag ambiguous — keep one per instant
+    dedup = ev.dropDuplicates(["user_id", "ts_ms"])
+    expect = dedup.withColumn("prev_value", F.lag("value").over(w))
+    keys = {(r["user_id"], r["ts_ms"]): r["prev_value"]
+            for r in expect.collect()}
+    checked = 0
+    for r in out.dropDuplicates(["user_id", "ts_ms"]).collect():
+        k = (r["user_id"], r["ts_ms"])
+        if k in keys and keys[k] is not None:
+            assert r["prev_value"] is not None, k
+            checked += 1
+    assert checked > 100
