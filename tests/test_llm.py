@@ -448,3 +448,82 @@ def test_language_id_tie_and_null_semantics(spark):
     out = [r["l"] for r in
            df.select(language_id(F.col("t"), profiles).alias("l")).collect()]
     assert out == ["aa", "und", "und"]
+
+
+def _py_winnow(text, k=5, w=4, xxh=None):
+    """Reference winnowing (Schleimer et al. 2003) in plain Python, using the
+    engine's own xxhash64 via a 1-row Spark query-free path is impossible —
+    so the test gets hashes from Spark for the grams and winnows in Python."""
+    import re
+    norm = re.sub(r"[^\w]+", " ", text.lower(), flags=re.UNICODE).strip()
+    grams = [norm[i:i + k] for i in range(max(len(norm) - k + 1, 0))]
+    hashes = [xxh[g] for g in grams]
+    if len(hashes) < w:
+        mins = hashes
+    else:
+        mins = [min(hashes[i:i + w]) for i in range(len(hashes) - w + 1)]
+    # preserve first-occurrence order then distinct, like array_distinct
+    seen, out = set(), []
+    for m in mins:
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    return out
+
+
+def test_winnow_fingerprints_match_reference_algorithm(spark):
+    """winnow_fingerprints == the published winnowing algorithm run in
+    Python over the same gram hashes (window minima, first-occurrence
+    distinct order)."""
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "abcdefg", "abcd", "", "aaa aaa aaa aaa aaa aaa",
+             "The QUICK brown-fox! jumps. over the lazy dog"]
+    k, w = 5, 4
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {r["i"]: r["fp"] for r in df.select(
+        "i", textqual.winnow_fingerprints(F.col("t"), k, w).alias("fp")).collect()}
+    # collect the engine's gram hashes to drive the Python reference
+    import re
+    gram_set = set()
+    for t in texts:
+        norm = re.sub(r"[^\w]+", " ", t.lower(), flags=re.UNICODE).strip()
+        gram_set |= {norm[i:i + k] for i in range(max(len(norm) - k + 1, 0))}
+    gdf = spark.createDataFrame([(g,) for g in sorted(gram_set)], "g string")
+    xxh = {r["g"]: r["h"] for r in
+           gdf.select("g", F.xxhash64("g").alias("h")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t, k, w, xxh), (i, t)
+    # normalization: punctuation/case variants share every fingerprint
+    assert got[0] == got[5]
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee: documents sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; disjoint docs share none."""
+    base = "completely distinctive shared passage of text here"
+    doc_a = "prefix words then " + base + " and an ending"
+    doc_b = "other start material " + base + " different tail"
+    doc_c = "nothing in common whatsoever zzz qqq vvv"
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string")
+    pairs = textqual.winnow_overlap_pairs(df, "doc_id", "text",
+                                          min_shared=2).collect()
+    got = {(r["id1"], r["id2"]): r["shared_fingerprints"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    # disjoint docs can share the odd chance k-gram, but not >= 2
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_winnow_overlap_caps_hot_fingerprints(spark):
+    """max_fingerprint_freq drops boilerplate fingerprints (the hot-key cap
+    that keeps the self-join linear at corpus scale)."""
+    boiler = "identical boilerplate appears everywhere in this corpus"
+    df = spark.createDataFrame([(i, boiler) for i in range(30)],
+                               "doc_id long, text string")
+    uncapped = textqual.winnow_overlap_pairs(df, "doc_id", "text",
+                                             max_fingerprint_freq=1000)
+    capped = textqual.winnow_overlap_pairs(df, "doc_id", "text",
+                                           max_fingerprint_freq=10)
+    assert uncapped.count() == 30 * 29 // 2
+    assert capped.count() == 0

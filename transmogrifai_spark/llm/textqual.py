@@ -214,6 +214,66 @@ def fingerprint(c: Column) -> Column:
     return F.md5(F.array_join(toks, " "))
 
 
+def winnow_fingerprints(c: Column, k: int = 5, w: int = 4) -> Column:
+    """Rolling-hash document fingerprints by WINNOWING (Schleimer, Wilkerson,
+    Aiken, SIGMOD 2003 — the MOSS algorithm; public): hash every k-gram of
+    the normalized text, slide a window of ``w`` consecutive k-gram hashes,
+    keep each window's minimum. Guarantees: any shared substring of length
+    >= k + w - 1 between two documents yields at least one shared
+    fingerprint, so partial overlap is detectable where whole-document
+    hashes miss it.
+
+    Pure column expressions — normalize, ``sequence`` over positions,
+    ``substring`` k-grams, 64-bit ``xxhash64`` per gram, ``array_min`` over
+    each window slice — all inside whole-stage codegen, no Python. Cost is
+    O(len x w) vectorized ops per document; dedupe by exploding the array
+    and bucket-joining on fingerprint values (each fingerprint is a join
+    key, the same shape as the MinHash band buckets)."""
+    norm = F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))),
+                            r"[^\p{L}\p{N}]+", " ")
+    norm = F.trim(norm)
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+    grams = F.when(n_grams > 0, F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(k)))
+    )).otherwise(F.array().cast("array<bigint>"))
+    n_windows = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(0))
+    return F.when(n_windows > 0, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(grams, i, w))
+    ))).otherwise(F.array_distinct(grams))
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 5, w: int = 4,
+                         min_shared: int = 2,
+                         max_fingerprint_freq: int = 200) -> DataFrame:
+    """Partial-overlap candidate pairs via shared winnowing fingerprints:
+    explode fingerprints -> inverted index -> self-join on the fingerprint
+    value -> count shared per pair. The same scale shape as the n-gram /
+    MinHash dedup paths: linear explode + bucket equi-join, with
+    ``max_fingerprint_freq`` capping degenerate fingerprints (boilerplate
+    shared by thousands of docs) exactly like max_doc_freq caps hot
+    shingles."""
+    from ..util import ensure_parallelism
+
+    fps = (ensure_parallelism(df)
+           .select(F.col(id_col).alias("doc"),
+                   F.explode(winnow_fingerprints(F.col(text_col), k, w))
+                   .alias("fp")))
+    fps = fps.persist()
+    hot = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > max_fingerprint_freq))
+    idx = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = idx.select(F.col("fp"), F.col("doc").alias("id1"))
+    b = idx.select(F.col("fp"), F.col("doc").alias("id2"))
+    pairs = (a.join(b, "fp").where(F.col("id1") < F.col("id2"))
+             .groupBy("id1", "id2")
+             .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+             .where(F.col("shared_fingerprints") >= min_shared))
+    return pairs
+
+
 def text_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document metric table (each metric one expression —
     single projection over the scan)."""
