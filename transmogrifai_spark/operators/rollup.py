@@ -1,0 +1,101 @@
+"""Hierarchical time-bucket rollups — multi-resolution continuous aggregates
+(the "hypertable rollup" pattern) built the scale-correct way: aggregate raw
+events ONCE at the finest resolution, then derive every coarser level by
+RE-AGGREGATING THE PARTIALS, never re-reading the events.
+
+At 100 TB the raw scan dominates; n resolutions as independent groupBys cost
+n scans + n full-size shuffles. Here the finest rollup is the only pass over
+events; each coarser level re-aggregates rows whose count is
+|keys| x |finest buckets| — typically orders of magnitude smaller — so extra
+resolutions are nearly free. Correct because every supported statistic is a
+monoid with an explicit MERGE form (count -> sum, sum -> sum, min -> min,
+max -> max; mean is carried as sum+count and finalized per level).
+
+Related reference surface: the cutoff/time-window aggregations
+(readers/DataReaders aggregate readers) and the streaming tumbling windows
+(streaming/windows.py) share the same (key, window) partitioning; this module
+adds the resolution hierarchy on top.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: statistic -> (finest aggregation over the value col, merge aggregation
+#: over the partial col). Mean is handled specially (sum + count carriers).
+_MERGEABLE = {
+    "count": (lambda v: F.count(F.lit(1)), F.sum),
+    "sum": (lambda v: F.sum(v), F.sum),
+    "sum_exact": (lambda v: F.sum(v.cast("decimal(30,6)")), F.sum),
+    "min": (lambda v: F.min(v), F.min),
+    "max": (lambda v: F.max(v), F.max),
+}
+
+
+def hierarchical_rollup(events: DataFrame, time_col: str,
+                        resolutions_ms: list[int],
+                        group_cols: list[str],
+                        stats: dict[str, tuple[str, str | None]],
+                        ) -> dict[int, DataFrame]:
+    """Multi-resolution rollup: ``{resolution_ms: DataFrame}`` with columns
+    (bucket_start_ms, *group_cols, *stats).
+
+    ``time_col`` is epoch-ms (long); ``resolutions_ms`` must be sorted
+    ascending with each coarser level an integer multiple of the FINEST
+    (alignment is what makes partial reuse exact — enforced here).
+    ``stats`` maps output name -> (kind, value_col) with kind in
+    count|sum|sum_exact|min|max|mean.
+
+    Only the finest level touches ``events``; coarser levels fold the next-
+    finer level's partials. Mean carries (sum, count) internally and emits
+    the ratio at every level.
+    """
+    if not resolutions_ms or sorted(resolutions_ms) != list(resolutions_ms):
+        raise ValueError("resolutions_ms must be ascending")
+    finest = resolutions_ms[0]
+    for r in resolutions_ms[1:]:
+        if r % finest != 0:
+            raise ValueError(
+                f"resolution {r} is not a multiple of the finest {finest}; "
+                "partials would straddle coarse buckets")
+
+    carriers: dict[str, tuple] = {}   # internal col -> (finest agg, merge)
+    finals: dict[str, object] = {}    # output name -> final expr builder
+    for name, (kind, col) in stats.items():
+        v = F.col(col) if col else None
+        if kind == "mean":
+            carriers[f"__{name}_sum"] = (F.sum(v.cast("decimal(30,6)")),
+                                         F.sum)
+            carriers[f"__{name}_cnt"] = (F.count(v), F.sum)
+            # exact decimal sum, ONE double division at finalize — identical
+            # at every level by construction (no decimal-scale truncation)
+            finals[name] = lambda n=name: (
+                F.col(f"__{n}_sum").cast("double") / F.col(f"__{n}_cnt"))
+        elif kind in _MERGEABLE:
+            fine, merge = _MERGEABLE[kind]
+            carriers[f"__{name}"] = (fine(v), merge)
+            finals[name] = lambda n=name: F.col(f"__{n}")
+        else:
+            raise ValueError(f"unsupported stat kind {kind!r}")
+
+    t = F.col(time_col).cast("long")
+    fine_bucket = (t - (t % F.lit(finest))).alias("bucket_start_ms")
+    partial = (events.groupBy(fine_bucket, *group_cols)
+               .agg(*[a.alias(c) for c, (a, _) in carriers.items()]))
+    partial = partial.persist()
+
+    out: dict[int, DataFrame] = {}
+    out[finest] = partial.select(
+        "bucket_start_ms", *group_cols,
+        *[finals[n]().alias(n) for n in stats])
+    prev = partial
+    for res in resolutions_ms[1:]:
+        b = F.col("bucket_start_ms")
+        coarse = (b - (b % F.lit(res))).alias("bucket_start_ms")
+        prev = (prev.groupBy(coarse, *group_cols)
+                .agg(*[m(F.col(c)).alias(c)
+                       for c, (_, m) in carriers.items()]))
+        out[res] = prev.select(
+            "bucket_start_ms", *group_cols,
+            *[finals[n]().alias(n) for n in stats])
+    return out
