@@ -527,3 +527,56 @@ def test_winnow_overlap_caps_hot_fingerprints(spark):
                                            max_fingerprint_freq=10)
     assert uncapped.count() == 30 * 29 // 2
     assert capped.count() == 0
+
+
+def test_token_budget_sample_grouped_and_ungrouped(spark):
+    """token_budget_sample: cumulative-by-hash prefix meets (never
+    undershoots) the budget, deterministic across runs, per-group budgets
+    independent."""
+    from transmogrifai_spark.llm import curation
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr", 100 + (i % 7)) for i in range(400)],
+        "doc_id long, lang string, n_tokens long")
+
+    out = curation.token_budget_sample(df, "doc_id", "n_tokens",
+                                       budget_tokens=5_000)
+    toks = out.agg(F.sum("n_tokens")).first()[0]
+    # budget met: total >= budget, and removing the costliest kept doc
+    # would drop below (the prefix property)
+    assert toks >= 5_000
+    assert toks - out.agg(F.max("n_tokens")).first()[0] < 5_000
+    again = curation.token_budget_sample(df, "doc_id", "n_tokens",
+                                         budget_tokens=5_000)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+
+    grouped = curation.token_budget_sample(
+        df, "doc_id", "n_tokens", group_col="lang",
+        budgets={"en": 8_000, "fr": 2_000})
+    per = {r["lang"]: r["s"] for r in grouped.groupBy("lang")
+           .agg(F.sum("n_tokens").alias("s")).collect()}
+    assert per["en"] >= 8_000 and per["en"] < 8_000 + 200
+    assert per["fr"] >= 2_000 and per["fr"] < 2_000 + 200
+    # a group with no budget entry contributes nothing
+    none = curation.token_budget_sample(
+        df, "doc_id", "n_tokens", group_col="lang", budgets={"en": 1_000})
+    assert none.where("lang = 'fr'").count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="either"):
+        curation.token_budget_sample(df, "doc_id", "n_tokens",
+                                     budget_tokens=100, group_col="lang")
+
+
+def test_hot_keys_detects_planted_skew(spark):
+    """hot_keys: a 1% row-hash sample finds the planted hot key with a
+    ~accurate estimate and does not report uniform keys."""
+    from transmogrifai_spark.util import hot_keys
+    hot = spark.range(0, 200_000).selectExpr("'hot' AS k", "id AS v")
+    cold = spark.range(0, 50_000).selectExpr(
+        "concat('cold_', id % 500) AS k", "id AS v")   # 100 rows per key
+    df = hot.unionAll(cold)
+    got = hot_keys(df, ["k"], sample_rate=0.01, min_estimated_rows=50_000)
+    assert [r["k"] for r in got] == ["hot"]
+    est = got[0]["estimated_rows"]
+    assert 100_000 <= est <= 400_000   # coarse but unmissable

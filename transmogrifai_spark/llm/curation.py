@@ -66,3 +66,50 @@ def filter_documents(df: DataFrame, text_col: str = "text",
     if languages:
         cond = cond & language_id(c).isin(languages)
     return df.where(cond)
+
+
+def token_budget_sample(df: DataFrame, id_col: str, token_col: str,
+                        budget_tokens: int | None = None,
+                        group_col: str | None = None,
+                        budgets: dict[str, int] | None = None,
+                        seed: int = 42) -> DataFrame:
+    """Sample documents up to a TOKEN budget (overall, or per group): rank
+    rows by the deterministic id hash and keep the prefix whose cumulative
+    token count stays within budget (the first row crossing the budget is
+    kept, so the budget is met, not undershot).
+
+    This is the mixture primitive when targets are token counts rather than
+    rates (how pre-training mixtures are actually specified). Deterministic:
+    the hash order is layout-independent, so the same ids are chosen on any
+    cluster. Physical plan: ONE window (cumulative sum ordered by hash,
+    partitioned by group) — a single shuffle on the group key; for the
+    ungrouped form the window is range-partitioned by the hash via a
+    two-pass cumulative count (util.counts_below shape) — here we partition
+    by a constant only when group_col is None, acceptable because the
+    window carries (id, n_tokens) pairs, not documents. For very large
+    ungrouped corpora prefer rate-based sampling or supply a group split.
+    """
+    from pyspark.sql import Window
+
+    grouped = group_col is not None
+    if grouped != (budgets is not None) or grouped == (budget_tokens is not None):
+        raise ValueError("pass either budget_tokens with no group_col, or "
+                         "group_col with budgets")
+    b = hash_bucket(F.col(id_col), seed)
+    tagged = df.withColumn("__h", b)
+    if group_col is None:
+        w = Window.orderBy(F.col("__h").asc(), F.col(id_col).asc()) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = tagged.withColumn("__cum", F.sum(F.col(token_col)).over(w))
+        out = cum.where((F.col("__cum") - F.col(token_col))
+                        < F.lit(budget_tokens))
+    else:
+        w = Window.partitionBy(group_col) \
+            .orderBy(F.col("__h").asc(), F.col(id_col).asc()) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = tagged.withColumn("__cum", F.sum(F.col(token_col)).over(w))
+        limit = F.coalesce(*([F.when(F.col(group_col) == g, F.lit(n))
+                              for g, n in sorted(budgets.items())]
+                             + [F.lit(0)]))
+        out = cum.where((F.col("__cum") - F.col(token_col)) < limit)
+    return out.drop("__h", "__cum")

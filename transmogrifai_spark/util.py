@@ -132,3 +132,40 @@ def counts_below(g: DataFrame, value_col: str, count_col: str,
     return (rp.withColumn(out_col,
                           F.coalesce(F.sum(count_col).over(w), F.lit(0)) + off)
             .drop("_pid"))
+
+
+def hot_keys(df: DataFrame, key_cols: list[str], sample_rate: float = 0.01,
+             min_estimated_rows: int = 1_000_000, seed: int = 42):
+    """Skew report: estimate per-key row counts from a deterministic hash
+    sample and return keys whose estimate exceeds the threshold, as plain
+    Python rows [{key..., estimated_rows}].
+
+    This is the detection half of the skew playbook (the mitigation half is
+    salted_aggregate / AQE skew-join / broadcast): at 100 TB you cannot
+    count every key, but a 1% hash sample bounds the scan to ~1 TB and a
+    key hot enough to hurt (tens of millions of rows) is unmissable in any
+    percent-level sample. The sample is a pure filter on xxhash64 of the
+    key columns — no RNG state, layout-independent, and pushed into the
+    scan when the source supports it. The collected result is bounded:
+    only keys over threshold come back (there can only be total_rows /
+    min_estimated_rows of them).
+    """
+    from pyspark.sql import functions as F
+
+    if not 0.0 < sample_rate <= 1.0:
+        raise ValueError(f"sample_rate must be in (0,1], got {sample_rate}")
+    mod = 1_000_000
+    # hash the WHOLE row, not the key: keying the sample on the key columns
+    # would keep 1% of keys with all their rows and inflate every estimate
+    # by 1/rate. Exact full-row duplicates sample together — harmless at
+    # hot-key magnitudes.
+    keep = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)),
+                  F.lit(mod)) < int(sample_rate * mod)
+    est = F.round(F.count(F.lit(1)) / F.lit(sample_rate)).cast("long")
+    rows = (df.where(keep).groupBy(*key_cols)
+            .agg(est.alias("estimated_rows"))
+            .where(F.col("estimated_rows") >= min_estimated_rows)
+            .orderBy(F.col("estimated_rows").desc(),
+                     *[F.col(c).asc() for c in key_cols])
+            .collect())
+    return [r.asDict() for r in rows]
