@@ -129,6 +129,28 @@ def test_multimodal_decode_shapes(spark):
     assert rows[0]["features"] == again[0]["features"]
 
 
+def test_resize_images_plumbing(spark):
+    """resize_images: gated without a library; fake mode keeps the Arrow
+    binary-in/binary-out contract, shrinks content deterministically, and
+    rewrites width/height metadata to the target dims."""
+    import pytest as _pytest
+    from transmogrifai_spark.llm.multimodal import resize_images
+    media = synthetic_media_table(spark, 8)
+    with _pytest.raises(NotImplementedError, match="image library"):
+        resize_images(media).collect()
+    out = resize_images(media, target_width=64, target_height=48, fake=True)
+    rows = out.collect()
+    assert out.schema["content"].dataType.typeName() == "binary"
+    assert all(r["width"] == 64 and r["height"] == 48 for r in rows
+               if r["content"] is not None)
+    sizes = {len(r["content"]) for r in rows if r["content"] is not None}
+    assert sizes == {max(16, (64 * 48) // 64)}
+    again = resize_images(media, target_width=64, target_height=48,
+                          fake=True).collect()
+    assert sorted(r["content"] for r in rows) == \
+        sorted(r["content"] for r in again)
+
+
 def test_frame_sampling_explodes_by_duration(spark):
     media = synthetic_media_table(spark, 4)
     out = frame_sample_plan(media, every_ms=1000)

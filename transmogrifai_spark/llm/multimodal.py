@@ -121,3 +121,50 @@ def synthetic_media_table(spark, n: int = 64) -> DataFrame:
         rows.append((i, bytearray(content), "image/png" if i % 2 == 0 else "audio/wav",
                      64 + i % 32, 64, 1000 * (i % 7 + 1)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_images(df: DataFrame, content_col: str = "content",
+                  target_width: int = 224, target_height: int = 224,
+                  fake: bool = False) -> DataFrame:
+    """Image resize via mapInPandas — the preprocessing step between decode
+    and feature extraction. Same gating contract as decode_image: the real
+    resample needs an image library absent here (``fake=False`` raises);
+    ``fake=True`` keeps every Spark-side piece real — binary in/binary out
+    Arrow batching, metadata columns updated to the target dims so
+    downstream row-group pruning sees the new size — while the pixel work is
+    a deterministic length-normalization of the bytes (clearly fake).
+
+    Scale note: resize SHRINKS rows (224x224 thumbnails from multi-MB
+    originals), so run it as early as possible after the filter — every
+    later shuffle moves thumbnails, not originals."""
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires an image library not present in this "
+            "environment; pass fake=True for the deterministic stub")
+
+    out_fields = []
+    for f in df.schema.fields:
+        if f.name in ("width", "height"):
+            out_fields.append(T.StructField(f.name, T.IntegerType(), True))
+        else:
+            out_fields.append(f)
+    out_schema = T.StructType(out_fields)
+    fake_len = max(16, (target_width * target_height) // 64)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[content_col] = [
+                None if b is None else
+                (hashlib.sha256(bytes(b)).digest()
+                 * (fake_len // 32 + 1))[:fake_len]
+                for b in pdf[content_col]]
+            if "width" in out.columns:
+                out["width"] = [None if b is None else target_width
+                                for b in pdf[content_col]]
+            if "height" in out.columns:
+                out["height"] = [None if b is None else target_height
+                                 for b in pdf[content_col]]
+            yield out
+
+    return df.mapInPandas(resize, schema=out_schema)
