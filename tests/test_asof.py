@@ -123,3 +123,41 @@ def test_events_enrichment_on_testdata(spark, sf_dir):
             assert r["prev_value"] is not None, k
             checked += 1
     assert checked > 100
+
+
+def test_random_frames_match_pandas_merge_asof(spark):
+    """Randomized semantics check against pandas.merge_asof (an independent
+    reference implementation), both directions, with and without exact
+    matches, across several seeds."""
+    import random
+
+    import pandas as pd
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        lrows = sorted({(rng.randint(0, 4), rng.randint(0, 500))
+                        for _ in range(120)})
+        rrows = sorted({(rng.randint(0, 4), rng.randint(0, 500))
+                        for _ in range(80)})
+        left = spark.createDataFrame(
+            [(k, t, float(i)) for i, (k, t) in enumerate(lrows)],
+            "k long, t long, lv double")
+        right = spark.createDataFrame(
+            [(k, t, float(i) + 1000.0) for i, (k, t) in enumerate(rrows)],
+            "k long, t long, rv double")
+        lp = left.toPandas().sort_values("t").reset_index(drop=True)
+        rp = right.toPandas().sort_values("t").reset_index(drop=True)
+        for direction, exact in (("backward", True), ("backward", False),
+                                 ("forward", True)):
+            got = asof_join(left, right, on="k", left_time="t",
+                            direction=direction, allow_exact_matches=exact,
+                            suffix="_r")
+            gmap = {(r["k"], r["t"]): r["rv"] for r in got.collect()}
+            want = pd.merge_asof(lp, rp, on="t", by="k",
+                                 direction=direction,
+                                 allow_exact_matches=exact,
+                                 suffixes=("", "_r"))
+            for _, row in want.iterrows():
+                w = None if pd.isna(row["rv"]) else row["rv"]
+                assert gmap[(row["k"], row["t"])] == w, \
+                    (seed, direction, exact, row["k"], row["t"])
