@@ -254,3 +254,39 @@ def test_analyze_auto_reaches_extended_languages(spark):
     auto = df.select(analyze_auto(F.col("t")).alias("a")).first()["a"]
     it = df.select(analyze(F.col("t"), "it").alias("a")).first()["a"]
     assert auto == it
+
+
+def test_analyze_session4_languages(spark):
+    """no/da/fi/ru/ro/hu analyzer chains: that language's stopwords drop and
+    its light-stemmer endings strip (Lucene *LightStemmer behavior subset)."""
+    from transmogrifai_spark.functions.text import analyze
+    cases = [
+        ("no", "kattene og hundene er ikke med bilene",
+         {"katt", "hund", "bil"}, {"og", "er", "ikke", "med"}),
+        ("da", "kattene og hundene er ikke med husene",
+         {"katt", "hund", "hus"}, {"og", "er", "ikke", "med"}),
+        ("fi", "talossa ja autolla ei kirjasta kaupungille",
+         {"talo", "auto", "kirja", "kaupungi"}, {"ja", "ei"}),
+        ("ru", "кошками и собаками не в домах красивый",
+         {"кошк", "собак", "дом", "красив"}, {"и", "не", "в"}),
+        ("ro", "pisicile și câinii nu sunt în casele orașului",
+         {"pisici", "câin", "cas", "oraș"}, {"și", "nu", "sunt"}),
+        ("hu", "a macskáknak és a kutyáknak nem van házakban",
+         {"macskák", "kutyák", "házak"}, {"a", "és", "nem", "van"}),
+    ]
+    for lang, text, want_in, want_out in cases:
+        df = spark.createDataFrame([(text,)], "t string")
+        out = set(df.select(analyze(F.col("t"), lang).alias("a")).first()["a"])
+        assert want_in <= out, (lang, out)
+        assert not (want_out & out), (lang, out)
+
+
+def test_analyze_auto_routes_cyrillic_to_russian(spark):
+    """With the ru detection profile added, a Russian sentence takes the
+    Russian analyzer chain through analyze_auto, not the en default."""
+    from transmogrifai_spark.functions.text import analyze, analyze_auto
+    t = "кошка и собака не в доме что это по для"
+    df = spark.createDataFrame([(t,)], "t string")
+    auto = df.select(analyze_auto(F.col("t")).alias("a")).first()["a"]
+    ru = df.select(analyze(F.col("t"), "ru").alias("a")).first()["a"]
+    assert auto == ru

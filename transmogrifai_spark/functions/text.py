@@ -301,6 +301,23 @@ ANALYZER_STOPWORDS: dict[str, list[str]] = {
     "sv": ["och", "att", "det", "som", "en", "ett", "på", "är", "av", "för",
            "med", "den", "till", "i", "inte", "har", "de", "om", "så",
            "men", "var"],
+    "no": ["og", "i", "det", "som", "en", "et", "er", "av", "for", "med",
+           "den", "til", "på", "ikke", "har", "de", "om", "så", "men",
+           "var", "at"],
+    "da": ["og", "i", "det", "som", "en", "et", "er", "af", "for", "med",
+           "den", "til", "på", "ikke", "har", "de", "om", "så", "men",
+           "var", "at"],
+    "fi": ["ja", "on", "ei", "se", "että", "oli", "hän", "joka", "ovat",
+           "mutta", "tämä", "kun", "niin", "myös", "sen", "ole", "olla",
+           "jos", "mitä", "tai"],
+    "ru": ["и", "в", "не", "на", "с", "что", "он", "как", "это", "по",
+           "но", "его", "то", "за", "из", "у", "же", "от", "бы", "для"],
+    "ro": ["și", "în", "de", "la", "cu", "pe", "un", "o", "este", "care",
+           "din", "nu", "se", "mai", "pentru", "au", "sunt", "dar", "fi",
+           "sau"],
+    "hu": ["a", "az", "és", "hogy", "nem", "is", "egy", "van", "volt",
+           "de", "ha", "meg", "már", "csak", "mint", "még", "vagy", "el",
+           "ki", "be"],
 }
 
 # longest-first suffix rules per language; (suffix, min_remaining_stem)
@@ -325,6 +342,37 @@ ANALYZER_PROFILES: dict[str, list[tuple[str, int]]] = {
     # SwedishLightStemmer suffix subset (definite/plural endings)
     "sv": [("arna", 3), ("erna", 3), ("orna", 3), ("ar", 3), ("er", 3),
            ("or", 3), ("en", 3), ("et", 3), ("a", 3), ("e", 3)],
+    # NorwegianLightStemmer suffix subset (definite/plural/comparative)
+    "no": [("ene", 3), ("ane", 3), ("ete", 3), ("est", 3), ("ere", 3),
+           ("en", 3), ("et", 3), ("er", 3), ("ar", 3), ("a", 3), ("e", 3)],
+    # DanishSnowball light subset (definite/plural endings)
+    "da": [("erne", 3), ("ene", 3), ("ere", 3), ("er", 3), ("en", 3),
+           ("et", 3), ("e", 3)],
+    # FinnishLightStemmer subset: locative/ablative/allative/translative
+    # case endings; single-letter strips guarded by longer stems
+    "fi": [("ssa", 3), ("ssä", 3), ("sta", 3), ("stä", 3), ("lla", 3),
+           ("llä", 3), ("lta", 3), ("ltä", 3), ("lle", 3), ("ksi", 3),
+           ("t", 4), ("n", 4), ("a", 4), ("ä", 4)],
+    # RussianLightStemmer subset: adjective/noun case endings
+    "ru": [("иями", 3), ("ями", 3), ("ами", 3), ("ого", 3), ("его", 3),
+           ("ому", 3), ("ему", 3), ("ыми", 3), ("ими", 3), ("ах", 3),
+           ("ях", 3), ("ов", 3), ("ев", 3), ("ие", 3), ("ые", 3),
+           ("ой", 3), ("ей", 3), ("ый", 3), ("ий", 3), ("ая", 3),
+           ("ое", 3), ("ее", 3), ("ам", 3), ("ям", 3), ("ом", 3),
+           ("ем", 3), ("а", 4), ("я", 4), ("о", 4), ("е", 4), ("ы", 4),
+           ("и", 4), ("у", 4), ("ю", 4), ("ь", 4)],
+    # RomanianLightStemmer subset (articles/plural endings)
+    "ro": [("iilor", 3), ("ilor", 3), ("elor", 3), ("ului", 3), ("ele", 3),
+           ("ii", 3), ("ea", 3), ("le", 3), ("ul", 3), ("e", 4), ("i", 4),
+           ("a", 4)],
+    # HungarianLightStemmer subset (case/possessive/plural endings)
+    "hu": [("oknak", 3), ("eknek", 3), ("okkal", 3), ("ekkel", 3),
+           ("okat", 3), ("eket", 3), ("nak", 3), ("nek", 3), ("val", 3),
+           ("vel", 3), ("ban", 3), ("ben", 3), ("ból", 3), ("ből", 3),
+           ("nál", 3), ("nél", 3), ("hoz", 3), ("hez", 3), ("ra", 3),
+           ("re", 3), ("ok", 3), ("ek", 3), ("ak", 3), ("ot", 3),
+           ("et", 3), ("at", 3), ("on", 3), ("en", 3), ("t", 4), ("k", 4),
+           ("a", 4), ("e", 4)],
 }
 
 

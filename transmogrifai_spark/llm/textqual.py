@@ -129,6 +129,7 @@ STOPWORD_PROFILES_EXTENDED: dict[str, list[str]] = {
     "fi": ["ja", "on", "ei", "että", "oli", "hän", "se", "mutta", "kun", "niin"],
     "da": ["og", "i", "at", "det", "en", "den", "til", "er", "som", "på"],
     "no": ["og", "i", "det", "som", "en", "til", "er", "av", "at", "på"],
+    "ru": ["и", "в", "не", "на", "с", "что", "он", "как", "это", "по"],
     "vi": ["và", "của", "là", "có", "được", "trong", "cho", "không", "này",
            "những"],
 }
