@@ -215,7 +215,8 @@ def test_parse_phone_extended_regions(spark):
         ("+45 32 12 34 56", "+4532123456", True),       # DK
         ("+45 02 12 34 56", None, False),               # DK lead 0 invalid
         ("+371 21234567", "+37121234567", True),        # LV (lead 2)
-        ("+998 90 123 4567", None, None),               # UZ: not in table
+        ("+998 90 123 4567", "+998901234567", True),    # UZ (session-4 add)
+        ("+299 12 34 56", None, None),                  # GL: not in table
     ]
     df = spark.createDataFrame([(s,) for s, *_ in cases], "p string")
     out = df.select(parse_phone(F.col("p")).alias("r")).collect()
@@ -290,3 +291,22 @@ def test_analyze_auto_routes_cyrillic_to_russian(spark):
     auto = df.select(analyze_auto(F.col("t")).alias("a")).first()["a"]
     ru = df.select(analyze(F.col("t"), "ru").alias("a")).first()["a"]
     assert auto == ru
+
+
+def test_parse_phone_session4_regions(spark):
+    """Spot-check the widened region table: international forms resolve
+    region + validity; unknown regions still yield valid=NULL."""
+    from transmogrifai_spark.functions.text import parse_phone
+    cases = [
+        ("+98 912 345 6789", "IR", True),       # 10 national digits
+        ("+994 50 123 45 67", "AZ", True),      # 9 digits in [8,9]
+        ("+973 3600 1234", "BH", True),
+        ("+598 9123 4567", "UY", True),
+        ("+256 772 123456", "UG", True),
+        ("+95 9 1234", "MM", False),            # 5 national digits < 8
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in cases], "p string")
+    rows = df.select(parse_phone(F.col("p")).alias("r")).collect()
+    for (t, region, valid), r in zip(cases, rows):
+        assert r["r"]["region"] == region, t
+        assert r["r"]["valid"] == valid, t

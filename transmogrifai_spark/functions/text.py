@@ -171,6 +171,40 @@ _PHONE_REGIONS: list[tuple[str, str, int, int, str]] = [
     ("SK", "421", 9, 9, "[2-9]"), ("TW", "886", 8, 9, "[2-9]"),
     ("BD", "880", 8, 10, "[1-9]"), ("IL", "972", 8, 9, "[2-9]"),
     ("SA", "966", 8, 9, "[15]"), ("AE", "971", 8, 9, "[2-9]"),
+    # session-4 breadth: remaining ITU calling codes with public length
+    # facts; lead classes broad (unknown sub-ranges -> unknown, not false)
+    ("AF", "93", 9, 9, "[2-7]"), ("AL", "355", 8, 9, "[2-9]"),
+    ("AM", "374", 8, 8, "[1-9]"), ("AZ", "994", 8, 9, "[1-9]"),
+    ("BA", "387", 8, 8, "[3-6]"), ("BY", "375", 9, 9, "[1-9]"),
+    ("BO", "591", 8, 8, "[2-7]"), ("CR", "506", 8, 8, "[2-8]"),
+    ("CU", "53", 6, 8, "[2-7]"), ("DZ", "213", 8, 9, "[2-7]"),
+    ("EC", "593", 8, 9, "[2-9]"), ("GE", "995", 9, 9, "[3-7]"),
+    ("GT", "502", 8, 8, "[2-7]"), ("HN", "504", 8, 8, "[2-9]"),
+    ("IS", "354", 7, 9, "[3-8]"), ("IQ", "964", 8, 10, "[1-7]"),
+    ("IR", "98", 10, 10, "[1-9]"), ("JO", "962", 8, 9, "[2-7]"),
+    ("KW", "965", 8, 8, "[1-9]"), ("LB", "961", 7, 8, "[1-9]"),
+    ("LK", "94", 9, 9, "[1-9]"), ("LU", "352", 6, 9, "[2-9]"),
+    ("MD", "373", 8, 8, "[2-7]"), ("ME", "382", 8, 8, "[2-7]"),
+    ("MK", "389", 8, 8, "[2-7]"), ("MT", "356", 8, 8, "[2-9]"),
+    ("NI", "505", 8, 8, "[2-8]"), ("NP", "977", 8, 10, "[1-9]"),
+    ("OM", "968", 8, 8, "[2-9]"), ("PA", "507", 7, 8, "[2-9]"),
+    ("PY", "595", 8, 9, "[2-9]"), ("QA", "974", 8, 8, "[2-7]"),
+    ("SV", "503", 8, 8, "[2-7]"), ("TN", "216", 8, 8, "[2-9]"),
+    ("UY", "598", 8, 8, "[2-9]"), ("UZ", "998", 9, 9, "[1-9]"),
+    ("ZM", "260", 9, 9, "[1-9]"), ("ZW", "263", 9, 9, "[1-8]"),
+    ("MM", "95", 8, 10, "[1-9]"), ("KH", "855", 8, 9, "[1-9]"),
+    ("LA", "856", 8, 10, "[2-9]"), ("MN", "976", 8, 8, "[1-9]"),
+    ("BH", "973", 8, 8, "[1-9]"), ("SN", "221", 9, 9, "[37]"),
+    ("CI", "225", 8, 10, "[0-9]"), ("CM", "237", 8, 9, "[2-9]"),
+    ("TZ", "255", 9, 9, "[1-9]"), ("UG", "256", 9, 9, "[1-9]"),
+    ("ET", "251", 9, 9, "[1-9]"), ("AO", "244", 9, 9, "[2-9]"),
+    ("MZ", "258", 8, 9, "[2-8]"), ("CD", "243", 9, 9, "[1-9]"),
+    ("LY", "218", 8, 9, "[2-9]"), ("SD", "249", 9, 9, "[19]"),
+    ("YE", "967", 7, 9, "[1-7]"), ("SY", "963", 8, 9, "[1-9]"),
+    ("KG", "996", 9, 9, "[2-7]"), ("TJ", "992", 9, 9, "[3-9]"),
+    ("TM", "993", 8, 8, "[1-6]"), ("MO", "853", 8, 8, "[68]"),
+    ("BN", "673", 7, 7, "[2-8]"), ("FJ", "679", 7, 7, "[2-9]"),
+    ("PG", "675", 7, 8, "[1-9]"),
 ]
 _REGION_META = {r: (cc, lo, hi, lead) for r, cc, lo, hi, lead in _PHONE_REGIONS}
 # country code -> canonical region (shared codes: +1 -> US, +7 -> RU)
@@ -203,14 +237,18 @@ def parse_phone(c: Column, default_region: str = "US") -> Column:
               F.substring(d, 4, 20)) \
         .otherwise(F.substring(d, 3, 20))
 
-    # longest-cc-first match -> (region, national)
-    intl_region = F.lit(None).cast("string")
-    intl_national = F.lit(None).cast("string")
-    for cc in sorted(_CC_TO_REGION, key=len):
-        hit = intl_digits.startswith(cc)
-        intl_region = F.when(hit, F.lit(_CC_TO_REGION[cc])).otherwise(intl_region)
-        intl_national = F.when(hit, F.substring(intl_digits, len(cc) + 1, 20)) \
-            .otherwise(intl_national)
+    # longest-cc-first match -> (region, national). Country codes are 1-3
+    # digits, so instead of a per-cc when-chain (linear in regions and a
+    # codegen blow-up past ~100 entries) probe the three candidate prefixes
+    # against ONE map literal, longest first — constant plan depth.
+    cc_region_map = F.create_map(*[x for cc, r in _CC_TO_REGION.items()
+                                   for x in (F.lit(cc), F.lit(r))])
+    p3, p2, p1 = (F.substring(intl_digits, 1, n) for n in (3, 2, 1))
+    matched_cc = F.when(cc_region_map[p3].isNotNull(), p3) \
+        .when(cc_region_map[p2].isNotNull(), p2) \
+        .when(cc_region_map[p1].isNotNull(), p1)
+    intl_region = cc_region_map[matched_cc]
+    intl_national = F.substring(intl_digits, F.length(matched_cc) + 1, F.lit(20))
 
     def_cc, _lo, _hi, _lead = _REGION_META[default_region]
     if def_cc == "1":  # NANP trunk prefix is '1'
@@ -227,21 +265,24 @@ def parse_phone(c: Column, default_region: str = "US") -> Column:
     # once per region — quadratic plan growth that stalls Catalyst past ~30
     # regions. Map lookups keep the plan linear; unknown regions look up to
     # NULL, which propagates to valid=NULL (the documented "unknown").
-    def _meta_map(f):
-        return F.create_map(*[x for r, m in _REGION_META.items()
-                              for x in (F.lit(r), F.lit(f(m)))])
-    lo_map = _meta_map(lambda m: m[1])
-    hi_map = _meta_map(lambda m: m[2])
-    lead_map = _meta_map(lambda m: m[3])
-    cc_map = _meta_map(lambda m: m[0])
+    # ONE struct-valued map (not four scalar maps): at ~130 regions four
+    # separate map literals re-inline the whole table per lookup and push the
+    # generated method past janino's 64KB limit (interpreted fallback = slow).
+    meta_map = F.create_map(*[
+        x for r, (cc, lo, hi, lead) in _REGION_META.items()
+        for x in (F.lit(r), F.struct(F.lit(cc).alias("cc"),
+                                     F.lit(lo).alias("lo"),
+                                     F.lit(hi).alias("hi"),
+                                     F.lit(lead).alias("lead")))])
+    meta = meta_map[region]
 
-    base = (F.length(national) >= lo_map[region]) & \
-        (F.length(national) <= hi_map[region]) & \
-        F.regexp_like(national, F.concat(F.lit("^"), lead_map[region]))
+    base = (F.length(national) >= meta["lo"]) & \
+        (F.length(national) <= meta["hi"]) & \
+        F.regexp_like(national, F.concat(F.lit("^"), meta["lead"]))
     nanp_ok = F.regexp_like(national, F.lit("^[2-9][0-9]{2}[2-9]"))
-    valid = F.when(cc_map[region] == "1", base & nanp_ok).otherwise(base)
+    valid = F.when(meta["cc"] == "1", base & nanp_ok).otherwise(base)
 
-    e164 = F.when(valid, F.concat(F.lit("+"), cc_map[region], national))
+    e164 = F.when(valid, F.concat(F.lit("+"), meta["cc"], national))
 
     empty = c.isNull() | (F.length(d) == 0)
     return F.when(empty, F.lit(None).cast(
