@@ -1,0 +1,100 @@
+"""Benchmark decontamination: drop training documents that share word
+n-grams with an evaluation/benchmark set.
+
+The standard LLM data-prep step (13-gram overlap in GPT-3's appendix C,
+Brown et al. 2020; similar in PaLM and Llama data notes): any training
+document containing at least ``min_matches`` distinct word n-grams that also
+occur in the eval set is flagged as contaminated and removed.
+
+100 TB design
+-------------
+The eval side is benchmark-sized (thousands of documents, millions of
+n-grams at most), the train side is the 100 TB corpus. So:
+
+* n-gram hashing is a pure Catalyst expression (lower/strip -> split ->
+  ``transform`` over a ``sequence`` of start offsets -> ``xxhash64``) — one
+  linear scan, whole-stage codegen, no Python.
+* the eval n-gram set is aggregated to DISTINCT hashes and **broadcast**;
+  the train side explodes its (already per-doc-distinct) n-grams and
+  broadcast-joins — no shuffle of the big side at all. For an unusually
+  large eval set pass ``broadcast_eval=False`` to fall back to a hash
+  equi-join on the n-gram hash (both sides shuffled once, AQE-sized).
+* per-doc match counting groups by the train doc id only on the *matched*
+  rows (a tiny fraction of the corpus), so the final groupBy is cheap.
+
+Hash collisions (xxhash64 over ~1e6 eval n-grams) are ~1e-7 per train
+n-gram — collisions can only cause a (vanishingly rare) false *removal*,
+never contamination leakage, which is the right failure direction.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_ngram_hashes", "contamination_report", "decontaminate"]
+
+
+def word_ngram_hashes(c: Column, n: int = 13, lowercase: bool = True) -> Column:
+    """Distinct xxhash64 hashes of the word ``n``-grams of a text column.
+
+    Words are maximal runs of alphanumerics (text is lowercased first by
+    default, the GPT-3 normalization); documents shorter than ``n`` words
+    yield an empty array (too short to decontaminate on, per the papers).
+    """
+    norm = F.lower(c) if lowercase else c
+    toks = F.filter(
+        F.split(F.regexp_replace(norm, r"[^0-9A-Za-z]+", " "), " "),
+        lambda t: t != "")
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    return F.array_distinct(grams)
+
+
+def _eval_gram_set(eval_df: DataFrame, text_col: str, n: int) -> DataFrame:
+    return (eval_df
+            .select(F.explode(word_ngram_hashes(F.col(text_col), n))
+                    .alias("gram"))
+            .distinct())
+
+
+def contamination_report(train: DataFrame, eval_df: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         eval_text_col: str | None = None, n: int = 13,
+                         broadcast_eval: bool = True) -> DataFrame:
+    """Per contaminated train document: the number of distinct eval-shared
+    word n-grams (``matched_ngrams``) and the doc's total distinct n-gram
+    count (``total_ngrams``). Documents with zero overlap are absent.
+    """
+    eval_grams = _eval_gram_set(eval_df, eval_text_col or text_col, n)
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    doc_grams = train.select(
+        F.col(id_col),
+        word_ngram_hashes(F.col(text_col), n).alias("_grams"))
+    exploded = doc_grams.select(
+        id_col, F.size("_grams").alias("total_ngrams"),
+        F.explode("_grams").alias("gram"))
+    return (exploded.join(eval_grams, "gram")
+            .groupBy(id_col, "total_ngrams")
+            .agg(F.count("*").alias("matched_ngrams"))
+            .select(id_col, "matched_ngrams", "total_ngrams"))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  eval_text_col: str | None = None, n: int = 13,
+                  min_matches: int = 1,
+                  broadcast_eval: bool = True) -> DataFrame:
+    """``train`` minus documents sharing >= ``min_matches`` distinct word
+    n-grams with ``eval_df`` (left_anti join on the contamination report —
+    the big side passes through with one broadcast probe + one anti-join)."""
+    bad = (contamination_report(train, eval_df, id_col, text_col,
+                                eval_text_col, n, broadcast_eval)
+           .where(F.col("matched_ngrams") >= min_matches)
+           .select(id_col))
+    return train.join(F.broadcast(bad) if broadcast_eval else bad,
+                      id_col, "left_anti")
