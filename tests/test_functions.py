@@ -310,3 +310,40 @@ def test_parse_phone_session4_regions(spark):
     for (t, region, valid), r in zip(cases, rows):
         assert r["r"]["region"] == region, t
         assert r["r"]["valid"] == valid, t
+
+
+def test_analyze_session4b_languages(spark):
+    """pl/cs/tr/el/bg/ar/id analyzer chains: stopwords drop and the light
+    suffix (and for ar/id prefix) rules strip."""
+    from transmogrifai_spark.functions.text import analyze
+    cases = [
+        ("pl", "i koty w domach nie ptakami dla miastach",
+         {"kot", "dom", "ptak", "miast"}, {"i", "w", "nie", "dla"}),
+        ("cs", "a kočky v domech je pro městech",
+         {"kočk", "dom", "měst"}, {"a", "v", "je", "pro"}),
+        ("tr", "ve kediler bu arabalar için şehirlerin",
+         {"kedi", "araba", "şehir"}, {"ve", "bu", "için"}),
+        ("el", "και οι γάτες με τα σπίτια για ανθρώπους",
+         {"γάτ", "σπίτι", "ανθρώπ"}, {"και", "οι", "με", "τα", "για"}),
+        ("bg", "и котките на къщата не са градът",
+         {"котк", "къщ", "град"}, {"и", "на", "не", "са"}),
+        ("ar", "في البيوت والكتاب من المدرسة كتابها",
+         {"بيوت", "كتاب", "مدرس"}, {"في", "من"}),
+        ("id", "yang kucing di rumahnya dan membacakan untuk makanan",
+         {"kucing", "rumah", "baca", "makan"}, {"yang", "di", "dan", "untuk"}),
+    ]
+    for lang, text, want_in, want_out in cases:
+        df = spark.createDataFrame([(text,)], "t string")
+        out = set(df.select(analyze(F.col("t"), lang).alias("a")).first()["a"])
+        assert want_in <= out, (lang, out)
+        assert not (want_out & out), (lang, out)
+
+
+def test_analyze_auto_routes_greek_and_arabic(spark):
+    from transmogrifai_spark.functions.text import analyze, analyze_auto
+    for lang, t in [("el", "και το σπίτι της γάτας με τα παιδιά για που"),
+                    ("ar", "في البيت من المدرسة على أن هذا مع الكتاب")]:
+        df = spark.createDataFrame([(t,)], "t string")
+        auto = df.select(analyze_auto(F.col("t")).alias("a")).first()["a"]
+        direct = df.select(analyze(F.col("t"), lang).alias("a")).first()["a"]
+        assert auto == direct, lang

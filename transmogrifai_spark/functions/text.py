@@ -359,6 +359,26 @@ ANALYZER_STOPWORDS: dict[str, list[str]] = {
     "hu": ["a", "az", "és", "hogy", "nem", "is", "egy", "van", "volt",
            "de", "ha", "meg", "már", "csak", "mint", "még", "vagy", "el",
            "ki", "be"],
+    "pl": ["i", "w", "na", "z", "do", "że", "się", "nie", "jest", "to",
+           "jak", "po", "od", "za", "ale", "co", "dla", "o", "przez",
+           "tak", "są", "być"],
+    "cs": ["a", "v", "na", "se", "je", "že", "s", "z", "do", "o", "k",
+           "i", "to", "pro", "jako", "ale", "po", "za", "od", "jsou",
+           "byl", "být"],
+    "tr": ["ve", "bir", "bu", "da", "de", "için", "ile", "olarak", "çok",
+           "daha", "gibi", "ne", "o", "ki", "en", "her", "ama", "var",
+           "olan", "sonra"],
+    "el": ["και", "το", "την", "της", "του", "τα", "με", "για", "στο",
+           "στη", "είναι", "από", "που", "οι", "να", "σε", "ο", "η",
+           "των", "δεν"],
+    "bg": ["и", "в", "на", "се", "е", "за", "от", "да", "с", "не", "по",
+           "че", "като", "са", "това", "или", "но", "до", "при", "той"],
+    "ar": ["في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "هذه",
+           "التي", "الذي", "كان", "كانت", "لا", "ما", "هو", "هي", "قد",
+           "كل", "بعد"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "ini", "dari",
+           "dalam", "tidak", "akan", "pada", "ke", "juga", "ada", "adalah",
+           "atau", "bisa", "oleh", "sebagai"],
 }
 
 # longest-first suffix rules per language; (suffix, min_remaining_stem)
@@ -414,6 +434,54 @@ ANALYZER_PROFILES: dict[str, list[tuple[str, int]]] = {
            ("re", 3), ("ok", 3), ("ek", 3), ("ak", 3), ("ot", 3),
            ("et", 3), ("at", 3), ("on", 3), ("en", 3), ("t", 4), ("k", 4),
            ("a", 4), ("e", 4)],
+    # Polish light subset (case/plural endings; stempel is statistical —
+    # this is the rule-based approximation)
+    "pl": [("owie", 3), ("ach", 3), ("ami", 3), ("ego", 3), ("emu", 3),
+           ("owi", 3), ("ymi", 3), ("imi", 3), ("ich", 3), ("ych", 3),
+           ("om", 3), ("ów", 3), ("em", 3), ("ej", 3), ("y", 3), ("i", 3),
+           ("a", 3), ("e", 3), ("ę", 3), ("ą", 3), ("o", 3), ("u", 3)],
+    # Czech light stemmer subset (Dolamic & Savoy, case endings)
+    "cs": [("atech", 3), ("ětem", 3), ("atům", 3), ("ých", 3), ("ými", 3),
+           ("ích", 3), ("ími", 3), ("ách", 3), ("ého", 3), ("ému", 3),
+           ("ech", 3), ("ům", 3), ("ám", 3), ("em", 3), ("ém", 3),
+           ("ů", 3), ("y", 3), ("i", 3), ("í", 3), ("é", 3), ("á", 3),
+           ("a", 3), ("e", 3), ("o", 3), ("u", 3)],
+    # Turkish light subset (plural + common case endings; full Snowball
+    # Turkish applies vowel harmony — approximated by listing both forms)
+    "tr": [("larının", 3), ("lerinin", 3), ("ların", 3), ("lerin", 3),
+           ("ları", 3), ("leri", 3), ("lar", 3), ("ler", 3), ("dan", 3),
+           ("den", 3), ("tan", 3), ("ten", 3), ("nın", 3), ("nin", 3),
+           ("nun", 3), ("nün", 3), ("da", 4), ("de", 4), ("ta", 4),
+           ("te", 4), ("ın", 4), ("in", 4), ("un", 4), ("ün", 4),
+           ("ı", 3), ("i", 3), ("u", 3), ("ü", 3)],
+    # Greek light subset (noun/adjective endings, lowercased, final-sigma
+    # normalized by tokenization)
+    "el": [("ματοσ", 3), ("ματα", 3), ("ουσα", 3), ("ουσ", 3), ("εισ", 3),
+           ("ων", 3), ("οσ", 3), ("εσ", 3), ("ασ", 3), ("ησ", 3),
+           ("οι", 3), ("αι", 3), ("α", 3), ("ο", 3), ("η", 3), ("ι", 3),
+           ("ε", 3)],
+    # Bulgarian light subset (definite articles + plural endings)
+    "bg": [("ията", 3), ("ите", 3), ("ата", 3), ("ове", 3), ("ът", 3),
+           ("та", 3), ("то", 3), ("те", 3), ("ия", 3), ("и", 3), ("а", 3),
+           ("я", 3), ("е", 3), ("о", 3)],
+    # Arabic light10 suffix half (Larkey et al. 2002); prefixes below
+    "ar": [("ها", 2), ("ان", 2), ("ات", 2), ("ون", 2), ("ين", 2),
+           ("يه", 2), ("ية", 2), ("ه", 3), ("ة", 3), ("ي", 3)],
+    # Indonesian light suffix subset; prefixes below
+    "id": [("kannya", 3), ("kan", 3), ("nya", 3), ("lah", 3), ("kah", 3),
+           ("an", 3), ("i", 4)],
+}
+
+# prefix-strip rules for prefixing languages; (prefix, min_remaining_stem),
+# longest-first, applied once before suffix stemming
+ANALYZER_PREFIX_RULES: dict[str, list[tuple[str, int]]] = {
+    # Arabic light10 prefixes (Larkey et al. 2002): definite-article forms
+    "ar": [("وال", 2), ("بال", 2), ("كال", 2), ("فال", 2), ("ال", 2),
+           ("لل", 2), ("و", 3)],
+    # Indonesian derivational prefixes (light subset)
+    "id": [("meng", 3), ("peng", 3), ("men", 3), ("pen", 3), ("mem", 3),
+           ("pem", 3), ("ber", 3), ("ter", 3), ("per", 3), ("me", 3),
+           ("di", 3), ("ke", 3), ("se", 3)],
 }
 
 
@@ -429,6 +497,16 @@ def _stem_token(t: Column, rules: list[tuple[str, int]]) -> Column:
     return out
 
 
+def _strip_prefix(t: Column, rules: list[tuple[str, int]]) -> Column:
+    """First matching prefix rule wins (rules ordered longest-first)."""
+    out = t
+    for pfx, min_stem in reversed(rules):
+        keep = F.length(t) - F.lit(len(pfx))
+        cond = t.startswith(F.lit(pfx)) & (keep >= F.lit(min_stem))
+        out = F.when(cond, t.substr(F.lit(len(pfx) + 1), keep)).otherwise(out)
+    return out
+
+
 def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
             to_lowercase: bool = True, stem: bool = True) -> Column:
     """Per-language analyzer chain: tokenize -> language stopword removal ->
@@ -438,9 +516,18 @@ def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
     sw = ANALYZER_STOPWORDS.get(lang)
     if sw:
         toks = remove_stopwords(toks, sw)
-    rules = ANALYZER_PROFILES.get(lang) if stem else None
-    if rules:
-        toks = F.transform(toks, lambda t: _stem_token(t, rules))
+    if lang == "el":
+        # Greek final sigma: normalize word-final ς to σ so the suffix rules
+        # see one canonical form (GreekLowerCaseFilter analogue); after the
+        # stopword filter, whose entries are in natural final-sigma form
+        toks = F.transform(toks, lambda t: F.replace(t, F.lit("ς"), F.lit("σ")))
+    if stem:
+        pfx = ANALYZER_PREFIX_RULES.get(lang)
+        if pfx:
+            toks = F.transform(toks, lambda t: _strip_prefix(t, pfx))
+        rules = ANALYZER_PROFILES.get(lang)
+        if rules:
+            toks = F.transform(toks, lambda t: _stem_token(t, rules))
     return toks
 
 

@@ -132,6 +132,15 @@ STOPWORD_PROFILES_EXTENDED: dict[str, list[str]] = {
     "ru": ["и", "в", "не", "на", "с", "что", "он", "как", "это", "по"],
     "vi": ["và", "của", "là", "có", "được", "trong", "cho", "không", "này",
            "những"],
+    # non-Latin-script languages the analyzer table now covers: Greek is
+    # unambiguous by script, but a stopword profile lets the argmax router
+    # pick it without the script pass; bg disambiguates from ru within
+    # Cyrillic by function words
+    "el": ["και", "το", "την", "της", "του", "με", "για", "είναι", "από",
+           "που"],
+    "bg": ["на", "се", "да", "за", "от", "че", "като", "са", "това", "при"],
+    "ar": ["في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "التي",
+           "الذي"],
 }
 
 # Unicode script blocks -> language guess for scripts that identify a
