@@ -28,7 +28,7 @@ from .functions import dates as D
 from .functions import maps as M
 from .functions import math as X
 from .functions import text as TX
-from .llm import dedup, similarity, textqual
+from .llm import dedup, pii as PII, similarity, textqual
 from .sources.joins import JoinedAggregateReader, JoinedReader
 from .sources.readers import (AggSpec, AggregateDataReader, ConditionalDataReader,
                               CutOffTime, DataReader, InlineReader,
@@ -260,6 +260,19 @@ def q_text_ops(spark, sf_dir):
     digits = F.lpad((F.col("c_custkey") * 7919 % 10000000000).cast("string"), 10, "2")
     phone = F.concat(F.lit("("), F.substring(digits, 1, 3), F.lit(") "),
                      F.substring(digits, 4, 3), F.lit("-"), F.substring(digits, 7, 4))
+    # PII surface (llm/pii.py) on a synthetic per-customer note: email present
+    # on 2/3 of rows, a custkey-derived private IP, and a credit card that is
+    # Luhn-valid exactly on even keys — so the detect counts (checksum gate
+    # included) and the email/ip redaction are value-verified by the oracle.
+    email_part = F.when(F.col("c_custkey") % 3 == 0, F.lit("none")) \
+        .otherwise(email)
+    ip = F.concat(F.lit("10."), (F.col("c_custkey") % 256).cast("string"),
+                  F.lit(".0.1"))
+    card = F.when(F.col("c_custkey") % 2 == 0,
+                  F.lit("4532015112830366")).otherwise(F.lit("4532015112830367"))
+    note = F.concat(F.lit("contact "), email_part, F.lit(" from "), ip,
+                    F.lit(" card "), card)
+    pii_counts = PII.detect_pii(note, ["email", "ipv4", "credit_card"])
     return cust.select(
         "c_custkey",
         F.size(TX.tokenize(name)).cast("long").alias("n_tokens"),
@@ -273,6 +286,11 @@ def q_text_ops(spark, sf_dir):
         phone.alias("phone"),
         TX.normalize_phone_digits(phone).alias("phone_digits"),
         TX.is_valid_phone_us(phone).alias("phone_valid"),
+        note.alias("pii_note"),
+        F.element_at(pii_counts, "email").alias("pii_emails"),
+        F.element_at(pii_counts, "ipv4").alias("pii_ipv4"),
+        F.element_at(pii_counts, "credit_card").alias("pii_cards"),
+        PII.redact_pii(note, ["email", "ipv4"]).alias("note_redacted"),
     )
 
 
@@ -654,14 +672,25 @@ def q_dedup_clusters(spark, sf_dir):
 
 def q_corpus_mixture(spark, sf_dir):
     """Curation: deterministic per-language mixture sampling + counts
-    (hash-filter sampling — reproducible on any cluster layout)."""
+    (hash-filter sampling — reproducible on any cluster layout), plus
+    benchmark decontamination (llm/decontam.py): per language, how many
+    sampled docs share an 8-word n-gram with the 'eval set' (doc_id % 10
+    == 0). The oracle replicates the n-gram overlap with string n-grams,
+    so the broadcast-probe hash path is value-verified end to end."""
     from .llm.curation import mix_corpora
+    from .llm.decontam import contamination_report
     docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 10 == 0)
+    contaminated = contamination_report(docs, eval_df, "doc_id", "text", n=8) \
+        .select("doc_id", F.lit(1).alias("is_cont"))
     mixed = mix_corpora(docs, "doc_id", "lang",
                         {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.1})
-    return mixed.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("n_chars_total"))
+    return (mixed.join(F.broadcast(contaminated), "doc_id", "left")
+            .groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("n_chars_total"),
+                F.sum(F.coalesce(F.col("is_cont"), F.lit(0)))
+                 .alias("n_contaminated")))
 
 
 def q_text_quality(spark, sf_dir):
@@ -1108,6 +1137,9 @@ FROM (SELECT *, l_extendedprice * ((1 - l_discount) * (1 + l_tax)) AS x,
 
 _EMAIL_RE_SQL = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
 
+_PII_EMAIL = PII.PII_PATTERNS["email"]
+_PII_IPV4 = PII.PII_PATTERNS["ipv4"]
+
 ORACLES["text_ops"] = f"""
 SELECT c_custkey,
        CAST(len({_tokens('c_name')}) AS BIGINT) AS n_tokens,
@@ -1123,9 +1155,19 @@ SELECT c_custkey,
        phone,
        regexp_replace(phone, '[^0-9]', '', 'g') AS phone_digits,
        CASE WHEN length(d10) = 10 AND d10 NOT LIKE '0%' AND d10 NOT LIKE '1%'
-            THEN TRUE ELSE FALSE END AS phone_valid
+            THEN TRUE ELSE FALSE END AS phone_valid,
+       note AS pii_note,
+       CAST(len(regexp_extract_all(note, '{_PII_EMAIL}')) AS INTEGER) AS pii_emails,
+       CAST(len(regexp_extract_all(note, '{_PII_IPV4}')) AS INTEGER) AS pii_ipv4,
+       CAST(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS pii_cards,
+       regexp_replace(regexp_replace(note, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                      '{_PII_IPV4}', '[IPV4]', 'g') AS note_redacted
 FROM (
-  SELECT *, CASE WHEN length(d) = 11 AND d LIKE '1%' THEN substr(d, 2, 10) ELSE d END AS d10
+  SELECT *, CASE WHEN length(d) = 11 AND d LIKE '1%' THEN substr(d, 2, 10) ELSE d END AS d10,
+         'contact ' || (CASE WHEN c_custkey % 3 = 0 THEN 'none' ELSE email END)
+           || ' from 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.1 card '
+           || (CASE WHEN c_custkey % 2 = 0 THEN '4532015112830366'
+                    ELSE '4532015112830367' END) AS note
   FROM (
     SELECT *, regexp_replace(phone, '[^0-9]', '', 'g') AS d
     FROM (
@@ -1753,14 +1795,36 @@ FROM scored WHERE rank <= 5
 """
 
 ORACLES["corpus_mixture"] = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                     t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 8
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - 7),
+                     i -> array_to_string(w[i:i+7], ' ')))
+              ELSE []::VARCHAR[] END AS g
+  FROM w
+), eval_grams AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 10 = 0
+), contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams) t
+  JOIN eval_grams e USING (gram)
+)
 SELECT lang, count(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
-FROM documents
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM documents d LEFT JOIN contaminated c USING (doc_id)
 WHERE CASE lang
-        WHEN 'en' THEN ((doc_id % 1000000 + 42) * 2654435761) % 1000000 < 1000000
-        WHEN 'fr' THEN ((doc_id % 1000000 + 42) * 2654435761) % 1000000 < 500000
-        WHEN 'de' THEN ((doc_id % 1000000 + 42) * 2654435761) % 1000000 < 250000
-        WHEN 'es' THEN ((doc_id % 1000000 + 42) * 2654435761) % 1000000 < 100000
+        WHEN 'en' THEN ((d.doc_id % 1000000 + 42) * 2654435761) % 1000000 < 1000000
+        WHEN 'fr' THEN ((d.doc_id % 1000000 + 42) * 2654435761) % 1000000 < 500000
+        WHEN 'de' THEN ((d.doc_id % 1000000 + 42) * 2654435761) % 1000000 < 250000
+        WHEN 'es' THEN ((d.doc_id % 1000000 + 42) * 2654435761) % 1000000 < 100000
         ELSE FALSE END
 GROUP BY lang
 """
