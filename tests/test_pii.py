@@ -104,3 +104,30 @@ def test_detectors_are_codegen_only(spark):
                     redact_pii(F.col("t")).alias("r"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_luhn_hypothesis_vs_python(spark):
+    """Random digit strings: the HOF fold == the textbook python Luhn."""
+    from hypothesis import given, settings, strategies as st
+
+    collected = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.text(alphabet="0123456789 -", min_size=8, max_size=24))
+    def gen(s):
+        collected.append(s)
+
+    gen()
+    def py_luhn(s):
+        ds = [int(ch) for ch in s if ch.isdigit()]
+        if len(ds) < 12:
+            return False
+        tot = 0
+        for i, d in enumerate(reversed(ds)):
+            v = d * 2 if i % 2 == 1 else d
+            tot += v - 9 if v > 9 else v
+        return tot % 10 == 0
+    df = spark.createDataFrame([(s,) for s in collected], "s string")
+    got = [r["ok"] for r in
+           df.select(luhn_valid(F.col("s")).alias("ok")).collect()]
+    assert got == [py_luhn(s) for s in collected]
