@@ -169,3 +169,81 @@ def hot_keys(df: DataFrame, key_cols: list[str], sample_rate: float = 0.01,
                      *[F.col(c).asc() for c in key_cols])
             .collect())
     return [r.asDict() for r in rows]
+
+
+def plan_audit(df: DataFrame, max_scan_cols: int = 24) -> list[dict]:
+    """Lint a DataFrame's physical plan for the anti-patterns that don't
+    hurt at test scale but kill a 100 TB run. Returns one finding dict per
+    hit: {rule, severity, evidence}. Empty list = the plan shapes this
+    engine commits to (the same rules tests/test_plans.py asserts piecemeal).
+
+    Rules:
+      * python_udf        — BatchEvalPython/ArrowEvalPython in the plan: a
+                            per-row/batch Python round-trip in what should be
+                            a codegen pipeline.
+      * cartesian         — CartesianProduct / BroadcastNestedLoopJoin: an
+                            O(|L|x|R|) join strategy; usually a missing
+                            equi-join key or an un-bucketed range join.
+      * global_window     — a Window with an empty partition spec: every row
+                            shuffles to ONE task regardless of cluster size.
+      * global_sort_no_limit — a Sort with global=true not feeding a Limit:
+                            a full range-shuffle of the dataset.
+      * unpruned_scan     — a parquet scan whose ReadSchema carries >
+                            max_scan_cols columns: projection likely not
+                            pushed (threshold is advisory; raise it for
+                            genuinely wide outputs).
+    """
+    spark = df.sparkSession
+    # ReadSchema/field lists are truncated at spark.sql.maxMetadataStringLength
+    # (default 100 chars) — raise it for the audit so column counts are real
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
+        else:
+            spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    findings: list[dict] = []
+
+    def hit(rule, severity, evidence):
+        findings.append({"rule": rule, "severity": severity,
+                         "evidence": evidence})
+
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        if node in plan:
+            hit("python_udf", "error", node)
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if node in plan:
+            hit("cartesian", "error", node)
+    # global-window check: inspect the analyzed plan's window specs (the
+    # physical Window node doesn't print an unambiguous empty-partition form)
+    analyzed = qe.analyzed().toString()
+    for line in analyzed.splitlines():
+        ls = line.strip()
+        if "windowspecdefinition(" in ls:
+            inner = ls.split("windowspecdefinition(", 1)[1]
+            # partition exprs come before the first ASC/DESC order token;
+            # "windowspecdefinition(ordercol ASC NULLS FIRST, ..." with no
+            # leading partition columns = empty partition spec
+            head = inner.split(",", 1)[0]
+            if " ASC" in head or " DESC" in head:
+                hit("global_window", "error", ls[:160])
+                break
+    for line in plan.splitlines():
+        ls = line.strip()
+        # SortExec prints positionally: "Sort [exprs], <global>, 0"
+        core = ls.lstrip("+-: *(0123456789)").strip()
+        if core.startswith("Sort [") and "], true," in core \
+                and "Limit" not in plan[:plan.find(ls)] \
+                and "TakeOrdered" not in plan:
+            hit("global_sort_no_limit", "warn", core[:160])
+            break
+    import re as _re
+    for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        ncols = m.group(1).count(":")
+        if ncols > max_scan_cols:
+            hit("unpruned_scan", "warn", f"{ncols} columns in ReadSchema")
+    return findings
