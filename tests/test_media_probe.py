@@ -87,3 +87,66 @@ def test_probe_media_metadata_all_formats(spark, media):
         r = got[i]
         assert (r["probed_format"], r["probed_width"], r["probed_height"]) \
             == (fmt, w, h), i
+
+
+def wav_bytes(channels=2, rate=44100, bits=16, frames=44100):
+    import io
+    import wave
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(bits // 8)
+    w.setframerate(rate)
+    w.writeframes(b"\x00" * (frames * channels * (bits // 8)))
+    w.close()
+    return buf.getvalue()
+
+
+def mp4_bytes(duration_s=7, timescale=1000):
+    mvhd_body = bytes([0]) + b"\x00\x00\x00" + b"\x00" * 8 \
+        + struct.pack(">I", timescale) + struct.pack(">I", duration_s * timescale) \
+        + b"\x00" * 80
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_wav_codegen_probe(spark):
+    from transmogrifai_spark.llm.multimodal import wav_metadata
+    schema = T.StructType([
+        T.StructField("i", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True)])
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_bytes(2, 44100, 16, 44100))),
+         (2, bytearray(wav_bytes(1, 16000, 8, 8000))),
+         (3, bytearray(b"RIFFxxxxNOPE")), (4, None)], schema)
+    got = {r["i"]: r["m"] for r in df.select(
+        "i", wav_metadata(F.col("content")).alias("m")).collect()}
+    assert (got[1]["channels"], got[1]["sample_rate"], got[1]["bits"],
+            got[1]["duration_ms"]) == (2, 44100, 16, 1000)
+    assert (got[2]["channels"], got[2]["sample_rate"],
+            got[2]["duration_ms"]) == (1, 16000, 500)
+    assert got[3] is None and got[4] is None
+    plan = df.select(wav_metadata(F.col("content")).alias("m")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_probe_audio_metadata(spark):
+    from transmogrifai_spark.llm.multimodal import probe_audio_metadata
+    schema = T.StructType([
+        T.StructField("i", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True)])
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_bytes(2, 44100, 16, 22050))),
+         (2, bytearray(mp4_bytes(7))),
+         (3, bytearray(b"junk")), (4, None)], schema)
+    got = {r["i"]: r for r in probe_audio_metadata(df).collect()}
+    assert (got[1]["probed_channels"], got[1]["probed_sample_rate"],
+            got[1]["probed_bits"], got[1]["probed_duration_ms"]) \
+        == (2, 44100, 16, 500)
+    assert got[2]["probed_duration_ms"] == 7000
+    assert got[2]["probed_channels"] is None
+    assert got[3]["probed_duration_ms"] is None
+    assert got[4]["probed_duration_ms"] is None

@@ -278,3 +278,122 @@ def probe_media_metadata(df: DataFrame, content_col: str = "content") -> DataFra
             yield out
 
     return with_fast.mapInPandas(probe, schema).drop("_dims")
+
+
+def wav_metadata(c) -> "F.Column":
+    """struct<channels,sample_rate,bits,duration_ms> off a canonical RIFF/
+    WAVE header (fmt chunk at byte 13, data chunk at byte 37 — what every
+    encoder writes for PCM). Non-canonical chunk orders return NULL; route
+    those through ``probe_audio_metadata``'s stdlib walk. Pure codegen."""
+    is_riff = (F.hex(F.substring(c, 1, 4)) == "52494646") & \
+        (F.hex(F.substring(c, 9, 4)) == "57415645")
+    canonical = (F.hex(F.substring(c, 13, 4)) == "666D7420") & \
+        (F.hex(F.substring(c, 37, 4)) == "64617461")
+    channels = _le_uint(c, 23, 2)
+    sample_rate = _le_uint(c, 25, 4)
+    byte_rate = _le_uint(c, 29, 4)
+    bits = _le_uint(c, 35, 2)
+    data_size = _le_uint(c, 41, 4)
+    duration_ms = F.when(byte_rate > 0,
+                         (data_size * 1000 / byte_rate).cast("long"))
+    return F.when(
+        is_riff & canonical & (F.length(c) >= 44),
+        F.struct(channels.cast("int").alias("channels"),
+                 sample_rate.cast("int").alias("sample_rate"),
+                 bits.cast("int").alias("bits"),
+                 duration_ms.alias("duration_ms")))
+
+
+def _wav_walk(data: bytes):
+    """Stdlib RIFF chunk walk for non-canonical chunk orders."""
+    if data is None or len(data) < 12 or data[0:4] != b"RIFF" \
+            or data[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(data)
+    fmt, size = None, None
+    while i + 8 <= n:
+        cid = data[i:i + 4]
+        clen = int.from_bytes(data[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            fmt = (int.from_bytes(data[i + 10:i + 12], "little"),   # channels
+                   int.from_bytes(data[i + 12:i + 16], "little"),   # rate
+                   int.from_bytes(data[i + 16:i + 20], "little"),   # byte rate
+                   int.from_bytes(data[i + 22:i + 24], "little"))   # bits
+        elif cid == b"data":
+            size = clen
+        i += 8 + clen + (clen & 1)
+    if fmt is None or size is None:
+        return None
+    ch, rate, brate, bits = fmt
+    return (ch, rate, bits, size * 1000 // brate if brate else None)
+
+
+def _mp4_duration_ms(data: bytes):
+    """Top-level box walk to moov/mvhd (ISO 14496-12): duration/timescale."""
+    if data is None or len(data) < 16:
+        return None
+
+    def walk(lo, hi, depth=0):
+        i = lo
+        while i + 8 <= hi and depth < 4:
+            size = int.from_bytes(data[i:i + 4], "big")
+            box = data[i + 4:i + 8]
+            if size < 8:
+                return None
+            if box == b"mvhd" and i + 8 + 20 <= hi:
+                ver = data[i + 8]
+                if ver == 1:
+                    ts = int.from_bytes(data[i + 28:i + 32], "big")
+                    dur = int.from_bytes(data[i + 32:i + 40], "big")
+                else:
+                    ts = int.from_bytes(data[i + 20:i + 24], "big")
+                    dur = int.from_bytes(data[i + 24:i + 28], "big")
+                return dur * 1000 // ts if ts else None
+            if box == b"moov":
+                got = walk(i + 8, min(i + size, hi), depth + 1)
+                if got is not None:
+                    return got
+            i += size
+        return None
+
+    return walk(0, len(data))
+
+
+def probe_audio_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Fill audio/video metadata decode-free: canonical WAV headers never
+    leave the JVM (codegen probe); everything else takes one Arrow-batched
+    stdlib pass (RIFF chunk walk, MP4 mvhd walk). Adds ``probed_channels``,
+    ``probed_sample_rate``, ``probed_bits``, ``probed_duration_ms``."""
+    with_fast = df.withColumn("_wav", wav_metadata(F.col(content_col)))
+    schema = T.StructType(with_fast.schema.fields + [
+        T.StructField("probed_channels", T.IntegerType(), True),
+        T.StructField("probed_sample_rate", T.IntegerType(), True),
+        T.StructField("probed_bits", T.IntegerType(), True),
+        T.StructField("probed_duration_ms", T.LongType(), True),
+    ])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            ch, rate, bits, dur = [], [], [], []
+            for blob, w in zip(pdf[content_col], pdf["_wav"]):
+                if w is not None and w.get("channels") is not None:
+                    ch.append(w["channels"]); rate.append(w["sample_rate"])
+                    bits.append(w["bits"]); dur.append(w["duration_ms"])
+                    continue
+                b = None if blob is None else bytes(blob)
+                got = _wav_walk(b)
+                if got is not None:
+                    ch.append(got[0]); rate.append(got[1])
+                    bits.append(got[2]); dur.append(got[3])
+                    continue
+                mp4 = _mp4_duration_ms(b)
+                ch.append(None); rate.append(None); bits.append(None)
+                dur.append(mp4)
+            out["probed_channels"] = pd.array(ch, dtype="Int32")
+            out["probed_sample_rate"] = pd.array(rate, dtype="Int32")
+            out["probed_bits"] = pd.array(bits, dtype="Int32")
+            out["probed_duration_ms"] = pd.array(dur, dtype="Int64")
+            yield out
+
+    return with_fast.mapInPandas(probe, schema).drop("_wav")
