@@ -222,3 +222,35 @@ def test_name_stats_gender(spark):
     # default shape unchanged: no genderValue key
     base = df.select(name_stats(F.col("t")).alias("m")).first()["m"]
     assert set(base.keys()) == {"isName", "nameRatio"}
+
+
+def test_typed_entities(spark):
+    """NER output-shape parity (map<entity_type, tokens>): honorific-led
+    person, given-name person, org suffix + acronym, gazetteer location,
+    month-led date; multi-word chunks stay together; NULL -> empty map."""
+    from transmogrifai_spark.operators.detectors import typed_entities
+    texts = [
+        "Dr Jane Roe met John Smith at Acme Corp in Berlin on January 5.",
+        "The IBM and NASA teams visited Stanford University near California.",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = [dict(r["m"]) for r in
+            df.select(typed_entities(F.col("t")).alias("m")).collect()]
+    assert rows[0]["PERSON"] == ["Jane Roe", "John Smith"]
+    assert rows[0]["ORGANIZATION"] == ["Acme Corp"]
+    assert rows[0]["LOCATION"] == ["Berlin"]
+    assert rows[0]["DATE"] == ["January"]
+    assert rows[0]["MISC"] == []
+    assert set(rows[1]["ORGANIZATION"]) == {"IBM", "NASA",
+                                            "Stanford University"}
+    assert rows[1]["LOCATION"] == ["California"]
+    assert rows[2] == {}
+
+
+def test_typed_entities_is_python_free(spark):
+    from transmogrifai_spark.operators.detectors import typed_entities
+    df = spark.createDataFrame([("Acme Corp in Berlin",)], "t string")
+    plan = df.select(typed_entities(F.col("t"))) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -99,3 +99,90 @@ def candidate_entities(c: Column, min_len: int = 2) -> Column:
     caps = F.filter(toks, lambda t: (F.length(t) >= min_len) &
                     t.rlike(r"^[A-Z][a-z']+$"))
     return F.when(c.isNull(), F.array().cast("array<string>")).otherwise(caps)
+
+
+# -- typed entity extraction (NameEntityRecognizer.scala:56 output shape:
+# map<entity_type, tokens>; OpenNLP's TokenNameFinder replaced by chunking +
+# gazetteer/affix classification, all Column expressions) --
+
+# compact public gazetteers — literal arrays compiled into the plan. A real
+# NER model slots in behind a pandas UDF without changing the output type.
+LOCATION_GAZETTEER = [
+    "america", "europe", "asia", "africa", "australia", "antarctica",
+    "usa", "china", "india", "japan", "germany", "france", "britain",
+    "england", "spain", "italy", "canada", "brazil", "mexico", "russia",
+    "poland", "sweden", "norway", "egypt", "kenya", "nigeria", "argentina",
+    "london", "paris", "berlin", "madrid", "rome", "moscow", "tokyo",
+    "beijing", "shanghai", "delhi", "mumbai", "sydney", "toronto",
+    "chicago", "boston", "seattle", "austin", "dallas", "miami",
+    "texas", "california", "florida", "washington", "ohio", "georgia",
+]
+ORG_SUFFIXES = ["Inc", "Corp", "Corporation", "Ltd", "LLC", "GmbH", "AG",
+                "SA", "Co", "Company", "Bank", "University", "Institute",
+                "Labs", "Group", "Holdings", "Partners", "Foundation"]
+HONORIFICS = ["Mr", "Mrs", "Ms", "Dr", "Prof", "Sir", "Madam", "Rev"]
+MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+          "August", "September", "October", "November", "December"]
+
+_CHUNK_RE = r"[A-Z][A-Za-z']*(?: [A-Z][A-Za-z']*)*"
+
+
+def _classify_chunk(chunk: Column) -> Column:
+    """PERSON / LOCATION / ORGANIZATION / DATE / MISC for one capitalized
+    chunk (honorific-led person detection happens on the raw text upstream,
+    where the preceding-token context still exists)."""
+    last = F.element_at(F.split(chunk, " "), -1)
+    first = F.element_at(F.split(chunk, " "), 1)
+    is_org = F.array_contains(
+        F.array(*[F.lit(s) for s in ORG_SUFFIXES]), last) | \
+        chunk.rlike(r"^[A-Z]{2,6}$")
+    is_loc = F.array_contains(
+        F.array(*[F.lit(g) for g in LOCATION_GAZETTEER]), F.lower(chunk)) | \
+        F.array_contains(
+            F.array(*[F.lit(g) for g in LOCATION_GAZETTEER]), F.lower(first))
+    is_date = F.array_contains(F.array(*[F.lit(m) for m in MONTHS]), first)
+    is_person = F.array_contains(
+        F.array(*[F.lit(n) for n in FIRST_NAMES]), F.lower(first))
+    return F.when(is_date, F.lit("DATE")) \
+        .when(is_org, F.lit("ORGANIZATION")) \
+        .when(is_loc, F.lit("LOCATION")) \
+        .when(is_person, F.lit("PERSON")) \
+        .otherwise(F.lit("MISC"))
+
+
+def typed_entities(c: Column) -> Column:
+    """map<string, array<string>> of typed entity candidates: capitalized
+    chunks (multi-word runs kept together) classified by gazetteer, org
+    suffix, acronym shape, month lead, or given-name lead; honorific-led
+    names (``Dr Jane Roe``) force PERSON. The reference returns the same
+    map-of-token-lists shape from OpenNLP (NameEntityRecognizer.scala:56).
+    Pure expressions: dictionaries ride the plan, classification is a CASE.
+    """
+    hon_pat = "(?:%s)\\.? (%s)" % ("|".join(HONORIFICS), _CHUNK_RE)
+    hon_people = F.regexp_extract_all(c, F.lit(hon_pat), 1)
+    raw_chunks = F.regexp_extract_all(c, F.lit(f"({_CHUNK_RE})"), 1)
+    # normalize: strip a leading honorific ("Dr Jane Roe" -> "Jane Roe") and
+    # a leading sentence-capitalized function word ("The IBM" -> "IBM")
+    lead_strip = "^(?:%s)\\.? |^(?:The|A|An|This|That|In|On|At|And|But|Or) " \
+        % "|".join(HONORIFICS)
+    chunks = F.array_distinct(F.transform(
+        raw_chunks, lambda ch: F.regexp_replace(ch, lead_strip, "")))
+    # drop leftovers that are bare honorifics/function words or empty
+    chunks = F.filter(chunks, lambda ch: (F.length(ch) > 0) &
+        ~F.array_contains(F.array(*[F.lit(h) for h in HONORIFICS]), ch) &
+        ~F.lower(ch).isin("the", "a", "an", "this", "that", "it", "he",
+                          "she", "they", "we", "i", "in", "on", "at"))
+    tagged = F.transform(
+        chunks, lambda ch: F.struct(
+            F.when(F.array_contains(hon_people, ch), F.lit("PERSON"))
+            .otherwise(_classify_chunk(ch)).alias("t"),
+            ch.alias("e")))
+    types = ["PERSON", "LOCATION", "ORGANIZATION", "DATE", "MISC"]
+    entries = []
+    for t in types:
+        entries += [F.lit(t),
+                    F.transform(F.filter(tagged, lambda s: s["t"] == t),
+                                lambda s: s["e"])]
+    empty = F.map_from_arrays(F.array().cast("array<string>"),
+                              F.array().cast("array<array<string>>"))
+    return F.when(c.isNull(), empty).otherwise(F.create_map(*entries))
