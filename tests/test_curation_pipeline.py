@@ -1,0 +1,70 @@
+"""curate_corpus: composed recipe == manually chained stages; dedup laws."""
+import pytest
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.llm.decontam import decontaminate
+from transmogrifai_spark.llm.dedup import exact_dedup
+from transmogrifai_spark.llm.lm_score import fit_char_lm
+from transmogrifai_spark.llm.pipeline import curate_corpus, dedup_keep_one
+from transmogrifai_spark.llm.quality_rules import quality_filter
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+
+
+def test_dedup_keep_one_exact(spark, docs):
+    # duplicate the corpus under new ids: every original must survive, every
+    # clone must be dropped (representative = min id)
+    n = docs.count()
+    cloned = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10**6))
+    kept = dedup_keep_one(cloned, "doc_id", "text", method="exact")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept.count() == n
+    assert all(i < 10**6 for i in ids)
+
+
+def test_dedup_keep_one_minhash_collapses_exact_copies(spark, docs):
+    small = docs.limit(60)
+    n = small.count()
+    cloned = small.union(small.withColumn("doc_id", F.col("doc_id") + 10**6))
+    kept = dedup_keep_one(cloned, "doc_id", "text", method="minhash")
+    # identical docs share every band -> clones always collapse; near-dup
+    # merges may collapse more, never fewer
+    assert kept.count() <= n
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert all(i < 10**6 for i in ids)
+
+
+def test_curate_corpus_equals_manual_chain(spark, docs):
+    eval_df = docs.where(F.col("doc_id") % 17 == 0)
+    out = curate_corpus(docs, rules="gopher", eval_df=eval_df, decontam_n=8,
+                        dedup="exact", mixture={"en": 1.0, "fr": 0.5})
+    # manual chain, same order
+    m = docs.join(quality_filter(docs, "doc_id", "text").where("keep")
+                  .select("doc_id"), "doc_id", "left_semi")
+    m = decontaminate(m, eval_df, "doc_id", "text", n=8)
+    m = dedup_keep_one(m, "doc_id", "text", "exact")
+    from transmogrifai_spark.llm.curation import mix_corpora
+    m = mix_corpora(m, "doc_id", "lang", {"en": 1.0, "fr": 0.5})
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in m.select("doc_id").collect())
+
+
+def test_curate_corpus_report_monotone(spark, docs):
+    eval_df = docs.where(F.col("doc_id") % 17 == 0)
+    model = fit_char_lm(docs, "text", n=2)
+    out, rep = curate_corpus(docs, eval_df=eval_df, decontam_n=8,
+                             lm_model=model, max_perplexity=1e9,
+                             report=True)
+    names = list(rep)
+    assert names[0] == "input" and rep["input"] == docs.count()
+    vals = list(rep.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))  # stages only shrink
+    assert out.count() == vals[-1]
+
+
+def test_curate_corpus_stages_optional(spark, docs):
+    out = curate_corpus(docs, rules=None, eval_df=None, dedup=None)
+    assert out.count() == docs.count()

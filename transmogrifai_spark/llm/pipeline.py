@@ -1,0 +1,93 @@
+"""One-call corpus curation: the standard LLM data-prep recipe composed
+from the engine's operators, each stage optional.
+
+Order follows practice (C4/Gopher -> decontaminate -> dedup -> LM head ->
+mixture), cheapest-reduction-first so later, costlier stages see fewer rows:
+
+  1. quality rules   (`quality_rules.quality_filter`, expression-only)
+  2. decontamination (`decontam.decontaminate`, eval set broadcast)
+  3. deduplication   (exact digest keep-min-id, or MinHash-LSH clusters
+                      with one representative per cluster)
+  4. LM perplexity head (`lm_score.perplexity_filter`, model pre-fitted on
+                      a clean reference corpus)
+  5. mixture / budget sampling (`curation.mix_corpora` /
+                      `token_budget_sample`)
+
+Every stage is a narrow DataFrame -> DataFrame transform: the whole recipe
+stays one lazy plan; nothing is counted or collected unless the caller asks
+for the per-stage report (which costs one count per enabled stage).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .curation import mix_corpora
+from .decontam import decontaminate
+from .dedup import duplicate_clusters, exact_dedup, minhash_lsh_candidates
+from .lm_score import perplexity_filter
+from .quality_rules import quality_filter
+
+__all__ = ["dedup_keep_one", "curate_corpus"]
+
+
+def dedup_keep_one(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", method: str = "exact",
+                   bands: int = 8, num_hashes: int = 32) -> DataFrame:
+    """Drop duplicates, keeping one representative per duplicate group.
+
+    * ``exact``   — min-id per content digest (one hash-groupBy).
+    * ``minhash`` — MinHash-LSH candidate pairs -> connected components ->
+      keep the cluster representative (min id). Near-duplicates collapse
+      together with their exact copies (identical docs share every band, so
+      exact dupes are always candidates).
+    """
+    if method == "exact":
+        keep = exact_dedup(df, id_col, text_col) \
+            .select(F.col("representative").alias(id_col))
+        return df.join(keep, id_col, "left_semi")
+    if method == "minhash":
+        pairs = minhash_lsh_candidates(df, id_col, text_col,
+                                       num_hashes=num_hashes, bands=bands)
+        clusters = duplicate_clusters(pairs)  # doc, cluster_id(=min id)
+        drop = clusters.where(F.col("doc") != F.col("cluster_id")) \
+            .select(F.col("doc").alias(id_col))
+        return df.join(drop, id_col, "left_anti")
+    raise ValueError(f"unknown dedup method {method!r}")
+
+
+def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", *,
+                  rules: str | None = "gopher",
+                  eval_df: DataFrame | None = None, decontam_n: int = 13,
+                  dedup: str | None = "exact",
+                  lm_model: dict | None = None,
+                  max_perplexity: float = 50.0,
+                  mixture: dict[str, float] | None = None,
+                  group_col: str = "lang",
+                  report: bool = False):
+    """Run the curation recipe; returns the curated DataFrame, or
+    ``(DataFrame, {stage: rows_remaining})`` when ``report=True``."""
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    out = docs
+    if rules:
+        kept = quality_filter(out, id_col, text_col, rules=rules) \
+            .where("keep").select(id_col)
+        out = out.join(kept, id_col, "left_semi")
+        stages.append(("quality_rules", out))
+    if eval_df is not None:
+        out = decontaminate(out, eval_df, id_col, text_col, n=decontam_n)
+        stages.append(("decontaminated", out))
+    if dedup:
+        out = dedup_keep_one(out, id_col, text_col, method=dedup)
+        stages.append(("deduplicated", out))
+    if lm_model is not None:
+        out = perplexity_filter(out, lm_model, text_col,
+                                max_perplexity=max_perplexity)
+        stages.append(("lm_head", out))
+    if mixture:
+        out = mix_corpora(out, id_col, group_col, mixture)
+        stages.append(("mixture", out))
+    if report:
+        return out, {name: df.count() for name, df in stages}
+    return out
