@@ -172,3 +172,29 @@ def test_file_stream_max_files_per_trigger(spark, sf_dir, tmp_path):
     batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(batches) >= 4                      # one file per micro-batch
     assert spark.table(sink).first()["count"] == ev.count()
+
+
+def test_curation_expressions_run_on_streams(spark, sf_dir):
+    """The curation surface (quality rules, PII detection/redaction, LM-free
+    text metrics) is pure expressions, so it applies unchanged to a
+    readStream: stream output over static files == the batch projection."""
+    from transmogrifai_spark.llm.pii import detect_pii, redact_pii
+    from transmogrifai_spark.llm.quality_rules import gopher_rules
+    from transmogrifai_spark.streaming.windows import (file_stream,
+                                                       run_to_memory)
+
+    src = f"{sf_dir}/documents.parquet"
+
+    def proj(df):
+        return df.select(
+            "doc_id",
+            gopher_rules(F.col("text"))["keep"].alias("keep"),
+            F.element_at(detect_pii(F.col("text"), ["email"]), "email")
+             .alias("emails"),
+            F.length(redact_pii(F.col("text"), ["email"])).alias("red_len"))
+
+    streamed = run_to_memory(proj(file_stream(spark, src)),
+                             output_mode="append")
+    batch = proj(spark.read.parquet(src))
+    assert sorted(map(tuple, streamed.collect())) \
+        == sorted(map(tuple, batch.collect()))
