@@ -148,3 +148,22 @@ def test_mlp_in_classifier_zoo(spark):
     assert mlp.metric > 0.5  # separable-ish problem, better than random
     # the stored params keep the "auto" marker (resolved only at fit time)
     assert mlp.params["layers"] == "auto"
+
+
+def test_percentile_calibrator_approx_close_to_exact(spark, sf_dir):
+    """approx=True (GK sketch, the 100 TB fit path) lands each row within a
+    bucket of the exact calibration, and the stage contract is identical."""
+    from transmogrifai_spark.feature import Feature
+    from transmogrifai_spark.operators.numeric import percentile_calibrator
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_totalprice").alias("x"), "o_orderkey")
+    feat = Feature("x", "Real")
+    exact = percentile_calibrator(feat, buckets=20).fit(df)
+    approx = percentile_calibrator(feat, buckets=20, approx=True,
+                                   accuracy=10000).fit(df)
+    out = df.select(exact.expr().alias("b_exact"),
+                    approx.expr().alias("b_approx"))
+    worst = out.agg(F.max(F.abs(
+        F.col("b_exact") - F.col("b_approx")))).first()[0]
+    assert worst <= 1  # off-by-one bucket at most at this accuracy
+    assert exact.params.keys() == approx.params.keys()

@@ -198,20 +198,31 @@ def numeric_bucketizer(feat: Feature, splits: list[float], track_nulls: bool = T
 
 
 def percentile_calibrator(feat: Feature, buckets: int = 100,
-                          output_name: str | None = None) -> Estimator:
+                          output_name: str | None = None,
+                          approx: bool = False,
+                          accuracy: int = 10000) -> Estimator:
     """PercentileCalibrator.scala:48 — map values to [0, buckets-1] by the
     fitted empirical quantiles.
 
-    The reference uses QuantileDiscretizer (approximate). Here the fit is
+    The reference uses QuantileDiscretizer (approximate). Default fit is
     Spark's exact ``percentile`` aggregate — deterministic, so the DuckDB
-    oracle (quantile_cont) can reproduce it. At extreme scale swap in
-    ``percentile_approx`` — the stage contract is unchanged."""
+    oracle (quantile_cont) can reproduce it. ``approx=True`` switches the
+    fit to ``percentile_approx`` (Greenwald-Khanna, error <= 1/accuracy of
+    rank) — the 100 TB path: exact percentile buffers every distinct value
+    per partition, GK summaries are bounded. The fitted stage contract
+    (splits metadata, bucket expression, registry/local forms) is identical
+    either way."""
     out = output_name or f"{feat.name}_calibrated"
 
     def fit(stage: Estimator, df: DataFrame) -> FittedParamTransformer:
         probs = [i / buckets for i in range(1, buckets)]
-        row = df.agg(F.percentile(F.col(feat.name).cast("double"),
-                                  F.array(*[F.lit(p) for p in probs])).alias("qs")).first()
+        pct = (F.percentile_approx(F.col(feat.name).cast("double"),
+                                   F.array(*[F.lit(p) for p in probs]),
+                                   F.lit(accuracy))
+               if approx else
+               F.percentile(F.col(feat.name).cast("double"),
+                            F.array(*[F.lit(p) for p in probs])))
+        row = df.agg(pct.alias("qs")).first()
         qs = [float(q) for q in row["qs"]] if row["qs"] is not None else []
         # dedup equal quantiles (constantish columns) keeping ascending order
         splits: list[float] = [-math.inf]
