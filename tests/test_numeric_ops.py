@@ -167,3 +167,42 @@ def test_percentile_calibrator_approx_close_to_exact(spark, sf_dir):
         F.col("b_exact") - F.col("b_approx")))).first()[0]
     assert worst <= 1  # off-by-one bucket at most at this accuracy
     assert exact.params.keys() == approx.params.keys()
+
+
+def test_drift_report(spark):
+    """Identical frames -> ~zero drift on every metric; a location-shifted
+    serving frame -> all three metrics fire; python-oracle equality for PSI
+    and KS on the same histograms."""
+    import math
+    import random
+    from transmogrifai_spark.operators.preparators import (
+        _ks, _psi, drift_report, numeric_histograms)
+    rng = random.Random(7)
+    train_rows = [(rng.gauss(0.0, 1.0),) for _ in range(4000)]
+    same_rows = [(rng.gauss(0.0, 1.0),) for _ in range(4000)]
+    shifted_rows = [(rng.gauss(2.0, 1.0),) for _ in range(4000)]
+    train = spark.createDataFrame(train_rows, "x double")
+    same = spark.createDataFrame(same_rows, "x double")
+    shifted = spark.createDataFrame(shifted_rows, "x double")
+
+    quiet = drift_report(train, same, ["x"])["x"]
+    loud = drift_report(train, shifted, ["x"])["x"]
+    assert quiet["psi"] < 0.1 and loud["psi"] > 0.25
+    assert quiet["ks"] < 0.05 and loud["ks"] > 0.5
+    assert loud["js_divergence"] > quiet["js_divergence"]
+
+    # oracle: recompute PSI/KS from the same histograms in plain python
+    th, ranges = numeric_histograms(train, ["x"], 20)
+    sh, _ = numeric_histograms(shifted, ["x"], 20, ranges=ranges)
+    assert loud["psi"] == _psi(th["x"], sh["x"])
+    assert loud["ks"] == _ks(th["x"], sh["x"])
+    # serving outliers clip into edge bins (train ranges), all rows counted
+    assert sum(sh["x"]) == 4000
+
+
+def test_histogram_clamps_below_range_values(spark):
+    from transmogrifai_spark.operators.preparators import numeric_histograms
+    df = spark.createDataFrame([(-100.0,), (0.5,), (200.0,)], "x double")
+    h, _ = numeric_histograms(df, ["x"], bins=4, ranges={"x": (0.0, 1.0)})
+    assert sum(h["x"]) == 3           # nothing dropped
+    assert h["x"][0] >= 1 and h["x"][3] >= 1   # edge bins catch outliers

@@ -205,8 +205,13 @@ def numeric_histograms(df: DataFrame, cols: list[str], bins: int = 20,
         if lo is None or hi is None or hi <= lo:
             lo, hi = 0.0, 1.0
         x = F.col(c).cast("double")
-        b = F.least(F.floor((x - F.lit(lo)) / F.lit((hi - lo) / bins)).cast("int"),
-                    F.lit(bins - 1))
+        # clamp BOTH ends: with caller-supplied ranges (drift_report passes
+        # train ranges over a serving frame) out-of-range values must land in
+        # the edge bins, not silently drop out of the histogram
+        b = F.greatest(
+            F.least(F.floor((x - F.lit(lo)) / F.lit((hi - lo) / bins)).cast("int"),
+                    F.lit(bins - 1)),
+            F.lit(0))
         for i in range(bins):
             aggs.append(F.sum(F.when(b == i, 1).otherwise(0)).alias(f"{c}__{i}"))
     row = df.agg(*aggs).first()
@@ -384,3 +389,51 @@ def raw_feature_filter_full(train: DataFrame, score: DataFrame,
         elif js[c] > max_js_divergence:
             dropped.append(c); reasons[c] = "js_divergence"
     return RawFeatureFilterFullResult(ft.fill_rates, fs.fill_rates, js, dropped, reasons)
+
+
+# -- drift metrics (serving-time companion to RawFeatureFilter's fit-time
+# train-vs-score JS divergence, filters/RawFeatureFilter.scala:229) --
+
+def _psi(expected: list[int], actual: list[int],
+         smoothing: float = 1e-4) -> float:
+    """Population Stability Index over two histogram count vectors: the
+    industry-standard score drift measure (sum (a-e) * ln(a/e) over bin
+    fractions; <0.1 stable / 0.1-0.25 moderate / >0.25 major shift). Bins
+    with zero mass get ``smoothing`` fraction so the log stays finite."""
+    import math
+    se, sa = sum(expected) or 1, sum(actual) or 1
+    out = 0.0
+    for e, a in zip(expected, actual):
+        pe = max(e / se, smoothing)
+        pa = max(a / sa, smoothing)
+        out += (pa - pe) * math.log(pa / pe)
+    return out
+
+
+def _ks(expected: list[int], actual: list[int]) -> float:
+    """Kolmogorov-Smirnov statistic from binned counts: max |CDF gap|."""
+    se, sa = sum(expected) or 1, sum(actual) or 1
+    ce = ca = 0.0
+    worst = 0.0
+    for e, a in zip(expected, actual):
+        ce += e / se
+        ca += a / sa
+        worst = max(worst, abs(ce - ca))
+    return worst
+
+
+def drift_report(train: DataFrame, serve: DataFrame, cols: list[str],
+                 bins: int = 20) -> dict[str, dict[str, float]]:
+    """Numeric distribution drift between a training frame and a serving/
+    scoring frame: per column, PSI, KS and JS divergence over shared-range
+    equal-width histograms. Cost: ONE aggregation pass per frame (all
+    columns and bins in the same agg), histograms compared driver-side —
+    the same bounded-collection boundary as every fit in this module.
+    Bin ranges come from the TRAIN frame so serving outliers land in the
+    edge bins (visible as drift, not silently rescaled away)."""
+    train_h, ranges = numeric_histograms(train, cols, bins)
+    serve_h, _ = numeric_histograms(serve, cols, bins, ranges=ranges)
+    return {c: {"psi": _psi(train_h[c], serve_h[c]),
+                "ks": _ks(train_h[c], serve_h[c]),
+                "js_divergence": _js_divergence(train_h[c], serve_h[c])}
+            for c in cols}
