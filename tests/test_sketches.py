@@ -1,0 +1,162 @@
+"""Sketch laws: HLL merge-exactness, CMS decode vs JVM + one-sided error,
+KMV estimate/union/intersection, murmur3 JVM-compatibility, rollup carrier."""
+import pytest
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.operators import sketches as sk
+from transmogrifai_spark.operators.rollup import hierarchical_rollup
+from transmogrifai_spark.serving import murmur3
+from transmogrifai_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------- murmur3
+
+def test_murmur3_matches_spark_hash(spark):
+    strs = ["", "a", "abc", "abcd", "abcde", "héllo wörld", "x" * 100]
+    rows = (spark.createDataFrame([(s,) for s in strs], ["s"])
+            .select("s", F.hash("s").alias("h")).collect())
+    for r in rows:
+        assert murmur3.hash_string(r["s"], 42) == r["h"]
+
+
+def test_murmur3_hash_long_matches_spark(spark):
+    vals = [0, 1, -1, 42, 2**40, -(2**40), 2**62]
+    rows = (spark.createDataFrame([(v,) for v in vals], "v long")
+            .select("v", F.hash("v").alias("h")).collect())
+    for r in rows:
+        assert murmur3.hash_long(r["v"], 42) == r["h"]
+
+
+# ---------------------------------------------------------------- HLL
+
+def test_hll_merge_of_partials_equals_direct_sketch(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # partials at (event_type, user bucket), merged to event_type
+    part = sk.hll_partial(
+        ev.withColumn("b", F.col("user_id") % 7),
+        ["event_type", "b"], "user_id")
+    merged = (sk.hll_merge(part, ["event_type"])
+              .select("event_type", sk.hll_estimate("hll").alias("est")))
+    direct = (sk.hll_partial(ev, ["event_type"], "user_id")
+              .select("event_type", sk.hll_estimate("hll").alias("est")))
+    m = {r["event_type"]: r["est"] for r in merged.collect()}
+    d = {r["event_type"]: r["est"] for r in direct.collect()}
+    assert m == d  # register-max union == single-pass sketch, exactly
+
+
+def test_hll_estimate_within_error(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    est = (sk.hll_partial(ev, ["event_type"], "user_id", lg_k=12)
+           .select("event_type", sk.hll_estimate("hll").alias("est")))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n"))
+    joined = {r["event_type"]: (r["est"], r["n"])
+              for r in est.join(exact, "event_type").collect()}
+    assert joined
+    for est_v, n in joined.values():
+        assert abs(est_v - n) <= max(3, 0.05 * n)
+
+
+# ---------------------------------------------------------------- CMS
+
+def test_cms_decode_matches_true_counts_on_skewed_data(spark):
+    # few heavy keys, sketch wide enough that estimates are exact
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 8).alias("k_long"),
+        F.concat(F.lit("key"), (F.col("id") % 8).cast("string")).alias("k_str"))
+    for col, items in [("k_long", list(range(8))),
+                       ("k_str", [f"key{i}" for i in range(8)])]:
+        cms = sk.cms_collect(df, col, eps=0.001, confidence=0.99, seed=17)
+        assert cms.total == 5000
+        for it in items:
+            true = 625
+            assert true <= cms.estimate(it) <= true + 5  # one-sided
+        assert cms.estimate(999999 if col == "k_long" else "nope") <= \
+            0.001 * cms.total * 2
+
+
+def test_cms_partial_merge_is_byte_identical_to_full(spark):
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 13).alias("v"), (F.col("id") % 2).alias("half"))
+    parts = sk.cms_partial(df, ["half"], "v", eps=0.01, seed=5).collect()
+    merged = sk.CountMinSketch.from_bytes(bytes(parts[0]["cms"])).merge(
+        sk.CountMinSketch.from_bytes(bytes(parts[1]["cms"])))
+    full = sk.cms_collect(df, "v", eps=0.01, seed=5)
+    assert merged.to_bytes() == full.to_bytes()
+
+
+def test_cms_merge_rejects_mismatched_seed(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("v"))
+    a = sk.cms_collect(df, "v", eps=0.01, seed=1)
+    b = sk.cms_collect(df, "v", eps=0.01, seed=2)
+    with pytest.raises(ValueError):
+        a.merge(b)
+
+
+# ---------------------------------------------------------------- KMV
+
+def test_kmv_exact_when_underfull_and_close_when_full(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    exact = {r["event_type"]: r["n"] for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    # k larger than any group's distinct count -> exact
+    big = sk.kmv_partial(ev, ["event_type"], "user_id", k=100_000)
+    est = {r["event_type"]: r["e"] for r in big.select(
+        "event_type", sk.kmv_estimate("kmv", 100_000).alias("e")).collect()}
+    assert {k: int(v) for k, v in est.items()} == exact
+    # k = 256 -> within ~4 std errors (1/sqrt(k) ~ 6.3%)
+    small = sk.kmv_partial(ev, ["event_type"], "user_id", k=256)
+    est2 = {r["event_type"]: r["e"] for r in small.select(
+        "event_type", sk.kmv_estimate("kmv", 256).alias("e")).collect()}
+    for k, v in est2.items():
+        assert abs(v - exact[k]) <= max(4, 0.25 * exact[k])
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    part = sk.kmv_partial(
+        ev.withColumn("b", F.col("user_id") % 5),
+        ["event_type", "b"], "user_id", k=128)
+    merged = sk.kmv_merge(part, ["event_type"], k=128)
+    direct = sk.kmv_partial(ev, ["event_type"], "user_id", k=128)
+    m = {r["event_type"]: r["kmv"] for r in merged.collect()}
+    d = {r["event_type"]: r["kmv"] for r in direct.collect()}
+    assert m == d  # k-smallest-of-union is order/layout invariant
+
+
+def test_kmv_overlap_estimates_intersection(spark):
+    # A = 0..3999, B = 2000..5999 -> |A∩B| = 2000, |A∪B| = 6000, J = 1/3
+    a = spark.range(0, 4000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(2000, 6000).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    sks = sk.kmv_partial(a.union(b), ["g"], "v", k=512).collect()
+    by = {r["g"]: r["kmv"] for r in sks}
+    row = (a.sparkSession.createDataFrame([(by["a"], by["b"])],
+                                          "a array<double>, b array<double>")
+           .select(sk.kmv_overlap("a", "b", 512).alias("o"))
+           .collect()[0]["o"])
+    assert abs(row["jaccard"] - 1 / 3) < 0.1
+    assert abs(row["union_est"] - 6000) < 600
+    assert abs(row["intersection_est"] - 2000) < 450
+
+
+# ---------------------------------------------------------------- rollup
+
+def test_rollup_approx_distinct_carrier(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    hour, day = 3_600_000, 86_400_000
+    out = hierarchical_rollup(
+        ev, "ts_ms", [hour, day], ["event_type"],
+        {"n": ("count", None), "u": ("approx_distinct", "user_id")})
+    daily = out[day]
+    # daily HLL == direct daily sketch (partial-merge exactness)
+    t = F.col("ts_ms")
+    direct = (ev.groupBy((t - t % F.lit(day)).alias("bucket_start_ms"),
+                         "event_type")
+              .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("s"))
+              .select("bucket_start_ms", "event_type",
+                      F.hll_sketch_estimate("s").cast("long").alias("u")))
+    got = {(r["bucket_start_ms"], r["event_type"]): r["u"]
+           for r in daily.collect()}
+    want = {(r["bucket_start_ms"], r["event_type"]): r["u"]
+            for r in direct.collect()}
+    assert got == want and got

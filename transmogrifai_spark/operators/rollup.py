@@ -44,7 +44,12 @@ def hierarchical_rollup(events: DataFrame, time_col: str,
     ascending with each coarser level an integer multiple of the FINEST
     (alignment is what makes partial reuse exact — enforced here).
     ``stats`` maps output name -> (kind, value_col) with kind in
-    count|sum|sum_exact|min|max|mean.
+    count|sum|sum_exact|min|max|mean|approx_distinct[:lg_k].
+
+    ``approx_distinct`` carries an HLL sketch (register-max merge — the
+    union of finer partials is bit-identical to sketching the coarse bucket
+    directly), so approximate distinct counts come out at EVERY resolution
+    for one events pass; lg_k defaults to 12 (~1.6% rel. std. error).
 
     Only the finest level touches ``events``; coarser levels fold the next-
     finer level's partials. Mean carries (sum, count) internally and emits
@@ -75,6 +80,12 @@ def hierarchical_rollup(events: DataFrame, time_col: str,
             fine, merge = _MERGEABLE[kind]
             carriers[f"__{name}"] = (fine(v), merge)
             finals[name] = lambda n=name: F.col(f"__{n}")
+        elif kind == "approx_distinct" or kind.startswith("approx_distinct:"):
+            lg_k = int(kind.partition(":")[2] or 12)
+            carriers[f"__{name}"] = (F.hll_sketch_agg(v, F.lit(lg_k)),
+                                     F.hll_union_agg)
+            finals[name] = lambda n=name: (
+                F.hll_sketch_estimate(F.col(f"__{n}")).cast("long"))
         else:
             raise ValueError(f"unsupported stat kind {kind!r}")
 

@@ -1,0 +1,275 @@
+"""Mergeable sketches — the approximate-aggregation layer a 100 TB engine
+needs: distinct counts, point frequencies, and set-overlap estimates whose
+PARTIALS are small, persistable, and exactly re-aggregable, so daily/hourly
+sketch tables replace full rescans (the same partial-reuse contract as
+operators/rollup.py, which consumes the HLL carrier here).
+
+Reference surface: TransmogrifAI's fit-time statistics are exact
+(SummaryStatistics / Algebird-style monoids in
+core/.../stages/impl/preparators/SanityChecker.scala and
+utils/.../RichStructType aggregations); it has no sketch layer because its
+scale target is single-table ML fitting. At 100 TB the monoid contract is
+the part that transfers: every sketch here is a commutative monoid
+(register-max for HLL, counter-sum for CMS, k-smallest-union for KMV), so
+partition layout, merge order, and incremental update cannot change results.
+
+Three families, three construction strategies — each the scale-correct one:
+
+* **HLL** (Apache DataSketches via Spark's built-in ``hll_sketch_agg`` /
+  ``hll_union_agg``): distinct counts. Bounded per-group state (2^lg_k
+  registers), register-wise max merge => union of partial sketches is
+  BIT-IDENTICAL to a single-pass sketch (law-tested). The rollup
+  integration gives approximate distinct at every resolution for free.
+* **CountMin** (Spark's ``count_min_sketch`` aggregate, decoded for point
+  queries JVM-free in Python via the vendored murmur3): frequency
+  estimates with one-sided error (est >= truth, est <= truth + eps*N).
+  Partials merge by counter addition — byte-identical to a single-pass
+  sketch when seeds match (law-tested).
+* **KMV** (k minimum values, pure Catalyst expressions over xxhash64):
+  distinct counts THAT SUPPORT INTERSECTION — HLL unions but cannot
+  intersect without inclusion-exclusion blowup; KMV's k-smallest-hash
+  arrays estimate Jaccard and intersection cardinality directly
+  (Beyer et al., SIGMOD'07). Sketch payload is <= k doubles.
+
+Construction note (KMV): building a group's sketch takes the same
+shuffle-the-distinct-hashes pass an exact distinct would — the SKETCH is
+what's bounded (k doubles), making downstream merges/overlap queries cheap
+and repeatable without touching raw data again.
+"""
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..serving import murmur3
+
+# ---------------------------------------------------------------------------
+# HLL — distinct-count sketches (mergeable partials, built-in DataSketches)
+# ---------------------------------------------------------------------------
+
+
+def hll_partial(df: DataFrame, group_cols: list[str], value_col: str,
+                lg_k: int = 12, sketch_col: str = "hll") -> DataFrame:
+    """Per-group HLL sketch over ``value_col`` — the persistable partial.
+    2^lg_k registers (lg_k=12 -> ~1.6% rel. std. error, 4 KB/sketch)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias(sketch_col))
+
+
+def hll_merge(df: DataFrame, group_cols: list[str],
+              sketch_col: str = "hll") -> DataFrame:
+    """Re-aggregate persisted partials to coarser groups (register-max —
+    associative/commutative, so any merge tree gives the same sketch)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_union_agg(sketch_col).alias(sketch_col))
+
+
+def hll_estimate(sketch_col: str | Column) -> Column:
+    """Distinct-count estimate from a sketch column (finalizer)."""
+    return F.hll_sketch_estimate(sketch_col).cast("long")
+
+
+def approx_distinct_over_time(events: DataFrame, time_col: str,
+                              resolutions_ms: list[int],
+                              group_cols: list[str], value_col: str,
+                              lg_k: int = 12) -> dict[int, DataFrame]:
+    """Distinct-count rollup at every resolution from ONE events pass —
+    convenience wrapper over hierarchical_rollup's approx_distinct kind."""
+    from .rollup import hierarchical_rollup
+    return hierarchical_rollup(
+        events, time_col, resolutions_ms, group_cols,
+        {"approx_distinct": (f"approx_distinct:{lg_k}", value_col)})
+
+
+# ---------------------------------------------------------------------------
+# CountMin — point-frequency sketch with JVM-free decode
+# ---------------------------------------------------------------------------
+
+_PRIME = (1 << 31) - 1  # CMS long-hash modulus (2^31 - 1)
+
+
+def cms_agg(col: str | Column, eps: float = 0.001, confidence: float = 0.99,
+            seed: int = 42) -> Column:
+    """The Spark ``count_min_sketch`` aggregate as a reusable expression.
+    depth = ceil(ln(1/(1-confidence))), width = ceil(2/eps); estimates are
+    one-sided: truth <= est <= truth + eps * totalCount (w.p. confidence)."""
+    return F.count_min_sketch(
+        col, F.lit(float(eps)), F.lit(float(confidence)), F.lit(int(seed)))
+
+
+def cms_partial(df: DataFrame, group_cols: list[str], value_col: str,
+                eps: float = 0.001, confidence: float = 0.99,
+                seed: int = 42, sketch_col: str = "cms") -> DataFrame:
+    """Per-group CountMin partials. Merge across groups by decoding and
+    ``CountMinSketch.merge`` (counter addition), or re-aggregate raw data —
+    Spark exposes no cms-union aggregate, so partial reuse happens
+    serving-side (the sketches are small: depth*width longs)."""
+    return df.groupBy(*group_cols).agg(
+        cms_agg(value_col, eps, confidence, seed).alias(sketch_col))
+
+
+class CountMinSketch:
+    """Decoded Spark CountMinSketch: point queries + merge without a JVM.
+
+    Wire format (reverse-engineered from the serialized bytes and verified
+    by tests against JVM-built sketches): big-endian ``int version(=1),
+    long totalCount, int depth, int width, long hashA[depth],
+    long table[depth][width]``.
+
+    Point-query hashing matches the JVM exactly:
+    * integers: ``h = hashA[i]*item`` in wrapping int64, ``h += h >> 32``
+      (arithmetic shift), ``h &= 2^31-1``, bucket ``= h % width``;
+    * strings/bytes: murmur3_x86_32 double hashing —
+      ``h1 = m3(b, 0)``, ``h2 = m3(b, h1)``, bucket_i
+      ``= |int32(h1 + i*h2)| % width``.
+    """
+
+    def __init__(self, depth: int, width: int, total: int,
+                 hash_a: tuple[int, ...], table: list[int]):
+        self.depth, self.width, self.total = depth, width, total
+        self.hash_a, self.table = tuple(hash_a), list(table)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMinSketch":
+        ver, total, depth, width = struct.unpack_from(">iqii", b, 0)
+        if ver != 1:
+            raise ValueError(f"unsupported CountMinSketch version {ver}")
+        hash_a = struct.unpack_from(f">{depth}q", b, 20)
+        table = list(struct.unpack_from(f">{depth * width}q", b, 20 + 8 * depth))
+        return cls(depth, width, total, hash_a, table)
+
+    def to_bytes(self) -> bytes:
+        return (struct.pack(">iqii", 1, self.total, self.depth, self.width)
+                + struct.pack(f">{self.depth}q", *self.hash_a)
+                + struct.pack(f">{self.depth * self.width}q", *self.table))
+
+    def _buckets_long(self, item: int):
+        m = 1 << 64
+        for i in range(self.depth):
+            h = (self.hash_a[i] * item) % m
+            if h >= 1 << 63:                     # to signed int64
+                h -= m
+            h += h >> 32                         # python >> on signed int
+            h &= _PRIME                          # == arithmetic shift in Java
+            yield i, int(h) % self.width
+
+    def _buckets_bytes(self, data: bytes):
+        h1 = murmur3.hash_bytes(data, 0)
+        h2 = murmur3.hash_bytes(data, h1 & 0xFFFFFFFF)
+        for i in range(self.depth):
+            x = h1 + i * h2
+            x &= 0xFFFFFFFF
+            if x >= 1 << 31:
+                x -= 1 << 32
+            yield i, abs(x) % self.width
+
+    def _buckets(self, item):
+        if isinstance(item, bool):
+            raise TypeError("bool is not a sketchable item")
+        if isinstance(item, int):
+            return self._buckets_long(item)
+        if isinstance(item, str):
+            return self._buckets_bytes(item.encode("utf-8"))
+        if isinstance(item, (bytes, bytearray)):
+            return self._buckets_bytes(bytes(item))
+        raise TypeError(f"unsupported item type {type(item).__name__}")
+
+    def estimate(self, item) -> int:
+        """Upper-bound frequency estimate (never below the true count)."""
+        return min(self.table[i * self.width + j]
+                   for i, j in self._buckets(item))
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        """Counter-wise sum — valid only for identical (depth,width,seed);
+        identical seeds <=> identical hashA rows, which is what's checked."""
+        if (self.depth, self.width, self.hash_a) != (
+                other.depth, other.width, other.hash_a):
+            raise ValueError("incompatible sketches (depth/width/seed differ)")
+        return CountMinSketch(
+            self.depth, self.width, self.total + other.total, self.hash_a,
+            [a + b for a, b in zip(self.table, other.table)])
+
+
+def cms_collect(df: DataFrame, value_col: str, eps: float = 0.001,
+                confidence: float = 0.99, seed: int = 42) -> CountMinSketch:
+    """Build and decode a frequency sketch for ``value_col`` in one pass."""
+    b = df.agg(cms_agg(value_col, eps, confidence, seed).alias("s")) \
+          .collect()[0]["s"]
+    return CountMinSketch.from_bytes(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# KMV — k-minimum-values distinct sketch with union AND intersection
+# ---------------------------------------------------------------------------
+
+
+def _unit_hash(col: Column, seed: int) -> Column:
+    """xxhash64 mapped to a uniform double in [0, 1): unsigned(h) / 2^64.
+    The double mantissa keeps 52 bits of the hash — collisions at the kept-k
+    scale are ~k^2/2^52, irrelevant for estimation (and deterministic)."""
+    h = F.xxhash64(col, F.lit(seed))
+    return (h.cast("double") / F.lit(float(1 << 64)) + F.lit(0.5)).alias("u")
+
+
+def kmv_partial(df: DataFrame, group_cols: list[str], value_col: str,
+                k: int = 1024, seed: int = 77,
+                sketch_col: str = "kmv") -> DataFrame:
+    """Per-group KMV sketch: the k smallest unit-hashes of the DISTINCT
+    values, ascending ``array<double>`` (length < k means the group's
+    distinct count was under k — the estimate is then exact).
+
+    Construction is distinct + per-group window top-k: one shuffle over the
+    distinct (group, hash) pairs, sort spills handled by Spark — no
+    unbounded ``collect_set`` state. The resulting sketch is <= k doubles."""
+    u = _unit_hash(F.col(value_col), seed)
+    dedup = df.select(*group_cols, u).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    return (dedup.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .groupBy(*group_cols)
+            .agg(F.array_sort(F.collect_list("u")).alias(sketch_col)))
+
+
+def kmv_merge_expr(sketch_col: str | Column, k: int) -> Column:
+    """Aggregate expression merging grouped KMV partials: union the arrays,
+    dedup, keep the k smallest. State is (#partials * k) doubles — bounded
+    by the merge fan-in, not the data."""
+    col = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))), 1, k)
+
+
+def kmv_merge(df: DataFrame, group_cols: list[str], k: int = 1024,
+              sketch_col: str = "kmv") -> DataFrame:
+    return df.groupBy(*group_cols).agg(
+        kmv_merge_expr(sketch_col, k).alias(sketch_col))
+
+
+def kmv_estimate(sketch_col: str | Column, k: int = 1024) -> Column:
+    """Distinct estimate: exact size when the sketch is under-full, else
+    (k-1) / u_(k) (the classic KMV unbiased-ish estimator)."""
+    col = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    n = F.size(col)
+    kth = F.try_element_at(col, F.lit(k))  # guarded by when(n < k) anyway
+    return F.when(n < k, n.cast("double")) \
+            .otherwise(F.lit(float(k - 1)) / kth)
+
+
+def kmv_overlap(a: str | Column, b: str | Column, k: int = 1024) -> Column:
+    """Struct(jaccard, union_est, intersection_est) from two KMV sketches —
+    the set-overlap query HLL cannot answer. Combined sketch = k smallest of
+    the union; jaccard = |values in both, within combined| / |combined|;
+    intersection = jaccard * union_estimate (Beyer et al., SIGMOD'07)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    comb = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    both = F.array_intersect(F.array_intersect(a, b), comb)
+    jac = F.size(both) / F.size(comb)
+    union_est = F.when(F.size(comb) < k, F.size(comb).cast("double")) \
+                 .otherwise(F.lit(float(k - 1)) / F.try_element_at(comb, F.lit(k)))
+    return F.struct(jac.alias("jaccard"),
+                    union_est.alias("union_est"),
+                    (jac * union_est).alias("intersection_est"))
