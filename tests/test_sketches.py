@@ -139,6 +139,75 @@ def test_kmv_overlap_estimates_intersection(spark):
     assert abs(row["intersection_est"] - 2000) < 450
 
 
+# ---------------------------------------------------------------- theta
+
+def test_theta_merge_matches_direct_and_overlap_algebra(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    part = sk.theta_partial(
+        ev.withColumn("b", F.col("user_id") % 4), ["event_type", "b"],
+        "user_id")
+    merged = (sk.theta_merge(part, ["event_type"])
+              .select("event_type", sk.theta_estimate("theta").alias("e")))
+    exact = {r["event_type"]: r["n"] for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for r in merged.collect():
+        assert abs(r["e"] - exact[r["event_type"]]) <= \
+            max(3, 0.05 * exact[r["event_type"]])
+
+
+def test_theta_overlap_intersection_difference(spark):
+    # A = 0..3999, B = 2000..5999: ∩=2000, ∪=6000, A∖B=2000
+    a = spark.range(0, 4000).select(F.lit("a").alias("g"), "id")
+    b = spark.range(2000, 6000).select(F.lit("b").alias("g"), "id")
+    sks = sk.theta_partial(a.union(b), ["g"], "id", lg_k=14).collect()
+    by = {r["g"]: r["theta"] for r in sks}
+    row = (spark.createDataFrame([(by["a"], by["b"])], "a binary, b binary")
+           .select(sk.theta_overlap("a", "b").alias("o")).collect()[0]["o"])
+    assert abs(row["union_est"] - 6000) <= 300
+    assert abs(row["intersection_est"] - 2000) <= 300
+    assert abs(row["a_not_b_est"] - 2000) <= 300
+
+
+# ---------------------------------------------------------------- KLL
+
+def test_kll_quantiles_merge_and_accuracy(spark):
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    part = sk.kll_partial(li, ["l_returnflag", "l_linestatus"],
+                          "l_extendedprice")
+    merged = sk.kll_merge(part, ["l_returnflag"])
+    got = {r["l_returnflag"]: (r["p50"], r["n"]) for r in merged.select(
+        "l_returnflag",
+        sk.kll_quantile("kll", 0.5).alias("p50"),
+        sk.kll_n("kll").alias("n")).collect()}
+    exact = {r["l_returnflag"]: (r["p50"], r["n"]) for r in li.groupBy(
+        "l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.count("l_extendedprice").alias("n")).collect()}
+    assert set(got) == set(exact) and got
+    for k, (p50, n) in got.items():
+        assert n == exact[k][1]                      # n is exact
+        # rank error ~1.65% at k=200 -> compare by rank, not value:
+        # the sketch's p50 must sit within +-4% of the true rank
+        total = exact[k][1]
+        below = li.filter((F.col("l_returnflag") == k) &
+                          (F.col("l_extendedprice") <= p50)).count()
+        assert abs(below / total - 0.5) <= 0.04
+
+
+def test_kll_rank_inverse_of_quantile(spark):
+    df = spark.range(0, 10_000).select(F.col("id").cast("double").alias("v"))
+    s = sk.kll_partial(df.withColumn("g", F.lit(1)), ["g"], "v")
+    row = s.select(sk.kll_rank("kll", 2500.0).alias("r"),
+                   sk.kll_quantile("kll", 0.25).alias("q")).collect()[0]
+    assert abs(row["r"] - 0.25) <= 0.02
+    assert abs(row["q"] - 2500.0) <= 10_000 * 0.02
+
+
+def test_kll_rejects_unknown_type(spark):
+    with pytest.raises(ValueError):
+        sk.kll_partial(spark.range(1), [], "id", value_type="decimal")
+
+
 # ---------------------------------------------------------------- rollup
 
 def test_rollup_approx_distinct_carrier(spark):
@@ -146,7 +215,8 @@ def test_rollup_approx_distinct_carrier(spark):
     hour, day = 3_600_000, 86_400_000
     out = hierarchical_rollup(
         ev, "ts_ms", [hour, day], ["event_type"],
-        {"n": ("count", None), "u": ("approx_distinct", "user_id")})
+        {"n": ("count", None), "u": ("approx_distinct", "user_id"),
+         "p95": ("approx_quantile:0.95", "value")})
     daily = out[day]
     # daily HLL == direct daily sketch (partial-merge exactness)
     t = F.col("ts_ms")

@@ -44,7 +44,8 @@ def hierarchical_rollup(events: DataFrame, time_col: str,
     ascending with each coarser level an integer multiple of the FINEST
     (alignment is what makes partial reuse exact — enforced here).
     ``stats`` maps output name -> (kind, value_col) with kind in
-    count|sum|sum_exact|min|max|mean|approx_distinct[:lg_k].
+    count|sum|sum_exact|min|max|mean|approx_distinct[:lg_k]|
+    approx_quantile:<q>.
 
     ``approx_distinct`` carries an HLL sketch (register-max merge — the
     union of finer partials is bit-identical to sketching the coarse bucket
@@ -86,6 +87,15 @@ def hierarchical_rollup(events: DataFrame, time_col: str,
                                      F.hll_union_agg)
             finals[name] = lambda n=name: (
                 F.hll_sketch_estimate(F.col(f"__{n}")).cast("long"))
+        elif kind.startswith("approx_quantile:"):
+            # approx_quantile:<q> — KLL double sketch carrier; same merge
+            # exactness story as HLL (sketch-merge is the defined operation)
+            q = float(kind.partition(":")[2])
+            carriers[f"__{name}"] = (
+                F.kll_sketch_agg_double(v.cast("double"), F.lit(200)),
+                lambda c: F.kll_merge_agg_double(c, F.lit(200)))
+            finals[name] = lambda n=name, q=q: (
+                F.kll_sketch_get_quantile_double(F.col(f"__{n}"), F.lit(q)))
         else:
             raise ValueError(f"unsupported stat kind {kind!r}")
 

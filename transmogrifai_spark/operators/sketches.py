@@ -25,11 +25,21 @@ Three families, three construction strategies — each the scale-correct one:
   estimates with one-sided error (est >= truth, est <= truth + eps*N).
   Partials merge by counter addition — byte-identical to a single-pass
   sketch when seeds match (law-tested).
+* **Theta** (DataSketches via ``theta_sketch_agg`` /
+  ``theta_union_agg`` / ``theta_intersection_agg``): distinct counts with
+  REAL set algebra — union, intersection, AND difference between sketches
+  (audiences, retained users, A∖B cohorts) without inclusion-exclusion
+  error blowup. The production overlap path.
+* **KLL** (DataSketches via ``kll_sketch_agg_{double,bigint,float}``):
+  mergeable QUANTILE sketches — persisted per-group/per-day percentile
+  partials with guaranteed rank error, re-aggregable to any coarser group
+  (``percentile_approx`` computes but cannot persist partials).
 * **KMV** (k minimum values, pure Catalyst expressions over xxhash64):
-  distinct counts THAT SUPPORT INTERSECTION — HLL unions but cannot
-  intersect without inclusion-exclusion blowup; KMV's k-smallest-hash
-  arrays estimate Jaccard and intersection cardinality directly
-  (Beyer et al., SIGMOD'07). Sketch payload is <= k doubles.
+  the portable, inspectable overlap sketch — k-smallest-hash arrays
+  (plain ``array<double>``, no opaque binary) estimating Jaccard and
+  intersection cardinality (Beyer et al., SIGMOD'07). Use theta when the
+  DataSketches binary format is acceptable; KMV when sketches must cross
+  engines or be debuggable as columns. Payload <= k doubles.
 
 Construction note (KMV): building a group's sketch takes the same
 shuffle-the-distinct-hashes pass an exact distinct would — the SKETCH is
@@ -82,6 +92,104 @@ def approx_distinct_over_time(events: DataFrame, time_col: str,
     return hierarchical_rollup(
         events, time_col, resolutions_ms, group_cols,
         {"approx_distinct": (f"approx_distinct:{lg_k}", value_col)})
+
+
+# ---------------------------------------------------------------------------
+# Theta — distinct-count sketches with set algebra (union/intersect/diff)
+# ---------------------------------------------------------------------------
+
+
+def theta_partial(df: DataFrame, group_cols: list[str], value_col: str,
+                  lg_k: int = 12, sketch_col: str = "theta") -> DataFrame:
+    """Per-group Theta sketch — like HLL a bounded distinct-count partial,
+    but supporting true set algebra downstream (intersection/difference)."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(value_col, F.lit(lg_k)).alias(sketch_col))
+
+
+def theta_merge(df: DataFrame, group_cols: list[str],
+                sketch_col: str = "theta", lg_k: int = 12) -> DataFrame:
+    """Union-reaggregate persisted partials to coarser groups."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_union_agg(sketch_col, F.lit(lg_k)).alias(sketch_col))
+
+
+def theta_estimate(sketch_col: str | Column) -> Column:
+    return F.theta_sketch_estimate(sketch_col).cast("long")
+
+
+def theta_overlap(a: str | Column, b: str | Column) -> Column:
+    """Struct(union_est, intersection_est, a_not_b_est) — audience-overlap
+    arithmetic between two sketch columns, the query HLL cannot answer
+    (difference/intersection of cohorts, retained users, A∖B)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    est = F.theta_sketch_estimate
+    return F.struct(
+        est(F.theta_union(a, b)).cast("long").alias("union_est"),
+        est(F.theta_intersection(a, b)).cast("long").alias("intersection_est"),
+        est(F.theta_difference(a, b)).cast("long").alias("a_not_b_est"))
+
+
+# ---------------------------------------------------------------------------
+# KLL — mergeable quantile sketches (persisted percentile partials)
+# ---------------------------------------------------------------------------
+
+_KLL_SUFFIX = {"double": "double", "bigint": "bigint", "long": "bigint",
+               "float": "float"}
+
+
+def _kll_fns(value_type: str):
+    try:
+        sfx = _KLL_SUFFIX[value_type]
+    except KeyError:
+        raise ValueError(
+            f"KLL supports double|bigint|float values, got {value_type!r}")
+    return (getattr(F, f"kll_sketch_agg_{sfx}"),
+            getattr(F, f"kll_merge_agg_{sfx}"),
+            getattr(F, f"kll_sketch_get_quantile_{sfx}"),
+            getattr(F, f"kll_sketch_get_rank_{sfx}"),
+            getattr(F, f"kll_sketch_get_n_{sfx}"))
+
+
+def kll_partial(df: DataFrame, group_cols: list[str], value_col: str,
+                value_type: str = "double", k: int = 200,
+                sketch_col: str = "kll") -> DataFrame:
+    """Per-group KLL quantile sketch (rank error ~1.65% at k=200, a few KB)
+    — the persistable form of ``percentile_approx``: daily partials merge
+    into weekly/monthly percentiles without re-reading raw data."""
+    agg, _, _, _, _ = _kll_fns(value_type)
+    v = F.col(value_col).cast(
+        "long" if value_type in ("bigint", "long") else value_type)
+    return df.groupBy(*group_cols).agg(agg(v, F.lit(k)).alias(sketch_col))
+
+
+def kll_merge(df: DataFrame, group_cols: list[str],
+              value_type: str = "double", k: int = 200,
+              sketch_col: str = "kll") -> DataFrame:
+    _, merge, _, _, _ = _kll_fns(value_type)
+    return df.groupBy(*group_cols).agg(
+        merge(sketch_col, F.lit(k)).alias(sketch_col))
+
+
+def kll_quantile(sketch_col: str | Column, q: float,
+                 value_type: str = "double") -> Column:
+    """Value at rank ``q`` in [0,1] from a sketch column (finalizer)."""
+    _, _, quant, _, _ = _kll_fns(value_type)
+    return quant(sketch_col, F.lit(float(q)))
+
+
+def kll_rank(sketch_col: str | Column, value,
+             value_type: str = "double") -> Column:
+    """Normalized rank of ``value`` (fraction of mass <= value)."""
+    _, _, _, rank, _ = _kll_fns(value_type)
+    return rank(sketch_col, F.lit(value))
+
+
+def kll_n(sketch_col: str | Column, value_type: str = "double") -> Column:
+    """Number of items the sketch absorbed (exact, carried in the header)."""
+    _, _, _, _, n = _kll_fns(value_type)
+    return n(sketch_col).cast("long")
 
 
 # ---------------------------------------------------------------------------
