@@ -89,3 +89,57 @@ class JoinedAggregateReader:
             from ..aggregators import MONOIDS
             aggs.append(MONOIDS[s.monoid](F.expr(s.expr), None).alias(s.output))
         return df.groupBy(F.col(self.key_col).cast("string").alias("key")).agg(*aggs)
+
+
+def skew_join(left: DataFrame, right: DataFrame, on: Union[str, list[str]],
+              how: JoinType | str = "inner",
+              hot: list[dict] | None = None,
+              sample_rate: float = 0.01,
+              min_estimated_rows: int = 1_000_000) -> DataFrame:
+    """Skew-aware equi-join: split out the left side's hot keys and join
+    them via a broadcast of the right rows for ONLY those keys; everything
+    else takes the normal shuffle join. At 100 TB a handful of hot keys
+    (the null-like sentinel user, the default tenant) can pin a sort-merge
+    join on a few straggler reducers for hours; routing just those keys
+    through a BroadcastHashJoin removes the skewed shuffle entirely.
+
+    Relationship to AQE skew-join (on in session()): AQE splits oversized
+    sort-merge PARTITIONS after they materialize — it still shuffles the hot
+    rows and only helps when skew shows up at partition granularity. This
+    operator keeps hot-key rows out of the shuffle altogether and bounds
+    the broadcast to |hot keys| x right-rows-per-key, which is exactly the
+    dimension-sized payload broadcasts are for. Use when the right side is
+    per-key small (dims, profiles); let AQE handle diffuse skew.
+
+    ``hot``: rows from ``util.hot_keys`` (or any [{key...}, ...]); detected
+    from ``left`` via a hash sample when omitted. Key-set splitting keeps
+    the union exact for every join type: the two branches partition rows by
+    key value, and NULL keys (which never equi-match) ride the cold branch
+    so outer-join null-preservation is untouched.
+    """
+    from ..util import hot_keys as detect_hot_keys
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if hot is None:
+        hot = detect_hot_keys(left, keys, sample_rate=sample_rate,
+                              min_estimated_rows=min_estimated_rows)
+    if not hot:
+        return left.join(right, on, how)
+
+    hot_tuples = [tuple(h[k] for k in keys) for h in hot]
+    probe = F.struct(*[F.col(k) for k in keys])
+    hot_lit = F.array(*[
+        F.struct(*[F.lit(v).alias(k) for k, v in zip(keys, t)])
+        for t in hot_tuples])
+    is_hot = F.array_contains(hot_lit, probe)
+
+    # NULL keys never match in an equi-join; coalesce(is_hot, false) sends
+    # them down the cold branch, preserving outer-join semantics
+    cold_l = left.filter(~F.coalesce(is_hot, F.lit(False)))
+    hot_l = left.filter(F.coalesce(is_hot, F.lit(False)))
+    cold_r = right.filter(~F.coalesce(is_hot, F.lit(False)))
+    hot_r = right.filter(F.coalesce(is_hot, F.lit(False)))
+
+    cold = cold_l.join(cold_r, keys, how)
+    hot_j = hot_l.join(F.broadcast(hot_r), keys, how)
+    return cold.unionByName(hot_j)
