@@ -68,3 +68,30 @@ def test_curate_corpus_report_monotone(spark, docs):
 def test_curate_corpus_stages_optional(spark, docs):
     out = curate_corpus(docs, rules=None, eval_df=None, dedup=None)
     assert out.count() == docs.count()
+
+
+def test_diversity_sample_quota_and_determinism(spark):
+    from transmogrifai_spark.llm.curation import diversity_sample
+    from transmogrifai_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    id_col, vec_col = "vec_id", "embedding"
+    out = diversity_sample(emb, id_col, vec_col, n_clusters=4,
+                           per_cluster=10, keep_cluster_col=True)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per[r["_cell"]] = per.get(r["_cell"], 0) + 1
+    assert per and all(n <= 10 for n in per.values())
+    # count law: every cluster contributes min(size, quota)
+    sizes = {r["_cell"]: r["n"] for r in
+             diversity_sample(emb, id_col, vec_col, n_clusters=4,
+                              per_cluster=10**9, keep_cluster_col=True)
+             .groupBy("_cell").agg(F.count("*").alias("n")).collect()}
+    assert sum(per.values()) == sum(min(s, 10) for s in sizes.values())
+    # determinism across layouts
+    again = diversity_sample(emb.repartition(7), id_col, vec_col,
+                             n_clusters=4, per_cluster=10)
+    assert sorted(r[id_col] for r in again.select(id_col).collect()) == \
+        sorted(r[id_col] for r in out.select(id_col).collect())

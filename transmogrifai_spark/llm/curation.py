@@ -113,3 +113,38 @@ def token_budget_sample(df: DataFrame, id_col: str, token_col: str,
                              + [F.lit(0)]))
         out = cum.where((F.col("__cum") - F.col(token_col)) < limit)
     return out.drop("__h", "__cum")
+
+
+def diversity_sample(df: DataFrame, id_col: str, vec_col: str,
+                     n_clusters: int = 16, per_cluster: int = 100,
+                     seed: int = 42, fit_sample: float | None = None,
+                     keep_cluster_col: bool = False) -> DataFrame:
+    """Cluster-balanced (diversity) sampling over an embedding column:
+    KMeans the corpus into ``n_clusters`` semantic cells (the IVF coarse
+    quantizer from llm.similarity — fit on ``fit_sample`` at scale, assign
+    in one pass), then keep up to ``per_cluster`` documents per cell,
+    chosen by id-hash order so the draw is deterministic and
+    layout-independent.
+
+    Uniform hash sampling mirrors the corpus distribution — dominated
+    modes (boilerplate clusters, one hot language) stay dominant;
+    cluster-balancing caps every mode at the same quota, the standard
+    diversity-selection step in training-data pipelines. Undersized
+    clusters contribute all their documents (count law:
+    sum(min(cluster_size, per_cluster))).
+    """
+    from pyspark.sql.window import Window
+
+    from .similarity import ivf_assignments
+
+    assigned, _ = ivf_assignments(df, id_col, vec_col, n_lists=n_clusters,
+                                  seed=seed, fit_sample=fit_sample)
+    cells = assigned.select(F.col("neighbor_id").alias(id_col), "_cell")
+    w = (Window.partitionBy("_cell")
+         .orderBy(hash_bucket(F.col(id_col), seed).asc(),
+                  F.col(id_col).asc()))
+    picked = (df.join(cells, id_col)
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= per_cluster)
+              .drop("__rn"))
+    return picked if keep_cluster_col else picked.drop("_cell")

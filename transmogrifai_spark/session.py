@@ -26,6 +26,12 @@ def session(app: str = "transmogrifai-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # semi-join reduction: build a bloom filter on the small side of a
+        # selective join and push it into the big side's scan — at 100 TB
+        # this keeps non-matching fact rows out of the shuffle entirely
+        # (bloom_filter_agg/might_contain are optimizer-internal in Spark 4,
+        # so this conf IS the public bloom-join surface)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
