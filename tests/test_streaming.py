@@ -198,3 +198,26 @@ def test_curation_expressions_run_on_streams(spark, sf_dir):
     batch = proj(spark.read.parquet(src))
     assert sorted(map(tuple, streamed.collect())) \
         == sorted(map(tuple, batch.collect()))
+
+
+def test_windowed_distinct_approx_stream_equals_batch(spark, sf_dir):
+    from transmogrifai_spark.streaming.windows import windowed_distinct_approx
+
+    streamed = run_stream_available_now(
+        spark, f"{sf_dir}/events.parquet", SCHEMA,
+        lambda s: windowed_distinct_approx(s, "user_id", "ts", "1 day"),
+        ts_col="ts")
+    batch = windowed_distinct_approx(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "1 day")
+    s_rows = sorted(tuple(r) for r in streamed.collect())
+    b_rows = sorted(tuple(r) for r in batch.collect())
+    assert s_rows == b_rows and s_rows
+    # sanity: approx within 5% of exact per (window, type)
+    ev = load_table(spark, sf_dir, "events")
+    day = 86_400_000
+    exact = {(r["w"], r["event_type"]): r["n"] for r in ev.groupBy(
+        (F.col("ts_ms") - F.col("ts_ms") % day).alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for (w, et, _n_events, est) in b_rows:
+        n = exact[(w, et)]
+        assert abs(est - n) <= max(3, 0.05 * n)

@@ -156,3 +156,29 @@ def score_stream(stream: DataFrame, model, checkpoint: str | None = None):
     pipelines apply directly — no foreachBatch needed unless the model
     contains df-level (ml-wrapped) transformers."""
     return model.transform(stream)
+
+
+def windowed_distinct_approx(events: DataFrame, value_col: str,
+                             time_col: str = "ts", window: str = "1 day",
+                             watermark: str = "1 day",
+                             group_cols: list[str] | None = None,
+                             lg_k: int = 12) -> DataFrame:
+    """Approximate distinct-count per tumbling window (streaming or batch):
+    HLL sketch aggregation under a watermark — the streaming form of
+    operators/sketches.hll_partial. Exact streaming distinct needs
+    unbounded per-window state (every value seen); the sketch caps state at
+    2^lg_k registers per (window, group) regardless of cardinality, which
+    is the only form that survives 100 TB/day. Batch frames take the same
+    plan minus the watermark, which is how the stream==batch law checks it.
+    """
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    w = events.withWatermark(time_col, watermark) if events.isStreaming else events
+    return (
+        w.groupBy(F.window(F.col(time_col), window).alias("win"), *group_cols)
+        .agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("_hll"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+                *group_cols, "n_events",
+                F.hll_sketch_estimate("_hll").cast("long")
+                 .alias("approx_distinct"))
+    )
