@@ -137,3 +137,37 @@ def test_hierarchical_rollup_validates_alignment(spark):
     with pytest.raises(ValueError, match="multiple"):
         hierarchical_rollup(df, "t", [1000, 1500], ["k"],
                             {"n": ("count", None)})
+
+
+def test_dimensional_rollup_levels_match_direct_and_native(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from transmogrifai_spark.operators.rollup import dimensional_rollup
+    from transmogrifai_spark.sources.tables import load_table
+
+    cust = (load_table(spark, sf_dir, "customer")
+            .join(load_table(spark, sf_dir, "nation"),
+                  F.col("c_nationkey") == F.col("n_nationkey")))
+    out = dimensional_rollup(
+        cust, ["n_regionkey", "n_name", "c_mktsegment"],
+        {"n": ("count", None), "bal": ("sum_exact", "c_acctbal"),
+         "avg_bal": ("mean", "c_acctbal")})
+    assert set(out) == {0, 1, 2, 3}
+    # each level == direct groupBy on the raw frame
+    for depth, cols in [(0, []), (1, ["n_regionkey"]),
+                        (2, ["n_regionkey", "n_name"]),
+                        (3, ["n_regionkey", "n_name", "c_mktsegment"])]:
+        direct = cust.groupBy(*cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,6)")).alias("bal"),
+            (F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double")
+             / F.count("c_acctbal")).alias("avg_bal"))
+        got = sorted(map(tuple, out[depth].collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want, depth
+    # and the union of levels == Spark's native rollup (modulo the level
+    # marker): same grand total row count across grouping sets
+    native_n = cust.rollup("n_regionkey", "n_name", "c_mktsegment") \
+        .count().count()
+    ours_n = sum(out[d].count() for d in out)
+    assert ours_n == native_n

@@ -32,39 +32,9 @@ _MERGEABLE = {
 }
 
 
-def hierarchical_rollup(events: DataFrame, time_col: str,
-                        resolutions_ms: list[int],
-                        group_cols: list[str],
-                        stats: dict[str, tuple[str, str | None]],
-                        ) -> dict[int, DataFrame]:
-    """Multi-resolution rollup: ``{resolution_ms: DataFrame}`` with columns
-    (bucket_start_ms, *group_cols, *stats).
-
-    ``time_col`` is epoch-ms (long); ``resolutions_ms`` must be sorted
-    ascending with each coarser level an integer multiple of the FINEST
-    (alignment is what makes partial reuse exact — enforced here).
-    ``stats`` maps output name -> (kind, value_col) with kind in
-    count|sum|sum_exact|min|max|mean|approx_distinct[:lg_k]|
-    approx_quantile:<q>.
-
-    ``approx_distinct`` carries an HLL sketch (register-max merge — the
-    union of finer partials is bit-identical to sketching the coarse bucket
-    directly), so approximate distinct counts come out at EVERY resolution
-    for one events pass; lg_k defaults to 12 (~1.6% rel. std. error).
-
-    Only the finest level touches ``events``; coarser levels fold the next-
-    finer level's partials. Mean carries (sum, count) internally and emits
-    the ratio at every level.
-    """
-    if not resolutions_ms or sorted(resolutions_ms) != list(resolutions_ms):
-        raise ValueError("resolutions_ms must be ascending")
-    finest = resolutions_ms[0]
-    for r in resolutions_ms[1:]:
-        if r % finest != 0:
-            raise ValueError(
-                f"resolution {r} is not a multiple of the finest {finest}; "
-                "partials would straddle coarse buckets")
-
+def _build_carriers(stats: dict[str, tuple[str, str | None]]):
+    """stats spec -> (carriers, finals): internal carrier columns with their
+    (finest agg, merge agg) pair, and per-output finalizer expressions."""
     carriers: dict[str, tuple] = {}   # internal col -> (finest agg, merge)
     finals: dict[str, object] = {}    # output name -> final expr builder
     for name, (kind, col) in stats.items():
@@ -98,6 +68,43 @@ def hierarchical_rollup(events: DataFrame, time_col: str,
                 F.kll_sketch_get_quantile_double(F.col(f"__{n}"), F.lit(q)))
         else:
             raise ValueError(f"unsupported stat kind {kind!r}")
+    return carriers, finals
+
+
+def hierarchical_rollup(events: DataFrame, time_col: str,
+                        resolutions_ms: list[int],
+                        group_cols: list[str],
+                        stats: dict[str, tuple[str, str | None]],
+                        ) -> dict[int, DataFrame]:
+    """Multi-resolution rollup: ``{resolution_ms: DataFrame}`` with columns
+    (bucket_start_ms, *group_cols, *stats).
+
+    ``time_col`` is epoch-ms (long); ``resolutions_ms`` must be sorted
+    ascending with each coarser level an integer multiple of the FINEST
+    (alignment is what makes partial reuse exact — enforced here).
+    ``stats`` maps output name -> (kind, value_col) with kind in
+    count|sum|sum_exact|min|max|mean|approx_distinct[:lg_k]|
+    approx_quantile:<q>.
+
+    ``approx_distinct`` carries an HLL sketch (register-max merge — the
+    union of finer partials is bit-identical to sketching the coarse bucket
+    directly), so approximate distinct counts come out at EVERY resolution
+    for one events pass; lg_k defaults to 12 (~1.6% rel. std. error).
+
+    Only the finest level touches ``events``; coarser levels fold the next-
+    finer level's partials. Mean carries (sum, count) internally and emits
+    the ratio at every level.
+    """
+    if not resolutions_ms or sorted(resolutions_ms) != list(resolutions_ms):
+        raise ValueError("resolutions_ms must be ascending")
+    finest = resolutions_ms[0]
+    for r in resolutions_ms[1:]:
+        if r % finest != 0:
+            raise ValueError(
+                f"resolution {r} is not a multiple of the finest {finest}; "
+                "partials would straddle coarse buckets")
+
+    carriers, finals = _build_carriers(stats)
 
     t = F.col(time_col).cast("long")
     fine_bucket = (t - (t % F.lit(finest))).alias("bucket_start_ms")
@@ -119,4 +126,44 @@ def hierarchical_rollup(events: DataFrame, time_col: str,
         out[res] = prev.select(
             "bucket_start_ms", *group_cols,
             *[finals[n]().alias(n) for n in stats])
+    return out
+
+
+def dimensional_rollup(df: DataFrame, hierarchy: list[str],
+                       stats: dict[str, tuple[str, str | None]],
+                       ) -> dict[int, DataFrame]:
+    """Hierarchy rollup (country > region > city ...) by partial reuse:
+    ``{depth: DataFrame}`` where depth d groups by ``hierarchy[:d]``
+    (depth 0 = grand total).
+
+    Spark's native ``df.rollup(...)`` expands EVERY input row once per
+    grouping set before the shuffle — n levels cost an n× shuffle of the
+    raw data. Here only the deepest level touches ``df``; every coarser
+    level re-aggregates the next-deeper level's partials (bounded by the
+    deepest group count), so the raw data is shuffled exactly once however
+    deep the hierarchy. Results equal the native rollup level-for-level
+    (law-tested) because every stat is carried as a mergeable monoid —
+    the same contract as hierarchical_rollup, minus the time bucketing.
+
+    ``stats`` kinds: count|sum|sum_exact|min|max|mean|
+    approx_distinct[:lg_k]|approx_quantile:<q>.
+    """
+    if not hierarchy:
+        raise ValueError("hierarchy must name at least one column")
+    carriers, finals = _build_carriers(stats)
+    deepest = (df.groupBy(*hierarchy)
+               .agg(*[a.alias(c) for c, (a, _) in carriers.items()]))
+    deepest = deepest.persist()
+
+    out: dict[int, DataFrame] = {}
+    out[len(hierarchy)] = deepest.select(
+        *hierarchy, *[finals[n]().alias(n) for n in stats])
+    prev = deepest
+    for depth in range(len(hierarchy) - 1, -1, -1):
+        cols = hierarchy[:depth]
+        prev = (prev.groupBy(*cols)
+                .agg(*[m(F.col(c)).alias(c)
+                       for c, (_, m) in carriers.items()]))
+        out[depth] = prev.select(
+            *cols, *[finals[n]().alias(n) for n in stats])
     return out
