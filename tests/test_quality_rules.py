@@ -106,3 +106,28 @@ def test_quality_filter_end_to_end_on_documents(spark, sf_dir):
     assert 0 < kept <= docs.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blocklist_paths_agree_and_match_python(spark):
+    from transmogrifai_spark.llm.quality_rules import (blocklist_filter,
+                                                       blocklist_hits)
+
+    docs = spark.createDataFrame([
+        (1, "a perfectly clean document about cats"),
+        (2, "contains the word spam right here"),
+        (3, "SPAM and scam together, twice spam"),
+        (4, None),
+        (5, "spammy is not spam-listed... or is spam"),
+    ], "id int, text string")
+    words = ["spam", "scam"]
+    hits = {r["id"]: r["h"] for r in docs.select(
+        "id", blocklist_hits(F.col("text"), words).alias("h")).collect()}
+    # distinct whole-word, case-insensitive: doc3 has both words -> 2;
+    # 'spammy' is not a hit, tokenized 'spam' is
+    assert hits == {1: 0, 2: 1, 3: 2, 4: 0, 5: 1}
+    small = blocklist_filter(docs, "text", words)
+    big = blocklist_filter(docs, "text", words, large=True)
+    assert sorted(r["id"] for r in small.collect()) == \
+        sorted(r["id"] for r in big.collect()) == [1, 4]
+    lax = blocklist_filter(docs, "text", words, max_hits=1, large=True)
+    assert sorted(r["id"] for r in lax.collect()) == [1, 2, 4, 5]

@@ -246,3 +246,47 @@ def quality_filter(df: DataFrame, id_col: str, text_col: str,
     q = gopher_rules(c, **overrides) if rules == "gopher" else c4_rules(c)
     return (df.select(F.col(id_col), q.alias("q"))
             .withColumn("keep", F.col("q.keep")))
+
+
+def blocklist_hits(text: Column, words: list[str]) -> Column:
+    """Count of blocklisted words in a document (exact whole-word matches,
+    case-insensitive) as a column expression. C4's "bad words" page filter
+    (Raffel et al. 2020 §2.2 drops any page with a listed word) is
+    ``blocklist_hits(text, words) == 0``; the list itself is deployment-
+    supplied (C4 uses an external public list, not reproduced here).
+
+    Expression form: distinct document tokens intersected with a literal
+    array — fine to a few hundred words (the literal rides the plan). For
+    larger lists use ``blocklist_filter(..., large=True)``.
+    """
+    toks = F.array_distinct(_words(F.lower(F.coalesce(text, F.lit("")))))
+    lits = F.array(*[F.lit(w.lower()) for w in words])
+    return F.size(F.array_intersect(toks, lits))
+
+
+def blocklist_filter(df: DataFrame, text_col: str, words: list[str],
+                     max_hits: int = 0, large: bool = False) -> DataFrame:
+    """Drop documents with more than ``max_hits`` blocklisted words.
+
+    ``large=False``: pure expression (list rides the plan as a literal).
+    ``large=True``: the 100k-word form — distinct document tokens explode
+    once and probe a BROADCAST blocklist table; hit counts come back via
+    one groupBy and a left join on a row id. Both paths agree (law-tested);
+    pick by list size, not corpus size (the corpus passes once either way).
+    """
+    if not large:
+        return df.where(blocklist_hits(F.col(text_col), words) <= max_hits)
+    spark = df.sparkSession
+    bl = spark.createDataFrame([(w.lower(),) for w in set(words)],
+                               "word string")
+    with_id = df.withColumn("__rid", F.monotonically_increasing_id())
+    toks = with_id.select(
+        "__rid",
+        F.explode(F.array_distinct(
+            _words(F.lower(F.coalesce(F.col(text_col), F.lit("")))))
+        ).alias("word"))
+    hits = (toks.join(F.broadcast(bl), "word")
+            .groupBy("__rid").agg(F.count(F.lit(1)).alias("__hits")))
+    return (with_id.join(hits, "__rid", "left")
+            .where(F.coalesce(F.col("__hits"), F.lit(0)) <= max_hits)
+            .drop("__rid", "__hits"))
