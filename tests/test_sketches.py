@@ -230,3 +230,17 @@ def test_rollup_approx_distinct_carrier(spark):
     want = {(r["bucket_start_ms"], r["event_type"]): r["u"]
             for r in direct.collect()}
     assert got == want and got
+
+
+def test_kmv_portable_mode_estimates(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    port = sk.kmv_partial(docs, ["lang"], "text", k=64, portable=True)
+    est = {r["lang"]: r["e"] for r in port.select(
+        "lang", sk.kmv_estimate("kmv", 64).alias("e")).collect()}
+    exact = {r["lang"]: r["n"] for r in docs.groupBy("lang")
+             .agg(F.countDistinct("text").alias("n")).collect()}
+    for lang, n in exact.items():
+        if n < 64:
+            assert est[lang] == float(n)        # underfull -> exact
+        else:
+            assert abs(est[lang] - n) <= 0.5 * n  # k=64 -> coarse but sane

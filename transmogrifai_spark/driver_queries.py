@@ -676,21 +676,30 @@ def q_corpus_mixture(spark, sf_dir):
     benchmark decontamination (llm/decontam.py): per language, how many
     sampled docs share an 8-word n-gram with the 'eval set' (doc_id % 10
     == 0). The oracle replicates the n-gram overlap with string n-grams,
-    so the broadcast-probe hash path is value-verified end to end."""
+    so the broadcast-probe hash path is value-verified end to end.
+
+    Also per language: a PORTABLE KMV distinct-text estimate (k=64,
+    operators/sketches.kmv_partial portable mode — md5-derived unit hashes)
+    whose k-smallest selection and (k-1)/u_k estimator the oracle replicates
+    step-for-step, value-gating the sketch machinery itself."""
     from .llm.curation import mix_corpora
     from .llm.decontam import contamination_report
+    from .operators.sketches import kmv_estimate, kmv_partial
     docs = _t(spark, sf_dir, "documents")
     eval_df = docs.where(F.col("doc_id") % 10 == 0)
     contaminated = contamination_report(docs, eval_df, "doc_id", "text", n=8) \
         .select("doc_id", F.lit(1).alias("is_cont"))
     mixed = mix_corpora(docs, "doc_id", "lang",
                         {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.1})
+    kmv = kmv_partial(mixed, ["lang"], "text", k=64, portable=True) \
+        .select("lang", kmv_estimate("kmv", 64).alias("kmv_distinct_est"))
     return (mixed.join(F.broadcast(contaminated), "doc_id", "left")
             .groupBy("lang").agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_chars").alias("n_chars_total"),
                 F.sum(F.coalesce(F.col("is_cont"), F.lit(0)))
-                 .alias("n_contaminated")))
+                 .alias("n_contaminated"))
+            .join(kmv, "lang"))
 
 
 def q_text_quality(spark, sf_dir):
@@ -1815,18 +1824,41 @@ WITH w AS (
   FROM (SELECT doc_id, unnest(g) AS gram FROM grams) t
   JOIN eval_grams e USING (gram)
 )
-SELECT lang, count(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
-       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_contaminated
-FROM documents d LEFT JOIN contaminated c USING (doc_id)
-WHERE CASE lang
+, sampled AS (
+  SELECT * FROM documents d
+  WHERE CASE lang
         WHEN 'en' THEN ((d.doc_id % 1000000 + 42) * 2654435761) % 1000000 < 1000000
         WHEN 'fr' THEN ((d.doc_id % 1000000 + 42) * 2654435761) % 1000000 < 500000
         WHEN 'de' THEN ((d.doc_id % 1000000 + 42) * 2654435761) % 1000000 < 250000
         WHEN 'es' THEN ((d.doc_id % 1000000 + 42) * 2654435761) % 1000000 < 100000
         ELSE FALSE END
-GROUP BY lang
+), kmv_u AS (
+  -- portable unit hash (sketches._unit_hash_portable): md5-prefix int60 /
+  -- 2^60, distinct per (lang, u) exactly like kmv_partial
+  SELECT DISTINCT lang,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM sampled
+), kmv_rn AS (
+  SELECT lang, u, row_number() OVER (PARTITION BY lang ORDER BY u) AS rn,
+         count(*) OVER (PARTITION BY lang) AS nd
+  FROM kmv_u
+), kmv_est AS (
+  SELECT lang,
+         CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+              ELSE 63.0 / max(CASE WHEN rn = 64 THEN u END) END
+           AS kmv_distinct_est
+  FROM kmv_rn GROUP BY lang
+)
+SELECT s.lang, count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       max(k.kmv_distinct_est) AS kmv_distinct_est
+FROM sampled s
+LEFT JOIN contaminated c USING (doc_id)
+JOIN kmv_est k ON k.lang = s.lang
+GROUP BY s.lang
 """
 
 ORACLES["similarity_topk"] = """

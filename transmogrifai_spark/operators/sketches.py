@@ -322,8 +322,18 @@ def _unit_hash(col: Column, seed: int) -> Column:
     return (h.cast("double") / F.lit(float(1 << 64)) + F.lit(0.5)).alias("u")
 
 
+def _unit_hash_portable(col: Column) -> Column:
+    """md5-derived unit hash (llm.dedup.portable_hash64 / 2^60): the same
+    value is one expression in ANSI SQL / DuckDB, which is what lets a KMV
+    estimate be oracle-gated value-for-value (int64->double and the
+    division are IEEE-identical across engines)."""
+    from ..llm.dedup import portable_hash64
+    return (portable_hash64(col).cast("double")
+            / F.lit(float(1 << 60))).alias("u")
+
+
 def kmv_partial(df: DataFrame, group_cols: list[str], value_col: str,
-                k: int = 1024, seed: int = 77,
+                k: int = 1024, seed: int = 77, portable: bool = False,
                 sketch_col: str = "kmv") -> DataFrame:
     """Per-group KMV sketch: the k smallest unit-hashes of the DISTINCT
     values, ascending ``array<double>`` (length < k means the group's
@@ -332,7 +342,8 @@ def kmv_partial(df: DataFrame, group_cols: list[str], value_col: str,
     Construction is distinct + per-group window top-k: one shuffle over the
     distinct (group, hash) pairs, sort spills handled by Spark — no
     unbounded ``collect_set`` state. The resulting sketch is <= k doubles."""
-    u = _unit_hash(F.col(value_col), seed)
+    u = (_unit_hash_portable(F.col(value_col)) if portable
+         else _unit_hash(F.col(value_col), seed))
     dedup = df.select(*group_cols, u).distinct()
     w = Window.partitionBy(*group_cols).orderBy("u")
     return (dedup.withColumn("__rn", F.row_number().over(w))
