@@ -129,3 +129,44 @@ def test_scd2_snapshot_matches_apply_changes(spark):
                            apply_changes(empty, prefix, ["k"], "ver", "op")
                            .collect())
         assert via_hist == via_apply, t
+
+
+def test_snapshot_diff_roundtrip_and_ops(spark):
+    from transmogrifai_spark.sources.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 2), (4, "d", 2)],
+        "k int, v string, ver long")
+    new = spark.createDataFrame(
+        [(1, "a", 1),            # unchanged -> no row
+         (2, "b2", 5),           # updated
+         (4, "d", 2),            # unchanged
+         (5, "e", 3)],           # inserted; 3 deleted
+        "k int, v string, ver long")
+    diff = snapshot_diff(old, new, ["k"], "ver")
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    assert ops == {2: "U", 3: "D", 5: "I"}
+    # delete row carries old's ver, payload nulled
+    d3 = diff.filter("k = 3").collect()[0]
+    assert d3["ver"] == 2 and d3["v"] is None
+    # roundtrip law: apply the diff to old -> exactly new
+    got = sorted(map(tuple, apply_changes(old, diff, ["k"], "ver", "op")
+                 .collect()))
+    want = sorted(map(tuple, new.collect()))
+    assert got == want
+
+
+def test_snapshot_diff_roundtrip_randomized(spark):
+    from transmogrifai_spark.sources.upsert import snapshot_diff
+
+    for seed in [21, 22]:
+        ch = _random_changelog(seed, n=250)
+        empty = spark.createDataFrame([], "k int, v string, ver long")
+        mk = lambda rows: spark.createDataFrame(rows, SCHEMA)
+        s1 = apply_changes(empty, mk(ch[:125]), ["k"], "ver", "op")
+        s2 = apply_changes(s1, mk(ch[125:]), ["k"], "ver", "op")
+        diff = snapshot_diff(s1, s2, ["k"], "ver")
+        got = sorted(map(tuple,
+                         apply_changes(s1, diff, ["k"], "ver", "op")
+                         .collect()))
+        assert got == sorted(map(tuple, s2.collect())), seed

@@ -108,3 +108,48 @@ def snapshot_at(history: DataFrame, at, keys: list[str] | None = None) -> DataFr
     return history.filter((F.col("valid_from") <= F.lit(at)) &
                           (F.lit(at) < F.col("valid_to"))) \
                   .drop("valid_from", "valid_to", "is_current")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  order_col: str, op_col: str = "op",
+                  delete_op: str = "D") -> DataFrame:
+    """Changelog between two snapshots — the inverse of ``apply_changes``:
+    emits I (key only in new), U (key in both, any payload column changed),
+    D (key only in old, payload nulled, ``order_col`` carried from old so
+    the delete outranks the old version). Unchanged keys emit nothing.
+
+    Roundtrip law (tested): ``apply_changes(old, snapshot_diff(old, new))
+    == new``. One full-outer join on the key — both sides shuffle once;
+    payload comparison is null-safe (``<=>``) column-wise.
+
+    Use for CDC feed generation from periodic full extracts (the common
+    source shape when the upstream system has no changelog), and for
+    auditing what an upsert actually changed.
+    """
+    payload = [c for c in new.columns if c not in keys]
+    if set(old.columns) != set(new.columns):
+        raise ValueError("snapshots must share a schema")
+    o = old.select(*keys, F.lit(True).alias("__in_old"),
+                   *[F.col(c).alias(f"__o_{c}") for c in payload])
+    n = new.select(*keys, F.lit(True).alias("__in_new"),
+                   *[F.col(c).alias(f"__n_{c}") for c in payload])
+    j = (o.join(n, keys, "full_outer")
+         .withColumn("__in_old", F.coalesce("__in_old", F.lit(False)))
+         .withColumn("__in_new", F.coalesce("__in_new", F.lit(False))))
+    in_old, in_new = F.col("__in_old"), F.col("__in_new")
+    changed = F.lit(False)
+    for c in payload:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    op = (F.when(~in_old, F.lit("I"))
+          .when(~in_new, F.lit(delete_op))
+          .when(changed, F.lit("U")))
+    out_payload = [
+        # deletes carry the old version so they outrank it in apply_changes;
+        # every other payload column is nulled on delete
+        (F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}"))
+         if c == order_col else
+         F.when(in_new, F.col(f"__n_{c}"))).alias(c)
+        for c in payload]
+    return (j.withColumn(op_col, op)
+            .filter(F.col(op_col).isNotNull())
+            .select(*keys, *out_payload, op_col))
