@@ -244,3 +244,31 @@ def test_kmv_portable_mode_estimates(spark):
             assert est[lang] == float(n)        # underfull -> exact
         else:
             assert abs(est[lang] - n) <= 0.5 * n  # k=64 -> coarse but sane
+
+
+# ---------------------------------------------------------------- top-k
+
+def test_top_k_by_group_exact_and_min_count_invariant(spark):
+    from transmogrifai_spark.util import top_k_by_group
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    top = top_k_by_group(ev, ["event_type"], "user_id", k=3)
+    rows = top.collect()
+    # python oracle
+    import collections
+    cnt = collections.Counter(
+        (r["event_type"], r["user_id"]) for r in ev.collect())
+    by_g = {}
+    for (g, u), n in cnt.items():
+        by_g.setdefault(g, []).append((-n, u))
+    want = {g: sorted(v)[:3] for g, v in by_g.items()}
+    got = {}
+    for r in rows:
+        got.setdefault(r["event_type"], []).append(
+            (-r["item_count"], r["user_id"]))
+    assert {g: sorted(v) for g, v in got.items()} == want
+    # min_count prefilter cannot change the answer while k items survive
+    pruned = top_k_by_group(ev, ["event_type"], "user_id", k=3, min_count=2)
+    got2 = sorted(map(tuple, pruned.collect()))
+    full_ge2 = sorted(t for t in map(tuple, rows) if t[2] >= 2)
+    assert got2 == full_ge2

@@ -221,3 +221,18 @@ def test_windowed_distinct_approx_stream_equals_batch(spark, sf_dir):
     for (w, et, _n_events, est) in b_rows:
         n = exact[(w, et)]
         assert abs(est - n) <= max(3, 0.05 * n)
+
+
+def test_windowed_quantile_approx_stream_equals_batch(spark, sf_dir):
+    from transmogrifai_spark.streaming.windows import windowed_quantile_approx
+
+    tf = lambda s: windowed_quantile_approx(s, "value", [0.5, 0.95], "ts")
+    streamed = run_stream_available_now(
+        spark, f"{sf_dir}/events.parquet", SCHEMA, tf, ts_col="ts")
+    batch = tf(load_table(spark, sf_dir, "events"))
+    s_rows = sorted(tuple(r) for r in streamed.collect())
+    b_rows = sorted(tuple(r) for r in batch.collect())
+    assert s_rows == b_rows and s_rows
+    # percentile sanity on one group: p50 <= p95, both within value range
+    for r in b_rows:
+        assert r[-2] <= r[-1]

@@ -57,3 +57,61 @@ def test_normalize_events_nanos_integer_exactness(spark):
     assert out[1]["ts_ms"] == base_ns // 1_000_000 + 1000
     assert out[0]["ts"].microsecond == 999999
     assert out[1]["ts"] == datetime.datetime(2024, 1, 1, 0, 0, 1, 1)
+
+
+def test_all_tables_expected_columns(spark, sf_dir):
+    """Canary: the driver re-generates testdata between rounds and has
+    re-specced physical types before (ts nanos -> micros). Pin the COLUMN
+    CONTRACT (names + logical kind) for every table so any re-spec fails
+    here, in one place, with a readable diff — not as 12 scattered red
+    oracle rows."""
+    from transmogrifai_spark.sources.tables import TABLES, load_table
+
+    expected = {
+        "region": {"r_regionkey": "int", "r_name": "str"},
+        "nation": {"n_nationkey": "int", "n_name": "str",
+                   "n_regionkey": "int"},
+        "customer": {"c_custkey": "int", "c_name": "str",
+                     "c_nationkey": "int", "c_acctbal": "num",
+                     "c_mktsegment": "str"},
+        "supplier": {"s_suppkey": "int", "s_name": "str",
+                     "s_nationkey": "int", "s_acctbal": "num"},
+        "part": {"p_partkey": "int", "p_name": "str", "p_brand": "str",
+                 "p_type": "str", "p_size": "int", "p_retailprice": "num"},
+        "orders": {"o_orderkey": "int", "o_custkey": "int",
+                   "o_orderstatus": "str", "o_totalprice": "num",
+                   "o_orderdate": "time", "o_orderpriority": "str"},
+        "lineitem": {"l_orderkey": "int", "l_partkey": "int",
+                     "l_suppkey": "int", "l_linenumber": "int",
+                     "l_quantity": "num", "l_extendedprice": "num",
+                     "l_discount": "num", "l_tax": "num",
+                     "l_returnflag": "str", "l_linestatus": "str",
+                     "l_shipdate": "time"},
+        # events is loader-normalized: ts (instant) + derived ts_ms
+        "events": {"event_id": "int", "ts": "time", "ts_ms": "int",
+                   "user_id": "int", "event_type": "str", "value": "num",
+                   "props": "str"},
+        "documents": {"doc_id": "int", "text": "str", "lang": "str",
+                      "source": "str", "n_chars": "int"},
+        "embeddings": {"vec_id": "int", "embedding": "arr", "label": "int"},
+    }
+
+    def kind(dt):
+        s = dt.simpleString()
+        if s in ("tinyint", "smallint", "int", "bigint"):
+            return "int"
+        if s in ("float", "double") or s.startswith("decimal"):
+            return "num"
+        if s == "string":
+            return "str"
+        if s.startswith("timestamp") or s == "date":
+            return "time"
+        if s.startswith("array"):
+            return "arr"
+        return s
+
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        got = {f.name: kind(f.dataType) for f in df.schema.fields}
+        assert got == expected[t], f"{t} schema re-specced: {got}"
+        assert df.count() > 0, t

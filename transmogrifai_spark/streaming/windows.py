@@ -182,3 +182,28 @@ def windowed_distinct_approx(events: DataFrame, value_col: str,
                 F.hll_sketch_estimate("_hll").cast("long")
                  .alias("approx_distinct"))
     )
+
+
+def windowed_quantile_approx(events: DataFrame, value_col: str,
+                             quantiles: list[float],
+                             time_col: str = "ts", window: str = "1 day",
+                             watermark: str = "1 day",
+                             group_cols: list[str] | None = None,
+                             k: int = 200) -> DataFrame:
+    """Approximate percentiles per tumbling window (streaming or batch):
+    KLL sketch aggregation under a watermark — p95/p99 latency per window
+    with per-(window, group) state bounded by the sketch size (a few KB)
+    instead of the value count. Same stream==batch contract as
+    windowed_distinct_approx."""
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    w = events.withWatermark(time_col, watermark) if events.isStreaming else events
+    agg = (w.groupBy(F.window(F.col(time_col), window).alias("win"),
+                     *group_cols)
+           .agg(F.kll_sketch_agg_double(F.col(value_col).cast("double"),
+                                        F.lit(k)).alias("_kll"),
+                F.count(F.lit(1)).alias("n_events")))
+    qcols = [F.kll_sketch_get_quantile_double(F.col("_kll"), F.lit(float(q)))
+             .alias(f"p{str(q).replace('0.', '')}") for q in quantiles]
+    return agg.select(
+        F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+        *group_cols, "n_events", *qcols)

@@ -247,3 +247,29 @@ def plan_audit(df: DataFrame, max_scan_cols: int = 24) -> list[dict]:
         if ncols > max_scan_cols:
             hit("unpruned_scan", "warn", f"{ncols} columns in ReadSchema")
     return findings
+
+
+def top_k_by_group(df: DataFrame, group_cols: list[str], item_col: str,
+                   k: int = 10, min_count: int = 1) -> DataFrame:
+    """Exact top-k most frequent items per group: two-stage count (the
+    groupBy gets map-side partial aggregation, so the shuffle carries one
+    row per distinct (group, item), not per event) + a per-group window
+    over the COUNTED rows. Ties break deterministically by item value.
+
+    The window's sort input is distinct-items-per-group, already reduced;
+    for galaxy-scale item cardinality, pre-filter with ``min_count`` (a
+    HAVING on the first stage) — every true top-k item passes any
+    min_count <= its count, so the result is unchanged while the window
+    input shrinks to items seen at least min_count times.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    counts = (df.groupBy(*group_cols, item_col)
+              .agg(F.count(F.lit(1)).alias("item_count")))
+    if min_count > 1:
+        counts = counts.filter(F.col("item_count") >= min_count)
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(F.col("item_count").desc(), F.col(item_col).asc()))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
