@@ -272,3 +272,18 @@ def test_top_k_by_group_exact_and_min_count_invariant(spark):
     got2 = sorted(map(tuple, pruned.collect()))
     full_ge2 = sorted(t for t in map(tuple, rows) if t[2] >= 2)
     assert got2 == full_ge2
+
+
+def test_murmur3_matches_spark_hash_randomized(spark):
+    """Randomized JVM-parity: 300 random byte-mix strings (incl. non-ASCII
+    and 1-3 byte tails) hashed in ONE Spark roundtrip vs the vendored
+    murmur3."""
+    import random
+    rng = random.Random(99)
+    pool = "abcXYZ 0123é中\U0001F600\n\t"
+    strs = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 40)))
+            for _ in range(300)]
+    rows = (spark.createDataFrame([(s,) for s in strs], ["s"])
+            .select("s", F.hash("s").alias("h")).collect())
+    for r in rows:
+        assert murmur3.hash_string(r["s"], 42) == r["h"], repr(r["s"])

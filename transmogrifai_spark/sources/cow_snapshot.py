@@ -1,0 +1,178 @@
+"""Bucket-partitioned copy-on-write snapshots: CDC upserts that rewrite
+ONLY the key-buckets a batch touches — the thing that makes
+apply_changes viable at 100 TB.
+
+A whole-table upsert (streaming/upsert_sink.py) re-shuffles and rewrites
+the full snapshot every batch: correct, but at 100 TB a 1 GB changelog
+batch must not cost a 100 TB write. Standard lakehouse answer
+(copy-on-write at file/partition granularity): shard the snapshot by a
+deterministic key hash into ``n_buckets``; a batch (a) computes the
+DISTINCT buckets its keys hash to, (b) reads only those buckets from the
+current manifest, (c) folds with apply_changes, (d) writes the new bucket
+versions, (e) commits a manifest mapping bucket -> version with an atomic
+pointer swap. Untouched buckets are never read, shuffled, or written —
+cost scales with |changed buckets| ~ batch key spread, not table size.
+
+Layout on disk:
+
+    <dir>/b=<bucket>/v=<version>/part-*.parquet   immutable bucket versions
+    <dir>/_MANIFEST.json                          {bucket: version,
+                                                   last_batch_id}
+
+Readers resolve the manifest once and union the per-bucket paths — every
+path is immutable, so a long-running read is consistent even while
+upserts land (it keeps reading the versions its manifest named; pruned
+old versions only disappear after ``retain_versions`` newer ones exist).
+Exactly-once under foreachBatch replay comes from last_batch_id exactly
+as in the whole-table sink.
+
+The bucket column is pmod(xxhash64(keys), n_buckets) — layout-independent
+and computable by both the writer and any reader that wants bucket
+pruning for point lookups (read one bucket, not the table).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def bucket_of(keys: list[str], n_buckets: int):
+    """The deterministic shard id expression shared by writer and readers."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+
+
+class CowSnapshot:
+    """A bucket-partitioned, versioned, manifest-committed upsert table."""
+
+    def __init__(self, path: str, keys: list[str], order_col: str,
+                 n_buckets: int = 64, op_col: str | None = None,
+                 retain_versions: int = 2):
+        self.path, self.keys, self.order_col = path, list(keys), order_col
+        self.n_buckets, self.op_col = n_buckets, op_col
+        self.retain_versions = retain_versions
+
+    # -- manifest ----------------------------------------------------------
+    def _read_manifest(self) -> dict:
+        p = os.path.join(self.path, _MANIFEST)
+        if not os.path.exists(p):
+            return {"buckets": {}, "last_batch_id": -1,
+                    "n_buckets": self.n_buckets}
+        with open(p) as f:
+            m = json.load(f)
+        if m["n_buckets"] != self.n_buckets:
+            raise ValueError(
+                f"snapshot was written with n_buckets={m['n_buckets']}, "
+                f"reader configured {self.n_buckets}")
+        return m
+
+    def _commit(self, manifest: dict) -> None:
+        p = os.path.join(self.path, _MANIFEST)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, p)  # atomic: readers see old or new manifest
+
+    # -- read --------------------------------------------------------------
+    def _bucket_paths(self, manifest: dict,
+                      buckets: list[int] | None = None) -> list[str]:
+        items = manifest["buckets"].items()
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            items = [(b, v) for b, v in items if b in want]
+        return [os.path.join(self.path, f"b={b}", f"v={v}")
+                for b, v in items]
+
+    def read(self, spark: SparkSession,
+             buckets: list[int] | None = None) -> DataFrame | None:
+        """The committed snapshot (optionally restricted to ``buckets`` for
+        point lookups); None before the first commit."""
+        paths = self._bucket_paths(self._read_manifest(), buckets)
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def lookup(self, spark: SparkSession, key_row: dict) -> DataFrame | None:
+        """Point lookup: hash the key to its bucket, read ONE bucket (not
+        the table), filter to the key. None before the first commit."""
+        spec = ", ".join(
+            f"{k} {'string' if isinstance(key_row[k], str) else 'long'}"
+            for k in self.keys)
+        row = spark.createDataFrame([tuple(key_row[k] for k in self.keys)],
+                                    spec)
+        b = row.select(bucket_of(self.keys, self.n_buckets).alias("b")) \
+               .collect()[0]["b"]
+        df = self.read(spark, buckets=[int(b)])
+        if df is None:
+            return None
+        cond = None
+        for k in self.keys:
+            c = F.col(k) == F.lit(key_row[k])
+            cond = c if cond is None else (cond & c)
+        return df.filter(cond)
+
+    # -- write -------------------------------------------------------------
+    def apply(self, changes: DataFrame, batch_id: int | None = None) -> bool:
+        """Fold a changelog batch: only the buckets containing changed keys
+        are read, merged, and rewritten. Returns False on a replayed
+        batch_id (skipped)."""
+        from .upsert import apply_changes
+
+        os.makedirs(self.path, exist_ok=True)
+        manifest = self._read_manifest()
+        if batch_id is not None and batch_id <= manifest["last_batch_id"]:
+            return False
+        spark = changes.sparkSession
+        b = bucket_of(self.keys, self.n_buckets)
+        changes = changes.withColumn("__b", b).persist()
+        touched = sorted(r["__b"] for r in
+                         changes.select("__b").distinct().collect())
+
+        out_cols = [c for c in changes.columns
+                    if c not in ("__b", self.op_col)]
+        base = self.read(spark, buckets=touched)
+        if base is None:
+            base = spark.createDataFrame([], changes.select(*out_cols).schema)
+        merged = apply_changes(base, changes.drop("__b"), self.keys,
+                               self.order_col, self.op_col) \
+            .withColumn("__b", b).persist()
+
+        new_buckets = dict(manifest["buckets"])
+        for bucket in touched:
+            version = int(new_buckets.get(str(bucket), 0)) + 1
+            (merged.filter(F.col("__b") == bucket).drop("__b")
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.path, f"b={bucket}", f"v={version}")))
+            new_buckets[str(bucket)] = version
+        merged.unpersist()
+        changes.unpersist()
+        self._commit({"buckets": new_buckets,
+                      "last_batch_id": batch_id if batch_id is not None
+                      else manifest["last_batch_id"],
+                      "n_buckets": self.n_buckets})
+        # prune bucket versions beyond retention
+        for bucket, version in new_buckets.items():
+            bdir = os.path.join(self.path, f"b={bucket}")
+            for d in os.listdir(bdir):
+                if d.startswith("v=") and \
+                        int(d[2:]) <= version - self.retain_versions - 1:
+                    shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
+        return True
+
+    def stream_sink(self, changes: DataFrame, checkpoint: str | None = None,
+                    available_now: bool = True):
+        """foreachBatch streaming sink over this snapshot (exactly-once by
+        batch id, like streaming/upsert_sink.stream_apply_changes)."""
+        writer = (changes.writeStream
+                  .foreachBatch(lambda df, bid: self.apply(df, batch_id=bid))
+                  .outputMode("append"))
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
