@@ -602,3 +602,25 @@ def test_hot_keys_detects_planted_skew(spark):
     assert [r["k"] for r in got] == ["hot"]
     est = got[0]["estimated_rows"]
     assert 100_000 <= est <= 400_000   # coarse but unmissable
+
+
+def test_remove_common_paragraphs(spark):
+    from transmogrifai_spark.llm.dedup import remove_common_paragraphs
+
+    footer = "Subscribe to our newsletter for more great content every week."
+    docs = spark.createDataFrame([
+        (1, f"Unique intro one about topology.\n\n{footer}"),
+        (2, f"Another unique body, different entirely.\n\n{footer}"),
+        (3, f"{footer}\n\nTrailing unique paragraph for doc three."),
+        (4, "No boilerplate here at all, a single paragraph."),
+        (5, "Short\n\nShort"),   # short paragraphs are never removed
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r["clean"] for r in remove_common_paragraphs(
+        docs, "doc_id", "text", min_doc_freq=2, out_col="clean").collect()}
+    assert footer not in out[1] and "topology" in out[1]
+    assert footer not in out[2] and "Another unique" in out[2]
+    assert out[3] == "Trailing unique paragraph for doc three."
+    assert out[4] == "No boilerplate here at all, a single paragraph."
+    assert out[5] == "Short\n\nShort"            # under min_paragraph_chars
+    # order preserved when boilerplate sits first
+    assert out[3].startswith("Trailing")

@@ -170,3 +170,19 @@ def test_snapshot_diff_roundtrip_randomized(spark):
                          apply_changes(s1, diff, ["k"], "ver", "op")
                          .collect()))
         assert got == sorted(map(tuple, s2.collect())), seed
+
+
+def test_apply_changes_schema_evolution(spark):
+    base = spark.createDataFrame([(1, "a", 1), (2, "b", 2)],
+                                 "k int, v string, ver long")
+    # changelog adds a 'score' column
+    ch = spark.createDataFrame([(2, "b2", 5, 0.9, "U"), (3, "c", 6, 0.5, "I")],
+                               "k int, v string, ver long, score double, op string")
+    got = sorted(map(tuple, apply_changes(
+        base, ch, ["k"], "ver", "op", allow_schema_evolution=True)
+        .collect()))
+    assert got == [(1, "a", 1, None), (2, "b2", 5, 0.9), (3, "c", 6, 0.5)]
+    # without the flag, unknown columns in changes are simply not selected
+    got2 = sorted(map(tuple, apply_changes(base, ch, ["k"], "ver", "op")
+                  .collect()))
+    assert got2 == [(1, "a", 1), (2, "b2", 5), (3, "c", 6)]

@@ -370,3 +370,50 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
             .select("id1", "id2",
                     cosine_similarity(F.col("_v1"), F.col("_v2")).alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def remove_common_paragraphs(df: DataFrame, id_col: str, text_col: str,
+                             min_doc_freq: int = 2,
+                             min_paragraph_chars: int = 20,
+                             out_col: str | None = None) -> DataFrame:
+    """Boilerplate removal at PARAGRAPH granularity: drop every paragraph
+    whose (trimmed) content appears in >= ``min_doc_freq`` distinct
+    documents, keeping the documents themselves — the complement of
+    document-level dedup (headers, footers, cookie banners, license
+    blocks survive doc-level near-dup because the surrounding text
+    differs).
+
+    Shape: explode paragraphs once with their position, count DISTINCT
+    docs per paragraph digest (md5 — the shuffle carries 16-byte digests,
+    not paragraph text), anti-join the hot digests back, reassemble in
+    original order via sort_array of (pos, text) structs. Two shuffles
+    (digest count + per-doc regroup), both linear. Paragraphs shorter
+    than ``min_paragraph_chars`` are never removed (quotes, headings —
+    short strings repeat naturally).
+
+    Cites: C4's line-level dedup (Raffel et al. 2020 §2.2 removes any
+    three-sentence span occurring more than once) — this is the
+    paragraph-granular, frequency-thresholded variant.
+    """
+    out_col = out_col or text_col
+    paras = (df.select(
+        F.col(id_col).alias("__pid"),
+        F.posexplode(F.split(F.col(text_col), r"\n\s*\n")).alias("__pos", "__para")))
+    paras = paras.withColumn("__trim", F.trim(F.col("__para")))
+    paras = paras.withColumn("__dig", F.md5(F.col("__trim")))
+    hot = (paras.filter(F.length("__trim") >= min_paragraph_chars)
+           .groupBy("__dig")
+           .agg(F.count_distinct("__pid").alias("__df"))
+           .filter(F.col("__df") >= min_doc_freq)
+           .select("__dig"))
+    kept = paras.join(F.broadcast(hot), "__dig", "left_anti")
+    rebuilt = (kept.groupBy("__pid")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("__pos"), F.col("__para")))),
+                       lambda s: s["__para"]),
+                   "\n\n").alias("__rebuilt")))
+    return (df.join(rebuilt, F.col(id_col) == F.col("__pid"), "left")
+            .withColumn(out_col, F.coalesce("__rebuilt", F.lit("")))
+            .drop("__pid", "__rebuilt"))

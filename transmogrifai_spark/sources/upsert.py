@@ -31,7 +31,8 @@ _FAR_FUTURE_MS = 253_402_300_799_999  # 9999-12-31T23:59:59.999Z
 
 def apply_changes(base: DataFrame, changes: DataFrame, keys: list[str],
                   order_col: str, op_col: str | None = None,
-                  delete_op: str = "D") -> DataFrame:
+                  delete_op: str = "D",
+                  allow_schema_evolution: bool = False) -> DataFrame:
     """New snapshot = base with ``changes`` applied: per key, the row with
     the highest ``order_col`` wins (changes beat base on ties); if the
     winner is a delete (``op_col == delete_op``) the key disappears.
@@ -40,13 +41,29 @@ def apply_changes(base: DataFrame, changes: DataFrame, keys: list[str],
     may carry ``op_col`` ('I'/'U'/'D' — inserts and updates are the same
     upsert operation, only deletes are special). The output drops
     ``op_col``. Columns are matched by name.
+
+    ``allow_schema_evolution=True`` widens the output to the UNION of both
+    schemas: columns new in ``changes`` appear with nulls on old base rows
+    (the standard mergeSchema-style additive evolution); columns missing
+    from ``changes`` null-fill on change rows, so a winner from the
+    changelog erases a dropped column's value — supply full rows in the
+    changelog if old payloads must survive a schema widening.
     """
     out_cols = [c for c in base.columns if c != op_col]
+    if allow_schema_evolution:
+        out_cols += [c for c in changes.columns
+                     if c not in out_cols and c != op_col]
     if op_col is None:
         op_col = "__op"
         changes = changes.withColumn(op_col, F.lit("U"))
     elif op_col not in changes.columns:
         raise ValueError(f"changes has no op column {op_col!r}")
+    if allow_schema_evolution:
+        for col in out_cols:
+            if col not in base.columns:
+                base = base.withColumn(col, F.lit(None))
+            if col not in changes.columns:
+                changes = changes.withColumn(col, F.lit(None))
     b = base.select(*out_cols) \
             .withColumn(op_col, F.lit("U")) \
             .withColumn("__src", F.lit(0))
