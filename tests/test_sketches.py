@@ -287,3 +287,48 @@ def test_murmur3_matches_spark_hash_randomized(spark):
             .select("s", F.hash("s").alias("h")).collect())
     for r in rows:
         assert murmur3.hash_string(r["s"], 42) == r["h"], repr(r["s"])
+
+
+# ---------------------------------------------------------------- profiler
+
+def test_profile_one_pass_matches_direct(spark):
+    from transmogrifai_spark.operators.profile import profile
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    p = profile(li, ["l_quantity", "l_returnflag", "l_shipdate"])
+    n = li.count()
+    assert p["l_quantity"]["count"] == n
+    assert p["l_quantity"]["null_count"] == 0
+    direct = li.agg(F.min("l_quantity"), F.max("l_quantity"),
+                    F.avg("l_quantity")).collect()[0]
+    assert p["l_quantity"]["min"] == direct[0]
+    assert p["l_quantity"]["max"] == direct[1]
+    assert abs(p["l_quantity"]["mean"] - direct[2]) < 1e-9
+    true_p50 = li.selectExpr("percentile(l_quantity, 0.5) p").collect()[0]["p"]
+    lo, hi = li.selectExpr("percentile(l_quantity, 0.46) p").collect()[0]["p"], \
+        li.selectExpr("percentile(l_quantity, 0.54) p").collect()[0]["p"]
+    assert lo <= p["l_quantity"]["p50"] <= hi or \
+        p["l_quantity"]["p50"] == true_p50
+    nd = li.select("l_returnflag").distinct().count()
+    assert abs(p["l_returnflag"]["approx_distinct"] - nd) <= max(1, 0.05 * nd)
+    assert p["l_returnflag"]["min_length"] == 1
+    assert p["l_shipdate"]["min"] is not None
+    # the whole profile is ONE job: re-profile everything and check it runs
+    full = profile(li)
+    assert set(full) == set(li.columns)
+
+
+def test_stratified_fixed_sample(spark):
+    from transmogrifai_spark.llm.curation import stratified_fixed_sample
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = stratified_fixed_sample(docs, "lang", "doc_id", 30)
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {g: min(30, s) for g, s in sizes.items()}
+    # deterministic across layouts
+    again = stratified_fixed_sample(docs.repartition(13), "lang", "doc_id", 30)
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in out.collect())

@@ -148,3 +148,18 @@ def diversity_sample(df: DataFrame, id_col: str, vec_col: str,
               .filter(F.col("__rn") <= per_cluster)
               .drop("__rn"))
     return picked if keep_cluster_col else picked.drop("_cell")
+
+
+def stratified_fixed_sample(df: DataFrame, group_col: str, id_col: str,
+                            n_per_group: int, seed: int = 42) -> DataFrame:
+    """Exactly min(n, group size) rows per group, drawn deterministically in
+    id-hash order — fixed-size quotas where deterministic_sample gives
+    fixed RATES (eval-set construction, per-class caps). One window
+    shuffle; layout-independent like every sampler here."""
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(group_col)
+         .orderBy(hash_bucket(F.col(id_col), seed).asc(),
+                  F.col(id_col).asc()))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_per_group).drop("__rn"))
