@@ -236,3 +236,29 @@ def test_windowed_quantile_approx_stream_equals_batch(spark, sf_dir):
     # percentile sanity on one group: p50 <= p95, both within value range
     for r in b_rows:
         assert r[-2] <= r[-1]
+
+
+def test_stream_static_broadcast_enrichment_equals_batch(spark, sf_dir):
+    """Stream-static join: a streaming fact enriched by a static dim (the
+    everyday streaming enrichment shape) must equal the batch join; the
+    static side is broadcast so the stream never shuffles."""
+    from transmogrifai_spark.streaming.windows import (file_stream,
+                                                       run_to_memory)
+
+    dim = (load_table(spark, sf_dir, "events")
+           .select("event_type").distinct()
+           .withColumn("type_code",
+                       F.dense_rank().over(
+                           __import__("pyspark").sql.window.Window
+                           .orderBy("event_type"))))
+    stream = file_stream(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    enriched = (stream.join(F.broadcast(dim), "event_type")
+                .groupBy("type_code")
+                .agg(F.count(F.lit(1)).alias("n")))
+    got = sorted(tuple(r) for r in run_to_memory(enriched).collect())
+    want = sorted(tuple(r) for r in
+                  load_table(spark, sf_dir, "events")
+                  .join(F.broadcast(dim), "event_type")
+                  .groupBy("type_code")
+                  .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert got == want and got
