@@ -64,3 +64,24 @@ def test_report_is_single_aggregation(spark, orders):
 def test_approx_unique_close_to_exact(spark, orders):
     out = check(orders, [approx_unique("o_orderkey", min_ratio=0.9)])
     assert out["passed"]
+
+
+def test_suggest_constraints_roundtrip(spark, sf_dir):
+    from transmogrifai_spark.operators.expectations import check, suggest
+    from transmogrifai_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cons = suggest(li)
+    names = {c.name for c in cons}
+    # key-ish, numeric-range and categorical suggestions all present
+    assert any("complete" in n for n in names)
+    assert any("in_range(l_quantity" in n for n in names)
+    assert any("allowed_values(l_returnflag" in n for n in names)
+    # the suggested set must PASS on the frame it was derived from
+    verdict = check(li, cons)
+    assert verdict["passed"], {n: r for n, r in verdict["results"].items()
+                               if not r["passed"]}
+    # and fail on data outside the observed ranges
+    import pyspark.sql.functions as F
+    poisoned = li.withColumn("l_quantity", F.col("l_quantity") + 1_000_000)
+    assert not check(poisoned, cons)["passed"]

@@ -134,3 +134,56 @@ def check(df: DataFrame, constraints: list[Constraint]) -> dict:
                                  "passed": r["passed"]} for r in rows}
     return {"passed": all(v["passed"] for v in results.values()),
             "results": results}
+
+
+def suggest(df: DataFrame, max_allowed_values: int = 20,
+            range_margin: float = 0.0) -> list[Constraint]:
+    """Constraint suggestion (the Deequ ConstraintSuggestion idea): derive
+    a starting rule set from the data's observed profile — two jobs total
+    (one profile pass + one top-values pass for low-cardinality strings):
+
+      * null-free columns        -> complete
+      * all-distinct int/string  -> approx_unique (key-like)
+      * numeric                  -> in_range(observed min/max ± margin)
+      * low-cardinality strings  -> allowed_values(observed set)
+      * everything else          -> no suggestion (never guess regexes)
+
+    Suggestions describe THIS frame; review before enforcing on future
+    data (that's the point — they fail loudly when new data drifts outside
+    everything the profiled frame exhibited).
+    """
+    from .profile import profile
+
+    prof = profile(df)
+    out: list[Constraint] = []
+    low_card_strings = []
+    for f in df.schema.fields:
+        s = prof[f.name]
+        if s["count"] == 0:
+            continue
+        if s["null_count"] == 0:
+            out.append(complete(f.name))
+        if "min" in s and "p50" in s:                 # numeric
+            lo, hi = float(s["min"]), float(s["max"])
+            pad = (hi - lo) * range_margin
+            out.append(in_range(f.name, lo - pad, hi + pad))
+            ratio = s["approx_distinct"] / s["count"]
+            if ratio >= 0.99:
+                # threshold from the OBSERVED ratio with slack: the check's
+                # own estimator (approx_count_distinct) and the profile's
+                # HLL disagree within sketch error, so a hard 0.99 would
+                # self-fail on columns both see as ~unique
+                out.append(approx_unique(f.name, min_ratio=0.9 * ratio))
+        elif "min_length" in s:                       # string
+            ratio = s["approx_distinct"] / s["count"]
+            if s["approx_distinct"] <= max_allowed_values:
+                low_card_strings.append(f.name)
+            elif ratio >= 0.99:
+                out.append(approx_unique(f.name, min_ratio=0.9 * ratio))
+    if low_card_strings:
+        # one pass for all low-cardinality value sets
+        rows = (df.select(*[F.collect_set(c).alias(c)
+                            for c in low_card_strings]).collect()[0])
+        for c in low_card_strings:
+            out.append(allowed_values(c, sorted(rows[c])))
+    return out
