@@ -95,3 +95,21 @@ def test_diversity_sample_quota_and_determinism(spark):
                              n_clusters=4, per_cluster=10)
     assert sorted(r[id_col] for r in again.select(id_col).collect()) == \
         sorted(r[id_col] for r in out.select(id_col).collect())
+
+
+def test_curate_corpus_blocklist_and_boilerplate_stages(spark, docs):
+    from transmogrifai_spark.llm.pipeline import curate_corpus
+    from pyspark.sql import functions as F
+
+    footer = "Subscribe to our excellent newsletter today friends."
+    noisy = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(f"\n\n{footer}")))
+    out, rep = curate_corpus(noisy, rules=None, eval_df=None, dedup=None,
+                             boilerplate_min_doc_freq=2, report=True)
+    assert "boilerplate_paragraphs" in rep
+    assert out.filter(F.col("text").contains("Subscribe to our")).count() == 0
+    assert rep["boilerplate_paragraphs"] == rep["input"]  # docs kept
+
+    out2 = curate_corpus(noisy, rules=None, eval_df=None, dedup=None,
+                         blocklist=["zzzunseen"])
+    assert out2.count() == noisy.count()                 # no hits -> no drops

@@ -5,6 +5,8 @@ Order follows practice (C4/Gopher -> decontaminate -> dedup -> LM head ->
 mixture), cheapest-reduction-first so later, costlier stages see fewer rows:
 
   1. quality rules   (`quality_rules.quality_filter`, expression-only)
+     + optional word blocklist (`blocklist_filter`) and corpus-level
+     boilerplate-paragraph removal (`dedup.remove_common_paragraphs`)
   2. decontamination (`decontam.decontaminate`, eval set broadcast)
   3. deduplication   (exact digest keep-min-id, or MinHash-LSH clusters
                       with one representative per cluster)
@@ -59,6 +61,8 @@ def dedup_keep_one(df: DataFrame, id_col: str = "doc_id",
 def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", *,
                   rules: str | None = "gopher",
+                  blocklist: list[str] | None = None,
+                  boilerplate_min_doc_freq: int | None = None,
                   eval_df: DataFrame | None = None, decontam_n: int = 13,
                   dedup: str | None = "exact",
                   lm_model: dict | None = None,
@@ -75,6 +79,16 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
             .where("keep").select(id_col)
         out = out.join(kept, id_col, "left_semi")
         stages.append(("quality_rules", out))
+    if blocklist:
+        from .quality_rules import blocklist_filter
+        out = blocklist_filter(out, text_col, blocklist,
+                               large=len(blocklist) > 200)
+        stages.append(("blocklist", out))
+    if boilerplate_min_doc_freq:
+        from .dedup import remove_common_paragraphs
+        out = remove_common_paragraphs(out, id_col, text_col,
+                                       min_doc_freq=boilerplate_min_doc_freq)
+        stages.append(("boilerplate_paragraphs", out))
     if eval_df is not None:
         out = decontaminate(out, eval_df, id_col, text_col, n=decontam_n)
         stages.append(("decontaminated", out))
