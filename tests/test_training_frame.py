@@ -76,3 +76,22 @@ def test_assemble_training_frame_multi_source(spark):
         histories=[hist.withColumnRenamed("state", "version_state")])
     assert out.count() == labels.count()
     assert {"recent", "version_state"} <= set(out.columns)
+
+
+def test_scd2_features_on_a_stream_equals_batch(spark, tmp_path):
+    """Versioned-state enrichment works unchanged on a stream (stream-static
+    left join with the interval condition is stateless per micro-batch) and
+    equals the batch route."""
+    from transmogrifai_spark.streaming.windows import run_to_memory
+
+    hist = scd2_history(_obs_log(spark), ["k"], "ts", "op")
+    labels = _labels(spark)
+    src = str(tmp_path / "labels")
+    labels.write.parquet(src)
+    stream = (spark.readStream.schema(labels.schema).parquet(src))
+    enriched = scd2_features(stream, hist, "k", "t")
+    got = sorted((r["label_id"], r["state"]) for r in
+                 run_to_memory(enriched, "append").collect())
+    want = sorted((r["label_id"], r["state"]) for r in
+                  scd2_features(labels, hist, "k", "t").collect())
+    assert got == want and got
