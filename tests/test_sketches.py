@@ -332,3 +332,42 @@ def test_stratified_fixed_sample(spark):
     again = stratified_fixed_sample(docs.repartition(13), "lang", "doc_id", 30)
     assert sorted(r["doc_id"] for r in again.collect()) == \
         sorted(r["doc_id"] for r in out.collect())
+
+
+# ---------------------------------------------------------------- KLL decode
+
+def test_kll_python_decode_matches_jvm(spark):
+    from transmogrifai_spark.serving.kll import KllSketch
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    part = sk.kll_partial(li, ["l_returnflag"], "l_extendedprice")
+    ranks = [0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    jvm = part.select(
+        "l_returnflag", "kll",
+        *[sk.kll_quantile("kll", q).alias(f"q{i}")
+          for i, q in enumerate(ranks)],
+        sk.kll_n("kll").alias("n")).collect()
+    for r in jvm:
+        s = KllSketch.from_bytes(bytes(r["kll"]))
+        assert s.n == r["n"]
+        for i, q in enumerate(ranks):
+            assert s.quantile(q) == r[f"q{i}"], (r["l_returnflag"], q)
+
+
+def test_kll_python_decode_edge_formats(spark):
+    from transmogrifai_spark.serving.kll import KllSketch
+
+    # single item
+    one = spark.createDataFrame([(7.5,)], "v double").agg(
+        F.kll_sketch_agg_double("v", F.lit(200)).alias("s")).collect()[0]["s"]
+    s1 = KllSketch.from_bytes(bytes(one))
+    assert s1.n == 1 and s1.quantile(0.5) == 7.5
+    # bigint variant — query the SAME serialized sketch (construction is
+    # randomized; a re-aggregation is a different sketch)
+    big = spark.range(0, 5000).agg(
+        F.kll_sketch_agg_bigint("id", F.lit(200)).alias("s")).collect()[0]["s"]
+    sb = KllSketch.from_bytes(bytes(big), item_type="bigint")
+    jvm = spark.createDataFrame([(bytes(big),)], "s binary").select(
+        F.kll_sketch_get_quantile_bigint("s", F.lit(0.5)).alias("q")
+    ).collect()[0]["q"]
+    assert sb.quantile(0.5) == jvm
