@@ -624,3 +624,41 @@ def test_remove_common_paragraphs(spark):
     assert out[5] == "Short\n\nShort"            # under min_paragraph_chars
     # order preserved when boilerplate sits first
     assert out[3].startswith("Trailing")
+
+
+def test_ivf_index_persisted_equals_in_memory_and_prunes(spark, tmp_path):
+    from transmogrifai_spark.llm.similarity import (build_ivf_index,
+                                                    ivf_topk,
+                                                    ivf_topk_indexed)
+    from transmogrifai_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, "vec_id", "embedding", path, n_lists=8, seed=11)
+    got = ivf_topk_indexed(spark, path, queries, "vec_id", "embedding",
+                           k=3, n_probe=2)
+    want = ivf_topk(emb, queries, "vec_id", "embedding", k=3,
+                    n_lists=8, n_probe=2, seed=11)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and g
+    # partition pruning: one query at n_probe=1 reads exactly one cell dir
+    # (inputFiles also lists the query side's parquet — look at index files)
+    one = ivf_topk_indexed(spark, path,
+                           emb.filter(F.col("vec_id") == 0),
+                           "vec_id", "embedding", k=3, n_probe=1)
+    # inputFiles() lists pre-pruning candidates; the executed plan's scan
+    # node carries the partition filter that prunes cell directories
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "_cell" in scan.split("]")[0]     # _cell IN (...) at the scan
+    # and the pruned scan physically reads exactly the probed cell's files
+    probed_cell = spark.read.parquet(path + "/cells") \
+        .select("_cell").distinct().limit(1).collect()[0]["_cell"]
+    read_cells = {r["f"].split("_cell=")[1].split("/")[0] for r in
+                  spark.read.parquet(path + "/cells")
+                  .where(F.col("_cell") == probed_cell)
+                  .select(F.input_file_name().alias("f")).distinct()
+                  .collect()}
+    assert read_cells == {str(probed_cell)}

@@ -452,3 +452,59 @@ def sq_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str, path: str,
+                    n_lists: int = 16, seed: int = 42, max_iter: int = 10,
+                    fit_sample: float | None = None) -> dict:
+    """Persist an IVF index: the assigned corpus written PARTITIONED BY
+    CELL (`_cell=N/` directories) plus a JSON sidecar with the centroids
+    and params. Build cost is paid once; afterwards every query batch
+    reads only its probed cells from storage — at 100 TB the scan itself
+    shrinks to ~n_probe/n_lists of the corpus via directory-level
+    partition pruning, not just the join. Returns the index metadata."""
+    import json
+    import os
+
+    assigned, centroids = ivf_assignments(corpus, id_col, vec_col, n_lists,
+                                          seed, max_iter, fit_sample)
+    assigned.write.mode("overwrite").partitionBy("_cell") \
+        .parquet(os.path.join(path, "cells"))
+    meta = {"centroids": centroids, "n_lists": n_lists, "seed": seed,
+            "id_col": id_col, "vec_col": vec_col}
+    tmp = os.path.join(path, "_INDEX.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_INDEX.json"))
+    return meta
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 5, n_probe: int = 2) -> DataFrame:
+    """ANN top-k against a persisted IVF index. The probed-cell filter is a
+    partition-column predicate, so only `_cell=N/` directories the query
+    batch needs are read (verify with .inputFiles()); scoring/top-k is the
+    same bucket equi-join + per-query window as the in-memory form."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_INDEX.json")) as f:
+        meta = json.load(f)
+    assigned = spark.read.parquet(os.path.join(path, "cells"))
+    qb = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+        .withColumn("_cell", F.explode(
+            _probe_cells(F.col("_qv"), meta["centroids"], n_probe))))
+    probed = sorted({r["_cell"] for r in qb.select("_cell").distinct().collect()})
+    scored = (
+        assigned.where(F.col("_cell").isin(probed))   # partition pruning
+        .join(qb, "_cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
