@@ -171,3 +171,36 @@ def test_dimensional_rollup_levels_match_direct_and_native(spark, sf_dir):
         .count().count()
     ours_n = sum(out[d].count() for d in out)
     assert ours_n == native_n
+
+
+def test_incremental_rollup_partials_roundtrip(spark, sf_dir, tmp_path):
+    """The continuous-aggregate law: persist per-day partials (parquet
+    roundtrip included — sketch carriers are binary columns), merge across
+    days + to a coarser resolution + to a coarser grouping, and the result
+    equals a direct pass over all the raw events."""
+    from pyspark.sql import functions as F
+
+    from transmogrifai_spark.operators.rollup import (
+        hierarchical_rollup, rollup_finalize, rollup_merge, rollup_partials)
+    from transmogrifai_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hour, day = 3_600_000, 86_400_000
+    stats = {"n": ("count", None), "total": ("sum_exact", "value"),
+             "users": ("approx_distinct", "user_id"),
+             "avg": ("mean", "value")}
+    # split raw events into two halves (two "ingest batches")
+    h1 = ev.filter(F.col("event_id") % 2 == 0)
+    h2 = ev.filter(F.col("event_id") % 2 == 1)
+    p = str(tmp_path / "partials")
+    rollup_partials(h1, "ts_ms", hour, ["event_type"], stats) \
+        .write.mode("append").parquet(p)
+    rollup_partials(h2, "ts_ms", hour, ["event_type"], stats) \
+        .write.mode("append").parquet(p)
+    stored = spark.read.parquet(p)
+    # merge across batches to daily, coarser grouping = [] (global)
+    merged = rollup_merge(stored, day, [], stats)
+    got = sorted(map(tuple, rollup_finalize(merged, [], stats).collect()))
+    direct = hierarchical_rollup(ev, "ts_ms", [day], [], stats)[day]
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want and got

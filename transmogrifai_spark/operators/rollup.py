@@ -167,3 +167,44 @@ def dimensional_rollup(df: DataFrame, hierarchy: list[str],
         out[depth] = prev.select(
             *cols, *[finals[n]().alias(n) for n in stats])
     return out
+
+
+def rollup_partials(events: DataFrame, time_col: str, resolution_ms: int,
+                    group_cols: list[str],
+                    stats: dict[str, tuple[str, str | None]]) -> DataFrame:
+    """The PERSISTABLE partial form of one rollup level: carrier columns
+    (``__name`` internals — decimal sums, counts, HLL/KLL sketch bytes)
+    instead of finalized statistics. This is the incremental-maintenance
+    API: write today's partials next to yesterday's, then ``rollup_merge``
+    any date range / coarser resolution / coarser grouping WITHOUT
+    re-reading raw events — the continuous-aggregate pattern, with the
+    merge-exactness guarantees of the carrier monoids (law-tested:
+    merged partials across arbitrary splits == a direct single pass)."""
+    carriers, _ = _build_carriers(stats)
+    t = F.col(time_col).cast("long")
+    bucket = (t - (t % F.lit(resolution_ms))).alias("bucket_start_ms")
+    return (events.groupBy(bucket, *group_cols)
+            .agg(*[a.alias(c) for c, (a, _) in carriers.items()]))
+
+
+def rollup_merge(partials: DataFrame, resolution_ms: int,
+                 group_cols: list[str],
+                 stats: dict[str, tuple[str, str | None]]) -> DataFrame:
+    """Re-aggregate persisted partials to a coarser resolution and/or
+    coarser grouping (``group_cols`` may be any subset of the original).
+    ``resolution_ms`` must be a multiple of the partials' resolution so
+    buckets nest; pass the original resolution to merge only across files
+    / days / groups."""
+    carriers, _ = _build_carriers(stats)
+    b = F.col("bucket_start_ms")
+    coarse = (b - (b % F.lit(resolution_ms))).alias("bucket_start_ms")
+    return (partials.groupBy(coarse, *group_cols)
+            .agg(*[m(F.col(c)).alias(c) for c, (_, m) in carriers.items()]))
+
+
+def rollup_finalize(partials: DataFrame, group_cols: list[str],
+                    stats: dict[str, tuple[str, str | None]]) -> DataFrame:
+    """Emit the user-facing statistics from carrier columns."""
+    _, finals = _build_carriers(stats)
+    return partials.select("bucket_start_ms", *group_cols,
+                           *[finals[n]().alias(n) for n in stats])
