@@ -262,3 +262,31 @@ def test_stream_static_broadcast_enrichment_equals_batch(spark, sf_dir):
                   .groupBy("type_code")
                   .agg(F.count(F.lit(1)).alias("n")).collect())
     assert got == want and got
+
+
+def test_stream_rollup_partials_equal_batch_rollup(spark, sf_dir, tmp_path):
+    from transmogrifai_spark.operators.rollup import (hierarchical_rollup,
+                                                      rollup_finalize,
+                                                      rollup_merge)
+    from transmogrifai_spark.streaming.windows import (file_stream,
+                                                       stream_rollup_partials)
+
+    stats = {"n": ("count", None), "total": ("sum_exact", "value"),
+             "users": ("approx_distinct", "user_id")}
+    hour, day = 3_600_000, 86_400_000
+    ev = load_table(spark, sf_dir, "events")
+    stream = file_stream(spark, f"{sf_dir}/events.parquet", ts_col="ts",
+                         max_files_per_trigger=1)
+    stream = stream.withColumn(
+        "ts_ms", F.expr("unix_micros(cast(ts as timestamp)) div 1000"))
+    q = stream_rollup_partials(stream, str(tmp_path / "p"), "ts_ms", hour,
+                               ["event_type"], stats,
+                               checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+    merged = rollup_merge(spark.read.parquet(str(tmp_path / "p")), day,
+                          ["event_type"], stats)
+    got = sorted(map(tuple, rollup_finalize(
+        merged, ["event_type"], stats).collect()))
+    want = sorted(map(tuple, hierarchical_rollup(
+        ev, "ts_ms", [day], ["event_type"], stats)[day].collect()))
+    assert got == want and got

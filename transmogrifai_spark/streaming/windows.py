@@ -207,3 +207,36 @@ def windowed_quantile_approx(events: DataFrame, value_col: str,
     return agg.select(
         F.unix_millis(F.col("win.start")).alias("window_start_ms"),
         *group_cols, "n_events", *qcols)
+
+
+def stream_rollup_partials(events: DataFrame, partials_path: str,
+                           time_col_ms: str, resolution_ms: int,
+                           group_cols: list[str],
+                           stats: dict[str, tuple[str, str | None]],
+                           checkpoint: str | None = None,
+                           available_now: bool = True):
+    """Streaming continuous-aggregate maintenance: each micro-batch appends
+    its rollup carrier partials (operators/rollup.rollup_partials) to the
+    partial store; readers answer any resolution/grouping/date-range with
+    rollup_merge + rollup_finalize — raw events are read once, at ingest.
+
+    Append-only is the right sink shape here BECAUSE partials are monoid
+    carriers: a bucket split across micro-batches yields multiple partial
+    rows that merge exactly at read time (the same law the batch form
+    tests), so no read-modify-write of the store is ever needed. Replays
+    under foreachBatch at-least-once insert duplicate partials — point
+    the checkpoint at durable storage for exactly-once file-sink
+    semantics, or route through CowSnapshot keyed by (batch_id, bucket)
+    when the source can replay beyond the checkpoint."""
+    from ..operators.rollup import rollup_partials
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        rollup_partials(batch, time_col_ms, resolution_ms, group_cols,
+                        stats).write.mode("append").parquet(partials_path)
+
+    writer = events.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
