@@ -290,3 +290,38 @@ def test_stream_rollup_partials_equal_batch_rollup(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, hierarchical_rollup(
         ev, "ts_ms", [day], ["event_type"], stats)[day].collect()))
     assert got == want and got
+
+
+def test_stream_rollup_partials_replay_idempotent(spark, sf_dir, tmp_path):
+    """ADVICE r4: a replayed micro-batch must not double its partials.
+    Re-running the stream with a FRESH checkpoint replays every batch into
+    the same partials store; because each batch overwrites its own
+    batch=<id>/ directory, the store converges to the same contents."""
+    from transmogrifai_spark.operators.rollup import (rollup_finalize,
+                                                      rollup_merge)
+    from transmogrifai_spark.streaming.windows import (file_stream,
+                                                       stream_rollup_partials)
+
+    stats = {"n": ("count", None), "total": ("sum_exact", "value")}
+    hour = 3_600_000
+
+    def run(ck):
+        stream = file_stream(spark, f"{sf_dir}/events.parquet", ts_col="ts",
+                             max_files_per_trigger=1)
+        stream = stream.withColumn(
+            "ts_ms", F.expr("unix_micros(cast(ts as timestamp)) div 1000"))
+        q = stream_rollup_partials(stream, str(tmp_path / "p"), "ts_ms",
+                                   hour, ["event_type"], stats,
+                                   checkpoint=str(tmp_path / ck))
+        q.awaitTermination()
+
+    def snapshot():
+        merged = rollup_merge(spark.read.parquet(str(tmp_path / "p")),
+                              hour, ["event_type"], stats)
+        return sorted(map(tuple, rollup_finalize(
+            merged, ["event_type"], stats).collect()))
+
+    run("ck1")
+    first = snapshot()
+    run("ck2")  # full replay: same batches, same ids, fresh checkpoint
+    assert snapshot() == first and first

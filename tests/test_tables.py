@@ -115,3 +115,18 @@ def test_all_tables_expected_columns(spark, sf_dir):
         got = {f.name: kind(f.dataType) for f in df.schema.fields}
         assert got == expected[t], f"{t} schema re-specced: {got}"
         assert df.count() > 0, t
+
+
+def test_no_float_division_epoch_conversions_in_source():
+    """Repo-wide invariant (ADVICE r4): epoch-unit conversions use integer
+    `div`, never `/` — float division is exact only below 2^53 micros."""
+    import pathlib
+    import re
+    root = pathlib.Path(__file__).resolve().parents[1] / "transmogrifai_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            if re.search(r"unix_(micros|millis)\([^)]*\)\s*/\s", line):
+                offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert offenders == [], offenders

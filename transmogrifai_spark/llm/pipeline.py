@@ -82,7 +82,7 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     if blocklist:
         from .quality_rules import blocklist_filter
         out = blocklist_filter(out, text_col, blocklist,
-                               large=len(blocklist) > 200)
+                               large=len(blocklist) > 200, id_col=id_col)
         stages.append(("blocklist", out))
     if boilerplate_min_doc_freq:
         from .dedup import remove_common_paragraphs

@@ -265,7 +265,8 @@ def blocklist_hits(text: Column, words: list[str]) -> Column:
 
 
 def blocklist_filter(df: DataFrame, text_col: str, words: list[str],
-                     max_hits: int = 0, large: bool = False) -> DataFrame:
+                     max_hits: int = 0, large: bool = False,
+                     id_col: str | None = None) -> DataFrame:
     """Drop documents with more than ``max_hits`` blocklisted words.
 
     ``large=False``: pure expression (list rides the plan as a literal).
@@ -273,18 +274,36 @@ def blocklist_filter(df: DataFrame, text_col: str, words: list[str],
     once and probe a BROADCAST blocklist table; hit counts come back via
     one groupBy and a left join on a row id. Both paths agree (law-tested);
     pick by list size, not corpus size (the corpus passes once either way).
+
+    The row id for the large path is ``id_col`` when the caller has one
+    (must be unique per row — ``curate_corpus`` passes its ``doc_id``);
+    otherwise a DETERMINISTIC xxhash64 over every column. It must never be
+    ``monotonically_increasing_id``: that is order-dependent, and the two
+    branches of the self-join may recompute the input with different
+    partition-internal row orders (e.g. post-shuffle), silently
+    mis-matching ids. The hash is stable under recomputation; identical
+    rows share a hash, which is harmless here because they also share the
+    same token set (hit counts are computed once per id from a
+    deduplicated token source, and the left join is 1:N back onto the
+    original rows).
     """
     if not large:
         return df.where(blocklist_hits(F.col(text_col), words) <= max_hits)
     spark = df.sparkSession
     bl = spark.createDataFrame([(w.lower(),) for w in set(words)],
                                "word string")
-    with_id = df.withColumn("__rid", F.monotonically_increasing_id())
+    if id_col is not None:
+        with_id = df.withColumn("__rid", F.col(id_col))
+    else:
+        with_id = df.withColumn(
+            "__rid", F.xxhash64(*[F.col(c) for c in df.columns]))
     toks = with_id.select(
         "__rid",
-        F.explode(F.array_distinct(
+        F.array_distinct(
             _words(F.lower(F.coalesce(F.col(text_col), F.lit("")))))
-        ).alias("word"))
+        .alias("__toks")) \
+        .dropDuplicates(["__rid"]) \
+        .select("__rid", F.explode("__toks").alias("word"))
     hits = (toks.join(F.broadcast(bl), "word")
             .groupBy("__rid").agg(F.count(F.lit(1)).alias("__hits")))
     return (with_id.join(hits, "__rid", "left")

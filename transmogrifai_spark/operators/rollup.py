@@ -21,6 +21,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+class _RollupLevels(dict):
+    """``{depth: DataFrame}`` plus an ``unpersist()`` release handle for
+    the cached deepest-level partials backing every coarser level."""
+
+    _cached: DataFrame | None = None
+
+    def unpersist(self, blocking: bool = False) -> None:
+        if self._cached is not None:
+            self._cached.unpersist(blocking)
+            self._cached = None
+
+
 #: statistic -> (finest aggregation over the value col, merge aggregation
 #: over the partial col). Mean is handled specially (sum + count carriers).
 _MERGEABLE = {
@@ -147,6 +159,12 @@ def dimensional_rollup(df: DataFrame, hierarchy: list[str],
 
     ``stats`` kinds: count|sum|sum_exact|min|max|mean|
     approx_distinct[:lg_k]|approx_quantile:<q>.
+
+    The deepest level is persisted (every coarser level re-reads it). The
+    returned mapping carries an ``unpersist()`` handle — call it once the
+    level DataFrames have been materialized (written / collected) to
+    release the cached partitions; without it a long-lived session
+    accumulates one cached deepest-level per call.
     """
     if not hierarchy:
         raise ValueError("hierarchy must name at least one column")
@@ -155,7 +173,8 @@ def dimensional_rollup(df: DataFrame, hierarchy: list[str],
                .agg(*[a.alias(c) for c, (a, _) in carriers.items()]))
     deepest = deepest.persist()
 
-    out: dict[int, DataFrame] = {}
+    out: _RollupLevels = _RollupLevels()
+    out._cached = deepest
     out[len(hierarchy)] = deepest.select(
         *hierarchy, *[finals[n]().alias(n) for n in stats])
     prev = deepest

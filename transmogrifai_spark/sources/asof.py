@@ -55,8 +55,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     right_time = right_time or left_time
 
     def to_ms(c):
-        col = F.col(c)
-        return (F.unix_micros(col) / F.lit(1000)).cast("long")
+        # integer `div`, never `/` (float) — the repo-wide timestamp rule
+        # (sources/tables.py): float division is exact only while
+        # epoch-micros fit 2^53.
+        return F.expr(f"unix_micros(`{c}`) div 1000")
 
     l_ts = to_ms(left_time) if _is_timestamp(left, left_time) \
         else F.col(left_time).cast("long")

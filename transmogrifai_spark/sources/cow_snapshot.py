@@ -99,12 +99,23 @@ class CowSnapshot:
 
     def lookup(self, spark: SparkSession, key_row: dict) -> DataFrame | None:
         """Point lookup: hash the key to its bucket, read ONE bucket (not
-        the table), filter to the key. None before the first commit."""
-        spec = ", ".join(
-            f"{k} {'string' if isinstance(key_row[k], str) else 'long'}"
-            for k in self.keys)
-        row = spark.createDataFrame([tuple(key_row[k] for k in self.keys)],
-                                    spec)
+        the table), filter to the key. None before the first commit.
+
+        The probe row is CAST to the snapshot's actual key column types
+        (from the stored parquet schema — a footer read, not a scan)
+        before hashing: xxhash64 is type-sensitive, so a probe typed by
+        guessing from the Python value (e.g. long for a key stored as
+        int/decimal/date) would hash to a different bucket than the
+        writer's bucket_of and silently miss."""
+        table = self.read(spark)
+        if table is None:
+            return None
+        row = spark.createDataFrame(
+            [tuple(None if key_row[k] is None else str(key_row[k])
+                   for k in self.keys)],
+            ", ".join(f"{k} string" for k in self.keys))
+        row = row.select(*[F.col(k).cast(table.schema[k].dataType)
+                           for k in self.keys])
         b = row.select(bucket_of(self.keys, self.n_buckets).alias("b")) \
                .collect()[0]["b"]
         df = self.read(spark, buckets=[int(b)])

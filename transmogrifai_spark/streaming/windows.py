@@ -223,16 +223,25 @@ def stream_rollup_partials(events: DataFrame, partials_path: str,
     Append-only is the right sink shape here BECAUSE partials are monoid
     carriers: a bucket split across micro-batches yields multiple partial
     rows that merge exactly at read time (the same law the batch form
-    tests), so no read-modify-write of the store is ever needed. Replays
-    under foreachBatch at-least-once insert duplicate partials — point
-    the checkpoint at durable storage for exactly-once file-sink
-    semantics, or route through CowSnapshot keyed by (batch_id, bucket)
-    when the source can replay beyond the checkpoint."""
+    tests), so no read-modify-write of the store is ever needed.
+
+    Replay safety: foreachBatch is AT-LEAST-ONCE — a batch that fails
+    mid-write replays with the same batch_id, and a plain ``append``
+    would double its partials, silently inflating every downstream sum.
+    (The checkpoint does NOT fix this: it only skips batches whose
+    foreachBatch call RETURNED; it cannot make a manual append atomic.)
+    Each batch therefore writes mode("overwrite") into its own
+    ``partials_path/batch=<batch_id>/`` directory — the replay rewrites
+    the same directory and the store converges to exactly-once contents,
+    the same deterministic-subdir guard upsert_sink/CowSnapshot use.
+    Readers just ``spark.read.parquet(partials_path)``: the discovered
+    ``batch`` partition column is ignored by rollup_merge's groupBy."""
     from ..operators.rollup import rollup_partials
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         rollup_partials(batch, time_col_ms, resolution_ms, group_cols,
-                        stats).write.mode("append").parquet(partials_path)
+                        stats).write.mode("overwrite") \
+            .parquet(f"{partials_path}/batch={batch_id}")
 
     writer = events.writeStream.foreachBatch(write_batch).outputMode("append")
     if checkpoint:
