@@ -216,7 +216,8 @@ def test_parse_phone_extended_regions(spark):
         ("+45 02 12 34 56", None, False),               # DK lead 0 invalid
         ("+371 21234567", "+37121234567", True),        # LV (lead 2)
         ("+998 90 123 4567", "+998901234567", True),    # UZ (session-4 add)
-        ("+299 12 34 56", None, None),                  # GL: not in table
+        ("+299 32 34 56", "+299323456", True),          # GL (round-5 add)
+        ("+881 6123456", None, None),                   # satellite: not in table
     ]
     df = spark.createDataFrame([(s,) for s, *_ in cases], "p string")
     out = df.select(parse_phone(F.col("p")).alias("r")).collect()
@@ -347,3 +348,31 @@ def test_analyze_auto_routes_greek_and_arabic(spark):
         auto = df.select(analyze_auto(F.col("t")).alias("a")).first()["a"]
         direct = df.select(analyze(F.col("t"), lang).alias("a")).first()["a"]
         assert auto == direct, lang
+
+
+def test_analyze_round5_languages(spark):
+    """ca/fa/lt/lv analyzer chains (round-5 additions mirroring Lucene's
+    Catalan/Persian/Lithuanian/Latvian analyzers): stopwords drop, light
+    endings strip; Persian is normalization + stopwords ONLY (Lucene ships
+    no Persian stemmer) with Arabic yeh/kaf normalized to Persian forms."""
+    from transmogrifai_spark.functions.text import analyze
+    cases = [
+        ("ca", "les cases dels pobles i de la ciutat són grans",
+         {"cas", "pobl", "ciutat", "gran"}, {"les", "dels", "de", "la", "són", "i"}),
+        ("lt", "katės ir šunys yra namuose bet ne mieste",
+         {"kat", "šun", "nam", "miest"}, {"ir", "yra", "bet"}),
+        ("lv", "kaķiem un suņiem ir mājas bet ne pilsētas",
+         {"kaķ", "suņ", "māj", "pilsēt"}, {"un", "ir", "bet"}),
+    ]
+    for lang, text, want_in, want_out in cases:
+        df = spark.createDataFrame([(text,)], "t string")
+        out = set(df.select(analyze(F.col("t"), lang).alias("a")).first()["a"])
+        assert want_in <= out, (lang, out)
+        assert not (want_out & out), (lang, out)
+    # Persian: stopwords removed, yeh normalized, tokens otherwise intact
+    t = "این کتاب و قلم از علي است"
+    df = spark.createDataFrame([(t,)], "t string")
+    out = set(df.select(analyze(F.col("t"), "fa").alias("a")).first()["a"])
+    assert "کتاب" in out and "قلم" in out, out
+    assert "علی" in out, out          # ي -> ی normalization applied
+    assert not ({"این", "و", "از", "است"} & out), out

@@ -163,7 +163,13 @@ def q_agg_reader_cutoff(spark, sf_dir):
 
 
 def q_agg_first_last(spark, sf_dir):
-    """First/Last event aggregators (TimeBasedAggregator.scala:61-225)."""
+    """First/Last event aggregators (TimeBasedAggregator.scala:61-225) PLUS
+    the concat (event-time order), deterministic mode, and logical
+    or/and/xor monoids (Text.scala:56-69, ExtendedMultiset mode,
+    Numerics.scala:118-120) — formerly the separate agg_concat_mode_logical
+    registry row, merged here (one aggregate_events pass, same per-key
+    shuffle) to free a slot inside the driver's 50-row correctness window
+    for the round-4 surfaces."""
     ev = _t(spark, sf_dir, "events")
     specs = [
         AggSpec("first_type", "event_type", "first"),
@@ -172,15 +178,6 @@ def q_agg_first_last(spark, sf_dir):
         AggSpec("last_value", "value", "last"),
         AggSpec("min_ts_ms", "ts_ms", "min"),
         AggSpec("max_ts_ms", "ts_ms", "max"),
-    ]
-    return aggregate_events(ev, "user_id", "ts", CutOffTime(), specs)
-
-
-def q_agg_concat_mode_logical(spark, sf_dir):
-    """Concat (event-time order), deterministic mode, logical or/and/xor
-    monoids (Text.scala:56-69, ExtendedMultiset mode, Numerics.scala:118-120)."""
-    ev = _t(spark, sf_dir, "events")
-    specs = [
         AggSpec("type_concat", "event_type", "concat"),
         AggSpec("type_mode", "event_type", "mode"),
         AggSpec("any_high", "value > 90", "logical_or"),
@@ -207,13 +204,26 @@ def q_conditional_reader(spark, sf_dir):
 
 def q_map_monoid(spark, sf_dir):
     """Map monoid (Union*Map, aggregators/Maps.scala): parse JSON props to a
-    map, key-wise sum per user, emitted relationally (key, map_key, total)."""
+    map, key-wise sum per user, emitted relationally (key, map_key, total).
+    Also carries the RealMapVectorizer fitted per-key mean-fill + null slot
+    (part='vectorizer' rows, per event) — formerly the separate
+    map_vectorizer registry row, merged to free a 50-row-window slot."""
     from .aggregators import aggregate_map_column
     ev = _t(spark, sf_dir, "events").withColumn(
         "props_map", M.parse_json_map(F.col("props"), "bigint"))
     agg = aggregate_map_column(ev, "user_id", "props_map", "m", "sum")
-    return (agg.select(F.col("user_id").cast("string").alias("key"),
-                       F.explode(F.col("m")).alias("map_key", "total")))
+    monoid = (agg.select(F.col("user_id").cast("string").alias("key"),
+                         F.explode(F.col("m")).alias("map_key", "total"))
+              .select(F.lit("monoid").alias("part"), "key", "map_key",
+                      "total", F.lit(None).cast("double").alias("k_value"),
+                      F.lit(None).cast("double").alias("k_null")))
+    vec = q_map_vectorizer(spark, sf_dir).select(
+        F.lit("vectorizer").alias("part"),
+        F.col("event_id").cast("string").alias("key"),
+        F.lit("k").alias("map_key"),
+        F.lit(None).cast("long").alias("total"),
+        "k_value", "k_null")
+    return monoid.union(vec)
 
 
 # ---------------------------------------------------------------------------
@@ -343,21 +353,24 @@ def q_bin_score_calibration(spark, sf_dir):
 def q_set_ops(spark, sf_dir):
     """Relational set operators (SURVEY §2.12 — free from the DataFrame
     substrate): customers with orders INTERSECT/EXCEPT customers with
-    events, plus the union count."""
+    events. Also carries ORDER BY + LIMIT with a deterministic tie-break
+    as the ``top_order`` rows — formerly the separate sort_limit registry
+    row, merged to free a 50-row-window slot (TopK in Spark is a
+    TakeOrderedAndProject, no global sort)."""
     cust_o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
     cust_e = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
     both = cust_o.intersect(cust_e).withColumn("set_op", F.lit("both"))
     only_orders = cust_o.exceptAll(cust_e).withColumn("set_op", F.lit("orders_only"))
-    return both.union(only_orders)
-
-
-def q_sort_limit(spark, sf_dir):
-    """ORDER BY + LIMIT with a deterministic tie-break (free via DataFrames;
-    the reference has no relational sort/limit surface)."""
+    sets = both.union(only_orders) \
+        .select(F.col("k").cast("long").alias("k"), "set_op",
+                F.lit(None).cast("double").alias("val"))
     o = _t(spark, sf_dir, "orders")
-    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-            .limit(20)
-            .select("o_orderkey", "o_totalprice"))
+    top = (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+           .limit(20)
+           .select(F.col("o_orderkey").cast("long").alias("k"),
+                   F.lit("top_order").alias("set_op"),
+                   F.col("o_totalprice").cast("double").alias("val")))
+    return sets.union(top)
 
 
 def q_spearman(spark, sf_dir):
@@ -444,8 +457,13 @@ def q_cramers_v(spark, sf_dir):
 
 def q_onehot_topk(spark, sf_dir):
     """OpSetVectorizer TopK pivot semantics, exposed relationally: each row's
-    category mapped to its fitted bucket (top-K by support, else OTHER)."""
+    category mapped to its fitted bucket (top-K by support, else OTHER).
+    Also carries OpStringIndexer (deterministic label indexing, freq desc /
+    value asc, null -> keep bucket) as the ``seg_idx`` column — formerly the
+    separate string_indexer registry row, merged to free a 50-row-window
+    slot; both estimators fit over the same customer scan."""
     from .feature import from_dataframe
+    from .operators.categorical import string_indexer
     from .operators.vectorizers import one_hot_estimator
     cust = _t(spark, sf_dir, "customer")
     feats = from_dataframe(cust, overrides={"c_mktsegment": "PickList"})
@@ -456,18 +474,9 @@ def q_onehot_topk(spark, sf_dir):
     bucket = F.lit("OTHER")
     for v in values:
         bucket = F.when(F.col("c_mktsegment").eqNullSafe(F.lit(v)), F.lit(v)).otherwise(bucket)
-    return cust.select("c_custkey", bucket.alias("bucket"))
-
-
-def q_string_indexer(spark, sf_dir):
-    """OpStringIndexer: deterministic label indexing (freq desc, value asc),
-    null -> keep bucket."""
-    from .feature import from_dataframe
-    from .operators.categorical import string_indexer
-    cust = _t(spark, sf_dir, "customer")
-    feats = from_dataframe(cust, overrides={"c_mktsegment": "PickList"})
-    fitted = string_indexer(feats["c_mktsegment"], handle_invalid="keep").fit(cust)
-    return cust.select("c_custkey", fitted.expr().alias("seg_idx"))
+    indexer = string_indexer(feats["c_mktsegment"], handle_invalid="keep").fit(cust)
+    return cust.select("c_custkey", bucket.alias("bucket"),
+                       indexer.expr().alias("seg_idx"))
 
 
 def q_numeric_fitted(spark, sf_dir):
@@ -530,7 +539,12 @@ def q_binary_eval(spark, sf_dir):
         "mpred", F.when((p0 >= p1) & (p0 >= p2), 0.0)
         .when(p1 >= p2, 1.0).otherwise(2.0))
     multi = multiclass_metrics_frame(mc, "mpred", "my", "probs", top_ns=(1, 3))
-    return confusion.crossJoin(q_auroc_eval(spark, sf_dir)).crossJoin(multi)
+    wide = confusion.crossJoin(q_auroc_eval(spark, sf_dir)).crossJoin(multi)
+    # + OpBinScoreEvaluator per-decile calibration (formerly the separate
+    # bin_score_calibration registry row, merged to free a 50-row-window
+    # slot): each calibration bin row carries the one-row metrics
+    bins = q_bin_score_calibration(spark, sf_dir)
+    return bins.crossJoin(wide)
 
 
 def q_map_vectorizer(spark, sf_dir):
@@ -584,18 +598,25 @@ def q_geo_midpoint(spark, sf_dir):
 
 
 def q_stopwords_ngrams(spark, sf_dir):
-    """OpStopWordsRemover + OpNGram as expressions over document tokens."""
+    """OpStopWordsRemover + OpNGram as expressions over document tokens.
+    Also carries JaccardSimilarity between each document and its successor
+    (``next_jaccard``, null for the last doc) — formerly the separate
+    text_similarity registry row, merged to free a 50-row-window slot."""
     from .llm.textqual import STOPWORD_PROFILES
     docs = _t(spark, sf_dir, "documents")
     toks = TX.tokenize(F.col("text"))
     nostop = TX.remove_stopwords(toks, STOPWORD_PROFILES["en"])
     bigrams = TX.ngrams(nostop, 2)
-    return docs.select(
+    base = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(nostop).cast("long").alias("n_tokens_nostop"),
         F.size(bigrams).cast("long").alias("n_bigrams"),
         F.coalesce(F.try_element_at(bigrams, F.lit(1)), F.lit("")).alias("first_bigram"))
+    sim = q_text_similarity(spark, sf_dir).select(
+        F.col("id1").alias("doc_id"),
+        F.col("token_jaccard").alias("next_jaccard"))
+    return base.join(sim, "doc_id", "left")
 
 
 def q_multilabel_topn(spark, sf_dir):
@@ -651,23 +672,29 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(docs, "doc_id", "text")
 
 
-def q_dedup_near_ngram(spark, sf_dir):
-    """Near-dup pairs with the scale-safe shingle frequency cap ON (hot
-    shingles occurring in > 200 docs are dropped from the inverted index —
-    they generate O(df²) candidates; the oracle mirrors the cap)."""
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5,
-                                     max_doc_freq=200)
-
-
 def q_dedup_clusters(spark, sf_dir):
-    """Connected components over near-dup pairs -> cluster assignments
-    (iterative label propagation; oracle = recursive SQL reachability).
-    Pair mining runs with the scale-safe doc-frequency cap."""
+    """Near-dup n-gram-Jaccard pairs (part='pair', with the scale-safe
+    shingle doc-frequency cap ON — hot shingles in > 200 docs are dropped
+    from the inverted index; they generate O(df²) candidates) PLUS
+    connected components over those pairs -> cluster assignments
+    (part='cluster'; iterative label propagation; oracle = recursive SQL
+    reachability). Formerly the separate dedup_near_ngram and
+    dedup_clusters registry rows; merged (pairs are mined ONCE at
+    threshold 0.3 and feed both outputs) to free a 50-row-window slot."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3,
                                       max_doc_freq=200)
-    return dedup.duplicate_clusters(pairs)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("part"),
+        F.col("id1").cast("long").alias("a"), F.col("id2").cast("long").alias("b"),
+        F.col("common").cast("long").alias("common"), F.col("jaccard"))
+    cluster_rows = dedup.duplicate_clusters(pairs).select(
+        F.lit("cluster").alias("part"),
+        F.col("doc").cast("long").alias("a"),
+        F.col("cluster_id").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("common"),
+        F.lit(None).cast("double").alias("jaccard"))
+    return pair_rows.union(cluster_rows)
 
 
 def q_corpus_mixture(spark, sf_dir):
@@ -750,6 +777,193 @@ def q_streaming_window(spark, sf_dir):
         spark, f"{sf_dir}/events.parquet", schema=None,
         transform=lambda s: windowed_event_aggregate(s, "ts", "1 day", "1 day"),
         ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# round-4 extension surfaces, registry-gated (VERDICT r4 item 1)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark, sf_dir):
+    """Point-in-time (as-of) join, sources/asof.py: every purchase event
+    picks up the latest preceding click event of the same user (backward
+    direction). The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``. The right
+    side is pre-aggregated to one row per (user, ts) so ties cannot make
+    the matched payload ambiguous across engines."""
+    from .sources.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("l_event"),
+        F.col("ts_ms").alias("l_ms"), F.col("value").alias("l_value"))
+    right = (ev.where(F.col("event_type") == "click")
+             .groupBy("user_id", F.col("ts_ms").alias("r_ms"))
+             .agg(F.max("value").alias("r_value"))
+             # the join consumes r_ms as the time axis; carry a payload
+             # copy so the matched instant is part of the gated output
+             .withColumn("r_matched_ms", F.col("r_ms")))
+    out = asof_join(left, right, on="user_id", left_time="l_ms",
+                    right_time="r_ms", direction="backward")
+    return out.select(F.col("user_id").cast("long").alias("user_id"),
+                      F.col("l_event").cast("long").alias("l_event"),
+                      "l_ms", "l_value", "r_matched_ms", "r_value")
+
+
+def q_cdc_scd2(spark, sf_dir):
+    """CDC surfaces (sources/upsert.py) gated in one frame: SCD2 history ->
+    point-in-time ``snapshot_at`` two version cutoffs (t1 = 2/5, t2 = 4/5
+    of the max version — computed identically on both engines with integer
+    div) -> ``snapshot_diff`` between them (I/U/D changelog). The events
+    table is treated as a changelog: key = user_id, version = event_id,
+    'error' rows are deletes. Oracle: latest-version-at-or-before-t window
+    SQL + a full-outer-join diff replica."""
+    from .sources.upsert import scd2_history, snapshot_at, snapshot_diff
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").alias("k"), F.col("event_id").alias("ver"),
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"))
+    max_ver = changes.agg(F.max("ver")).collect()[0][0]
+    t1, t2 = max_ver * 2 // 5, max_ver * 4 // 5
+    hist = scd2_history(changes, ["k"], "ver", op_col="op")
+    s1 = snapshot_at(hist, t1)
+    s2 = snapshot_at(hist, t2)
+
+    def shape(df, part, op_col=None):
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("k").cast("long").alias("k"),
+            F.col("ver").cast("long").alias("ver"),
+            F.col("value").cast("double").alias("value"),
+            (F.col(op_col) if op_col else F.lit(None).cast("string"))
+            .alias("op"))
+
+    diff = snapshot_diff(s1, s2, ["k"], "ver")
+    return shape(s1, "snap1").union(shape(s2, "snap2")) \
+        .union(shape(diff, "diff", op_col="op"))
+
+
+def q_top_k_by_group(spark, sf_dir):
+    """Exact per-group top-k (util.top_k_by_group): 10 most active users
+    per event type, min_count HAVING prefilter on, deterministic item-value
+    tie-break. The shuffle carries one row per distinct (group, item)."""
+    from .util import top_k_by_group
+    ev = _t(spark, sf_dir, "events")
+    out = top_k_by_group(ev, ["event_type"], "user_id", k=10, min_count=2)
+    return out.select("event_type", F.col("user_id").cast("long").alias("user_id"),
+                      "item_count", F.col("rank").cast("int").alias("rank"))
+
+
+def q_rollup_partials(spark, sf_dir):
+    """Incremental rollup maintenance (operators/rollup.py), the FULL
+    persisted roundtrip: events split into two halves -> hourly carrier
+    partials of each half WRITTEN TO PARQUET (decimal sums survive the file
+    format) -> read back, merged to daily resolution, finalized. The
+    monoid-carrier law makes this equal a direct single-pass daily rollup,
+    which is exactly what the DuckDB oracle computes."""
+    import tempfile
+
+    from .operators.rollup import (rollup_finalize, rollup_merge,
+                                   rollup_partials)
+    stats = {"n": ("count", None), "total": ("sum_exact", "value"),
+             "vmin": ("min", "value"), "vmax": ("max", "value"),
+             "vmean": ("mean", "value")}
+    hour, day = 3_600_000, 86_400_000
+    ev = _t(spark, sf_dir, "events")
+    halves = [ev.where(F.col("event_id") % 2 == 0),
+              ev.where(F.col("event_id") % 2 == 1)]
+    d = tempfile.mkdtemp(prefix="rollup_partials_gate_")
+    for i, half in enumerate(halves):
+        rollup_partials(half, "ts_ms", hour, ["event_type"], stats) \
+            .write.mode("overwrite").parquet(f"{d}/half={i}")
+    persisted = spark.read.parquet(f"{d}/half=0", f"{d}/half=1")
+    merged = rollup_merge(persisted, day, ["event_type"], stats)
+    out = rollup_finalize(merged, ["event_type"], stats)
+    return out.select("bucket_start_ms", "event_type", "n",
+                      F.col("total").cast("double").alias("total"),
+                      "vmin", "vmax", "vmean")
+
+
+def q_sketch_quantiles(spark, sf_dir):
+    """Mergeable-sketch layer, oracle-gated at exact regimes:
+    * part='kll': KLL quantiles (k=8192) per event type. With n per group
+      <= k the sketch holds every value uncompacted, so get_quantile is
+      EXACTLY the inclusive rank statistic the oracle computes (smallest
+      value whose cumulative count/n >= q) — this gates the whole KLL
+      aggregate/query path, not an approximation of it.
+    * part='cms': CountMin (width 1000 x depth 5, seed 42) point-frequency
+      estimates for each event type, decoded JVM-free
+      (operators/sketches.CountMinSketch + serving/murmur3.py). With 5
+      distinct strings in 1000 buckets there are no collisions, so the
+      estimate equals the exact count the oracle computes — gating the
+      sketch bytes, the murmur3 double hashing, and the decode."""
+    from .operators.sketches import cms_collect, kll_partial, kll_quantile
+    ev = _t(spark, sf_dir, "events")
+    sk = kll_partial(ev, ["event_type"], "value", k=8192)
+    kll = sk.select(
+        F.lit("kll").alias("part"), "event_type",
+        F.lit(None).cast("long").alias("est"),
+        *[F.round(kll_quantile("kll", q), 6).alias(f"q{int(q * 100)}")
+          for q in (0.25, 0.5, 0.75)])
+    cms = cms_collect(ev, "event_type", eps=0.002, confidence=0.995, seed=42)
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    est_rows = [(t, cms.estimate(t)) for t in types]
+    cms_df = spark.createDataFrame(est_rows, "event_type string, est long") \
+        .select(F.lit("cms").alias("part"), "event_type", "est",
+                *[F.lit(None).cast("double").alias(f"q{int(q * 100)}")
+                  for q in (0.25, 0.5, 0.75)])
+    return kll.union(cms_df)
+
+
+def q_ivf_topk_indexed(spark, sf_dir):
+    """PERSISTED IVF ANN index (llm/similarity.build_ivf_index): the corpus
+    is written partitioned by coarse-quantizer cell + centroid sidecar,
+    then queried at n_probe == n_lists. Full probe scans every cell, so the
+    result must equal brute-force cosine top-k EXACTLY, whatever the seeded
+    KMeans centroids are — the oracle is plain brute force. This gates the
+    on-disk index layout, the sidecar roundtrip, and the probed-cell read
+    path (directory pruning itself is law-tested in tests/)."""
+    import tempfile
+
+    from .llm.similarity import build_ivf_index, ivf_topk_indexed
+    emb = _t(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="ivf_index_gate_")
+    build_ivf_index(emb, "vec_id", "embedding", d, n_lists=8)
+    q = emb.where(F.col("vec_id") < 20)
+    out = ivf_topk_indexed(spark, d, q, "vec_id", "embedding", k=5, n_probe=8)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        (F.round(F.col("cosine"), 6) + F.lit(0.0)).alias("cosine6"))
+
+
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream event-time interval join (streaming/windows.py) run to
+    completion with Trigger.AvailableNow: purchases joined to the same
+    user's clicks within the following hour, BOTH sides real file streams
+    with watermarks. Must equal the batch interval-join SQL on the same
+    files (bounded state: the watermark expires buffered rows)."""
+    import uuid
+
+    from .streaming.windows import file_stream, stream_stream_interval_join
+    left = file_stream(spark, f"{sf_dir}/events.parquet", ts_col="ts") \
+        .where(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("l_user"),
+                F.col("event_id").alias("l_event"), F.col("ts").alias("l_ts"))
+    right = file_stream(spark, f"{sf_dir}/events.parquet", ts_col="ts") \
+        .where(F.col("event_type") == "click") \
+        .select(F.col("user_id").alias("r_user"),
+                F.col("event_id").alias("r_event"), F.col("ts").alias("r_ts"))
+    joined = stream_stream_interval_join(
+        left, right, "l_user", "r_user", "l_ts", "r_ts",
+        within="1 hour", watermark="2 hours")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    qy = (joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    qy.awaitTermination()
+    return spark.table(name).select(
+        F.col("l_user").cast("long").alias("l_user"),
+        F.col("l_event").cast("long").alias("l_event"),
+        F.col("r_event").cast("long").alias("r_event"))
 
 
 # ---------------------------------------------------------------------------
@@ -910,7 +1124,7 @@ def q_sanity_checker(spark, sf_dir):
     return out.select("c_custkey", F.size(F.col(checked.output.name)).alias("n_slots_kept"))
 
 
-def q_ml_train_score(spark, sf_dir):
+def q_ml_train_score(spark, sf_dir, timings=None):
     """Full spine: joined+aggregated reader -> transmogrify -> LR on a
     deterministic hash-split train set -> per-split quality metrics
     (OpWorkflow.train + score + evaluate re-expressed).
@@ -918,12 +1132,28 @@ def q_ml_train_score(spark, sf_dir):
     No SQL oracle (seeded LBFGS), but the OUTPUT is deterministic and
     comparable across rounds: per split n / n_pos / n_correct are integers
     and AuROC uses the integer Mann-Whitney numerator (ml/evaluators.py),
-    rounded to 4dp only at the end."""
+    rounded to 4dp only at the end.
+
+    ``timings`` (bench-only): pass a dict to get per-phase wall seconds
+    (reader / transmogrify_fit / lr_fit — the driver never passes it, so
+    the gated plan is unchanged). Phase attribution forces the reader once,
+    which the un-instrumented plan doesn't do — phase numbers explain where
+    time goes; the headline timing stays the plain run."""
+    import time as _time
+
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import vector_to_array
     from .feature import from_dataframe
     from .operators.vectorizers import to_ml_vector, transmogrify_batched
     from .workflow import Workflow
+
+    _t0 = _time.time()
+
+    def _mark(name):
+        nonlocal _t0
+        if timings is not None:
+            timings[name] = round(_time.time() - _t0, 3)
+            _t0 = _time.time()
 
     jr = JoinedReader(left=DataReader(path=f"{sf_dir}/customer.parquet"),
                       right=DataReader(path=f"{sf_dir}/orders.parquet"),
@@ -939,6 +1169,10 @@ def q_ml_train_score(spark, sf_dir):
         ])
     base = ja.generate(spark).withColumn(
         "label", F.coalesce(F.col("label_raw").cast("double"), F.lit(0.0)))
+    if timings is not None:
+        base = base.persist()
+        base.count()
+    _mark("reader")
     feats = from_dataframe(base, response="label",
                            overrides={"mkt": "PickList", "total_spend": "Currency",
                                       "acctbal": "Currency", "n_orders": "Integral"})
@@ -947,6 +1181,7 @@ def q_ml_train_score(spark, sf_dir):
                                top_k=10, min_support=5)
     from .util import right_size_for_iteration
     model = Workflow([vec]).fit(base)
+    _mark("transmogrify_fit")
     scored = to_ml_vector(model.score(base, keep_intermediate=True), "features")
     # deterministic 80/20 hash split on the key — layout-independent, the
     # same rows land in the holdout at any partitioning or scale
@@ -956,7 +1191,9 @@ def q_ml_train_score(spark, sf_dir):
     scored = right_size_for_iteration(scored)
     lr = LogisticRegression(featuresCol="features_ml", labelCol="label",
                             maxIter=10, regParam=0.01)
-    preds = lr.fit(scored.where(F.col("split") == "train")).transform(scored) \
+    lr_model = lr.fit(scored.where(F.col("split") == "train"))
+    _mark("lr_fit")
+    preds = lr_model.transform(scored) \
         .withColumn("p1", vector_to_array(F.col("probability"))[1])
     # all metrics in ONE grouped pass: distinct (split, score) rows carry
     # counts, positives, and correct-prediction counts; per-split AuROC comes
@@ -1069,18 +1306,6 @@ GROUP BY user_id
 """
 
 ORACLES["agg_first_last"] = """
-SELECT CAST(user_id AS VARCHAR) AS key,
-       (min(struct_pack(t := ts, v := event_type))).v AS first_type,
-       (max(struct_pack(t := ts, v := event_type))).v AS last_type,
-       (min(struct_pack(t := ts, v := value))).v AS first_value,
-       (max(struct_pack(t := ts, v := value))).v AS last_value,
-       min(epoch_ms(ts)) AS min_ts_ms,
-       max(epoch_ms(ts)) AS max_ts_ms
-FROM events
-GROUP BY user_id
-"""
-
-ORACLES["agg_concat_mode_logical"] = """
 WITH mode_pick AS (
   SELECT user_id, event_type AS type_mode,
          row_number() OVER (PARTITION BY user_id
@@ -1088,6 +1313,12 @@ WITH mode_pick AS (
   FROM events GROUP BY user_id, event_type
 )
 SELECT CAST(e.user_id AS VARCHAR) AS key,
+       (min(struct_pack(t := e.ts, v := e.event_type))).v AS first_type,
+       (max(struct_pack(t := e.ts, v := e.event_type))).v AS last_type,
+       (min(struct_pack(t := e.ts, v := e.value))).v AS first_value,
+       (max(struct_pack(t := e.ts, v := e.value))).v AS last_value,
+       min(epoch_ms(e.ts)) AS min_ts_ms,
+       max(epoch_ms(e.ts)) AS max_ts_ms,
        string_agg(e.event_type, ',' ORDER BY e.ts, e.event_type) AS type_concat,
        max(m.type_mode) AS type_mode,
        bool_or(e.value > 90) AS any_high,
@@ -1115,12 +1346,24 @@ GROUP BY e.user_id
 """
 
 ORACLES["map_monoid"] = """
-SELECT CAST(user_id AS VARCHAR) AS key,
+SELECT 'monoid' AS part, CAST(user_id AS VARCHAR) AS key,
        'k' AS map_key,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total,
+       CAST(NULL AS DOUBLE) AS k_value, CAST(NULL AS DOUBLE) AS k_null
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
 GROUP BY user_id
+UNION ALL
+SELECT 'vectorizer', CAST(event_id AS VARCHAR), 'k', CAST(NULL AS BIGINT),
+       COALESCE(CAST(json_extract_string(props, '$.k') AS DOUBLE), m.fill),
+       CASE WHEN json_extract_string(props, '$.k') IS NULL
+            THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+FROM events, (
+  SELECT CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                       AS DECIMAL(30,8))) AS DOUBLE)
+         / count(json_extract_string(props, '$.k')) AS fill
+  FROM events
+) m
 """
 
 ORACLES["filter_math_ops"] = """
@@ -1203,46 +1446,26 @@ SELECT o_orderkey,
 FROM orders
 """
 
-ORACLES["text_similarity"] = f"""
-WITH t AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents)
-SELECT a.doc_id AS id1, b.doc_id AS id2,
-       CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 1.0
-            ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                 / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
-       END AS token_jaccard
-FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
-"""
-
-
-ORACLES["bin_score_calibration"] = """
-SELECT CAST(least(floor(o_totalprice / 600000.0 * 10), 9) AS BIGINT) AS bin,
-       count(*) AS n,
-       CAST(SUM(CAST(o_totalprice / 600000.0 AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS avg_score,
-       CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END
-                AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS rate
-FROM orders
-GROUP BY least(floor(o_totalprice / 600000.0 * 10), 9)
-"""
-
 ORACLES["set_ops"] = """
-SELECT k, 'both' AS set_op FROM (
+SELECT CAST(k AS BIGINT) AS k, 'both' AS set_op, CAST(NULL AS DOUBLE) AS val
+FROM (
   SELECT DISTINCT o_custkey AS k FROM orders
   INTERSECT
   SELECT DISTINCT user_id AS k FROM events
 )
 UNION ALL
-SELECT k, 'orders_only' AS set_op FROM (
+SELECT CAST(k AS BIGINT), 'orders_only', CAST(NULL AS DOUBLE) FROM (
   SELECT DISTINCT o_custkey AS k FROM orders
   EXCEPT
   SELECT DISTINCT user_id AS k FROM events
 )
-"""
-
-ORACLES["sort_limit"] = """
-SELECT o_orderkey, o_totalprice
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC
-LIMIT 20
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT), 'top_order', CAST(o_totalprice AS DOUBLE)
+FROM (
+  SELECT o_orderkey, o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 20
+)
 """
 
 _SPEARMAN_SQL = """
@@ -1308,23 +1531,17 @@ WITH topk AS (
   FROM customer WHERE c_mktsegment IS NOT NULL
   GROUP BY c_mktsegment HAVING count(*) >= 10
   ORDER BY count(*) DESC, v ASC LIMIT 3
+),
+ranks AS (
+  SELECT c_mktsegment AS v,
+         row_number() OVER (ORDER BY count(*) DESC, c_mktsegment ASC) - 1 AS idx,
+         count(*) OVER () AS n_labels
+  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment
 )
-SELECT c_custkey, COALESCE(t.v, 'OTHER') AS bucket
+SELECT c_custkey, COALESCE(t.v, 'OTHER') AS bucket,
+       CAST(COALESCE(r.idx, (SELECT max(n_labels) FROM ranks)) AS BIGINT) AS seg_idx
 FROM customer LEFT JOIN topk t ON c_mktsegment = t.v
-"""
-
-ORACLES["map_vectorizer"] = """
-WITH m AS (
-  SELECT CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
-                       AS DECIMAL(30,8))) AS DOUBLE)
-         / count(json_extract_string(props, '$.k')) AS fill
-  FROM events
-)
-SELECT event_id,
-       COALESCE(CAST(json_extract_string(props, '$.k') AS DOUBLE), m.fill) AS k_value,
-       CASE WHEN json_extract_string(props, '$.k') IS NULL
-            THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS k_null
-FROM events, m
+              LEFT JOIN ranks r ON c_mktsegment = r.v
 """
 
 ORACLES["date_list_vectorizer"] = """
@@ -1358,13 +1575,21 @@ WITH t AS (
   SELECT doc_id, toks,
          list_filter(toks, x -> NOT list_contains({_EN_SW}, x)) AS nostop
   FROM t
+), sim AS (
+  SELECT a.doc_id,
+         CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 1.0
+              ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+         END AS next_jaccard
+  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 )
-SELECT doc_id,
+SELECT ns.doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(len(nostop) AS BIGINT) AS n_tokens_nostop,
        CAST(CASE WHEN len(nostop) >= 2 THEN len(nostop) - 1 ELSE 0 END AS BIGINT) AS n_bigrams,
-       CASE WHEN len(nostop) >= 2 THEN nostop[1] || ' ' || nostop[2] ELSE '' END AS first_bigram
-FROM ns
+       CASE WHEN len(nostop) >= 2 THEN nostop[1] || ' ' || nostop[2] ELSE '' END AS first_bigram,
+       sim.next_jaccard
+FROM ns LEFT JOIN sim ON ns.doc_id = sim.doc_id
 """
 
 ORACLES["multilabel_topn"] = """
@@ -1418,18 +1643,6 @@ SELECT CAST(count(l_quantity) AS DOUBLE) / count(*) AS fill_qty,
          / count(*) AS fill_qty_sparse,
        CAST(count(l_returnflag) AS DOUBLE) / count(*) AS fill_flag
 FROM lineitem
-"""
-
-ORACLES["string_indexer"] = """
-WITH ranks AS (
-  SELECT c_mktsegment AS v,
-         row_number() OVER (ORDER BY count(*) DESC, c_mktsegment ASC) - 1 AS idx,
-         count(*) OVER () AS n_labels
-  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment
-)
-SELECT c_custkey,
-       CAST(COALESCE(r.idx, (SELECT max(n_labels) FROM ranks)) AS BIGINT) AS seg_idx
-FROM customer LEFT JOIN ranks r ON c_mktsegment = r.v
 """
 
 ORACLES["numeric_fitted"] = """
@@ -1535,8 +1748,19 @@ WITH mc AS (
 SELECT * FROM macro CROSS JOIN tops
 """
 
+_BIN_SCORE_SQL = """
+SELECT CAST(least(floor(o_totalprice / 600000.0 * 10), 9) AS BIGINT) AS bin,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice / 600000.0 AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS avg_score,
+       CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END
+                AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS rate
+FROM orders
+GROUP BY least(floor(o_totalprice / 600000.0 * 10), 9)
+"""
+
 ORACLES["binary_eval"] = (
-    f"SELECT * FROM ({_CONFUSION_SQL}) cm CROSS JOIN ({_AUROC_SQL}) au "
+    f"SELECT * FROM ({_BIN_SCORE_SQL}) bs "
+    f"CROSS JOIN ({_CONFUSION_SQL}) cm CROSS JOIN ({_AUROC_SQL}) au "
     f"CROSS JOIN ({_MULTICLASS_SQL}) mu")
 
 # mirror of operators/categorical._MAGIC offset rules: the CASE is GENERATED
@@ -1573,30 +1797,6 @@ SELECT md5(text) AS digest, min(doc_id) AS representative,
 FROM documents GROUP BY md5(text)
 """
 
-ORACLES["dedup_near_ngram"] = f"""
-WITH t AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
-g AS (
-  SELECT doc_id,
-         unnest(list_distinct(CASE WHEN len(toks) >= 3
-           THEN list_transform(range(1, len(toks) - 1),
-                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-           ELSE [] END)) AS sh
-  FROM t
-),
-sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-freq AS (SELECT sh FROM g GROUP BY sh HAVING count(*) <= 200),
-gc AS (SELECT g.doc_id, g.sh FROM g JOIN freq USING (sh)),
-pairs AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-  FROM gc a JOIN gc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT id1, id2, common,
-       CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
-FROM pairs JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-WHERE CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) >= 0.5
-"""
-
 ORACLES["dedup_clusters"] = f"""
 WITH t AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
 g AS (
@@ -1629,7 +1829,15 @@ reach AS (
   )
   SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node
 )
-SELECT node AS doc, cluster_id FROM reach
+SELECT 'pair' AS part, CAST(id1 AS BIGINT) AS a, CAST(id2 AS BIGINT) AS b,
+       CAST(common AS BIGINT) AS common,
+       CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
+FROM p JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+WHERE CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) >= 0.3
+UNION ALL
+SELECT 'cluster', CAST(node AS BIGINT), CAST(cluster_id AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM reach
 """
 
 _SW = {k: "[" + ",".join(f"'{w}'" for w in v) + "]"
@@ -2035,10 +2243,158 @@ FROM customer
 """
 
 
+ORACLES["asof_join"] = """
+WITH l AS (
+  SELECT user_id, event_id AS l_event, epoch_ms(ts) AS l_ms, value AS l_value
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, epoch_ms(ts) AS r_ms, max(value) AS r_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_ms(ts)
+)
+SELECT CAST(l.user_id AS BIGINT) AS user_id, CAST(l.l_event AS BIGINT) AS l_event,
+       l.l_ms, l.l_value, r.r_ms AS r_matched_ms, r.r_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.l_ms >= r.r_ms
+"""
+
+ORACLES["cdc_scd2"] = """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+ch AS (
+  SELECT user_id AS k, event_id AS ver, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+s1 AS (
+  SELECT k, ver, value FROM (
+    SELECT k, ver, value, op,
+           row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+    FROM ch WHERE ver <= (SELECT (m * 2) // 5 FROM mx)
+  ) WHERE rn = 1 AND op <> 'D'
+),
+s2 AS (
+  SELECT k, ver, value FROM (
+    SELECT k, ver, value, op,
+           row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+    FROM ch WHERE ver <= (SELECT (m * 4) // 5 FROM mx)
+  ) WHERE rn = 1 AND op <> 'D'
+),
+diff AS (
+  SELECT COALESCE(n.k, o.k) AS k,
+         CASE WHEN n.k IS NULL THEN o.ver ELSE n.ver END AS ver,
+         CASE WHEN n.k IS NULL THEN NULL ELSE n.value END AS value,
+         CASE WHEN o.k IS NULL THEN 'I'
+              WHEN n.k IS NULL THEN 'D'
+              WHEN o.ver IS DISTINCT FROM n.ver
+                   OR o.value IS DISTINCT FROM n.value THEN 'U' END AS op
+  FROM s1 o FULL JOIN s2 n ON o.k = n.k
+)
+SELECT 'snap1' AS part, CAST(k AS BIGINT) AS k, CAST(ver AS BIGINT) AS ver,
+       CAST(value AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS op FROM s1
+UNION ALL
+SELECT 'snap2', CAST(k AS BIGINT), CAST(ver AS BIGINT),
+       CAST(value AS DOUBLE), CAST(NULL AS VARCHAR) FROM s2
+UNION ALL
+SELECT 'diff', CAST(k AS BIGINT), CAST(ver AS BIGINT),
+       CAST(value AS DOUBLE), op FROM diff WHERE op IS NOT NULL
+"""
+
+ORACLES["top_k_by_group"] = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS item_count
+  FROM events GROUP BY event_type, user_id HAVING count(*) >= 2
+),
+r AS (
+  SELECT event_type, user_id, item_count,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY item_count DESC, user_id ASC) AS rank
+  FROM c
+)
+SELECT event_type, CAST(user_id AS BIGINT) AS user_id, item_count,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+"""
+
+# the direct single-pass daily rollup: the Spark side persisted hourly
+# carrier partials to parquet in two halves, merged and finalized — the
+# monoid laws make that equal this direct form
+ORACLES["rollup_partials"] = """
+SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS bucket_start_ms,
+       event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total,
+       min(value) AS vmin,
+       max(value) AS vmax,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS vmean
+FROM events
+GROUP BY bucket_start_ms, event_type
+"""
+
+# KLL at k >= group size is the EXACT inclusive rank statistic: smallest
+# value whose cumulative count / n >= q. CMS with 5 strings in 1000 buckets
+# has no collisions: the estimate is the exact count.
+ORACLES["sketch_quantiles"] = """
+WITH d AS (
+  SELECT event_type, value, count(*) AS cnt
+  FROM events GROUP BY event_type, value
+),
+c AS (
+  SELECT event_type, value,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+         / SUM(cnt) OVER (PARTITION BY event_type) AS cle
+  FROM d
+)
+SELECT 'kll' AS part, event_type, CAST(NULL AS BIGINT) AS est,
+       round(min(value) FILTER (WHERE cle >= 0.25), 6) AS q25,
+       round(min(value) FILTER (WHERE cle >= 0.5), 6) AS q50,
+       round(min(value) FILTER (WHERE cle >= 0.75), 6) AS q75
+FROM c GROUP BY event_type
+UNION ALL
+SELECT 'cms', event_type, count(*), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM events GROUP BY event_type
+"""
+
+ORACLES["ivf_topk_indexed"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) DESC,
+                                     c.vec_id ASC) AS rank
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS INT) AS rank, round(cosine, 6) + 0.0 AS cosine6
+FROM scored WHERE rank <= 5
+"""
+
+ORACLES["stream_stream_join"] = """
+SELECT CAST(l.user_id AS BIGINT) AS l_user,
+       CAST(l.event_id AS BIGINT) AS l_event,
+       CAST(r.event_id AS BIGINT) AS r_event
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+"""
+
+
 # Exactly 50 entries (the driver gates at most 50 CORRECTNESS rows per
-# round — it emitted 50 for a 54/55-entry registry in rounds 1 and 2, so the
-# former singleton stats / per-row / text-ML queries are merged pairwise and
-# the flagship + LSH queries sit early in the window).
+# round — it emitted 50 for a 54/55-entry registry in rounds 1 and 2:
+# CORRECTNESS_r01 holds exactly the FIRST 50 dict entries, positions 50-54
+# were dropped. That cap is why the round-4 surfaces below were slotted by
+# MERGING related queries — string_indexer->onehot_topk,
+# sort_limit->set_ops, agg_concat_mode_logical->agg_first_last,
+# bin_score_calibration->binary_eval, map_vectorizer->map_monoid,
+# text_similarity->stopwords_ngrams, dedup_near_ngram->dedup_clusters —
+# rather than growing past the gated window).
 SPARK_QUERIES = {
     "scan_pushdown": q_scan_pushdown,
     "pricing_summary": q_pricing_summary,
@@ -2055,31 +2411,32 @@ SPARK_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "agg_reader_cutoff": q_agg_reader_cutoff,
     "agg_first_last": q_agg_first_last,
-    "agg_concat_mode_logical": q_agg_concat_mode_logical,
     "conditional_reader": q_conditional_reader,
     "map_monoid": q_map_monoid,
     "filter_math_ops": q_filter_math_ops,
     "text_ops": q_text_ops,
     "date_ops": q_date_ops,
-    "text_similarity": q_text_similarity,
     "onehot_topk": q_onehot_topk,
     "set_ops": q_set_ops,
-    "sort_limit": q_sort_limit,
     "correlation_stats": q_correlation_stats,
     "joined_secondary_agg": q_joined_secondary_agg,
-    "bin_score_calibration": q_bin_score_calibration,
-    "map_vectorizer": q_map_vectorizer,
     "date_list_vectorizer": q_date_list_vectorizer,
     "geo_midpoint": q_geo_midpoint,
     "stopwords_ngrams": q_stopwords_ngrams,
-    "string_indexer": q_string_indexer,
     "multilabel_topn": q_multilabel_topn,
     "name_lang_detect": q_name_lang_detect,
     "raw_feature_filter": q_raw_feature_filter,
     "numeric_fitted": q_numeric_fitted,
     "binary_eval": q_binary_eval,
+    # round-4 extension surfaces, oracle-gated (VERDICT r4 item 1)
+    "asof_join": q_asof_join,
+    "cdc_scd2": q_cdc_scd2,
+    "top_k_by_group": q_top_k_by_group,
+    "rollup_partials": q_rollup_partials,
+    "sketch_quantiles": q_sketch_quantiles,
+    "ivf_topk_indexed": q_ivf_topk_indexed,
+    "stream_stream_join": q_stream_stream_join,
     "dedup_exact": q_dedup_exact,
-    "dedup_near_ngram": q_dedup_near_ngram,
     "dedup_clusters": q_dedup_clusters,
     "corpus_mixture": q_corpus_mixture,
     "text_quality": q_text_quality,

@@ -205,6 +205,44 @@ _PHONE_REGIONS: list[tuple[str, str, int, int, str]] = [
     ("TM", "993", 8, 8, "[1-6]"), ("MO", "853", 8, 8, "[68]"),
     ("BN", "673", 7, 7, "[2-8]"), ("FJ", "679", 7, 7, "[2-9]"),
     ("PG", "675", 7, 8, "[1-9]"),
+    # round-5 breadth: the remaining assigned ITU calling codes (micro-states,
+    # Africa/Caribbean/Pacific) — public E.164 national-number lengths; lead
+    # classes broad so unknown sub-ranges validate unknown-true, never false
+    ("AD", "376", 6, 9, "[1-9]"), ("MC", "377", 8, 9, "[4-9]"),
+    ("SM", "378", 6, 10, "[0-9]"), ("LI", "423", 7, 7, "[2-7]"),
+    ("FO", "298", 6, 6, "[2-9]"), ("GL", "299", 6, 6, "[2-6]"),
+    ("GI", "350", 8, 8, "[2-6]"), ("CY", "357", 8, 8, "[29]"),
+    ("BT", "975", 7, 8, "[1-7]"), ("MV", "960", 7, 7, "[3679]"),
+    ("KZ", "7", 10, 10, "[67]"), ("TL", "670", 7, 8, "[2-7]"),
+    ("SB", "677", 5, 7, "[1-9]"), ("VU", "678", 5, 7, "[2-7]"),
+    ("NC", "687", 6, 6, "[2-9]"), ("PF", "689", 8, 8, "[48]"),
+    ("WS", "685", 5, 7, "[2-8]"), ("TO", "676", 5, 7, "[2-8]"),
+    ("KI", "686", 5, 8, "[2-7]"), ("TV", "688", 5, 7, "[29]"),
+    ("NR", "674", 7, 7, "[45]"), ("FM", "691", 7, 7, "[39]"),
+    ("MH", "692", 7, 7, "[2-6]"), ("PW", "680", 7, 7, "[2-8]"),
+    ("CK", "682", 5, 5, "[2-8]"), ("ER", "291", 7, 7, "[17]"),
+    ("DJ", "253", 8, 8, "[27]"), ("SO", "252", 7, 9, "[1-9]"),
+    ("RW", "250", 9, 9, "[27]"), ("BI", "257", 8, 8, "[2-7]"),
+    ("MW", "265", 7, 9, "[1-9]"), ("LS", "266", 8, 8, "[2568]"),
+    ("BW", "267", 7, 8, "[2-7]"), ("SZ", "268", 7, 8, "[2-7]"),
+    ("KM", "269", 7, 7, "[37]"), ("NA", "264", 8, 9, "[6-8]"),
+    ("MG", "261", 9, 9, "[23]"), ("MU", "230", 7, 8, "[2-9]"),
+    ("SC", "248", 7, 7, "[24]"), ("ST", "239", 7, 7, "[29]"),
+    ("CV", "238", 7, 7, "[2-9]"), ("GW", "245", 7, 9, "[1-9]"),
+    ("GN", "224", 8, 9, "[36]"), ("SL", "232", 8, 8, "[2-9]"),
+    ("LR", "231", 7, 9, "[2-8]"), ("ML", "223", 8, 8, "[2-9]"),
+    ("BF", "226", 8, 8, "[2-7]"), ("NE", "227", 8, 8, "[2789]"),
+    ("TG", "228", 8, 8, "[279]"), ("BJ", "229", 8, 8, "[2469]"),
+    ("MR", "222", 8, 8, "[2-4]"), ("GM", "220", 7, 7, "[2-9]"),
+    ("TD", "235", 8, 8, "[269]"), ("CF", "236", 8, 8, "[278]"),
+    ("GQ", "240", 9, 9, "[235]"), ("GA", "241", 7, 8, "[0-7]"),
+    ("CG", "242", 9, 9, "[0-8]"), ("SS", "211", 9, 9, "[19]"),
+    ("HT", "509", 8, 8, "[2-4]"), ("BZ", "501", 7, 7, "[2-8]"),
+    ("GY", "592", 7, 7, "[2-7]"), ("SR", "597", 6, 7, "[2-8]"),
+    ("FK", "500", 5, 5, "[2-7]"), ("AW", "297", 7, 7, "[25-9]"),
+    ("CW", "599", 7, 8, "[3-9]"), ("KP", "850", 8, 10, "[1-9]"),
+    ("GP", "590", 9, 9, "[5-7]"), ("GF", "594", 9, 9, "[5-7]"),
+    ("MQ", "596", 9, 9, "[5-7]"), ("RE", "262", 9, 9, "[2-6]"),
 ]
 _REGION_META = {r: (cc, lo, hi, lead) for r, cc, lo, hi, lead in _PHONE_REGIONS}
 # country code -> canonical region (shared codes: +1 -> US, +7 -> RU)
@@ -379,6 +417,17 @@ ANALYZER_STOPWORDS: dict[str, list[str]] = {
     "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "ini", "dari",
            "dalam", "tidak", "akan", "pada", "ke", "juga", "ada", "adalah",
            "atau", "bisa", "oleh", "sebagai"],
+    "ca": ["de", "la", "el", "les", "els", "i", "en", "que", "a", "per",
+           "amb", "un", "una", "del", "al", "és", "es", "no", "més",
+           "com", "dels", "ho", "hi", "se", "són"],
+    "fa": ["و", "در", "به", "از", "که", "این", "را", "با", "است", "برای",
+           "آن", "یک", "خود", "تا", "بر", "هم", "نیز", "ما", "یا", "اما"],
+    "lt": ["ir", "yra", "kad", "į", "iš", "su", "bet", "tai", "kaip",
+           "jis", "ji", "mes", "jos", "bei", "per", "apie", "dar", "tik",
+           "po", "prie"],
+    "lv": ["un", "ir", "ka", "ar", "uz", "no", "par", "bet", "kā", "tas",
+           "tā", "šis", "vai", "pēc", "pie", "kas", "to", "viņš", "mēs",
+           "jau"],
 }
 
 # longest-first suffix rules per language; (suffix, min_remaining_stem)
@@ -470,6 +519,24 @@ ANALYZER_PROFILES: dict[str, list[tuple[str, int]]] = {
     # Indonesian light suffix subset; prefixes below
     "id": [("kannya", 3), ("kan", 3), ("nya", 3), ("lah", 3), ("kah", 3),
            ("an", 3), ("i", 4)],
+    # Catalan (Lucene CatalanAnalyzer/snowball) plural + derivational subset
+    "ca": [("aments", 3), ("ament", 3), ("cions", 3), ("ció", 3),
+           ("istes", 3), ("ista", 3), ("es", 3), ("s", 3), ("a", 4),
+           ("e", 4), ("o", 4)],
+    # Persian (Lucene PersianAnalyzer): normalization + stopwords ONLY —
+    # Lucene ships no Persian stemmer; the empty rule list keeps the
+    # analyzer routed in analyze_auto without inventing a stemmer
+    "fa": [],
+    # Lithuanian (snowball subset): noun case/number endings
+    "lt": [("uose", 3), ("imas", 4), ("ymas", 4), ("ais", 3), ("ams", 3),
+           ("oms", 3), ("ems", 3), ("ose", 3), ("ėse", 3), ("as", 3),
+           ("is", 3), ("ys", 3), ("us", 3), ("ai", 3), ("os", 3),
+           ("es", 3), ("ės", 3), ("ų", 3), ("ą", 3), ("ę", 3), ("į", 3),
+           ("o", 4), ("a", 4), ("e", 4), ("i", 4), ("u", 4), ("ė", 4)],
+    # Latvian (Lucene LatvianStemmer light subset): declension endings
+    "lv": [("ajiem", 3), ("iem", 3), ("ām", 3), ("am", 3), ("as", 3),
+           ("us", 3), ("os", 3), ("em", 3), ("es", 3), ("is", 3),
+           ("u", 4), ("a", 4), ("e", 4), ("i", 4), ("s", 4)],
 }
 
 # prefix-strip rules for prefixing languages; (prefix, min_remaining_stem),
@@ -521,6 +588,13 @@ def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
         # see one canonical form (GreekLowerCaseFilter analogue); after the
         # stopword filter, whose entries are in natural final-sigma form
         toks = F.transform(toks, lambda t: F.replace(t, F.lit("ς"), F.lit("σ")))
+    if lang == "fa":
+        # PersianNormalizer analogue: Arabic yeh/kaf forms -> Persian forms
+        # (the ZWNJ split PersianAnalyzer does happens at tokenize time —
+        # U+200C is not \p{L}, so the tokenizer already breaks on it)
+        toks = F.transform(
+            toks, lambda t: F.replace(F.replace(t, F.lit("ي"), F.lit("ی")),
+                                      F.lit("ك"), F.lit("ک")))
     if stem:
         pfx = ANALYZER_PREFIX_RULES.get(lang)
         if pfx:

@@ -141,6 +141,15 @@ STOPWORD_PROFILES_EXTENDED: dict[str, list[str]] = {
     "bg": ["на", "се", "да", "за", "от", "че", "като", "са", "това", "при"],
     "ar": ["في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "التي",
            "الذي"],
+    # round-5 analyzer additions: Catalan (disambiguates from es by
+    # function words), Persian (disambiguates from ar within Arabic
+    # script), Lithuanian, Latvian
+    "ca": ["els", "les", "amb", "per", "és", "com", "dels", "una", "que",
+           "més"],
+    "fa": ["و", "در", "به", "از", "که", "این", "را", "با", "است", "برای"],
+    "lt": ["ir", "yra", "kad", "į", "iš", "su", "bet", "tai", "kaip",
+           "bei"],
+    "lv": ["un", "ir", "ka", "ar", "uz", "no", "par", "bet", "kā", "pēc"],
 }
 
 # Unicode script blocks -> language guess for scripts that identify a

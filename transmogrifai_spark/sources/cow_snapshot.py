@@ -47,15 +47,55 @@ def bucket_of(keys: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
 
 
+def range_bucket_of(key: str, boundaries: list):
+    """Range-partitioning shard id: bucket i holds keys in
+    (boundaries[i-1], boundaries[i]] with open ends below/above — i.e.
+    ``sum(key > b)`` over the sorted boundary list. Unlike the hash form
+    this keeps key ORDER across buckets, so range scans touch only the
+    overlapping buckets."""
+    b = F.lit(0)
+    for bound in boundaries:
+        b = b + (F.col(key) > F.lit(bound)).cast("int")
+    return b
+
+
 class CowSnapshot:
-    """A bucket-partitioned, versioned, manifest-committed upsert table."""
+    """A bucket-partitioned, versioned, manifest-committed upsert table.
+
+    Sharding is hash (``pmod(xxhash64(keys))``, default) or — with
+    ``range_boundaries`` and a single key — RANGE: bucket i covers one key
+    interval, so ``range_read(lo, hi)`` reads only the overlapping bucket
+    directories. Either way this is the key-partitioned variant of
+    streaming/upsert_sink: ``stream_sink`` rewrites only the buckets a
+    micro-batch touches, never the whole table.
+
+    Every bucket version is written range-partitioned into
+    ``files_per_bucket`` files and SORTED by key within each file, so the
+    parquet min/max stats are tight: a point lookup inside a bucket prunes
+    at file/row-group level, not just directory level (locality
+    law-tested: per-file key ranges are pairwise disjoint)."""
 
     def __init__(self, path: str, keys: list[str], order_col: str,
                  n_buckets: int = 64, op_col: str | None = None,
-                 retain_versions: int = 2):
+                 retain_versions: int = 2, files_per_bucket: int = 1,
+                 range_boundaries: list | None = None):
         self.path, self.keys, self.order_col = path, list(keys), order_col
-        self.n_buckets, self.op_col = n_buckets, op_col
+        self.op_col = op_col
         self.retain_versions = retain_versions
+        self.files_per_bucket = files_per_bucket
+        self.range_boundaries = (sorted(range_boundaries)
+                                 if range_boundaries else None)
+        if self.range_boundaries is not None:
+            if len(self.keys) != 1:
+                raise ValueError("range partitioning needs a single key")
+            self.n_buckets = len(self.range_boundaries) + 1
+        else:
+            self.n_buckets = n_buckets
+
+    def _bucket_expr(self):
+        if self.range_boundaries is not None:
+            return range_bucket_of(self.keys[0], self.range_boundaries)
+        return bucket_of(self.keys, self.n_buckets)
 
     # -- manifest ----------------------------------------------------------
     def _read_manifest(self) -> dict:
@@ -97,6 +137,22 @@ class CowSnapshot:
             return None
         return spark.read.parquet(*paths)
 
+    def range_read(self, spark: SparkSession, lo, hi) -> DataFrame | None:
+        """Range scan [lo, hi] on a RANGE-partitioned snapshot: reads only
+        the bucket directories whose key interval overlaps, then filters.
+        (On a hash-partitioned snapshot every bucket may hold in-range
+        keys, so this requires range_boundaries.)"""
+        if self.range_boundaries is None:
+            raise ValueError("range_read requires range_boundaries")
+        bs = self.range_boundaries
+        first = sum(1 for b in bs if lo > b)    # bucket holding lo
+        last = sum(1 for b in bs if hi > b)     # bucket holding hi
+        df = self.read(spark, buckets=list(range(first, last + 1)))
+        if df is None:
+            return None
+        k = F.col(self.keys[0])
+        return df.filter((k >= F.lit(lo)) & (k <= F.lit(hi)))
+
     def lookup(self, spark: SparkSession, key_row: dict) -> DataFrame | None:
         """Point lookup: hash the key to its bucket, read ONE bucket (not
         the table), filter to the key. None before the first commit.
@@ -116,8 +172,7 @@ class CowSnapshot:
             ", ".join(f"{k} string" for k in self.keys))
         row = row.select(*[F.col(k).cast(table.schema[k].dataType)
                            for k in self.keys])
-        b = row.select(bucket_of(self.keys, self.n_buckets).alias("b")) \
-               .collect()[0]["b"]
+        b = row.select(self._bucket_expr().alias("b")).collect()[0]["b"]
         df = self.read(spark, buckets=[int(b)])
         if df is None:
             return None
@@ -139,7 +194,7 @@ class CowSnapshot:
         if batch_id is not None and batch_id <= manifest["last_batch_id"]:
             return False
         spark = changes.sparkSession
-        b = bucket_of(self.keys, self.n_buckets)
+        b = self._bucket_expr()
         changes = changes.withColumn("__b", b).persist()
         touched = sorted(r["__b"] for r in
                          changes.select("__b").distinct().collect())
@@ -156,9 +211,14 @@ class CowSnapshot:
         new_buckets = dict(manifest["buckets"])
         for bucket in touched:
             version = int(new_buckets.get(str(bucket), 0)) + 1
-            (merged.filter(F.col("__b") == bucket).drop("__b")
-             .write.mode("overwrite")
-             .parquet(os.path.join(self.path, f"b={bucket}", f"v={version}")))
+            part = merged.filter(F.col("__b") == bucket).drop("__b")
+            # range-sorted files: tight parquet min/max per file/row-group,
+            # so point lookups prune INSIDE the bucket too
+            part = part.repartitionByRange(
+                max(1, self.files_per_bucket), *self.keys) \
+                .sortWithinPartitions(*self.keys)
+            part.write.mode("overwrite").parquet(
+                os.path.join(self.path, f"b={bucket}", f"v={version}"))
             new_buckets[str(bucket)] = version
         merged.unpersist()
         changes.unpersist()
