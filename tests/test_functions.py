@@ -376,3 +376,104 @@ def test_analyze_round5_languages(spark):
     assert "کتاب" in out and "قلم" in out, out
     assert "علی" in out, out          # ي -> ی normalization applied
     assert not ({"این", "و", "از", "است"} & out), out
+
+
+def test_analyze_cjk_bigrams(spark):
+    """CJK chain (Lucene CJKAnalyzer/CJKBigramFilter re-expression): runs
+    of Han/kana/Hangul emit OVERLAPPING bigrams, an isolated CJK char
+    emits itself, embedded Latin words tokenize normally; analyze_auto
+    routes by script ratio (zh/ja/ko have no stopword profiles)."""
+    from transmogrifai_spark.functions.text import analyze, analyze_auto
+    cases = [
+        ("中文文本分析", ["中文", "文文", "文本", "本分", "分析"]),
+        ("日本語の processing テスト",
+         ["日本", "本語", "語の", "processing", "テス", "スト"]),
+        ("한국어", ["한국", "국어"]),
+        ("漢", ["漢"]),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r["a"] for r in
+           df.select(analyze(F.col("t"), "cjk").alias("a")).collect()]
+    for (t, want), g in zip(cases, got):
+        assert g == want, (t, g)
+    auto = [r["a"] for r in
+            df.select(analyze_auto(F.col("t")).alias("a")).collect()]
+    for (t, want), g in zip(cases, auto):
+        assert g == want, ("auto", t, g)
+    # pure-Latin input must NOT take the CJK chain
+    en = spark.createDataFrame([("the cats and dogs",)], "t string")
+    out = en.select(analyze_auto(F.col("t")).alias("a")).first()["a"]
+    assert "cat" in out and "the" not in out
+
+
+def test_detect_charset(spark):
+    """Charset sniff: BOMs, the UTF-8 encode(decode)==raw validity law,
+    aligned-pair ascii check, single-byte fallback."""
+    import base64
+    from transmogrifai_spark.operators.categorical import detect_charset
+    cases = [
+        (b"\xef\xbb\xbfhello", "utf-8"),           # BOM
+        (b"\xff\xfeh\x00i\x00", "utf-16le"),
+        (b"\xfe\xff\x00h\x00i", "utf-16be"),
+        (b"plain ascii text", "us-ascii"),
+        ("héllo wörld".encode(), "utf-8"),         # valid UTF-8, no BOM
+        (b"caf\xe9 latin1", "windows-1252"),       # invalid as UTF-8
+        (b"\x18\x10ascii ctl", "us-ascii"),        # 0x18: hex pair '18' must
+                                                   # not misread as >=0x80
+    ]
+    df = spark.createDataFrame(
+        [(base64.b64encode(b).decode(),) for b, _ in cases], "b string")
+    got = [r["c"] for r in
+           df.select(detect_charset(F.col("b")).alias("c")).collect()]
+    assert got == [w for _, w in cases], got
+
+
+def test_detect_mime_containers(spark):
+    """Container inspection (Tika parity step): OOXML zips resolve to the
+    concrete member type via the [Content_Types].xml first entry + payload
+    path; ODF/EPUB resolve via the mandated stored 'mimetype' first entry;
+    a plain zip stays application/zip."""
+    import base64
+    import io
+    import zipfile
+    from transmogrifai_spark.operators.categorical import detect_mime_type
+
+    def make_zip(entries, first_stored=None):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            if first_stored:
+                name, data = first_stored
+                z.writestr(zipfile.ZipInfo(name), data,
+                           compress_type=zipfile.ZIP_STORED)
+            for name, data in entries:
+                z.writestr(name, data)
+        return buf.getvalue()
+
+    docx = make_zip([("[Content_Types].xml", b"<Types/>"),
+                     ("word/document.xml", b"<doc/>")])
+    xlsx = make_zip([("[Content_Types].xml", b"<Types/>"),
+                     ("xl/workbook.xml", b"<wb/>")])
+    pptx = make_zip([("[Content_Types].xml", b"<Types/>"),
+                     ("ppt/presentation.xml", b"<p/>")])
+    odt = make_zip([("content.xml", b"<c/>")],
+                   first_stored=("mimetype",
+                                 b"application/vnd.oasis.opendocument.text"))
+    epub = make_zip([("OEBPS/content.opf", b"<p/>")],
+                    first_stored=("mimetype", b"application/epub+zip"))
+    plain = make_zip([("readme.txt", b"hi")])
+    cases = [
+        (docx, "application/vnd.openxmlformats-officedocument"
+               ".wordprocessingml.document"),
+        (xlsx, "application/vnd.openxmlformats-officedocument"
+               ".spreadsheetml.sheet"),
+        (pptx, "application/vnd.openxmlformats-officedocument"
+               ".presentationml.presentation"),
+        (odt, "application/vnd.oasis.opendocument.text"),
+        (epub, "application/epub+zip"),
+        (plain, "application/zip"),
+    ]
+    df = spark.createDataFrame(
+        [(base64.b64encode(b).decode(),) for b, _ in cases], "b string")
+    got = [r["m"] for r in
+           df.select(detect_mime_type(F.col("b")).alias("m")).collect()]
+    assert got == [w for _, w in cases], got

@@ -312,21 +312,34 @@ def parse_phone(c: Column, default_region: str = "US") -> Column:
                                      F.lit(lo).alias("lo"),
                                      F.lit(hi).alias("hi"),
                                      F.lit(lead).alias("lead")))])
-    meta = meta_map[region]
 
-    base = (F.length(national) >= meta["lo"]) & \
-        (F.length(national) <= meta["hi"]) & \
-        F.regexp_like(national, F.concat(F.lit("^"), meta["lead"]))
-    nanp_ok = F.regexp_like(national, F.lit("^[2-9][0-9]{2}[2-9]"))
-    valid = F.when(meta["cc"] == "1", base & nanp_ok).otherwise(base)
+    # Bind region/national, then the meta lookup, as TRANSFORM LAMBDA
+    # VARIABLES: a plain `meta = meta_map[region]` is re-inlined by codegen
+    # once per field use (6x a ~200-entry map literal — past janino's 64KB
+    # method limit at the round-5 region count, silently dropping the whole
+    # stage to interpreted mode). A lambda variable is evaluated exactly
+    # once per row whatever the body does with it.
+    def _with_meta(region_v, national_v):
+        def inner(m):
+            base = (F.length(national_v) >= m["lo"]) & \
+                (F.length(national_v) <= m["hi"]) & \
+                F.regexp_like(national_v, F.concat(F.lit("^"), m["lead"]))
+            nanp_ok = F.regexp_like(national_v,
+                                    F.lit("^[2-9][0-9]{2}[2-9]"))
+            valid = F.when(m["cc"] == "1", base & nanp_ok).otherwise(base)
+            e164 = F.when(valid, F.concat(F.lit("+"), m["cc"], national_v))
+            return F.struct(e164.alias("e164"), region_v.alias("region"),
+                            valid.alias("valid"))
+        return F.transform(F.array(meta_map[region_v]), inner)[0]
 
-    e164 = F.when(valid, F.concat(F.lit("+"), meta["cc"], national))
+    sel = F.struct(region.alias("region"), national.alias("national"))
+    out = F.transform(F.array(sel),
+                      lambda s: _with_meta(s["region"], s["national"]))[0]
 
     empty = c.isNull() | (F.length(d) == 0)
     return F.when(empty, F.lit(None).cast(
         "struct<e164:string,region:string,valid:boolean>")) \
-        .otherwise(F.struct(e164.alias("e164"), region.alias("region"),
-                            valid.alias("valid")))
+        .otherwise(out)
 
 
 def is_valid_phone(c: Column, region: str = "US") -> Column:
@@ -574,11 +587,46 @@ def _strip_prefix(t: Column, rules: list[tuple[str, int]]) -> Column:
     return out
 
 
+#: CJK letter ranges (Han + Hiragana/Katakana + Hangul) — the characters
+#: Lucene's CJKBigramFilter bigrams instead of word-tokenizing
+_CJK_INNER = "⺀-⻿぀-ヿ㐀-䶿一-鿿가-힯豈-﫿"
+_CJK_RANGE = f"[{_CJK_INNER}]"
+
+
+def analyze_cjk(c: Column, min_token_length: int = 1,
+                to_lowercase: bool = True) -> Column:
+    """Lucene CJKAnalyzer re-expression: runs of CJK characters emit
+    OVERLAPPING BIGRAMS (a single isolated CJK char emits itself — the
+    CJKBigramFilter outputUnigrams-when-alone behavior); embedded
+    non-CJK words tokenize normally and keep their position among the
+    bigrams. Pure expressions: extract runs, per run a substring sweep."""
+    lowered = F.lower(c) if to_lowercase else c
+    # one alternation splits the text into CJK runs and non-CJK word
+    # tokens; a CJK run becomes its bigram sweep, a word stays itself
+    word = f"[\\p{{L}}\\p{{N}}_'’\\-&&[^{_CJK_INNER}]]+"  # words, CJK excluded
+    runs = F.regexp_extract_all(
+        F.coalesce(lowered, F.lit("")),
+        F.lit(f"({_CJK_RANGE}+|{word})"), 1)
+    is_cjk = lambda r: F.regexp_like(r, F.lit(f"^{_CJK_RANGE}"))  # noqa: E731
+    toks = F.flatten(F.transform(runs, lambda r: F.when(
+        is_cjk(r),
+        F.when(F.length(r) == 1, F.array(r)).otherwise(
+            F.transform(F.sequence(F.lit(1), F.length(r) - 1),
+                        lambda i: r.substr(i, F.lit(2))))
+    ).otherwise(F.array(r))))
+    if min_token_length > 1:
+        toks = F.filter(toks, lambda t: F.length(t) >= min_token_length)
+    return toks
+
+
 def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
             to_lowercase: bool = True, stem: bool = True) -> Column:
     """Per-language analyzer chain: tokenize -> language stopword removal ->
-    light suffix stemming. Unknown languages fall back to the plain
-    tokenizer (the reference's default-analyzer path)."""
+    light suffix stemming. ``lang`` in zh/ja/ko/cjk routes to the CJK
+    bigram chain (``analyze_cjk``). Unknown languages fall back to the
+    plain tokenizer (the reference's default-analyzer path)."""
+    if lang in ("zh", "ja", "ko", "cjk"):
+        return analyze_cjk(c, min_token_length, to_lowercase)
     toks = tokenize(c, min_token_length, to_lowercase)
     sw = ANALYZER_STOPWORDS.get(lang)
     if sw:
@@ -621,4 +669,11 @@ def analyze_auto(c: Column, default_lang: str = "en",
     for lg in ANALYZER_PROFILES:
         out = F.when(lang == F.lit(lg),
                      analyze(c, lg, min_token_length, to_lowercase, stem)).otherwise(out)
+    # CJK routing is script-based, not stopword-based (zh/ja/ko have no
+    # function-word profiles): >= 30% CJK letters -> the bigram chain
+    letters = F.regexp_count(c, F.lit(r"\p{L}"))
+    cjk_letters = F.regexp_count(c, F.lit(_CJK_RANGE))
+    out = F.when((letters > 0) &
+                 (cjk_letters.cast("double") / letters.cast("double") >= 0.3),
+                 analyze_cjk(c, min_token_length, to_lowercase)).otherwise(out)
     return out

@@ -142,6 +142,22 @@ _MAGIC: list[tuple[str, list[tuple[int, bytes]]]] = [
     ("audio/wav", [(0, b"RIFF"), (8, b"WAVE")]),
     ("video/x-msvideo", [(0, b"RIFF"), (8, b"AVI ")]),
     ("application/pdf", [(0, b"%PDF")]),
+    # ODF/EPUB container inspection without unzipping: the format REQUIRES
+    # the first zip entry to be an uncompressed file literally named
+    # "mimetype" whose content is the mime string — local header is 30
+    # bytes, the 8-byte name follows, the content starts at offset 38, so
+    # the whole thing is an offset-pattern like any other signature
+    ("application/epub+zip",
+     [(0, b"PK\x03\x04"), (30, b"mimetypeapplication/epub+zip")]),
+    ("application/vnd.oasis.opendocument.text",
+     [(0, b"PK\x03\x04"),
+      (30, b"mimetypeapplication/vnd.oasis.opendocument.text")]),
+    ("application/vnd.oasis.opendocument.spreadsheet",
+     [(0, b"PK\x03\x04"),
+      (30, b"mimetypeapplication/vnd.oasis.opendocument.spreadsheet")]),
+    ("application/vnd.oasis.opendocument.presentation",
+     [(0, b"PK\x03\x04"),
+      (30, b"mimetypeapplication/vnd.oasis.opendocument.presentation")]),
     ("application/zip", [(0, b"PK\x03\x04")]),
     ("application/gzip", [(0, bytes.fromhex("1f8b"))]),
     ("application/x-7z-compressed", [(0, bytes.fromhex("377abcaf271c"))]),
@@ -183,6 +199,20 @@ _MAGIC: list[tuple[str, list[tuple[int, bytes]]]] = [
     ("application/x-msdownload", [(0, b"MZ")]),
 ]
 
+#: OOXML refinement (Tika's container inspection, expression-only): a zip
+#: whose first entry is [Content_Types].xml is an OOXML document; the
+#: payload part path ("word/", "xl/", "ppt/") names the concrete type.
+#: The path search is a hex-substring scan with an even-position guard so
+#: a byte-misaligned hex coincidence cannot match.
+_OOXML_TYPES: list[tuple[bytes, str]] = [
+    (b"word/", "application/vnd.openxmlformats-officedocument"
+               ".wordprocessingml.document"),
+    (b"ppt/", "application/vnd.openxmlformats-officedocument"
+              ".presentationml.presentation"),
+    (b"xl/", "application/vnd.openxmlformats-officedocument"
+             ".spreadsheetml.sheet"),
+]
+
 
 def detect_mime_type(c: Column, default: str = "application/octet-stream") -> Column:
     """Magic-byte MIME sniff of a Base64 Text column — pure expressions
@@ -199,7 +229,48 @@ def detect_mime_type(c: Column, default: str = "application/octet-stream") -> Co
             cond = cond & (F.substring(hx, 2 * off + 1, 2 * len(magic))
                            == F.lit(magic.hex().upper()))
         out = F.when(cond, F.lit(mime)).otherwise(out)
+
+    # OOXML refinement: first-entry [Content_Types].xml marks the family,
+    # the payload directory names the concrete member type
+    def _contains(needle: bytes):
+        pos = F.instr(hx, F.lit(needle.hex().upper()))
+        return (pos > 0) & ((pos - 1) % 2 == 0)
+
+    is_zip = F.substring(hx, 1, 8) == F.lit(b"PK\x03\x04".hex().upper())
+    first_ct = F.substring(hx, 61, 2 * len(b"[Content_Types].xml")) \
+        == F.lit(b"[Content_Types].xml".hex().upper())
+    ooxml = F.lit("application/vnd.openxmlformats-officedocument")
+    for needle, mime in reversed(_OOXML_TYPES):
+        ooxml = F.when(_contains(needle), F.lit(mime)).otherwise(ooxml)
+    out = F.when(is_zip & first_ct, ooxml).otherwise(out)
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def detect_charset(c: Column) -> Column:
+    """Charset sniff of a Base64 Text column (Tika EncodingDetector
+    analogue, expression-only): BOMs first (utf-8/utf-16/utf-32), then a
+    UTF-8 VALIDITY law — decode(raw,'UTF-8') replaces invalid sequences,
+    so ``is_valid_utf8`` decides well-formedness — refined to us-ascii
+    when every byte < 0x80; anything else reports windows-1252 (the
+    single-byte superset fallback). NULL/undecodable base64 -> NULL."""
+    raw = F.try_to_binary(c, F.lit("base64"))
+    hx = F.hex(raw)
+    # binary->string cast wraps the bytes unvalidated; is_valid_utf8 is the
+    # Spark 4 well-formedness check (decode() THROWS on malformed input)
+    utf8_valid = F.is_valid_utf8(raw.cast("string"))
+    # anchored byte pairs: every byte's high nibble 0-7 <=> all bytes < 0x80
+    # (an unanchored scan could match across a byte boundary)
+    ascii_only = F.regexp_like(hx, F.lit("^([0-7][0-9A-F])*$"))
+    out = (
+        F.when(hx.startswith("EFBBBF"), F.lit("utf-8"))
+        .when(hx.startswith("FFFE0000"), F.lit("utf-32le"))
+        .when(hx.startswith("0000FEFF"), F.lit("utf-32be"))
+        .when(hx.startswith("FFFE"), F.lit("utf-16le"))
+        .when(hx.startswith("FEFF"), F.lit("utf-16be"))
+        .when(ascii_only, F.lit("us-ascii"))
+        .when(utf8_valid, F.lit("utf-8"))
+        .otherwise(F.lit("windows-1252")))
+    return F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(out)
 
 
 def mime_type_detector(feat: Feature, output_name: str | None = None) -> ColumnTransformer:
