@@ -662,3 +662,97 @@ def test_ivf_index_persisted_equals_in_memory_and_prunes(spark, tmp_path):
                   .select(F.input_file_name().alias("f")).distinct()
                   .collect()}
     assert read_cells == {str(probed_cell)}
+
+
+def test_lsh_index_incremental_equals_full(spark, sf_dir, tmp_path):
+    """Persisted LSH index law (round 5): candidates from (index on A) +
+    (incremental dedup of B against the A-index, plus B-within pairs) +
+    (A-within pairs) == one full-corpus minhash_lsh_candidates run. The
+    incremental path never rescans corpus text."""
+    from transmogrifai_spark.llm.dedup import (append_lsh_index,
+                                               build_lsh_index,
+                                               lsh_dedup_incremental,
+                                               minhash_lsh_candidates)
+    from transmogrifai_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+
+    full = {tuple(sorted((r["id1"], r["id2"]))) for r in
+            minhash_lsh_candidates(docs, "doc_id", "text",
+                                   num_hashes=16, bands=4).collect()}
+
+    p = str(tmp_path / "lsh")
+    build_lsh_index(a, "doc_id", "text", p, num_hashes=16, bands=4,
+                    n_shards=16, batch_id=0)
+    # A-within pairs from the index alone (B not yet appended)
+    a_pairs = {tuple(sorted((r["id1"], r["id2"]))) for r in
+               lsh_dedup_incremental(spark, p, a, "doc_id", "text",
+                                     within_batch=False).collect()}
+    inc = {tuple(sorted((r["id1"], r["id2"]))) for r in
+           lsh_dedup_incremental(spark, p, b, "doc_id", "text").collect()}
+    assert a_pairs | inc == full and full
+
+    # append B; replay the same batch id — the index must converge
+    append_lsh_index(spark, p, b, "doc_id", "text", batch_id=1)
+    append_lsh_index(spark, p, b, "doc_id", "text", batch_id=1)
+    all_pairs = {tuple(sorted((r["id1"], r["id2"]))) for r in
+                 lsh_dedup_incremental(spark, p, docs, "doc_id", "text",
+                                       within_batch=False).collect()}
+    assert all_pairs == full
+
+
+def test_lsh_index_query_prunes_shard_directories(spark, sf_dir, tmp_path):
+    """Files-read law: a small batch's index probe is a partition-column
+    predicate — only the batch's shard directories are touched."""
+    from transmogrifai_spark.llm.dedup import (_lsh_banded, build_lsh_index)
+    from transmogrifai_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = str(tmp_path / "lsh")
+    build_lsh_index(docs, "doc_id", "text", p, num_hashes=16, bands=4,
+                    n_shards=16, batch_id=0)
+    batch = docs.where(F.col("doc_id") < 5)
+    nb = _lsh_banded(batch, "doc_id", "text", n=3, num_hashes=16, bands=4,
+                     portable=False, n_shards=16)
+    shards = {r["_shard"] for r in nb.select("_shard").distinct().collect()}
+    idx = spark.read.parquet(f"{p}/bands") \
+        .where(F.col("_shard").isin(sorted(shards)))
+    # inputFiles() lists PRE-pruning candidates (ROUND_NOTES invariant) —
+    # assert at the scan's PartitionFilters AND on the executed rows
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_shard" in plan
+    touched = {r["f"].split("_shard=")[1].split("/")[0] for r in
+               idx.select(F.input_file_name().alias("f")).distinct().collect()}
+    assert touched <= {str(s) for s in shards}
+    assert 0 < len(touched) < 16  # strictly fewer than all shard dirs
+
+
+def test_stream_lsh_index_equals_batch_build(spark, sf_dir, tmp_path):
+    """Streamed index maintenance == batch build: candidates from an index
+    fed by micro-batches equal the full-corpus LSH run."""
+    from transmogrifai_spark.llm.dedup import (build_lsh_index,
+                                               lsh_dedup_incremental,
+                                               minhash_lsh_candidates,
+                                               stream_lsh_index)
+    from transmogrifai_spark.sources.tables import load_table
+    from transmogrifai_spark.streaming.windows import file_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = str(tmp_path / "lsh_stream")
+    # sidecar written by an empty batch-0 build with the chosen params
+    build_lsh_index(docs.limit(0), "doc_id", "text", p, num_hashes=16,
+                    bands=4, n_shards=16, batch_id=0)
+    stream = file_stream(spark, f"{sf_dir}/documents.parquet",
+                         max_files_per_trigger=1)
+    q = stream_lsh_index(stream, p, "doc_id", "text",
+                         checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = {tuple(sorted((r["id1"], r["id2"]))) for r in
+           lsh_dedup_incremental(spark, p, docs, "doc_id", "text",
+                                 within_batch=False).collect()}
+    want = {tuple(sorted((r["id1"], r["id2"]))) for r in
+            minhash_lsh_candidates(docs, "doc_id", "text",
+                                   num_hashes=16, bands=4).collect()}
+    assert got == want and want

@@ -417,3 +417,142 @@ def remove_common_paragraphs(df: DataFrame, id_col: str, text_col: str,
     return (df.join(rebuilt, F.col(id_col) == F.col("__pid"), "left")
             .withColumn(out_col, F.coalesce("__rebuilt", F.lit("")))
             .drop("__pid", "__rebuilt"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH index — INCREMENTAL dedup (new batch vs an existing corpus)
+# ---------------------------------------------------------------------------
+
+def _lsh_banded(df: DataFrame, id_col: str, text_col: str, *, n: int,
+                num_hashes: int, bands: int, portable: bool,
+                n_shards: int) -> DataFrame:
+    """(id, band, bucket, _shard) rows — the banded-bucket form both the
+    index builder and the query side compute with identical parameters."""
+    rows = num_hashes // bands
+    bucket_hash = portable_hash64 if portable else (
+        lambda c, seed: F.xxhash64(c, F.lit(seed)))
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(F.col(text_col), n, num_hashes,
+                                      portable=portable).alias("_sig"))
+    sig = sig.where(F.element_at("_sig", 1).isNotNull())
+    banded = sig.select("id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 bucket_hash(F.concat_ws("_", *[
+                     F.element_at("_sig", b * rows + r + 1).cast("string")
+                     for r in range(rows)]), b).alias("bucket"))
+        for b in range(bands)])).alias("bb"))
+    return banded.select("id", F.col("bb.band").alias("band"),
+                         F.col("bb.bucket").alias("bucket"),
+                         F.pmod("bb.bucket", F.lit(n_shards)).alias("_shard"))
+
+
+def build_lsh_index(df: DataFrame, id_col: str, text_col: str, path: str, *,
+                    n: int = 3, num_hashes: int = 32, bands: int = 8,
+                    portable: bool = False, n_shards: int = 64,
+                    batch_id: int = 0) -> dict:
+    """Persist a MinHash-LSH dedup index: banded bucket rows written
+    PARTITIONED BY ``_shard`` (= pmod(bucket, n_shards)) + a JSON sidecar
+    with the hash parameters. The point at 100 TB: deduplicating a new
+    ingest batch against an existing corpus must not recompute (or even
+    rescan) the corpus — a small batch probes only the shard DIRECTORIES
+    its buckets hash into, so the index read scales with the batch, not
+    the corpus.
+
+    Each batch writes ``bands/batch=<batch_id>/`` with overwrite, so an
+    at-least-once ingestion pipeline that replays a batch converges (the
+    same guard as stream_rollup_partials / CowSnapshot)."""
+    import json
+    import os
+
+    banded = _lsh_banded(df, id_col, text_col, n=n, num_hashes=num_hashes,
+                         bands=bands, portable=portable, n_shards=n_shards)
+    banded.write.mode("overwrite").partitionBy("_shard") \
+        .parquet(os.path.join(path, "bands", f"batch={batch_id}"))
+    meta = {"n": n, "num_hashes": num_hashes, "bands": bands,
+            "portable": portable, "n_shards": n_shards}
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_LSH_INDEX.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_LSH_INDEX.json"))
+    return meta
+
+
+def append_lsh_index(spark, path: str, df: DataFrame, id_col: str,
+                     text_col: str, batch_id: int) -> None:
+    """Add a document batch to an existing index (same parameters, read
+    from the sidecar). Overwrites this batch's own subdirectory —
+    replay-idempotent."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_LSH_INDEX.json")) as f:
+        meta = json.load(f)
+    banded = _lsh_banded(df, id_col, text_col, n=meta["n"],
+                         num_hashes=meta["num_hashes"], bands=meta["bands"],
+                         portable=meta["portable"],
+                         n_shards=meta["n_shards"])
+    banded.write.mode("overwrite").partitionBy("_shard") \
+        .parquet(os.path.join(path, "bands", f"batch={batch_id}"))
+
+
+def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
+                          id_col: str, text_col: str,
+                          within_batch: bool = True) -> DataFrame:
+    """Near-duplicate candidates of a NEW batch: (new) x (indexed corpus)
+    pairs plus — when ``within_batch`` — (new) x (new) pairs, WITHOUT
+    touching corpus text. Returns (id1, id2) with id1 < id2 for
+    within-batch pairs and (corpus_id, new_id) order for cross pairs,
+    distinct.
+
+    Scale shape: the new batch's banded rows are computed once and are
+    small; the index side is filtered to the batch's DISTINCT shards (a
+    partition-column predicate -> directory pruning), then equi-joined on
+    (band, bucket). Never all-pairs, never a corpus rescan."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_LSH_INDEX.json")) as f:
+        meta = json.load(f)
+    nb = _lsh_banded(new_docs, id_col, text_col, n=meta["n"],
+                     num_hashes=meta["num_hashes"], bands=meta["bands"],
+                     portable=meta["portable"], n_shards=meta["n_shards"])
+    nb = nb.persist()
+    shards = sorted(r["_shard"] for r in nb.select("_shard").distinct().collect())
+    idx = spark.read.parquet(os.path.join(path, "bands")) \
+        .where(F.col("_shard").isin(shards))
+    cross = (idx.join(nb.select(F.col("id").alias("_nid"), "band", "bucket"),
+                      ["band", "bucket"])
+             .where(F.col("id") != F.col("_nid"))
+             .select(F.col("id").alias("id1"), F.col("_nid").alias("id2"))
+             .distinct())
+    if not within_batch:
+        return cross
+    a = nb.select(F.col("id").alias("id1"), "band", "bucket")
+    b = nb.select(F.col("id").alias("id2"), "band", "bucket")
+    within = (a.join(b, ["band", "bucket"])
+              .where(F.col("id1") < F.col("id2"))
+              .select("id1", "id2").distinct())
+    return cross.unionByName(within).distinct()
+
+
+def stream_lsh_index(stream: DataFrame, path: str, id_col: str,
+                     text_col: str, checkpoint: str | None = None,
+                     available_now: bool = True):
+    """Maintain the LSH index from a document STREAM: each micro-batch's
+    banded rows land in their own ``batch=<id>/`` subdirectory (overwrite
+    — replay-idempotent, the stream_rollup_partials guard). Pair with
+    ``lsh_dedup_incremental`` inside the same foreachBatch to drop a
+    batch's near-duplicates before they are written anywhere."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        append_lsh_index(batch.sparkSession, path, batch, id_col, text_col,
+                         batch_id=batch_id)
+
+    writer = stream.writeStream.foreachBatch(write_batch) \
+        .outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
