@@ -756,3 +756,33 @@ def test_stream_lsh_index_equals_batch_build(spark, sf_dir, tmp_path):
             minhash_lsh_candidates(docs, "doc_id", "text",
                                    num_hashes=16, bands=4).collect()}
     assert got == want and want
+
+
+def test_ivf_index_append_equals_full_at_full_probe(spark, sf_dir, tmp_path):
+    """Incremental IVF ingest law (round 5): build on A, append B (nearest
+    stored centroid, no refit), query at n_probe == n_lists — full probe
+    scans every cell, so the answer equals brute force over A ∪ B whatever
+    cells B landed in. Replayed appends converge (overwrite subdir)."""
+    from transmogrifai_spark.llm.similarity import (append_ivf_index,
+                                                    brute_force_topk,
+                                                    build_ivf_index,
+                                                    ivf_topk_indexed)
+    from transmogrifai_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 3 != 0)
+    b = emb.where(F.col("vec_id") % 3 == 0)
+    q = emb.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(a, "vec_id", "embedding", path, n_lists=8, seed=11)
+    append_ivf_index(spark, path, b, batch_id=1)
+    append_ivf_index(spark, path, b, batch_id=1)  # replay converges
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in
+        ivf_topk_indexed(spark, path, q, "vec_id", "embedding",
+                         k=5, n_probe=8).collect())
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in
+        brute_force_topk(emb, q, "vec_id", "embedding", k=5).collect())
+    assert got == want and got

@@ -468,8 +468,11 @@ def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str, path: str,
 
     assigned, centroids = ivf_assignments(corpus, id_col, vec_col, n_lists,
                                           seed, max_iter, fit_sample)
+    # batch=0 subdir so append_ivf_index batches nest as sibling partitions
+    # (readers discover batch + _cell partition columns; _cell pruning is
+    # unaffected, batch is ignored)
     assigned.write.mode("overwrite").partitionBy("_cell") \
-        .parquet(os.path.join(path, "cells"))
+        .parquet(os.path.join(path, "cells", "batch=0"))
     meta = {"centroids": centroids, "n_lists": n_lists, "seed": seed,
             "id_col": id_col, "vec_col": vec_col}
     tmp = os.path.join(path, "_INDEX.json.tmp")
@@ -477,6 +480,29 @@ def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str, path: str,
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, "_INDEX.json"))
     return meta
+
+
+def append_ivf_index(spark, path: str, new_vectors: DataFrame,
+                     batch_id: int) -> None:
+    """Add a vector batch to an existing IVF index WITHOUT refitting: each
+    vector is assigned to its nearest stored centroid as a pure expression
+    (centroids are plan literals from the sidecar — no KMeans model, no
+    corpus read), then written under its own ``batch=<id>/`` subdirectory
+    (overwrite — replay-idempotent, the same guard as the LSH index and
+    stream_rollup_partials). The standard IVF ingest path: centroids
+    drift-check / refit is a periodic offline job, not per batch."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_INDEX.json")) as f:
+        meta = json.load(f)
+    assigned = new_vectors.select(
+        F.col(meta["id_col"]).alias("neighbor_id"),
+        F.col(meta["vec_col"]).alias("_cv")) \
+        .withColumn("_cell", _probe_cells(F.col("_cv"), meta["centroids"],
+                                          1)[0])
+    assigned.write.mode("overwrite").partitionBy("_cell") \
+        .parquet(os.path.join(path, "cells", f"batch={batch_id}"))
 
 
 def ivf_topk_indexed(spark, path: str, queries: DataFrame, id_col: str,
