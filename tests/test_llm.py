@@ -786,3 +786,39 @@ def test_ivf_index_append_equals_full_at_full_probe(spark, sf_dir, tmp_path):
         (r["query_id"], r["rank"], r["neighbor_id"]) for r in
         brute_force_topk(emb, q, "vec_id", "embedding", k=5).collect())
     assert got == want and got
+
+
+def test_exact_dedup_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental exact dedup law: feeding the corpus in two batches
+    through the digest registry keeps exactly the docs a single-pass
+    exact_dedup keeps (min id per digest, batches ordered); a replayed
+    batch id registers nothing twice; duplicate content in a LATER batch
+    is dropped against the registry, not rescanned text."""
+    from transmogrifai_spark.llm.dedup import (exact_dedup,
+                                               exact_dedup_incremental)
+    from transmogrifai_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # make cross-batch duplicates certain: batch2 contains copies of
+    # batch1 text under new ids
+    b1 = docs.where(F.col("doc_id") < 250)
+    dup = b1.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
+        "source", "n_chars")
+    b2 = docs.where(F.col("doc_id") >= 250).unionByName(dup)
+
+    p = str(tmp_path / "digests")
+    k1 = exact_dedup_incremental(spark, p, b1, "doc_id", "text", batch_id=0)
+    k2 = exact_dedup_incremental(spark, p, b2, "doc_id", "text", batch_id=1)
+    got = sorted(r["doc_id"] for df in (k1, k2) for r in
+                 df.select("doc_id").collect())
+
+    full = b1.unionByName(b2)
+    want = sorted(r["representative"] for r in
+                  exact_dedup(full, "doc_id", "text")
+                  .select("representative").collect())
+    assert got == want and len(got) < full.count()
+    # replay: same batch id, nothing new registered
+    k2r = exact_dedup_incremental(spark, p, b2, "doc_id", "text", batch_id=1)
+    assert sorted(r["doc_id"] for r in k2r.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in k2.select("doc_id").collect())

@@ -29,6 +29,7 @@ verifies the operator.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
@@ -556,3 +557,51 @@ def stream_lsh_index(stream: DataFrame, path: str, id_col: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def exact_dedup_incremental(spark, registry_path: str, new_docs: DataFrame,
+                            id_col: str, text_col: str,
+                            batch_id: int | None = None,
+                            n_buckets: int = 64) -> DataFrame:
+    """Incremental EXACT dedup: drop new documents whose content digest is
+    already registered, keep one representative per digest within the
+    batch, and register the survivors — all without ever scanning prior
+    document text. The registry is a CowSnapshot keyed on the digest, so
+    a batch reads/writes only the digest BUCKETS it touches (cost scales
+    with the batch, not the corpus) and replays of the same ``batch_id``
+    are skipped exactly-once.
+
+    Returns the deduplicated batch (the rows that were registered)."""
+    from ..sources.cow_snapshot import CowSnapshot
+
+    from ..sources.cow_snapshot import bucket_of
+
+    snap = CowSnapshot(registry_path, ["digest"], "first_id",
+                       n_buckets=n_buckets)
+    with_digest = new_docs.withColumn("digest", text_digest(F.col(text_col)))
+    # one representative per digest within the batch (min id, deterministic)
+    w = Window.partitionBy("digest").orderBy(F.col(id_col).asc())
+    batch_rep = (with_digest
+                 .withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") == 1).drop("_rn")).persist()
+    # probe ONLY the buckets this batch's digests hash to
+    buckets = sorted({r["b"] for r in batch_rep.select(
+        bucket_of(["digest"], n_buckets).alias("b")).distinct().collect()})
+    seen = snap.read(spark, buckets=buckets)
+    if seen is not None:
+        fresh = batch_rep.join(seen.select("digest"), "digest", "left_anti")
+    else:
+        fresh = batch_rep
+    # first-wins registration: only digests NOT yet registered go in, so a
+    # later batch can never displace the original representative
+    snap.apply(fresh.select("digest",
+                            F.col(id_col).cast("long").alias("first_id")),
+               batch_id=batch_id)
+    # the kept set is defined by the REGISTRY, not by this invocation's
+    # left_anti: a row survives iff it IS the registered representative of
+    # its digest. Replays (batch_id skipped) therefore return the same
+    # rows instead of an empty frame.
+    reg = snap.read(spark, buckets=buckets)
+    kept = batch_rep.join(
+        reg.withColumnRenamed("first_id", "_reg_id"), "digest")         .where(F.col("_reg_id") == F.col(id_col).cast("long"))         .drop("_reg_id", "digest")
+    return kept
