@@ -822,3 +822,24 @@ def test_exact_dedup_incremental_equals_batch(spark, sf_dir, tmp_path):
     k2r = exact_dedup_incremental(spark, p, b2, "doc_id", "text", batch_id=1)
     assert sorted(r["doc_id"] for r in k2r.select("doc_id").collect()) == \
         sorted(r["doc_id"] for r in k2.select("doc_id").collect())
+
+
+def test_lsh_max_bucket_drops_only_hot_buckets(spark, tmp_path):
+    """Skew guard: a pathological bucket (many identical docs) is dropped
+    at max_bucket, the quadratic pair blow-up disappears, and candidates
+    from normal-sized buckets are untouched."""
+    from transmogrifai_spark.llm.dedup import minhash_lsh_candidates
+
+    hot = [(i, "the same boilerplate page content repeated everywhere")
+           for i in range(100)]
+    pair = [(1000, "a unique document about spark and catalyst engines"),
+            (1001, "a unique document about spark and catalyst engines")]
+    docs = spark.createDataFrame(hot + pair, "doc_id long, text string")
+    uncapped = minhash_lsh_candidates(docs, "doc_id", "text",
+                                      num_hashes=16, bands=4)
+    capped = minhash_lsh_candidates(docs, "doc_id", "text",
+                                    num_hashes=16, bands=4, max_bucket=10)
+    n_un = uncapped.count()
+    got = {(r["id1"], r["id2"]) for r in capped.collect()}
+    assert n_un >= 100 * 99 // 2          # hot bucket went quadratic
+    assert got == {(1000, 1001)}          # survivors: just the real pair

@@ -155,7 +155,8 @@ def minhash_signature(c: Column, n: int = 3, num_hashes: int = 32,
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            n: int = 3, num_hashes: int = 32,
-                           bands: int = 8, portable: bool = False) -> DataFrame:
+                           bands: int = 8, portable: bool = False,
+                           max_bucket: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, bucket-join.
 
     rows_per_band = num_hashes // bands; docs sharing any band bucket become
@@ -190,6 +191,16 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                          F.element_at("_sig", b * rows + r + 1).cast("string")
                          for r in range(rows)]), b).alias("bucket"))
             for b in range(bands)])).alias("bb"))
+    if max_bucket is not None:
+        # the LSH skew guard: a bucket of m docs yields m(m-1)/2 candidate
+        # pairs — one pathological bucket (boilerplate pages, empty-ish
+        # docs sharing a band) can dominate the whole job. Cap like
+        # ngram_jaccard_pairs' max_doc_freq: buckets beyond the cap are
+        # dropped; docs that near-duplicate each other still collide in
+        # their OTHER (b-1) bands with high probability.
+        ok = (banded.groupBy("bb").agg(F.count(F.lit(1)).alias("_m"))
+              .where(F.col("_m") <= max_bucket).select("bb"))
+        banded = banded.join(ok, "bb")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.bb") == F.col("b.bb")) & (F.col("a._id") < F.col("b._id")))
@@ -499,7 +510,8 @@ def append_lsh_index(spark, path: str, df: DataFrame, id_col: str,
 
 def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
                           id_col: str, text_col: str,
-                          within_batch: bool = True) -> DataFrame:
+                          within_batch: bool = True,
+                          max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate candidates of a NEW batch: (new) x (indexed corpus)
     pairs plus — when ``within_batch`` — (new) x (new) pairs, WITHOUT
     touching corpus text. Returns (id1, id2) with id1 < id2 for
@@ -522,6 +534,13 @@ def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
     shards = sorted(r["_shard"] for r in nb.select("_shard").distinct().collect())
     idx = spark.read.parquet(os.path.join(path, "bands")) \
         .where(F.col("_shard").isin(shards))
+    if max_bucket is not None:
+        # skew guard on the INDEX side: drop ultra-hot (band, bucket)
+        # groups before the join (same rationale as minhash_lsh_candidates)
+        ok = (idx.groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("_m"))
+              .where(F.col("_m") <= max_bucket).select("band", "bucket"))
+        idx = idx.join(ok, ["band", "bucket"])
     cross = (idx.join(nb.select(F.col("id").alias("_nid"), "band", "bucket"),
                       ["band", "bucket"])
              .where(F.col("id") != F.col("_nid"))
