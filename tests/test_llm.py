@@ -843,3 +843,41 @@ def test_lsh_max_bucket_drops_only_hot_buckets(spark, tmp_path):
     got = {(r["id1"], r["id2"]) for r in capped.collect()}
     assert n_un >= 100 * 99 // 2          # hot bucket went quadratic
     assert got == {(1000, 1001)}          # survivors: just the real pair
+
+
+def test_simhash_index_incremental_equals_full(spark, sf_dir, tmp_path):
+    """SimHash incremental index law: (A-index) + (B vs index + B-within,
+    with append) reproduces the single-pass simhash_near_dup_pairs over
+    A ∪ B; a later probe sees B through the appended signatures."""
+    from transmogrifai_spark.llm.dedup import (build_simhash_index,
+                                               simhash_dedup_incremental,
+                                               simhash_near_dup_pairs)
+    from transmogrifai_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # guarantee near-dup pairs across the split: clone some docs
+    clones = docs.limit(15).select((F.col("doc_id") + 50000).alias("doc_id"),
+                                   "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1).unionByName(clones)
+    full = a.unionByName(b)
+
+    want = {tuple(sorted((r["id1"], r["id2"]))) for r in
+            simhash_near_dup_pairs(full, "doc_id", "text").collect()}
+
+    p = str(tmp_path / "sh")
+    build_simhash_index(a, "doc_id", "text", p, n_shards=16, batch_id=0)
+    a_pairs = {tuple(sorted((r["id1"], r["id2"]))) for r in
+               simhash_dedup_incremental(spark, p, a, "doc_id", "text",
+                                         within_batch=False).collect()}
+    inc = {tuple(sorted((r["id1"], r["id2"]))) for r in
+           simhash_dedup_incremental(spark, p, b, "doc_id", "text",
+                                     append_batch_id=1).collect()}
+    assert a_pairs | inc == want and want
+    # post-append probe of the clones finds their originals in the index
+    probe = {tuple(sorted((r["id1"], r["id2"]))) for r in
+             simhash_dedup_incremental(spark, p, clones, "doc_id", "text",
+                                       within_batch=False).collect()}
+    assert all(any(c in pr for c in
+                   [r["doc_id"] for r in clones.collect()]) for pr in probe)
+    assert len(probe) >= 15

@@ -624,3 +624,95 @@ def exact_dedup_incremental(spark, registry_path: str, new_docs: DataFrame,
     kept = batch_rep.join(
         reg.withColumnRenamed("first_id", "_reg_id"), "digest")         .where(F.col("_reg_id") == F.col(id_col).cast("long"))         .drop("_reg_id", "digest")
     return kept
+
+
+def build_simhash_index(df: DataFrame, id_col: str, text_col: str,
+                        path: str, *, portable: bool = False,
+                        n_shards: int = 64, batch_id: int = 0) -> dict:
+    """Persist a SimHash near-dup index: (band, bits, id, sig) rows
+    sharded by pmod(bits, n_shards) — the cheapest incremental-dedup
+    signature (one 64-bit value per doc, no shingle explosion). The 4 x
+    16-bit pigeonhole bands guarantee any pair within hamming <= 3 shares
+    a band; probing a new batch is a shard-pruned equi-join plus an exact
+    bit_count filter. Same batch=<id>/ overwrite layout as the LSH index
+    (replay-idempotent); same JSON sidecar pattern."""
+    import json
+    import os
+
+    sig = df.select(F.col(id_col).alias("id"),
+                    simhash64(F.col(text_col), portable=portable).alias("sig"))
+    banded = sig.select("id", "sig", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("sig"), b * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("bits"))
+        for b in range(4)])).alias("bb")) \
+        .select("id", "sig", F.col("bb.band").alias("band"),
+                F.col("bb.bits").alias("bits"),
+                F.pmod("bb.bits", F.lit(n_shards)).alias("_shard"))
+    banded.write.mode("overwrite").partitionBy("_shard") \
+        .parquet(os.path.join(path, "bands", f"batch={batch_id}"))
+    meta = {"portable": portable, "n_shards": n_shards}
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_SIMHASH_INDEX.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_SIMHASH_INDEX.json"))
+    return meta
+
+
+def simhash_dedup_incremental(spark, path: str, new_docs: DataFrame,
+                              id_col: str, text_col: str,
+                              max_hamming: int = 3,
+                              within_batch: bool = True,
+                              append_batch_id: int | None = None) -> DataFrame:
+    """Near-duplicates of a NEW batch against the SimHash index (plus
+    within-batch pairs): compute the batch's 64-bit signatures, probe only
+    the shard directories its band bits hash into, verify candidates with
+    exact hamming distance. With ``append_batch_id`` the batch is also
+    registered into the index (overwrite subdir — replay-idempotent)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_SIMHASH_INDEX.json")) as f:
+        meta = json.load(f)
+    sig = new_docs.select(
+        F.col(id_col).alias("nid"),
+        simhash64(F.col(text_col), portable=meta["portable"]).alias("nsig"))
+    nb = sig.select("nid", "nsig", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("nsig"), b * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("bits"))
+        for b in range(4)])).alias("bb")) \
+        .select("nid", "nsig", F.col("bb.band").alias("band"),
+                F.col("bb.bits").alias("bits"),
+                F.pmod("bb.bits", F.lit(meta["n_shards"])).alias("_shard"))
+    nb = nb.persist()
+    shards = sorted(r["_shard"] for r in nb.select("_shard").distinct().collect())
+    idx = spark.read.parquet(os.path.join(path, "bands")) \
+        .where(F.col("_shard").isin(shards))
+    cross = (idx.join(nb.select("nid", "nsig", "band", "bits"),
+                      ["band", "bits"])
+             .where(F.col("id") != F.col("nid"))
+             .select(F.col("id").alias("id1"), F.col("nid").alias("id2"),
+                     F.bit_count(F.col("sig").bitwiseXOR(F.col("nsig")))
+                     .alias("hamming"))
+             .where(F.col("hamming") <= max_hamming).distinct())
+    out = cross
+    if within_batch:
+        a = nb.select(F.col("nid").alias("id1"), F.col("nsig").alias("s1"),
+                      "band", "bits")
+        b = nb.select(F.col("nid").alias("id2"), F.col("nsig").alias("s2"),
+                      "band", "bits")
+        within = (a.join(b, ["band", "bits"])
+                  .where(F.col("id1") < F.col("id2"))
+                  .select("id1", "id2",
+                          F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+                          .alias("hamming"))
+                  .where(F.col("hamming") <= max_hamming).distinct())
+        out = cross.unionByName(within).distinct()
+    if append_batch_id is not None:
+        nb.withColumnRenamed("nid", "id").withColumnRenamed("nsig", "sig") \
+            .write.mode("overwrite").partitionBy("_shard") \
+            .parquet(os.path.join(path, "bands",
+                                  f"batch={append_batch_id}"))
+    return out
