@@ -116,9 +116,14 @@ def test_stream_stream_left_outer_expiry_nulls(spark, sf_dir):
                        if r["b_id"] is not None)
     assert s_matched == b_matched and len(s_matched) > 0
 
-    # final watermark = max event time - delay; expiry bound = c_ts + within
-    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    wm = max_ts - datetime.timedelta(days=2)
+    # final GLOBAL watermark = min over the two inputs of (max event time
+    # AFTER that input's filter) - delay (pinned empirically in round 5:
+    # max over ALL events is wrong by the rows between the sides' maxima);
+    # expiry bound = c_ts + within, strictly
+    ev = load_table(spark, sf_dir, "events")
+    max_c = ev.where(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    max_b = ev.where(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0]
+    wm = min(max_c, max_b) - datetime.timedelta(days=2)
     b_null = {r["c_id"]: r["c_ts"] for r in batch if r["b_id"] is None}
     expected = {i for i, t in b_null.items()
                 if t + datetime.timedelta(days=1) < wm}

@@ -938,10 +938,16 @@ def q_ivf_topk_indexed(spark, sf_dir):
 
 def q_stream_stream_join(spark, sf_dir):
     """Stream-stream event-time interval join (streaming/windows.py) run to
-    completion with Trigger.AvailableNow: purchases joined to the same
-    user's clicks within the following hour, BOTH sides real file streams
-    with watermarks. Must equal the batch interval-join SQL on the same
-    files (bounded state: the watermark expires buffered rows)."""
+    completion with Trigger.AvailableNow — LEFT OUTER: purchases joined to
+    the same user's clicks within the following hour, BOTH sides real file
+    streams with watermarks. Matched rows must equal the batch
+    interval-join SQL; unmatched purchases emit NULL-joined rows exactly
+    when the final global watermark passes their join upper bound
+    (state-expiry semantics — the thing that bounds join state on an
+    unbounded stream). The emission rule the oracle replicates, pinned
+    empirically at sf0.001 AND sf0.01: global watermark = min(max event
+    time per input AFTER its filter) - delay; a row emits iff
+    l_ts + within < watermark, strictly."""
     import uuid
 
     from .streaming.windows import file_stream, stream_stream_interval_join
@@ -955,7 +961,7 @@ def q_stream_stream_join(spark, sf_dir):
                 F.col("event_id").alias("r_event"), F.col("ts").alias("r_ts"))
     joined = stream_stream_interval_join(
         left, right, "l_user", "r_user", "l_ts", "r_ts",
-        within="1 hour", watermark="2 hours")
+        within="1 hour", watermark="2 hours", how="left_outer")
     name = f"ssj_{uuid.uuid4().hex[:8]}"
     qy = (joined.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(availableNow=True).start())
@@ -2376,13 +2382,28 @@ FROM scored WHERE rank <= 5
 """
 
 ORACLES["stream_stream_join"] = """
+WITH l AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+-- the global streaming watermark: min over the two inputs of
+-- (max event time seen AFTER that input's filter) - delay
+wm AS (SELECT least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r))
+              - INTERVAL 2 HOUR AS w)
 SELECT CAST(l.user_id AS BIGINT) AS l_user,
        CAST(l.event_id AS BIGINT) AS l_event,
        CAST(r.event_id AS BIGINT) AS r_event
-FROM events l JOIN events r
+FROM l JOIN r
   ON l.user_id = r.user_id
  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
-WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+UNION ALL
+-- expiry nulls: unmatched purchases whose join upper bound the final
+-- watermark strictly passed (trailing rows stay withheld)
+SELECT CAST(l.user_id AS BIGINT), CAST(l.event_id AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM l
+WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id
+                  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR)
+  AND l.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
 """
 
 
