@@ -653,14 +653,40 @@ def q_name_lang_detect(spark, sf_dir):
 
 
 def q_raw_feature_filter(spark, sf_dir):
-    """RawFeatureFilter fill-rate sweep as a one-row frame (exact ratios)."""
+    """RawFeatureFilter fill-rate sweep (exact ratios) PLUS a Deequ-style
+    expectations report (operators/expectations.check_report) over the
+    same lineitem scan — part='fill' / part='expect' rows. The expectation
+    metrics chosen here are all EXACT (non-null fractions, exact distinct
+    ratio, in-range and allowed-value fractions — single IEEE divisions of
+    long counts), so the whole constraint layer is hash-gated against the
+    SQL replica, including a deliberately FAILING constraint
+    (unique(l_orderkey): lineitem repeats order keys)."""
+    from .operators.expectations import (allowed_values, check_report,
+                                         complete, in_range, satisfies,
+                                         unique)
     li = _t(spark, sf_dir, "lineitem")
     li = li.withColumn("qty_sparse", F.when(F.col("l_quantity") > 10, F.col("l_quantity")))
     n = F.count(F.lit(1))
-    return li.agg(
+    fills = li.agg(
         (F.count("l_quantity") / n).alias("fill_qty"),
         (F.count("qty_sparse") / n).alias("fill_qty_sparse"),
         (F.count("l_returnflag") / n).alias("fill_flag"))
+    fill_rows = fills.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("name"), F.col(c).alias("metric"))
+        for c in ("fill_qty", "fill_qty_sparse", "fill_flag")])).alias("r"))         .select(F.lit("fill").alias("part"), F.col("r.name").alias("name"),
+                F.col("r.metric").alias("metric"),
+                F.lit(None).cast("double").alias("threshold"),
+                F.lit(None).cast("boolean").alias("passed"))
+    report = check_report(li, [
+        complete("l_quantity", 1.0),
+        unique("l_orderkey"),
+        in_range("l_discount", 0.0, 0.1, 0.95),
+        allowed_values("l_returnflag", ["A", "N", "R"], 1.0),
+        satisfies("qty_positive", F.col("l_quantity") > 0, 1.0),
+    ]).select(F.lit("expect").alias("part"),
+              F.col("constraint").alias("name"), "metric", "threshold",
+              "passed")
+    return fill_rows.unionByName(report)
 
 
 # ---------------------------------------------------------------------------
@@ -1644,11 +1670,42 @@ FROM nm
 """
 
 ORACLES["raw_feature_filter"] = """
-SELECT CAST(count(l_quantity) AS DOUBLE) / count(*) AS fill_qty,
-       CAST(count(CASE WHEN l_quantity > 10 THEN l_quantity END) AS DOUBLE)
-         / count(*) AS fill_qty_sparse,
-       CAST(count(l_returnflag) AS DOUBLE) / count(*) AS fill_flag
-FROM lineitem
+WITH m AS (
+  SELECT CAST(count(l_quantity) AS DOUBLE) / count(*) AS fill_qty,
+         CAST(count(CASE WHEN l_quantity > 10 THEN l_quantity END) AS DOUBLE)
+           / count(*) AS fill_qty_sparse,
+         CAST(count(l_returnflag) AS DOUBLE) / count(*) AS fill_flag,
+         CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS c_complete,
+         CAST(count(DISTINCT l_orderkey) AS DOUBLE) / count(*) AS c_unique,
+         CAST(SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1
+                  THEN 1 ELSE 0 END) AS DOUBLE)
+           / SUM(CASE WHEN l_discount IS NOT NULL THEN 1 ELSE 0 END)
+           AS c_range,
+         CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END)
+              AS DOUBLE)
+           / SUM(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END)
+           AS c_allowed,
+         CAST(SUM(CASE WHEN COALESCE(l_quantity > 0, FALSE)
+                  THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS c_pos
+  FROM lineitem
+)
+SELECT 'fill' AS part, 'fill_qty' AS name, fill_qty AS metric,
+       CAST(NULL AS DOUBLE) AS threshold, CAST(NULL AS BOOLEAN) AS passed
+FROM m
+UNION ALL SELECT 'fill', 'fill_qty_sparse', fill_qty_sparse,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN) FROM m
+UNION ALL SELECT 'fill', 'fill_flag', fill_flag,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN) FROM m
+UNION ALL SELECT 'expect', 'complete(l_quantity)', c_complete, 1.0,
+       c_complete >= 1.0 FROM m
+UNION ALL SELECT 'expect', 'unique(l_orderkey)', c_unique, 1.0,
+       c_unique >= 1.0 FROM m
+UNION ALL SELECT 'expect', 'in_range(l_discount,0.0,0.1)', c_range, 0.95,
+       COALESCE(c_range >= 0.95, TRUE) FROM m
+UNION ALL SELECT 'expect', 'allowed_values(l_returnflag)', c_allowed, 1.0,
+       COALESCE(c_allowed >= 1.0, TRUE) FROM m
+UNION ALL SELECT 'expect', 'qty_positive', c_pos, 1.0, c_pos >= 1.0 FROM m
 """
 
 ORACLES["numeric_fitted"] = """
