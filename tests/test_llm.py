@@ -881,3 +881,55 @@ def test_simhash_index_incremental_equals_full(spark, sf_dir, tmp_path):
     assert all(any(c in pr for c in
                    [r["doc_id"] for r in clones.collect()]) for pr in probe)
     assert len(probe) >= 15
+
+
+def test_stream_dedup_ingest_pipeline(spark, sf_dir, tmp_path):
+    """End-to-end streaming ingest dedup: docs stream in micro-batches
+    through probe -> drop -> register -> sink. Laws: (1) the sink holds no
+    LSH-candidate pair at all (every surviving pair collides with nothing
+    registered before or beside it); (2) exact duplicates injected into a
+    LATER file are dropped against the index, not re-scanned text; (3) a
+    full second run with a fresh checkpoint converges (replay-idempotent
+    end to end)."""
+    from transmogrifai_spark.llm.dedup import (build_lsh_index,
+                                               lsh_dedup_incremental,
+                                               stream_dedup_ingest)
+    from transmogrifai_spark.sources.tables import load_table
+    from transmogrifai_spark.streaming.windows import file_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") < 250).coalesce(1) \
+        .write.mode("append").parquet(src)
+    # later file: new docs + exact clones of earlier ones under new ids
+    later = docs.where(F.col("doc_id") >= 250).unionByName(
+        docs.where(F.col("doc_id") < 20)
+        .select((F.col("doc_id") + 90000).alias("doc_id"), "text"))
+    later.coalesce(1).write.mode("append").parquet(src)
+
+    p = str(tmp_path / "idx")
+    out = str(tmp_path / "kept")
+    build_lsh_index(docs.limit(0), "doc_id", "text", p, num_hashes=16,
+                    bands=4, n_shards=16, batch_id=0)
+
+    def run(ck):
+        stream = file_stream(spark, src, max_files_per_trigger=1)
+        q = stream_dedup_ingest(stream, p, out, "doc_id", "text",
+                                checkpoint=str(tmp_path / ck))
+        q.awaitTermination()
+
+    run("ck1")
+    kept = spark.read.parquet(out)
+    kept_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # clones of already-ingested docs were dropped
+    assert not any(i >= 90000 for i in kept_ids)
+    # survivors contain no candidate pair among themselves
+    pairs = lsh_dedup_incremental(spark, spark_path := p, kept, "doc_id",
+                                  "text", within_batch=True)
+    self_pairs = pairs.where(
+        F.col("id1").isin(kept_ids) & F.col("id2").isin(kept_ids)).count()
+    assert self_pairs == 0
+    run("ck2")  # full replay, fresh checkpoint: converges
+    kept2 = sorted(r["doc_id"] for r in
+                   spark.read.parquet(out).select("doc_id").collect())
+    assert kept2 == kept_ids and kept_ids

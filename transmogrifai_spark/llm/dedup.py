@@ -532,8 +532,15 @@ def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
                      portable=meta["portable"], n_shards=meta["n_shards"])
     nb = nb.persist()
     shards = sorted(r["_shard"] for r in nb.select("_shard").distinct().collect())
-    idx = spark.read.parquet(os.path.join(path, "bands")) \
-        .where(F.col("_shard").isin(shards))
+    try:
+        idx = spark.read.parquet(os.path.join(path, "bands")) \
+            .where(F.col("_shard").isin(shards))
+    except Exception:
+        # an index built over an EMPTY frame (schema-fixing bootstrap, the
+        # streaming-ingest pattern) has no parquet footers yet; shape the
+        # empty side from the batch's own banded frame so the id type
+        # matches whatever the caller's id column is
+        idx = nb.select("id", "band", "bucket", "_shard").limit(0)
     if max_bucket is not None:
         # skew guard on the INDEX side: drop ultra-hot (band, bucket)
         # groups before the join (same rationale as minhash_lsh_candidates)
@@ -716,3 +723,49 @@ def simhash_dedup_incremental(spark, path: str, new_docs: DataFrame,
             .parquet(os.path.join(path, "bands",
                                   f"batch={append_batch_id}"))
     return out
+
+
+def stream_dedup_ingest(stream: DataFrame, index_path: str, out_path: str,
+                        id_col: str, text_col: str,
+                        checkpoint: str | None = None,
+                        max_bucket: int | None = None,
+                        available_now: bool = True):
+    """The complete streaming ingestion-dedup pipeline, composed from the
+    incremental pieces: per micro-batch (1) probe the persisted LSH index
+    for near-duplicates of the batch against everything ingested so far,
+    (2) drop the batch's duplicates (docs that collide with the corpus,
+    plus all-but-the-min-id doc of each within-batch candidate pair),
+    (3) register the SURVIVORS in the index, (4) append the survivors to
+    ``out_path`` — each write into a per-batch subdirectory with
+    overwrite, so at-least-once replays converge end to end.
+
+    The index must exist (``build_lsh_index`` — possibly over an empty
+    frame — fixes the hash parameters). Cost per batch: the batch's
+    signatures + a shard-pruned index probe; the corpus is never
+    re-scanned."""
+
+    def do_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        pairs = lsh_dedup_incremental(spark, index_path, batch, id_col,
+                                      text_col, within_batch=True,
+                                      max_bucket=max_bucket).persist()
+        # cross pairs: (corpus_id, new_id) -> drop the new doc; within
+        # pairs: (min_id, other_id) after canonicalization -> keep min
+        drop = pairs.select(F.greatest("id1", "id2").alias(id_col)) \
+            .union(pairs.select(
+                F.when(F.col("id1") > F.col("id2"), F.col("id1"))
+                .otherwise(F.col("id2")).alias(id_col))).distinct()
+        kept = batch.join(drop, id_col, "left_anti").persist()
+        append_lsh_index(spark, index_path, kept, id_col, text_col,
+                         batch_id=batch_id + 1)  # batch=0 is the build
+        kept.write.mode("overwrite") \
+            .parquet(f"{out_path}/batch={batch_id}")
+        kept.unpersist()
+        pairs.unpersist()
+
+    writer = stream.writeStream.foreachBatch(do_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
