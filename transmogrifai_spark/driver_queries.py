@@ -76,11 +76,20 @@ def q_pricing_summary(spark, sf_dir):
 
 
 def q_join_inner_agg(spark, sf_dir):
-    """Inner equi-join (JoinedReader, JoinTypes.Inner) + segment rollup."""
-    jr = JoinedReader(left=DataReader(path=f"{sf_dir}/customer.parquet"),
-                      right=DataReader(path=f"{sf_dir}/orders.parquet"),
-                      left_key="c_custkey", right_key="o_custkey", join_type="inner")
-    return (jr.generate(spark)
+    """Inner equi-join (JoinedReader, JoinTypes.Inner) + segment rollup —
+    ROUTED THROUGH sources/joins.skew_join since round 5: three explicit
+    hot keys take the broadcast branch, the rest sort-merge, and the
+    union must be hash-identical to the plain inner join the oracle
+    computes. This gates the skew-routing machinery (key-set split,
+    branch joins, exact union) with driver evidence, not just the
+    skew == plain law test."""
+    from .sources.joins import skew_join
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders") \
+        .withColumnRenamed("o_custkey", "c_custkey")
+    joined = skew_join(cust, orders, "c_custkey", how="inner",
+                       hot=[{"c_custkey": k} for k in (1, 7, 42)])
+    return (joined
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  agg_sum_exact(F.col("o_totalprice")).alias("total_price"),
