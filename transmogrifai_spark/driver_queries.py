@@ -872,8 +872,30 @@ def q_cdc_scd2(spark, sf_dir):
             .alias("op"))
 
     diff = snapshot_diff(s1, s2, ["k"], "ver")
+    # part='pit': the BUCKETED point-in-interval join
+    # (sources/range_join.point_in_interval_join) driven over the same
+    # SCD2 intervals — every probe (k, t = event_id-1 for event_id % 7
+    # == 0) must land on the version governing t (half-open intervals ->
+    # end = valid_to - 1, far-future capped to the version space). Rows
+    # carry the GOVERNING (ver, value); op holds the probe t as a string.
+    from .sources.range_join import point_in_interval_join
+    points = ev.where((F.col("event_id") % 7 == 0) & (F.col("event_id") > 0)) \
+        .select(F.col("user_id").alias("k"),
+                (F.col("event_id") - 1).alias("t"))
+    intervals = hist.select(
+        "k", F.col("ver").alias("g_ver"), F.col("value").alias("g_value"),
+        "valid_from",
+        (F.least(F.col("valid_to"), F.lit(max_ver + 1)) - 1).alias("vend"))
+    pit = point_in_interval_join(points, intervals, "t", "valid_from",
+                                 "vend", bucket_width=max(1, max_ver // 16),
+                                 extra_keys=["k"], how="inner")
+    pit_rows = pit.select(
+        F.lit("pit").alias("part"), F.col("k").cast("long").alias("k"),
+        F.col("g_ver").cast("long").alias("ver"),
+        F.col("g_value").cast("double").alias("value"),
+        F.col("t").cast("string").alias("op"))
     return shape(s1, "snap1").union(shape(s2, "snap2")) \
-        .union(shape(diff, "diff", op_col="op"))
+        .union(shape(diff, "diff", op_col="op")).union(pit_rows)
 
 
 def q_top_k_by_group(spark, sf_dir):
@@ -2369,6 +2391,17 @@ SELECT 'snap2', CAST(k AS BIGINT), CAST(ver AS BIGINT),
 UNION ALL
 SELECT 'diff', CAST(k AS BIGINT), CAST(ver AS BIGINT),
        CAST(value AS DOUBLE), op FROM diff WHERE op IS NOT NULL
+UNION ALL
+SELECT 'pit', CAST(k AS BIGINT), CAST(ver AS BIGINT),
+       CAST(value AS DOUBLE), CAST(t AS VARCHAR)
+FROM (
+  SELECT p.k, p.t, c.ver, c.value, c.op,
+         row_number() OVER (PARTITION BY p.k, p.t
+                            ORDER BY c.ver DESC) AS rn
+  FROM (SELECT user_id AS k, event_id - 1 AS t FROM events
+        WHERE event_id % 7 = 0 AND event_id > 0) p
+  JOIN ch c ON c.k = p.k AND c.ver <= p.t
+) WHERE rn = 1 AND op <> 'D'
 """
 
 ORACLES["top_k_by_group"] = """
