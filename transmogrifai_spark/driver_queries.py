@@ -48,11 +48,19 @@ def _t(spark, sf_dir, name):
 
 def q_scan_pushdown(spark, sf_dir):
     """Parquet scan with projection + filter pushdown (DataReader.generate —
-    the select happens at the scan so parquet reads 4 of 11 columns)."""
+    the select happens at the scan so parquet reads 4 of 11 columns).
+    Since r5 the row also carries the Z-ORDER key (sources/layout.
+    zorder_key over quantity x price, 21 bits each): range-scale to
+    21-bit integers from the filtered frame's min/max, Morton
+    bit-interleave — every floating-point step a single IEEE op the
+    oracle replicates, so the clustering-key math itself is hash-gated."""
+    from .sources.layout import zorder_key
     li = DataReader(path=f"{sf_dir}/lineitem.parquet", key_col="l_orderkey")
     df = li.read(spark)
-    return (df.where(F.col("l_quantity") >= 45)
-            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+    filtered = df.where(F.col("l_quantity") >= 45)
+    zk = zorder_key(filtered, ["l_quantity", "l_extendedprice"])
+    return filtered.select("l_orderkey", "l_linenumber", "l_quantity",
+                           "l_extendedprice", zk.alias("zkey"))
 
 
 def q_pricing_summary(spark, sf_dir):
@@ -1300,10 +1308,77 @@ def _sum(x: str) -> str:
 
 ORACLES: dict[str, str] = {}
 
-ORACLES["scan_pushdown"] = """
-SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-FROM lineitem WHERE l_quantity >= 45
+_Z_MAX = float((1 << 21) - 1)
+
+ORACLES["scan_pushdown"] = f"""
+WITH f AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_quantity >= 45
+),
+st AS (
+  SELECT min(CAST(l_quantity AS DOUBLE)) AS qlo,
+         max(CAST(l_quantity AS DOUBLE)) AS qhi,
+         min(CAST(l_extendedprice AS DOUBLE)) AS plo,
+         max(CAST(l_extendedprice AS DOUBLE)) AS phi
+  FROM f
+),
+sc AS (
+  SELECT f.*,
+         CAST(floor(GREATEST(LEAST((CAST(l_quantity AS DOUBLE) - qlo)
+           / (CASE WHEN qhi > qlo THEN qhi - qlo ELSE 1.0 END), 1.0), 0.0)
+           * {_Z_MAX}) AS BIGINT) AS sq,
+         CAST(floor(GREATEST(LEAST((CAST(l_extendedprice AS DOUBLE) - plo)
+           / (CASE WHEN phi > plo THEN phi - plo ELSE 1.0 END), 1.0), 0.0)
+           * {_Z_MAX}) AS BIGINT) AS sp
+  FROM f, st
+)
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       (((sq >> 0) & 1) << 0)
+         | (((sp >> 0) & 1) << 1)
+         | (((sq >> 1) & 1) << 2)
+         | (((sp >> 1) & 1) << 3)
+         | (((sq >> 2) & 1) << 4)
+         | (((sp >> 2) & 1) << 5)
+         | (((sq >> 3) & 1) << 6)
+         | (((sp >> 3) & 1) << 7)
+         | (((sq >> 4) & 1) << 8)
+         | (((sp >> 4) & 1) << 9)
+         | (((sq >> 5) & 1) << 10)
+         | (((sp >> 5) & 1) << 11)
+         | (((sq >> 6) & 1) << 12)
+         | (((sp >> 6) & 1) << 13)
+         | (((sq >> 7) & 1) << 14)
+         | (((sp >> 7) & 1) << 15)
+         | (((sq >> 8) & 1) << 16)
+         | (((sp >> 8) & 1) << 17)
+         | (((sq >> 9) & 1) << 18)
+         | (((sp >> 9) & 1) << 19)
+         | (((sq >> 10) & 1) << 20)
+         | (((sp >> 10) & 1) << 21)
+         | (((sq >> 11) & 1) << 22)
+         | (((sp >> 11) & 1) << 23)
+         | (((sq >> 12) & 1) << 24)
+         | (((sp >> 12) & 1) << 25)
+         | (((sq >> 13) & 1) << 26)
+         | (((sp >> 13) & 1) << 27)
+         | (((sq >> 14) & 1) << 28)
+         | (((sp >> 14) & 1) << 29)
+         | (((sq >> 15) & 1) << 30)
+         | (((sp >> 15) & 1) << 31)
+         | (((sq >> 16) & 1) << 32)
+         | (((sp >> 16) & 1) << 33)
+         | (((sq >> 17) & 1) << 34)
+         | (((sp >> 17) & 1) << 35)
+         | (((sq >> 18) & 1) << 36)
+         | (((sp >> 18) & 1) << 37)
+         | (((sq >> 19) & 1) << 38)
+         | (((sp >> 19) & 1) << 39)
+         | (((sq >> 20) & 1) << 40)
+         | (((sp >> 20) & 1) << 41)
+       AS zkey
+FROM sc
 """
+
 
 ORACLES["pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
