@@ -65,9 +65,18 @@ def main() -> None:
         return out.select("query_id", "neighbor_id", "rank",
                           F.round(F.col("cosine"), 6).alias("cosine6"))
 
+    def text_quality_base(spark, sf_dir):
+        # the registry query additionally computes portable-md5 winnowing
+        # fingerprints for the correctness gate; the bench keeps measuring
+        # what BASELINE.md recorded: the metric expression set itself
+        from transmogrifai_spark.llm import textqual
+        docs = load_table(spark, sf_dir, "documents")
+        return textqual.text_metrics(docs, "doc_id", "text")
+
     runners = dict(SPARK_QUERIES)
     runners["dedup_near_ngram_capped"] = near_ngram_capped
     runners["similarity_topk"] = brute_topk
+    runners["text_quality"] = text_quality_base
 
     # median of N repeats per query: single runs at this scale have 10-20%
     # run-to-run noise (JIT, page cache, GC), which made round-over-round

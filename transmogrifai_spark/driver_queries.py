@@ -773,8 +773,19 @@ def q_corpus_mixture(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
+    """text_metrics PLUS the WINNOWING fingerprint count (SIGMOD'03 MOSS,
+    llm/textqual.winnow_fingerprints, portable md5 hash family) — the
+    rolling-hash k-gram sweep, window minima, and distinct are replicated
+    list-op-for-list-op in the oracle, gating the winnowing machinery.
+    The bench keeps measuring the original metric set (runner override)."""
     docs = _t(spark, sf_dir, "documents")
-    return textqual.text_metrics(docs, "doc_id", "text")
+    base = textqual.text_metrics(docs, "doc_id", "text")
+    fp = docs.select(
+        "doc_id",
+        F.size(textqual.winnow_fingerprints(F.col("text"), k=5, w=4,
+                                            portable=True))
+        .cast("long").alias("n_winnow_fp"))
+    return base.join(fp, "doc_id")
 
 
 def q_similarity_topk(spark, sf_dir):
@@ -2014,12 +2025,28 @@ _SW = {k: "[" + ",".join(f"'{w}'" for w in v) + "]"
 _BPE = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
 
 ORACLES["text_quality"] = f"""
-WITH base AS (
+WITH base0 AS (
   SELECT doc_id, text, {_tokens('text')} AS toks,
-         COALESCE(length(text), 0) AS ln
+         COALESCE(length(text), 0) AS ln,
+         trim(regexp_replace(lower(COALESCE(text, '')),
+                             '[^\p{{L}}\p{{N}}]+', ' ', 'g')) AS wnorm
   FROM documents
+), grams AS (
+  SELECT doc_id, CASE WHEN length(wnorm) >= 5 THEN
+           list_transform(range(1, length(wnorm) - 5 + 2),
+             i -> CAST('0x' || substr(md5(substr(wnorm, CAST(i AS INT), 5)), 1, 15)
+                       AS BIGINT))
+         ELSE [] END AS g
+  FROM base0
+), base AS (
+  SELECT b.doc_id, b.text, b.toks, b.ln,
+         CASE WHEN len(g.g) >= 4 THEN
+           list_distinct(list_transform(range(1, len(g.g) - 4 + 2),
+             i -> list_min(list_slice(g.g, CAST(i AS INT), CAST(i AS INT) + 3))))
+         ELSE list_distinct(g.g) END AS wins
+  FROM base0 b JOIN grams g USING (doc_id)
 ), m AS (
-  SELECT doc_id, text, toks, ln,
+  SELECT doc_id, text, toks, ln, wins,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(COALESCE(len(regexp_extract_all(text, '{_BPE}')), 0) AS BIGINT) AS n_tokens_bpe,
          CASE WHEN len(toks) = 0 THEN 0.0
@@ -2031,7 +2058,8 @@ WITH base AS (
          CASE WHEN ln = 0 THEN 0.0
               ELSE CAST(ln - length(regexp_replace(text, '[\\p{{N}}]', '', 'g')) AS DOUBLE)
                    / CAST(ln AS DOUBLE) END AS digit_ratio,
-         {{sw_exprs}}
+         {{sw_exprs}},
+         CAST(len(wins) AS BIGINT) AS n_winnow_fp
   FROM base
 )
 SELECT doc_id, CAST(ln AS BIGINT) AS n_chars, n_tokens, n_tokens_bpe, mean_token_len,
@@ -2047,7 +2075,8 @@ SELECT doc_id, CAST(ln AS BIGINT) AS n_chars, n_tokens, n_tokens_bpe, mean_token
             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
             ELSE 'fr' END AS lang_guess,
-       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+       n_winnow_fp
 FROM m
 """.replace("{sw_exprs}", ", ".join(
     f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, "

@@ -233,7 +233,8 @@ def fingerprint(c: Column) -> Column:
     return F.md5(F.array_join(toks, " "))
 
 
-def winnow_fingerprints(c: Column, k: int = 5, w: int = 4) -> Column:
+def winnow_fingerprints(c: Column, k: int = 5, w: int = 4,
+                        portable: bool = False) -> Column:
     """Rolling-hash document fingerprints by WINNOWING (Schleimer, Wilkerson,
     Aiken, SIGMOD 2003 — the MOSS algorithm; public): hash every k-gram of
     the normalized text, slide a window of ``w`` consecutive k-gram hashes,
@@ -252,15 +253,33 @@ def winnow_fingerprints(c: Column, k: int = 5, w: int = 4) -> Column:
                             r"[^\p{L}\p{N}]+", " ")
     norm = F.trim(norm)
     n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+    if portable:
+        # md5-derived 60-bit hash, bit-identical in DuckDB (see
+        # llm/dedup.portable_hash64) — the oracle-gated instantiation
+        from .dedup import portable_hash64
+
+        def gram_hash(s):
+            return portable_hash64(s)
+    else:
+        def gram_hash(s):
+            return F.xxhash64(s)
     grams = F.when(n_grams > 0, F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(norm.substr(i, F.lit(k)))
+        lambda i: gram_hash(norm.substr(i, F.lit(k)))
     )).otherwise(F.array().cast("array<bigint>"))
-    n_windows = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(0))
-    return F.when(n_windows > 0, F.array_distinct(F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(grams, i, w))
-    ))).otherwise(F.array_distinct(grams))
+
+    # bind grams as a TRANSFORM LAMBDA VARIABLE: referencing it directly
+    # inside the window sweep re-evaluates the whole k-gram hash array per
+    # window element — O(len^2) hashing per document (catastrophic with
+    # the md5-based portable hash); the lambda variable is computed once
+    def windows(g):
+        n_windows = F.greatest(F.size(g) - F.lit(w - 1), F.lit(0))
+        return F.when(n_windows > 0, F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(g, i, w))
+        ))).otherwise(F.array_distinct(g))
+
+    return F.transform(F.array(grams), windows)[0]
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
