@@ -45,13 +45,20 @@ def word_ngram_hashes(c: Column, n: int = 13, lowercase: bool = True) -> Column:
     toks = F.filter(
         F.split(F.regexp_replace(norm, r"[^0-9A-Za-z]+", " "), " "),
         lambda t: t != "")
-    starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        starts,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
-    return F.array_distinct(grams)
+
+    # bind toks as a transform lambda variable: referencing the
+    # regex+split+filter expression inside the per-gram lambda would
+    # re-evaluate it once per gram — O(words x text_len) regex work per
+    # document (the round-5 recurring anti-pattern)
+    def grams(t):
+        starts = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(F.transform(
+            starts,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, n)))))
+
+    return F.transform(F.array(toks), grams)[0]
 
 
 def _eval_gram_set(eval_df: DataFrame, text_col: str, n: int) -> DataFrame:
