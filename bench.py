@@ -73,10 +73,19 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents")
         return textqual.text_metrics(docs, "doc_id", "text")
 
+    def dedup_exact_base(spark, sf_dir):
+        # the registry query additionally drives the persisted incremental
+        # digest registry (CowSnapshot writes) for the correctness gate;
+        # the bench keeps measuring what BASELINE.md recorded: the
+        # hash-groupBy dedup itself
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.exact_dedup(docs, "doc_id", "text")
+
     runners = dict(SPARK_QUERIES)
     runners["dedup_near_ngram_capped"] = near_ngram_capped
     runners["similarity_topk"] = brute_topk
     runners["text_quality"] = text_quality_base
+    runners["dedup_exact"] = dedup_exact_base
 
     # median of N repeats per query: single runs at this scale have 10-20%
     # run-to-run noise (JIT, page cache, GC), which made round-over-round
@@ -119,6 +128,22 @@ def main() -> None:
     except Exception as e:
         print(f"bench error in ml_train_score phases: {e}", file=sys.stderr)
 
+    # honesty key: the REGISTRY forms of the substituted queries (heavier —
+    # they also drive oracle-gated machinery: winnowing fingerprints, the
+    # IVF/SQ union, persisted incremental dedup indexes). Timed once each so
+    # the gated plans have a tracked perf number; NOT part of the
+    # BASELINE-comparable headline total.
+    registry_times: dict[str, float] = {}
+    for name in ("similarity_topk", "text_quality", "dedup_exact"):
+        t0 = time.time()
+        try:
+            SPARK_QUERIES[name](spark, SF_DIR).count()
+            registry_times[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            print(f"bench error in registry-form {name}: {e}",
+                  file=sys.stderr)
+            registry_times[name] = -1.0
+
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -126,6 +151,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_registry_form": registry_times,
         "phases": phases,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
     }))

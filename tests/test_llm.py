@@ -933,3 +933,53 @@ def test_stream_dedup_ingest_pipeline(spark, sf_dir, tmp_path):
     kept2 = sorted(r["doc_id"] for r in
                    spark.read.parquet(out).select("doc_id").collect())
     assert kept2 == kept_ids and kept_ids
+
+
+def test_stream_dedup_ingest_nonmonotonic_ids(spark, sf_dir, tmp_path):
+    """Regression (r6 ADVICE): a later batch's duplicate whose id is
+    SMALLER than its corpus counterpart must still be dropped. Cross pairs
+    are (corpus_id, new_id) — the drop rule is 'id2', never
+    greatest(id1, id2), which would pick the corpus id (not in the batch)
+    and drop nothing. Exercises hash/uuid-style id schemes where ingestion
+    order and id order are unrelated."""
+    from transmogrifai_spark.llm.dedup import (build_lsh_index,
+                                               stream_dedup_ingest)
+    from transmogrifai_spark.sources.tables import load_table
+    from transmogrifai_spark.streaming.windows import file_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    first = docs.where(F.col("doc_id").between(250, 400))
+    first.coalesce(1).write.mode("append").parquet(src)
+    # later file: ONLY clones of first-file docs, under ids 1..20 —
+    # strictly smaller than every id already ingested
+    clones = docs.where(F.col("doc_id").between(250, 269)).select(
+        (F.col("doc_id") - 249).alias("doc_id"), "text")
+    clones.coalesce(1).write.mode("append").parquet(src)
+
+    p = str(tmp_path / "idx")
+    out = str(tmp_path / "kept")
+    build_lsh_index(docs.limit(0), "doc_id", "text", p, num_hashes=16,
+                    bands=4, n_shards=16, batch_id=0)
+    stream = file_stream(spark, src, max_files_per_trigger=1)
+    q = stream_dedup_ingest(stream, p, out, "doc_id", "text",
+                            checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+    kept_ids = sorted(r["doc_id"] for r in
+                      spark.read.parquet(out).select("doc_id").collect())
+    assert not any(i <= 20 for i in kept_ids)      # every clone dropped
+    # survivors all come from the first file (minus its own legitimate
+    # within-batch near-dup drops)
+    first_ids = {r["doc_id"] for r in first.collect()}
+    assert set(kept_ids) <= first_ids
+    assert len(kept_ids) >= 0.9 * len(first_ids)
+    # replay with a fresh checkpoint converges (own-batch index subdir is
+    # excluded from the cross probe, so docs never collide with their
+    # prior selves)
+    stream2 = file_stream(spark, src, max_files_per_trigger=1)
+    q2 = stream_dedup_ingest(stream2, p, out, "doc_id", "text",
+                             checkpoint=str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    kept2 = sorted(r["doc_id"] for r in
+                   spark.read.parquet(out).select("doc_id").collect())
+    assert kept2 == kept_ids

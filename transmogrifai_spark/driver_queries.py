@@ -711,8 +711,32 @@ def q_raw_feature_filter(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups (part='full') PLUS the persisted incremental
+    digest registry driven end-to-end (part='incremental', r6): documents
+    fed in two batches (doc_id parity) through exact_dedup_incremental —
+    CowSnapshot digest buckets, first-wins registration, bucket-pruned
+    probes (llm/dedup.py) — must keep exactly the SQL closed form:
+    representative = arg-min by (batch, doc_id) per digest. This is the
+    100-TB ingest path: a batch never rescans prior corpus text."""
+    import tempfile
     docs = _t(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs, "doc_id", "text")
+    full = dedup.exact_dedup(docs, "doc_id", "text").select(
+        F.lit("full").alias("part"), "digest",
+        F.col("representative").cast("long").alias("representative"),
+        F.col("dup_count").cast("long").alias("dup_count"))
+    p = tempfile.mkdtemp(prefix="dedup_exact_registry_")
+    k0 = dedup.exact_dedup_incremental(
+        spark, p, docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text",
+        batch_id=0, n_buckets=16)
+    k1 = dedup.exact_dedup_incremental(
+        spark, p, docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        batch_id=1, n_buckets=16)
+    incr = k0.unionByName(k1).select(
+        F.lit("incremental").alias("part"),
+        dedup.text_digest(F.col("text")).alias("digest"),
+        F.col("doc_id").cast("long").alias("representative"),
+        F.lit(None).cast("long").alias("dup_count"))
+    return full.unionByName(incr)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1145,19 +1169,73 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash duplicate groups, portable md5-bit mode — the DuckDB oracle
-    recomputes every 64-bit signature from token md5 digests."""
+    """SimHash duplicate groups, portable md5-bit mode (part='group' —
+    the DuckDB oracle recomputes every 64-bit signature from token md5
+    digests) PLUS the persisted incremental SimHash index driven
+    end-to-end (part='incremental', r6): build_simhash_index over the
+    even-id half, shard-pruned simhash_dedup_incremental probes (even
+    half self-probe; odd half cross + within-batch), hamming <= 3 pairs
+    verified by exact bit_count. Merged-carrier columns (part, a, b, c):
+    group rows carry (simhash, representative, dup_count); incremental
+    rows carry (id1, id2, hamming)."""
+    import tempfile
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_groups(docs, "doc_id", "text", portable=True)
+    groups = dedup.simhash_groups(docs, "doc_id", "text", portable=True) \
+        .select(F.lit("group").alias("part"),
+                F.col("simhash").alias("a"),
+                F.col("representative").cast("long").alias("b"),
+                F.col("dup_count").cast("long").alias("c"))
+    p = tempfile.mkdtemp(prefix="simhash_index_gate_")
+    a_df = docs.where(F.col("doc_id") % 2 == 0)
+    b_df = docs.where(F.col("doc_id") % 2 == 1)
+    dedup.build_simhash_index(a_df, "doc_id", "text", p, portable=True,
+                              n_shards=16, batch_id=0)
+    a_pairs = dedup.simhash_dedup_incremental(spark, p, a_df, "doc_id",
+                                              "text", within_batch=False)
+    b_pairs = dedup.simhash_dedup_incremental(spark, p, b_df, "doc_id",
+                                              "text", within_batch=True)
+    incr = (a_pairs.unionByName(b_pairs)
+            .select(F.least("id1", "id2").cast("long").alias("a"),
+                    F.greatest("id1", "id2").cast("long").alias("b"),
+                    F.col("hamming").cast("long").alias("c"))
+            .distinct()
+            .select(F.lit("incremental").alias("part"), "a", "b", "c"))
+    return groups.unionByName(incr)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH candidate pairs, portable mode: signatures and band
     buckets from md5 hex prefixes so the oracle replicates the banded plan
-    (llm/dedup.py portable_hash64 formula)."""
+    (llm/dedup.py portable_hash64 formula). part='full' is the one-shot
+    run; part='incremental' (r6) drives the PERSISTED index machinery —
+    build_lsh_index over the even-id half, then shard-pruned
+    lsh_dedup_incremental probes (even half self-probe for within-corpus
+    pairs; odd half for cross + within-batch pairs). Since a doc's banded
+    buckets depend only on its own text, the canonicalized union must
+    hash-equal the one-shot candidate set — same SQL, gating the on-disk
+    layout, sidecar roundtrip, and probe path with hard values."""
+    import tempfile
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16,
-                                        bands=4, portable=True)
+    full = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=16, bands=4, portable=True) \
+        .select(F.lit("full").alias("part"),
+                F.col("id1").cast("long").alias("id1"),
+                F.col("id2").cast("long").alias("id2"))
+    p = tempfile.mkdtemp(prefix="lsh_index_gate_")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    dedup.build_lsh_index(a, "doc_id", "text", p, n=3, num_hashes=16,
+                          bands=4, portable=True, n_shards=16, batch_id=0)
+    a_pairs = dedup.lsh_dedup_incremental(spark, p, a, "doc_id", "text",
+                                          within_batch=False)
+    b_pairs = dedup.lsh_dedup_incremental(spark, p, b, "doc_id", "text",
+                                          within_batch=True)
+    incr = (a_pairs.unionByName(b_pairs)
+            .select(F.least("id1", "id2").cast("long").alias("id1"),
+                    F.greatest("id1", "id2").cast("long").alias("id2"))
+            .distinct()
+            .select(F.lit("incremental").alias("part"), "id1", "id2"))
+    return full.unionByName(incr)
 
 
 def q_similarity_ann_lsh(spark, sf_dir):
@@ -1972,9 +2050,18 @@ FROM payload
 """
 
 ORACLES["dedup_exact"] = """
-SELECT md5(text) AS digest, min(doc_id) AS representative,
+SELECT 'full' AS part, md5(text) AS digest,
+       CAST(min(doc_id) AS BIGINT) AS representative,
        count(*) AS dup_count
 FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT 'incremental', md5(text), CAST(doc_id AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM (SELECT text, doc_id,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id % 2, doc_id) AS rn
+      FROM documents) t
+WHERE rn = 1
 """
 
 ORACLES["dedup_clusters"] = f"""
@@ -2024,7 +2111,7 @@ _SW = {k: "[" + ",".join(f"'{w}'" for w in v) + "]"
        for k, v in textqual.STOPWORD_PROFILES.items()}
 _BPE = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
 
-ORACLES["text_quality"] = f"""
+ORACLES["text_quality"] = rf"""
 WITH base0 AS (
   SELECT doc_id, text, {_tokens('text')} AS toks,
          COALESCE(length(text), 0) AS ln,
@@ -2053,10 +2140,10 @@ WITH base0 AS (
               ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
                    / CAST(len(toks) AS DOUBLE) END AS mean_token_len,
          CASE WHEN ln = 0 THEN 0.0
-              ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+              ELSE CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS DOUBLE)
                    / CAST(ln AS DOUBLE) END AS punct_ratio,
          CASE WHEN ln = 0 THEN 0.0
-              ELSE CAST(ln - length(regexp_replace(text, '[\\p{{N}}]', '', 'g')) AS DOUBLE)
+              ELSE CAST(ln - length(regexp_replace(text, '[\p{{N}}]', '', 'g')) AS DOUBLE)
                    / CAST(ln AS DOUBLE) END AS digit_ratio,
          {{sw_exprs}},
          CAST(len(wins) AS BIGINT) AS n_winnow_fp
@@ -2149,10 +2236,17 @@ banded AS (
                                           r -> CAST(sg[r] AS VARCHAR)), '_')
            || '#' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS bucket
   FROM sig, range(0, 4) bands(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+  FROM banded a JOIN banded b2
+    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
 )
-SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
-FROM banded a JOIN banded b2
-  ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+SELECT 'full' AS part, CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2
+FROM pairs
+UNION ALL
+SELECT 'incremental', CAST(id1 AS BIGINT), CAST(id2 AS BIGINT)
+FROM pairs
 """
 
 ORACLES["dedup_simhash"] = f"""
@@ -2183,9 +2277,27 @@ sig AS (
 full_sig AS (
   SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
   FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+),
+sbanded AS (
+  -- 4 x 16-bit pigeonhole bands; arithmetic >> then & 65535 keeps the low
+  -- 16 bits of the shifted value, matching Spark's shiftrightunsigned+mask
+  SELECT doc_id, simhash, bs.b, (simhash >> (bs.b * 16)) & 65535 AS bits
+  FROM full_sig, range(0, 4) bs(b)
+),
+ipairs AS (
+  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+         bit_count(xor(x.simhash, y.simhash)) AS hamming
+  FROM sbanded x JOIN sbanded y
+    ON x.b = y.b AND x.bits = y.bits AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 )
-SELECT simhash, min(doc_id) AS representative, count(*) AS dup_count
+SELECT 'group' AS part, simhash AS a, CAST(min(doc_id) AS BIGINT) AS b,
+       count(*) AS c
 FROM full_sig GROUP BY simhash
+UNION ALL
+SELECT 'incremental', CAST(id1 AS BIGINT), CAST(id2 AS BIGINT),
+       CAST(hamming AS BIGINT)
+FROM ipairs
 """
 
 ORACLES["similarity_ann_lsh"] = f"""

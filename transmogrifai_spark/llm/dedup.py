@@ -28,6 +28,7 @@ verifies the operator.
 """
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 from pyspark.sql import functions as F
@@ -139,16 +140,25 @@ def minhash_signature(c: Column, n: int = 3, num_hashes: int = 32,
                       portable: bool = False) -> Column:
     """MinHash signature: for seed i, min over shingles of hash(sh, i).
     Hash family: seeded xxhash64 (default) or ``portable_hash64`` (md5-based,
-    SQL-oracle-replicable)."""
+    SQL-oracle-replicable).
+
+    The per-seed hasher MUST be a unary lambda built by a closure factory:
+    a two-parameter ``lambda s, i=i`` is treated by F.transform as
+    (element, INDEX) — the seed default is silently shadowed by the array
+    index Column, collapsing the hash family (and, via the seed literal's
+    f-string, embedding the lambda variable's repr, which carries a
+    global counter — so two plan constructions of the "same" signature
+    disagreed). Found by the r6 incremental-LSH oracle gate: index-build
+    and probe plans hashed with different families and matched nothing."""
     sh = word_shingles(c, n)
-    if portable:
-        def h(s, i):
-            return portable_hash64(s, i)
-    else:
-        def h(s, i):
-            return F.xxhash64(s, F.lit(i))
+
+    def hasher(seed: int):
+        if portable:
+            return lambda s: portable_hash64(s, seed)
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     return F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: h(s, i)))
+        F.array_min(F.transform(sh, hasher(i)))
         for i in range(num_hashes)
     ])
 
@@ -511,12 +521,22 @@ def append_lsh_index(spark, path: str, df: DataFrame, id_col: str,
 def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
                           id_col: str, text_col: str,
                           within_batch: bool = True,
-                          max_bucket: int | None = None) -> DataFrame:
+                          max_bucket: int | None = None,
+                          exclude_batches: list[int] | None = None,
+                          caches: list | None = None) -> DataFrame:
     """Near-duplicate candidates of a NEW batch: (new) x (indexed corpus)
     pairs plus — when ``within_batch`` — (new) x (new) pairs, WITHOUT
-    touching corpus text. Returns (id1, id2) with id1 < id2 for
-    within-batch pairs and (corpus_id, new_id) order for cross pairs,
-    distinct.
+    touching corpus text. Returns (id1, id2, within) where ``within``
+    distinguishes within-batch pairs (id1 < id2) from cross pairs (which
+    keep (corpus_id, new_id) order — id2 is always the NEW doc), distinct.
+
+    ``exclude_batches`` removes index subdirectories (``batch=<id>``
+    partition values, a directory-pruning predicate) from the cross
+    probe — a replaying micro-batch excludes its OWN registered subdir so
+    its docs never collide with their prior selves. ``caches``, when
+    given, collects the persisted frames for the caller to unpersist once
+    the result is materialized (long-lived streaming sessions would
+    otherwise leak one cached frame per batch).
 
     Scale shape: the new batch's banded rows are computed once and are
     small; the index side is filtered to the batch's DISTINCT shards (a
@@ -531,15 +551,28 @@ def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
                      num_hashes=meta["num_hashes"], bands=meta["bands"],
                      portable=meta["portable"], n_shards=meta["n_shards"])
     nb = nb.persist()
+    if caches is not None:
+        caches.append(nb)
     shards = sorted(r["_shard"] for r in nb.select("_shard").distinct().collect())
     try:
         idx = spark.read.parquet(os.path.join(path, "bands")) \
             .where(F.col("_shard").isin(shards))
-    except Exception:
-        # an index built over an EMPTY frame (schema-fixing bootstrap, the
-        # streaming-ingest pattern) has no parquet footers yet; shape the
-        # empty side from the batch's own banded frame so the id type
-        # matches whatever the caller's id column is
+        if exclude_batches:
+            idx = idx.where(~F.col("batch").isin(list(exclude_batches)))
+    except AnalysisException as e:
+        # ONLY the bootstrap case is recoverable: an index built over an
+        # EMPTY frame (the streaming-ingest pattern) has no parquet footers
+        # yet, so schema inference fails. Shape the empty side from the
+        # batch's own banded frame so the id type matches the caller's id
+        # column. Any other read failure (permissions, corrupt footers,
+        # transient FS errors) must surface — silently treating it as
+        # "empty corpus" would skip dedup for the batch.
+        msg = str(e)
+        if ("UNABLE_TO_INFER_SCHEMA" not in msg
+                and "PATH_NOT_FOUND" not in msg
+                and "Unable to infer schema" not in msg
+                and "Path does not exist" not in msg):
+            raise
         idx = nb.select("id", "band", "bucket", "_shard").limit(0)
     if max_bucket is not None:
         # skew guard on the INDEX side: drop ultra-hot (band, bucket)
@@ -552,14 +585,16 @@ def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
                       ["band", "bucket"])
              .where(F.col("id") != F.col("_nid"))
              .select(F.col("id").alias("id1"), F.col("_nid").alias("id2"))
-             .distinct())
+             .distinct()
+             .withColumn("within", F.lit(False)))
     if not within_batch:
         return cross
     a = nb.select(F.col("id").alias("id1"), "band", "bucket")
     b = nb.select(F.col("id").alias("id2"), "band", "bucket")
     within = (a.join(b, ["band", "bucket"])
               .where(F.col("id1") < F.col("id2"))
-              .select("id1", "id2").distinct())
+              .select("id1", "id2").distinct()
+              .withColumn("within", F.lit(True)))
     return cross.unionByName(within).distinct()
 
 
@@ -588,7 +623,8 @@ def stream_lsh_index(stream: DataFrame, path: str, id_col: str,
 def exact_dedup_incremental(spark, registry_path: str, new_docs: DataFrame,
                             id_col: str, text_col: str,
                             batch_id: int | None = None,
-                            n_buckets: int = 64) -> DataFrame:
+                            n_buckets: int = 64,
+                            caches: list | None = None) -> DataFrame:
     """Incremental EXACT dedup: drop new documents whose content digest is
     already registered, keep one representative per digest within the
     batch, and register the survivors — all without ever scanning prior
@@ -597,10 +633,10 @@ def exact_dedup_incremental(spark, registry_path: str, new_docs: DataFrame,
     with the batch, not the corpus) and replays of the same ``batch_id``
     are skipped exactly-once.
 
-    Returns the deduplicated batch (the rows that were registered)."""
-    from ..sources.cow_snapshot import CowSnapshot
-
-    from ..sources.cow_snapshot import bucket_of
+    Returns the deduplicated batch (the rows that were registered).
+    ``caches`` (optional list) collects the internally persisted frame for
+    the caller to unpersist once the result is materialized."""
+    from ..sources.cow_snapshot import CowSnapshot, bucket_of
 
     snap = CowSnapshot(registry_path, ["digest"], "first_id",
                        n_buckets=n_buckets)
@@ -610,6 +646,8 @@ def exact_dedup_incremental(spark, registry_path: str, new_docs: DataFrame,
     batch_rep = (with_digest
                  .withColumn("_rn", F.row_number().over(w))
                  .where(F.col("_rn") == 1).drop("_rn")).persist()
+    if caches is not None:
+        caches.append(batch_rep)
     # probe ONLY the buckets this batch's digests hash to
     buckets = sorted({r["b"] for r in batch_rep.select(
         bucket_of(["digest"], n_buckets).alias("b")).distinct().collect()})
@@ -671,7 +709,8 @@ def simhash_dedup_incremental(spark, path: str, new_docs: DataFrame,
                               id_col: str, text_col: str,
                               max_hamming: int = 3,
                               within_batch: bool = True,
-                              append_batch_id: int | None = None) -> DataFrame:
+                              append_batch_id: int | None = None,
+                              caches: list | None = None) -> DataFrame:
     """Near-duplicates of a NEW batch against the SimHash index (plus
     within-batch pairs): compute the batch's 64-bit signatures, probe only
     the shard directories its band bits hash into, verify candidates with
@@ -694,6 +733,8 @@ def simhash_dedup_incremental(spark, path: str, new_docs: DataFrame,
                 F.col("bb.bits").alias("bits"),
                 F.pmod("bb.bits", F.lit(meta["n_shards"])).alias("_shard"))
     nb = nb.persist()
+    if caches is not None:
+        caches.append(nb)
     shards = sorted(r["_shard"] for r in nb.select("_shard").distinct().collect())
     idx = spark.read.parquet(os.path.join(path, "bands")) \
         .where(F.col("_shard").isin(shards))
@@ -746,15 +787,21 @@ def stream_dedup_ingest(stream: DataFrame, index_path: str, out_path: str,
 
     def do_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        caches: list = []
+        # exclude THIS batch's own registered subdir (batch_id + 1 — see
+        # append below) from the cross probe: on an at-least-once replay
+        # the batch's kept docs are already in the index, and probing them
+        # would pair batch docs against their prior selves
         pairs = lsh_dedup_incremental(spark, index_path, batch, id_col,
                                       text_col, within_batch=True,
-                                      max_bucket=max_bucket).persist()
-        # cross pairs: (corpus_id, new_id) -> drop the new doc; within
-        # pairs: (min_id, other_id) after canonicalization -> keep min
-        drop = pairs.select(F.greatest("id1", "id2").alias(id_col)) \
-            .union(pairs.select(
-                F.when(F.col("id1") > F.col("id2"), F.col("id1"))
-                .otherwise(F.col("id2")).alias(id_col))).distinct()
+                                      max_bucket=max_bucket,
+                                      exclude_batches=[batch_id + 1],
+                                      caches=caches).persist()
+        # id2 is ALWAYS the doc to drop: cross pairs are (corpus_id,
+        # new_id) — the new doc loses to the already-ingested corpus doc
+        # regardless of id ordering — and within pairs are canonicalized
+        # (id1 < id2), so keep-the-min == drop id2
+        drop = pairs.select(F.col("id2").alias(id_col)).distinct()
         kept = batch.join(drop, id_col, "left_anti").persist()
         append_lsh_index(spark, index_path, kept, id_col, text_col,
                          batch_id=batch_id + 1)  # batch=0 is the build
@@ -762,6 +809,8 @@ def stream_dedup_ingest(stream: DataFrame, index_path: str, out_path: str,
             .parquet(f"{out_path}/batch={batch_id}")
         kept.unpersist()
         pairs.unpersist()
+        for c in caches:
+            c.unpersist()
 
     writer = stream.writeStream.foreachBatch(do_batch).outputMode("append")
     if checkpoint:

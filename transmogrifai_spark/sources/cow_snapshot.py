@@ -158,19 +158,22 @@ class CowSnapshot:
         the table), filter to the key. None before the first commit.
 
         The probe row is CAST to the snapshot's actual key column types
-        (from the stored parquet schema — a footer read, not a scan)
         before hashing: xxhash64 is type-sensitive, so a probe typed by
         guessing from the Python value (e.g. long for a key stored as
         int/decimal/date) would hash to a different bucket than the
-        writer's bucket_of and silently miss."""
-        table = self.read(spark)
-        if table is None:
+        writer's bucket_of and silently miss. The types come from ONE
+        committed bucket's parquet footers (every bucket shares the
+        schema) — NOT a full-table read, which would list every bucket
+        directory and make point-lookup setup cost O(table files)."""
+        paths = self._bucket_paths(self._read_manifest())
+        if not paths:
             return None
+        schema = spark.read.parquet(paths[0]).schema
         row = spark.createDataFrame(
             [tuple(None if key_row[k] is None else str(key_row[k])
                    for k in self.keys)],
             ", ".join(f"{k} string" for k in self.keys))
-        row = row.select(*[F.col(k).cast(table.schema[k].dataType)
+        row = row.select(*[F.col(k).cast(schema[k].dataType)
                            for k in self.keys])
         b = row.select(self._bucket_expr().alias("b")).collect()[0]["b"]
         df = self.read(spark, buckets=[int(b)])
