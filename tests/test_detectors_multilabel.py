@@ -211,6 +211,36 @@ def test_language_id_extended_scripts_and_latin(spark):
     assert out == [want for _, want in cases]
 
 
+def test_language_id_confusable_pairs(spark):
+    """r6 discriminators: same-script confusable groups (no/da, id/ms,
+    hr/sr/bs) separate by their discriminator lexicons; text with shared
+    function words only (zero discriminator hits) keeps the base guess."""
+    from transmogrifai_spark.llm.textqual import language_id_extended
+    cases = [
+        # Norwegian vs Danish: spelling doublets av/af, etter/efter,
+        # språk/sprog, mellom/mellem
+        ("og det er en god dag etter regnet kom språk av folket mellom",
+         "no"),
+        ("og det er en god dag efter regnen kom sprog af folket mellem",
+         "da"),
+        # Indonesian vs Malay: karena/kerana, uang/wang, bisa/boleh
+        ("yang dan di itu dengan untuk tidak karena uang bisa ini", "id"),
+        ("yang dan di itu dengan untuk tidak kerana wang boleh ini", "ms"),
+        # BCS: tjedan/tisuća/kava (hr), nedelja/hleb/kafa (sr ekavica),
+        # sedmica/kahva (bs)
+        ("je i u se na za su od kao tjedan kava tisuća ljudi", "hr"),
+        ("je i u se na za su od kao nedelja kafa hleb ljudi", "sr"),
+        ("je i u se na za su od kao sedmica kahva mahala ljudi", "bs"),
+        # shared-words-only BCS text: zero discriminator hits -> base
+        # guess (hr profile carries the group)
+        ("je i u se na za su od kao ljudi", "hr"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "t string")
+    out = [r["l"] for r in
+           df.select(language_id_extended(F.col("t")).alias("l")).collect()]
+    assert out == [want for _, want in cases]
+
+
 def test_name_stats_gender(spark):
     from transmogrifai_spark.operators.detectors import name_stats
     df = spark.createDataFrame(

@@ -775,8 +775,18 @@ def q_corpus_mixture(spark, sf_dir):
     Also per language: a PORTABLE KMV distinct-text estimate (k=64,
     operators/sketches.kmv_partial portable mode — md5-derived unit hashes)
     whose k-smallest selection and (k-1)/u_k estimator the oracle replicates
-    step-for-step, value-gating the sketch machinery itself."""
-    from .llm.curation import mix_corpora
+    step-for-step, value-gating the sketch machinery itself.
+
+    r6: the two remaining law-only curation samplers are hash-gated as
+    merged parts (columns part, lang, a, b, c, d): part='strat' =
+    stratified_fixed_sample (exactly min(20, group size) docs per lang in
+    id-hash order), part='budget' = token_budget_sample (per-lang char
+    budgets, cumulative-sum window in id-hash order, first-crossing row
+    kept; zh absent from the budget dict -> dropped entirely). Both are
+    layout-independent by construction, which is exactly what the oracle
+    proves."""
+    from .llm.curation import (mix_corpora, stratified_fixed_sample,
+                               token_budget_sample)
     from .llm.decontam import contamination_report
     from .operators.sketches import kmv_estimate, kmv_partial
     docs = _t(spark, sf_dir, "documents")
@@ -787,13 +797,27 @@ def q_corpus_mixture(spark, sf_dir):
                         {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.1})
     kmv = kmv_partial(mixed, ["lang"], "text", k=64, portable=True) \
         .select("lang", kmv_estimate("kmv", 64).alias("kmv_distinct_est"))
-    return (mixed.join(F.broadcast(contaminated), "doc_id", "left")
-            .groupBy("lang").agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_chars").alias("n_chars_total"),
-                F.sum(F.coalesce(F.col("is_cont"), F.lit(0)))
-                 .alias("n_contaminated"))
-            .join(kmv, "lang"))
+    mix_rows = (mixed.join(F.broadcast(contaminated), "doc_id", "left")
+                .groupBy("lang").agg(
+                    F.count(F.lit(1)).alias("a"),
+                    F.sum("n_chars").cast("long").alias("b"),
+                    F.sum(F.coalesce(F.col("is_cont"), F.lit(0)))
+                     .cast("long").alias("c"))
+                .join(kmv, "lang")
+                .select(F.lit("mix").alias("part"), "lang", "a", "b", "c",
+                        F.col("kmv_distinct_est").cast("double").alias("d")))
+    _nulls = [F.lit(None).cast("long").alias("b"),
+              F.lit(None).cast("long").alias("c"),
+              F.lit(None).cast("double").alias("d")]
+    strat_rows = stratified_fixed_sample(docs, "lang", "doc_id", 20).select(
+        F.lit("strat").alias("part"), "lang",
+        F.col("doc_id").cast("long").alias("a"), *_nulls)
+    budget_rows = token_budget_sample(
+        docs, "doc_id", "n_chars", group_col="lang",
+        budgets={"en": 30000, "fr": 10000, "de": 10000, "es": 10000}).select(
+        F.lit("budget").alias("part"), "lang",
+        F.col("doc_id").cast("long").alias("a"), *_nulls)
+    return mix_rows.unionByName(strat_rows).unionByName(budget_rows)
 
 
 def q_text_quality(spark, sf_dir):
@@ -840,11 +864,44 @@ def q_similarity_topk(spark, sf_dir):
 
 
 def q_sessionize(spark, sf_dir):
-    """Sessionization (custom stateful operator, batch/backfill form):
-    30-minute-gap sessions per user, rolled up per session."""
+    """Sessionization, BOTH forms gated (r6): part='batch' is the
+    window-lag/cumsum backfill operator (30-minute-gap sessions per user,
+    rolled up per session); part='stream' runs the NATIVE
+    F.session_window streaming aggregation (streaming/windows.py) over a
+    real file stream with a 1-hour watermark, Trigger.AvailableNow,
+    APPEND mode — so the oracle also replicates the state-expiry emission
+    rule, pinned empirically at sf0.001 and sf0.01: a session emits iff
+    session_end (last event + gap) < final watermark (max input event
+    time - delay), strictly. Closes the last §2.13 surface without
+    driver-row evidence."""
+    import uuid
+
     from .streaming.stateful import session_stats_batch
+    from .streaming.windows import file_stream, session_windowed_aggregate
     ev = _t(spark, sf_dir, "events")
-    return session_stats_batch(ev, "user_id", "ts", gap_minutes=30.0)
+    batch = session_stats_batch(ev, "user_id", "ts", gap_minutes=30.0).select(
+        F.lit("batch").alias("part"), F.col("key"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("start_ms").cast("long").alias("start_ms"),
+        F.col("end_ms").cast("long").alias("end_ms"),
+        "total_value")
+    stream = file_stream(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    agg = session_windowed_aggregate(stream, "user_id", "ts",
+                                     gap="30 minutes", watermark="1 hour")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    qy = (agg.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    qy.awaitTermination()
+    streamed = spark.table(name).select(
+        F.lit("stream").alias("part"),
+        F.col("user_id").cast("string").alias("key"),
+        F.lit(None).cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("session_start_ms").cast("long").alias("start_ms"),
+        F.col("session_end_ms").cast("long").alias("end_ms"),
+        "total_value")
+    return batch.unionByName(streamed)
 
 
 def q_streaming_window(spark, sf_dir):
@@ -1139,22 +1196,53 @@ def q_model_selection(spark, sf_dir):
 
 
 def q_loco_insights(spark, sf_dir):
-    """RecordInsightsLOCO over a fitted LR (rows-only — ml fit)."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.functions import array_to_vector
+    """RecordInsightsLOCO, HARD-GATED (r6 — was rows-only): a 2-feature
+    linear model is fit by CLOSED-FORM OLS whose normal equations are
+    computed over EXACT integer aggregates (cents + month + 0/1 label;
+    Python bigint on the Spark side, HUGEINT in the oracle), so both
+    engines derive bit-identical double coefficients; the per-record LOCO
+    deltas then flow through the real loco_linear operator
+    (ml/insights.py, link='identity' — delta_i reduces to w_i*x_i, the
+    RecordInsightsLOCO.scala:100 linear closed form) and the oracle
+    replicates margin/delta/top-slot selection IEEE-op-for-op. The
+    sigmoid form stays law-tested (loco_any_model == loco_linear,
+    tests/test_ml.py). One 1-row driver collect (the 9 OLS sums) —
+    bounded at any scale."""
     from .ml.insights import loco_linear
     o = _t(spark, sf_dir, "orders")
     data = o.select(
         "o_orderkey",
-        F.array((F.col("o_totalprice") / 1e6),
-                F.month(F.col("o_orderdate")).cast("double") / 12.0).alias("arr"),
-        (F.col("o_orderstatus") == "F").cast("double").alias("label")) \
-        .withColumn("fv", array_to_vector(F.col("arr")))
-    lr = LogisticRegression(featuresCol="fv", labelCol="label", maxIter=10).fit(data)
-    out = loco_linear(data, "arr", float(lr.intercept),
-                      list(lr.coefficients.toArray()), top_k=2)
-    return out.select("o_orderkey", F.round(F.col("base_score"), 6).alias("score6"),
-                      F.col("loco")[0]["slot"].alias("top_slot"))
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c1"),
+        F.month(F.col("o_orderdate")).cast("long").alias("m"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"))
+    g = data.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c1").alias("s1"), F.sum("m").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("c1") * F.col("c1")).cast("decimal(38,0)")).alias("s11"),
+        F.sum(F.col("c1") * F.col("m")).alias("s12"),
+        F.sum(F.col("c1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("m") * F.col("m")).alias("s22"),
+        F.sum(F.col("m") * F.col("y")).alias("s2y")).first()
+    n, s1, s2, sy = (int(g["n"]), int(g["s1"]), int(g["s2"]), int(g["sy"]))
+    s11, s12, s1y = int(g["s11"]), int(g["s12"]), int(g["s1y"])
+    s22, s2y = int(g["s22"]), int(g["s2y"])
+    # exact-integer normal equations (Python bigints — no rounding until
+    # the final double divisions, which the oracle mirrors op-for-op)
+    c11, c12, c22 = n * s11 - s1 * s1, n * s12 - s1 * s2, n * s22 - s2 * s2
+    c1y, c2y = n * s1y - s1 * sy, n * s2y - s2 * sy
+    det = c11 * c22 - c12 * c12
+    b1 = float(c22 * c1y - c12 * c2y) / float(det)
+    b2 = float(c11 * c2y - c12 * c1y) / float(det)
+    b0 = (float(sy) - b1 * float(s1) - b2 * float(s2)) / float(n)
+    arr = data.withColumn(
+        "arr", F.array(F.col("c1").cast("double"), F.col("m").cast("double")))
+    out = loco_linear(arr, "arr", b0, [b1, b2], top_k=2, link="identity")
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        (F.round(F.col("base_score"), 6) + F.lit(0.0)).alias("score6"),
+        F.col("loco")[0]["slot"].cast("int").alias("top_slot"),
+        (F.round(F.col("loco")[0]["delta"], 6) + F.lit(0.0)).alias("top_delta6"))
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -2368,15 +2456,38 @@ WITH w AS (
            AS kmv_distinct_est
   FROM kmv_rn GROUP BY lang
 )
-SELECT s.lang, count(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+, strat AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY ((doc_id % 1000000 + 42) * 2654435761) % 1000000,
+                    doc_id) AS rn
+  FROM documents
+), bgt AS (
+  SELECT lang, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang
+           ORDER BY ((doc_id % 1000000 + 42) * 2654435761) % 1000000, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CASE lang WHEN 'en' THEN 30000 WHEN 'fr' THEN 10000
+              WHEN 'de' THEN 10000 WHEN 'es' THEN 10000 ELSE 0 END AS lim
+  FROM documents
+)
+SELECT 'mix' AS part, s.lang, count(*) AS a,
+       CAST(SUM(n_chars) AS BIGINT) AS b,
        CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_contaminated,
-       max(k.kmv_distinct_est) AS kmv_distinct_est
+         AS c,
+       max(k.kmv_distinct_est) AS d
 FROM sampled s
 LEFT JOIN contaminated c USING (doc_id)
 JOIN kmv_est k ON k.lang = s.lang
 GROUP BY s.lang
+UNION ALL
+SELECT 'strat', lang, CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM strat WHERE rn <= 20
+UNION ALL
+SELECT 'budget', lang, CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM bgt WHERE cum - n_chars < lim
 """
 
 ORACLES["similarity_topk"] = """
@@ -2444,13 +2555,23 @@ WITH s AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
              AS session_id
   FROM s
-)
-SELECT CAST(user_id AS VARCHAR) AS key, session_id,
-       count(*) AS n_events,
-       min(tms) AS start_ms, max(tms) AS end_ms,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
-FROM numbered
-GROUP BY user_id, session_id
+), g AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         min(tms) AS start_ms, max(tms) AS end_ms,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+  FROM numbered
+  GROUP BY user_id, session_id
+), wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events)
+SELECT 'batch' AS part, CAST(user_id AS VARCHAR) AS key, session_id,
+       n_events, start_ms, end_ms, total_value
+FROM g
+UNION ALL
+-- streaming session_window, APPEND-mode expiry rule: the session window
+-- spans [first event, last event + gap]; it emits exactly when the final
+-- watermark (max input event time - delay) strictly passes its end
+SELECT 'stream', CAST(user_id AS VARCHAR), CAST(NULL AS BIGINT),
+       n_events, start_ms, end_ms + 1800000, total_value
+FROM g WHERE end_ms + 1800000 < (SELECT w FROM wm)
 """
 
 ORACLES["streaming_window"] = """
@@ -2719,6 +2840,74 @@ FROM l
 WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id
                   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR)
   AND l.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+"""
+
+# LOCO linear closed form (r6): OLS normal equations over EXACT integer
+# aggregates in HUGEINT (mirror of the Python-bigint driver computation),
+# coefficients cast to DOUBLE only at the final divisions, then the
+# margin / delta / top-slot expressions replicated IEEE-op-for-op against
+# ml/insights.loco_linear(link='identity').
+ORACLES["loco_insights"] = """
+WITH d AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c1,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(c1) AS HUGEINT) AS s1, CAST(sum(m) AS HUGEINT) AS s2,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(c1 * c1) AS HUGEINT) AS s11,
+         CAST(sum(c1 * m) AS HUGEINT) AS s12,
+         CAST(sum(c1 * y) AS HUGEINT) AS s1y,
+         CAST(sum(m * m) AS HUGEINT) AS s22,
+         CAST(sum(m * y) AS HUGEINT) AS s2y
+  FROM d
+),
+c AS (
+  SELECT n, s1, s2, sy,
+         n*s11 - s1*s1 AS c11, n*s12 - s1*s2 AS c12, n*s22 - s2*s2 AS c22,
+         n*s1y - s1*sy AS c1y, n*s2y - s2*sy AS c2y
+  FROM s
+),
+coef AS (
+  SELECT n, s1, s2, sy,
+         CAST(c22*c1y - c12*c2y AS DOUBLE)
+           / CAST(c11*c22 - c12*c12 AS DOUBLE) AS b1,
+         CAST(c11*c2y - c12*c1y AS DOUBLE)
+           / CAST(c11*c22 - c12*c12 AS DOUBLE) AS b2
+  FROM c
+),
+cf AS (
+  SELECT b1, b2,
+         (CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE)
+                             - b2 * CAST(s2 AS DOUBLE))
+           / CAST(n AS DOUBLE) AS b0
+  FROM coef
+),
+scored AS (
+  -- margin mirrors loco_linear's fold: b0 + ((0.0 + t1) + t2);
+  -- delta_i mirrors margin - (margin - t_i) WITHOUT algebraic
+  -- simplification (IEEE subtraction order matters for bit equality)
+  SELECT o_orderkey,
+         b0 + (0.0 + CAST(c1 AS DOUBLE) * b1 + CAST(m AS DOUBLE) * b2)
+           AS margin,
+         CAST(c1 AS DOUBLE) * b1 AS t1,
+         CAST(m AS DOUBLE) * b2 AS t2
+  FROM d, cf
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       round(margin, 6) + 0.0 AS score6,
+       CAST(CASE WHEN abs(margin - (margin - t2)) >
+                      abs(margin - (margin - t1))
+                 THEN 1 ELSE 0 END AS INT) AS top_slot,
+       round(CASE WHEN abs(margin - (margin - t2)) >
+                       abs(margin - (margin - t1))
+                  THEN margin - (margin - t2)
+                  ELSE margin - (margin - t1) END, 6) + 0.0 AS top_delta6
+FROM scored
 """
 
 

@@ -150,6 +150,47 @@ STOPWORD_PROFILES_EXTENDED: dict[str, list[str]] = {
     "lt": ["ir", "yra", "kad", "į", "iš", "su", "bet", "tai", "kaip",
            "bei"],
     "lv": ["un", "ir", "ka", "ar", "uz", "no", "par", "bet", "kā", "pēc"],
+    # r6: shared Bosnian/Croatian/Serbian(latin) function words — routes
+    # BCS text into the confusable-group refinement below, which then
+    # separates the three standards by discriminator lexicon
+    "hr": ["je", "i", "u", "se", "na", "za", "su", "od", "da", "kao"],
+}
+
+# Confusable same-script language groups (r6): the stopword profiles are
+# near-identical within each group, so the argmax router alone cannot
+# separate them. Small DISCRIMINATOR lexicons — function words and
+# orthography pairs documented in the public dialectology literature
+# (Norwegian/Danish spelling doublets like av/af, etter/efter,
+# språk/sprog; Indonesian/Malay karena/kerana, uang/wang, bisa/boleh;
+# BCS ijekavica/ekavica and lexical doublets tjedan/nedelja/sedmica,
+# kava/kafa/kahva, tisuća/hiljada) — re-route the base guess inside the
+# group. Keyed by the group's trigger labels (what the base router can
+# emit); each inner dict maps candidate language -> its marker words.
+# The sets are DISJOINT within a group; ties (equal nonzero hits) fall to
+# ascending language code; zero hits keep the base guess.
+CONFUSABLE_DISCRIMINATORS: dict[tuple[str, ...], dict[str, list[str]]] = {
+    ("no", "da"): {
+        "no": ["av", "etter", "mellom", "noen", "bare", "hva", "språk",
+               "gjennom", "nå", "vært", "fram", "sammen"],
+        "da": ["af", "efter", "mellem", "nogle", "kun", "hvad", "sprog",
+               "gennem", "nu", "været", "frem", "måske"],
+    },
+    ("id", "ms"): {
+        "id": ["karena", "bisa", "uang", "kalian", "butuh", "senin",
+               "maret", "kantor", "nggak", "hanya"],
+        "ms": ["kerana", "boleh", "wang", "awak", "isnin", "mac",
+               "pejabat", "sahaja", "macam", "hendak"],
+    },
+    ("hr", "sr", "bs"): {
+        "hr": ["tjedan", "tisuća", "točno", "uvjet", "vlak", "kruh",
+               "siječanj", "povijest", "otok", "glazba", "kava",
+               "zrakoplov"],
+        "sr": ["nedelja", "hiljade", "tačno", "uslov", "voz", "hleb",
+               "januar", "istorija", "ostrvo", "muzika", "kafa",
+               "avion"],
+        "bs": ["sedmica", "kahva", "mahala", "čaršija", "hefta",
+               "sevdah", "merak", "ćejf"],
+    },
 }
 
 # Unicode script blocks -> language guess for scripts that identify a
@@ -208,8 +249,10 @@ def language_id_extended(c: Column, min_script_ratio: float = 0.3) -> Column:
     """Script-first language ID: when a non-Latin script covers >=
     ``min_script_ratio`` of the letters, its language wins (kana outranks
     han so Japanese text with kanji reads ja, not zh); otherwise the
-    extended Latin stopword profiles decide. Deterministic, pure
-    expressions, one projection."""
+    extended Latin stopword profiles decide, and confusable same-script
+    groups (no/da, id/ms, hr/sr/bs) are re-routed by their discriminator
+    lexicons (CONFUSABLE_DISCRIMINATORS — zero discriminator hits keep
+    the base guess). Deterministic, pure expressions, one projection."""
     letters = F.regexp_count(c, F.lit(r"\p{L}"))
 
     def ratio(rng: str) -> Column:
@@ -218,6 +261,27 @@ def language_id_extended(c: Column, min_script_ratio: float = 0.3) -> Column:
                       / letters.cast("double")).otherwise(F.lit(0.0))
 
     out = language_id(c, STOPWORD_PROFILES_EXTENDED)
+    toks = tokenize(c)
+
+    def marker_hits(words: list[str]) -> Column:
+        # unary-lambda factory: a default-arg lambda would be treated by
+        # F.filter as (element, index) — see minhash_signature's note
+        ws = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(ws, t)))
+
+    for group, markers in CONFUSABLE_DISCRIMINATORS.items():
+        langs = sorted(markers)
+        entries = F.array(*[
+            F.struct(marker_hits(markers[l]).alias("h"),
+                     F.lit(-i).alias("ni"))
+            for i, l in enumerate(langs)])
+        best = F.array_max(entries)
+        lang_arr = F.array(*[F.lit(l) for l in langs])
+        refined = F.when(
+            best["h"] > 0,
+            F.element_at(lang_arr, (-best["ni"] + 1).cast("int"))) \
+            .otherwise(out)
+        out = F.when(out.isin(*group), refined).otherwise(out)
     # reversed: kana (listed first) ends up the outermost/winning WHEN
     for name, rng in reversed(_SCRIPT_RANGES):
         out = F.when(ratio(rng) >= min_script_ratio,

@@ -79,21 +79,28 @@ def model_insights(selected, slots: list[VectorSlot],
 
 
 def loco_linear(df: DataFrame, vec_col: str, intercept: float,
-                coefficients: list[float], top_k: int = 5) -> DataFrame:
+                coefficients: list[float], top_k: int = 5,
+                link: str = "logit") -> DataFrame:
     """RecordInsightsLOCO for linear/logistic models, fully vectorized:
 
-    score      = sigmoid(w·x + b)
-    loco(i)    = score - sigmoid(w·x - w_i x_i + b)
+    score      = link(w·x + b)      (link: logit -> sigmoid, identity -> raw)
+    loco(i)    = score - link(w·x - w_i x_i + b)
 
     One projection computes every slot's delta via the shared margin — no
     re-scoring passes, no UDFs. Output: (original columns..., loco map of the
-    top_k |delta| slots)."""
+    top_k |delta| slots). ``link='identity'`` is the linear-regression form
+    whose deltas reduce to w_i x_i — SQL-closed, hence oracle-gatable."""
+    if link not in ("logit", "identity"):
+        raise ValueError(f"link must be 'logit' or 'identity', got {link!r}")
     x = F.col(vec_col)
     margin = F.lit(intercept) + F.aggregate(
         F.zip_with(x, F.array(*[F.lit(c) for c in coefficients]),
                    lambda xi, wi: xi * wi),
         F.lit(0.0), lambda a, v: a + v)
-    sig = lambda m: F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    if link == "identity":
+        sig = lambda m: m
+    else:
+        sig = lambda m: F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
     base = sig(margin)
     deltas = F.array(*[
         F.struct(

@@ -55,6 +55,7 @@ def session_windowed_aggregate(events: DataFrame, key_col: str,
              agg_sum_exact(F.col("value")).alias("total_value"))
         .select(F.col(key_col),
                 F.unix_millis(F.col("win.start")).alias("session_start_ms"),
+                F.unix_millis(F.col("win.end")).alias("session_end_ms"),
                 "n_events", "total_value")
     )
 
