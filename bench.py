@@ -134,7 +134,8 @@ def main() -> None:
     # the gated plans have a tracked perf number; NOT part of the
     # BASELINE-comparable headline total.
     registry_times: dict[str, float] = {}
-    for name in ("similarity_topk", "text_quality", "dedup_exact"):
+    for name in ("similarity_topk", "text_quality", "dedup_exact",
+                 "dedup_clusters"):
         t0 = time.time()
         try:
             SPARK_QUERIES[name](spark, SF_DIR).count()

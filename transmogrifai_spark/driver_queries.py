@@ -747,7 +747,14 @@ def q_dedup_clusters(spark, sf_dir):
     (part='cluster'; iterative label propagation; oracle = recursive SQL
     reachability). Formerly the separate dedup_near_ngram and
     dedup_clusters registry rows; merged (pairs are mined ONCE at
-    threshold 0.3 and feed both outputs) to free a 50-row-window slot."""
+    threshold 0.3 and feed both outputs) to free a 50-row-window slot.
+
+    r6 adds part='span': EXACT SUBSTRING dedup (llm/dedup.duplicated_spans,
+    Lee et al. 2021 ExactSubstr re-expressed for Spark) — merged cut
+    intervals of every duplicated >=8-token window (keep-first), portable
+    md5 hashes so the oracle replicates window hashing, the keep-first
+    row_number and the interval merge exactly (a=doc_id, b=span_start,
+    common=span_end)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3,
                                       max_doc_freq=200)
@@ -761,7 +768,14 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("cluster_id").cast("long").alias("b"),
         F.lit(None).cast("long").alias("common"),
         F.lit(None).cast("double").alias("jaccard"))
-    return pair_rows.union(cluster_rows)
+    span_rows = dedup.duplicated_spans(docs, "doc_id", "text", min_len=8,
+                                       portable=True).select(
+        F.lit("span").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("span_start").cast("long").alias("b"),
+        F.col("span_end").cast("long").alias("common"),
+        F.lit(None).cast("double").alias("jaccard"))
+    return pair_rows.union(cluster_rows).union(span_rows)
 
 
 def q_corpus_mixture(spark, sf_dir):
@@ -784,9 +798,15 @@ def q_corpus_mixture(spark, sf_dir):
     budgets, cumulative-sum window in id-hash order, first-crossing row
     kept; zh absent from the budget dict -> dropped entirely). Both are
     layout-independent by construction, which is exactly what the oracle
-    proves."""
-    from .llm.curation import (mix_corpora, stratified_fixed_sample,
-                               token_budget_sample)
+    proves.
+
+    part='pack' (r6): pack_sequences — deterministic concat-then-chunk
+    sequence packing (per-lang token streams in id-hash order, 2048-char
+    sequences); the oracle replicates stream offsets and the exact
+    integer chunk indexes (a=doc_id, b=stream_offset, c=last_seq,
+    d=first_seq)."""
+    from .llm.curation import (mix_corpora, pack_sequences,
+                               stratified_fixed_sample, token_budget_sample)
     from .llm.decontam import contamination_report
     from .operators.sketches import kmv_estimate, kmv_partial
     docs = _t(spark, sf_dir, "documents")
@@ -817,7 +837,15 @@ def q_corpus_mixture(spark, sf_dir):
         budgets={"en": 30000, "fr": 10000, "de": 10000, "es": 10000}).select(
         F.lit("budget").alias("part"), "lang",
         F.col("doc_id").cast("long").alias("a"), *_nulls)
-    return mix_rows.unionByName(strat_rows).unionByName(budget_rows)
+    pack_rows = pack_sequences(docs, "doc_id", "n_chars", seq_len=2048,
+                               group_col="lang").select(
+        F.lit("pack").alias("part"), "lang",
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("stream_offset").cast("long").alias("b"),
+        F.col("last_seq").cast("long").alias("c"),
+        F.col("first_seq").cast("double").alias("d"))
+    return (mix_rows.unionByName(strat_rows).unionByName(budget_rows)
+            .unionByName(pack_rows))
 
 
 def q_text_quality(spark, sf_dir):
@@ -2183,6 +2211,36 @@ reach AS (
     SELECT e.src, r.lbl FROM edges e JOIN r ON e.dst = r.node
   )
   SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node
+),
+-- exact-substring span dedup: every 8-token window hashed (portable md5
+-- int60), keep-first by (doc, pos), other occurrences -> cut starts,
+-- merged per doc by the running-max-end interval coalesce
+sp AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),
+                              1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        FROM t WHERE len(toks) >= 8)
+),
+spr AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+  FROM sp
+),
+spc AS (SELECT doc_id, i - 1 AS s, i - 1 + 8 AS e FROM spr WHERE rn > 1),
+spm AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s <= COALESCE(max(e) OVER (PARTITION BY doc_id
+                ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), -1)
+              THEN 0 ELSE 1 END AS brk
+  FROM spc
+),
+spg AS (
+  SELECT doc_id, s, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM spm
 )
 SELECT 'pair' AS part, CAST(id1 AS BIGINT) AS a, CAST(id2 AS BIGINT) AS b,
        CAST(common AS BIGINT) AS common,
@@ -2193,6 +2251,10 @@ UNION ALL
 SELECT 'cluster', CAST(node AS BIGINT), CAST(cluster_id AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM reach
+UNION ALL
+SELECT 'span', CAST(doc_id AS BIGINT), CAST(min(s) AS BIGINT),
+       CAST(max(e) AS BIGINT), CAST(NULL AS DOUBLE)
+FROM spg GROUP BY doc_id, gid
 """
 
 _SW = {k: "[" + ",".join(f"'{w}'" for w in v) + "]"
@@ -2470,6 +2532,13 @@ WITH w AS (
          CASE lang WHEN 'en' THEN 30000 WHEN 'fr' THEN 10000
               WHEN 'de' THEN 10000 WHEN 'es' THEN 10000 ELSE 0 END AS lim
   FROM documents
+), pack AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (PARTITION BY lang
+           ORDER BY ((doc_id % 1000000 + 42) * 2654435761) % 1000000, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_chars AS BIGINT) AS off
+  FROM documents
 )
 SELECT 'mix' AS part, s.lang, count(*) AS a,
        CAST(SUM(n_chars) AS BIGINT) AS b,
@@ -2488,6 +2557,11 @@ UNION ALL
 SELECT 'budget', lang, CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM bgt WHERE cum - n_chars < lim
+UNION ALL
+SELECT 'pack', lang, CAST(doc_id AS BIGINT), off,
+       CAST(greatest(off + n_chars - 1, off) // 2048 AS BIGINT),
+       CAST(off // 2048 AS DOUBLE)
+FROM pack
 """
 
 ORACLES["similarity_topk"] = """

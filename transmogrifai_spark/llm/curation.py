@@ -115,6 +115,50 @@ def token_budget_sample(df: DataFrame, id_col: str, token_col: str,
     return out.drop("__h", "__cum")
 
 
+def pack_sequences(df: DataFrame, id_col: str, token_col: str,
+                   seq_len: int, group_col: str | None = None,
+                   seed: int = 42) -> DataFrame:
+    """Deterministic concat-then-chunk SEQUENCE PACKING — the step that
+    turns a curated document set into fixed-length training sequences
+    (GPT-style packing: documents laid end-to-end in a token stream,
+    which is then cut every ``seq_len`` tokens; documents may straddle a
+    cut). Returns the original rows plus:
+
+      stream_offset  token offset of the document in its stream
+      first_seq      index of the sequence its first token lands in
+      last_seq       index of the sequence its last token lands in
+
+    Order is the deterministic id hash (ties by id) — layout-independent
+    and SQL-replicable, like every sampler here. With ``group_col`` each
+    group is its own stream (per-source/per-language packing; also the
+    scale path — the ungrouped form is a single global window, fine for
+    the final bounded corpus but not for a raw 100 TB scan).
+
+    Sequence indexes are computed with exact integer arithmetic
+    (subtract-pmod, then a decimal division of an exactly divisible
+    value) — double division of large offsets would round past 2^53."""
+    from pyspark.sql import Window
+
+    parts = [group_col] if group_col else []
+    w = Window.partitionBy(*parts) \
+        .orderBy(hash_bucket(F.col(id_col), seed).asc(),
+                 F.col(id_col).asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    offset = (cum - F.col(token_col)).cast("long")
+
+    def seq_of(pos):
+        exact = pos - F.pmod(pos, F.lit(seq_len))
+        return (exact.cast("decimal(38,0)") / F.lit(seq_len)).cast("long")
+
+    # zero-token docs: last token position would be offset-1 (one before
+    # the doc) — clamp so first_seq == last_seq
+    return (df.withColumn("stream_offset", offset)
+            .withColumn("first_seq", seq_of(F.col("stream_offset")))
+            .withColumn("last_seq",
+                        seq_of(F.greatest(cum - 1, F.col("stream_offset")))))
+
+
 def diversity_sample(df: DataFrame, id_col: str, vec_col: str,
                      n_clusters: int = 16, per_cluster: int = 100,
                      seed: int = 42, fit_sample: float | None = None,

@@ -441,6 +441,97 @@ def remove_common_paragraphs(df: DataFrame, id_col: str, text_col: str,
             .drop("__pid", "__rebuilt"))
 
 
+def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                     min_len: int = 20, portable: bool = False) -> DataFrame:
+    """EXACT SUBSTRING deduplication, span level (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array ExactSubstr operation, re-expressed for Spark): find
+    every token span of length >= ``min_len`` that occurs MORE THAN ONCE
+    corpus-wide, keep its FIRST occurrence (min (doc_id, position)), and
+    return the merged cut intervals covering all other occurrences.
+
+    Output: (doc_id, span_start, span_end) — token-index intervals
+    [start, end) per document, non-overlapping, sorted; remove them with
+    ``remove_duplicated_spans``.
+
+    Plan (no suffix array — that is a single-machine structure): every
+    length-``min_len`` token window becomes one (hash, doc, pos) row; a
+    window over hash ordered by (doc, pos) marks all but the first
+    occurrence of each duplicated window as cut starts; per-doc interval
+    merging (classic running-max-end + break-flag cumulative sum, two
+    analytic windows) coalesces overlapping/adjacent windows into maximal
+    spans. Any duplicated substring of length L >= min_len is the union
+    of its length-min_len windows, all duplicated, so the merged
+    intervals cover exactly the same tokens the suffix-array method cuts
+    (keep-first differs from Lee et al.'s arbitrary-survivor rule only in
+    WHICH copy survives — ours is deterministic).
+
+    Shuffle budget: one exchange on the window hash (8-byte keys) + one
+    on doc_id for the merge — both linear in corpus token count.
+    ``portable`` swaps xxhash64 for the md5-based portable_hash64 so a
+    SQL oracle can replicate every hash."""
+    gram = F.array_join(F.slice(F.col("__toks"), F.col("__i"), min_len), " ")
+    h = portable_hash64(gram) if portable else F.xxhash64(gram)
+    grams = (df.select(F.col(id_col).alias("__doc"),
+                       tokenize(F.col(text_col)).alias("__toks"))
+             # guard BEFORE sequence(): Spark's sequence(1, n) with n < 1
+             # generates a DESCENDING sequence, not an empty one
+             .where(F.size("__toks") >= min_len)
+             .select("__doc", F.explode(
+                 F.sequence(F.lit(1), F.size("__toks") - min_len + 1))
+                 .alias("__i"), F.col("__toks"))
+             .select("__doc", "__i", h.alias("__h")))
+    grams = ensure_parallelism(grams)
+    w = Window.partitionBy("__h").orderBy(F.col("__doc").asc(),
+                                          F.col("__i").asc())
+    cuts = (grams.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > 1)
+            .select("__doc", (F.col("__i") - 1).alias("__s"),
+                    (F.col("__i") - 1 + min_len).alias("__e")))
+    mw = Window.partitionBy("__doc").orderBy(F.col("__s").asc(),
+                                             F.col("__e").asc())
+    prev_max = F.max("__e").over(
+        mw.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (cuts
+              .withColumn("__brk", F.when(
+                  F.col("__s") <= F.coalesce(prev_max, F.lit(-1)), F.lit(0))
+                  .otherwise(F.lit(1)))
+              .withColumn("__g", F.sum("__brk").over(
+                  mw.rowsBetween(Window.unboundedPreceding, 0)))
+              .groupBy("__doc", "__g")
+              .agg(F.min("__s").alias("span_start"),
+                   F.max("__e").alias("span_end"))
+              .select(F.col("__doc").alias(id_col), "span_start",
+                      "span_end"))
+    return merged
+
+
+def remove_duplicated_spans(df: DataFrame, spans: DataFrame, id_col: str,
+                            text_col: str,
+                            out_col: str | None = None) -> DataFrame:
+    """Apply ``duplicated_spans`` cut lists: rebuild each document's text
+    from the tokens OUTSIDE its cut intervals (first occurrences stay
+    intact). Documents without spans pass through unchanged. One
+    broadcast-sized aggregation of intervals per doc + a pure array
+    expression — no second corpus shuffle beyond the span join."""
+    out_col = out_col or text_col
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("span_start").alias("s"),
+                                F.col("span_end").alias("e"))).alias("__iv"))
+    joined = df.join(per_doc, id_col, "left")
+    toks = tokenize(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    kept = F.filter(idx, lambda p: ~F.exists(
+        F.col("__iv"), lambda iv: (p >= iv["s"]) & (p < iv["e"])))
+    rebuilt = F.array_join(
+        F.transform(kept, lambda p: F.element_at(toks, (p + 1).cast("int"))),
+        " ")
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__iv").isNull(), F.col(text_col)).otherwise(rebuilt)) \
+        .drop("__iv")
+
+
 # ---------------------------------------------------------------------------
 # Persisted LSH index — INCREMENTAL dedup (new batch vs an existing corpus)
 # ---------------------------------------------------------------------------
