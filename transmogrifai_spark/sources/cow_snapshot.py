@@ -211,26 +211,49 @@ class CowSnapshot:
                                self.order_col, self.op_col) \
             .withColumn("__b", b).persist()
 
+        # ONE write job for every touched bucket (r6 — was a driver-side
+        # loop of one write job per bucket, which serializes the batch at
+        # |touched buckets| jobs; a 100 TB ingest touching 1000 buckets
+        # must not run 1000 jobs). Range-partition on (__b, keys) and
+        # partitionBy(__b): each bucket's rows land range-disjoint and
+        # key-sorted in its own staging subdirectory — same per-file
+        # min/max tightness as before — then each subdirectory is MOVED
+        # into its b=<bucket>/v=<version> place (a metadata-only rename
+        # per bucket, not a job).
+        import uuid as _uuid
+        staging = os.path.join(self.path, f".staging-{_uuid.uuid4().hex[:8]}")
+        n_parts = max(1, self.files_per_bucket) * max(1, len(touched))
+        (merged.repartitionByRange(n_parts, F.col("__b"),
+                                   *[F.col(k) for k in self.keys])
+         .sortWithinPartitions("__b", *self.keys)
+         .write.mode("overwrite").partitionBy("__b").parquet(staging))
         new_buckets = dict(manifest["buckets"])
         for bucket in touched:
             version = int(new_buckets.get(str(bucket), 0)) + 1
-            part = merged.filter(F.col("__b") == bucket).drop("__b")
-            # range-sorted files: tight parquet min/max per file/row-group,
-            # so point lookups prune INSIDE the bucket too
-            part = part.repartitionByRange(
-                max(1, self.files_per_bucket), *self.keys) \
-                .sortWithinPartitions(*self.keys)
-            part.write.mode("overwrite").parquet(
-                os.path.join(self.path, f"b={bucket}", f"v={version}"))
+            src = os.path.join(staging, f"__b={bucket}")
+            dst = os.path.join(self.path, f"b={bucket}", f"v={version}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(src):
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+            else:
+                # the batch deleted every row of this bucket: write a
+                # schema-only empty version (rare; one tiny job)
+                spark.createDataFrame([], merged.drop("__b").schema) \
+                    .coalesce(1).write.mode("overwrite").parquet(dst)
             new_buckets[str(bucket)] = version
+        shutil.rmtree(staging, ignore_errors=True)
         merged.unpersist()
         changes.unpersist()
         self._commit({"buckets": new_buckets,
                       "last_batch_id": batch_id if batch_id is not None
                       else manifest["last_batch_id"],
                       "n_buckets": self.n_buckets})
-        # prune bucket versions beyond retention
-        for bucket, version in new_buckets.items():
+        # prune versions beyond retention — only TOUCHED buckets can have
+        # gained a version (r6: was a listdir walk over EVERY bucket)
+        for bucket in touched:
+            version = new_buckets[str(bucket)]
             bdir = os.path.join(self.path, f"b={bucket}")
             for d in os.listdir(bdir):
                 if d.startswith("v=") and \
