@@ -914,6 +914,32 @@ def test_simhash_index_incremental_equals_full(spark, sf_dir, tmp_path):
     assert len(probe) >= 15
 
 
+def test_simhash_incremental_max_bucket_guard(spark, tmp_path):
+    """r6 skew guard parity with the LSH index: an ultra-hot (band, bits)
+    index group (identical boilerplate signatures) is dropped at
+    max_bucket before the probe join; normal-bucket candidates
+    survive."""
+    from transmogrifai_spark.llm.dedup import (build_simhash_index,
+                                               simhash_dedup_incremental)
+    hot = [(i, "the same boilerplate page content repeated everywhere")
+           for i in range(60)]
+    real = [(1000, "a unique document about spark and catalyst engines")]
+    corpus = spark.createDataFrame(hot + real, "doc_id long, text string")
+    p = str(tmp_path / "shmb")
+    build_simhash_index(corpus, "doc_id", "text", p, n_shards=8, batch_id=0)
+    probe = spark.createDataFrame(
+        [(2000, "a unique document about spark and catalyst engines"),
+         (2001, "the same boilerplate page content repeated everywhere")],
+        "doc_id long, text string")
+    capped = simhash_dedup_incremental(spark, p, probe, "doc_id", "text",
+                                       within_batch=False, max_bucket=10)
+    got = {(r["id1"], r["id2"]) for r in capped.collect()}
+    assert got == {(1000, 2000)}   # hot group gone, real match kept
+    uncapped = simhash_dedup_incremental(spark, p, probe, "doc_id", "text",
+                                         within_batch=False)
+    assert uncapped.count() >= 60  # without the guard the hot group floods
+
+
 def test_stream_dedup_ingest_pipeline(spark, sf_dir, tmp_path):
     """End-to-end streaming ingest dedup: docs stream in micro-batches
     through probe -> drop -> register -> sink. Laws: (1) the sink holds no

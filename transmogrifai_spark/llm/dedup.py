@@ -801,12 +801,17 @@ def simhash_dedup_incremental(spark, path: str, new_docs: DataFrame,
                               max_hamming: int = 3,
                               within_batch: bool = True,
                               append_batch_id: int | None = None,
-                              caches: list | None = None) -> DataFrame:
+                              caches: list | None = None,
+                              max_bucket: int | None = None) -> DataFrame:
     """Near-duplicates of a NEW batch against the SimHash index (plus
     within-batch pairs): compute the batch's 64-bit signatures, probe only
     the shard directories its band bits hash into, verify candidates with
     exact hamming distance. With ``append_batch_id`` the batch is also
-    registered into the index (overwrite subdir — replay-idempotent)."""
+    registered into the index (overwrite subdir — replay-idempotent).
+    ``max_bucket`` is the skew guard (same rationale as the LSH index):
+    index-side (band, bits) groups larger than the cap — near-zero
+    signatures from boilerplate/empty-ish docs — are dropped before the
+    join rather than generating m x batch candidate rows."""
     import json
     import os
 
@@ -829,6 +834,11 @@ def simhash_dedup_incremental(spark, path: str, new_docs: DataFrame,
     shards = sorted(r["_shard"] for r in nb.select("_shard").distinct().collect())
     idx = spark.read.parquet(os.path.join(path, "bands")) \
         .where(F.col("_shard").isin(shards))
+    if max_bucket is not None:
+        ok = (idx.groupBy("band", "bits")
+              .agg(F.count(F.lit(1)).alias("_m"))
+              .where(F.col("_m") <= max_bucket).select("band", "bits"))
+        idx = idx.join(ok, ["band", "bits"])
     cross = (idx.join(nb.select("nid", "nsig", "band", "bits"),
                       ["band", "bits"])
              .where(F.col("id") != F.col("nid"))
