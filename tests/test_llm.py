@@ -619,6 +619,34 @@ def test_pack_sequences_stream_laws(spark):
     again = curation.pack_sequences(df, "doc_id", "n_tokens", seq_len=256,
                                     group_col="lang")
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+    # ungrouped form (r6: util.running_total — parallel range-partitioned
+    # windows, no global single-task window): one gapless global stream
+    ung = sorted(curation.pack_sequences(df, "doc_id", "n_tokens",
+                                         seq_len=256).collect(),
+                 key=lambda r: r["stream_offset"])
+    pos = 0
+    for r in ung:
+        assert r["stream_offset"] == pos and r["first_seq"] == pos // 256
+        pos += r["n_tokens"]
+    assert pos == sum(r["n_tokens"] for r in rows)
+
+
+def test_running_total_equals_global_window(spark):
+    """util.running_total == a single global-window cumsum (the thing it
+    replaces), and its plan has NO empty-partition-spec window."""
+    from pyspark.sql.window import Window
+
+    from transmogrifai_spark.util import plan_audit, running_total
+    df = spark.createDataFrame(
+        [(i, (i * 31) % 97, 1 + (i % 5)) for i in range(1000)],
+        "id long, k long, v long")
+    got = running_total(df, ["k", "id"], "v", out_col="cum")
+    w = Window.orderBy(F.col("k").asc(), F.col("id").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert not [f for f in plan_audit(got) if f["rule"] == "global_window"]
 
 
 def test_hot_keys_detects_planted_skew(spark):

@@ -81,13 +81,11 @@ def token_budget_sample(df: DataFrame, id_col: str, token_col: str,
     This is the mixture primitive when targets are token counts rather than
     rates (how pre-training mixtures are actually specified). Deterministic:
     the hash order is layout-independent, so the same ids are chosen on any
-    cluster. Physical plan: ONE window (cumulative sum ordered by hash,
-    partitioned by group) — a single shuffle on the group key; for the
-    ungrouped form the window is range-partitioned by the hash via a
-    two-pass cumulative count (util.counts_below shape) — here we partition
-    by a constant only when group_col is None, acceptable because the
-    window carries (id, n_tokens) pairs, not documents. For very large
-    ungrouped corpora prefer rate-based sampling or supply a group split.
+    cluster. Physical plan: grouped form = ONE window (cumulative sum
+    ordered by hash, partitioned by group) — a single shuffle on the group
+    key; ungrouped form (r6) = util.running_total — range-partitioned
+    PARALLEL windows + driver-side per-partition offsets, so no task ever
+    sees the whole stream (the previous global Window.orderBy did).
     """
     from pyspark.sql import Window
 
@@ -98,9 +96,12 @@ def token_budget_sample(df: DataFrame, id_col: str, token_col: str,
     b = hash_bucket(F.col(id_col), seed)
     tagged = df.withColumn("__h", b)
     if group_col is None:
-        w = Window.orderBy(F.col("__h").asc(), F.col(id_col).asc()) \
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        cum = tagged.withColumn("__cum", F.sum(F.col(token_col)).over(w))
+        # r6: the ungrouped stream uses util.running_total (range-
+        # partitioned parallel windows + driver offsets) instead of a
+        # global Window.orderBy, which funnels every row through one task
+        from ..util import running_total
+        cum = running_total(tagged, ["__h", id_col], token_col,
+                            out_col="__cum")
         out = cum.where((F.col("__cum") - F.col(token_col))
                         < F.lit(budget_tokens))
     else:
@@ -130,21 +131,29 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
 
     Order is the deterministic id hash (ties by id) — layout-independent
     and SQL-replicable, like every sampler here. With ``group_col`` each
-    group is its own stream (per-source/per-language packing; also the
-    scale path — the ungrouped form is a single global window, fine for
-    the final bounded corpus but not for a raw 100 TB scan).
+    group is its own stream (one parallel window shuffle on the group
+    key); the ungrouped form (r6) routes through util.running_total
+    (range-partitioned parallel windows + driver offsets), so no task
+    ever sees the whole stream.
 
     Sequence indexes are computed with exact integer arithmetic
     (subtract-pmod, then a decimal division of an exactly divisible
     value) — double division of large offsets would round past 2^53."""
     from pyspark.sql import Window
 
-    parts = [group_col] if group_col else []
-    w = Window.partitionBy(*parts) \
-        .orderBy(hash_bucket(F.col(id_col), seed).asc(),
-                 F.col(id_col).asc()) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    if group_col:
+        w = Window.partitionBy(group_col) \
+            .orderBy(hash_bucket(F.col(id_col), seed).asc(),
+                     F.col(id_col).asc()) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        work = df.withColumn(
+            "__cum", F.sum(F.col(token_col).cast("long")).over(w))
+    else:
+        from ..util import running_total
+        work = running_total(
+            df.withColumn("__h", hash_bucket(F.col(id_col), seed)),
+            ["__h", id_col], token_col, out_col="__cum").drop("__h")
+    cum = F.col("__cum")
     offset = (cum - F.col(token_col)).cast("long")
 
     def seq_of(pos):
@@ -153,10 +162,11 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
 
     # zero-token docs: last token position would be offset-1 (one before
     # the doc) — clamp so first_seq == last_seq
-    return (df.withColumn("stream_offset", offset)
+    return (work.withColumn("stream_offset", offset)
             .withColumn("first_seq", seq_of(F.col("stream_offset")))
             .withColumn("last_seq",
-                        seq_of(F.greatest(cum - 1, F.col("stream_offset")))))
+                        seq_of(F.greatest(cum - 1, F.col("stream_offset"))))
+            .drop("__cum"))
 
 
 def diversity_sample(df: DataFrame, id_col: str, vec_col: str,

@@ -134,6 +134,51 @@ def counts_below(g: DataFrame, value_col: str, count_col: str,
             .drop("_pid"))
 
 
+def running_total(df: DataFrame, order_cols: list[str], value_col: str,
+                  out_col: str = "cum", partitions: int | None = None,
+                  caches: list | None = None) -> DataFrame:
+    """INCLUSIVE distributed cumulative sum of ``value_col`` in
+    ``order_cols`` order — the scale-correct replacement for a global
+    ``Window.orderBy`` cumsum (which funnels every row through ONE task).
+
+    Same shape as ``counts_below``: range-repartition on the order
+    columns (partition 0 holds the lowest range), per-partition windows
+    run in parallel, per-partition totals (one row each) become additive
+    driver-side offsets via a literal map. The order tuple must be
+    unique per row (add an id tie-break) so partition boundaries cannot
+    split ties. The input is persisted so the sampled range boundaries
+    are shared by the totals job and the output plan; pass ``caches`` to
+    receive the handle for unpersisting after materialization."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sc = df.sparkSession.sparkContext
+    nparts = partitions or sc.defaultParallelism
+    rp = (df.repartitionByRange(nparts, *[F.col(c) for c in order_cols])
+          .withColumn("_pid", F.spark_partition_id())
+          .persist())
+    if caches is not None:
+        caches.append(rp)
+    totals = rp.groupBy("_pid").agg(
+        F.sum(F.col(value_col).cast("long")).alias("_t")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += int(r["_t"] or 0)
+    if offsets:
+        omap = F.create_map(*[F.lit(x) for pid, v in offsets.items()
+                              for x in (pid, v)])
+        off = F.coalesce(omap[F.col("_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
+    w = (Window.partitionBy("_pid")
+         .orderBy(*[F.col(c).asc() for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (rp.withColumn(
+        out_col, F.sum(F.col(value_col).cast("long")).over(w) + off)
+        .drop("_pid"))
+
+
 def hot_keys(df: DataFrame, key_cols: list[str], sample_rate: float = 0.01,
              min_estimated_rows: int = 1_000_000, seed: int = 42):
     """Skew report: estimate per-key row counts from a deterministic hash
