@@ -788,7 +788,50 @@ def test_lsh_index_query_prunes_shard_directories(spark, sf_dir, tmp_path):
     assert 0 < len(touched) < 16  # strictly fewer than all shard dirs
 
 
-def test_stream_lsh_index_equals_batch_build(spark, sf_dir, tmp_path):
+def test_lsh_exclude_batches_prunes_directories(spark, sf_dir, tmp_path):
+    """r6 replay-convergence mechanism: exclude_batches is a partition-
+    column predicate on the batch directory level — the probe reads NO
+    file under an excluded batch subdir, and pairs against that batch's
+    docs disappear."""
+    from transmogrifai_spark.llm.dedup import (append_lsh_index,
+                                               build_lsh_index,
+                                               lsh_dedup_incremental)
+    from transmogrifai_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    # two clones of ONE long doc: with batch=1 indexed they pair with
+    # each other (cross pair whose id1 >= 70000), without it only with
+    # their batch-0 original
+    src = a.where(F.length("text") > 80).limit(1)
+    clones = (src.select(F.lit(70001).cast("long").alias("doc_id"), "text")
+              .unionByName(src.select(F.lit(70002).cast("long")
+                                      .alias("doc_id"), "text")))
+    p = str(tmp_path / "lshx")
+    build_lsh_index(a, "doc_id", "text", p, num_hashes=16, bands=4,
+                    n_shards=16, batch_id=0)
+    append_lsh_index(spark, p, clones, "doc_id", "text", batch_id=1)
+    with_b1 = {(r["id1"], r["id2"]) for r in
+               lsh_dedup_incremental(spark, p, clones, "doc_id", "text",
+                                     within_batch=False).collect()}
+    without = {(r["id1"], r["id2"]) for r in
+               lsh_dedup_incremental(spark, p, clones, "doc_id", "text",
+                                     within_batch=False,
+                                     exclude_batches=[1]).collect()}
+    # with batch=1 present, each clone pairs with its own indexed copy's
+    # siblings AND originals; excluded, only batch-0 originals remain
+    assert all(i1 < 70000 for i1, _ in without) and without
+    assert any(i1 >= 70000 for i1, _ in with_b1)
+    # files-read law: no batch=1 file is touched by the excluded probe
+    import json
+    import os
+    with open(os.path.join(p, "_LSH_INDEX.json")) as f:
+        meta = json.load(f)
+    idx = spark.read.parquet(os.path.join(p, "bands")) \
+        .where(~F.col("batch").isin([1]))
+    touched = {r["f"] for r in
+               idx.select(F.input_file_name().alias("f")).distinct().collect()}
+    assert touched and not any("batch=1" in f for f in touched)
     """Streamed index maintenance == batch build: candidates from an index
     fed by micro-batches equal the full-corpus LSH run."""
     from transmogrifai_spark.llm.dedup import (build_lsh_index,
