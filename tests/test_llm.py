@@ -631,6 +631,61 @@ def test_pack_sequences_stream_laws(spark):
     assert pos == sum(r["n_tokens"] for r in rows)
 
 
+def test_duplicated_spans_hypothesis_vs_python(spark):
+    """Property law: duplicated_spans == a brute-force Python reference
+    (same tokenization, keep-first by (doc, pos), end-exclusive interval
+    merge with adjacency) on randomly generated small-vocab corpora —
+    small vocab forces rich cross- and within-doc window collisions."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from transmogrifai_spark.llm.dedup import duplicated_spans
+
+    VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "ohm"]
+    L = 3
+
+    def ref_spans(docs):
+        occ = {}
+        toks = {}
+        for did, text in docs:
+            ts = [t for t in re.split(r"[^0-9a-z]+", text.lower()) if t]
+            toks[did] = ts
+            for p in range(len(ts) - L + 1):
+                occ.setdefault(tuple(ts[p:p + L]), []).append((did, p))
+        cuts = {}
+        for _, sites in occ.items():
+            for did, p in sorted(sites)[1:]:
+                cuts.setdefault(did, []).append((p, p + L))
+        out = set()
+        for did, iv in cuts.items():
+            iv.sort()
+            s0, e0 = iv[0]
+            for s, e in iv[1:]:
+                if s <= e0:
+                    e0 = max(e0, e)
+                else:
+                    out.add((did, s0, e0))
+                    s0, e0 = s, e
+            out.add((did, s0, e0))
+        return out
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(corpus=st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=18),
+        min_size=1, max_size=8))
+    def run(corpus):
+        docs = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in
+               duplicated_spans(df, "doc_id", "text", min_len=L).collect()}
+        assert got == ref_spans(docs)
+
+    run()
+
+
 def test_running_total_equals_global_window(spark):
     """util.running_total == a single global-window cumsum (the thing it
     replaces), and its plan has NO empty-partition-spec window."""
