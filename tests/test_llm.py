@@ -686,6 +686,39 @@ def test_duplicated_spans_hypothesis_vs_python(spark):
     run()
 
 
+def test_chunk_documents_laws(spark):
+    """chunk_documents: chunks tile the token stream with the configured
+    overlap; every token is covered; the trailing redundant start is
+    dropped; short docs give one chunk; empty docs give none; chunk
+    reassembly reproduces the document's token stream."""
+    from transmogrifai_spark.llm.curation import chunk_documents
+    words = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "only four little tokens"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=10, overlap=4)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"]))
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # stride 6 over 25 tokens: starts 0,6,12,18 (24 dropped — chunk@18
+    # already reaches the end); last chunk is the 7-token tail
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2, 3]
+    assert [r["n_chunk_tokens"] for r in d1] == [10, 10, 10, 7]
+    assert d1[0]["chunk_text"].startswith("w0 w1") and \
+        d1[-1]["chunk_text"].endswith("w24")
+    # coverage: union of chunk tokens == the doc's tokens, in order
+    stride_toks = []
+    for r in d1:
+        ts = r["chunk_text"].split()
+        stride_toks.extend(ts if not stride_toks else ts[4:])
+    assert stride_toks == words.split()
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_chunk_tokens"] == 4
+    assert not [r for r in rows if r["doc_id"] in (3, 4)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
 def test_running_total_equals_global_window(spark):
     """util.running_total == a single global-window cumsum (the thing it
     replaces), and its plan has NO empty-partition-spec window."""

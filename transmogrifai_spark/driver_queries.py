@@ -804,8 +804,13 @@ def q_corpus_mixture(spark, sf_dir):
     sequence packing (per-lang token streams in id-hash order, 2048-char
     sequences); the oracle replicates stream offsets and the exact
     integer chunk indexes (a=doc_id, b=stream_offset, c=last_seq,
-    d=first_seq)."""
-    from .llm.curation import (mix_corpora, pack_sequences,
+    d=first_seq).
+
+    part='chunk' (r6): chunk_documents — overlapping token-window
+    chunking (32-token chunks, 8 overlap); the lang column carries
+    md5(chunk_text) so chunk CONTENT is value-gated, not just counts
+    (a=doc_id, b=chunk_id, c=n_chunk_tokens)."""
+    from .llm.curation import (chunk_documents, mix_corpora, pack_sequences,
                                stratified_fixed_sample, token_budget_sample)
     from .llm.decontam import contamination_report
     from .operators.sketches import kmv_estimate, kmv_partial
@@ -844,8 +849,16 @@ def q_corpus_mixture(spark, sf_dir):
         F.col("stream_offset").cast("long").alias("b"),
         F.col("last_seq").cast("long").alias("c"),
         F.col("first_seq").cast("double").alias("d"))
+    chunk_rows = chunk_documents(docs, "doc_id", "text", chunk_tokens=32,
+                                 overlap=8).select(
+        F.lit("chunk").alias("part"),
+        F.md5(F.col("chunk_text")).alias("lang"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("chunk_id").cast("long").alias("b"),
+        F.col("n_chunk_tokens").cast("long").alias("c"),
+        F.lit(None).cast("double").alias("d"))
     return (mix_rows.unionByName(strat_rows).unionByName(budget_rows)
-            .unionByName(pack_rows))
+            .unionByName(pack_rows).unionByName(chunk_rows))
 
 
 def q_text_quality(spark, sf_dir):
@@ -2539,6 +2552,15 @@ WITH w AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            - n_chars AS BIGINT) AS off
   FROM documents
+), chk AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS s
+  FROM (SELECT doc_id, toks, len(toks) AS n
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\\p{L}\\p{N}]+'),
+                                 t -> length(t) >= 1) AS toks
+              FROM documents))
+  WHERE n > 0
 )
 SELECT 'mix' AS part, s.lang, count(*) AS a,
        CAST(SUM(n_chars) AS BIGINT) AS b,
@@ -2562,6 +2584,11 @@ SELECT 'pack', lang, CAST(doc_id AS BIGINT), off,
        CAST(greatest(off + n_chars - 1, off) // 2048 AS BIGINT),
        CAST(off // 2048 AS DOUBLE)
 FROM pack
+UNION ALL
+SELECT 'chunk', md5(array_to_string(toks[s+1:s+32], ' ')),
+       CAST(doc_id AS BIGINT), CAST(s // 24 AS BIGINT),
+       CAST(least(s + 32, n) - s AS BIGINT), CAST(NULL AS DOUBLE)
+FROM chk WHERE s = 0 OR s - 24 + 32 < n
 """
 
 ORACLES["similarity_topk"] = """

@@ -169,6 +169,48 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
             .drop("__cum"))
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 512, overlap: int = 64) -> DataFrame:
+    """Explode documents into fixed-size OVERLAPPING token chunks — the
+    preprocessing step in front of embedding models and context-window-
+    bounded training. Chunk k starts at token k*(chunk_tokens-overlap)
+    and carries up to ``chunk_tokens`` tokens; a trailing start whose
+    chunk would be fully inside the previous chunk's coverage is dropped
+    (kept iff s == 0 or the previous chunk did not already reach the
+    document end). Empty/null documents emit no chunks.
+
+    Pure expressions — tokens computed once per doc, starts via
+    sequence(), chunks via slice inside one transform (the TWO-parameter
+    lambda is the intentional (element, index) form: the index IS the
+    chunk id) — then one explode. No shuffle; the op rides the scan.
+    Output: input columns + (chunk_id, chunk_text, n_chunk_tokens)."""
+    from ..functions.text import tokenize
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
+                         f"overlap={overlap} chunk_tokens={chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
+    starts = F.filter(
+        starts,
+        lambda s: (s == 0) | (s - F.lit(stride) + F.lit(chunk_tokens) < n))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ")
+            .alias("chunk_text"),
+            F.size(F.slice(toks, s + 1, chunk_tokens))
+            .alias("n_chunk_tokens")))
+    return (df.withColumn("__c", F.explode(chunks))
+            .select("*", "__c.chunk_id", "__c.chunk_text",
+                    "__c.n_chunk_tokens")
+            .drop("__c"))
+
+
 def diversity_sample(df: DataFrame, id_col: str, vec_col: str,
                      n_clusters: int = 16, per_cluster: int = 100,
                      seed: int = 42, fit_sample: float | None = None,
