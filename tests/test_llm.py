@@ -1151,6 +1151,49 @@ def test_stream_dedup_ingest_pipeline(spark, sf_dir, tmp_path):
     assert kept2 == kept_ids and kept_ids
 
 
+def test_weighted_sample_laws(spark):
+    """weighted_sample: weight 0 drops, weight 1 keeps, fractional
+    weights keep ~that share, NULL drops, deterministic across runs, and
+    a constant weight w equals deterministic_sample(rate=w)."""
+    from transmogrifai_spark.llm import curation
+    df = spark.createDataFrame(
+        [(i, [0.0, 1.0, 0.5, None][i % 4]) for i in range(2000)],
+        "doc_id long, w double")
+    out = curation.weighted_sample(df, "doc_id", "w")
+    rows = out.collect()
+    assert all(r["w"] == 1.0 or r["w"] == 0.5 for r in rows)
+    assert sum(1 for r in rows if r["w"] == 1.0) == 500      # all kept
+    frac = sum(1 for r in rows if r["w"] == 0.5)
+    assert 200 <= frac <= 300                                # ~half of 500
+    again = curation.weighted_sample(df, "doc_id", "w")
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in rows)
+    const = df.withColumn("w", F.lit(0.3))
+    assert sorted(r["doc_id"] for r in
+                  curation.weighted_sample(const, "doc_id", "w").collect()) \
+        == sorted(r["doc_id"] for r in
+                  curation.deterministic_sample(df, "doc_id", 0.3).collect())
+
+
+def test_select_cluster_representatives(spark):
+    """Quality survivor policy: each duplicate cluster keeps exactly its
+    best-quality doc (ties by min id); unclustered docs pass through."""
+    from transmogrifai_spark.llm.dedup import (duplicate_clusters,
+                                               select_cluster_representatives)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long")
+    clusters = duplicate_clusters(pairs)
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.4), (99, 0.1)],
+        "doc_id long, quality double")
+    kept = sorted(r["doc_id"] for r in
+                  select_cluster_representatives(
+                      docs, clusters, "doc_id", "quality").collect())
+    # cluster {1,2,3}: best quality 0.9 tie -> min id 2; cluster
+    # {10,11}: 10; singleton 99 untouched
+    assert kept == [2, 10, 99]
+
+
 def test_duplicated_spans_exact_substring(spark):
     """Exact-substring (span) dedup, Lee et al. 2021 semantics: a >=min_len
     token run shared across docs keeps its FIRST occurrence (min doc, pos)

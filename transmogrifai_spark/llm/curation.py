@@ -41,6 +41,22 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float,
     return df.where(hash_bucket(F.col(id_col), seed) < int(rate * _MOD))
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    seed: int = 42) -> DataFrame:
+    """Keep each row independently with probability equal to its weight
+    in [0, 1] — quality-weighted corpus downsampling (DataComp-style
+    mixtures where a learned quality score IS the sampling rate). Same
+    machinery as deterministic_sample, but the threshold is per-row:
+    keep iff hash_bucket(id) < weight * 1e6. Weights are clamped to
+    [0, 1]; NULL weights drop the row. Deterministic and
+    layout-independent like every sampler here; a pure filter, so it
+    pushes toward the scan."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0))
+    return df.where(hash_bucket(F.col(id_col), seed)
+                    < (w * F.lit(float(_MOD))).cast("long"))
+
+
 def mix_corpora(df: DataFrame, id_col: str, group_col: str,
                 rates: dict[str, float], seed: int = 42,
                 keep_ungrouped: bool = False) -> DataFrame:

@@ -335,6 +335,33 @@ def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster_id"))
 
 
+def select_cluster_representatives(docs: DataFrame, clusters: DataFrame,
+                                   id_col: str, quality_col: str,
+                                   doc_col: str = "doc") -> DataFrame:
+    """Cluster-level dedup with a QUALITY survivor policy: keep the
+    highest-``quality_col`` document of each duplicate cluster (ties by
+    min id — deterministic) instead of duplicate_clusters' min-id
+    representative; documents outside every cluster pass through
+    unchanged. This is how production pipelines actually resolve
+    near-dup clusters — the min-id copy is arbitrary, the best-quality
+    copy is what you want to train on.
+
+    Plan: one window over cluster_id on the CLUSTERED docs only (the
+    clustered subset is tiny relative to the corpus), plus a left_anti
+    for the untouched majority — no shuffle of unclustered rows beyond
+    the id probe."""
+    cl = clusters.select(F.col(doc_col).alias("__doc"),
+                         F.col("cluster_id").alias("__cid"))
+    w = Window.partitionBy("__cid").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc())
+    reps = (docs.join(cl, docs[id_col] == cl["__doc"])
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(*[docs[c] for c in docs.columns]))
+    outside = docs.join(cl, docs[id_col] == cl["__doc"], "left_anti")
+    return outside.unionByName(reps)
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — EXACT small-data fallback.
