@@ -850,6 +850,52 @@ def test_lsh_index_incremental_equals_full(spark, sf_dir, tmp_path):
     assert all_pairs == full
 
 
+def test_lsh_shared_signatures_equal_recompute(spark, sf_dir, tmp_path):
+    """Shared-signature law (r6): computing minhash_signatures ONCE and
+    feeding it to both minhash_lsh_candidates and build_lsh_index yields
+    byte-identical candidates / probe results vs. the recompute-per-call
+    path — in BOTH hash families (the portable family is the oracle-gated
+    one; the xxhash64 family is the throughput default)."""
+    from transmogrifai_spark.llm.dedup import (build_lsh_index,
+                                               lsh_dedup_incremental,
+                                               minhash_lsh_candidates,
+                                               minhash_signatures)
+    from transmogrifai_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for portable in (False, True):
+        sigs = minhash_signatures(docs, "doc_id", "text", n=3,
+                                  num_hashes=16, portable=portable).persist()
+        shared = {tuple(sorted((r["id1"], r["id2"]))) for r in
+                  minhash_lsh_candidates(docs, "doc_id", "text",
+                                         num_hashes=16, bands=4,
+                                         portable=portable,
+                                         signatures=sigs).collect()}
+        plain = {tuple(sorted((r["id1"], r["id2"]))) for r in
+                 minhash_lsh_candidates(docs, "doc_id", "text",
+                                        num_hashes=16, bands=4,
+                                        portable=portable).collect()}
+        assert shared == plain and plain
+
+        # index built from the shared frame == index built from text:
+        # probe results agree (probes recompute — the cross-plan check)
+        p1 = str(tmp_path / f"lsh_shared_{portable}")
+        p2 = str(tmp_path / f"lsh_plain_{portable}")
+        a = docs.where(F.col("doc_id") % 2 == 0)
+        build_lsh_index(a, "doc_id", "text", p1, num_hashes=16, bands=4,
+                        portable=portable, n_shards=16,
+                        signatures=sigs.where(F.col("id") % 2 == 0))
+        build_lsh_index(a, "doc_id", "text", p2, num_hashes=16, bands=4,
+                        portable=portable, n_shards=16)
+        b = docs.where(F.col("doc_id") % 2 == 1)
+        r1 = {(r["id1"], r["id2"]) for r in
+              lsh_dedup_incremental(spark, p1, b, "doc_id", "text").collect()}
+        r2 = {(r["id1"], r["id2"]) for r in
+              lsh_dedup_incremental(spark, p2, b, "doc_id", "text").collect()}
+        assert r1 == r2 and r1
+        sigs.unpersist()
+
+
 def test_lsh_index_query_prunes_shard_directories(spark, sf_dir, tmp_path):
     """Files-read law: a small batch's index probe is a partition-column
     predicate — only the batch's shard directories are touched."""

@@ -1342,11 +1342,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     pairs; odd half for cross + within-batch pairs). Since a doc's banded
     buckets depend only on its own text, the canonicalized union must
     hash-equal the one-shot candidate set — same SQL, gating the on-disk
-    layout, sidecar roundtrip, and probe path with hard values."""
+    layout, sidecar roundtrip, and probe path with hard values.
+
+    Signature sharing (r6): the one-shot run and the index BUILD share one
+    persisted ``minhash_signatures`` frame (the portable-md5 signature scan
+    dominates this gate's cost; computing it once per plan family is the
+    production shape). The two PROBES still construct their signatures in
+    fresh plans — index written by plan 1, probed by plan 2 — so the
+    cross-plan hash-family consistency that caught the r6 seed-binding bug
+    remains under test."""
     import tempfile
     docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=3,
+                                    num_hashes=16, portable=True).persist()
     full = dedup.minhash_lsh_candidates(
-        docs, "doc_id", "text", num_hashes=16, bands=4, portable=True) \
+        docs, "doc_id", "text", num_hashes=16, bands=4, portable=True,
+        signatures=sigs) \
         .select(F.lit("full").alias("part"),
                 F.col("id1").cast("long").alias("id1"),
                 F.col("id2").cast("long").alias("id2"))
@@ -1354,7 +1365,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     a = docs.where(F.col("doc_id") % 2 == 0)
     b = docs.where(F.col("doc_id") % 2 == 1)
     dedup.build_lsh_index(a, "doc_id", "text", p, n=3, num_hashes=16,
-                          bands=4, portable=True, n_shards=16, batch_id=0)
+                          bands=4, portable=True, n_shards=16, batch_id=0,
+                          signatures=sigs.where(F.col("id") % 2 == 0))
     a_pairs = dedup.lsh_dedup_incremental(spark, p, a, "doc_id", "text",
                                           within_batch=False)
     b_pairs = dedup.lsh_dedup_incremental(spark, p, b, "doc_id", "text",

@@ -163,10 +163,32 @@ def minhash_signature(c: Column, n: int = 3, num_hashes: int = 32,
     ])
 
 
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_hashes: int = 32,
+                       portable: bool = False) -> DataFrame:
+    """(id, _sig) signature frame — the expensive step of every MinHash
+    path, exposed so one computation can feed several consumers.
+
+    At 100 TB the signature scan dominates LSH end-to-end (md5/xxhash64 ×
+    num_hashes × shingles per doc); a pipeline that (a) mines one-shot
+    candidate pairs AND (b) persists the batch into the incremental index
+    should compute signatures ONCE, persist/checkpoint this frame, and
+    pass it to ``minhash_lsh_candidates(signatures=...)`` /
+    ``build_lsh_index(signatures=...)`` instead of paying the scan per
+    consumer. Docs with no shingles (shorter than n tokens) are dropped
+    here — an empty shingle set has no MinHash."""
+    sig = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n, num_hashes,
+                          portable=portable).alias("_sig"))
+    return sig.where(F.element_at("_sig", 1).isNotNull())
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            n: int = 3, num_hashes: int = 32,
                            bands: int = 8, portable: bool = False,
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = None,
+                           signatures: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, bucket-join.
 
     rows_per_band = num_hashes // bands; docs sharing any band bucket become
@@ -185,11 +207,14 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     rows = num_hashes // bands
     bucket_hash = portable_hash64 if portable else (
         lambda c, seed: F.xxhash64(c, F.lit(seed)))
-    df = ensure_parallelism(df)
-    sig = df.select(F.col(id_col).alias("_id"),
-                    minhash_signature(F.col(text_col), n, num_hashes,
-                                      portable=portable).alias("_sig"))
-    sig = sig.where(F.element_at("_sig", 1).isNotNull())
+    if signatures is None:
+        sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
+                                 portable=portable)
+    else:
+        # caller-supplied (id, _sig) frame (minhash_signatures) — computed
+        # once, shared with build_lsh_index & friends
+        sig = signatures
+    sig = sig.select(F.col("id").alias("_id"), "_sig")
     # persist: signatures feed both sides of the bucket self-join; minhash
     # signatures are the most expensive expression in this module
     sig = sig.persist()
@@ -565,16 +590,18 @@ def remove_duplicated_spans(df: DataFrame, spans: DataFrame, id_col: str,
 
 def _lsh_banded(df: DataFrame, id_col: str, text_col: str, *, n: int,
                 num_hashes: int, bands: int, portable: bool,
-                n_shards: int) -> DataFrame:
+                n_shards: int,
+                signatures: DataFrame | None = None) -> DataFrame:
     """(id, band, bucket, _shard) rows — the banded-bucket form both the
     index builder and the query side compute with identical parameters."""
     rows = num_hashes // bands
     bucket_hash = portable_hash64 if portable else (
         lambda c, seed: F.xxhash64(c, F.lit(seed)))
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(F.col(text_col), n, num_hashes,
-                                      portable=portable).alias("_sig"))
-    sig = sig.where(F.element_at("_sig", 1).isNotNull())
+    if signatures is None:
+        sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
+                                 portable=portable)
+    else:
+        sig = signatures.select("id", "_sig")
     banded = sig.select("id", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
                  bucket_hash(F.concat_ws("_", *[
@@ -589,7 +616,8 @@ def _lsh_banded(df: DataFrame, id_col: str, text_col: str, *, n: int,
 def build_lsh_index(df: DataFrame, id_col: str, text_col: str, path: str, *,
                     n: int = 3, num_hashes: int = 32, bands: int = 8,
                     portable: bool = False, n_shards: int = 64,
-                    batch_id: int = 0) -> dict:
+                    batch_id: int = 0,
+                    signatures: DataFrame | None = None) -> dict:
     """Persist a MinHash-LSH dedup index: banded bucket rows written
     PARTITIONED BY ``_shard`` (= pmod(bucket, n_shards)) + a JSON sidecar
     with the hash parameters. The point at 100 TB: deduplicating a new
@@ -605,7 +633,8 @@ def build_lsh_index(df: DataFrame, id_col: str, text_col: str, path: str, *,
     import os
 
     banded = _lsh_banded(df, id_col, text_col, n=n, num_hashes=num_hashes,
-                         bands=bands, portable=portable, n_shards=n_shards)
+                         bands=bands, portable=portable, n_shards=n_shards,
+                         signatures=signatures)
     banded.write.mode("overwrite").partitionBy("_shard") \
         .parquet(os.path.join(path, "bands", f"batch={batch_id}"))
     meta = {"n": n, "num_hashes": num_hashes, "bands": bands,
