@@ -371,3 +371,120 @@ def test_kll_python_decode_edge_formats(spark):
         F.kll_sketch_get_quantile_bigint("s", F.lit(0.5)).alias("q")
     ).collect()[0]["q"]
     assert sb.quantile(0.5) == jvm
+
+
+# ------------------------------------------------- frequent items (MG)
+
+def _freq_truth(df, group_cols, item_col):
+    rows = (df.groupBy(*group_cols, F.col(item_col).cast("string").alias("i"))
+            .count().collect())
+    truth = {}
+    for r in rows:
+        g = tuple(r[c] for c in group_cols)
+        truth.setdefault(g, {})[r["i"]] = r["count"]
+    return truth
+
+
+def test_freq_partial_bounds_law(spark):
+    """MG invariant on a compressed partial (k << distinct): for every item,
+    stored <= true <= stored + err; absent items have true <= err."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    df = ev.select((F.col("user_id") % 3).alias("g"),
+                   (F.col("event_id") % 23).alias("item"))
+    part = sk.freq_partial(df, ["g"], "item", k=5)
+    truth = _freq_truth(df, ["g"], "item")
+    got = {(r["g"],): (dict(r["items"]), r["err"], r["n"]) for r in part.collect()}
+    assert set(got) == set(truth)
+    for g, (items, err, n) in got.items():
+        assert len(items) <= 5 and err > 0  # 23 distinct => genuinely compressed
+        assert n == sum(truth[g].values())
+        for i, true_c in truth[g].items():
+            stored = items.get(i, 0)
+            assert stored <= true_c <= stored + err, (g, i)
+
+
+def test_freq_merge_bounds_and_capture(spark):
+    """Merging per-slice partials keeps the MG bounds, and every item whose
+    true count exceeds the merged err is guaranteed present."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # skew: event_type has few hot values; slice by day so merge is real
+    df = ev.select((F.col("user_id") % 2).alias("g"),
+                   F.to_date("ts").alias("slice"),
+                   F.col("event_type").alias("item"),
+                   (F.col("event_id") % 29).alias("noise"))
+    mixed = df.select("g", "slice",
+                      F.when(F.col("noise") < 8, F.concat(F.lit("n"), F.col("noise")))
+                       .otherwise(F.col("item")).alias("item"))
+    part = sk.freq_partial(mixed, ["g", "slice"], "item", k=4)
+    merged = sk.freq_merge(part, ["g"], k=4)
+    truth = _freq_truth(mixed, ["g"], "item")
+    got = {(r["g"],): (dict(r["items"]), r["err"], r["n"]) for r in merged.collect()}
+    assert set(got) == set(truth)
+    for g, (items, err, n) in got.items():
+        assert n == sum(truth[g].values())
+        for i, true_c in truth[g].items():
+            stored = items.get(i, 0)
+            assert stored <= true_c <= stored + err, (g, i)
+            if true_c > err:
+                assert i in items, (g, i)  # capture guarantee
+
+
+def test_freq_exact_regime_and_parquet_roundtrip(spark, tmp_path):
+    """distinct <= k at every stage => err == 0 and counts EXACT, including
+    a merge over parquet-persisted partials (the daily-partials shape)."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    part = sk.freq_partial(
+        ev.select(F.to_date("ts").alias("slice"), "event_type"),
+        ["slice"], "event_type", k=64)
+    p = str(tmp_path / "freq_partials")
+    part.write.mode("overwrite").parquet(p)
+    merged = sk.freq_merge(spark.read.parquet(p).withColumn("all", F.lit(1)),
+                           ["all"], k=64)
+    row = merged.collect()[0]
+    assert row["err"] == 0
+    truth = {r["event_type"]: r["count"]
+             for r in ev.groupBy("event_type").count().collect()}
+    assert dict(row["items"]) == truth and row["n"] == sum(truth.values())
+
+
+def test_freq_heavy_hitters_complete(spark):
+    """Every true phi-heavy item is in the candidate set (no false
+    negatives); candidates are bounded by the stored top-k."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    df = ev.select(F.lit(1).alias("g"), F.col("event_type").alias("item"),
+                   F.to_date("ts").alias("slice"))
+    part = sk.freq_partial(df, ["g", "slice"], "item", k=3)
+    merged = sk.freq_merge(part, ["g"], k=3)
+    phi = 0.2
+    cands = {r["item"] for r in
+             sk.freq_heavy_hitters(merged, ["g"], phi).collect()}
+    truth = _freq_truth(df, ["g"], "item")[(1,)]
+    n = sum(truth.values())
+    err = merged.collect()[0]["err"]
+    # the guarantee: an item can only be missed if its true count is within
+    # the tracked error bound (absent => true <= err)
+    hit = [i for i, c in truth.items() if c >= phi * n]
+    assert hit  # the fixture has real heavies
+    for i in hit:
+        if truth[i] > err:
+            assert i in cands, i
+    # and with a summary wide enough that err < phi*n, completeness is total
+    part_w = sk.freq_partial(df, ["g", "slice"], "item", k=16)
+    merged_w = sk.freq_merge(part_w, ["g"], k=16)
+    assert merged_w.collect()[0]["err"] < phi * n
+    cands_w = {r["item"] for r in
+               sk.freq_heavy_hitters(merged_w, ["g"], phi).collect()}
+    assert set(hit) <= cands_w
+
+
+def test_freq_estimate_expr(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    part = sk.freq_partial(ev.select(F.lit(1).alias("g"), "event_type"),
+                           ["g"], "event_type", k=2)
+    r = part.select(
+        sk.freq_estimate("items", "err", F.lit("purchase")).alias("e"),
+        sk.freq_estimate("items", "err", F.lit("__absent__")).alias("a"),
+        "err").collect()[0]
+    true_c = ev.where(F.col("event_type") == "purchase").count()
+    assert r["e"]["lb"] <= true_c <= r["e"]["ub"]
+    assert r["a"]["lb"] == 0 and r["a"]["ub"] == r["err"]

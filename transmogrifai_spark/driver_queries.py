@@ -1092,8 +1092,17 @@ def q_sketch_quantiles(spark, sf_dir):
       (operators/sketches.CountMinSketch + serving/murmur3.py). With 5
       distinct strings in 1000 buckets there are no collisions, so the
       estimate equals the exact count the oracle computes — gating the
-      sketch bytes, the murmur3 double hashing, and the decode."""
-    from .operators.sketches import cms_collect, kll_partial, kll_quantile
+      sketch bytes, the murmur3 double hashing, and the decode.
+    * part='freq' (r6): Misra-Gries frequent-items summaries — per-DAY
+      partials parquet-persisted, read back, and merged to global (the
+      daily-partials production shape). k=64 >= distinct event types at
+      every stage, so the mergeable-summaries error bound collapses to 0
+      and stored counts are exact; est is emitted ONLY under err == 0, so
+      a nonzero bound (a broken merge) hash-fails rather than sliding by."""
+    import tempfile
+
+    from .operators.sketches import (cms_collect, freq_merge, freq_partial,
+                                     kll_partial, kll_quantile)
     ev = _t(spark, sf_dir, "events")
     sk = kll_partial(ev, ["event_type"], "value", k=8192)
     kll = sk.select(
@@ -1108,7 +1117,19 @@ def q_sketch_quantiles(spark, sf_dir):
         .select(F.lit("cms").alias("part"), "event_type", "est",
                 *[F.lit(None).cast("double").alias(f"q{int(q * 100)}")
                   for q in (0.25, 0.5, 0.75)])
-    return kll.union(cms_df)
+    fp = freq_partial(ev.select(F.to_date("ts").alias("_slice"), "event_type"),
+                      ["_slice"], "event_type", k=64)
+    d = tempfile.mkdtemp(prefix="freq_partials_gate_")
+    fp.write.mode("overwrite").parquet(d)
+    fm = freq_merge(spark.read.parquet(d).withColumn("_all", F.lit(1)),
+                    ["_all"], k=64)
+    freq = (fm.select("err", F.explode("items").alias("event_type", "_c"))
+            .select(F.lit("freq").alias("part"), "event_type",
+                    F.when(F.col("err") == 0, F.col("_c"))
+                     .cast("long").alias("est"),
+                    *[F.lit(None).cast("double").alias(f"q{int(q * 100)}")
+                      for q in (0.25, 0.5, 0.75)]))
+    return kll.union(cms_df).union(freq)
 
 
 def q_ivf_topk_indexed(spark, sf_dir):
@@ -2908,6 +2929,10 @@ SELECT 'kll' AS part, event_type, CAST(NULL AS BIGINT) AS est,
 FROM c GROUP BY event_type
 UNION ALL
 SELECT 'cms', event_type, count(*), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'freq', event_type, count(*), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM events GROUP BY event_type
 """

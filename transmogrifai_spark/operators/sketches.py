@@ -34,6 +34,13 @@ Three families, three construction strategies — each the scale-correct one:
   mergeable QUANTILE sketches — persisted per-group/per-day percentile
   partials with guaranteed rank error, re-aggregable to any coarser group
   (``percentile_approx`` computes but cannot persist partials).
+* **Frequent items** (Misra-Gries-style mergeable summaries, Agarwal et
+  al. PODS'12): per-group top-k item counts with a tracked uniform error
+  bound (stored <= true <= stored + err). Partials are (map<item,count>,
+  err, n) rows — plain columns, persistable, re-aggregable to coarser
+  groups with the published merge bound; groups with <= k distinct items
+  are EXACT (err = 0 — the oracle-gated regime). The heavy-hitters query
+  CMS cannot answer without a second candidate pass.
 * **KMV** (k minimum values, pure Catalyst expressions over xxhash64):
   the portable, inspectable overlap sketch — k-smallest-hash arrays
   (plain ``array<double>``, no opaque binary) estimating Jaccard and
@@ -375,6 +382,103 @@ def kmv_estimate(sketch_col: str | Column, k: int = 1024) -> Column:
     kth = F.try_element_at(col, F.lit(k))  # guarded by when(n < k) anyway
     return F.when(n < k, n.cast("double")) \
             .otherwise(F.lit(float(k - 1)) / kth)
+
+
+def freq_partial(df: DataFrame, group_cols: list[str], item_col: str,
+                 k: int = 256) -> DataFrame:
+    """Per-group mergeable frequent-items summary (Misra-Gries style, the
+    mergeable-summaries form of Agarwal et al., PODS'12): columns
+    ``items`` (map<item,count> with at most k entries — the top-k exact
+    counts), ``err`` (uniform over-count bound: for EVERY item, stored
+    count <= true count <= stored count + err, where an absent item's
+    stored count is 0), and ``n`` (total rows in the group).
+
+    Construction mirrors kmv_partial's contract: building a group's
+    summary takes the same count-shuffle an exact top-k would — the
+    SUMMARY is what's bounded (k entries + two longs), which is what makes
+    per-day/per-shard partials persistable and re-aggregable without
+    touching raw data again (``freq_merge``). For a freshly-built partial
+    ``err`` is the (k+1)-th largest count (the largest count any dropped
+    item can have); groups with <= k distinct items get err = 0 and EXACT
+    counts — the regime the oracle gate pins.
+
+    Ties at the cut rank break deterministically (count desc, item asc)."""
+    it = F.col(item_col).cast("string")
+    counts = (df.groupBy(*group_cols, it.alias("_item"))
+              .agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_c").desc(), "_item")
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    return (ranked.groupBy(*group_cols).agg(
+        F.map_from_entries(F.sort_array(F.collect_list(
+            F.when(F.col("_rn") <= k, F.struct("_item", "_c"))))).alias("items"),
+        F.coalesce(F.max(F.when(F.col("_rn") == k + 1, F.col("_c"))),
+                   F.lit(0)).cast("long").alias("err"),
+        F.sum("_c").cast("long").alias("n")))
+
+
+def freq_merge(df: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+    """Merge frequent-items partials to coarser groups — the
+    mergeable-summaries MERGE: sum stored counts by item across partials,
+    keep the top-k, and grow the error bound by (sum of input errs) +
+    (the (k+1)-th largest combined count, when the cut drops anything).
+
+    Soundness of the bound (the law tests/test_sketches.py asserts): a
+    stored count never exceeds the true count (sums of underestimates),
+    and true <= stored + Σerr_i holds because each partial under-counts by
+    at most its own err; items cut here had stored count <= the cut value
+    d, so true <= d + Σerr_i — one uniform ``err' = Σerr_i + d`` covers
+    kept, dropped, and never-seen items alike.
+
+    Groups whose partials are all empty-map survive with items = {} (the
+    merge never loses the (err, n) accounting to an explode)."""
+    base = df.groupBy(*group_cols).agg(
+        F.sum("err").cast("long").alias("_err0"),
+        F.sum("n").cast("long").alias("n"))
+    ex = df.select(*group_cols, F.explode("items").alias("_item", "_pc"))
+    sums = (ex.groupBy(*group_cols, "_item")
+            .agg(F.sum("_pc").alias("_c")))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_c").desc(), "_item")
+    ranked = sums.withColumn("_rn", F.row_number().over(w))
+    tops = (ranked.groupBy(*group_cols).agg(
+        F.map_from_entries(F.sort_array(F.collect_list(
+            F.when(F.col("_rn") <= k, F.struct("_item", "_c"))))).alias("_items"),
+        F.coalesce(F.max(F.when(F.col("_rn") == k + 1, F.col("_c"))),
+                   F.lit(0)).cast("long").alias("_d")))
+    return (base.join(tops, list(group_cols), "left")
+            .select(*group_cols,
+                    F.coalesce(F.col("_items"),
+                               F.map_from_arrays(
+                                   F.array().cast("array<string>"),
+                                   F.array().cast("array<bigint>")))
+                    .alias("items"),
+                    (F.col("_err0") + F.coalesce(F.col("_d"), F.lit(0)))
+                    .cast("long").alias("err"),
+                    "n"))
+
+
+def freq_estimate(items: str | Column, err: str | Column,
+                  item: str | Column) -> Column:
+    """Struct(lb, ub) frequency bounds for one item: lb = stored count
+    (0 when absent), ub = lb + err. Guarantee: lb <= true <= ub."""
+    items = F.col(items) if isinstance(items, str) else items
+    err = F.col(err) if isinstance(err, str) else err
+    lb = F.coalesce(F.try_element_at(items, item), F.lit(0).cast("long"))
+    return F.struct(lb.alias("lb"), (lb + err).alias("ub"))
+
+
+def freq_heavy_hitters(df: DataFrame, group_cols: list[str],
+                       phi: float) -> DataFrame:
+    """Candidate phi-heavy-hitters from a (items, err, n) summary frame:
+    one row per stored item whose UPPER bound reaches phi*n. Complete by
+    construction — any item with true frequency > err is stored (an absent
+    item's true count is <= err <= phi*n when it misses the cut), so no
+    true phi-heavy item whose count exceeds the error bound can be missed;
+    false positives are bounded by ub - lb = err."""
+    ex = df.select(*group_cols, "err", "n",
+                   F.explode("items").alias("item", "lb"))
+    return (ex.withColumn("ub", F.col("lb") + F.col("err"))
+            .where(F.col("ub") >= F.lit(phi) * F.col("n"))
+            .select(*group_cols, "item", "lb", "ub", "err", "n"))
 
 
 def kmv_overlap(a: str | Column, b: str | Column, k: int = 1024) -> Column:
