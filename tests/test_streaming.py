@@ -330,3 +330,34 @@ def test_stream_rollup_partials_replay_idempotent(spark, sf_dir, tmp_path):
     first = snapshot()
     run("ck2")  # full replay: same batches, same ids, fresh checkpoint
     assert snapshot() == first and first
+
+
+def test_stream_freq_partials_equal_batch_exact_regime(spark, sf_dir, tmp_path):
+    """Streaming MG partials, merged, == one batch freq_partial when k
+    covers every batch's distinct items (err 0, exact counts) — over a
+    REAL multi-batch split (4 source files, one per trigger)."""
+    from transmogrifai_spark.operators.sketches import freq_merge, freq_partial
+    from transmogrifai_spark.streaming.windows import (file_stream,
+                                                       stream_freq_partials)
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, ts_col="ts", max_files_per_trigger=1)
+    q = stream_freq_partials(stream.withColumn("g", F.col("user_id") % 2),
+                             str(tmp_path / "p"), ["g"], "event_type", k=64,
+                             checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+    merged = freq_merge(spark.read.parquet(str(tmp_path / "p")), ["g"], k=64)
+    got = {r["g"]: (dict(r["items"]), r["err"], r["n"])
+           for r in merged.collect()}
+    want = {r["g"]: (dict(r["items"]), r["err"], r["n"])
+            for r in freq_partial(ev.withColumn("g", F.col("user_id") % 2),
+                                  ["g"], "event_type", k=64).collect()}
+    assert got == want and got
+    assert all(err == 0 for _, err, _ in got.values())
+    # the store really did split: >1 batch directory
+    import os
+    batches = [d for d in os.listdir(str(tmp_path / "p"))
+               if d.startswith("batch=")]
+    assert len(batches) > 1

@@ -250,3 +250,36 @@ def stream_rollup_partials(events: DataFrame, partials_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_freq_partials(events: DataFrame, partials_path: str,
+                         group_cols: list[str], item_col: str,
+                         k: int = 256,
+                         checkpoint: str | None = None,
+                         available_now: bool = True):
+    """Streaming frequent-items maintenance: each micro-batch appends its
+    Misra-Gries summary partials (operators/sketches.freq_partial) to the
+    partial store; readers answer heavy-hitter queries over any group
+    subset with ``freq_merge`` — raw events are read once, at ingest.
+
+    Append-only is correct for the same reason as stream_rollup_partials:
+    the summary is mergeable with a TRACKED error bound (the
+    mergeable-summaries merge), so a group split across micro-batches
+    yields partial rows whose merge obeys the same stored <= true <=
+    stored + err law as a single-pass summary — and in the exact regime
+    (distinct items <= k per group in every batch) is IDENTICAL to it
+    (stream == batch law in tests). Replay safety: per-batch
+    ``batch=<id>/`` overwrite, the standard at-least-once guard."""
+    from ..operators.sketches import freq_partial
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        freq_partial(batch, group_cols, item_col, k=k) \
+            .write.mode("overwrite") \
+            .parquet(f"{partials_path}/batch={batch_id}")
+
+    writer = events.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
