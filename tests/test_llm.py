@@ -1343,3 +1343,96 @@ def test_stream_dedup_ingest_nonmonotonic_ids(spark, sf_dir, tmp_path):
     kept2 = sorted(r["doc_id"] for r in
                    spark.read.parquet(out).select("doc_id").collect())
     assert kept2 == kept_ids
+
+
+# ------------------------------------------------------------ SemDeDup
+
+def test_semantic_dedup_pairs_single_cluster_equals_brute_force(spark, sf_dir):
+    """n_clusters=1 => within-cluster mining IS the global pairwise pass:
+    pairs must equal embedding_near_dup_pairs exactly."""
+    from transmogrifai_spark.llm.dedup import (embedding_near_dup_pairs,
+                                               semantic_dedup_pairs)
+    from transmogrifai_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").limit(60)
+    clones = base.select((F.col("vec_id") + 10_000).alias("vec_id"),
+                         "embedding", "label")
+    emb = base.unionByName(clones)
+    pairs, assigned = semantic_dedup_pairs(emb, "vec_id", "embedding",
+                                           n_clusters=1, eps=0.9)
+    got = {(r["id1"], r["id2"]): round(r["cosine"], 9) for r in pairs.collect()}
+    want = {(r["id1"], r["id2"]): round(r["cosine"], 9) for r in
+            embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                     threshold=0.9).collect()}
+    assert got == want and want
+    assigned.unpersist()
+
+
+def test_semantic_dedup_identical_vectors_always_deduped(spark, sf_dir):
+    """Exact duplicates co-cluster under ANY centroid set (same vector, same
+    assignment) and have cosine 1 — so only one copy of each clone group
+    survives, whichever policy."""
+    from transmogrifai_spark.llm.dedup import semantic_dedup
+    from transmogrifai_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    clones = emb.select((F.col("vec_id") + 10_000).alias("vec_id"),
+                        "embedding", "label")
+    both = emb.unionByName(clones)
+    kept = semantic_dedup(both, "vec_id", "embedding",
+                          n_clusters=4, eps=0.999999)
+    ids = [r["vec_id"] for r in kept.select("vec_id").collect()]
+    assert len(ids) == len(set(ids))
+    # one survivor per clone pair at minimum; nothing above the original count
+    assert kept.count() <= emb.count()
+    # and every surviving embedding content appears exactly once of its pair
+    k = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert all(not (i in k and i + 10_000 in k) for i in range(60))
+
+
+def test_semantic_dedup_edge_policy_keeps_least_typical(spark, sf_dir):
+    """keep='edge' retains the member with the LOWEST cosine to its cluster
+    centroid (ties min id) — checked against a python recomputation from
+    the returned assignment frame."""
+    from transmogrifai_spark.llm.dedup import (duplicate_clusters,
+                                               semantic_dedup,
+                                               semantic_dedup_pairs)
+    from transmogrifai_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").limit(50)
+    clones = base.select((F.col("vec_id") + 10_000).alias("vec_id"),
+                         "embedding", "label")
+    emb = base.unionByName(clones)
+    pairs, assigned = semantic_dedup_pairs(emb, "vec_id", "embedding",
+                                           n_clusters=4, eps=0.9)
+    cl = {r["doc"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    sim = {r["id"]: r["centroid_sim"] for r in assigned.collect()}
+    want_kept = set(sim) - set(cl)
+    by_cluster = {}
+    for doc, cid in cl.items():
+        by_cluster.setdefault(cid, []).append(doc)
+    for cid, docs in by_cluster.items():
+        want_kept.add(min(docs, key=lambda d: (sim[d], d)))
+    kept = semantic_dedup(emb, "vec_id", "embedding", n_clusters=4, eps=0.9,
+                          keep="edge")
+    got = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert got == want_kept and cl  # fixture has real duplicate groups
+    assigned.unpersist()
+
+
+def test_semantic_dedup_quality_policy_and_max_cell(spark, sf_dir):
+    from transmogrifai_spark.llm.dedup import semantic_dedup
+    from transmogrifai_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").limit(50)
+    clones = base.select((F.col("vec_id") + 10_000).alias("vec_id"),
+                         "embedding", "label")
+    emb = base.unionByName(clones) \
+        .withColumn("q", (F.col("vec_id") % 7).cast("double"))
+    kept = semantic_dedup(emb, "vec_id", "embedding", n_clusters=4, eps=0.9,
+                          keep="quality", quality_col="q")
+    assert 0 < kept.count() < 100
+    # max_cell=0 excludes every cluster from mining: nothing is dropped
+    all_kept = semantic_dedup(emb, "vec_id", "embedding", n_clusters=4,
+                              eps=0.9, max_cell=0)
+    assert all_kept.count() == 100

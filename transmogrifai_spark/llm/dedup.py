@@ -387,6 +387,124 @@ def select_cluster_representatives(docs: DataFrame, clusters: DataFrame,
     return outside.unionByName(reps)
 
 
+def semantic_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                         n_clusters: int = 16, eps: float = 0.95,
+                         seed: int = 42, fit_sample: float | None = None,
+                         max_cell: int | None = None):
+    """SemDeDup-style semantic duplicate mining (Abbas et al. 2023,
+    arXiv:2303.09540): k-means coarse clusters over the embeddings, exact
+    pairwise cosine WITHIN each cluster only — the clustering turns the
+    global O(n²) into per-cluster quadratics, each bounded by cluster
+    size (pick n_clusters so clusters fit an executor; the paper uses
+    50k clusters for web scale).
+
+    Returns ``(pairs, assigned)``: pairs = (id1, id2, cosine) with
+    cosine >= eps, both ids in the same cluster; assigned = (id, _cell,
+    centroid_sim) where centroid_sim is each doc's cosine to its OWN
+    cluster centroid — the ranking the 'edge' survivor policy uses.
+
+    ``max_cell`` is the skew guard: clusters larger than the cap are
+    EXCLUDED from pair mining (their docs all pass through dedup
+    untouched) — conservative, never quadratic-blowup. At scale prefer
+    raising n_clusters; the cap is the backstop.
+
+    KMeans is seeded Spark ML (deterministic per seed) but not
+    SQL-expressible — this operator is law-tested (n_clusters=1 equals
+    brute-force pairs; identical vectors always co-cluster) rather than
+    oracle-gated."""
+    from .similarity import cosine_similarity, ivf_assignments
+
+    if n_clusters == 1:
+        # Spark ML KMeans requires k >= 2; one cluster is just the global
+        # mean (used only for centroid_sim ranking — pair mining is the
+        # full pairwise pass either way)
+        mean_row = (df.select(F.posexplode(F.col(vec_col)).alias("_p", "_x"))
+                    .groupBy("_p").agg(F.avg("_x").alias("_m"))
+                    .orderBy("_p").collect())
+        centroids = [[float(r["_m"]) for r in mean_row]]
+        assigned = ensure_parallelism(df).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+            F.lit(0).alias("_cell"))
+    else:
+        assigned, centroids = ivf_assignments(df, id_col, vec_col,
+                                              n_lists=n_clusters, seed=seed,
+                                              fit_sample=fit_sample)
+    # one literal centroid matrix indexed by cell — constant plan depth
+    # (the parse_phone lesson: no per-cell when-chains)
+    ctr_mat = F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
+                        for ctr in centroids])
+    assigned = assigned.select(
+        F.col("neighbor_id").alias("id"), F.col("_cv").alias("_v"), "_cell",
+        cosine_similarity(F.col("_cv"),
+                          F.element_at(ctr_mat, F.col("_cell") + 1))
+        .alias("centroid_sim"))
+    assigned = assigned.persist()
+    mined = assigned
+    if max_cell is not None:
+        ok = (assigned.groupBy("_cell").agg(F.count(F.lit(1)).alias("_m"))
+              .where(F.col("_m") <= max_cell).select("_cell"))
+        mined = mined.join(F.broadcast(ok), "_cell")
+    a = mined.select(F.col("id").alias("id1"), F.col("_v").alias("v1"), "_cell")
+    b = mined.select(F.col("id").alias("id2"), F.col("_v").alias("v2"), "_cell")
+    pairs = (a.join(b, ["_cell"])
+             .where(F.col("id1") < F.col("id2"))
+             .withColumn("cosine", cosine_similarity(F.col("v1"), F.col("v2")))
+             .where(F.col("cosine") >= eps)
+             .select("id1", "id2", "cosine"))
+    return pairs, assigned.select("id", "_cell", "centroid_sim")
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   n_clusters: int = 16, eps: float = 0.95, seed: int = 42,
+                   keep: str = "edge", quality_col: str | None = None,
+                   fit_sample: float | None = None,
+                   max_cell: int | None = None,
+                   caches: list | None = None) -> DataFrame:
+    """End-to-end semantic dedup: mine within-cluster cosine pairs, form
+    duplicate groups (connected components), keep ONE doc per group:
+
+    * ``keep='edge'`` — the member with the LOWEST cosine to its cluster
+      centroid (the SemDeDup paper's rule: retain the least-typical
+      example, drop the redundant core; ties by min id).
+    * ``keep='quality'`` — the highest-``quality_col`` member
+      (select_cluster_representatives' policy).
+
+    Returns ``df``'s rows minus dropped semantic duplicates (columns
+    unchanged). Docs in no duplicate group pass through untouched.
+
+    ``caches``, when given, collects the persisted assignment frame for
+    the caller to unpersist once the result is materialized (the
+    lsh_dedup_incremental contract); without it the cached frame lives
+    until session cleanup — fine for one-shot jobs, pass it in loops."""
+    pairs, assigned = semantic_dedup_pairs(
+        df, id_col, vec_col, n_clusters=n_clusters, eps=eps, seed=seed,
+        fit_sample=fit_sample, max_cell=max_cell)
+    if caches is not None:
+        caches.append(assigned)
+    clusters = duplicate_clusters(pairs)
+    if keep == "quality":
+        if not quality_col:
+            raise ValueError("keep='quality' requires quality_col")
+        out = select_cluster_representatives(df, clusters, id_col,
+                                             quality_col)
+    elif keep == "edge":
+        cl = clusters.select(F.col("doc").alias("__doc"),
+                             F.col("cluster_id").alias("__cid"))
+        sim = assigned.select(F.col("id").alias("__sid"), "centroid_sim")
+        w = Window.partitionBy("__cid").orderBy(
+            F.col("centroid_sim").asc(), F.col(id_col).asc())
+        reps = (df.join(cl, df[id_col] == cl["__doc"])
+                .join(sim, df[id_col] == F.col("__sid"))
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(*[df[c] for c in df.columns]))
+        outside = df.join(cl, df[id_col] == cl["__doc"], "left_anti")
+        out = outside.unionByName(reps)
+    else:
+        raise ValueError(f"unknown keep policy {keep!r}")
+    return out
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — EXACT small-data fallback.
