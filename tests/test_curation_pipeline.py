@@ -113,3 +113,40 @@ def test_curate_corpus_blocklist_and_boilerplate_stages(spark, docs):
     out2 = curate_corpus(noisy, rules=None, eval_df=None, dedup=None,
                          blocklist=["zzzunseen"])
     assert out2.count() == noisy.count()                 # no hits -> no drops
+
+
+def test_curate_corpus_quality_and_semantic_stages(spark, docs, sf_dir):
+    """The supervised quality head and SemDeDup stages compose into the
+    recipe == manually chained equivalents."""
+    from transmogrifai_spark.llm.dedup import semantic_dedup
+    from transmogrifai_spark.llm.quality_classifier import (
+        pareto_quality_sample, train_quality_classifier)
+
+    pos = docs.where(F.col("doc_id") % 3 == 0)
+    neg = docs.where(F.col("doc_id") % 3 == 1)
+    clf = train_quality_classifier(pos, neg, num_features=1 << 12)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+    with_vec = docs.join(emb, "doc_id")
+
+    out = curate_corpus(with_vec, rules=None, dedup=None,
+                        quality_model=clf, pareto_alpha=9.0,
+                        embedding_col="embedding", semantic_eps=0.9,
+                        semantic_clusters=4)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    manual = pareto_quality_sample(clf.score(with_vec, "text"),
+                                   "doc_id", "quality_prob", alpha=9.0) \
+        .drop("quality_prob")
+    manual = semantic_dedup(manual, "doc_id", "embedding",
+                            n_clusters=4, eps=0.9)
+    want = {r["doc_id"] for r in manual.select("doc_id").collect()}
+    assert got == want and got
+    assert "quality_prob" not in out.columns
+    # hard-threshold variant also composes
+    out2 = curate_corpus(with_vec, rules=None, dedup=None,
+                         quality_model=clf, min_quality_prob=0.5)
+    want2 = clf.score(with_vec, "text") \
+        .where(F.col("quality_prob") >= 0.5).drop("quality_prob")
+    assert out2.count() == want2.count()

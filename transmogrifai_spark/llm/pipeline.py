@@ -12,7 +12,11 @@ mixture), cheapest-reduction-first so later, costlier stages see fewer rows:
                       with one representative per cluster)
   4. LM perplexity head (`lm_score.perplexity_filter`, model pre-fitted on
                       a clean reference corpus)
-  5. mixture / budget sampling (`curation.mix_corpora` /
+  5. supervised quality head (`quality_classifier`, pre-trained on seed
+                      sets) with GPT-3-style Pareto resampling
+  6. semantic dedup  (`dedup.semantic_dedup`, when an embedding column is
+                      available — SemDeDup within-cluster cosine)
+  7. mixture / budget sampling (`curation.mix_corpora` /
                       `token_budget_sample`)
 
 Every stage is a narrow DataFrame -> DataFrame transform: the whole recipe
@@ -67,6 +71,10 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   dedup: str | None = "exact",
                   lm_model: dict | None = None,
                   max_perplexity: float = 50.0,
+                  quality_model=None, pareto_alpha: float | None = None,
+                  min_quality_prob: float = 0.5,
+                  embedding_col: str | None = None,
+                  semantic_eps: float = 0.95, semantic_clusters: int = 16,
                   mixture: dict[str, float] | None = None,
                   group_col: str = "lang",
                   report: bool = False):
@@ -99,6 +107,25 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
         out = perplexity_filter(out, lm_model, text_col,
                                 max_perplexity=max_perplexity)
         stages.append(("lm_head", out))
+    if quality_model is not None:
+        # supervised head (quality_classifier.train_quality_classifier):
+        # Pareto resampling when alpha is given (the GPT-3 rule — smooth,
+        # quality-biased), hard threshold otherwise
+        from .quality_classifier import pareto_quality_sample
+        scored = quality_model.score(out, text_col)
+        if pareto_alpha is not None:
+            out = pareto_quality_sample(scored, id_col, "quality_prob",
+                                        alpha=pareto_alpha) \
+                .drop("quality_prob")
+        else:
+            out = scored.where(F.col("quality_prob") >= min_quality_prob) \
+                .drop("quality_prob")
+        stages.append(("quality_classifier", out))
+    if embedding_col:
+        from .dedup import semantic_dedup
+        out = semantic_dedup(out, id_col, embedding_col,
+                             n_clusters=semantic_clusters, eps=semantic_eps)
+        stages.append(("semantic_dedup", out))
     if mixture:
         out = mix_corpora(out, id_col, group_col, mixture)
         stages.append(("mixture", out))
