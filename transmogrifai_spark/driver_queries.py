@@ -809,10 +809,23 @@ def q_corpus_mixture(spark, sf_dir):
     part='chunk' (r6): chunk_documents — overlapping token-window
     chunking (32-token chunks, 8 overlap); the lang column carries
     md5(chunk_text) so chunk CONTENT is value-gated, not just counts
-    (a=doc_id, b=chunk_id, c=n_chunk_tokens)."""
+    (a=doc_id, b=chunk_id, c=n_chunk_tokens).
+
+    part='bm25' (r6): BM25 top-5 retrieval through the PERSISTED
+    inverted index (llm/retrieval.py) — built over the even-id half,
+    odd half APPENDED as batch 1, so df/N/avgdl assembly across batch
+    subdirectories and the shard-pruned probe are what produce the
+    values. Quantized scoring mode (per-term 6dp -> DECIMAL(18,6) sum)
+    makes scores exact and order-independent; the oracle replicates
+    tokenize/postings/df/idf/score op-for-op (lang=query id, a=doc_id,
+    b=rank, d=score)."""
+    import tempfile
+
     from .llm.curation import (chunk_documents, mix_corpora, pack_sequences,
                                stratified_fixed_sample, token_budget_sample)
     from .llm.decontam import contamination_report
+    from .llm.retrieval import append_bm25_index, bm25_topk_indexed, \
+        build_bm25_index
     from .operators.sketches import kmv_estimate, kmv_partial
     docs = _t(spark, sf_dir, "documents")
     eval_df = docs.where(F.col("doc_id") % 10 == 0)
@@ -857,8 +870,25 @@ def q_corpus_mixture(spark, sf_dir):
         F.col("chunk_id").cast("long").alias("b"),
         F.col("n_chunk_tokens").cast("long").alias("c"),
         F.lit(None).cast("double").alias("d"))
+    bq = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", 1, 120).alias("qtext"))
+    bp = tempfile.mkdtemp(prefix="bm25_gate_")
+    build_bm25_index(docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text",
+                     bp, n_shards=8, batch_id=0)
+    append_bm25_index(spark, bp, docs.where(F.col("doc_id") % 2 == 1),
+                      "doc_id", "text", batch_id=1)
+    bm25_rows = bm25_topk_indexed(spark, bp, bq, "qid", "qtext", k=5,
+                                  quantize=6).select(
+        F.lit("bm25").alias("part"),
+        F.col("query_id").cast("string").alias("lang"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("rank").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        (F.col("score") + F.lit(0.0)).alias("d"))
     return (mix_rows.unionByName(strat_rows).unionByName(budget_rows)
-            .unionByName(pack_rows).unionByName(chunk_rows))
+            .unionByName(pack_rows).unionByName(chunk_rows)
+            .unionByName(bm25_rows))
 
 
 def q_text_quality(spark, sf_dir):
@@ -2622,6 +2652,51 @@ SELECT 'chunk', md5(array_to_string(toks[s+1:s+32], ' ')),
        CAST(doc_id AS BIGINT), CAST(s // 24 AS BIGINT),
        CAST(least(s + 32, n) - s AS BIGINT), CAST(NULL AS DOUBLE)
 FROM chk WHERE s = 0 OR s - 24 + 32 < n
+UNION ALL
+SELECT 'bm25', CAST(qid AS VARCHAR), CAST(doc_id AS BIGINT),
+       CAST(rank AS BIGINT), CAST(NULL AS BIGINT), CAST(score AS DOUBLE)
+FROM (
+  WITH btoks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                       t -> length(t) >= 1) AS toks
+    FROM documents
+  ),
+  bex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM btoks),
+  bpost AS (SELECT term, doc_id, dl, count(*) AS tf
+            FROM bex GROUP BY term, doc_id, dl),
+  bstat AS (SELECT count(*) AS n, sum(len(toks)) AS tot FROM btoks),
+  bdf AS (SELECT term, count(*) AS df FROM bpost GROUP BY term),
+  bqt AS (
+    SELECT DISTINCT qid, term FROM (
+      SELECT doc_id AS qid,
+             unnest(list_filter(
+               regexp_split_to_array(lower(substr(text, 1, 120)),
+                                     '[^\\p{L}\\p{N}]+'),
+               t -> length(t) >= 1)) AS term
+      FROM documents WHERE doc_id < 3)
+  ),
+  bscored AS (
+    SELECT qt.qid, p.doc_id,
+           SUM(CAST(round(
+             ln(1.0 + ((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                       / (CAST(d.df AS DOUBLE) + 0.5)))
+             * ((CAST(p.tf AS DOUBLE) * 2.2)
+                / (CAST(p.tf AS DOUBLE)
+                   + 1.2 * (0.25 + (0.75 * CAST(p.dl AS DOUBLE))
+                            / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+           , 6) AS DECIMAL(18,6))) AS score
+    FROM bpost p
+    JOIN bqt qt USING (term)
+    JOIN bdf d USING (term)
+    CROSS JOIN bstat s
+    GROUP BY qt.qid, p.doc_id
+  )
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bscored
+) WHERE rank <= 5
 """
 
 ORACLES["similarity_topk"] = """

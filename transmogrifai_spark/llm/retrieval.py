@@ -1,0 +1,208 @@
+"""BM25 full-text retrieval over a document corpus — the lexical
+counterpart of llm/similarity.py's embedding ANN (the two legs of a
+retrieval pipeline; hybrid = union + rerank).
+
+Okapi BM25 (Robertson et al., TREC-3; the Lucene-default variant):
+
+    score(q, d) = sum over t in q of
+        idf(t) * tf(t,d) * (k1 + 1) / (tf(t,d) + k1 * (1 - b + b * dl/avgdl))
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+Scale design:
+  * Postings are (term, doc_id, tf, dl) rows — built with one tokenize +
+    explode + count pass, the inverted-index shape (the shuffle carries
+    8B+term keys, never documents).
+  * Query terms are tiny and broadcast; candidate generation is an
+    equi-join on term, so cost scales with the postings of the QUERY's
+    terms, never the corpus (``max_df`` drops stop-word-degenerate terms
+    whose postings lists are huge and idf ~ 0 — the skew guard).
+  * The persisted index partitions postings by ``_shard =
+    pmod(xxhash64(term), n_shards)``: a query probes only the shard
+    DIRECTORIES its terms hash into (directory pruning, the
+    build_lsh_index contract), and per-batch subdirectories make appends
+    replay-idempotent. df/N/avgdl stay EXACT across appends: df is
+    counted from the pruned postings read itself (all batches of a
+    probed shard are read), N/total_len accumulate in per-batch sidecar
+    files.
+
+Cross-engine determinism (the oracle-gated mode): per-term scores are
+rounded to ``quantize`` decimals and accumulated as DECIMAL(18,6) — sums
+of quantized decimals are exact and order-independent, so ranking is
+identical whatever the partition layout or engine (the repo-wide
+decimal-accumulation rule; plain double sums are the throughput default).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokenize
+from ..util import ensure_parallelism
+
+
+def bm25_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, doc_id, tf, dl) inverted-index rows; dl = doc token count."""
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("_toks"))
+    toks = toks.select("doc_id", F.size("_toks").alias("dl"),
+                       F.explode("_toks").alias("term"))
+    return (toks.groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def _corpus_stats(docs: DataFrame, text_col: str) -> tuple[int, int]:
+    """(n_docs, total_token_len) in one bounded one-row aggregate."""
+    r = docs.select(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.size(tokenize(F.col(text_col))))
+                    .cast("long").alias("len")).collect()[0]
+    return int(r["n"]), int(r["len"] or 0)
+
+
+def _score_terms(cand: DataFrame, n_docs: int, avgdl: float,
+                 k1: float, b: float, quantize: int | None):
+    """Per-(query,term,doc) BM25 contribution. Expression order mirrors the
+    SQL oracle op-for-op (see ORACLES['corpus_mixture'] part='bm25')."""
+    df_ = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_ + F.lit(0.5))
+                / (df_ + F.lit(0.5)))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl) / F.lit(avgdl))
+    term_score = idf * ((tf * F.lit(k1 + 1.0)) / denom)
+    if quantize is not None:
+        return F.round(term_score, quantize).cast("decimal(18,6)")
+    return term_score
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank",
+                    F.col("score").cast("double").alias("score")))
+
+
+def _query_terms(queries: DataFrame, qid_col: str, qtext_col: str) -> DataFrame:
+    """Distinct (query_id, term) — repeated query terms count once (the
+    Lucene-practical choice; qtf weighting adds nothing for short queries)."""
+    return (queries.select(F.col(qid_col).alias("query_id"),
+                           F.explode(tokenize(F.col(qtext_col))).alias("term"))
+            .distinct())
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str,
+              text_col: str, qid_col: str, qtext_col: str, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              max_df: int | None = None,
+              quantize: int | None = None) -> DataFrame:
+    """One-shot BM25 top-k: (query_id, doc_id, rank, score). ``quantize``
+    enables the deterministic decimal-accumulated scoring mode."""
+    n_docs, total_len = _corpus_stats(docs, text_col)
+    avgdl = total_len / n_docs if n_docs else 1.0
+    post = bm25_postings(docs, id_col, text_col)
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_df)
+    qt = _query_terms(queries, qid_col, qtext_col)
+    cand = (post.join(F.broadcast(qt), "term")
+            .join(F.broadcast(dfreq), "term"))
+    scored = (cand
+              .withColumn("_s", _score_terms(cand, n_docs, avgdl, k1, b,
+                                             quantize))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("_s").alias("score")))
+    return _topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted, incrementally-appendable BM25 index
+# ---------------------------------------------------------------------------
+
+def build_bm25_index(docs: DataFrame, id_col: str, text_col: str, path: str,
+                     *, n_shards: int = 16, batch_id: int = 0) -> dict:
+    """Persist the inverted index partitioned by term shard + a params
+    sidecar; per-batch stats sidecars keep N/avgdl exact across appends."""
+    post = bm25_postings(docs, id_col, text_col).withColumn(
+        "_shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)))
+    post.write.mode("overwrite").partitionBy("_shard") \
+        .parquet(os.path.join(path, "postings", f"batch={batch_id}"))
+    n_docs, total_len = _corpus_stats(docs, text_col)
+    os.makedirs(os.path.join(path, "stats"), exist_ok=True)
+    meta = {"n_shards": n_shards}
+    tmp = os.path.join(path, "_BM25_INDEX.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_BM25_INDEX.json"))
+    _write_stats(path, batch_id, n_docs, total_len)
+    return meta
+
+
+def _write_stats(path: str, batch_id: int, n_docs: int, total_len: int):
+    tmp = os.path.join(path, "stats", f"batch_{batch_id}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_docs": n_docs, "total_len": total_len}, f)
+    os.replace(tmp, os.path.join(path, "stats", f"batch_{batch_id}.json"))
+
+
+def append_bm25_index(spark, path: str, docs: DataFrame, id_col: str,
+                      text_col: str, batch_id: int) -> None:
+    """Add a document batch: its own postings/batch=<id>/ subdirectory
+    (overwrite — replay-idempotent) + its stats sidecar. No corpus rescan,
+    no df re-merge: df is recomputed exactly from the pruned read at
+    query time."""
+    with open(os.path.join(path, "_BM25_INDEX.json")) as f:
+        meta = json.load(f)
+    post = bm25_postings(docs, id_col, text_col).withColumn(
+        "_shard", F.pmod(F.xxhash64("term"), F.lit(meta["n_shards"])))
+    post.write.mode("overwrite").partitionBy("_shard") \
+        .parquet(os.path.join(path, "postings", f"batch={batch_id}"))
+    n_docs, total_len = _corpus_stats(docs, text_col)
+    _write_stats(path, batch_id, n_docs, total_len)
+
+
+def bm25_topk_indexed(spark, path: str, queries: DataFrame, qid_col: str,
+                      qtext_col: str, k: int = 10, k1: float = 1.2,
+                      b: float = 0.75, max_df: int | None = None,
+                      quantize: int | None = None) -> DataFrame:
+    """Query the persisted index: reads ONLY the shard directories the
+    query terms hash into (a partition-column predicate — directory
+    pruning), across every batch subdirectory, so results after appends
+    equal a one-shot index over the union (law-tested)."""
+    with open(os.path.join(path, "_BM25_INDEX.json")) as f:
+        meta = json.load(f)
+    n_docs, total_len = 0, 0
+    stats_dir = os.path.join(path, "stats")
+    for fn in os.listdir(stats_dir):
+        if fn.endswith(".json"):
+            with open(os.path.join(stats_dir, fn)) as f:
+                s = json.load(f)
+            n_docs += s["n_docs"]
+            total_len += s["total_len"]
+    avgdl = total_len / n_docs if n_docs else 1.0
+    # qt is the small side (query tokenize) — recomputing it for the shard
+    # collect + two broadcast builds is cheaper than a persist lifecycle
+    qt = _query_terms(queries, qid_col, qtext_col).withColumn(
+        "_shard", F.pmod(F.xxhash64("term"), F.lit(meta["n_shards"])))
+    shards = sorted(r["_shard"] for r in qt.select("_shard").distinct().collect())
+    post = spark.read.parquet(os.path.join(path, "postings")) \
+        .where(F.col("_shard").isin(shards))
+    # df from the pruned read itself: every batch of a probed shard is
+    # present, so the count is the exact corpus-wide document frequency
+    dfreq = (post.join(F.broadcast(qt.select("term").distinct()), "term")
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_df)
+    cand = (post.join(F.broadcast(qt.select("query_id", "term")), "term")
+            .join(F.broadcast(dfreq), "term"))
+    scored = (cand
+              .withColumn("_s", _score_terms(cand, n_docs, avgdl, k1, b,
+                                             quantize))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("_s").alias("score")))
+    return _topk(scored, k)
