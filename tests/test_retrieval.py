@@ -129,3 +129,36 @@ def test_bm25_max_df_drops_stop_terms(spark, docs):
     capped = bm25_topk(boosted, queries, "doc_id", "text", "qid", "qtext",
                        k=5, max_df=n - 1)
     assert full.count() == 5 and capped.count() == 0
+
+
+def test_rrf_fusion_known_values_and_hybrid(spark, docs, sf_dir):
+    from transmogrifai_spark.llm.retrieval import reciprocal_rank_fusion
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["query_id", "doc_id", "rank"])
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], ["query_id", "doc_id", "rank"])
+    got = {r["doc_id"]: (r["rank"], r["score"]) for r in
+           reciprocal_rank_fusion([lex, sem], k=4).collect()}
+    want_scores = {10: 1 / 61, 11: 1 / 62 + 1 / 61, 12: 1 / 63, 13: 1 / 62}
+    order = sorted(want_scores, key=lambda d: (-want_scores[d], d))
+    for rank, d in enumerate(order, 1):
+        assert got[d][0] == rank
+        assert abs(got[d][1] - want_scores[d]) < 1e-15
+    # doc 11 (in both lists) wins
+    assert got[11][0] == 1
+
+    # end-to-end hybrid: BM25 + embedding ANN over real tables
+    from transmogrifai_spark.llm.similarity import brute_force_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = docs.where(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("qid"), F.substring("text", 1, 80).alias("qtext"))
+    lexical = bm25_topk(docs, queries, "doc_id", "text", "qid", "qtext", k=10)
+    semantic = (brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 2), "vec_id", "embedding", k=10)
+        .select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"),
+                "rank"))
+    fused = reciprocal_rank_fusion([lexical, semantic], k=5)
+    assert fused.groupBy("query_id").count().collect()
+    rows = fused.collect()
+    assert all(1 <= r["rank"] <= 5 for r in rows) and rows

@@ -120,6 +120,37 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str,
     return _topk(scored, k)
 
 
+def reciprocal_rank_fusion(rankings: list[DataFrame], k: int = 10,
+                           c: int = 60) -> DataFrame:
+    """Hybrid retrieval: fuse ranked lists (e.g. BM25 + embedding ANN) by
+    Reciprocal Rank Fusion (Cormack et al., SIGIR'09):
+    ``rrf(d) = sum over lists of 1 / (c + rank_list(d))``, absent = 0.
+
+    Each input needs (query_id, doc_id, rank). Implemented as a chain of
+    outer joins — NOT a groupBy sum — so the double additions happen in
+    the fixed syntactic order of the ``rankings`` list: results are
+    bit-deterministic whatever the partition layout (a grouped sum of
+    doubles is not). The join keys are (query_id, doc_id): cost scales
+    with the candidate lists, never the corpus."""
+    assert rankings, "need at least one ranking"
+    fused = None
+    for i, r in enumerate(rankings):
+        side = r.select("query_id", "doc_id",
+                        (F.lit(1.0) / (F.lit(float(c)) + F.col("rank")))
+                        .alias(f"_rrf{i}"))
+        fused = side if fused is None else \
+            fused.join(side, ["query_id", "doc_id"], "full_outer")
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(F.col(f"_rrf{i}"), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (fused.withColumn("score", score)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank", "score"))
+
+
 # ---------------------------------------------------------------------------
 # Persisted, incrementally-appendable BM25 index
 # ---------------------------------------------------------------------------
