@@ -219,30 +219,52 @@ def detect_mime_type(c: Column, default: str = "application/octet-stream") -> Co
     (try_to_binary + hex-substring compares at the signature offsets, so
     container formats like RIFF disambiguate on their subtype bytes).
     NULL input -> NULL; malformed base64 decodes to NULL (try_to_binary)
-    and falls back to the default."""
+    and falls back to the default.
+
+    Codegen shape (r6): the hex payload is bound ONCE as a transform-lambda
+    variable (the parse_phone/winnowing lesson — references, not
+    re-inlined hex(try_to_binary(...)) trees), and first-match-wins runs as
+    a FLAT boolean array + ``array_position`` + one literal mime-array
+    lookup instead of a 48-deep nested CaseWhen. The nested chain compiled
+    to >64 KB of bytecode in one janino method — a SILENT fall-back to
+    interpreted evaluation on every row (found in the r6 driver-sim stderr
+    sweep); CreateArray splits its element code into many small methods,
+    so the flat form stays inside whole-stage codegen. Priority semantics
+    are unchanged: array_position returns the FIRST true index, list order
+    is rule order."""
     raw = F.try_to_binary(c, F.lit("base64"))
-    hx = F.hex(raw)  # uppercase hex, 2 chars per byte
-    out = F.lit(default)
-    for mime, parts in reversed(_MAGIC):
-        cond = F.lit(True)
-        for off, magic in parts:
-            cond = cond & (F.substring(hx, 2 * off + 1, 2 * len(magic))
+
+    def _sniff(hx: Column) -> Column:
+        def cond(parts):
+            cc = F.lit(True)
+            for off, magic in parts:
+                cc = cc & (F.substring(hx, 2 * off + 1, 2 * len(magic))
                            == F.lit(magic.hex().upper()))
-        out = F.when(cond, F.lit(mime)).otherwise(out)
+            return cc
 
-    # OOXML refinement: first-entry [Content_Types].xml marks the family,
-    # the payload directory names the concrete member type
-    def _contains(needle: bytes):
-        pos = F.instr(hx, F.lit(needle.hex().upper()))
-        return (pos > 0) & ((pos - 1) % 2 == 0)
+        conds = F.array(*[cond(parts) for _, parts in _MAGIC])
+        mimes = F.array(*[F.lit(m) for m, _ in _MAGIC])
+        idx = F.array_position(conds, F.lit(True))
+        out = F.when(idx > 0, F.element_at(mimes, idx.cast("int"))) \
+            .otherwise(F.lit(default))
 
-    is_zip = F.substring(hx, 1, 8) == F.lit(b"PK\x03\x04".hex().upper())
-    first_ct = F.substring(hx, 61, 2 * len(b"[Content_Types].xml")) \
-        == F.lit(b"[Content_Types].xml".hex().upper())
-    ooxml = F.lit("application/vnd.openxmlformats-officedocument")
-    for needle, mime in reversed(_OOXML_TYPES):
-        ooxml = F.when(_contains(needle), F.lit(mime)).otherwise(ooxml)
-    out = F.when(is_zip & first_ct, ooxml).otherwise(out)
+        # OOXML refinement: first-entry [Content_Types].xml marks the
+        # family, the payload directory names the concrete member type
+        def _contains(needle: bytes):
+            pos = F.instr(hx, F.lit(needle.hex().upper()))
+            return (pos > 0) & ((pos - 1) % 2 == 0)
+
+        is_zip = F.substring(hx, 1, 8) == F.lit(b"PK\x03\x04".hex().upper())
+        first_ct = F.substring(hx, 61, 2 * len(b"[Content_Types].xml")) \
+            == F.lit(b"[Content_Types].xml".hex().upper())
+        o_conds = F.array(*[_contains(n) for n, _ in _OOXML_TYPES])
+        o_mimes = F.array(*[F.lit(m) for _, m in _OOXML_TYPES])
+        o_idx = F.array_position(o_conds, F.lit(True))
+        ooxml = F.when(o_idx > 0, F.element_at(o_mimes, o_idx.cast("int"))) \
+            .otherwise(F.lit("application/vnd.openxmlformats-officedocument"))
+        return F.when(is_zip & first_ct, ooxml).otherwise(out)
+
+    out = F.get(F.transform(F.array(F.hex(raw)), _sniff), 0)
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
 
 
