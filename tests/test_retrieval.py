@@ -162,3 +162,36 @@ def test_rrf_fusion_known_values_and_hybrid(spark, docs, sf_dir):
     assert fused.groupBy("query_id").count().collect()
     rows = fused.collect()
     assert all(1 <= r["rank"] <= 5 for r in rows) and rows
+
+
+def test_stream_bm25_index_equals_batch(spark, docs, tmp_path):
+    """Streaming index maintenance == one-shot over the full corpus, after
+    a bootstrap build over an EMPTY frame (probe on the empty index
+    returns no rows instead of failing)."""
+    from transmogrifai_spark.llm.retrieval import stream_bm25_index
+
+    queries = docs.where(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", 1, 100).alias("qtext"))
+    p = str(tmp_path / "bm25s")
+    build_bm25_index(docs.limit(0), "doc_id", "text", p, n_shards=8,
+                     batch_id=0)
+    assert bm25_topk_indexed(spark, p, queries, "qid", "qtext",
+                             k=5).count() == 0
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_bm25_index(stream, p, "doc_id", "text",
+                          checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    def key(rows):
+        return sorted((r["query_id"], r["rank"], r["doc_id"],
+                       round(r["score"], 6)) for r in rows)
+
+    got = key(bm25_topk_indexed(spark, p, queries, "qid", "qtext", k=5,
+                                quantize=6).collect())
+    want = key(bm25_topk(docs, queries, "doc_id", "text", "qid", "qtext",
+                         k=5, quantize=6).collect())
+    assert got == want and got

@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -197,6 +198,33 @@ def append_bm25_index(spark, path: str, docs: DataFrame, id_col: str,
     _write_stats(path, batch_id, n_docs, total_len)
 
 
+def stream_bm25_index(stream: DataFrame, path: str, id_col: str,
+                      text_col: str, checkpoint: str | None = None,
+                      available_now: bool = True):
+    """Maintain the BM25 index from a document STREAM: each micro-batch's
+    postings land in their own ``batch=<id>/`` subdirectory with overwrite
+    (replay-idempotent, the stream_rollup_partials guard) plus the batch's
+    stats sidecar. Queries through ``bm25_topk_indexed`` see exact
+    df/N/avgdl at whatever point the stream has reached — the
+    read-time-df design means no stats re-merge is ever needed.
+
+    Bootstrap: call ``build_bm25_index`` once first (an EMPTY frame is
+    fine — it just writes the params sidecar; the probe shapes an empty
+    postings side until real batches land)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        append_bm25_index(batch.sparkSession, path, batch, id_col, text_col,
+                          batch_id=batch_id)
+
+    writer = stream.writeStream.foreachBatch(write_batch) \
+        .outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def bm25_topk_indexed(spark, path: str, queries: DataFrame, qid_col: str,
                       qtext_col: str, k: int = 10, k1: float = 1.2,
                       b: float = 0.75, max_df: int | None = None,
@@ -221,8 +249,21 @@ def bm25_topk_indexed(spark, path: str, queries: DataFrame, qid_col: str,
     qt = _query_terms(queries, qid_col, qtext_col).withColumn(
         "_shard", F.pmod(F.xxhash64("term"), F.lit(meta["n_shards"])))
     shards = sorted(r["_shard"] for r in qt.select("_shard").distinct().collect())
-    post = spark.read.parquet(os.path.join(path, "postings")) \
-        .where(F.col("_shard").isin(shards))
+    try:
+        post = spark.read.parquet(os.path.join(path, "postings")) \
+            .where(F.col("_shard").isin(shards))
+    except AnalysisException as e:
+        # ONLY the bootstrap case (index built over an EMPTY frame — no
+        # parquet footers yet) is recoverable; anything else must surface
+        # (the lsh_dedup_incremental guard)
+        msg = str(e)
+        if ("UNABLE_TO_INFER_SCHEMA" not in msg
+                and "PATH_NOT_FOUND" not in msg
+                and "Unable to infer schema" not in msg
+                and "Path does not exist" not in msg):
+            raise
+        post = spark.createDataFrame(
+            [], "term string, doc_id long, dl int, tf long, _shard int")
     # df from the pruned read itself: every batch of a probed shard is
     # present, so the count is the exact corpus-wide document frequency
     dfreq = (post.join(F.broadcast(qt.select("term").distinct()), "term")
