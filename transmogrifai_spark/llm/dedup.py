@@ -210,14 +210,15 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     if signatures is None:
         sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
                                  portable=portable)
+        sig = sig.select(F.col("id").alias("_id"), "_sig")
+        # persist: signatures feed both sides of the bucket self-join;
+        # minhash signatures are the most expensive expression here
+        sig = sig.persist()
     else:
         # caller-supplied (id, _sig) frame (minhash_signatures) — computed
-        # once, shared with build_lsh_index & friends
-        sig = signatures
-    sig = sig.select(F.col("id").alias("_id"), "_sig")
-    # persist: signatures feed both sides of the bucket self-join; minhash
-    # signatures are the most expensive expression in this module
-    sig = sig.persist()
+        # once, shared with build_lsh_index & friends; the caller owns its
+        # persistence, a second cache copy here would double the storage
+        sig = signatures.select(F.col("id").alias("_id"), "_sig")
     banded = sig.select(
         "_id",
         F.explode(F.array(*[

@@ -106,7 +106,11 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str,
     enables the deterministic decimal-accumulated scoring mode."""
     n_docs, total_len = _corpus_stats(docs, text_col)
     avgdl = total_len / n_docs if n_docs else 1.0
-    post = bm25_postings(docs, id_col, text_col)
+    # persist: postings feed two plan branches (df pass + candidate join);
+    # without it the tokenize/explode/count pipeline runs twice (the
+    # ngram_jaccard_pairs lesson). The indexed path has no such issue —
+    # its two reads are directory-pruned parquet scans.
+    post = bm25_postings(docs, id_col, text_col).persist()
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dfreq = dfreq.where(F.col("df") <= max_df)
