@@ -430,10 +430,16 @@ def freq_merge(df: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
     kept, dropped, and never-seen items alike.
 
     Groups whose partials are all empty-map survive with items = {} (the
-    merge never loses the (err, n) accounting to an explode)."""
+    merge never loses the (err, n) accounting to an explode). The two
+    per-group aggregates combine by UNION + re-aggregate rather than a
+    join: a join keyed on a constant group column (the merge-to-global
+    case) constant-folds into a BroadcastNestedLoopJoin, which the plan
+    linter rightly rejects — the union form hash-aggregates in every
+    case. ``first(ignorenulls)`` is deterministic here: each group has at
+    most one non-null row per carrier side."""
     base = df.groupBy(*group_cols).agg(
         F.sum("err").cast("long").alias("_err0"),
-        F.sum("n").cast("long").alias("n"))
+        F.sum("n").cast("long").alias("_n"))
     ex = df.select(*group_cols, F.explode("items").alias("_item", "_pc"))
     sums = (ex.groupBy(*group_cols, "_item")
             .agg(F.sum("_pc").alias("_c")))
@@ -444,16 +450,25 @@ def freq_merge(df: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
             F.when(F.col("_rn") <= k, F.struct("_item", "_c"))))).alias("_items"),
         F.coalesce(F.max(F.when(F.col("_rn") == k + 1, F.col("_c"))),
                    F.lit(0)).cast("long").alias("_d")))
-    return (base.join(tops, list(group_cols), "left")
-            .select(*group_cols,
-                    F.coalesce(F.col("_items"),
-                               F.map_from_arrays(
-                                   F.array().cast("array<string>"),
-                                   F.array().cast("array<bigint>")))
-                    .alias("items"),
-                    (F.col("_err0") + F.coalesce(F.col("_d"), F.lit(0)))
-                    .cast("long").alias("err"),
-                    "n"))
+    a = base.select(*group_cols, "_err0", "_n",
+                    F.lit(None).cast("map<string,bigint>").alias("_items"),
+                    F.lit(None).cast("long").alias("_d"))
+    b = tops.select(*group_cols,
+                    F.lit(None).cast("long").alias("_err0"),
+                    F.lit(None).cast("long").alias("_n"), "_items", "_d")
+    return (a.unionByName(b).groupBy(*group_cols).agg(
+        F.first("_items", ignorenulls=True).alias("_mi"),
+        F.max("_err0").alias("_e"), F.max("_d").alias("_dd"),
+        F.max("_n").alias("_nn"))
+        .select(*group_cols,
+                F.coalesce(F.col("_mi"),
+                           F.map_from_arrays(
+                               F.array().cast("array<string>"),
+                               F.array().cast("array<bigint>")))
+                .alias("items"),
+                (F.col("_e") + F.coalesce(F.col("_dd"), F.lit(0)))
+                .cast("long").alias("err"),
+                F.col("_nn").alias("n")))
 
 
 def freq_estimate(items: str | Column, err: str | Column,
