@@ -30,6 +30,7 @@ from .functions import math as X
 from .functions import text as TX
 from .llm import dedup, pii as PII, similarity, textqual
 from .sources.joins import JoinedAggregateReader, JoinedReader
+from .sources.similarity_join import edit_distance_self_join
 from .sources.readers import (AggSpec, AggregateDataReader, ConditionalDataReader,
                               CutOffTime, DataReader, InlineReader,
                               aggregate_events, conditional_aggregate_events)
@@ -754,7 +755,16 @@ def q_dedup_clusters(spark, sf_dir):
     intervals of every duplicated >=8-token window (keep-first), portable
     md5 hashes so the oracle replicates window hashing, the keep-first
     row_number and the interval merge exactly (a=doc_id, b=span_start,
-    common=span_end)."""
+    common=span_end).
+
+    r6 also adds part='editdist': PassJoin edit-distance self-join
+    (sources/similarity_join.py, pigeonhole segment blocking — no O(n²)
+    pair enumeration) over distinct part names at max_dist=3, entity id =
+    min p_partkey per name. The oracle is the BRUTE-FORCE all-pairs
+    Levenshtein (plus the provably-safe length band), so a hash match
+    proves the blocking generated EVERY true pair — the completeness
+    property the operator's scale story rests on (a=id1, b=id2,
+    common=dist)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3,
                                       max_doc_freq=200)
@@ -775,7 +785,15 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("span_start").cast("long").alias("b"),
         F.col("span_end").cast("long").alias("common"),
         F.lit(None).cast("double").alias("jaccard"))
-    return pair_rows.union(cluster_rows).union(span_rows)
+    names = (_t(spark, sf_dir, "part")
+             .groupBy("p_name").agg(F.min("p_partkey").alias("pid")))
+    ed_rows = edit_distance_self_join(names, "pid", "p_name", 3).select(
+        F.lit("editdist").alias("part"),
+        F.col("id1").cast("long").alias("a"),
+        F.col("id2").cast("long").alias("b"),
+        F.col("dist").cast("long").alias("common"),
+        F.lit(None).cast("double").alias("jaccard"))
+    return pair_rows.union(cluster_rows).union(span_rows).union(ed_rows)
 
 
 def q_corpus_mixture(spark, sf_dir):
@@ -2331,6 +2349,19 @@ UNION ALL
 SELECT 'span', CAST(doc_id AS BIGINT), CAST(min(s) AS BIGINT),
        CAST(max(e) AS BIGINT), CAST(NULL AS DOUBLE)
 FROM spg GROUP BY doc_id, gid
+UNION ALL
+-- editdist: brute-force all-pairs Levenshtein over distinct part names
+-- (entity id = min p_partkey). The Spark side uses PassJoin pigeonhole
+-- blocking; matching this blocking-free oracle proves the blocking's
+-- completeness. The length band is a theorem (|len diff| <= edit dist),
+-- not a heuristic.
+SELECT 'editdist', CAST(a.pid AS BIGINT), CAST(b.pid AS BIGINT),
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT), CAST(NULL AS DOUBLE)
+FROM (SELECT min(p_partkey) AS pid, p_name FROM part GROUP BY p_name) a
+JOIN (SELECT min(p_partkey) AS pid, p_name FROM part GROUP BY p_name) b
+  ON a.pid < b.pid
+ AND abs(length(a.p_name) - length(b.p_name)) <= 3
+ AND levenshtein(a.p_name, b.p_name) <= 3
 """
 
 _SW = {k: "[" + ",".join(f"'{w}'" for w in v) + "]"
