@@ -150,3 +150,94 @@ def test_curate_corpus_quality_and_semantic_stages(spark, docs, sf_dir):
     want2 = clf.score(with_vec, "text") \
         .where(F.col("quality_prob") >= 0.5).drop("quality_prob")
     assert out2.count() == want2.count()
+
+
+# ---------------------------------------------------------------------------
+# expand_epochs / domain_reweight (epochs-per-domain mixture reweighting)
+# ---------------------------------------------------------------------------
+
+def _bucket(i, seed=42):
+    return ((i % 1_000_000 + seed) * 2654435761) % 1_000_000
+
+
+def _expected_epochs(ids, r, seed=42):
+    """Python replica of the expand_epochs rule."""
+    import math
+    out = {}
+    for i in ids:
+        n = int(math.floor(r))
+        thr = int(math.floor((r - math.floor(r)) * 1_000_000))
+        if _bucket(i, seed) < thr:
+            n += 1
+        out[i] = n
+    return out
+
+
+def test_expand_epochs_exact_replication(spark):
+    from transmogrifai_spark.llm.curation import expand_epochs
+    ids = list(range(200))
+    for r in (0.0, 0.37, 1.0, 2.0, 2.5, 3.999):
+        df = spark.createDataFrame([(i, r) for i in ids], "id long, r double")
+        rows = expand_epochs(df, "id", "r").select("id", "epoch", "n_epochs") \
+            .collect()
+        want = _expected_epochs(ids, r)
+        got = {}
+        for row in rows:
+            got.setdefault(row.id, []).append(row.epoch)
+            assert row.n_epochs == want[row.id]
+        for i, n in want.items():
+            assert sorted(got.get(i, [])) == list(range(1, n + 1)), (r, i)
+
+
+def test_expand_epochs_fractional_matches_weighted_sample(spark):
+    from transmogrifai_spark.llm.curation import expand_epochs, weighted_sample
+    df = spark.createDataFrame([(i, 0.42) for i in range(500)],
+                               "id long, w double")
+    kept_ws = {r.id for r in weighted_sample(df, "id", "w").collect()}
+    kept_ee = {r.id for r in expand_epochs(df, "id", "w").collect()}
+    assert kept_ee == kept_ws
+
+
+def test_expand_epochs_caps_runaway_factor(spark):
+    from transmogrifai_spark.llm.curation import expand_epochs
+    df = spark.createDataFrame([(1, 1e9)], "id long, r double")
+    rows = expand_epochs(df, "id", "r", max_repeat=5).collect()
+    assert len(rows) == 5 and all(r.repeat_factor == 5.0 for r in rows)
+
+
+def test_domain_reweight_hits_target_shares(spark):
+    from transmogrifai_spark.llm.curation import domain_reweight
+    # observed: a=600, b=300, c=100 (+ dropped domain z)
+    rows = [(i, "a") for i in range(600)] + \
+           [(600 + i, "b") for i in range(300)] + \
+           [(900 + i, "c") for i in range(100)] + \
+           [(1000 + i, "z") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    out = domain_reweight(df, "id", "dom",
+                          {"a": 1.0, "b": 1.0, "c": 2.0}, scale=1.0)
+    counts = {r["dom"]: r["n"] for r in
+              out.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "z" not in counts
+    total = sum(counts.values())
+    # target shares 0.25/0.25/0.5 — deterministic-hash noise only
+    assert abs(counts["a"] / total - 0.25) < 0.03
+    assert abs(counts["b"] / total - 0.25) < 0.03
+    assert abs(counts["c"] / total - 0.50) < 0.03
+    # exact law: per-domain count == python replication of the rule
+    import math
+    for dom, n_d, ids in (("a", 600, range(600)),
+                          ("b", 300, range(600, 900)),
+                          ("c", 100, range(900, 1000))):
+        r = (1.0 * ({"a": 1.0, "b": 1.0, "c": 2.0}[dom] / 4.0) * 1000) / n_d
+        want = sum(_expected_epochs(ids, r).values())
+        assert counts[dom] == want, dom
+
+
+def test_domain_reweight_rejects_bad_shares(spark):
+    import pytest as _pytest
+    from transmogrifai_spark.llm.curation import domain_reweight
+    df = spark.createDataFrame([(1, "a")], "id long, dom string")
+    with _pytest.raises(ValueError):
+        domain_reweight(df, "id", "dom", {})
+    with _pytest.raises(ValueError):
+        domain_reweight(df, "id", "dom", {"a": 0.0})

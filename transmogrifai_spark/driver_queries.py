@@ -38,6 +38,11 @@ from .sources.tables import load_table
 
 CUTOFF = "2024-01-15 00:00:00"
 
+# domain_reweight gate config (corpus_mixture part='repeat'): shared between
+# the Spark query and the oracle SQL so the two can never drift
+RW_SHARES = {"en": 0.4, "fr": 0.3, "de": 0.3}
+RW_SCALE = 1.0
+
 
 def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
@@ -829,6 +834,14 @@ def q_corpus_mixture(spark, sf_dir):
     md5(chunk_text) so chunk CONTENT is value-gated, not just counts
     (a=doc_id, b=chunk_id, c=n_chunk_tokens).
 
+    part='repeat' (r6): domain_reweight — epochs-per-domain mixture
+    reweighting (The Pile / DoReMi pattern): per-lang repeat factor
+    r_d = (scale*share_d*N)/n_d, integer epochs guaranteed, fractional
+    remainder decided by the deterministic id-hash; the oracle replicates
+    the factor arithmetic (IEEE op order pinned as (coef*N)/n), the
+    floor/threshold rule and the epoch expansion exactly (a=doc_id,
+    b=epoch, c=n_epochs, d=repeat_factor).
+
     part='bm25' (r6): BM25 top-5 retrieval through the PERSISTED
     inverted index (llm/retrieval.py) — built over the even-id half,
     odd half APPENDED as batch 1, so df/N/avgdl assembly across batch
@@ -839,8 +852,9 @@ def q_corpus_mixture(spark, sf_dir):
     b=rank, d=score)."""
     import tempfile
 
-    from .llm.curation import (chunk_documents, mix_corpora, pack_sequences,
-                               stratified_fixed_sample, token_budget_sample)
+    from .llm.curation import (chunk_documents, domain_reweight, mix_corpora,
+                               pack_sequences, stratified_fixed_sample,
+                               token_budget_sample)
     from .llm.decontam import contamination_report
     from .llm.retrieval import append_bm25_index, bm25_topk_indexed, \
         build_bm25_index
@@ -888,6 +902,13 @@ def q_corpus_mixture(spark, sf_dir):
         F.col("chunk_id").cast("long").alias("b"),
         F.col("n_chunk_tokens").cast("long").alias("c"),
         F.lit(None).cast("double").alias("d"))
+    repeat_rows = domain_reweight(docs, "doc_id", "lang", RW_SHARES,
+                                  scale=RW_SCALE).select(
+        F.lit("repeat").alias("part"), "lang",
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("epoch").cast("long").alias("b"),
+        F.col("n_epochs").cast("long").alias("c"),
+        F.col("repeat_factor").cast("double").alias("d"))
     bq = docs.where(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("qid"),
         F.substring("text", 1, 120).alias("qtext"))
@@ -906,7 +927,7 @@ def q_corpus_mixture(spark, sf_dir):
         (F.col("score") + F.lit(0.0)).alias("d"))
     return (mix_rows.unionByName(strat_rows).unionByName(budget_rows)
             .unionByName(pack_rows).unionByName(chunk_rows)
-            .unionByName(bm25_rows))
+            .unionByName(repeat_rows).unionByName(bm25_rows))
 
 
 def q_text_quality(spark, sf_dir):
@@ -2728,6 +2749,40 @@ FROM (
                             ORDER BY score DESC, doc_id ASC) AS rank
   FROM bscored
 ) WHERE rank <= 5
+"""
+
+# repeat: domain_reweight epochs expansion. The coefficient literals are
+# config-derived (scale * normalized share) and printed at full round-trip
+# precision; N and n_d come from SQL counts, and the IEEE op order
+# (coef * N) / n matches llm/curation.domain_reweight exactly, so the
+# resulting doubles are bit-identical cross-engine.
+_RW_SUMW = float(sum(RW_SHARES.values()))
+_RW_COEF_CASE = " ".join(
+    f"WHEN '{g}' THEN {RW_SCALE * (float(w) / _RW_SUMW)!r}"
+    for g, w in sorted(RW_SHARES.items()))
+_RW_LANGS = ", ".join(f"'{g}'" for g in sorted(RW_SHARES))
+ORACLES["corpus_mixture"] += f"""
+UNION ALL
+SELECT 'repeat', lang, CAST(doc_id AS BIGINT),
+       CAST(unnest(generate_series(1, n_ep)) AS BIGINT),
+       CAST(n_ep AS BIGINT), r
+FROM (
+  WITH rwc AS (SELECT lang, count(*) AS n FROM documents
+               WHERE lang IN ({_RW_LANGS}) GROUP BY lang),
+       rwt AS (SELECT sum(n) AS ntot FROM rwc),
+       rwr AS (
+         SELECT d.doc_id, d.lang,
+                LEAST(GREATEST(
+                  ((CASE d.lang {_RW_COEF_CASE} END) * ntot) / n,
+                  0.0), 100.0) AS r
+         FROM documents d JOIN rwc USING (lang) CROSS JOIN rwt)
+  SELECT doc_id, lang, r,
+         CAST(floor(r) AS BIGINT) +
+         CASE WHEN ((doc_id % 1000000 + 42) * 2654435761) % 1000000
+                   < CAST(floor((r - floor(r)) * 1000000.0) AS BIGINT)
+              THEN 1 ELSE 0 END AS n_ep
+  FROM rwr
+)
 """
 
 ORACLES["similarity_topk"] = """

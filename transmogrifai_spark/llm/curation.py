@@ -275,3 +275,75 @@ def stratified_fixed_sample(df: DataFrame, group_col: str, id_col: str,
                   F.col(id_col).asc()))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n_per_group).drop("__rn"))
+
+
+def expand_epochs(df: DataFrame, id_col: str, repeat_col: Column | str,
+                  seed: int = 42, max_repeat: int = 100) -> DataFrame:
+    """Replicate each row by a (possibly fractional) per-row repeat factor:
+    ``floor(r)`` guaranteed copies plus one more with probability
+    ``frac(r)``, decided by the same deterministic id-hash the samplers
+    use — NOT rand(), so the expansion is identical on every run and
+    cluster layout (and SQL-replicable). Adds ``epoch`` (1-based),
+    ``n_epochs`` and keeps ``repeat_factor``.
+
+    This is the epochs-per-domain primitive of mixture-weighted training
+    sets (The Pile's per-set epochs, DoReMi-reweighted corpora — public
+    recipes): upsample scarce high-value domains by r > 1, downsample
+    bulk domains by r < 1 (r in [0,1) degenerates to weighted_sample).
+    ``max_repeat`` caps r so a typo'd weight cannot explode the corpus
+    (an r=1000 domain is a 1000x write amplification at 100 TB scale).
+
+    Scale shape: a pure projection + explode — no shuffle, no RNG state;
+    output size is sum(r_i) in expectation and exactly
+    ``sum(floor(r_i)) + #{i: bucket_i < frac_i}`` deterministically."""
+    r = F.least(F.greatest(
+        (F.col(repeat_col) if isinstance(repeat_col, str) else repeat_col)
+        .cast("double"), F.lit(0.0)), F.lit(float(max_repeat)))
+    n_int = F.floor(r).cast("long")
+    thr = F.floor((r - F.floor(r)) * F.lit(float(_MOD))).cast("long")
+    n = (n_int + (hash_bucket(F.col(id_col), seed) < thr).cast("long"))
+    epochs = F.when(n >= 1, F.sequence(F.lit(1).cast("long"), n)) \
+              .otherwise(F.array().cast("array<long>"))
+    return (df.withColumn("repeat_factor", r)
+              .withColumn("n_epochs", n)
+              .withColumn("epoch", F.explode(epochs)))
+
+
+def domain_reweight(df: DataFrame, id_col: str, group_col: str,
+                    target_shares: dict[str, float], scale: float = 1.0,
+                    seed: int = 42, max_repeat: int = 100) -> DataFrame:
+    """Reshape a corpus toward TARGET mixture proportions by per-domain
+    repeat factors: domain d with observed count n_d and normalized target
+    share p_d gets ``r_d = scale * p_d * N / n_d`` (N = total rows over
+    kept domains), then rows expand through :func:`expand_epochs`. With
+    scale=1 the output size stays ~N while the mixture moves to the
+    target shares; scale is the corpus-size multiplier. Domains missing
+    from ``target_shares`` are dropped (share 0).
+
+    The share normalization happens driver-side over the CONFIG dict
+    (data-independent); the per-domain counts are one aggregation job
+    collected driver-side — BOUNDED by the number of target domains
+    (config-sized, the same bounded-fit-collect class as sketch
+    manifests), never by data volume. The factors then fold into the
+    plan as literals, so the expansion is a pure scan -> filter ->
+    explode with NO join and no shuffle."""
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    sum_w = float(sum(target_shares.values()))
+    if sum_w <= 0:
+        raise ValueError("target_shares must sum to a positive value")
+    kept = df.filter(F.col(group_col).isin(*target_shares.keys()))
+    counts = {r[0]: r[1] for r in
+              kept.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+                  .collect()}
+    n_total = sum(counts.values())
+    # r_d = (scale * normalized_share * N) / n_d, IEEE order fixed as
+    # (coef * N) / n so an SQL oracle can reproduce the exact double
+    r_expr = F.lit(None).cast("double")
+    for g in sorted(counts):
+        coef = scale * (float(target_shares[g]) / sum_w)
+        r_expr = F.when(F.col(group_col) == g,
+                        F.lit((coef * n_total) / counts[g])).otherwise(r_expr)
+    out = expand_epochs(kept.withColumn("_r", r_expr), id_col, "_r",
+                        seed=seed, max_repeat=max_repeat)
+    return out.drop("_r")
