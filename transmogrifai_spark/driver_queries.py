@@ -842,6 +842,14 @@ def q_corpus_mixture(spark, sf_dir):
     floor/threshold rule and the epoch expansion exactly (a=doc_id,
     b=epoch, c=n_epochs, d=repeat_factor).
 
+    part='shard' (r6): deterministic training-shard export
+    (sources/shard_export.py) — documents written as 8 hash-assigned,
+    rank-ordered parquet shards and READ BACK from disk, so the persisted
+    layout (partitionBy dirs, rank-sorted files) is what produces the
+    values; the oracle replicates shard = hash(id) mod 8 and the
+    (hash, id) intra-shard row_number exactly (a=doc_id, b=shard,
+    c=rank).
+
     part='bm25' (r6): BM25 top-5 retrieval through the PERSISTED
     inverted index (llm/retrieval.py) — built over the even-id half,
     odd half APPENDED as batch 1, so df/N/avgdl assembly across batch
@@ -902,6 +910,15 @@ def q_corpus_mixture(spark, sf_dir):
         F.col("chunk_id").cast("long").alias("b"),
         F.col("n_chunk_tokens").cast("long").alias("c"),
         F.lit(None).cast("double").alias("d"))
+    from .sources.shard_export import export_shards, read_shards
+    shard_dir = tempfile.mkdtemp(prefix="shard_gate_")
+    export_shards(docs, "doc_id", shard_dir, n_shards=8, token_col="n_chars")
+    shard_rows = read_shards(spark, shard_dir).select(
+        F.lit("shard").alias("part"), "lang",
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("_shard").cast("long").alias("b"),
+        F.col("_rank").cast("long").alias("c"),
+        F.lit(None).cast("double").alias("d"))
     repeat_rows = domain_reweight(docs, "doc_id", "lang", RW_SHARES,
                                   scale=RW_SCALE).select(
         F.lit("repeat").alias("part"), "lang",
@@ -927,7 +944,8 @@ def q_corpus_mixture(spark, sf_dir):
         (F.col("score") + F.lit(0.0)).alias("d"))
     return (mix_rows.unionByName(strat_rows).unionByName(budget_rows)
             .unionByName(pack_rows).unionByName(chunk_rows)
-            .unionByName(repeat_rows).unionByName(bm25_rows))
+            .unionByName(repeat_rows).unionByName(shard_rows)
+            .unionByName(bm25_rows))
 
 
 def q_text_quality(spark, sf_dir):
@@ -2783,6 +2801,17 @@ FROM (
               THEN 1 ELSE 0 END AS n_ep
   FROM rwr
 )
+UNION ALL
+-- shard: deterministic shard assignment + intra-shard order (the Spark
+-- side reads these back from the written parquet shard layout)
+SELECT 'shard', lang, CAST(doc_id AS BIGINT),
+       CAST(hb % 8 AS BIGINT),
+       CAST(row_number() OVER (PARTITION BY hb % 8
+                               ORDER BY hb, doc_id) AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM (SELECT doc_id, lang,
+             ((doc_id % 1000000 + 42) * 2654435761) % 1000000 AS hb
+      FROM documents)
 """
 
 ORACLES["similarity_topk"] = """
