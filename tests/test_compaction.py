@@ -1,0 +1,164 @@
+"""Index compaction laws: probe results are IDENTICAL before and after
+merging batch subdirectories (LSH / SimHash / BM25), file counts shrink,
+negative consolidated ids never collide with replay exclusion, and the
+BM25 sidecar manifest makes half-done compactions invisible."""
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.llm.dedup import (build_lsh_index,
+                                           append_lsh_index,
+                                           build_simhash_index,
+                                           compact_lsh_index,
+                                           compact_simhash_index,
+                                           lsh_dedup_incremental,
+                                           simhash_dedup_incremental)
+from transmogrifai_spark.llm.retrieval import (append_bm25_index,
+                                               bm25_topk_indexed,
+                                               build_bm25_index,
+                                               compact_bm25_index)
+from transmogrifai_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").limit(240).persist()
+
+
+def _batch_dirs(root):
+    return sorted(d for d in os.listdir(root) if d.startswith("batch="))
+
+
+def _pairs(df):
+    return {tuple(r) for r in df.select("id1", "id2").collect()}
+
+
+def test_lsh_compaction_preserves_probe(spark, docs, tmp_path):
+    path = str(tmp_path / "lsh")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    probe_docs = docs.where(F.col("doc_id") % 3 == 2)
+    build_lsh_index(b0, "doc_id", "text", path, batch_id=0)
+    append_lsh_index(spark, path, b1, "doc_id", "text", batch_id=1)
+    before = _pairs(lsh_dedup_incremental(spark, path, probe_docs,
+                                          "doc_id", "text",
+                                          within_batch=False))
+    n_files_before = len(glob.glob(os.path.join(path, "bands", "batch=*",
+                                                "_shard=*", "*.parquet")))
+    stats = compact_lsh_index(spark, path, upto_batch=1)
+    assert stats["merged_batches"] == [0, 1]
+    assert stats["compacted_id"] == -1
+    assert _batch_dirs(os.path.join(path, "bands")) == ["batch=-1"]
+    after = _pairs(lsh_dedup_incremental(spark, path, probe_docs,
+                                         "doc_id", "text",
+                                         within_batch=False))
+    assert after == before and before
+    n_files_after = len(glob.glob(os.path.join(path, "bands", "batch=*",
+                                               "_shard=*", "*.parquet")))
+    assert n_files_after < n_files_before
+    # appends keep working; a second compaction folds them in
+    b2 = probe_docs
+    append_lsh_index(spark, path, b2, "doc_id", "text", batch_id=2)
+    again = compact_lsh_index(spark, path, upto_batch=2)
+    assert again["merged_batches"] == [-1, 2]
+    assert again["compacted_id"] == -2
+    # replay-style exclusion of a POSITIVE id can never name the
+    # consolidated dir
+    ex = lsh_dedup_incremental(spark, path, probe_docs, "doc_id", "text",
+                               within_batch=False, exclude_batches=[3])
+    assert _pairs(ex)  # still probing the compacted corpus
+
+
+def test_lsh_compaction_noop_cases(spark, docs, tmp_path):
+    path = str(tmp_path / "lsh1")
+    build_lsh_index(docs.where(F.col("doc_id") % 3 == 0),
+                    "doc_id", "text", path, batch_id=0)
+    assert compact_lsh_index(spark, path, upto_batch=5)["merged_batches"] == []
+    # upto below every batch id: nothing merged either
+    append_lsh_index(spark, path,
+                     docs.where(F.col("doc_id") % 3 == 1),
+                     "doc_id", "text", batch_id=7)
+    assert compact_lsh_index(spark, path, upto_batch=-5)["merged_batches"] == []
+
+
+def test_simhash_compaction_preserves_probe(spark, docs, tmp_path):
+    path = str(tmp_path / "sim")
+    build_simhash_index(docs.where(F.col("doc_id") % 3 == 0),
+                        "doc_id", "text", path, batch_id=0)
+    # clone some batch-0 docs so the probe has real hits
+    clones = docs.where(F.col("doc_id") % 3 == 0).limit(20).select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "text")
+    before = _pairs(simhash_dedup_incremental(spark, path, clones,
+                                              "doc_id", "text",
+                                              within_batch=False))
+    build_simhash_index(docs.where(F.col("doc_id") % 3 == 1),
+                        "doc_id", "text", path, batch_id=1)
+    before2 = _pairs(simhash_dedup_incremental(spark, path, clones,
+                                               "doc_id", "text",
+                                               within_batch=False))
+    compact_simhash_index(spark, path, upto_batch=1)
+    assert _batch_dirs(os.path.join(path, "bands")) == ["batch=-1"]
+    after = _pairs(simhash_dedup_incremental(spark, path, clones,
+                                             "doc_id", "text",
+                                             within_batch=False))
+    assert after == before2 and before <= before2 and before
+
+
+def _topk_rows(df):
+    return {(r.query_id, r.doc_id, r.rank, r.score) for r in df.collect()}
+
+
+def test_bm25_compaction_exact_scores(spark, docs, tmp_path):
+    path = str(tmp_path / "bm25")
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), F.substring("text", 1, 120).alias("qtext"))
+    build_bm25_index(docs.where(F.col("doc_id") % 3 == 0),
+                     "doc_id", "text", path, n_shards=8, batch_id=0)
+    append_bm25_index(spark, path, docs.where(F.col("doc_id") % 3 == 1),
+                      "doc_id", "text", batch_id=1)
+    append_bm25_index(spark, path, docs.where(F.col("doc_id") % 3 == 2),
+                      "doc_id", "text", batch_id=2)
+    before = _topk_rows(bm25_topk_indexed(spark, path, queries, "qid",
+                                          "qtext", k=5, quantize=6))
+    stats = compact_bm25_index(spark, path, upto_batch=1)
+    assert stats["merged_batches"] == [0, 1] and stats["compacted_id"] == -1
+    assert _batch_dirs(os.path.join(path, "postings")) == \
+        ["batch=-1", "batch=2"]
+    after = _topk_rows(bm25_topk_indexed(spark, path, queries, "qid",
+                                         "qtext", k=5, quantize=6))
+    assert after == before and before
+    # sidecars: consolidated one covers 0 and 1, batch 2 still live
+    import json
+    with open(os.path.join(path, "stats", "batch_-1.json")) as f:
+        side = json.load(f)
+    assert side["covers"] == [0, 1]
+    # second-level compaction folds the consolidated dir itself
+    stats2 = compact_bm25_index(spark, path, upto_batch=2)
+    assert stats2["merged_batches"] == [-1, 2] and stats2["compacted_id"] == -2
+    final = _topk_rows(bm25_topk_indexed(spark, path, queries, "qid",
+                                         "qtext", k=5, quantize=6))
+    assert final == before
+    with open(os.path.join(path, "stats", "batch_-2.json")) as f:
+        side2 = json.load(f)
+    assert side2["covers"] == [-1, 0, 1, 2]
+
+
+def test_bm25_orphan_postings_dir_is_invisible(spark, docs, tmp_path):
+    """A postings dir without a stats sidecar (crash between rename and
+    sidecar commit) must not change scores — the sidecars are the
+    manifest."""
+    path = str(tmp_path / "bm25o")
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), F.substring("text", 1, 120).alias("qtext"))
+    build_bm25_index(docs.where(F.col("doc_id") % 2 == 0),
+                     "doc_id", "text", path, n_shards=8, batch_id=0)
+    before = _topk_rows(bm25_topk_indexed(spark, path, queries, "qid",
+                                          "qtext", k=5, quantize=6))
+    # orphan: postings for batch 9 appear with no sidecar
+    append_bm25_index(spark, path, docs.where(F.col("doc_id") % 2 == 1),
+                      "doc_id", "text", batch_id=9)
+    os.remove(os.path.join(path, "stats", "batch_9.json"))
+    assert _topk_rows(bm25_topk_indexed(spark, path, queries, "qid",
+                                        "qtext", k=5, quantize=6)) == before

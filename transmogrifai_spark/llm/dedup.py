@@ -1094,3 +1094,26 @@ def stream_dedup_ingest(stream: DataFrame, index_path: str, out_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_lsh_index(spark, path: str, upto_batch: int) -> dict:
+    """Merge the LSH index's ``bands/batch=<id>`` subdirectories with
+    ``id <= upto_batch`` (and prior compactions) into one consolidated
+    negative-id directory — sources/layout.compact_batch_dirs over this
+    index's layout. Probe results are unchanged (law-tested): candidates
+    are ``distinct``-collapsed, so even the crash window's transient
+    duplication is correctness-neutral. Run only for batches below the
+    stream's replay frontier."""
+    from ..sources.layout import compact_batch_dirs
+    import os as _os
+    return compact_batch_dirs(spark, _os.path.join(path, "bands"),
+                              upto_batch)
+
+
+def compact_simhash_index(spark, path: str, upto_batch: int) -> dict:
+    """SimHash-index counterpart of :func:`compact_lsh_index` (identical
+    ``bands/batch=<id>/_shard=<s>`` layout)."""
+    from ..sources.layout import compact_batch_dirs
+    import os as _os
+    return compact_batch_dirs(spark, _os.path.join(path, "bands"),
+                              upto_batch)

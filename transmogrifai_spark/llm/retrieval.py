@@ -179,11 +179,40 @@ def build_bm25_index(docs: DataFrame, id_col: str, text_col: str, path: str,
     return meta
 
 
-def _write_stats(path: str, batch_id: int, n_docs: int, total_len: int):
+def _write_stats(path: str, batch_id: int, n_docs: int, total_len: int,
+                 covers: list[int] | None = None):
+    payload = {"n_docs": n_docs, "total_len": total_len}
+    if covers:
+        payload["covers"] = sorted(covers)
     tmp = os.path.join(path, "stats", f"batch_{batch_id}.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"n_docs": n_docs, "total_len": total_len}, f)
+        json.dump(payload, f)
     os.replace(tmp, os.path.join(path, "stats", f"batch_{batch_id}.json"))
+
+
+def _load_stats(path: str) -> tuple[int, int, list[int]]:
+    """(n_docs, total_len, live_batch_ids) from the stats sidecars.
+
+    The sidecars ARE the index's commit manifest: a postings batch counts
+    only if its sidecar exists AND no compaction sidecar ``covers`` it.
+    That makes compaction's switchover a single atomic sidecar write (see
+    :func:`compact_bm25_index`) and makes a half-written postings dir
+    (crash leftover, no sidecar yet) invisible rather than score-corrupting
+    — BM25 probes, unlike the banded dedup probes, do NOT distinct away
+    duplicate rows, so visibility must be manifest-exact."""
+    stats_dir = os.path.join(path, "stats")
+    sidecars = {}
+    for fn in os.listdir(stats_dir):
+        if fn.startswith("batch_") and fn.endswith(".json"):
+            with open(os.path.join(stats_dir, fn)) as f:
+                sidecars[int(fn[len("batch_"):-len(".json")])] = json.load(f)
+    covered = set()
+    for s in sidecars.values():
+        covered.update(s.get("covers", []))
+    live = sorted(i for i in sidecars if i not in covered)
+    n_docs = sum(sidecars[i]["n_docs"] for i in live)
+    total_len = sum(sidecars[i]["total_len"] for i in live)
+    return n_docs, total_len, live
 
 
 def append_bm25_index(spark, path: str, docs: DataFrame, id_col: str,
@@ -239,14 +268,7 @@ def bm25_topk_indexed(spark, path: str, queries: DataFrame, qid_col: str,
     equal a one-shot index over the union (law-tested)."""
     with open(os.path.join(path, "_BM25_INDEX.json")) as f:
         meta = json.load(f)
-    n_docs, total_len = 0, 0
-    stats_dir = os.path.join(path, "stats")
-    for fn in os.listdir(stats_dir):
-        if fn.endswith(".json"):
-            with open(os.path.join(stats_dir, fn)) as f:
-                s = json.load(f)
-            n_docs += s["n_docs"]
-            total_len += s["total_len"]
+    n_docs, total_len, live = _load_stats(path)
     avgdl = total_len / n_docs if n_docs else 1.0
     # qt is the small side (query tokenize) — recomputing it for the shard
     # collect + two broadcast builds is cheaper than a persist lifecycle
@@ -255,7 +277,8 @@ def bm25_topk_indexed(spark, path: str, queries: DataFrame, qid_col: str,
     shards = sorted(r["_shard"] for r in qt.select("_shard").distinct().collect())
     try:
         post = spark.read.parquet(os.path.join(path, "postings")) \
-            .where(F.col("_shard").isin(shards))
+            .where(F.col("_shard").isin(shards)) \
+            .where(F.col("batch").isin(live))
     except AnalysisException as e:
         # ONLY the bootstrap case (index built over an EMPTY frame — no
         # parquet footers yet) is recoverable; anything else must surface
@@ -267,7 +290,8 @@ def bm25_topk_indexed(spark, path: str, queries: DataFrame, qid_col: str,
                 and "Path does not exist" not in msg):
             raise
         post = spark.createDataFrame(
-            [], "term string, doc_id long, dl int, tf long, _shard int")
+            [], "term string, doc_id long, dl int, tf long, _shard int, "
+                "batch int")
     # df from the pruned read itself: every batch of a probed shard is
     # present, so the count is the exact corpus-wide document frequency
     dfreq = (post.join(F.broadcast(qt.select("term").distinct()), "term")
@@ -282,3 +306,60 @@ def bm25_topk_indexed(spark, path: str, queries: DataFrame, qid_col: str,
               .groupBy("query_id", "doc_id")
               .agg(F.sum("_s").alias("score")))
     return _topk(scored, k)
+
+
+def compact_bm25_index(spark, path: str, upto_batch: int) -> dict:
+    """Merge postings batch subdirectories with ``id <= upto_batch`` (and
+    prior compactions) into one consolidated negative-id batch — the BM25
+    flavor of sources/layout.compact_batch_dirs, with an exactly-consistent
+    switchover:
+
+      1. consolidated postings are written to a staging dot-dir and renamed
+         to ``postings/batch=<cid>`` — INVISIBLE to probes, which only read
+         batches with a live stats sidecar;
+      2. the ``batch_<cid>.json`` sidecar lands with one atomic rename,
+         carrying the merged N/total_len and a ``covers`` list of the
+         replaced batch ids — in that single step probes switch from the
+         old batch set to the consolidated one (no window where postings
+         are double-counted or missing: tf/df would corrupt under the
+         duplication the banded indexes tolerate);
+      3. replaced postings dirs + sidecars are deleted (already invisible;
+         a crash here just leaves garbage for the next compaction).
+    """
+    import shutil
+    import uuid
+
+    root = os.path.join(path, "postings")
+    _, _, live = _load_stats(path)
+    merge = [i for i in live if i < 0 or i <= upto_batch]
+    if len(merge) <= 1:
+        return {"merged_batches": [], "compacted_id": None,
+                "skipped": "nothing to merge"}
+    stats_dir = os.path.join(path, "stats")
+    n_docs = total_len = 0
+    covers = set()
+    for i in merge:
+        with open(os.path.join(stats_dir, f"batch_{i}.json")) as f:
+            s = json.load(f)
+        n_docs += s["n_docs"]
+        total_len += s["total_len"]
+        covers.update(s.get("covers", []))
+        covers.add(i)
+    all_ids = [int(d[len("batch="):]) for d in os.listdir(root)
+               if d.startswith("batch=")]
+    cid = min([0] + all_ids) - 1
+    src = (spark.read.option("basePath", root)
+           .parquet(*[os.path.join(root, f"batch={i}") for i in merge])
+           .drop("batch"))
+    staging = os.path.join(root, f".compact-{uuid.uuid4().hex[:8]}")
+    (src.repartition(F.col("_shard"))
+        .write.mode("overwrite").partitionBy("_shard").parquet(staging))
+    os.rename(staging, os.path.join(root, f"batch={cid}"))
+    _write_stats(path, cid, n_docs, total_len, covers=sorted(covers))
+    for i in merge:
+        shutil.rmtree(os.path.join(root, f"batch={i}"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(stats_dir, f"batch_{i}.json"))
+        except FileNotFoundError:
+            pass
+    return {"merged_batches": merge, "compacted_id": cid}

@@ -15,6 +15,8 @@ Morton-order construction).
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,3 +100,52 @@ def write_optimized(df: DataFrame, path: str, *,
     for c in (bloom_cols or []):
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     writer.parquet(path)
+
+
+def compact_batch_dirs(spark, root: str, upto_batch: int,
+                       shard_col: str = "_shard") -> dict:
+    """OPTIMIZE-style small-file compaction for per-batch index stores
+    (``<root>/batch=<id>/<shard_col>=<s>/*.parquet`` — the layout the
+    incremental LSH/SimHash/BM25 indexes append to): merge every batch
+    subdirectory with ``0 <= id <= upto_batch`` (plus all previously
+    compacted, negative-id dirs) into ONE consolidated batch directory.
+
+    Why: each streamed micro-batch adds one file per touched shard; after
+    B batches a probe of shard s opens B small files. Compaction restores
+    O(1) files per shard while keeping the append path untouched — the
+    standard lakehouse maintenance op (Delta OPTIMIZE / Iceberg rewrite,
+    public pattern), rebuilt here for the manifest-less bands layout.
+
+    Consolidated dirs get a FRESH NEGATIVE batch id (min(existing)-1):
+    never collides with real batch ids, keeps the partition column's
+    integer type, and can never be named by a replaying micro-batch's
+    ``exclude_batches``. Crash-safe order: staging write (dot-dir, invisible
+    to partition discovery) -> rename into place (briefly DUPLICATED with
+    the source dirs — harmless for consumers that ``distinct`` candidates,
+    which all banded-index probes do; BM25 needs the sidecar-gated probe,
+    see retrieval.compact_bm25_index) -> delete source dirs. A crash
+    leaves either the old state or a duplicated-but-correct state; rerun
+    to converge.
+
+    Precondition: ``upto_batch`` must be strictly below any batch id that
+    may still replay (the stream's checkpoint frontier)."""
+    import shutil
+    import uuid
+
+    ids = sorted(int(d[len("batch="):]) for d in os.listdir(root)
+                 if d.startswith("batch="))
+    merge = [i for i in ids if i < 0 or i <= upto_batch]
+    if len(merge) <= 1:
+        return {"merged_batches": [], "compacted_id": None,
+                "skipped": "nothing to merge"}
+    cid = min(0, min(ids)) - 1
+    src = (spark.read.option("basePath", root)
+           .parquet(*[os.path.join(root, f"batch={i}") for i in merge])
+           .drop("batch"))
+    staging = os.path.join(root, f".compact-{uuid.uuid4().hex[:8]}")
+    (src.repartition(F.col(shard_col))
+        .write.mode("overwrite").partitionBy(shard_col).parquet(staging))
+    os.rename(staging, os.path.join(root, f"batch={cid}"))
+    for i in merge:
+        shutil.rmtree(os.path.join(root, f"batch={i}"), ignore_errors=True)
+    return {"merged_batches": merge, "compacted_id": cid}
