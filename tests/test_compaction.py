@@ -162,3 +162,48 @@ def test_bm25_orphan_postings_dir_is_invisible(spark, docs, tmp_path):
     os.remove(os.path.join(path, "stats", "batch_9.json"))
     assert _topk_rows(bm25_topk_indexed(spark, path, queries, "qid",
                                         "qtext", k=5, quantize=6)) == before
+
+
+def test_ivf_compaction_preserves_topk_even_mid_crash(spark, sf_dir, tmp_path):
+    """IVF compaction law: top-k identical after merging batch dirs, AND
+    identical in the crash window where the consolidated dir coexists with
+    the source dirs (the probe's lag-dedup guard collapses the transient
+    duplicates before ranking)."""
+    import shutil
+
+    from transmogrifai_spark.llm.similarity import (append_ivf_index,
+                                                    build_ivf_index,
+                                                    compact_ivf_index,
+                                                    ivf_topk_indexed)
+    from transmogrifai_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 3 != 0)
+    b = emb.where(F.col("vec_id") % 3 == 0)
+    q = emb.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    cells = os.path.join(path, "cells")
+    build_ivf_index(a, "vec_id", "embedding", path, n_lists=8, seed=11)
+    append_ivf_index(spark, path, b, batch_id=1)
+
+    def topk():
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in
+            ivf_topk_indexed(spark, path, q, "vec_id", "embedding",
+                             k=5, n_probe=8).collect())
+
+    before = topk()
+    # crash window: consolidated dir present, sources NOT yet deleted ->
+    # every vector transiently duplicated; top-k must not change
+    shutil.copytree(os.path.join(cells, "batch=1"),
+                    os.path.join(cells, "batch=-1"))
+    assert topk() == before
+    shutil.rmtree(os.path.join(cells, "batch=-1"))
+
+    stats = compact_ivf_index(spark, path, upto_batch=1)
+    assert stats["merged_batches"] == [0, 1] and stats["compacted_id"] == -1
+    assert _batch_dirs(cells) == ["batch=-1"]
+    assert topk() == before and before
+    # appends continue against the compacted index
+    append_ivf_index(spark, path, b.limit(0), batch_id=2)
+    assert topk() == before

@@ -531,6 +531,31 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, id_col: str,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    # duplicate guard: a corpus vector lives in exactly ONE cell, so a
+    # (query, neighbor) pair can only repeat when a batch directory is
+    # transiently duplicated (compact_ivf_index's crash window). Duplicates
+    # tie on (cosine, neighbor_id) and are therefore ADJACENT in w's order —
+    # a lag() check collapses them over the SAME window spec (no extra
+    # Exchange) instead of a dropDuplicates shuffle on a different key.
+    return (scored.withColumn("_prev", F.lag("neighbor_id").over(w))
+            .where(F.col("_prev").isNull()
+                   | (F.col("_prev") != F.col("neighbor_id")))
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def compact_ivf_index(spark, path: str, upto_batch: int) -> dict:
+    """Merge the IVF index's ``cells/batch=<id>`` subdirectories with
+    ``id <= upto_batch`` (and prior compactions) into one consolidated
+    negative-id directory — sources/layout.compact_batch_dirs over this
+    index's ``_cell``-partitioned layout. Probe results are unchanged
+    (law-tested): ``ivf_topk_indexed`` collapses the crash window's
+    transient duplicate rows before ranking, so the rename/delete order
+    is correctness-neutral. Run only for batches below any replaying
+    stream's frontier."""
+    import os
+
+    from ..sources.layout import compact_batch_dirs
+    return compact_batch_dirs(spark, os.path.join(path, "cells"),
+                              upto_batch, shard_col="_cell")
