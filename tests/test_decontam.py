@@ -90,3 +90,28 @@ def test_broadcast_plan_has_no_big_side_shuffle(spark, docs):
     rep = contamination_report(docs, eval_df, n=8)
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_mode_exact_at_large_m_conservative_at_small_m(spark, docs):
+    """bloom_bits mode: with a roomy bitmap (fpp ~ 0) the report equals the
+    exact broadcast-set mode; with a cramped bitmap the kept set is a
+    SUBSET of the exact kept set (false positives only ever over-remove)."""
+    n = 6
+    eval_df = docs.where(F.col("doc_id") % 10 == 0)
+
+    def rep_set(rep):
+        return {(r["doc_id"], r["matched_ngrams"], r["total_ngrams"])
+                for r in rep.collect()}
+
+    exact = rep_set(contamination_report(docs, eval_df, n=n))
+    roomy = rep_set(contamination_report(docs, eval_df, n=n,
+                                         bloom_bits=1 << 22))
+    assert roomy == exact and exact
+
+    kept_exact = {r["doc_id"]
+                  for r in decontaminate(docs, eval_df, n=n).collect()}
+    kept_tight = {r["doc_id"]
+                  for r in decontaminate(docs, eval_df, n=n,
+                                         bloom_bits=1 << 10,
+                                         bloom_k=3).collect()}
+    assert kept_tight <= kept_exact

@@ -488,3 +488,88 @@ def test_freq_estimate_expr(spark):
     true_c = ev.where(F.col("event_type") == "purchase").count()
     assert r["e"]["lb"] <= true_c <= r["e"]["ub"]
     assert r["a"]["lb"] == 0 and r["a"]["ub"] == r["err"]
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+
+def _bloom_py(values, m, k):
+    """Pure-python mirror of the portable Bloom bit math."""
+    import hashlib
+    bits = set()
+    for v in values:
+        for i in range(k):
+            h = int(hashlib.md5(f"{v}#{1000 + i}".encode()).hexdigest()[:15],
+                    16)
+            bits.add(h % m)
+    return bits
+
+
+def _bloom_py_contains(bits, v, m, k):
+    import hashlib
+    return all(
+        int(hashlib.md5(f"{v}#{1000 + i}".encode()).hexdigest()[:15], 16) % m
+        in bits for i in range(k))
+
+
+def test_bloom_no_false_negatives_and_python_mirror(spark):
+    from transmogrifai_spark.operators.sketches import (bloom_partial,
+                                                        bloom_probe)
+    m, k = 512, 3
+    vals = [f"v{i}" for i in range(60)]
+    probes = vals + [f"absent{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "value string")
+    pr = spark.createDataFrame([(v,) for v in probes], "value string")
+    bloom = bloom_partial(df, [], "value", m, k, portable=True)
+    got = {r["value"]: r["might_contain"]
+           for r in bloom_probe(pr, bloom, "value", m, k,
+                                portable=True).collect()}
+    # members: never false
+    assert all(got[v] for v in vals)
+    # every probe (member or not) matches the pure-python bit math exactly
+    bits = _bloom_py(vals, m, k)
+    assert got == {p: _bloom_py_contains(bits, p, m, k) for p in probes}
+    # false positives exist at this density but stay near the expected rate
+    fps = sum(got[p] for p in probes if p.startswith("absent"))
+    assert 0 < fps < 200 * 0.5
+
+
+def test_bloom_merge_equals_oneshot_and_parquet_roundtrip(spark, tmp_path):
+    from transmogrifai_spark.operators.sketches import (bloom_merge,
+                                                        bloom_partial,
+                                                        bloom_probe)
+    from pyspark.sql import functions as F
+    m, k = 1024, 4
+    df = spark.range(300).select(
+        F.concat(F.lit("x"), F.col("id")).alias("value"),
+        (F.col("id") % 3).alias("slice"))
+    parts = bloom_partial(df, ["slice"], "value", m, k)
+    p = str(tmp_path / "bloom_parts")
+    parts.write.mode("overwrite").parquet(p)
+    merged = bloom_merge(
+        spark.read.parquet(p).drop("slice").withColumn("g", F.lit(1)), ["g"]
+    ).drop("g")
+    oneshot = bloom_partial(df, [], "value", m, k)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, oneshot.collect()))
+    # fast (xxhash) path: members never false through the merged bitmap
+    got = bloom_probe(df.select("value"), merged, "value", m, k).collect()
+    assert all(r["might_contain"] for r in got)
+
+
+def test_bloom_fpp_bound(spark):
+    from transmogrifai_spark.operators.sketches import (bloom_fpp,
+                                                        bloom_partial,
+                                                        bloom_probe)
+    from pyspark.sql import functions as F
+    m, k, n = 4096, 3, 400
+    df = spark.range(n).select(F.concat(F.lit("m"), F.col("id")).alias("v"))
+    absent = spark.range(2000).select(
+        F.concat(F.lit("zz"), F.col("id")).alias("v"))
+    bloom = bloom_partial(df, [], "v", m, k)
+    got = bloom_probe(absent, bloom, "v", m, k).collect()
+    rate = sum(r["might_contain"] for r in got) / len(got)
+    expected = bloom_fpp(m, k, n)
+    assert rate < 4 * expected and expected < 0.1

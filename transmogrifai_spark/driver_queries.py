@@ -1185,10 +1185,21 @@ def q_sketch_quantiles(spark, sf_dir):
       daily-partials production shape). k=64 >= distinct event types at
       every stage, so the mergeable-summaries error bound collapses to 0
       and stored counts are exact; est is emitted ONLY under err == 0, so
-      a nonzero bound (a broken merge) hash-fails rather than sliding by."""
+      a nonzero bound (a broken merge) hash-fails rather than sliding by.
+    * part='bloom' (r6): Bloom membership bitmap (4096 bits, k=3,
+      portable md5 hash family) built over the distinct word BIGRAMS of
+      even documents — as 4 sliced partials parquet-roundtripped and
+      bit_or-MERGED (the per-shard production shape) — then probed with
+      every document's bigrams AND their reversals (mostly non-members).
+      est = might_contain; the oracle replicates the position hashes, the
+      32-bit-word bitmap, and the all-k-bits membership rule op-for-op,
+      so false positives must land on EXACTLY the same probes in both
+      engines — gating the bit math itself, not just the no-false-negative
+      direction."""
     import tempfile
 
-    from .operators.sketches import (cms_collect, freq_merge, freq_partial,
+    from .operators.sketches import (bloom_merge, bloom_partial, bloom_probe,
+                                     cms_collect, freq_merge, freq_partial,
                                      kll_partial, kll_quantile)
     ev = _t(spark, sf_dir, "events")
     sk = kll_partial(ev, ["event_type"], "value", k=8192)
@@ -1216,7 +1227,42 @@ def q_sketch_quantiles(spark, sf_dir):
                      .cast("long").alias("est"),
                     *[F.lit(None).cast("double").alias(f"q{int(q * 100)}")
                       for q in (0.25, 0.5, 0.75)]))
-    return kll.union(cms_df).union(freq)
+
+    docs = _t(spark, sf_dir, "documents")
+    tkdf = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "),
+                 lambda t: t != "").alias("tk"))
+
+    def _bigrams(col, rev=False):
+        seq = F.when(F.size(col) >= 2,
+                     F.sequence(F.lit(1), F.size(col) - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        if rev:
+            return F.transform(seq, lambda i: F.concat(
+                F.element_at(col, i + 1), F.lit(" "), F.element_at(col, i)))
+        return F.transform(seq, lambda i: F.concat(
+            F.element_at(col, i), F.lit(" "), F.element_at(col, i + 1)))
+
+    ins = (tkdf.where(F.col("doc_id") % 2 == 0)
+           .select(F.explode(_bigrams(F.col("tk"))).alias("bg")).distinct())
+    parts = bloom_partial(
+        ins.withColumn("_slice", F.pmod(F.xxhash64("bg"), F.lit(4))),
+        ["_slice"], "bg", 4096, 3, portable=True)
+    bd = tempfile.mkdtemp(prefix="bloom_partials_gate_")
+    parts.write.mode("overwrite").parquet(bd)
+    bitmap = bloom_merge(
+        spark.read.parquet(bd).withColumn("_g", F.lit(1)), ["_g"]).drop("_g")
+    probes = (tkdf.select(F.explode(F.concat(
+        _bigrams(F.col("tk")), _bigrams(F.col("tk"), rev=True))).alias("bg"))
+        .distinct())
+    bloom = (bloom_probe(probes, bitmap, "bg", 4096, 3, portable=True)
+             .select(F.lit("bloom").alias("part"),
+                     F.col("bg").alias("event_type"),
+                     F.col("might_contain").cast("long").alias("est"),
+                     *[F.lit(None).cast("double").alias(f"q{int(q * 100)}")
+                       for q in (0.25, 0.5, 0.75)]))
+    return kll.union(cms_df).union(freq).union(bloom)
 
 
 def q_ivf_topk_indexed(spark, sf_dir):
@@ -3100,7 +3146,55 @@ GROUP BY bucket_start_ms, event_type
 # value whose cumulative count / n >= q. CMS with 5 strings in 1000 buckets
 # has no collisions: the estimate is the exact count.
 ORACLES["sketch_quantiles"] = """
-WITH d AS (
+WITH btok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+),
+bbg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                       i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM btok
+),
+brv AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                       i -> tk[i+1] || ' ' || tk[i])) AS bg
+  FROM btok
+),
+bins AS (SELECT DISTINCT bg FROM bbg WHERE doc_id % 2 = 0),
+bpos AS (
+  SELECT DISTINCT p FROM (
+    SELECT unnest([
+      CAST(('0x' || substr(md5(bg || '#1000'), 1, 15)) AS BIGINT) % 4096,
+      CAST(('0x' || substr(md5(bg || '#1001'), 1, 15)) AS BIGINT) % 4096,
+      CAST(('0x' || substr(md5(bg || '#1002'), 1, 15)) AS BIGINT) % 4096
+    ]) AS p FROM bins)
+),
+bwords AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+),
+bprobe AS (
+  SELECT DISTINCT bg
+  FROM (SELECT bg FROM bbg UNION ALL SELECT bg FROM brv)
+),
+bppos AS (
+  SELECT bg, len(ps) AS npos, unnest(ps) AS p
+  FROM (SELECT bg, list_distinct([
+      CAST(('0x' || substr(md5(bg || '#1000'), 1, 15)) AS BIGINT) % 4096,
+      CAST(('0x' || substr(md5(bg || '#1001'), 1, 15)) AS BIGINT) % 4096,
+      CAST(('0x' || substr(md5(bg || '#1002'), 1, 15)) AS BIGINT) % 4096
+    ]) AS ps FROM bprobe)
+),
+bhits AS (
+  SELECT bg, npos, count(*) FILTER (WHERE
+           (COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(p % 32 AS INT)))
+           = (CAST(1 AS BIGINT) << CAST(p % 32 AS INT))) AS nh
+  FROM bppos LEFT JOIN bwords w ON bppos.p // 32 = w.word_idx
+  GROUP BY bg, npos
+),
+d AS (
   SELECT event_type, value, count(*) AS cnt
   FROM events GROUP BY event_type, value
 ),
@@ -3125,6 +3219,10 @@ UNION ALL
 SELECT 'freq', event_type, count(*), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'bloom', bg, CAST(nh = npos AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM bhits
 """
 
 ORACLES["ivf_topk_indexed"] = """

@@ -71,11 +71,38 @@ def _eval_gram_set(eval_df: DataFrame, text_col: str, n: int) -> DataFrame:
 def contamination_report(train: DataFrame, eval_df: DataFrame,
                          id_col: str = "doc_id", text_col: str = "text",
                          eval_text_col: str | None = None, n: int = 13,
-                         broadcast_eval: bool = True) -> DataFrame:
+                         broadcast_eval: bool = True,
+                         bloom_bits: int | None = None,
+                         bloom_k: int = 5) -> DataFrame:
     """Per contaminated train document: the number of distinct eval-shared
     word n-grams (``matched_ngrams``) and the doc's total distinct n-gram
     count (``total_ngrams``). Documents with zero overlap are absent.
+
+    ``bloom_bits``: compress the eval n-gram set into an ``bloom_bits``-bit
+    Bloom word table (operators/sketches.bloom_partial, ~10 bits/gram at
+    1% FP vs 64 bits/gram for the exact hash set — a ~6x smaller broadcast
+    when the eval side outgrows the exact-set broadcast budget). Matching
+    becomes Bloom membership: a false positive can only ADD a matched
+    n-gram, i.e. over-removal, the same safe direction as the xxhash64
+    collision argument above — contamination never leaks through.
     """
+    if bloom_bits is not None:
+        from ..operators.sketches import bloom_partial, bloom_probe
+        eval_grams = _eval_gram_set(eval_df, eval_text_col or text_col, n)
+        bloom = bloom_partial(eval_grams, [], "gram", bloom_bits, bloom_k)
+        doc_grams = train.select(
+            F.col(id_col),
+            word_ngram_hashes(F.col(text_col), n).alias("_grams"))
+        exploded = doc_grams.select(
+            id_col, F.size("_grams").alias("total_ngrams"),
+            F.explode("_grams").alias("gram"))
+        probed = bloom_probe(exploded, bloom, "gram", bloom_bits, bloom_k,
+                             id_cols=[id_col, "total_ngrams"],
+                             broadcast_bloom=broadcast_eval)
+        return (probed.where(F.col("might_contain"))
+                .groupBy(id_col, "total_ngrams")
+                .agg(F.count("*").alias("matched_ngrams"))
+                .select(id_col, "matched_ngrams", "total_ngrams"))
     eval_grams = _eval_gram_set(eval_df, eval_text_col or text_col, n)
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
@@ -95,12 +122,18 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   eval_text_col: str | None = None, n: int = 13,
                   min_matches: int = 1,
-                  broadcast_eval: bool = True) -> DataFrame:
+                  broadcast_eval: bool = True,
+                  bloom_bits: int | None = None,
+                  bloom_k: int = 5) -> DataFrame:
     """``train`` minus documents sharing >= ``min_matches`` distinct word
     n-grams with ``eval_df`` (left_anti join on the contamination report —
-    the big side passes through with one broadcast probe + one anti-join)."""
+    the big side passes through with one broadcast probe + one anti-join).
+    ``bloom_bits`` switches the eval side to a Bloom membership bitmap (see
+    contamination_report): strictly conservative — the kept set is a
+    subset of the exact-mode kept set, never a superset."""
     bad = (contamination_report(train, eval_df, id_col, text_col,
-                                eval_text_col, n, broadcast_eval)
+                                eval_text_col, n, broadcast_eval,
+                                bloom_bits, bloom_k)
            .where(F.col("matched_ngrams") >= min_matches)
            .select(id_col))
     return train.join(F.broadcast(bad) if broadcast_eval else bad,

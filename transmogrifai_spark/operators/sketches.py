@@ -511,3 +511,103 @@ def kmv_overlap(a: str | Column, b: str | Column, k: int = 1024) -> Column:
     return F.struct(jac.alias("jaccard"),
                     union_est.alias("union_est"),
                     (jac * union_est).alias("intersection_est"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom — mergeable membership bitmap (distributed build, broadcast probe)
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(col: Column, m: int, k: int = 3,
+                    portable: bool = False) -> Column:
+    """The (distinct) ``k`` bit positions of a value in an ``m``-bit Bloom
+    filter, as ``array<long>``. Position ``i`` = ``hash(value, seed 1000+i)
+    mod m`` — ``xxhash64`` by default, the md5-derived
+    ``llm.dedup.portable_hash64`` when ``portable`` (one expression in
+    DuckDB/ANSI SQL, which is what lets a whole Bloom build+probe be
+    oracle-gated bit-for-bit)."""
+    from ..llm.dedup import portable_hash64
+    if portable:
+        pos = [portable_hash64(col, seed=1000 + i) % F.lit(m)
+               for i in range(k)]
+    else:
+        pos = [F.pmod(F.xxhash64(col, F.lit(1000 + i)), F.lit(m))
+               for i in range(k)]
+    return F.array_distinct(F.array(*pos))
+
+
+def bloom_partial(df: DataFrame, group_cols: list[str], value_col: str,
+                  m: int, k: int = 3, portable: bool = False) -> DataFrame:
+    """Per-group Bloom bitmap as a SPARSE WORD TABLE: rows
+    ``(group…, word_idx long, bits long)`` where word ``w`` holds bit
+    positions ``[32w, 32w+32)`` in its low 32 bits (32-bit words in BIGINT:
+    ``1 << (pos % 32)`` never touches the sign bit, so the same rows
+    roundtrip through parquet, DuckDB, and Python without unsigned
+    gymnastics).
+
+    This is the monoid form of a Bloom filter: merge = ``bit_or`` per word
+    (``bloom_merge``), so per-day/per-shard partials re-aggregate exactly
+    like the other sketches here. At most ``min(k·n_distinct, m/32)`` rows
+    per group — never collected; the build is one explode + one hash
+    aggregation (map-side combined)."""
+    pos = (df.select(*group_cols,
+                     F.explode(bloom_positions(F.col(value_col), m, k,
+                                               portable)).alias("_pos"))
+           .distinct())
+    return (pos.select(*group_cols,
+                       (F.col("_pos") / 32).cast("long").alias("word_idx"),
+                       F.expr("shiftleft(CAST(1 AS BIGINT), "
+                              "CAST(_pos % 32 AS INT))").alias("_mask"))
+            .groupBy(*group_cols, "word_idx")
+            .agg(F.bit_or("_mask").alias("bits")))
+
+
+def bloom_merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge grouped Bloom word tables: ``bit_or`` per (group, word_idx).
+    Commutative + idempotent, so merge order, duplicate partials, and
+    partition layout cannot change the bitmap (law-tested: sliced partials
+    merged == one-shot build, exact row equality)."""
+    return (df.groupBy(*group_cols, "word_idx")
+            .agg(F.bit_or("bits").alias("bits")))
+
+
+def bloom_probe(probes: DataFrame, bloom: DataFrame, value_col: str,
+                m: int, k: int = 3, portable: bool = False,
+                id_cols: list[str] | None = None,
+                result_col: str = "might_contain",
+                broadcast_bloom: bool = True) -> DataFrame:
+    """Membership test of ``probes[value_col]`` against a (single-group)
+    Bloom word table: one row per distinct ``(id_cols…, value)`` with a
+    boolean ``result_col``. No false negatives ever; false positives at the
+    standard ``(1 - e^{-kn/m})^k`` rate (``bloom_fpp``), i.e. probe-true is
+    a SUPERSET candidate set — the right failure direction for
+    decontamination / blocklist prefilters.
+
+    Plan shape for a 100 TB probe side: positions explode (k small rows per
+    value, same partition) -> **broadcast** join on ``word_idx`` (the word
+    table is <= m/32 rows ~ MBs even for billion-key filters) -> hash
+    aggregation back to one row per value, with the k position rows
+    combined map-side before any shuffle. The big side is never shuffled
+    except as (id, value, counts) partial-agg rows."""
+    pos = bloom_positions(F.col(value_col), m, k, portable)
+    keys = list(id_cols or []) + [value_col]
+    exploded = (probes.select(*keys, F.size(pos).alias("_npos"),
+                              F.explode(pos).alias("_pos"))
+                .select(*keys, "_npos",
+                        (F.col("_pos") / 32).cast("long").alias("word_idx"),
+                        F.expr("shiftleft(CAST(1 AS BIGINT), "
+                               "CAST(_pos % 32 AS INT))").alias("_mask")))
+    b = F.broadcast(bloom) if broadcast_bloom else bloom
+    hit = F.coalesce(F.col("bits"), F.lit(0)) \
+           .bitwiseAND(F.col("_mask")) == F.col("_mask")
+    return (exploded.join(b, "word_idx", "left")
+            .groupBy(*keys)
+            .agg((F.count(F.when(hit, 1)) == F.first("_npos"))
+                 .alias(result_col)))
+
+
+def bloom_fpp(m: int, k: int, n: int) -> float:
+    """Expected false-positive rate of an m-bit, k-hash Bloom filter holding
+    n distinct values: ``(1 - e^{-kn/m})^k``."""
+    import math
+    return (1.0 - math.exp(-k * n / float(m))) ** k
