@@ -953,7 +953,16 @@ def q_text_quality(spark, sf_dir):
     llm/textqual.winnow_fingerprints, portable md5 hash family) — the
     rolling-hash k-gram sweep, window minima, and distinct are replicated
     list-op-for-list-op in the oracle, gating the winnowing machinery.
-    The bench keeps measuring the original metric set (runner override)."""
+    The bench keeps measuring the original metric set (runner override).
+
+    r6 adds the WEB PREPROCESSING layer (llm/web.py): each document is
+    wrapped in a deterministic HTML envelope (script/style/comment noise,
+    a high-link-density nav div, entity-laden tail) and a deterministic
+    messy URL — then extract/boilerplate/canonicalize run over them and
+    the oracle replicates every regex, entity replace, block split,
+    link-density division, and URL rewrite op-for-op: canon_url, url_dom,
+    web_md5 (md5 of the boilerplate-removed text), n_blocks, n_kept."""
+    from .llm import web as _web
     docs = _t(spark, sf_dir, "documents")
     base = textqual.text_metrics(docs, "doc_id", "text")
     fp = docs.select(
@@ -961,7 +970,34 @@ def q_text_quality(spark, sf_dir):
         F.size(textqual.winnow_fingerprints(F.col("text"), k=5, w=4,
                                             portable=True))
         .cast("long").alias("n_winnow_fp"))
-    return base.join(fp, "doc_id")
+    html = F.concat(F.lit(_WEB_HTML[0]), F.col("source"),
+                    F.lit(_WEB_HTML[1]), F.col("text"), F.lit(_WEB_HTML[2]))
+    url = F.concat(F.lit(_WEB_URL[0]), F.col("doc_id").cast("string"),
+                   F.lit(_WEB_URL[1]), F.col("source"), F.lit(_WEB_URL[2]))
+    boiler = _web.remove_boilerplate(html)
+    wb = docs.select(
+        "doc_id",
+        _web.canonicalize_url(url).alias("canon_url"),
+        _web.url_domain(url).alias("url_dom"),
+        F.md5(boiler["text"]).alias("web_md5"),
+        boiler["n_blocks"].cast("long").alias("n_blocks"),
+        boiler["n_kept"].cast("long").alias("n_kept"))
+    return base.join(fp, "doc_id").join(wb, "doc_id")
+
+
+# deterministic fixtures for the web-preprocessing gate: an HTML envelope
+# (noise elements, nav div, entities — NO single quotes, so the same bytes
+# inline into a DuckDB string literal) and a messy URL, both built from
+# documents columns identically in Spark and SQL
+_WEB_HTML = (
+    '<html><head><title>Doc</title><script>if (1 < 2) alert("x");</script>'
+    '<style>.n{color:red}</style></head><body><h1>',
+    '</h1><p>',
+    '</p><div><a href="/h">home page link</a> &middot; <a href="/a">about'
+    '</a></div><p>&amp; &lt;raw&gt; &quot;quoted&quot; &nbsp;tail paragraph'
+    '</p><!-- c --></body></html>')
+_WEB_URL = ("HTTPS://WWW.Example.CO.UK:443/docs/",
+            "?utm_source=feed&fbclid=x&b=", "&a=1#f")
 
 
 def q_similarity_topk(spark, sf_dir):
@@ -2453,8 +2489,103 @@ _SW = {k: "[" + ",".join(f"'{w}'" for w in v) + "]"
        for k, v in textqual.STOPWORD_PROFILES.items()}
 _BPE = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"
 
+# -- web preprocessing SQL mirror (llm/web.py) ------------------------------
+# Generated DuckDB SQL replicating extract/boilerplate/canonicalize
+# op-for-op: every regexp_replace ('g'!), the entity replace chain in
+# order, the block split + link-density division, and the URL rewrite.
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _web_btext_sql(x: str) -> str:
+    from .llm.web import ENTITY_PAIRS
+    t = f"regexp_replace({x}, '(?s)<[^>]*>', ' ', 'g')"
+    for s, d in ENTITY_PAIRS:
+        t = f"replace({t}, {_sql_lit(s)}, {_sql_lit(d)})"
+    t = rf"regexp_replace({t}, '\s+', ' ', 'g')"
+    return f"trim({t})"
+
+
+def _web_cte_sql() -> str:
+    from .llm.web import _TWO_LEVEL_SLD, BLOCK_TAGS, TRACKING_PARAMS
+    block_re = _sql_lit(r"(?i)</?(?:%s)\b[^>]*>" % BLOCK_TAGS)
+    noise = "html"
+    noise = f"regexp_replace({noise}, '(?s)<!--.*?-->', ' ', 'g')"
+    noise = (rf"regexp_replace({noise}, "
+             rf"'(?is)<script\b[^>]*>.*?</script>', ' ', 'g')")
+    noise = (rf"regexp_replace({noise}, "
+             rf"'(?is)<style\b[^>]*>.*?</style>', ' ', 'g')")
+    anchors = rf"regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1)"
+    alen = (f"COALESCE(list_sum(list_transform({anchors}, "
+            f"a -> length({_web_btext_sql('a')}))), 0)")
+    bt = _web_btext_sql("b")
+    ld = (f"CASE WHEN length({bt}) > 0 THEN CAST({alen} AS DOUBLE) / "
+          f"CAST(length({bt}) AS DOUBLE) ELSE 0.0 END")
+    blocks = (f"list_filter(list_transform(regexp_split_to_array({noise}, "
+              f"{block_re}), b -> struct_pack(txt := {bt}, ld := {ld})), "
+              f"s -> s.txt <> '')")
+    u = "regexp_replace(trim(url), '(?s)#.*', '')"
+    scheme = (rf"lower(regexp_extract({u}, "
+              rf"'^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))")
+    rest = rf"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.\-]*://', '')"
+    auth = f"lower(regexp_extract({rest}, '^([^/?#]*)', 1))"
+    auth2 = (f"CASE WHEN {scheme} = 'http' "
+             f"THEN regexp_replace({auth}, ':80$', '') "
+             f"WHEN {scheme} = 'https' "
+             f"THEN regexp_replace({auth}, ':443$', '') ELSE {auth} END")
+    pathq = f"regexp_replace({rest}, '^[^/?#]*', '')"
+    path = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    path2 = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = rf"regexp_extract({pathq}, '(?s)\?(.*)', 1)"
+    name = "lower(regexp_extract(p, '^([^=]*)', 1))"
+    tracking = "[" + ", ".join(_sql_lit(t) for t in TRACKING_PARAMS) + "]"
+    params = (f"list_filter(string_split({query}, '&'), p -> p <> '' AND "
+              f"NOT starts_with({name}, 'utm_') AND "
+              f"NOT list_contains({tracking}, {name}))")
+    q2 = f"array_to_string(list_sort({params}), '&')"
+    canon = (f"{scheme} || '://' || {auth2} || {path2} || "
+             f"(CASE WHEN {q2} = '' THEN '' ELSE '?' || {q2} END)")
+    host = f"regexp_extract({auth}, '^(?:[^@]*@)?([^:]*)', 1)"
+    sld = "[" + ", ".join(_sql_lit(s) for s in _TWO_LEVEL_SLD) + "]"
+    lb = f"string_split({host}, '.')"
+    dom = (f"array_to_string(CASE WHEN len({lb}) >= 3 AND "
+           f"length({lb}[len({lb})]) = 2 AND "
+           f"list_contains({sld}, {lb}[len({lb}) - 1]) "
+           f"THEN list_slice({lb}, len({lb}) - 2, len({lb})) "
+           f"WHEN len({lb}) >= 2 "
+           f"THEN list_slice({lb}, len({lb}) - 1, len({lb})) "
+           f"ELSE {lb} END, '.')")
+    html_expr = (f"{_sql_lit(_WEB_HTML[0])} || source || "
+                 f"{_sql_lit(_WEB_HTML[1])} || text || "
+                 f"{_sql_lit(_WEB_HTML[2])}")
+    url_expr = (f"{_sql_lit(_WEB_URL[0])} || CAST(doc_id AS VARCHAR) || "
+                f"{_sql_lit(_WEB_URL[1])} || source || "
+                f"{_sql_lit(_WEB_URL[2])}")
+    return f"""web AS (
+  SELECT doc_id, canon_url, url_dom,
+         md5(array_to_string(list_transform(kept, s -> s.txt), chr(10)))
+           AS web_md5,
+         CAST(len(blocks) AS BIGINT) AS n_blocks,
+         CAST(len(kept) AS BIGINT) AS n_kept
+  FROM (
+    SELECT doc_id, canon_url, url_dom, blocks,
+           list_filter(blocks,
+                       s -> length(s.txt) >= 10 AND s.ld <= 0.5) AS kept
+    FROM (
+      SELECT doc_id, {canon} AS canon_url, {dom} AS url_dom,
+             {blocks} AS blocks
+      FROM (SELECT doc_id, {html_expr} AS html, {url_expr} AS url
+            FROM documents)
+    )
+  )
+),
+"""
+
+
 ORACLES["text_quality"] = rf"""
-WITH base0 AS (
+WITH {{web_cte}}base0 AS (
   SELECT doc_id, text, {_tokens('text')} AS toks,
          COALESCE(length(text), 0) AS ln,
          trim(regexp_replace(lower(COALESCE(text, '')),
@@ -2505,9 +2636,9 @@ SELECT doc_id, CAST(ln AS BIGINT) AS n_chars, n_tokens, n_tokens_bpe, mean_token
             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
             ELSE 'fr' END AS lang_guess,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
-       n_winnow_fp
-FROM m
-""".replace("{sw_exprs}", ", ".join(
+       n_winnow_fp, w.canon_url, w.url_dom, w.web_md5, w.n_blocks, w.n_kept
+FROM m JOIN web w USING (doc_id)
+""".replace("{web_cte}", _web_cte_sql()).replace("{sw_exprs}", ", ".join(
     f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, "
     f"t -> list_contains({_SW[lang]}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS s_{lang}"
     for lang in sorted(_SW)))

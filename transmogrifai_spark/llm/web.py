@@ -1,0 +1,247 @@
+"""Web-corpus preprocessing: HTML -> text extraction, link-density
+boilerplate removal, and URL canonicalization — the step between a raw web
+crawl (WARC/HTML payloads) and every other operator in ``llm/``
+(dedup, quality rules, LM scoring all assume extracted text).
+
+Reference surface: TransmogrifAI tokenizes and vectorizes *already-clean*
+text (core/src/main/scala/com/salesforce/op/stages/impl/feature/
+TextTokenizer.scala, OpStopWordsRemover) and parses URLs only for
+validity/domain (features/src/main/scala/com/salesforce/op/features/types/
+OPVector.scala siblings: URL type's ``domain``/``protocol`` in
+features/.../types/Text.scala). It has no crawl-cleaning layer — at 100 TB
+the cleaning IS the pipeline's first bottleneck, so this module provides it
+Spark-first.
+
+Design (100 TB):
+
+* Everything is a pure Catalyst column expression — regexp_replace /
+  split / transform / filter / aggregate. One linear scan per document,
+  whole-stage codegen, NO Python in the hot path, no shuffle at all for
+  extraction (a document's blocks are processed as an in-row array, not
+  exploded).
+* The regex subset is deliberately engine-portable (no lookarounds, no
+  backreferences): the same patterns run under Java regex (Spark), RE2
+  (DuckDB/Go), and Python ``re`` — which is what lets the whole
+  extraction pipeline be oracle-gated op-for-op against DuckDB and
+  law-tested against a pure-Python mirror.
+* Boilerplate removal is jusText-lite (Pomikalek 2011): a block is kept
+  iff its extracted text is long enough AND its link density (anchor-text
+  chars / text chars) is under a threshold. The full jusText algorithm
+  adds stopword-density classes and context smoothing; this is the
+  documented delta (PARITY.md).
+* Entity decoding covers the named entities that dominate real HTML
+  (nbsp, amp, lt, gt, quot, apos + their numeric forms); arbitrary
+  ``&#NNN;`` code points would need a per-match chr() (not expressible as
+  a fixed replace chain) and are left encoded — documented delta.
+
+Limitations (documented, shared with every regex-based extractor):
+unclosed ``<script>``/``<style>`` blocks leak their source as text;
+CDATA sections are treated as text; ``<`` in plain text followed by ``>``
+within the document is eaten as a tag. Real-world rates are low and the
+failure is local to the document.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "strip_html_noise", "extract_html_text", "html_blocks",
+    "remove_boilerplate", "canonicalize_url", "url_host", "url_domain",
+    "BLOCK_TAGS", "TRACKING_PARAMS",
+]
+
+# tags that terminate a text block (block-level or line-breaking)
+BLOCK_TAGS = ("p|div|br|hr|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|tr|td|th|"
+              "table|thead|tbody|blockquote|pre|section|article|header|"
+              "footer|nav|aside|form|figure|figcaption|main|title")
+_BLOCK_RE = r"(?i)</?(?:%s)\b[^>]*>" % BLOCK_TAGS
+_TAG_RE = r"(?s)<[^>]*>"
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+# query parameters that never change page content (tracking/attribution)
+TRACKING_PARAMS = ("fbclid", "gclid", "gclsrc", "dclid", "msclkid",
+                   "mc_cid", "mc_eid", "igshid", "yclid", "wbraid",
+                   "gbraid", "_ga", "_gl")
+
+# decoded entity table, in application order (&amp; LAST — see
+# _decode_entities); public so the SQL oracle mirrors the exact chain
+ENTITY_PAIRS = (("&nbsp;", " "), ("&#160;", " "),
+                ("&lt;", "<"), ("&#60;", "<"),
+                ("&gt;", ">"), ("&#62;", ">"),
+                ("&quot;", '"'), ("&#34;", '"'),
+                ("&apos;", "'"), ("&#39;", "'"),
+                ("&amp;", "&"), ("&#38;", "&"))
+
+# two-part public suffixes common enough to matter for registrable-domain
+# grouping; a full Public Suffix List is a data asset, not logic — delta
+# documented in PARITY.md
+_TWO_LEVEL_SLD = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def strip_html_noise(c: Column) -> Column:
+    """Remove comments, ``<script>`` and ``<style>`` elements (tags AND
+    content). Run before any text extraction so script bodies never leak
+    into block text."""
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    return c
+
+
+def _decode_entities(c: Column) -> Column:
+    """Decode the dominant HTML entities. ``&amp;`` is decoded LAST so
+    double-encoded forms (``&amp;lt;``) resolve in one pass exactly like
+    a single-level decoder: ``&amp;lt;`` -> ``&lt;`` stays as the literal
+    the author wrote."""
+    for src, dst in ENTITY_PAIRS:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return c
+
+
+def _clean_ws(c: Column) -> Column:
+    """Collapse runs of spaces/tabs, trim around newlines, collapse newline
+    runs, strip leading/trailing whitespace."""
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def _block_text(b: Column) -> Column:
+    """Extracted text of one block: strip tags, decode entities, collapse
+    whitespace."""
+    t = F.regexp_replace(b, _TAG_RE, " ")
+    t = _decode_entities(t)
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def extract_html_text(c: Column) -> Column:
+    """Plain text of an HTML document: noise stripped, block tags become
+    newlines, inline tags become spaces, entities decoded, whitespace
+    normalized. Pure expression — one codegen'd scan per document."""
+    c = strip_html_noise(c)
+    c = F.regexp_replace(c, _BLOCK_RE, "\n")
+    c = F.regexp_replace(c, _TAG_RE, " ")
+    c = _decode_entities(c)
+    return _clean_ws(c)
+
+
+def html_blocks(c: Column) -> Column:
+    """Split an HTML document into text blocks with link-density metadata:
+    ``array<struct<text string, link_density double>>``, empty blocks
+    dropped. Link density = (chars of text inside ``<a>`` elements) /
+    (chars of the block's whole text) — the jusText boilerplate signal.
+    In-row array processing: NO explode, NO shuffle."""
+    raw = F.split(strip_html_noise(c), _BLOCK_RE)
+
+    def per_block(b):
+        anchors = F.regexp_extract_all(b, F.lit(_ANCHOR_RE), 1)
+        alen = F.aggregate(anchors, F.lit(0),
+                           lambda acc, a: acc + F.length(_block_text(a)))
+        text = _block_text(b)
+        ld = F.when(F.length(text) > 0,
+                    alen.cast("double") / F.length(text).cast("double")) \
+              .otherwise(F.lit(0.0))
+        return F.struct(text.alias("text"), ld.alias("link_density"))
+
+    return F.filter(F.transform(raw, per_block),
+                    lambda s: s["text"] != "")
+
+
+def remove_boilerplate(c: Column, max_link_density: float = 0.5,
+                       min_chars: int = 10) -> Column:
+    """jusText-lite boilerplate removal:
+    ``struct<text string, n_blocks int, n_kept int>`` where ``text`` is the
+    newline-joined content of blocks that are long enough
+    (``>= min_chars``) and link-sparse (``link_density <=
+    max_link_density``). Nav bars, footers, and link farms drop; body
+    paragraphs stay. Pure expression, no shuffle."""
+    bl = html_blocks(c)
+    kept = F.filter(
+        bl, lambda s: (F.length(s["text"]) >= min_chars)
+        & (s["link_density"] <= F.lit(float(max_link_density))))
+    return F.struct(
+        F.array_join(F.transform(kept, lambda s: s["text"]), "\n")
+         .alias("text"),
+        F.size(bl).alias("n_blocks"),
+        F.size(kept).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# URLs
+# ---------------------------------------------------------------------------
+
+
+def _authority(c: Column) -> Column:
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    return F.regexp_extract(rest, r"^([^/?#]*)", 1)
+
+
+def canonicalize_url(c: Column) -> Column:
+    """Canonical form of an absolute URL for dedup/grouping:
+
+    * scheme and host lowercased; default ports (``:80`` http, ``:443``
+      https) stripped; fragment stripped;
+    * empty path becomes ``/``;
+    * query parameters: tracking params removed (``utm_*`` prefixes and
+      ``TRACKING_PARAMS``), the rest SORTED so param order cannot split a
+      URL's identity; an emptied query drops its ``?``.
+
+    URLs without a ``scheme://`` are returned trimmed but otherwise
+    untouched (relative links carry no canonical authority). Pure
+    expression; idempotent (law-tested)."""
+    u = F.regexp_replace(F.trim(c), r"(?s)#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://",
+                                      1))
+    auth = F.lower(_authority(u))
+    auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")) \
+            .when(scheme == "https", F.regexp_replace(auth, r":443$", "")) \
+            .otherwise(auth)
+    pathq = F.regexp_replace(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""),
+        r"^[^/?#]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"(?s)\?(.*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).startswith("utm_")
+        & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).isin(
+            *TRACKING_PARAMS))
+    q2 = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(scheme, F.lit("://"), auth, path,
+                     F.when(q2 == "", F.lit(""))
+                      .otherwise(F.concat(F.lit("?"), q2)))
+    return F.when(scheme == "", F.trim(c)).otherwise(canon)
+
+
+def url_host(c: Column) -> Column:
+    """Lowercased host of an absolute URL (userinfo and port stripped);
+    NULL-safe: non-URLs yield ''."""
+    u = F.trim(c)
+    auth = F.lower(_authority(u))
+    host = F.regexp_extract(auth, r"^(?:[^@]*@)?([^:]*)", 1)
+    has_scheme = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://",
+                                  1) != ""
+    return F.when(has_scheme, host).otherwise(F.lit(""))
+
+
+def url_domain(c: Column) -> Column:
+    """Registrable-domain approximation of a URL's host: the last two
+    labels, or three when the second-to-last is a common second-level
+    suffix under a 2-letter ccTLD (``bbc.co.uk`` -> ``bbc.co.uk``,
+    ``a.b.example.com`` -> ``example.com``). A full Public Suffix List is
+    a data asset; this covers the dominant cases (delta in PARITY.md)."""
+    host = url_host(c)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last = F.element_at(labels, -1)
+    second = F.element_at(labels, -2)
+    three = (n >= 3) & (F.length(last) == 2) & second.isin(*_TWO_LEVEL_SLD)
+    tail = F.when(three, F.slice(labels, n - 2, 3)) \
+            .otherwise(F.when(n >= 2, F.slice(labels, n - 1, 2))
+                       .otherwise(labels))
+    return F.array_join(tail, ".")
