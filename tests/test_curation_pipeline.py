@@ -241,3 +241,28 @@ def test_domain_reweight_rejects_bad_shares(spark):
         domain_reweight(df, "id", "dom", {})
     with _pytest.raises(ValueError):
         domain_reweight(df, "id", "dom", {"a": 0.0})
+
+
+def test_curate_corpus_web_extract_stage(spark, docs):
+    """html_col= runs llm/web extraction first: text_col is replaced by the
+    boilerplate-free extraction, empty extractions drop, and the result
+    equals manually chaining remove_boilerplate then the same recipe."""
+    from transmogrifai_spark.llm.web import remove_boilerplate
+
+    wrapped = docs.select(
+        "doc_id", "lang",
+        F.concat(F.lit('<body><p>'), F.col("text"),
+                 F.lit('</p><div><a href="/x">nav link row</a></div>'
+                       '</body>')).alias("html"))
+    out, rep = curate_corpus(wrapped, html_col="html", rules="c4",
+                             eval_df=None, dedup="exact", report=True)
+    manual = wrapped.withColumn(
+        "text", remove_boilerplate(F.col("html"))["text"]) \
+        .where(F.length("text") > 0).drop("html")
+    manual = curate_corpus(manual, rules="c4", eval_df=None, dedup="exact")
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in manual.select("doc_id").collect())
+    assert "html" not in out.columns and "text" in out.columns
+    assert rep["web_extract"] <= rep["input"]
+    # the nav boilerplate never reaches the curated text
+    assert not out.where(F.col("text").contains("nav link row")).count()

@@ -4,6 +4,8 @@ from the engine's operators, each stage optional.
 Order follows practice (C4/Gopher -> decontaminate -> dedup -> LM head ->
 mixture), cheapest-reduction-first so later, costlier stages see fewer rows:
 
+  0. web extraction  (`web.remove_boilerplate` when `html_col=` is given:
+     HTML payloads -> boilerplate-free text, empty extractions dropped)
   1. quality rules   (`quality_rules.quality_filter`, expression-only)
      + optional word blocklist (`blocklist_filter`) and corpus-level
      boilerplate-paragraph removal (`dedup.remove_common_paragraphs`)
@@ -64,6 +66,8 @@ def dedup_keep_one(df: DataFrame, id_col: str = "doc_id",
 
 def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", *,
+                  html_col: str | None = None,
+                  max_link_density: float = 0.5, min_block_chars: int = 10,
                   rules: str | None = "gopher",
                   blocklist: list[str] | None = None,
                   boilerplate_min_doc_freq: int | None = None,
@@ -82,6 +86,18 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     ``(DataFrame, {stage: rows_remaining})`` when ``report=True``."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     out = docs
+    if html_col:
+        # stage 0: web extraction — HTML payloads become text_col via
+        # llm/web.remove_boilerplate (jusText-lite); docs whose extraction
+        # comes out empty are dropped. Pure expressions, so this fuses
+        # into the same scan as the quality rules below.
+        from .web import remove_boilerplate
+        cleaned = remove_boilerplate(F.col(html_col),
+                                     max_link_density=max_link_density,
+                                     min_chars=min_block_chars)
+        out = (out.withColumn(text_col, cleaned["text"])
+               .where(F.length(F.col(text_col)) > 0).drop(html_col))
+        stages.append(("web_extract", out))
     if rules:
         kept = quality_filter(out, id_col, text_col, rules=rules) \
             .where("keep").select(id_col)
