@@ -1,0 +1,107 @@
+"""pagerank vs an exact pure-Python mirror (portable decimal mode) +
+extract_links fixtures."""
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.llm import web
+from transmogrifai_spark.operators.graph import pagerank
+
+EDGES = [  # hub a; dangling d; weighted multi-edges
+    ("a", "b", 2.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0),
+    ("c", "d", 3.0), ("b", "d", 1.0), ("e", "a", 1.0),
+]
+
+
+def _round9(x):
+    return float(Decimal(repr(x)).quantize(Decimal("1e-9"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _py_pagerank(edges, iterations, damping=0.85):
+    agg = {}
+    for s, d, w in edges:
+        agg[(s, d)] = agg.get((s, d), 0.0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    outw = {}
+    for (s, _), w in agg.items():
+        outw[s] = outw.get(s, 0.0) + w
+    frac = {k: w / outw[k[0]] for k, w in agg.items()}
+    base = (1.0 - damping) / n
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dang = float(sum(Decimal(repr(_round9(rank[v])))
+                         for v in nodes if v not in outw))
+        s = {v: Decimal(0) for v in nodes}
+        for (u, v), f in frac.items():
+            s[v] += Decimal(repr(_round9(rank[u] * f)))
+        rank = {v: base + damping * (float(s[v]) + dang / n)
+                for v in nodes}
+    return rank
+
+
+def test_pagerank_portable_matches_python_mirror_bitwise(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, weight_col="w", iterations=5,
+                             portable=True).collect()}
+    exp = _py_pagerank(EDGES, iterations=5)
+    assert got == exp  # bit-exact, incl. the dangling-mass path
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # 'a' receives from b, c, e -> must outrank the pure sink 'd'... both
+    # collect mass; check ordering of source-only node instead
+    assert got["e"] == min(got.values())  # nothing links to e
+
+
+def test_pagerank_default_mode_close_and_sums_to_one(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    fast = {r["node"]: r["rank"]
+            for r in pagerank(df, weight_col="w", iterations=5).collect()}
+    exp = _py_pagerank(EDGES, iterations=5)
+    assert abs(sum(fast.values()) - 1.0) < 1e-9
+    assert all(abs(fast[k] - exp[k]) < 1e-7 for k in exp)
+
+
+def test_pagerank_unweighted_uniform_cycle(spark):
+    cyc = [("x", "y", None), ("y", "z", None), ("z", "x", None)]
+    df = spark.createDataFrame([(s, d) for s, d, _ in cyc],
+                               "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iterations=7, portable=True).collect()}
+    # portable mode rounds contributions at 9 dp, so the fixed point sits
+    # within ~1e-9 of the exact 1/3
+    assert all(abs(v - 1.0 / 3) < 1e-8 for v in got.values())
+
+
+def test_extract_links_fixtures(spark):
+    html = ('<body><a href="https://A.com/x?utm_source=s">one</a>'
+            "<a href='/rel'>two <b>bold</b></a>"
+            '<a href="//cdn.b.net/y">three</a>'
+            '<a href="mailto:a@b.c">no</a>'
+            '<a href="#frag">no</a>'
+            '<a href="sub/page.html">four</a>'
+            '<script><a href="https://evil.com/">gone</a></script></body>')
+    df = spark.createDataFrame([(html, "https://host.org/dir/index.html")],
+                               "h string, base string")
+    rows = (df.select(F.explode(web.extract_links(
+        F.col("h"), F.col("base"))).alias("l"))
+            .select("l.url", "l.anchor").collect())
+    got = {(r["url"], r["anchor"]) for r in rows}
+    assert got == {
+        ("https://A.com/x?utm_source=s", "one"),
+        ("https://host.org/rel", "two bold"),
+        ("https://cdn.b.net/y", "three"),
+        ("https://host.org/dir/sub/page.html", "four"),
+    }
+    # without base: raw hrefs, same filtering
+    raw = {r[0]["url"] for r in
+           df.select(F.explode(web.extract_links(F.col("h")))).collect()}
+    assert raw == {"https://A.com/x?utm_source=s", "/rel",
+                   "//cdn.b.net/y", "sub/page.html"}
+
+
+def test_resolve_href_bare_host_base(spark):
+    df = spark.createDataFrame([("p.html", "https://h.io")], "h string, b string")
+    assert df.select(web.resolve_href(F.col("h"), F.col("b"))).first()[0] \
+        == "https://h.io/p.html"

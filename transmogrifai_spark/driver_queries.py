@@ -971,7 +971,10 @@ def q_text_quality(spark, sf_dir):
                                             portable=True))
         .cast("long").alias("n_winnow_fp"))
     html = F.concat(F.lit(_WEB_HTML[0]), F.col("source"),
-                    F.lit(_WEB_HTML[1]), F.col("text"), F.lit(_WEB_HTML[2]))
+                    F.lit(_WEB_HTML[1]), F.col("text"),
+                    F.lit(_WEB_HTML[2]), F.col("lang"),
+                    F.lit(_WEB_HTML[3]), F.col("source"),
+                    F.lit(_WEB_HTML[4]))
     url = F.concat(F.lit(_WEB_URL[0]), F.col("doc_id").cast("string"),
                    F.lit(_WEB_URL[1]), F.col("source"), F.lit(_WEB_URL[2]))
     boiler = _web.remove_boilerplate(html)
@@ -982,7 +985,27 @@ def q_text_quality(spark, sf_dir):
         F.md5(boiler["text"]).alias("web_md5"),
         boiler["n_blocks"].cast("long").alias("n_blocks"),
         boiler["n_kept"].cast("long").alias("n_kept"))
-    return base.join(fp, "doc_id").join(wb, "doc_id")
+
+    # link graph (r6): extract_links over the same fixture -> host edges ->
+    # 3 iterations of PORTABLE weighted PageRank (operators/graph.py —
+    # contributions rounded 9dp and decimal-summed, so both engines land
+    # on identical doubles); each doc carries its language hub's rank.
+    # The hub/cdn hosts have no out-links, so the dangling-mass
+    # redistribution path is part of the gate.
+    from .operators.graph import pagerank
+    links = _web.extract_links(html, url)
+    ldf = docs.select("doc_id", url.alias("_u"),
+                      F.explode(links).alias("_l"))
+    edges = ldf.select(_web.url_host(F.col("_u")).alias("src"),
+                       _web.url_host(F.col("_l.url")).alias("dst"))
+    ranks = pagerank(edges, iterations=3, portable=True)
+    lg = (docs.select("doc_id",
+                      F.size(links).cast("long").alias("n_links"),
+                      F.concat(F.lit("hub-"), F.col("lang"),
+                               F.lit(".example.com")).alias("node"))
+          .join(ranks, "node", "left")
+          .select("doc_id", "n_links", F.col("rank").alias("hub_rank")))
+    return base.join(fp, "doc_id").join(wb, "doc_id").join(lg, "doc_id")
 
 
 # deterministic fixtures for the web-preprocessing gate: an HTML envelope
@@ -995,7 +1018,12 @@ _WEB_HTML = (
     '</h1><p>',
     '</p><div><a href="/h">home page link</a> &middot; <a href="/a">about'
     '</a></div><p>&amp; &lt;raw&gt; &quot;quoted&quot; &nbsp;tail paragraph'
-    '</p><!-- c --></body></html>')
+    '</p><!-- c --><ul><li><a href="HTTPS://Hub-',
+    '.Example.COM:443/l?b=2&a=1">language hub page</a></li><li><a '
+    "href='//cdn-",
+    ".Example.NET/asset.js'>cdn asset link</a></li>"
+    '<li><a href="/local/page">local page link</a></li>'
+    '<li><a href="mailto:x@example.com">mail</a></li></ul></body></html>')
 _WEB_URL = ("HTTPS://WWW.Example.CO.UK:443/docs/",
             "?utm_source=feed&fbclid=x&b=", "&a=1#f")
 
@@ -2499,6 +2527,20 @@ def _sql_lit(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _web_fixture_sql() -> tuple[str, str]:
+    """DuckDB expressions rebuilding q_text_quality's HTML/URL fixtures
+    byte-for-byte from documents columns."""
+    html_expr = (f"{_sql_lit(_WEB_HTML[0])} || source || "
+                 f"{_sql_lit(_WEB_HTML[1])} || text || "
+                 f"{_sql_lit(_WEB_HTML[2])} || lang || "
+                 f"{_sql_lit(_WEB_HTML[3])} || source || "
+                 f"{_sql_lit(_WEB_HTML[4])}")
+    url_expr = (f"{_sql_lit(_WEB_URL[0])} || CAST(doc_id AS VARCHAR) || "
+                f"{_sql_lit(_WEB_URL[1])} || source || "
+                f"{_sql_lit(_WEB_URL[2])}")
+    return html_expr, url_expr
+
+
 def _web_btext_sql(x: str) -> str:
     from .llm.web import ENTITY_PAIRS
     t = f"regexp_replace({x}, '(?s)<[^>]*>', ' ', 'g')"
@@ -2557,12 +2599,7 @@ def _web_cte_sql() -> str:
            f"WHEN len({lb}) >= 2 "
            f"THEN list_slice({lb}, len({lb}) - 1, len({lb})) "
            f"ELSE {lb} END, '.')")
-    html_expr = (f"{_sql_lit(_WEB_HTML[0])} || source || "
-                 f"{_sql_lit(_WEB_HTML[1])} || text || "
-                 f"{_sql_lit(_WEB_HTML[2])}")
-    url_expr = (f"{_sql_lit(_WEB_URL[0])} || CAST(doc_id AS VARCHAR) || "
-                f"{_sql_lit(_WEB_URL[1])} || source || "
-                f"{_sql_lit(_WEB_URL[2])}")
+    html_expr, url_expr = _web_fixture_sql()
     return f"""web AS (
   SELECT doc_id, canon_url, url_dom,
          md5(array_to_string(list_transform(kept, s -> s.txt), chr(10)))
@@ -2584,8 +2621,114 @@ def _web_cte_sql() -> str:
 """
 
 
+def _linkgraph_cte_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """DuckDB CTE chain replicating extract_links -> host edges ->
+    operators/graph.pagerank(portable=True) for ``iters`` iterations:
+    the href regexes (both quote styles), the drop filter, resolve_href's
+    4-way CASE, url_host, the weighted edge aggregation, and per
+    iteration the round-9dp DECIMAL(29,9) contribution sums, uniform
+    dangling redistribution, and the exact double expression
+    base + d*(s + dang/n) — all IEEE-op-for-op."""
+    html_expr, url_expr = _web_fixture_sql()
+    noise = "html"
+    noise = f"regexp_replace({noise}, '(?s)<!--.*?-->', ' ', 'g')"
+    noise = (rf"regexp_replace({noise}, "
+             rf"'(?is)<script\b[^>]*>.*?</script>', ' ', 'g')")
+    noise = (rf"regexp_replace({noise}, "
+             rf"'(?is)<style\b[^>]*>.*?</style>', ' ', 'g')")
+    dq = _sql_lit(r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>')
+    sq = _sql_lit(r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)'[^>]*>(.*?)</a>")
+    scheme_re = r"'^([A-Za-z][A-Za-z0-9+.\-]*)://'"
+    strip_scheme = rf"regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '')"
+
+    def hostof(x):
+        auth = (f"lower(regexp_extract(regexp_replace({x}, "
+                f"'^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?#]*)', 1))")
+        return (f"CASE WHEN regexp_extract(trim({x}), {scheme_re}, 1) <> '' "
+                f"THEN regexp_extract({auth.replace(x, f'trim({x})')}, "
+                f"'^(?:[^@]*@)?([^:]*)', 1) ELSE '' END")
+
+    # resolve_href mirror (u = page url, href = trimmed link)
+    sch = f"regexp_extract(u, {scheme_re}, 1)"
+    auth_raw = f"regexp_extract({strip_scheme}, '^([^/?#]*)', 1)"
+    b = "regexp_replace(u, '(?s)[?#].*', '')"
+    bdir = (f"CASE WHEN regexp_extract({b}, "
+            rf"'^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*$', 0) <> '' "
+            f"THEN {b} || '/' ELSE regexp_replace({b}, '[^/]*$', '') END")
+    resolved = (
+        rf"CASE WHEN regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.\-]*://', 0)"
+        f" <> '' THEN href "
+        f"WHEN starts_with(href, '//') THEN {sch} || ':' || href "
+        f"WHEN starts_with(href, '/') THEN {sch} || '://' || {auth_raw} "
+        f"|| href ELSE {bdir} || href END")
+
+    rank_init = ("CAST(1.0 AS DOUBLE) / "
+                 "CAST((SELECT n FROM lgc) AS DOUBLE)")
+    base_lit = f"CAST({1.0 - damping!r} AS DOUBLE)"
+    damp_lit = f"CAST({damping!r} AS DOUBLE)"
+    n_dbl = "CAST((SELECT n FROM lgc) AS DOUBLE)"
+    iter_ctes = ""
+    for i in range(iters):
+        iter_ctes += f"""lgd{i} AS (
+  SELECT COALESCE(CAST(sum(CAST(round(rank, 9) AS DECIMAL(29,9)))
+                       AS DOUBLE), CAST(0 AS DOUBLE)) AS d
+  FROM lgr{i} WHERE node NOT IN (SELECT src FROM lgo)
+),
+lgs{i} AS (
+  SELECT f.dst, CAST(sum(CAST(round(r.rank * f.frac, 9)
+                              AS DECIMAL(29,9))) AS DOUBLE) AS s
+  FROM lgf f JOIN lgr{i} r ON r.node = f.src GROUP BY f.dst
+),
+lgr{i + 1} AS (
+  SELECT n.node,
+         {base_lit} / {n_dbl}
+         + {damp_lit} * (COALESCE(s.s, CAST(0 AS DOUBLE))
+                         + (SELECT d FROM lgd{i}) / {n_dbl}) AS rank
+  FROM lgn n LEFT JOIN lgs{i} s ON s.dst = n.node
+),
+"""
+    return f"""lgdoc AS (
+  SELECT doc_id, lang, {html_expr} AS html, {url_expr} AS u FROM documents
+),
+lgl AS (
+  SELECT doc_id, u, href FROM (
+    SELECT doc_id, u, trim(raw) AS href FROM (
+      SELECT doc_id, u, unnest(list_concat(
+        regexp_extract_all({noise}, {dq}, 1),
+        regexp_extract_all({noise}, {sq}, 1))) AS raw
+      FROM lgdoc))
+  WHERE href <> '' AND NOT starts_with(href, '#')
+    AND regexp_extract(href, '(?i)^(javascript|mailto|tel|data):', 0) = ''
+),
+lge AS (
+  SELECT doc_id, {hostof('u')} AS src, {hostof(f'({resolved})')} AS dst
+  FROM lgl
+),
+lged AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM lge GROUP BY src, dst
+),
+lgn AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM lged
+                             UNION ALL SELECT dst FROM lged)
+),
+lgc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lgn),
+lgo AS (SELECT src, sum(w) AS outw FROM lged GROUP BY src),
+lgf AS (
+  SELECT e.src, e.dst, e.w / o.outw AS frac FROM lged e JOIN lgo o USING (src)
+),
+lgr0 AS (SELECT node, {rank_init} AS rank FROM lgn),
+{iter_ctes}lg AS (
+  SELECT d.doc_id, COALESCE(cnt.c, 0) AS n_links, r.rank AS hub_rank
+  FROM lgdoc d
+  LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+             FROM lgl GROUP BY doc_id) cnt USING (doc_id)
+  LEFT JOIN lgr{iters} r ON r.node = 'hub-' || d.lang || '.example.com'
+),
+"""
+
+
 ORACLES["text_quality"] = rf"""
-WITH {{web_cte}}base0 AS (
+WITH {{web_cte}}{{lg_cte}}base0 AS (
   SELECT doc_id, text, {_tokens('text')} AS toks,
          COALESCE(length(text), 0) AS ln,
          trim(regexp_replace(lower(COALESCE(text, '')),
@@ -2636,9 +2779,11 @@ SELECT doc_id, CAST(ln AS BIGINT) AS n_chars, n_tokens, n_tokens_bpe, mean_token
             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
             ELSE 'fr' END AS lang_guess,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
-       n_winnow_fp, w.canon_url, w.url_dom, w.web_md5, w.n_blocks, w.n_kept
-FROM m JOIN web w USING (doc_id)
-""".replace("{web_cte}", _web_cte_sql()).replace("{sw_exprs}", ", ".join(
+       n_winnow_fp, w.canon_url, w.url_dom, w.web_md5, w.n_blocks, w.n_kept,
+       g.n_links, g.hub_rank
+FROM m JOIN web w USING (doc_id) JOIN lg g USING (doc_id)
+""".replace("{web_cte}", _web_cte_sql()) \
+   .replace("{lg_cte}", _linkgraph_cte_sql()).replace("{sw_exprs}", ", ".join(
     f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, "
     f"t -> list_contains({_SW[lang]}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS s_{lang}"
     for lang in sorted(_SW)))

@@ -48,7 +48,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "strip_html_noise", "extract_html_text", "html_blocks",
     "remove_boilerplate", "canonicalize_url", "url_host", "url_domain",
-    "BLOCK_TAGS", "TRACKING_PARAMS",
+    "extract_links", "resolve_href", "BLOCK_TAGS", "TRACKING_PARAMS",
+    "ENTITY_PAIRS",
 ]
 
 # tags that terminate a text block (block-level or line-breaking)
@@ -245,3 +246,71 @@ def url_domain(c: Column) -> Column:
             .otherwise(F.when(n >= 2, F.slice(labels, n - 1, 2))
                        .otherwise(labels))
     return F.array_join(tail, ".")
+
+
+# ---------------------------------------------------------------------------
+# Links — the web-graph layer (feeds operators/graph.pagerank)
+# ---------------------------------------------------------------------------
+
+_HREF_DQ = r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+_HREF_SQ = r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)'[^>]*>(.*?)</a>"
+# schemes that are links but not documents
+_NON_HTTP = r"(?i)^(javascript|mailto|tel|data):"
+
+
+def resolve_href(href: Column, base: Column) -> Column:
+    """Resolve an href against its page URL, RFC-3986-lite:
+
+    * absolute (``scheme://…``) -> unchanged;
+    * protocol-relative (``//host/x``) -> base scheme + href;
+    * root-relative (``/x``) -> base ``scheme://authority`` + href;
+    * plain relative -> base directory (last path segment dropped) + href
+      — WITHOUT ``..`` normalization (documented delta; dot-segments
+      survive into the URL and hash as distinct, never wrong-host).
+    """
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    auth = _authority(base)
+    origin = F.concat(scheme, F.lit("://"), auth)
+    b = F.regexp_replace(base, r"(?s)[?#].*", "")
+    # base directory: everything through the last '/' AFTER the authority
+    # (a bare 'scheme://host' gains its trailing '/')
+    bdir = F.when(
+        F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*$", 0) != "",
+        F.concat(b, F.lit("/"))) \
+        .otherwise(F.regexp_replace(b, r"[^/]*$", ""))
+    return (F.when(F.regexp_extract(href, r"^[A-Za-z][A-Za-z0-9+.\-]*://",
+                                    0) != "", href)
+            .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+            .when(href.startswith("/"), F.concat(origin, href))
+            .otherwise(F.concat(bdir, href)))
+
+
+def extract_links(c: Column, base: Column | None = None) -> Column:
+    """Hyperlinks of an HTML document:
+    ``array<struct<url string, anchor string>>`` from ``<a href=…>``
+    elements (double- AND single-quoted attributes), anchor text extracted
+    like a block (tags stripped, entities decoded). ``javascript:`` /
+    ``mailto:`` / ``tel:`` / ``data:`` and empty/fragment-only hrefs are
+    dropped. With ``base``, urls are resolved via ``resolve_href``.
+    Pure expression — no explode, no shuffle; feed the result to
+    ``operators/graph.pagerank`` via a host-level groupBy."""
+    cleaned = strip_html_noise(c)
+
+    def pairs(pat):
+        urls = F.regexp_extract_all(cleaned, F.lit(pat), 1)
+        anchors = F.regexp_extract_all(cleaned, F.lit(pat), 2)
+        return F.zip_with(
+            urls, anchors,
+            lambda u, a: F.struct(F.trim(u).alias("url"),
+                                  _block_text(a).alias("anchor")))
+
+    links = F.concat(pairs(_HREF_DQ), pairs(_HREF_SQ))
+    links = F.filter(
+        links, lambda s: (s["url"] != "") & ~s["url"].startswith("#")
+        & (F.regexp_extract(s["url"], _NON_HTTP, 0) == ""))
+    if base is not None:
+        links = F.transform(
+            links, lambda s: F.struct(
+                resolve_href(s["url"], base).alias("url"),
+                s["anchor"].alias("anchor")))
+    return links
