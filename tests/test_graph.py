@@ -105,3 +105,35 @@ def test_resolve_href_bare_host_base(spark):
     df = spark.createDataFrame([("p.html", "https://h.io")], "h string, b string")
     assert df.select(web.resolve_href(F.col("h"), F.col("b"))).first()[0] \
         == "https://h.io/p.html"
+
+
+def _py_hits(edges, iterations):
+    import math
+    E = sorted({(s, d) for s, d, _ in edges})
+    nodes = sorted({s for s, _ in E} | {d for _, d in E})
+
+    def dsum(vals):
+        return float(sum(Decimal(repr(_round9(v))) for v in vals))
+
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(iterations):
+        a = {v: dsum(hub[s] for s, d in E if d == v) for v in nodes}
+        na = math.sqrt(dsum(a[v] * a[v] for v in nodes) or 1.0)
+        auth = {v: a[v] / na for v in nodes}
+        h = {v: dsum(auth[d] for s, d in E if s == v) for v in nodes}
+        nh = math.sqrt(dsum(h[v] * h[v] for v in nodes) or 1.0)
+        hub = {v: h[v] / nh for v in nodes}
+    return hub, auth
+
+
+def test_hits_portable_matches_python_mirror_bitwise(spark):
+    from transmogrifai_spark.operators.graph import hits
+    df = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(df, iterations=4, portable=True).collect()}
+    hub, auth = _py_hits(EDGES, iterations=4)
+    assert got == {v: (hub[v], auth[v]) for v in hub}
+    # 'a' is cited by b, c, e -> top authority; 'd' cites nothing -> 0 hub
+    assert got["a"][1] == max(v[1] for v in got.values())
+    assert got["d"][0] == 0.0

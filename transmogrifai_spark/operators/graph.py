@@ -7,7 +7,7 @@ graphs from llm/web.extract_links).
 Reference surface: TransmogrifAI has no graph layer (its DAG is a *stage*
 graph, core/src/main/scala/com/salesforce/op/OpWorkflow.scala); connected
 components already live in llm/dedup.duplicate_clusters. This module adds
-weighted PageRank, the canonical iterative-aggregation algorithm.
+weighted PageRank and HITS, the canonical iterative-aggregation algorithms.
 
 Design (100 TB):
 
@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "hits"]
 
 
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
@@ -97,4 +97,71 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     out = ranks.select("node", "rank")
     for h in (nodes, frac, dangling):
         h.unpersist()
+    return out
+
+
+def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+         iterations: int = 10, portable: bool = False) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities, JACM'99) by power iteration:
+    ``(node, hub, authority)``, each vector L2-normalized per iteration.
+
+    Same execution shape as pagerank: the edge list is persisted once,
+    each iteration is two join+aggregate passes (auth from in-edges'
+    hubs, hub from out-edges' auths) plus one 1-row norm collect —
+    bounded scalars, never data-sized. ``portable`` applies the same
+    round-9dp DECIMAL(29,9) order-independent summation; the norm's
+    sqrt is IEEE-correctly-rounded, so portable runs are bit-reproducible
+    (law-tested against a pure-Python mirror)."""
+    import math
+
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+
+    def _sum(c):
+        if portable:
+            return F.sum(F.round(c, 9).cast("decimal(29,9)")).cast("double")
+        return F.sum(c)
+
+    def _norm(df, col):
+        s = df.agg(_sum(F.col(col) * F.col(col)).alias("s")) \
+              .collect()[0]["s"] or 1.0
+        return math.sqrt(s)
+
+    ranks = nodes.select("node", F.lit(1.0).alias("hub"),
+                         F.lit(1.0).alias("authority")).persist()
+    ranks.count()
+    for _ in range(iterations):
+        auth = (e.join(ranks.select(F.col("node").alias("src"), "hub"),
+                       "src")
+                .groupBy("dst").agg(_sum(F.col("hub")).alias("a")))
+        auth_full = (nodes.join(auth.withColumnRenamed("dst", "node"),
+                                "node", "left")
+                     .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
+                     .persist())
+        na = _norm(auth_full, "a")
+        auth_n = auth_full.select(
+            "node", (F.col("a") / F.lit(na)).alias("authority"))
+        hub = (e.join(auth_n.select(F.col("node").alias("dst"), "authority"),
+                      "dst")
+               .groupBy("src").agg(_sum(F.col("authority")).alias("h")))
+        hub_full = (nodes.join(hub.withColumnRenamed("src", "node"),
+                               "node", "left")
+                    .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
+                    .join(auth_full, "node")
+                    .select("node", "h",
+                            (F.col("a") / F.lit(na)).alias("authority")))
+        nh = _norm(hub_full, "h")
+        new = (hub_full.select("node", (F.col("h") / F.lit(nh)).alias("hub"),
+                               "authority").persist())
+        new.count()
+        ranks.unpersist()
+        auth_full.unpersist()
+        ranks = new
+    out = ranks.select("node", "hub", "authority")
+    e.unpersist()
+    nodes.unpersist()
     return out
