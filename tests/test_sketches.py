@@ -573,3 +573,29 @@ def test_bloom_fpp_bound(spark):
     rate = sum(r["might_contain"] for r in got) / len(got)
     expected = bloom_fpp(m, k, n)
     assert rate < 4 * expected and expected < 0.1
+
+
+def test_stream_bloom_partials_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming bloom maintenance over a real multi-file split == the
+    one-shot batch bitmap (bit_or idempotence makes append-only exact)."""
+    from pyspark.sql import functions as F
+
+    from transmogrifai_spark.operators.sketches import (bloom_merge,
+                                                        bloom_partial)
+    from transmogrifai_spark.streaming.windows import stream_bloom_partials
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store = str(tmp_path / "bloom")
+    q = stream_bloom_partials(
+        stream, store, "source", m=2048, k=3,
+        checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+    folded = bloom_merge(
+        spark.read.parquet(store).withColumn("g", F.lit(1)), ["g"]).drop("g")
+    oneshot = bloom_partial(docs, [], "source", 2048, 3)
+    assert sorted(map(tuple, folded.collect())) == \
+        sorted(map(tuple, oneshot.collect()))

@@ -109,3 +109,31 @@ def test_warc_to_web_pipeline_end_to_end(spark, sf_dir, tmp_path):
            .orderBy("doc_id").collect())
     assert [(r["doc_id"], r["clean"]) for r in out] == \
         [(r["doc_id"], r["text"]) for r in docs]
+
+
+def test_warc_streaming_matches_batch(spark, tmp_path):
+    import uuid
+    d = tmp_path / "landing"
+    d.mkdir()
+    for fi in range(3):
+        recs = _mk_records(10, payload=lambda i, fi=fi:
+                           f"<p>file {fi} rec {i}</p>".encode())
+        blob = build_warc_bytes(
+            [dict(r, record_id=f"<urn:uuid:{fi:02x}{i:030x}>")
+             for i, r in enumerate(recs)], gzip_per_record=(fi == 1))
+        name = f"f{fi}.warc" + (".gz" if fi == 1 else "")
+        with open(d / name, "wb") as f:
+            f.write(blob)
+    from transmogrifai_spark.sources.warc import register_warc
+    register_warc(spark)
+    sink = f"warc_{uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("warc").option("split_mb", "0.001")
+         .load(str(d))
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {(r["path"], r["record_id"])
+                for r in spark.table(sink).collect()}
+    batch = {(r["path"], r["record_id"])
+             for r in read_warc(spark, str(d), split_mb=0.001).collect()}
+    assert streamed == batch and len(streamed) == 30

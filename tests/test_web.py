@@ -162,3 +162,22 @@ def test_no_python_udf_in_plans(spark, docs):
         web.remove_boilerplate(F.col("text")).alias("b"))
     issues = plan_audit(out)
     assert not [i for i in issues if "udf" in i.lower()]
+
+
+def test_html_meta(spark):
+    html = ('<!DOCTYPE html><html lang="en-GB"><head><meta charset="UTF-8">'
+            '<title> The &amp; Title </title>'
+            '<meta content="swapped order desc" name="description">'
+            '<link rel="canonical" href="https://ex.com/x">'
+            '<meta name="robots" content="NOINDEX, nofollow"></head>'
+            '<body></body></html>')
+    got = (spark.createDataFrame([(html,), ("<p>no head</p>",)], "h string")
+           .select(web.html_meta(F.col("h")).alias("m")).collect())
+    m = got[0]["m"]
+    assert m["title"] == "The & Title"
+    assert m["description"] == "swapped order desc"
+    assert m["canonical"] == "https://ex.com/x"
+    assert m["charset"] == "utf-8"
+    assert m["lang"] == "en-gb"
+    assert m["robots"] == "noindex, nofollow"
+    assert tuple(got[1]["m"]) == ("", "", "", "", "", "")

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "strip_html_noise", "extract_html_text", "html_blocks",
     "remove_boilerplate", "canonicalize_url", "url_host", "url_domain",
-    "extract_links", "resolve_href", "BLOCK_TAGS", "TRACKING_PARAMS",
+    "extract_links", "resolve_href", "html_meta", "BLOCK_TAGS", "TRACKING_PARAMS",
     "ENTITY_PAIRS",
 ]
 
@@ -314,3 +314,39 @@ def extract_links(c: Column, base: Column | None = None) -> Column:
                 resolve_href(s["url"], base).alias("url"),
                 s["anchor"].alias("anchor")))
     return links
+
+
+def _attr_meta(c: Column, tag: str, key_attr: str, key: str,
+               val_attr: str) -> Column:
+    """First ``<tag … key_attr="key" … val_attr="…">`` value, tolerating
+    either attribute order (double-quoted attributes — delta documented
+    in html_meta)."""
+    fwd = (rf'(?is)<{tag}\b[^>]*\b{key_attr}\s*=\s*"{key}"'
+           rf'[^>]*\b{val_attr}\s*=\s*"([^"]*)"')
+    rev = (rf'(?is)<{tag}\b[^>]*\b{val_attr}\s*=\s*"([^"]*)"'
+           rf'[^>]*\b{key_attr}\s*=\s*"{key}"')
+    f = F.regexp_extract(c, fwd, 1)
+    return F.when(f != "", f).otherwise(F.regexp_extract(c, rev, 1))
+
+
+def html_meta(c: Column) -> Column:
+    """Document metadata from the HTML head:
+    ``struct<title, description, canonical, charset, lang, robots>``
+    (absent fields are ``''``). Title text is block-normalized (tags
+    stripped, entities decoded); meta/link attributes match in either
+    order. Delta: double-quoted attribute values only (the dominant form;
+    single-quoted/unquoted attributes yield ''). Pure expression."""
+    title = _block_text(
+        F.regexp_extract(c, r"(?is)<title\b[^>]*>(.*?)</title>", 1))
+    return F.struct(
+        title.alias("title"),
+        _attr_meta(c, "meta", "name", "description", "content")
+        .alias("description"),
+        _attr_meta(c, "link", "rel", "canonical", "href").alias("canonical"),
+        F.lower(F.regexp_extract(
+            c, r'(?is)<meta\b[^>]*\bcharset\s*=\s*"?([A-Za-z0-9_\-]+)', 1))
+        .alias("charset"),
+        F.lower(F.regexp_extract(
+            c, r'(?is)<html\b[^>]*\blang\s*=\s*"([^"]*)"', 1)).alias("lang"),
+        F.lower(_attr_meta(c, "meta", "name", "robots", "content"))
+        .alias("robots"))

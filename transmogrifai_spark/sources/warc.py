@@ -48,7 +48,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    DataSourceStreamReader, InputPartition)
 
 DEFAULT_SPLIT_MB = 32
 _CRLF = b"\r\n"
@@ -262,6 +262,60 @@ class WarcBatchReader(DataSourceReader):
             yield _row(partition.path, rec)
 
 
+class WarcStreamReader(DataSourceStreamReader):
+    """Streaming over a crawl landing directory (the way CommonCrawl-style
+    segments arrive: whole files, append-only, never rewritten). Offsets
+    are the processed-file set; each micro-batch fans its NEW files out as
+    the same splits as the batch reader, so a 1 GB segment decodes across
+    the cluster within its first micro-batch. ``max_files_per_trigger``
+    bounds a backfill batch."""
+
+    def __init__(self, options):
+        self._batch = WarcBatchReader(options)
+        self.max_files = int(options.get("max_files_per_trigger", 0)) or None
+
+    def _current_files(self):
+        try:
+            return _list_files(self._batch.path)
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def latestOffset(self):
+        seen = getattr(self, "_last_files", [])
+        new = [f for f in self._current_files() if f not in set(seen)]
+        if self.max_files:
+            new = new[:self.max_files]
+        self._last_files = seen + new
+        return {"files": self._last_files}
+
+    def partitions(self, start, end):
+        new = [f for f in end["files"] if f not in set(start["files"])]
+        splits = []
+        for path in new:
+            size = os.path.getsize(path)
+            if path.endswith(".gz"):
+                splits.append(WarcSplit(path, 0, size, True))
+                continue
+            s = 0
+            while s < size:
+                e = min(s + self._batch.split_bytes, size)
+                splits.append(WarcSplit(path, s, e, False))
+                s = e
+        # an empty batch still needs one (empty) partition
+        return splits or [WarcSplit("", 0, 0, False)]
+
+    def read(self, partition: WarcSplit):
+        if not partition.path:
+            return iter(())
+        return self._batch.read(partition)
+
+    def commit(self, end):
+        pass
+
+
 class WarcDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -272,6 +326,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema):
         return WarcBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return WarcStreamReader(self.options)
 
 
 def register_warc(spark) -> None:

@@ -283,3 +283,34 @@ def stream_freq_partials(events: DataFrame, partials_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bloom_partials(events: DataFrame, partials_path: str,
+                          value_col: str, m: int, k: int = 3,
+                          portable: bool = False,
+                          checkpoint: str | None = None,
+                          available_now: bool = True):
+    """Streaming Bloom-filter maintenance: each micro-batch appends its
+    membership bitmap partial (operators/sketches.bloom_partial — sparse
+    (word_idx, bits) rows) under ``batch=<id>/``; readers fold the store
+    with ``bloom_merge`` into the current filter (blocklists, seen-URL
+    sets, decontamination eval sets that grow over time).
+
+    Append-only is correct because the bitmap is an idempotent commutative
+    monoid (bit_or per word): duplicate batches, replay, and merge order
+    cannot change the folded filter — replays overwrite their own
+    ``batch=<id>/`` subdir AND re-OR to the same bits (stream == batch law
+    in tests, exact row equality)."""
+    from ..operators.sketches import bloom_partial
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        bloom_partial(batch, [], value_col, m, k, portable) \
+            .write.mode("overwrite") \
+            .parquet(f"{partials_path}/batch={batch_id}")
+
+    writer = events.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
