@@ -266,3 +266,23 @@ def test_curate_corpus_web_extract_stage(spark, docs):
     assert rep["web_extract"] <= rep["input"]
     # the nav boilerplate never reaches the curated text
     assert not out.where(F.col("text").contains("nav link row")).count()
+
+
+def test_curate_corpus_url_dedup_stage(spark, docs):
+    """url_col=: one survivor (min id) per CANONICAL url — tracking params
+    and fragments collapse; distinct pages survive."""
+    withurl = docs.withColumn(
+        "url",
+        F.concat(F.lit("https://ex.com/p/"), (F.col("doc_id") % 100),
+                 F.when(F.col("doc_id") % 2 == 0,
+                        F.lit("?utm_source=a#x")).otherwise(F.lit(""))))
+    out, rep = curate_corpus(withurl, url_col="url", rules=None,
+                             eval_df=None, dedup=None, report=True)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # doc_id % 100 partitions docs into 100 canonical urls -> min id each
+    import collections
+    groups = collections.defaultdict(list)
+    for r in docs.select("doc_id").collect():
+        groups[r["doc_id"] % 100].append(r["doc_id"])
+    assert ids == sorted(min(v) for v in groups.values())
+    assert rep["url_dedup"] == len(ids)

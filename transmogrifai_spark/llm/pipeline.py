@@ -5,7 +5,9 @@ Order follows practice (C4/Gopher -> decontaminate -> dedup -> LM head ->
 mixture), cheapest-reduction-first so later, costlier stages see fewer rows:
 
   0. web extraction  (`web.remove_boilerplate` when `html_col=` is given:
-     HTML payloads -> boilerplate-free text, empty extractions dropped)
+     HTML payloads -> boilerplate-free text, empty extractions dropped);
+     URL-level dedup when `url_col=` is given (one doc per canonical URL,
+     min-id survivor — the cheap pass before any content dedup)
   1. quality rules   (`quality_rules.quality_filter`, expression-only)
      + optional word blocklist (`blocklist_filter`) and corpus-level
      boilerplate-paragraph removal (`dedup.remove_common_paragraphs`)
@@ -68,6 +70,7 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", *,
                   html_col: str | None = None,
                   max_link_density: float = 0.5, min_block_chars: int = 10,
+                  url_col: str | None = None,
                   rules: str | None = "gopher",
                   blocklist: list[str] | None = None,
                   boilerplate_min_doc_freq: int | None = None,
@@ -98,6 +101,18 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
         out = (out.withColumn(text_col, cleaned["text"])
                .where(F.length(F.col(text_col)) > 0).drop(html_col))
         stages.append(("web_extract", out))
+    if url_col:
+        # stage 0.5: URL-level dedup — the standard pre-content-dedup pass
+        # for web corpora: one document per CANONICAL url (tracking params,
+        # default ports, fragment and param order collapse), min-id
+        # survivor. One hash-groupBy over (canon_url) — far cheaper than
+        # content dedup, run first so content stages see fewer rows.
+        from .web import canonicalize_url
+        canon = out.withColumn("_canon", canonicalize_url(F.col(url_col)))
+        keep = (canon.groupBy("_canon")
+                .agg(F.min(id_col).alias(id_col)).select(id_col))
+        out = out.join(keep, id_col, "left_semi")
+        stages.append(("url_dedup", out))
     if rules:
         kept = quality_filter(out, id_col, text_col, rules=rules) \
             .where("keep").select(id_col)
