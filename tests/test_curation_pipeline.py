@@ -286,3 +286,29 @@ def test_curate_corpus_url_dedup_stage(spark, docs):
         groups[r["doc_id"] % 100].append(r["doc_id"])
     assert ids == sorted(min(v) for v in groups.values())
     assert rep["url_dedup"] == len(ids)
+
+
+def test_temperature_reweight_laws(spark, docs):
+    from transmogrifai_spark.llm.curation import (domain_reweight,
+                                                  temperature_reweight,
+                                                  temperature_shares)
+    # T=1: natural proportions -> every repeat factor == scale exactly
+    t1 = temperature_reweight(docs, "doc_id", "lang", temperature=1.0)
+    assert t1.select("repeat_factor").distinct().collect()[0][0] == 1.0
+    assert t1.count() == docs.count()
+    # higher T flattens: scarce-domain share rises, bulk-domain share falls
+    s1 = temperature_shares(docs, "lang", 1.0)
+    s5 = temperature_shares(docs, "lang", 5.0)
+    scarce = min(s1, key=s1.get)
+    bulk = max(s1, key=s1.get)
+    assert s5[scarce] > s1[scarce] and s5[bulk] < s1[bulk]
+    assert abs(sum(s5.values()) - 1.0) < 1e-12
+    # flattening is monotone toward uniform
+    spread = lambda s: max(s.values()) / min(s.values())
+    assert spread(s5) < spread(s1)
+    # composition law: temperature_reweight == domain_reweight(shares)
+    a = temperature_reweight(docs, "doc_id", "lang", temperature=3.0)
+    b = domain_reweight(docs, "doc_id", "lang",
+                        temperature_shares(docs, "lang", 3.0))
+    assert sorted(map(tuple, a.select("doc_id", "epoch").collect())) == \
+        sorted(map(tuple, b.select("doc_id", "epoch").collect()))

@@ -347,3 +347,38 @@ def domain_reweight(df: DataFrame, id_col: str, group_col: str,
     out = expand_epochs(kept.withColumn("_r", r_expr), id_col, "_r",
                         seed=seed, max_repeat=max_repeat)
     return out.drop("_r")
+
+
+def temperature_shares(df: DataFrame, group_col: str,
+                       temperature: float = 1.0) -> dict[str, float]:
+    """Temperature-scaled mixture shares from OBSERVED domain counts:
+    ``p_d ∝ (n_d / N) ** (1/T)`` — the multilingual sampling rule (mBERT /
+    mT5 exponent-smoothed sampling; T=1 keeps natural proportions, larger
+    T flattens toward uniform, boosting scarce domains). One bounded
+    aggregation collect (#domains rows); feed the result to
+    :func:`domain_reweight`."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = {r[0]: r[1] for r in
+              df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+                .collect()}
+    n = sum(counts.values())
+    if not n:
+        return {}
+    raw = {g: (c / n) ** (1.0 / temperature) for g, c in counts.items()}
+    z = sum(raw.values())
+    return {g: v / z for g, v in sorted(raw.items())}
+
+
+def temperature_reweight(df: DataFrame, id_col: str, group_col: str,
+                         temperature: float = 1.0, scale: float = 1.0,
+                         seed: int = 42, max_repeat: int = 100) -> DataFrame:
+    """Reshape a corpus to its temperature-scaled mixture
+    (:func:`temperature_shares` -> :func:`domain_reweight`): at T=1 every
+    repeat factor is exactly ``scale`` (the identity mixture — law-tested);
+    as T grows, scarce domains repeat more and bulk domains sample down,
+    approaching uniform shares. Same plan shape as domain_reweight: pure
+    scan -> explode, factors are literals, no join."""
+    shares = temperature_shares(df, group_col, temperature)
+    return domain_reweight(df, id_col, group_col, shares, scale=scale,
+                           seed=seed, max_repeat=max_repeat)
