@@ -589,10 +589,14 @@ def bloom_probe(probes: DataFrame, bloom: DataFrame, value_col: str,
     aggregation back to one row per value, with the k position rows
     combined map-side before any shuffle. The big side is never shuffled
     except as (id, value, counts) partial-agg rows."""
-    pos = bloom_positions(F.col(value_col), m, k, portable)
     keys = list(id_cols or []) + [value_col]
-    exploded = (probes.select(*keys, F.size(pos).alias("_npos"),
-                              F.explode(pos).alias("_pos"))
+    # bind the position array once: referencing the expression in both
+    # size() and explode() would hash the value twice per row
+    bound = probes.select(
+        *keys, bloom_positions(F.col(value_col), m, k, portable)
+        .alias("_parr"))
+    exploded = (bound.select(*keys, F.size("_parr").alias("_npos"),
+                             F.explode("_parr").alias("_pos"))
                 .select(*keys, "_npos",
                         (F.col("_pos") / 32).cast("long").alias("word_idx"),
                         F.expr("shiftleft(CAST(1 AS BIGINT), "
