@@ -137,3 +137,15 @@ def test_hits_portable_matches_python_mirror_bitwise(spark):
     # 'a' is cited by b, c, e -> top authority; 'd' cites nothing -> 0 hub
     assert got["a"][1] == max(v[1] for v in got.values())
     assert got["d"][0] == 0.0
+
+
+def test_connected_components_string_nodes(spark):
+    from transmogrifai_spark.operators.graph import connected_components
+    edges = [("a.com", "b.com"), ("b.com", "c.com"), ("x.org", "y.org"),
+             ("lone1.net", "lone1.net")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
+                   "x.org": "x.org", "y.org": "x.org",
+                   "lone1.net": "lone1.net"}

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "hits"]
+__all__ = ["pagerank", "hits", "connected_components"]
 
 
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
@@ -165,3 +165,21 @@ def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def connected_components(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst",
+                         max_iter: int = 20) -> DataFrame:
+    """Weakly connected components over an arbitrary edge list:
+    ``(node, component)`` where component = the minimum reachable node id
+    (orderable type — longs, strings/hosts). Delegates to
+    llm/dedup.duplicate_clusters (iterative min-label propagation, one
+    join + one aggregation per round, rounds = component diameter) — the
+    same machinery that clusters near-duplicate pairs, exposed here for
+    host/domain graphs (mirror clusters, site families)."""
+    from ..llm.dedup import duplicate_clusters
+    out = duplicate_clusters(
+        edges.select(F.col(src_col).alias("id1"),
+                     F.col(dst_col).alias("id2")), max_iter=max_iter)
+    return out.select(F.col("doc").alias("node"),
+                      F.col("cluster_id").alias("component"))
