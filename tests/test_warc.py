@@ -137,3 +137,21 @@ def test_warc_streaming_matches_batch(spark, tmp_path):
     batch = {(r["path"], r["record_id"])
              for r in read_warc(spark, str(d), split_mb=0.001).collect()}
     assert streamed == batch and len(streamed) == 30
+
+
+def test_warc_write_read_roundtrip(spark, tmp_path):
+    """Distributed export: df -> write.format('warc') -> read back == df
+    (record identity, http layer, bodies), one part file per partition."""
+    recs = _mk_records(40)
+    src = _write(tmp_path, "src.warc", build_warc_bytes(recs))
+    df = read_warc(spark, src).repartition(3)
+    out = str(tmp_path / "export")
+    df.write.format("warc").mode("overwrite").save(out)
+    import glob
+    parts = glob.glob(out + "/part-*.warc.gz")
+    assert len(parts) == 3
+    back = read_warc(spark, out)
+    key = lambda rows: sorted(
+        (r["record_id"], r["warc_type"], r["target_uri"], r["http_status"],
+         r["http_content_type"], bytes(r["body"])) for r in rows)
+    assert key(back.collect()) == key(df.collect())

@@ -48,7 +48,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, InputPartition)
+                                    DataSourceStreamReader, DataSourceWriter,
+                                    InputPartition, WriterCommitMessage)
 
 DEFAULT_SPLIT_MB = 32
 _CRLF = b"\r\n"
@@ -316,6 +317,58 @@ class WarcStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class WarcCommit(WriterCommitMessage):
+    file: str
+
+
+class WarcDataWriter(DataSourceWriter):
+    """Distributed WARC export: each partition writes one
+    ``part-NNNNN.warc[.gz]`` (gzip = one member per record, the
+    CommonCrawl layout, so the output is split-readable by this module's
+    own reader and by standard tooling). Input rows follow WARC_SCHEMA;
+    rows with an ``http_status`` are re-wrapped as HTTP responses."""
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc requires a path")
+        self.gz = options.get("compression", "gzip") == "gzip"
+        if overwrite and os.path.isdir(self.path):
+            for ext in ("*.warc", "*.warc.gz"):
+                for f in _glob.glob(os.path.join(self.path, ext)):
+                    os.remove(f)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(
+            self.path, f"part-{pid:05d}.warc" + (".gz" if self.gz else ""))
+        with open(out, "wb") as f:
+            for row in iterator:
+                d = row.asDict()
+                http = None
+                if d.get("http_status") is not None:
+                    http = {"status": d["http_status"],
+                            "content_type": d.get("http_content_type")
+                            or "text/html"}
+                blob = build_warc_record(
+                    warc_type=d.get("warc_type") or "resource",
+                    payload=bytes(d.get("body") or b""),
+                    target_uri=d.get("target_uri"),
+                    record_id=d.get("record_id"),
+                    date=d.get("warc_date") or "2024-01-01T00:00:00Z",
+                    http=http)
+                f.write(gzip.compress(blob) if self.gz else blob)
+        return WarcCommit(file=out)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
 class WarcDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -329,6 +382,9 @@ class WarcDataSource(DataSource):
 
     def streamReader(self, schema):
         return WarcStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return WarcDataWriter(self.options, schema, overwrite)
 
 
 def register_warc(spark) -> None:
