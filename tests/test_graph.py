@@ -149,3 +149,22 @@ def test_connected_components_string_nodes(spark):
     assert got == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
                    "x.org": "x.org", "y.org": "x.org",
                    "lone1.net": "lone1.net"}
+
+
+def test_domain_authority_composition(spark, sf_dir):
+    from transmogrifai_spark.llm.web import domain_authority
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", "lang")
+            .withColumn("url", F.concat(F.lit("https://"), F.col("source"),
+                                        F.lit(".ex.com/p/"), F.col("doc_id")))
+            .withColumn("html", F.concat(
+                F.lit('<p><a href="https://hub-'), F.col("lang"),
+                F.lit('.ex.org/">h</a> <a href="/self">s</a></p>'))))
+    out = domain_authority(docs, "doc_id", "url", "html", iterations=3)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_host = {r["host"]: r["host_rank"] for r in rows}
+    # every doc host has out-links -> positive rank; ranks from ONE graph:
+    # a doc's rank equals its host's rank everywhere
+    assert all(r["host_rank"] > 0 for r in rows)
+    assert all(r["host_rank"] == by_host[r["host"]] for r in rows)

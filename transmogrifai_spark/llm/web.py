@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "strip_html_noise", "extract_html_text", "html_blocks",
     "remove_boilerplate", "canonicalize_url", "url_host", "url_domain",
-    "extract_links", "resolve_href", "html_meta", "BLOCK_TAGS", "TRACKING_PARAMS",
+    "extract_links", "resolve_href", "html_meta", "domain_authority", "BLOCK_TAGS", "TRACKING_PARAMS",
     "ENTITY_PAIRS",
 ]
 
@@ -350,3 +350,35 @@ def html_meta(c: Column) -> Column:
             c, r'(?is)<html\b[^>]*\blang\s*=\s*"([^"]*)"', 1)).alias("lang"),
         F.lower(_attr_meta(c, "meta", "name", "robots", "content"))
         .alias("robots"))
+
+
+def domain_authority(docs, id_col: str, url_col: str, html_col: str,
+                     iterations: int = 10, damping: float = 0.85,
+                     portable: bool = False):
+    """Per-document domain-authority prior from the corpus's own link
+    graph (the CommonCrawl-ranking recipe, packaged): extract_links over
+    every page -> host-level weighted edges -> operators/graph.pagerank ->
+    each document joined to its host's rank. Returns
+    ``(id_col, host, host_rank)`` — feed ``host_rank`` to
+    llm/curation.weighted_sample or quality-weighted mixtures.
+
+    Scale shape: link extraction rides the scan (pure expression); the
+    edge aggregation is one groupBy of (src_host, dst_host); PageRank
+    iterates over the HOST graph (millions of nodes at web scale, not
+    documents); the final join broadcasts the rank table when hosts fit,
+    else hash-joins on host."""
+    from ..operators.graph import pagerank
+    u = F.col(url_col)
+    ldf = docs.select(F.col(id_col), u.alias("_u"),
+                      F.explode(extract_links(F.col(html_col), u))
+                      .alias("_l"))
+    edges = ldf.select(url_host(F.col("_u")).alias("src"),
+                       url_host(F.col("_l.url")).alias("dst")) \
+               .where((F.col("src") != "") & (F.col("dst") != ""))
+    ranks = pagerank(edges, iterations=iterations, damping=damping,
+                     portable=portable) \
+        .select(F.col("node").alias("host"), F.col("rank").alias("host_rank"))
+    return (docs.select(F.col(id_col), url_host(u).alias("host"))
+            .join(ranks, "host", "left")
+            .select(id_col, "host",
+                    F.coalesce("host_rank", F.lit(0.0)).alias("host_rank")))
