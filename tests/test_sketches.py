@@ -599,3 +599,18 @@ def test_stream_bloom_partials_equals_batch(spark, sf_dir, tmp_path):
     oneshot = bloom_partial(docs, [], "source", 2048, 3)
     assert sorted(map(tuple, folded.collect())) == \
         sorted(map(tuple, oneshot.collect()))
+
+
+def test_bloom_probe_plan_is_broadcast_join(spark):
+    """Scale law: the probe side never shuffles raw — the word table rides
+    a BroadcastHashJoin and the per-value regroup partial-aggregates."""
+    from pyspark.sql import functions as F
+
+    from transmogrifai_spark.operators.sketches import (bloom_partial,
+                                                        bloom_probe)
+    df = spark.range(500).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    bloom = bloom_partial(df, [], "v", 4096, 3)
+    plan = bloom_probe(df, bloom, "v", 4096, 3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
