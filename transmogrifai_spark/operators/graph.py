@@ -46,7 +46,11 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     ``(node, rank)`` with ``sum(rank) == 1`` after ``iterations`` rounds
     from a uniform start. Follows rank_{i+1}(v) = (1-d)/N +
     d * (sum_{u->v} rank_i(u) * w(u,v)/outw(u) + dangling_i / N).
-    """
+
+    The returned frame stays PERSISTED (one small row per node — its
+    lineage spans every iteration, so dropping the cache would recompute
+    the whole chain on next use); ``.unpersist()`` it when done, the
+    dimensional_rollup handle contract."""
     w = (F.col(weight_col) if weight_col else F.lit(1.0)).cast("double")
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"), w.alias("w"))
@@ -111,7 +115,8 @@ def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     bounded scalars, never data-sized. ``portable`` applies the same
     round-9dp DECIMAL(29,9) order-independent summation; the norm's
     sqrt is IEEE-correctly-rounded, so portable runs are bit-reproducible
-    (law-tested against a pure-Python mirror)."""
+    (law-tested against a pure-Python mirror). The returned frame stays
+    PERSISTED (one row per node); ``.unpersist()`` when done."""
     import math
 
     e = (edges.select(F.col(src_col).alias("src"),

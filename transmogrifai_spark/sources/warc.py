@@ -150,7 +150,9 @@ def parse_warc_buffer(buf: bytes, start: int = 0, end: int | None = None,
     pos = start
     if pos != 0:
         while True:
-            hit = buf.find(_CRLF + _CRLF + _MAGIC, pos - 4, end + 4)
+            # max(0, …): a negative start would make bytes.find search
+            # from the END of the buffer
+            hit = buf.find(_CRLF + _CRLF + _MAGIC, max(0, pos - 4), end + 4)
             if hit < 0:
                 return
             cand = hit + 4
@@ -421,7 +423,13 @@ def build_warc_record(warc_type: str, payload: bytes,
         ctype = "application/http;msgtype=response"
     else:
         ctype = "application/octet-stream"
-    rid = record_id or f"<urn:uuid:{abs(hash((warc_type, target_uri, len(payload)))):032x}>"
+    if record_id is None:
+        # deterministic default (hash() is process-salted)
+        import hashlib
+        digest = hashlib.md5(
+            f"{warc_type}|{target_uri}|{len(payload)}".encode()).hexdigest()
+        record_id = f"<urn:uuid:{digest}>"
+    rid = record_id
     head = [b"WARC/1.0",
             b"WARC-Type: " + warc_type.encode(),
             b"WARC-Record-ID: " + rid.encode(),
