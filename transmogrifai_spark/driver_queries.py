@@ -1005,6 +1005,9 @@ def q_text_quality(spark, sf_dir):
                                F.lit(".example.com")).alias("node"))
           .join(ranks, "node", "left")
           .select("doc_id", "n_links", F.col("rank").alias("hub_rank")))
+    # drop the pagerank cache now (per-invocation leak otherwise); the
+    # host graph is ~26 nodes, so the action-time recompute is trivial
+    ranks.unpersist()
     return base.join(fp, "doc_id").join(wb, "doc_id").join(lg, "doc_id")
 
 
