@@ -93,3 +93,34 @@ def test_scoring_is_codegen_only(spark, docs):
     out = docs.select(lm_log_prob(F.col("text"), model).alias("lp"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ascii_fold_and_normalize_unicode(spark):
+    from pyspark.sql import functions as F
+
+    from transmogrifai_spark.llm.textqual import (ascii_fold,
+                                                  normalize_unicode)
+    rows = [("Café “naïve” — œuvre…",),
+            ("ZERO​WIDTH   SPACE",),
+            ("straße ﬁne",),
+            ("plain ascii stays",), (None,)]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r[0] for r in df.select(ascii_fold(F.col("t"))).collect()]
+    assert got[0] == 'Cafe "naive" - oeuvre...'
+    assert got[1] == "ZEROWIDTH   SPACE"
+    assert got[2] == "strasse fine"
+    assert got[3] == "plain ascii stays"
+    assert got[4] is None
+    # idempotence law
+    twice = [r[0] for r in
+             df.select(ascii_fold(ascii_fold(F.col("t")))).collect()]
+    assert twice == got
+    # full NFKC via the Arrow boundary == CPython unicodedata
+    import unicodedata
+    nk = normalize_unicode(df, "t", "NFKC", out_col="n")
+    for r in nk.collect():
+        exp = None if r["t"] is None else unicodedata.normalize("NFKC", r["t"])
+        assert r["n"] == exp
+    import pytest
+    with pytest.raises(ValueError):
+        normalize_unicode(df, "t", "NFX")

@@ -393,3 +393,54 @@ def text_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         language_id(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (the CCNet/C4 pre-hash step)
+# ---------------------------------------------------------------------------
+
+# 1:1 foldings as a translate() pair (single JVM pass): accented Latin,
+# curly quotes/dashes, exotic spaces (generated from codepoints so the
+# table survives any editor/encoding roundtrip)
+_FOLD_SRC = 'áÁàÀâÂäÄãÃåÅāĀăĂąĄéÉèÈêÊëËēĒĕĔėĖęĘěĚíÍìÌîÎïÏĩĨīĪĭĬįĮóÓòÒôÔöÖõÕōŌŏŎőŐúÚùÙûÛüÜũŨūŪŭŬůŮçÇćĆĉĈčČñÑńŃņŅňŇýÝÿŸźŹżŻžŽ‘’‚“”„–—−\xa0\u2009\u202f\u3000'
+_FOLD_DST = 'aAaAaAaAaAaAaAaAaAeEeEeEeEeEeEeEeEeEiIiIiIiIiIiIiIiIoOoOoOoOoOoOoOoOuUuUuUuUuUuUuUuUcCcCcCcCnNnNnNnNyYyYzZzZzZ\'\',"""---    '
+# multi-char expansions + zero-width removals (translate is 1:1 only)
+_FOLD_MULTI = (("\u2026", "..."), ("\u0153", "oe"), ("\u0152", "OE"),
+               ("\u00e6", "ae"), ("\u00c6", "AE"), ("\ufb01", "fi"),
+               ("\ufb02", "fl"), ("\u00df", "ss"),
+               ("\u200b", ""), ("\u200c", ""), ("\u200d", ""),
+               ("\ufeff", ""))
+
+
+def ascii_fold(c: Column) -> Column:
+    """Cheap ASCII folding for dedup/hash robustness: accents stripped,
+    curly quotes/dashes/NBSP canonicalized, ligatures expanded,
+    zero-widths removed — ONE ``translate`` plus a short replace chain,
+    all JVM-side (the hot-path subset of NFKC; full normalization =
+    ``normalize_unicode``). Idempotent (law-tested)."""
+    out = F.translate(c, _FOLD_SRC, _FOLD_DST)
+    for src, dst in _FOLD_MULTI:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
+def normalize_unicode(df: DataFrame, col: str, form: str = "NFKC",
+                      out_col: str | None = None) -> DataFrame:
+    """Full Unicode normalization via ``unicodedata`` in an Arrow-batched
+    pandas UDF — the documented Python boundary (same class as multimodal
+    decode): use when exact NFC/NFKC/NFD/NFKD semantics matter (e.g.
+    hashing parity with a CPython-normalizing pipeline); use
+    :func:`ascii_fold` in expression-only hot paths."""
+    import pandas as pd  # noqa: F401 (signature requires pandas at runtime)
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize(form, x))
+
+    return df.withColumn(out_col or col, _norm(F.col(col)))
