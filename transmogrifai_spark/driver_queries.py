@@ -999,16 +999,45 @@ def q_text_quality(spark, sf_dir):
     edges = ldf.select(_web.url_host(F.col("_u")).alias("src"),
                        _web.url_host(F.col("_l.url")).alias("dst"))
     ranks = pagerank(edges, iterations=3, portable=True)
+    # snapshot the ~26-node rank table driver-side (bounded collect, the
+    # cms_df pattern) so the cache can be released without the lazy join
+    # re-deriving the whole iteration chain at action time
+    rank_rows = ranks.collect()
+    ranks.unpersist()
+    rank_df = spark.createDataFrame(rank_rows, "node string, rank double")
     lg = (docs.select("doc_id",
                       F.size(links).cast("long").alias("n_links"),
                       F.concat(F.lit("hub-"), F.col("lang"),
                                F.lit(".example.com")).alias("node"))
-          .join(ranks, "node", "left")
+          .join(F.broadcast(rank_df), "node", "left")
           .select("doc_id", "n_links", F.col("rank").alias("hub_rank")))
-    # drop the pagerank cache now (per-invocation leak otherwise); the
-    # host graph is ~26 nodes, so the action-time recompute is trivial
-    ranks.unpersist()
-    return base.join(fp, "doc_id").join(wb, "doc_id").join(lg, "doc_id")
+
+    # HITS gate (r6): two PORTABLE power iterations over the REAL
+    # source->lang affiliation graph (distinct pairs from the table — hub
+    # scores vary by how many languages a source spans, authorities by
+    # which sources carry the language). The oracle replicates both
+    # normalized iterations — decimal contribution sums, the L2 norms'
+    # sqrt, the divisions — IEEE-op-for-op; both engines must land on
+    # identical doubles.
+    from .operators.graph import hits
+    hh = hits(docs.select(F.col("source").alias("src"),
+                          F.col("lang").alias("dst")),
+              iterations=2, portable=True)
+    hh_rows = hh.collect()  # ~25 nodes — bounded snapshot, then release
+    hh.unpersist()
+    hh_df = spark.createDataFrame(
+        hh_rows, "node string, hub double, authority double")
+    hx = (docs.select("doc_id", "source", "lang")
+          .join(F.broadcast(hh_df.select(F.col("node").alias("source"),
+                                         F.col("hub").alias("src_hub"))),
+                "source", "left")
+          .join(F.broadcast(hh_df.select(F.col("node").alias("lang"),
+                                         F.col("authority")
+                                         .alias("lang_auth"))),
+                "lang", "left")
+          .select("doc_id", "src_hub", "lang_auth"))
+    return (base.join(fp, "doc_id").join(wb, "doc_id").join(lg, "doc_id")
+            .join(hx, "doc_id"))
 
 
 # deterministic fixtures for the web-preprocessing gate: an HTML envelope
@@ -2730,8 +2759,64 @@ lgr0 AS (SELECT node, {rank_init} AS rank FROM lgn),
 """
 
 
+def _hits_cte_sql(iters: int = 2) -> str:
+    """DuckDB CTE chain replicating operators/graph.hits(portable=True)
+    over the distinct (source, lang) affiliation edges: per iteration the
+    round-9dp DECIMAL(29,9) in-hub / out-authority sums, the L2 norms
+    (sqrt of decimal-summed round-9dp squares — IEEE-correctly-rounded in
+    both engines), and the normalizing divisions, op-for-op."""
+    dec = "DECIMAL(29,9)"
+    ctes = """hedges AS (SELECT DISTINCT source AS src, lang AS dst
+           FROM documents),
+hnodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM hedges
+                                      UNION ALL SELECT dst FROM hedges)),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub,
+              CAST(1.0 AS DOUBLE) AS authority FROM hnodes),
+"""
+    for i in range(iters):
+        ctes += f"""ha{i} AS (
+  SELECT n.node, COALESCE(s.a, CAST(0 AS DOUBLE)) AS a
+  FROM hnodes n LEFT JOIN (
+    SELECT e.dst, CAST(sum(CAST(round(h.hub, 9) AS {dec})) AS DOUBLE) AS a
+    FROM hedges e JOIN h{i} h ON h.node = e.src GROUP BY e.dst) s
+  ON s.dst = n.node
+),
+hna{i} AS (
+  SELECT sqrt(CAST(sum(CAST(round(a * a, 9) AS {dec})) AS DOUBLE)) AS na
+  FROM ha{i}
+),
+hh{i} AS (
+  SELECT n.node, COALESCE(s.h, CAST(0 AS DOUBLE)) AS h, a.a AS a
+  FROM hnodes n
+  LEFT JOIN (
+    SELECT e.src, CAST(sum(CAST(round(a2.a / (SELECT na FROM hna{i}), 9)
+                               AS {dec})) AS DOUBLE) AS h
+    FROM hedges e JOIN ha{i} a2 ON a2.node = e.dst GROUP BY e.src) s
+  ON s.src = n.node
+  JOIN ha{i} a ON a.node = n.node
+),
+hnh{i} AS (
+  SELECT sqrt(CAST(sum(CAST(round(h * h, 9) AS {dec})) AS DOUBLE)) AS nh
+  FROM hh{i}
+),
+h{i + 1} AS (
+  SELECT node, h / (SELECT nh FROM hnh{i}) AS hub,
+         a / (SELECT na FROM hna{i}) AS authority
+  FROM hh{i}
+),
+"""
+    ctes += f"""hx AS (
+  SELECT d.doc_id, hs.hub AS src_hub, hl.authority AS lang_auth
+  FROM documents d
+  LEFT JOIN h{iters} hs ON hs.node = d.source
+  LEFT JOIN h{iters} hl ON hl.node = d.lang
+),
+"""
+    return ctes
+
+
 ORACLES["text_quality"] = rf"""
-WITH {{web_cte}}{{lg_cte}}base0 AS (
+WITH {{web_cte}}{{lg_cte}}{{hits_cte}}base0 AS (
   SELECT doc_id, text, {_tokens('text')} AS toks,
          COALESCE(length(text), 0) AS ln,
          trim(regexp_replace(lower(COALESCE(text, '')),
@@ -2783,10 +2868,12 @@ SELECT doc_id, CAST(ln AS BIGINT) AS n_chars, n_tokens, n_tokens_bpe, mean_token
             ELSE 'fr' END AS lang_guess,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
        n_winnow_fp, w.canon_url, w.url_dom, w.web_md5, w.n_blocks, w.n_kept,
-       g.n_links, g.hub_rank
+       g.n_links, g.hub_rank, x.src_hub, x.lang_auth
 FROM m JOIN web w USING (doc_id) JOIN lg g USING (doc_id)
+       JOIN hx x USING (doc_id)
 """.replace("{web_cte}", _web_cte_sql()) \
-   .replace("{lg_cte}", _linkgraph_cte_sql()).replace("{sw_exprs}", ", ".join(
+   .replace("{lg_cte}", _linkgraph_cte_sql()) \
+   .replace("{hits_cte}", _hits_cte_sql()).replace("{sw_exprs}", ", ".join(
     f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, "
     f"t -> list_contains({_SW[lang]}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS s_{lang}"
     for lang in sorted(_SW)))

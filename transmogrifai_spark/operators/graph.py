@@ -52,9 +52,12 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     the whole chain on next use); ``.unpersist()`` it when done, the
     dimensional_rollup handle contract."""
     w = (F.col(weight_col) if weight_col else F.lit(1.0)).cast("double")
+    # persist the aggregated edge table FIRST: nodes/outw/frac/dangling all
+    # derive from it — without the cache each one re-runs the (possibly
+    # expensive) upstream plan that produced the edges
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"), w.alias("w"))
-         .groupBy("src", "dst").agg(F.sum("w").alias("w")))
+         .groupBy("src", "dst").agg(F.sum("w").alias("w")).persist())
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().persist())
@@ -99,7 +102,7 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         ranks.unpersist()
         ranks = new
     out = ranks.select("node", "rank")
-    for h in (nodes, frac, dangling):
+    for h in (e, nodes, frac, dangling):
         h.unpersist()
     return out
 

@@ -553,6 +553,7 @@ def bloom_partial(df: DataFrame, group_cols: list[str], value_col: str,
     pos = (df.select(*group_cols,
                      F.explode(bloom_positions(F.col(value_col), m, k,
                                                portable)).alias("_pos"))
+           .where(F.col("_pos").isNotNull())  # NULL values insert nothing
            .distinct())
     return (pos.select(*group_cols,
                        (F.col("_pos") / 32).cast("long").alias("word_idx"),
