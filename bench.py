@@ -135,7 +135,7 @@ def main() -> None:
     # BASELINE-comparable headline total.
     registry_times: dict[str, float] = {}
     for name in ("similarity_topk", "text_quality", "dedup_exact",
-                 "dedup_clusters"):
+                 "dedup_clusters", "sketch_quantiles"):
         t0 = time.time()
         try:
             SPARK_QUERIES[name](spark, SF_DIR).count()
