@@ -1,0 +1,95 @@
+"""DSIR importance weights vs a pure-Python mirror; Gumbel top-k laws."""
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.llm.dsir import (dsir_log_ratio_table,
+                                          dsir_log_weights, dsir_sample,
+                                          hashed_ngram_buckets)
+
+B, ALPHA = 256, 1.0
+
+
+@pytest.fixture(scope="module")
+def corpora(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang").persist()
+    return docs, docs.where(F.col("lang") == "en")
+
+
+def _py_buckets(text, n_buckets, max_n=2):
+    import hashlib
+    toks = [t for t in re.sub(r"[^0-9a-z]+", " ", text.lower()).split() if t]
+    out = []
+    for n in range(1, max_n + 1):
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i:i + n])
+            out.append(int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                       % n_buckets)
+    return out
+
+
+def test_hashed_buckets_match_python_mirror(spark, corpora):
+    docs, _ = corpora
+    got = docs.limit(50).select(
+        "text", hashed_ngram_buckets(F.col("text"), B,
+                                     portable=True).alias("b")).collect()
+    for r in got:
+        assert list(r["b"]) == _py_buckets(r["text"], B)
+
+
+def test_log_weights_match_python_fold_of_table(spark, corpora):
+    docs, target = corpora
+    table = dsir_log_ratio_table(docs, target, "text", B, alpha=ALPHA,
+                                 portable=True)
+    lr = {r["bucket"]: r["lr"] for r in table.collect()}
+    assert len(lr) == B
+    got = {r["doc_id"]: (r["n_feats"], r["log_weight"])
+           for r in dsir_log_weights(docs, target, "doc_id", "text", B,
+                                     alpha=ALPHA, portable=True,
+                                     table=table).collect()}
+    from decimal import Decimal
+    for r in docs.collect():
+        feats = _py_buckets(r["text"], B)
+        exp = float(sum(Decimal(f"{lr[b]:.6f}") for b in feats))
+        nf, w = got[r["doc_id"]]
+        assert nf == len(feats)
+        assert w == pytest.approx(exp, abs=1e-9)
+    # direction: english docs should look more target-like on average
+    import statistics
+    by_lang = {}
+    for r in docs.select("doc_id", "lang").collect():
+        by_lang.setdefault(r["lang"], []).append(got[r["doc_id"]][1])
+    means = {k: statistics.mean(v) for k, v in by_lang.items()}
+    assert means["en"] == max(means.values())
+
+
+def test_probs_smoothing_and_table_bounds(spark, corpora):
+    docs, target = corpora
+    table = dsir_log_ratio_table(docs, target, "text", B, alpha=ALPHA,
+                                 portable=True).collect()
+    assert all(r["lr"] is not None and math.isfinite(r["lr"]) for r in table)
+    assert {r["bucket"] for r in table} == set(range(B))
+
+
+def test_dsir_sample_gumbel_topk(spark, corpora):
+    docs, target = corpora
+    n = docs.count()
+    out = dsir_sample(docs, target, "doc_id", "text", k=60, n_buckets=B,
+                      portable=True)
+    rows = out.collect()
+    assert len(rows) == 60 and len({r["doc_id"] for r in rows}) == 60
+    # deterministic: same call -> same set
+    again = {r["doc_id"] for r in
+             dsir_sample(docs, target, "doc_id", "text", k=60, n_buckets=B,
+                         portable=True).collect()}
+    assert {r["doc_id"] for r in rows} == again
+    # biased toward the target language vs the base rate
+    en_rate = sum(r["lang"] == "en" for r in rows) / 60
+    base = docs.where("lang = 'en'").count() / n
+    assert en_rate > base
+    # k >= corpus: everything selected
+    assert dsir_sample(docs, target, "doc_id", "text", k=n + 5,
+                       n_buckets=B).count() == n

@@ -942,10 +942,27 @@ def q_corpus_mixture(spark, sf_dir):
         F.col("rank").cast("long").alias("b"),
         F.lit(None).cast("long").alias("c"),
         (F.col("score") + F.lit(0.0)).alias("d"))
+    # part='dsir' (r6): Data Selection via Importance Resampling (llm/dsir)
+    # — hashed unigram+bigram buckets (512, portable md5), Laplace-smoothed
+    # target(en)/raw log ratios rounded 6dp at the table, per-doc
+    # DECIMAL(18,6)-summed log weights. The oracle rebuilds the features,
+    # both corpus distributions, the smoothing arithmetic (explicit DOUBLE
+    # casts — DuckDB numeric literals are DECIMAL), ln at 6dp, and the
+    # exact decimal fold (a=doc_id, b=n_feats, d=log_weight).
+    from .llm.dsir import dsir_log_weights
+    dsw = dsir_log_weights(docs, docs.where(F.col("lang") == "en"),
+                           "doc_id", "text", n_buckets=512, alpha=1.0,
+                           portable=True)
+    dsir_rows = docs.select("doc_id", "lang").join(dsw, "doc_id").select(
+        F.lit("dsir").alias("part"), "lang",
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("n_feats").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        (F.col("log_weight") + F.lit(0.0)).alias("d"))
     return (mix_rows.unionByName(strat_rows).unionByName(budget_rows)
             .unionByName(pack_rows).unionByName(chunk_rows)
             .unionByName(repeat_rows).unionByName(shard_rows)
-            .unionByName(bm25_rows))
+            .unionByName(bm25_rows).unionByName(dsir_rows))
 
 
 def q_text_quality(spark, sf_dir):

@@ -1,0 +1,166 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+2023): select raw-corpus documents whose hashed-n-gram distribution looks
+like a small TARGET corpus (the published recipe behind "give me 10M
+web documents that look like Wikipedia+books").
+
+Method: bag-of-hashed-ngrams (unigrams+bigrams into ``n_buckets``);
+per-bucket probabilities under the raw and target corpora (Laplace
+smoothed); a document's log importance weight = sum over its feature
+occurrences of ``ln(p_target(b) / p_raw(b))``; resample ∝ exp(weight) —
+here via deterministic Gumbel top-k (sampling WITHOUT replacement
+proportional to exp(weight), with the Gumbel noise derived from the id
+hash, so selection is reproducible on any cluster layout — the engine's
+standard determinism contract).
+
+Reference surface: TransmogrifAI has no data-selection layer; this sits
+beside the quality classifier (`llm/quality_classifier.py`) as the
+distribution-matching alternative (DSIR needs only a target CORPUS, no
+labels).
+
+100 TB design
+-------------
+* Feature hashing is a pure expression (tokenize -> grams -> hash ->
+  pmod) — one linear scan per corpus, no vocabulary state.
+* The bucket table is CONFIG-sized (``n_buckets`` rows, default 10k):
+  built by two aggregations (raw + target counts) joined onto
+  ``spark.range(n_buckets)``, then **broadcast** into the scoring scan —
+  the raw corpus is never shuffled; its only aggregation groups by
+  (id, total) AFTER the broadcast probe, map-side combined.
+* Totals are 1-row aggregate collects (bounded scalars).
+* ``portable=True``: md5-derived bucket hashes and per-bucket log ratios
+  rounded to 6 dp then DECIMAL(18,6)-summed — order-independent and
+  SQL-replicable (the BM25 quantized-scoring contract; ln() is libm,
+  covered by the 6 dp rounding).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hashed_ngram_buckets", "dsir_log_ratio_table",
+           "dsir_log_weights", "dsir_sample"]
+
+_MOD = 1_000_000  # curation.hash_bucket's modulus (u = (h+0.5)/MOD)
+
+
+def hashed_ngram_buckets(c: Column, n_buckets: int = 10_000,
+                         max_n: int = 2, portable: bool = False) -> Column:
+    """Bag of hashed word n-grams (n = 1..max_n) as ``array<long>`` bucket
+    ids WITH multiplicity (DSIR weights count occurrences, not distinct
+    features). Normalization matches llm/decontam: lowercase, alnum runs.
+    """
+    norm = F.lower(c)
+    toks = F.filter(
+        F.split(F.regexp_replace(norm, r"[^0-9a-z]+", " "), " "),
+        lambda t: t != "")
+
+    def per(t):
+        # closure FACTORY per n: a `lambda i, n=n` would have arity 2 and
+        # pyspark's transform feeds the ARRAY INDEX as the second argument,
+        # silently clobbering n (slice length = position — found by the
+        # python-mirror law test)
+        def gram_hash(n):
+            if portable:
+                from .dedup import portable_hash64
+                return lambda i: portable_hash64(
+                    F.concat_ws(" ", F.slice(t, i, n))) % n_buckets
+            return lambda i: F.pmod(
+                F.xxhash64(F.concat_ws(" ", F.slice(t, i, n))),
+                F.lit(n_buckets))
+
+        parts = []
+        for n in range(1, max_n + 1):
+            starts = F.when(
+                F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+            ).otherwise(F.array().cast("array<int>"))
+            parts.append(F.transform(starts, gram_hash(n)))
+        return F.concat(*parts)
+
+    # bind toks once (transform-array trick: per-gram lambdas must not
+    # re-evaluate the regex+split chain per element)
+    return F.transform(F.array(toks), per)[0]
+
+
+def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int, max_n: int,
+                   portable: bool):
+    feats = df.select(F.explode(hashed_ngram_buckets(
+        F.col(text_col), n_buckets, max_n, portable)).alias("bucket"))
+    counts = feats.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    total = feats.count()  # 1-row scalar
+    return counts, total
+
+
+def dsir_log_ratio_table(raw: DataFrame, target: DataFrame, text_col: str,
+                         n_buckets: int = 10_000, max_n: int = 2,
+                         alpha: float = 1.0,
+                         portable: bool = False) -> DataFrame:
+    """The config-sized scoring table: one row per bucket with
+    ``lr = round(ln(p_target / p_raw), 6)`` under Laplace smoothing
+    ``p = (cnt + alpha) / (total + alpha * n_buckets)``. Rounding at the
+    table makes downstream decimal sums exact and engine-portable."""
+    spark = raw.sparkSession
+    rc, rt = _bucket_counts(raw, text_col, n_buckets, max_n, portable)
+    tc, tt = _bucket_counts(target, text_col, n_buckets, max_n, portable)
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    a = float(alpha)
+    rden = float(rt + a * n_buckets)
+    tden = float(tt + a * n_buckets)
+    t = (buckets
+         .join(rc.withColumnRenamed("cnt", "rc"), "bucket", "left")
+         .join(tc.withColumnRenamed("cnt", "tc"), "bucket", "left")
+         .select("bucket",
+                 ((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(a))
+                  / F.lit(tden)).alias("pt"),
+                 ((F.coalesce(F.col("rc"), F.lit(0)) + F.lit(a))
+                  / F.lit(rden)).alias("pr")))
+    return t.select("bucket",
+                    F.round(F.log(F.col("pt") / F.col("pr")), 6).alias("lr"))
+
+
+def dsir_log_weights(raw: DataFrame, target: DataFrame, id_col: str,
+                     text_col: str, n_buckets: int = 10_000, max_n: int = 2,
+                     alpha: float = 1.0, portable: bool = False,
+                     table: DataFrame | None = None) -> DataFrame:
+    """Per raw document: ``(id_col, n_feats, log_weight)`` where
+    ``log_weight`` sums the broadcast table's log ratios over the doc's
+    feature OCCURRENCES (featureless docs score 0.0). Pass a precomputed
+    ``table`` to score several corpora against one target."""
+    if table is None:
+        table = dsir_log_ratio_table(raw, target, text_col, n_buckets,
+                                     max_n, alpha, portable)
+    feats = raw.select(
+        F.col(id_col),
+        F.explode_outer(hashed_ngram_buckets(
+            F.col(text_col), n_buckets, max_n, portable)).alias("bucket"))
+    joined = feats.join(F.broadcast(table), "bucket", "left")
+    if portable:
+        # lr is 6dp-rounded -> DECIMAL(18,6) is exact; the sum is
+        # order-independent whatever the partitioning
+        s = F.sum(F.col("lr").cast("decimal(18,6)")).cast("double")
+    else:
+        s = F.sum("lr")
+    return (joined.groupBy(id_col)
+            .agg(F.count("bucket").alias("n_feats"),
+                 F.coalesce(s, F.lit(0.0)).alias("log_weight")))
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, id_col: str,
+                text_col: str, k: int, n_buckets: int = 10_000,
+                max_n: int = 2, alpha: float = 1.0, seed: int = 42,
+                portable: bool = False) -> DataFrame:
+    """Select ``k`` raw documents ∝ exp(log_weight) WITHOUT replacement
+    via Gumbel top-k: key = log_weight + Gumbel(0,1) where the Gumbel
+    noise comes from the deterministic id hash (``-ln(-ln(u))``,
+    u = (hash+0.5)/MOD) — reproducible on any layout, no rand(). Returns
+    the selected rows of ``raw`` (all columns) plus ``log_weight``."""
+    from .curation import hash_bucket
+    w = dsir_log_weights(raw, target, id_col, text_col, n_buckets, max_n,
+                         alpha, portable)
+    u = (hash_bucket(F.col(id_col), seed) + F.lit(0.5)) / F.lit(float(_MOD))
+    key = (F.col("log_weight") - F.log(-F.log(u))).alias("_gumbel_key")
+    chosen = (w.select(id_col, "log_weight", key)
+              .orderBy(F.col("_gumbel_key").desc(), F.col(id_col))
+              .limit(k)
+              .drop("_gumbel_key"))
+    return raw.join(F.broadcast(chosen) if k <= 1_000_000 else chosen,
+                    id_col, "inner")
