@@ -312,3 +312,27 @@ def test_temperature_reweight_laws(spark, docs):
                         temperature_shares(docs, "lang", 3.0))
     assert sorted(map(tuple, a.select("doc_id", "epoch").collect())) == \
         sorted(map(tuple, b.select("doc_id", "epoch").collect()))
+
+
+def test_curate_corpus_url_dedup_null_urls_pass_through(spark, docs):
+    """Advisory r6: documents whose canonical URL is NULL (missing WARC
+    target_uri / unparseable scheme) must NOT be collapsed into one
+    null-group survivor — they pass through the URL-dedup stage unchanged."""
+    withurl = docs.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("https://ex.com/p/"),
+                            (F.col("doc_id") % 10))))
+    out, rep = curate_corpus(withurl, url_col="url", rules=None,
+                             eval_df=None, dedup=None, report=True)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    null_ids = sorted(i for i in all_ids if i % 3 == 0)
+    import collections
+    groups = collections.defaultdict(list)
+    for i in all_ids:
+        if i % 3 != 0:
+            groups[i % 10].append(i)
+    want = sorted(null_ids + [min(v) for v in groups.values()])
+    assert ids == want
+    assert len(null_ids) > 1  # the regression is only visible with >1

@@ -1436,3 +1436,36 @@ def test_semantic_dedup_quality_policy_and_max_cell(spark, sf_dir):
     all_kept = semantic_dedup(emb, "vec_id", "embedding", n_clusters=4,
                               eps=0.9, max_cell=0)
     assert all_kept.count() == 100
+
+
+def test_simhash_incremental_replay_self_exclusion(spark, tmp_path, sf_dir):
+    """Advisory r6: on an at-least-once REPLAY with append_batch_id set,
+    the batch's previously registered signatures must be excluded from the
+    cross probe (mirrors lsh_dedup_incremental's exclude_batches guard) —
+    otherwise every batch doc pairs against its prior self."""
+    from transmogrifai_spark.llm.dedup import (build_simhash_index,
+                                               simhash_dedup_incremental)
+    from transmogrifai_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "sh_replay")
+    build_simhash_index(a, "doc_id", "text", p, n_shards=16, batch_id=0)
+    first = {tuple(sorted((r["id1"], r["id2"]))) for r in
+             simhash_dedup_incremental(spark, p, b, "doc_id", "text",
+                                       append_batch_id=1).collect()}
+    # replay the SAME call: batch=1 is already registered; self-exclusion
+    # must reproduce the first result exactly (no id==id or prior-self hits)
+    replay = {tuple(sorted((r["id1"], r["id2"]))) for r in
+              simhash_dedup_incremental(spark, p, b, "doc_id", "text",
+                                        append_batch_id=1).collect()}
+    assert replay == first
+    bids = {r["doc_id"] for r in b.collect()}
+    # no pair of two batch docs that are NOT true near-dups snuck in via
+    # the index readback: every b-vs-b pair must also exist within-batch
+    from transmogrifai_spark.llm.dedup import simhash_near_dup_pairs
+    want_within = {tuple(sorted((r["id1"], r["id2"]))) for r in
+                   simhash_near_dup_pairs(b, "doc_id", "text").collect()}
+    bb = {pr for pr in replay if pr[0] in bids and pr[1] in bids}
+    assert bb <= want_within

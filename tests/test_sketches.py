@@ -614,3 +614,32 @@ def test_bloom_probe_plan_is_broadcast_join(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_duplicate_probe_rows_no_false_negative(spark):
+    """Advisory r6: a probe frame with DUPLICATE (id, value) rows must not
+    report false negatives — d duplicates yield d*k hit rows, which the old
+    first(_npos)=k comparison rejected. Membership is now judged against
+    the group's total row count, so duplicates are harmless."""
+    from pyspark.sql import functions as F
+
+    from transmogrifai_spark.operators.sketches import (bloom_partial,
+                                                        bloom_probe)
+    m, k = 512, 3
+    vals = [f"v{i}" for i in range(40)]
+    df = spark.createDataFrame([(v,) for v in vals], "value string")
+    bloom = bloom_partial(df, [], "value", m, k, portable=True)
+    # each member probed 3x, each absent value 2x
+    pr = spark.createDataFrame(
+        [(v,) for v in vals * 3] + [(f"absent{i}",) for i in range(80)] * 2,
+        "value string")
+    got = {r["value"]: r["might_contain"]
+           for r in bloom_probe(pr, bloom, "value", m, k,
+                                portable=True).collect()}
+    assert all(got[v] for v in vals)           # NO false negatives
+    assert len(got) == 40 + 80                 # one row per distinct value
+    # duplicated probes agree with the single-probe run exactly
+    single = {r["value"]: r["might_contain"]
+              for r in bloom_probe(pr.distinct(), bloom, "value", m, k,
+                                   portable=True).collect()}
+    assert got == single

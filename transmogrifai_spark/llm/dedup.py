@@ -977,7 +977,9 @@ def simhash_dedup_incremental(spark, path: str, new_docs: DataFrame,
                               within_batch: bool = True,
                               append_batch_id: int | None = None,
                               caches: list | None = None,
-                              max_bucket: int | None = None) -> DataFrame:
+                              max_bucket: int | None = None,
+                              exclude_batches: list[int] | None = None
+                              ) -> DataFrame:
     """Near-duplicates of a NEW batch against the SimHash index (plus
     within-batch pairs): compute the batch's 64-bit signatures, probe only
     the shard directories its band bits hash into, verify candidates with
@@ -986,12 +988,19 @@ def simhash_dedup_incremental(spark, path: str, new_docs: DataFrame,
     ``max_bucket`` is the skew guard (same rationale as the LSH index):
     index-side (band, bits) groups larger than the cap — near-zero
     signatures from boilerplate/empty-ish docs — are dropped before the
-    join rather than generating m x batch candidate rows."""
+    join rather than generating m x batch candidate rows.
+    ``exclude_batches`` removes index subdirectories from the cross probe
+    (mirrors ``lsh_dedup_incremental``); ``append_batch_id`` is ALWAYS
+    self-excluded, so an at-least-once replay that already registered this
+    batch cannot pair its docs against their prior selves."""
     import json
     import os
 
     with open(os.path.join(path, "_SIMHASH_INDEX.json")) as f:
         meta = json.load(f)
+    excluded = set(exclude_batches or [])
+    if append_batch_id is not None:
+        excluded.add(append_batch_id)
     sig = new_docs.select(
         F.col(id_col).alias("nid"),
         simhash64(F.col(text_col), portable=meta["portable"]).alias("nsig"))
@@ -1009,6 +1018,8 @@ def simhash_dedup_incremental(spark, path: str, new_docs: DataFrame,
     shards = sorted(r["_shard"] for r in nb.select("_shard").distinct().collect())
     idx = spark.read.parquet(os.path.join(path, "bands")) \
         .where(F.col("_shard").isin(shards))
+    if excluded:
+        idx = idx.where(~F.col("batch").isin(sorted(excluded)))
     if max_bucket is not None:
         ok = (idx.groupBy("band", "bits")
               .agg(F.count(F.lit(1)).alias("_m"))

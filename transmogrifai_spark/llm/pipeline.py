@@ -109,9 +109,15 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
         # content dedup, run first so content stages see fewer rows.
         from .web import canonicalize_url
         canon = out.withColumn("_canon", canonicalize_url(F.col(url_col)))
-        keep = (canon.groupBy("_canon")
+        # rows with NO canonical url (missing WARC target_uri, unparseable
+        # scheme) pass through untouched — grouping them would collapse
+        # every null-URL document into one survivor (advisory finding)
+        keep = (canon.where(F.col("_canon").isNotNull())
+                .groupBy("_canon")
                 .agg(F.min(id_col).alias(id_col)).select(id_col))
-        out = out.join(keep, id_col, "left_semi")
+        has_url = canonicalize_url(F.col(url_col)).isNotNull()
+        out = (out.where(has_url).join(keep, id_col, "left_semi")
+               .unionByName(out.where(~has_url)))
         stages.append(("url_dedup", out))
     if rules:
         kept = quality_filter(out, id_col, text_col, rules=rules) \

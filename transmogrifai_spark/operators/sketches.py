@@ -484,16 +484,23 @@ def freq_estimate(items: str | Column, err: str | Column,
 def freq_heavy_hitters(df: DataFrame, group_cols: list[str],
                        phi: float) -> DataFrame:
     """Candidate phi-heavy-hitters from a (items, err, n) summary frame:
-    one row per stored item whose UPPER bound reaches phi*n. Complete by
-    construction — any item with true frequency > err is stored (an absent
-    item's true count is <= err <= phi*n when it misses the cut), so no
-    true phi-heavy item whose count exceeds the error bound can be missed;
-    false positives are bounded by ub - lb = err."""
+    one row per stored item whose UPPER bound reaches phi*n.
+
+    Completeness PRECONDITION: ``err < phi * n`` for the group. Under it,
+    any item with true frequency >= phi*n has count > err, hence is stored
+    and its ub passes the cut — no true phi-heavy item is missed. When
+    ``err >= phi*n`` (phi <= 1/(k+1), or merges that inflated
+    err = sum(err_i) + d), an ABSENT item can itself be phi-heavy and
+    cannot be reported; the per-row ``complete`` flag (err < phi*n) tells
+    the caller which regime each group is in. False positives are bounded
+    by ub - lb = err either way."""
     ex = df.select(*group_cols, "err", "n",
                    F.explode("items").alias("item", "lb"))
     return (ex.withColumn("ub", F.col("lb") + F.col("err"))
             .where(F.col("ub") >= F.lit(phi) * F.col("n"))
-            .select(*group_cols, "item", "lb", "ub", "err", "n"))
+            .select(*group_cols, "item", "lb", "ub", "err", "n",
+                    (F.col("err") < F.lit(phi) * F.col("n"))
+                    .alias("complete")))
 
 
 def kmv_overlap(a: str | Column, b: str | Column, k: int = 1024) -> Column:
@@ -596,18 +603,22 @@ def bloom_probe(probes: DataFrame, bloom: DataFrame, value_col: str,
     bound = probes.select(
         *keys, bloom_positions(F.col(value_col), m, k, portable)
         .alias("_parr"))
-    exploded = (bound.select(*keys, F.size("_parr").alias("_npos"),
-                             F.explode("_parr").alias("_pos"))
-                .select(*keys, "_npos",
+    exploded = (bound.select(*keys, F.explode("_parr").alias("_pos"))
+                .select(*keys,
                         (F.col("_pos") / 32).cast("long").alias("word_idx"),
                         F.expr("shiftleft(CAST(1 AS BIGINT), "
                                "CAST(_pos % 32 AS INT))").alias("_mask")))
     b = F.broadcast(bloom) if broadcast_bloom else bloom
     hit = F.coalesce(F.col("bits"), F.lit(0)) \
            .bitwiseAND(F.col("_mask")) == F.col("_mask")
+    # membership = EVERY exploded position row hit. Compare hit-count to the
+    # group's TOTAL row count, not to first(_npos): duplicate (id, value)
+    # probe rows contribute d*k rows, and d*k == first(_npos)=k would report
+    # a false NEGATIVE for a true member — the one direction Bloom must
+    # never fail (found by advisory review; count(*) is duplicate-safe).
     return (exploded.join(b, "word_idx", "left")
             .groupBy(*keys)
-            .agg((F.count(F.when(hit, 1)) == F.first("_npos"))
+            .agg((F.count(F.when(hit, 1)) == F.count(F.lit(1)))
                  .alias(result_col)))
 
 

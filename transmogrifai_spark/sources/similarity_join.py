@@ -150,8 +150,13 @@ def _probe_side(df: DataFrame, id_col: str, text_col: str, d: int,
 
 def _recheck(cands: DataFrame, d: int) -> DataFrame:
     """Exact bounded re-check: threshold Levenshtein (early-exit in the
-    JVM; returns -1 past the bound on Spark 4) with a 2-arg fallback."""
-    lev = F.levenshtein("_t1", "_t2", d)
+    JVM; returns -1 past the bound, Spark >= 3.5) with a real 2-arg
+    fallback for older runtimes (full distance, plain <= d filter)."""
+    try:
+        lev = F.levenshtein("_t1", "_t2", d)
+    except TypeError:  # pyspark < 3.5: no threshold argument
+        return (cands.withColumn("dist", F.levenshtein("_t1", "_t2"))
+                .filter(F.col("dist") <= d))
     return (cands.withColumn("dist", lev)
             .filter((F.col("dist") >= 0) & (F.col("dist") <= d)))
 
