@@ -93,3 +93,32 @@ def test_dsir_sample_gumbel_topk(spark, corpora):
     # k >= corpus: everything selected
     assert dsir_sample(docs, target, "doc_id", "text", k=n + 5,
                        n_buckets=B).count() == n
+
+
+def test_dsir_sample_quantized_weights_reuse_python_mirror(spark, corpora):
+    """r7: quantize=6 + a precomputed weights= frame — the selected set
+    must equal a pure-Python replica of the deterministic Gumbel top-k
+    (hash_bucket noise, 6-dp rounded key, id tie-break), and the weights
+    short-circuit must not change the selection."""
+    docs, target = corpora
+    w = dsir_log_weights(docs, target, "doc_id", "text", n_buckets=B,
+                         alpha=ALPHA, portable=True).persist()
+    out = dsir_sample(docs, None, "doc_id", "text", k=25, seed=42,
+                      quantize=6, weights=w)
+    got = sorted(r["doc_id"] for r in out.collect())
+
+    # python mirror of the selection over the engine's own log weights
+    lw = {r["doc_id"]: r["log_weight"] for r in w.collect()}
+
+    def key(i):
+        hb = ((i % 1_000_000 + 42) * 2654435761) % 1_000_000
+        u = (hb + 0.5) / 1_000_000.0
+        return round(lw[i] - math.log(-math.log(u)), 6)
+
+    want = sorted(sorted(lw, key=lambda i: (-key(i), i))[:25])
+    assert got == want and len(got) == 25
+    # same selection when weights are recomputed internally
+    full = dsir_sample(docs, target, "doc_id", "text", k=25, n_buckets=B,
+                       alpha=ALPHA, seed=42, quantize=6, portable=True)
+    assert sorted(r["doc_id"] for r in full.collect()) == want
+    w.unpersist()

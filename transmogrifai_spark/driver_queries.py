@@ -949,20 +949,33 @@ def q_corpus_mixture(spark, sf_dir):
     # both corpus distributions, the smoothing arithmetic (explicit DOUBLE
     # casts — DuckDB numeric literals are DECIMAL), ln at 6dp, and the
     # exact decimal fold (a=doc_id, b=n_feats, d=log_weight).
-    from .llm.dsir import dsir_log_weights
+    from .llm.dsir import dsir_log_weights, dsir_sample
     dsw = dsir_log_weights(docs, docs.where(F.col("lang") == "en"),
                            "doc_id", "text", n_buckets=512, alpha=1.0,
-                           portable=True)
+                           portable=True).persist()
     dsir_rows = docs.select("doc_id", "lang").join(dsw, "doc_id").select(
         F.lit("dsir").alias("part"), "lang",
         F.col("doc_id").cast("long").alias("a"),
         F.col("n_feats").cast("long").alias("b"),
         F.lit(None).cast("long").alias("c"),
         (F.col("log_weight") + F.lit(0.0)).alias("d"))
+    # part='dsirtop' (r7): the full select-by-distribution-match path —
+    # Gumbel top-k WITHOUT replacement over exp(log_weight), noise from
+    # the id hash (u = (hash_bucket+0.5)/1e6, key = lw - ln(-ln(u))),
+    # quantize=6 + id tie-break makes the selected SET engine-portable.
+    # The oracle replicates hash, Gumbel transform, 6-dp round, ordering.
+    dsirtop_rows = dsir_sample(docs, None, "doc_id", "text", k=40,
+                               seed=42, quantize=6, weights=dsw).select(
+        F.lit("dsirtop").alias("part"), "lang",
+        F.col("doc_id").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        (F.col("log_weight") + F.lit(0.0)).alias("d"))
     return (mix_rows.unionByName(strat_rows).unionByName(budget_rows)
             .unionByName(pack_rows).unionByName(chunk_rows)
             .unionByName(repeat_rows).unionByName(shard_rows)
-            .unionByName(bm25_rows).unionByName(dsir_rows))
+            .unionByName(bm25_rows).unionByName(dsir_rows)
+            .unionByName(dsirtop_rows))
 
 
 def q_text_quality(spark, sf_dir):
@@ -3241,6 +3254,82 @@ SELECT 'shard', lang, CAST(doc_id AS BIGINT),
 FROM (SELECT doc_id, lang,
              ((doc_id % 1000000 + 42) * 2654435761) % 1000000 AS hb
       FROM documents)
+"""
+
+# dsir + dsirtop: llm/dsir.py replica (Xie et al., NeurIPS 2023), portable
+# mode. Rebuilds the hashed unigram+bigram buckets (portable md5-prefix
+# hash % 512, WITH multiplicity), both corpus bucket distributions
+# (raw = all documents, target = lang='en'), Laplace smoothing with
+# explicit DOUBLE casts (DuckDB numeric literals are DECIMAL), ln rounded
+# 6dp AT THE TABLE, per-doc DECIMAL(18,6)-exact fold — and, for dsirtop,
+# the deterministic Gumbel top-k: u = (hash_bucket(id,42)+0.5)/1e6,
+# key = round(lw - ln(-ln(u)), 6), ORDER BY key DESC, id — k=40.
+ORACLES["corpus_mixture"] += """
+UNION ALL
+SELECT part, lang, a, b, c, d FROM (
+  WITH dtok AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                       t -> t <> '') AS w
+    FROM documents
+  ), dfeat AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS bucket
+    FROM (
+      SELECT doc_id, unnest(list_concat(
+               w,
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(generate_series(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i + 1])
+                    ELSE []::VARCHAR[] END)) AS g
+      FROM dtok)
+  ), dlang AS (SELECT doc_id, lang FROM documents
+  ), ragg AS (SELECT bucket, count(*) AS rc FROM dfeat GROUP BY bucket
+  ), rtot AS (SELECT count(*) AS rt FROM dfeat
+  ), tagg AS (SELECT bucket, count(*) AS tc FROM dfeat
+              JOIN dlang USING (doc_id) WHERE lang = 'en' GROUP BY bucket
+  ), ttot AS (SELECT count(*) AS tt FROM dfeat
+              JOIN dlang USING (doc_id) WHERE lang = 'en'
+  ), ltab AS (
+    SELECT b.bucket,
+           round(ln(
+             ((CAST(COALESCE(tc, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              / (CAST(tt AS DOUBLE) + CAST(512.0 AS DOUBLE)))
+             / ((CAST(COALESCE(rc, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                / (CAST(rt AS DOUBLE) + CAST(512.0 AS DOUBLE)))
+           ), 6) AS lr
+    FROM (SELECT unnest(generate_series(0, 511)) AS bucket) b
+    LEFT JOIN ragg USING (bucket) LEFT JOIN tagg USING (bucket)
+    CROSS JOIN rtot CROSS JOIN ttot
+  ), dw AS (
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(f.n_feats, 0) AS BIGINT) AS n_feats,
+           COALESCE(f.lw, CAST(0.0 AS DOUBLE)) AS lw
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, count(*) AS n_feats,
+             CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS lw
+      FROM dfeat JOIN ltab USING (bucket)
+      GROUP BY doc_id
+    ) f USING (doc_id)
+  ), gk AS (
+    SELECT doc_id, lang, lw,
+           round(lw - ln(-ln(
+             (CAST(((doc_id % 1000000 + 42) * 2654435761) % 1000000
+                   AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000.0 AS DOUBLE))), 6) AS k6
+    FROM dw
+  )
+  SELECT 'dsir' AS part, lang, CAST(doc_id AS BIGINT) AS a,
+         n_feats AS b, CAST(NULL AS BIGINT) AS c, lw AS d
+  FROM dw
+  UNION ALL
+  SELECT 'dsirtop', lang, CAST(doc_id AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), lw
+  FROM (SELECT doc_id, lang, lw,
+               row_number() OVER (ORDER BY k6 DESC, doc_id) AS rn
+        FROM gk)
+  WHERE rn <= 40
+)
 """
 
 ORACLES["similarity_topk"] = """

@@ -147,18 +147,28 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame, id_col: str,
 def dsir_sample(raw: DataFrame, target: DataFrame, id_col: str,
                 text_col: str, k: int, n_buckets: int = 10_000,
                 max_n: int = 2, alpha: float = 1.0, seed: int = 42,
-                portable: bool = False) -> DataFrame:
+                portable: bool = False, quantize: int | None = None,
+                weights: DataFrame | None = None) -> DataFrame:
     """Select ``k`` raw documents ∝ exp(log_weight) WITHOUT replacement
     via Gumbel top-k: key = log_weight + Gumbel(0,1) where the Gumbel
     noise comes from the deterministic id hash (``-ln(-ln(u))``,
     u = (hash+0.5)/MOD) — reproducible on any layout, no rand(). Returns
-    the selected rows of ``raw`` (all columns) plus ``log_weight``."""
+    the selected rows of ``raw`` (all columns) plus ``log_weight``.
+
+    ``quantize`` rounds the selection key to that many decimals before the
+    top-k (ties broken by id) — the BM25 determinism contract: the double
+    ``log_weight - ln(-ln(u))`` is libm math, and 6-dp rounding makes the
+    selected SET engine-portable/SQL-replicable. ``weights`` short-circuits
+    the log-weight computation (pass a precomputed ``dsir_log_weights``
+    frame to score once and sample several k's / seeds)."""
     from .curation import hash_bucket
-    w = dsir_log_weights(raw, target, id_col, text_col, n_buckets, max_n,
-                         alpha, portable)
+    w = weights if weights is not None else dsir_log_weights(
+        raw, target, id_col, text_col, n_buckets, max_n, alpha, portable)
     u = (hash_bucket(F.col(id_col), seed) + F.lit(0.5)) / F.lit(float(_MOD))
-    key = (F.col("log_weight") - F.log(-F.log(u))).alias("_gumbel_key")
-    chosen = (w.select(id_col, "log_weight", key)
+    key = F.col("log_weight") - F.log(-F.log(u))
+    if quantize is not None:
+        key = F.round(key, quantize)
+    chosen = (w.select(id_col, "log_weight", key.alias("_gumbel_key"))
               .orderBy(F.col("_gumbel_key").desc(), F.col(id_col))
               .limit(k)
               .drop("_gumbel_key"))
