@@ -89,29 +89,18 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
-def q_join_inner_agg(spark, sf_dir):
-    """Inner equi-join (JoinedReader, JoinTypes.Inner) + segment rollup —
-    ROUTED THROUGH sources/joins.skew_join since round 5: three explicit
-    hot keys take the broadcast branch, the rest sort-merge, and the
-    union must be hash-identical to the plain inner join the oracle
-    computes. This gates the skew-routing machinery (key-set split,
-    branch joins, exact union) with driver evidence, not just the
-    skew == plain law test."""
-    from .sources.joins import skew_join
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders") \
-        .withColumnRenamed("o_custkey", "c_custkey")
-    joined = skew_join(cust, orders, "c_custkey", how="inner",
-                       hot=[{"c_custkey": k} for k in (1, 7, 42)])
-    return (joined
-            .groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 agg_sum_exact(F.col("o_totalprice")).alias("total_price"),
-                 F.max("o_totalprice").alias("max_price")))
-
-
 def q_join_left_agg(spark, sf_dir):
-    """LeftOuter join + per-key monoid aggregation (JoinedAggregateDataReader)."""
+    """Join-family carrier (merged r7 — the old join_inner_agg row's slot
+    was freed for retrieval_indexed; its evidence lives on here).
+
+    part='left': LeftOuter join + per-key monoid aggregation
+    (JoinedAggregateDataReader) — one row per customer.
+    part='inner': inner equi-join (JoinedReader, JoinTypes.Inner) +
+    segment rollup, ROUTED THROUGH sources/joins.skew_join: three
+    explicit hot keys take the broadcast branch, the rest sort-merge,
+    and the union must be hash-identical to the plain inner join the
+    oracle computes — gating the skew-routing machinery (key-set split,
+    branch joins, exact union) with driver evidence."""
     jr = JoinedReader(left=DataReader(path=f"{sf_dir}/customer.parquet"),
                       right=DataReader(path=f"{sf_dir}/orders.parquet"),
                       left_key="c_custkey", right_key="o_custkey", join_type="left")
@@ -122,7 +111,24 @@ def q_join_left_agg(spark, sf_dir):
             AggSpec("total_spend", "o_totalprice", "sum_exact"),
             AggSpec("max_order", "o_totalprice", "max"),
         ])
-    return ja.generate(spark)
+    left = ja.generate(spark).select(
+        F.lit("left").alias("part"), "key", "n_orders", "total_spend",
+        "max_order")
+    from .sources.joins import skew_join
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders") \
+        .withColumnRenamed("o_custkey", "c_custkey")
+    joined = skew_join(cust, orders, "c_custkey", how="inner",
+                       hot=[{"c_custkey": k} for k in (1, 7, 42)])
+    inner = (joined
+             .groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  agg_sum_exact(F.col("o_totalprice")).alias("total_spend"),
+                  F.max("o_totalprice").alias("max_order"))
+             .select(F.lit("inner").alias("part"),
+                     F.col("c_mktsegment").alias("key"),
+                     "n_orders", "total_spend", "max_order"))
+    return left.unionByName(inner)
 
 
 def q_join_outer_combined(spark, sf_dir):
@@ -842,30 +848,14 @@ def q_corpus_mixture(spark, sf_dir):
     floor/threshold rule and the epoch expansion exactly (a=doc_id,
     b=epoch, c=n_epochs, d=repeat_factor).
 
-    part='shard' (r6): deterministic training-shard export
-    (sources/shard_export.py) — documents written as 8 hash-assigned,
-    rank-ordered parquet shards and READ BACK from disk, so the persisted
-    layout (partitionBy dirs, rank-sorted files) is what produces the
-    values; the oracle replicates shard = hash(id) mod 8 and the
-    (hash, id) intra-shard row_number exactly (a=doc_id, b=shard,
-    c=rank).
-
-    part='bm25' (r6): BM25 top-5 retrieval through the PERSISTED
-    inverted index (llm/retrieval.py) — built over the even-id half,
-    odd half APPENDED as batch 1, so df/N/avgdl assembly across batch
-    subdirectories and the shard-pruned probe are what produce the
-    values. Quantized scoring mode (per-term 6dp -> DECIMAL(18,6) sum)
-    makes scores exact and order-independent; the oracle replicates
-    tokenize/postings/df/idf/score op-for-op (lang=query id, a=doc_id,
-    b=rank, d=score)."""
-    import tempfile
-
+    r7: the shard / bm25 / dsir / dsirtop arms moved to the dedicated
+    retrieval_indexed row (q_retrieval_indexed) — this row now carries
+    only the six curation-sampler surfaces, capping the blast radius of
+    any one unfinished arm."""
     from .llm.curation import (chunk_documents, domain_reweight, mix_corpora,
                                pack_sequences, stratified_fixed_sample,
                                token_budget_sample)
     from .llm.decontam import contamination_report
-    from .llm.retrieval import append_bm25_index, bm25_topk_indexed, \
-        build_bm25_index
     from .operators.sketches import kmv_estimate, kmv_partial
     docs = _t(spark, sf_dir, "documents")
     eval_df = docs.where(F.col("doc_id") % 10 == 0)
@@ -910,7 +900,61 @@ def q_corpus_mixture(spark, sf_dir):
         F.col("chunk_id").cast("long").alias("b"),
         F.col("n_chunk_tokens").cast("long").alias("c"),
         F.lit(None).cast("double").alias("d"))
+    repeat_rows = domain_reweight(docs, "doc_id", "lang", RW_SHARES,
+                                  scale=RW_SCALE).select(
+        F.lit("repeat").alias("part"), "lang",
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("epoch").cast("long").alias("b"),
+        F.col("n_epochs").cast("long").alias("c"),
+        F.col("repeat_factor").cast("double").alias("d"))
+    return (mix_rows.unionByName(strat_rows).unionByName(budget_rows)
+            .unionByName(pack_rows).unionByName(chunk_rows)
+            .unionByName(repeat_rows))
+
+
+def q_retrieval_indexed(spark, sf_dir):
+    """Persisted-index retrieval + data-selection carrier (split out of
+    corpus_mixture in r7 — VERDICT r6 flagged ten surfaces riding one
+    hash; this row now owns the four index/selection arms, columns
+    (part, lang, a, b, c, d) as before).
+
+    part='shard': deterministic training-shard export
+    (sources/shard_export.py) — documents written as 8 hash-assigned,
+    rank-ordered parquet shards and READ BACK from disk, so the persisted
+    layout (partitionBy dirs, rank-sorted files) is what produces the
+    values; the oracle replicates shard = hash(id) mod 8 and the
+    (hash, id) intra-shard row_number exactly (a=doc_id, b=shard,
+    c=rank).
+
+    part='bm25': BM25 top-5 retrieval through the PERSISTED inverted
+    index (llm/retrieval.py) — built over the even-id half, odd half
+    APPENDED as batch 1, so df/N/avgdl assembly across batch
+    subdirectories and the shard-pruned probe are what produce the
+    values. Quantized scoring mode (per-term 6dp -> DECIMAL(18,6) sum)
+    makes scores exact and order-independent; the oracle replicates
+    tokenize/postings/df/idf/score op-for-op (lang=query id, a=doc_id,
+    b=rank, d=score).
+
+    part='dsir': Data Selection via Importance Resampling (llm/dsir) —
+    hashed unigram+bigram buckets (512, portable md5), Laplace-smoothed
+    target(en)/raw log ratios rounded 6dp at the table, per-doc
+    DECIMAL(18,6)-summed log weights. The oracle rebuilds the features,
+    both corpus distributions, the smoothing arithmetic (explicit DOUBLE
+    casts — DuckDB numeric literals are DECIMAL), ln at 6dp, and the
+    exact decimal fold (a=doc_id, b=n_feats, d=log_weight).
+
+    part='dsirtop': the full select-by-distribution-match path — Gumbel
+    top-k WITHOUT replacement over exp(log_weight), noise from the id
+    hash (u = (hash_bucket+0.5)/1e6, key = lw - ln(-ln(u))), quantize=6
+    + id tie-break makes the selected SET engine-portable. The oracle
+    replicates hash, Gumbel transform, 6-dp round, and ordering."""
+    import tempfile
+
+    from .llm.dsir import dsir_log_weights, dsir_sample
+    from .llm.retrieval import append_bm25_index, bm25_topk_indexed, \
+        build_bm25_index
     from .sources.shard_export import export_shards, read_shards
+    docs = _t(spark, sf_dir, "documents")
     shard_dir = tempfile.mkdtemp(prefix="shard_gate_")
     export_shards(docs, "doc_id", shard_dir, n_shards=8, token_col="n_chars")
     shard_rows = read_shards(spark, shard_dir).select(
@@ -919,13 +963,6 @@ def q_corpus_mixture(spark, sf_dir):
         F.col("_shard").cast("long").alias("b"),
         F.col("_rank").cast("long").alias("c"),
         F.lit(None).cast("double").alias("d"))
-    repeat_rows = domain_reweight(docs, "doc_id", "lang", RW_SHARES,
-                                  scale=RW_SCALE).select(
-        F.lit("repeat").alias("part"), "lang",
-        F.col("doc_id").cast("long").alias("a"),
-        F.col("epoch").cast("long").alias("b"),
-        F.col("n_epochs").cast("long").alias("c"),
-        F.col("repeat_factor").cast("double").alias("d"))
     bq = docs.where(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("qid"),
         F.substring("text", 1, 120).alias("qtext"))
@@ -942,14 +979,6 @@ def q_corpus_mixture(spark, sf_dir):
         F.col("rank").cast("long").alias("b"),
         F.lit(None).cast("long").alias("c"),
         (F.col("score") + F.lit(0.0)).alias("d"))
-    # part='dsir' (r6): Data Selection via Importance Resampling (llm/dsir)
-    # — hashed unigram+bigram buckets (512, portable md5), Laplace-smoothed
-    # target(en)/raw log ratios rounded 6dp at the table, per-doc
-    # DECIMAL(18,6)-summed log weights. The oracle rebuilds the features,
-    # both corpus distributions, the smoothing arithmetic (explicit DOUBLE
-    # casts — DuckDB numeric literals are DECIMAL), ln at 6dp, and the
-    # exact decimal fold (a=doc_id, b=n_feats, d=log_weight).
-    from .llm.dsir import dsir_log_weights, dsir_sample
     dsw = dsir_log_weights(docs, docs.where(F.col("lang") == "en"),
                            "doc_id", "text", n_buckets=512, alpha=1.0,
                            portable=True).persist()
@@ -959,11 +988,6 @@ def q_corpus_mixture(spark, sf_dir):
         F.col("n_feats").cast("long").alias("b"),
         F.lit(None).cast("long").alias("c"),
         (F.col("log_weight") + F.lit(0.0)).alias("d"))
-    # part='dsirtop' (r7): the full select-by-distribution-match path —
-    # Gumbel top-k WITHOUT replacement over exp(log_weight), noise from
-    # the id hash (u = (hash_bucket+0.5)/1e6, key = lw - ln(-ln(u))),
-    # quantize=6 + id tie-break makes the selected SET engine-portable.
-    # The oracle replicates hash, Gumbel transform, 6-dp round, ordering.
     dsirtop_rows = dsir_sample(docs, None, "doc_id", "text", k=40,
                                seed=42, quantize=6, weights=dsw).select(
         F.lit("dsirtop").alias("part"), "lang",
@@ -971,10 +995,7 @@ def q_corpus_mixture(spark, sf_dir):
         F.lit(None).cast("long").alias("b"),
         F.lit(None).cast("long").alias("c"),
         (F.col("log_weight") + F.lit(0.0)).alias("d"))
-    return (mix_rows.unionByName(strat_rows).unionByName(budget_rows)
-            .unionByName(pack_rows).unionByName(chunk_rows)
-            .unionByName(repeat_rows).unionByName(shard_rows)
-            .unionByName(bm25_rows).unionByName(dsir_rows)
+    return (shard_rows.unionByName(bm25_rows).unionByName(dsir_rows)
             .unionByName(dsirtop_rows))
 
 
@@ -1902,22 +1923,20 @@ FROM lineitem WHERE l_quantity <= 49
 GROUP BY l_returnflag, l_linestatus
 """
 
-ORACLES["join_inner_agg"] = f"""
-SELECT c_mktsegment,
-       count(*) AS n_orders,
-       {_sum('o_totalprice')} AS total_price,
-       max(o_totalprice) AS max_price
-FROM customer JOIN orders ON c_custkey = o_custkey
-GROUP BY c_mktsegment
-"""
-
 ORACLES["join_left_agg"] = f"""
-SELECT CAST(c_custkey AS VARCHAR) AS key,
+SELECT 'left' AS part, CAST(c_custkey AS VARCHAR) AS key,
        CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS BIGINT) AS n_orders,
        {_sum('o_totalprice')} AS total_spend,
        max(o_totalprice) AS max_order
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
+UNION ALL
+SELECT 'inner', c_mktsegment,
+       count(*),
+       {_sum('o_totalprice')},
+       max(o_totalprice)
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
 """
 
 ORACLES["join_outer_combined"] = f"""
@@ -3164,9 +3183,13 @@ SELECT 'chunk', md5(array_to_string(toks[s+1:s+32], ' ')),
        CAST(doc_id AS BIGINT), CAST(s // 24 AS BIGINT),
        CAST(least(s + 32, n) - s AS BIGINT), CAST(NULL AS DOUBLE)
 FROM chk WHERE s = 0 OR s - 24 + 32 < n
-UNION ALL
-SELECT 'bm25', CAST(qid AS VARCHAR), CAST(doc_id AS BIGINT),
-       CAST(rank AS BIGINT), CAST(NULL AS BIGINT), CAST(score AS DOUBLE)
+"""
+
+ORACLES["retrieval_indexed"] = """
+SELECT 'bm25' AS part, CAST(qid AS VARCHAR) AS lang,
+       CAST(doc_id AS BIGINT) AS a,
+       CAST(rank AS BIGINT) AS b, CAST(NULL AS BIGINT) AS c,
+       CAST(score AS DOUBLE) AS d
 FROM (
   WITH btoks AS (
     SELECT doc_id,
@@ -3243,9 +3266,12 @@ FROM (
               THEN 1 ELSE 0 END AS n_ep
   FROM rwr
 )
+"""
+
+# shard: deterministic shard assignment + intra-shard order (the Spark
+# side reads these back from the written parquet shard layout)
+ORACLES["retrieval_indexed"] += """
 UNION ALL
--- shard: deterministic shard assignment + intra-shard order (the Spark
--- side reads these back from the written parquet shard layout)
 SELECT 'shard', lang, CAST(doc_id AS BIGINT),
        CAST(hb % 8 AS BIGINT),
        CAST(row_number() OVER (PARTITION BY hb % 8
@@ -3264,7 +3290,7 @@ FROM (SELECT doc_id, lang,
 # 6dp AT THE TABLE, per-doc DECIMAL(18,6)-exact fold — and, for dsirtop,
 # the deterministic Gumbel top-k: u = (hash_bucket(id,42)+0.5)/1e6,
 # key = round(lw - ln(-ln(u)), 6), ORDER BY key DESC, id — k=40.
-ORACLES["corpus_mixture"] += """
+ORACLES["retrieval_indexed"] += """
 UNION ALL
 SELECT part, lang, a, b, c, d FROM (
   WITH dtok AS (
@@ -3821,7 +3847,6 @@ FROM scored
 SPARK_QUERIES = {
     "scan_pushdown": q_scan_pushdown,
     "pricing_summary": q_pricing_summary,
-    "join_inner_agg": q_join_inner_agg,
     "join_left_agg": q_join_left_agg,
     "join_outer_combined": q_join_outer_combined,
     "multiway_broadcast": q_multiway_broadcast,
@@ -3862,6 +3887,7 @@ SPARK_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "corpus_mixture": q_corpus_mixture,
+    "retrieval_indexed": q_retrieval_indexed,
     "text_quality": q_text_quality,
     "similarity_topk": q_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,
