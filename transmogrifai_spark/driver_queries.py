@@ -1087,8 +1087,48 @@ def q_text_quality(spark, sf_dir):
                                          .alias("lang_auth"))),
                 "lang", "left")
           .select("doc_id", "src_hub", "lang_auth"))
+
+    # WARC gate (r7): the ISO 28500 datasource round-trip. Documents are
+    # WRITTEN as WARC through the distributed writer in BOTH layouts
+    # (plain .warc + per-record-gzip .warc.gz, the CommonCrawl form), then
+    # READ BACK — ~32 KB byte-range splits force several splits per plain
+    # file, so the boundary-scan resync path is in the gate — and each
+    # payload is re-hashed. Per doc: n_warc must be 2 (one record per
+    # layout), n_warc_md5 1, warc_md5 == md5(text) iff every body
+    # survived byte-exact, warc_status_sum == 400 (the HTTP response
+    # layer parsed on both copies). The oracle computes the expected
+    # values from the table (DuckDB md5 hashes the same UTF-8 bytes).
+    import tempfile
+
+    from .sources.warc import read_warc, register_warc
+    register_warc(spark)
+    wrecs = docs.select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("https://warc.example.com/"),
+                 F.col("doc_id").cast("string")).alias("target_uri"),
+        F.lit(200).alias("http_status"),
+        F.lit("text/plain").alias("http_content_type"),
+        F.encode(F.col("text"), "UTF-8").alias("body")).repartition(4)
+    wp = tempfile.mkdtemp(prefix="warc_gate_plain_")
+    wg = tempfile.mkdtemp(prefix="warc_gate_gz_")
+    wrecs.write.format("warc").option("path", wp) \
+        .option("compression", "none").mode("overwrite").save()
+    wrecs.write.format("warc").option("path", wg) \
+        .option("compression", "gzip").mode("overwrite").save()
+    rb = read_warc(spark, wp, split_mb=0.03) \
+        .unionByName(read_warc(spark, wg))
+    warc = (rb.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.col("http_status").cast("long").alias("_st"),
+        F.md5("body").alias("_bmd5"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_warc"),
+             F.countDistinct("_bmd5").cast("long").alias("n_warc_md5"),
+             F.min("_bmd5").alias("warc_md5"),
+             F.sum("_st").cast("long").alias("warc_status_sum")))
     return (base.join(fp, "doc_id").join(wb, "doc_id").join(lg, "doc_id")
-            .join(hx, "doc_id"))
+            .join(hx, "doc_id").join(warc, "doc_id"))
 
 
 # deterministic fixtures for the web-preprocessing gate: an HTML envelope
@@ -2917,7 +2957,9 @@ SELECT doc_id, CAST(ln AS BIGINT) AS n_chars, n_tokens, n_tokens_bpe, mean_token
             ELSE 'fr' END AS lang_guess,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
        n_winnow_fp, w.canon_url, w.url_dom, w.web_md5, w.n_blocks, w.n_kept,
-       g.n_links, g.hub_rank, x.src_hub, x.lang_auth
+       g.n_links, g.hub_rank, x.src_hub, x.lang_auth,
+       CAST(2 AS BIGINT) AS n_warc, CAST(1 AS BIGINT) AS n_warc_md5,
+       md5(m.text) AS warc_md5, CAST(400 AS BIGINT) AS warc_status_sum
 FROM m JOIN web w USING (doc_id) JOIN lg g USING (doc_id)
        JOIN hx x USING (doc_id)
 """.replace("{web_cte}", _web_cte_sql()) \
