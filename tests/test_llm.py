@@ -1469,3 +1469,77 @@ def test_simhash_incremental_replay_self_exclusion(spark, tmp_path, sf_dir):
                    simhash_near_dup_pairs(b, "doc_id", "text").collect()}
     bb = {pr for pr in replay if pr[0] in bids and pr[1] in bids}
     assert bb <= want_within
+
+
+def test_semantic_dedup_explicit_centroids_portable(spark, sf_dir):
+    """r7: centroids= skips the KMeans fit — assignment must be the pure
+    nearest-centroid (squared euclidean) rule, and with quantize=6 the
+    whole pipeline matches a python replica (cells, pairs, components,
+    edge survivors)."""
+    import math as _math
+
+    from transmogrifai_spark.llm.dedup import (duplicate_clusters,
+                                               semantic_dedup,
+                                               semantic_dedup_pairs)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .where(F.col("vec_id") < 200)
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    cents = [rows[0], rows[1]]
+    pairs, assigned = semantic_dedup_pairs(emb, "vec_id", "embedding",
+                                           eps=0.35, centroids=cents)
+
+    def d2(v, c):
+        return sum((x - y) * (x - y) for x, y in zip(v, c))
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(x * x for x in b))
+        return 0.0 if na * nb == 0 else dot / (na * nb)
+
+    want_cell = {i: (0 if d2(v, cents[0]) <= d2(v, cents[1]) else 1)
+                 for i, v in rows.items()}
+    got_cell = {r["id"]: r["_cell"] for r in assigned.collect()}
+    assert got_cell == want_cell
+
+    want_pairs = {(i, j) for i in rows for j in rows
+                  if i < j and want_cell[i] == want_cell[j]
+                  and cos(rows[i], rows[j]) >= 0.35}
+    got_pairs = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert got_pairs == want_pairs and want_pairs
+
+    # components: min reachable id (python union-find)
+    parent = {i: i for i in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in want_pairs:
+        parent[find(i)] = find(j)
+    comp = {}
+    for i in rows:
+        comp.setdefault(find(i), []).append(i)
+    clustered = {i for c in comp.values() if len(c) > 1 for i in c}
+    labels = {i: min(comp[find(i)]) for i in clustered}
+    got_clu = {r["doc"]: r["cluster_id"]
+               for r in duplicate_clusters(pairs).collect()}
+    assert got_clu == labels
+
+    # edge survivors under quantize=6: lowest rounded centroid-cosine,
+    # ties min id, per cluster — plus every unclustered doc
+    kept = {r["vec_id"] for r in
+            semantic_dedup(emb, "vec_id", "embedding", eps=0.35,
+                           centroids=cents, quantize=6).collect()}
+    survivors = set(rows) - clustered
+    for members in comp.values():
+        if len(members) > 1:
+            survivors.add(min(
+                members,
+                key=lambda i: (round(cos(rows[i], cents[want_cell[i]]), 6),
+                               i)))
+    assert kept == survivors

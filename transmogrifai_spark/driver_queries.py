@@ -947,10 +947,18 @@ def q_retrieval_indexed(spark, sf_dir):
     top-k WITHOUT replacement over exp(log_weight), noise from the id
     hash (u = (hash_bucket+0.5)/1e6, key = lw - ln(-ln(u))), quantize=6
     + id tie-break makes the selected SET engine-portable. The oracle
-    replicates hash, Gumbel transform, 6-dp round, and ordering."""
+    replicates hash, Gumbel transform, 6-dp round, and ordering.
+
+    part='pareto' (r7): GPT-3's quality re-sampling keep rule
+    (llm/quality_classifier.pareto_keep_expr) — keep iff
+    u^(-1/alpha) - 1 > 1 - score with u = (hash_bucket(id,42)+1)/1e6,
+    alpha=9, over a deterministic score grid s = (doc_id % 100)/100.
+    The oracle replicates hash, inverse-CDF Pareto draw, and the
+    comparison; the kept id SET is the evidence (a=doc_id, d=score)."""
     import tempfile
 
     from .llm.dsir import dsir_log_weights, dsir_sample
+    from .llm.quality_classifier import pareto_quality_sample
     from .llm.retrieval import append_bm25_index, bm25_topk_indexed, \
         build_bm25_index
     from .sources.shard_export import export_shards, read_shards
@@ -995,8 +1003,18 @@ def q_retrieval_indexed(spark, sf_dir):
         F.lit(None).cast("long").alias("b"),
         F.lit(None).cast("long").alias("c"),
         (F.col("log_weight") + F.lit(0.0)).alias("d"))
+    scored = docs.select("doc_id", "lang",
+                         ((F.col("doc_id") % 100) / F.lit(100.0))
+                         .alias("q"))
+    pareto_rows = pareto_quality_sample(scored, "doc_id", "q",
+                                        alpha=9.0, seed=42).select(
+        F.lit("pareto").alias("part"), "lang",
+        F.col("doc_id").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        (F.col("q") + F.lit(0.0)).alias("d"))
     return (shard_rows.unionByName(bm25_rows).unionByName(dsir_rows)
-            .unionByName(dsirtop_rows))
+            .unionByName(dsirtop_rows).unionByName(pareto_rows))
 
 
 def q_text_quality(spark, sf_dir):
@@ -1628,14 +1646,54 @@ def q_loco_insights(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets (the
-    scale path: bucket equi-join, never all-pairs; portable "signs" planes so
-    the oracle reproduces the buckets exactly). id1<id2."""
+    """Embedding near-dup carrier (merged r7, columns part/a/b/d).
+
+    part='lsh': cosine near-dup pairs via hyperplane-LSH buckets (the
+    scale path: bucket equi-join, never all-pairs; portable "signs"
+    planes so the oracle reproduces the buckets exactly); a=id1, b=id2
+    (id1<id2), d=cosine rounded 6dp.
+
+    part='semclu' / 'semkeep' (r7): SemDeDup (Abbas et al. 2023,
+    llm/dedup.semantic_dedup) oracle-gated end to end in its PORTABLE
+    form — explicit hash-chosen centroids (the embeddings of vec_id 0
+    and 1; a bounded 2-row collect), so cell assignment is the pure
+    nearest-centroid expression, within-cell cosine pairs at eps=0.35,
+    connected components (min reachable id), and the paper's 'edge'
+    survivor rule under quantize=6 (lowest 6dp centroid-cosine, ties min
+    id). The oracle replicates assignment, pair mining, a recursive-CTE
+    transitive closure, and the survivor ranking: semclu rows carry
+    every clustered doc (a=doc, b=cluster_id, d=centroid_sim 6dp);
+    semkeep rows carry the surviving ids (dup-group reps + untouched
+    docs)."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding",
                                                dim=64, threshold=0.35)
-    return pairs.select("id1", "id2",
-                        (F.round(F.col("cosine"), 6) + F.lit(0.0)).alias("cosine6"))
+    lsh_rows = pairs.select(
+        F.lit("lsh").alias("part"),
+        F.col("id1").cast("long").alias("a"),
+        F.col("id2").cast("long").alias("b"),
+        (F.round(F.col("cosine"), 6) + F.lit(0.0)).alias("d"))
+    ctr_rows = emb.where(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in ctr_rows]
+    spairs, assigned = dedup.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", eps=0.35, centroids=centroids)
+    clusters = dedup.duplicate_clusters(spairs)
+    semclu_rows = (clusters
+                   .join(assigned.select(F.col("id").alias("doc"),
+                                         "centroid_sim"), "doc")
+                   .select(F.lit("semclu").alias("part"),
+                           F.col("doc").cast("long").alias("a"),
+                           F.col("cluster_id").cast("long").alias("b"),
+                           (F.round("centroid_sim", 6) + F.lit(0.0))
+                           .alias("d")))
+    kept = dedup.semantic_dedup(emb, "vec_id", "embedding", eps=0.35,
+                                centroids=centroids, quantize=6)
+    semkeep_rows = kept.select(
+        F.lit("semkeep").alias("part"),
+        F.col("vec_id").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("d"))
+    return lsh_rows.unionByName(semclu_rows).unionByName(semkeep_rows)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -2996,7 +3054,8 @@ _ND_BANDS = " ".join(
     for b in range(4))
 
 ORACLES["embedding_near_dup"] = f"""
-WITH cb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH RECURSIVE
+cb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 banded AS (
   SELECT vec_id, v, b, CASE b {_ND_BANDS} END AS bucket
   FROM cb, range(0, 4) bands(b)
@@ -3005,11 +3064,65 @@ cand AS (
   SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
   FROM banded a JOIN banded b2
     ON a.b = b2.b AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+),
+-- SemDeDup portable replica: explicit centroids = embeddings of vec_id
+-- 0/1, nearest-centroid cell (squared euclidean, tie -> lower cell, the
+-- IVF probe rule), within-cell cosine pairs, transitive-closure
+-- components labeled by min reachable id, 'edge' survivor = lowest 6dp
+-- centroid-cosine then min id per cluster
+ctr AS (SELECT (SELECT v FROM cb WHERE vec_id = 0) AS c0,
+               (SELECT v FROM cb WHERE vec_id = 1) AS c1),
+asg AS (
+  SELECT vec_id, v,
+         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                     i -> (v[i] - c0[i]) * (v[i] - c0[i])))
+                   <= list_sum(list_transform(generate_series(1, 64),
+                     i -> (v[i] - c1[i]) * (v[i] - c1[i])))
+              THEN 0 ELSE 1 END AS cell
+  FROM cb CROSS JOIN ctr
+),
+csim AS (
+  SELECT a2.vec_id, a2.cell,
+         round(list_cosine_similarity(
+           a2.v, CASE WHEN a2.cell = 0 THEN ctr.c0 ELSE ctr.c1 END), 6)
+           + 0.0 AS sim6
+  FROM asg a2 CROSS JOIN ctr
+),
+sp AS (
+  SELECT x.vec_id AS id1, y.vec_id AS id2
+  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.v, y.v) >= 0.35
+),
+psym AS (SELECT id1 AS s, id2 AS t FROM sp
+         UNION SELECT id2, id1 FROM sp),
+reach AS (
+  SELECT s, t FROM psym
+  UNION
+  SELECT r.s, p.t FROM reach r JOIN psym p ON r.t = p.s
+),
+clu AS (SELECT s AS doc, least(s, min(t)) AS cluster_id
+        FROM reach GROUP BY s),
+ranked AS (
+  SELECT c.doc, c.cluster_id, m.sim6,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY m.sim6 ASC, c.doc ASC) AS rn
+  FROM clu c JOIN csim m ON m.vec_id = c.doc
 )
-SELECT id1, id2,
-       round(list_cosine_similarity(ca.v, cb2.v), 6) + 0.0 AS cosine6
+SELECT 'lsh' AS part, CAST(id1 AS BIGINT) AS a, CAST(id2 AS BIGINT) AS b,
+       round(list_cosine_similarity(ca.v, cb2.v), 6) + 0.0 AS d
 FROM cand JOIN cb ca ON ca.vec_id = id1 JOIN cb cb2 ON cb2.vec_id = id2
 WHERE list_cosine_similarity(ca.v, cb2.v) >= 0.35
+UNION ALL
+SELECT 'semclu', CAST(doc AS BIGINT), CAST(cluster_id AS BIGINT), sim6
+FROM ranked
+UNION ALL
+SELECT 'semkeep', CAST(vec_id AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM cb WHERE vec_id NOT IN (SELECT doc FROM clu)
+UNION ALL
+SELECT 'semkeep', CAST(doc AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM ranked WHERE rn = 1
 """
 
 ORACLES["dedup_minhash_lsh"] = f"""
@@ -3308,6 +3421,26 @@ FROM (
               THEN 1 ELSE 0 END AS n_ep
   FROM rwr
 )
+"""
+
+# pareto: the GPT-3 quality re-sampling keep rule, exact replica —
+# keep iff u^(-1/9) - 1 > 1 - s, u = (hash_bucket(id,42)+1)/1e6,
+# s = (doc_id % 100)/100. The exponent literal is repr(-1.0/9.0) so both
+# engines raise to the identical double.
+ORACLES["retrieval_indexed"] += f"""
+UNION ALL
+SELECT 'pareto', lang, CAST(doc_id AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       (CAST(doc_id % 100 AS DOUBLE) / CAST(100.0 AS DOUBLE))
+         + CAST(0.0 AS DOUBLE)
+FROM (SELECT doc_id, lang,
+             ((doc_id % 1000000 + 42) * 2654435761) % 1000000 AS hb
+      FROM documents)
+WHERE power((CAST(hb AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              / CAST(1000000.0 AS DOUBLE),
+            CAST({-1.0 / 9.0!r} AS DOUBLE)) - CAST(1.0 AS DOUBLE)
+      > CAST(1.0 AS DOUBLE)
+        - (CAST(doc_id % 100 AS DOUBLE) / CAST(100.0 AS DOUBLE))
 """
 
 # shard: deterministic shard assignment + intra-shard order (the Spark

@@ -337,27 +337,33 @@ def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
     the (symmetrized) edge list and takes the min neighbor label; stops when
     a round changes nothing. Rounds needed = graph diameter (near-dup
     clusters are shallow; the cap is a safety bound). Each round is one
-    shuffle join + one aggregation; labels/edges are persisted so rounds
-    don't recompute the pair mining."""
+    shuffle join + one aggregation. Edges and labels are CHECKPOINTED, not
+    just persisted: persist caches execution but the logical plan still
+    nests round k-1's plan inside round k's, so on deeper graphs (diameter
+    ~10+) the analyzed plan grows exponentially and the DRIVER dies in
+    plan analysis long before any executor works — classic iterative-Spark
+    failure, found when the SemDeDup gate OOMed an 8 GB driver on a
+    171-edge graph whose leaf plan carried 64-dim fold expressions.
+    ``localCheckpoint(eager=True)`` truncates lineage each round (on a
+    cluster, executor-local storage; the standard GraphX/connected-
+    components recipe)."""
     edges = (pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
              .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
-             .distinct().persist())
+             .distinct().localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("lbl", F.col("node")).persist())
+              .withColumn("lbl", F.col("node")).localCheckpoint(eager=True))
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("lbl").alias("nlbl")))
         new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
                       .select(F.col("node"),
                               F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
-                              .alias("lbl")).persist())
+                              .alias("lbl")).localCheckpoint(eager=True))
         changed = (new_labels.alias("n").join(labels.alias("o"), "node")
                    .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster_id"))
 
 
@@ -391,7 +397,8 @@ def select_cluster_representatives(docs: DataFrame, clusters: DataFrame,
 def semantic_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
                          n_clusters: int = 16, eps: float = 0.95,
                          seed: int = 42, fit_sample: float | None = None,
-                         max_cell: int | None = None):
+                         max_cell: int | None = None,
+                         centroids: list[list[float]] | None = None):
     """SemDeDup-style semantic duplicate mining (Abbas et al. 2023,
     arXiv:2303.09540): k-means coarse clusters over the embeddings, exact
     pairwise cosine WITHIN each cluster only — the clustering turns the
@@ -409,13 +416,25 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
     untouched) — conservative, never quadratic-blowup. At scale prefer
     raising n_clusters; the cap is the backstop.
 
+    ``centroids`` (r7) injects EXPLICIT centroid vectors and skips the
+    KMeans fit entirely — the paper's production shape (centroids come
+    from an external kmeans over a sample, e.g. faiss) and the oracle
+    gate's portable mode: assignment becomes a pure nearest-centroid
+    expression (squared euclidean, ties to the lower cell id — the IVF
+    probe rule), so the whole pipeline is SQL-replicable. Without it,
     KMeans is seeded Spark ML (deterministic per seed) but not
-    SQL-expressible — this operator is law-tested (n_clusters=1 equals
+    SQL-expressible — that form is law-tested (n_clusters=1 equals
     brute-force pairs; identical vectors always co-cluster) rather than
     oracle-gated."""
-    from .similarity import cosine_similarity, ivf_assignments
+    from .similarity import (_probe_cells, cosine_similarity,
+                             ivf_assignments)
 
-    if n_clusters == 1:
+    if centroids is not None:
+        assigned = ensure_parallelism(df).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+            F.element_at(_probe_cells(F.col(vec_col), centroids, 1), 1)
+            .alias("_cell"))
+    elif n_clusters == 1:
         # Spark ML KMeans requires k >= 2; one cluster is just the global
         # mean (used only for centroid_sim ranking — pair mining is the
         # full pairwise pass either way)
@@ -460,7 +479,9 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                    keep: str = "edge", quality_col: str | None = None,
                    fit_sample: float | None = None,
                    max_cell: int | None = None,
-                   caches: list | None = None) -> DataFrame:
+                   caches: list | None = None,
+                   centroids: list[list[float]] | None = None,
+                   quantize: int | None = None) -> DataFrame:
     """End-to-end semantic dedup: mine within-cluster cosine pairs, form
     duplicate groups (connected components), keep ONE doc per group:
 
@@ -476,12 +497,22 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     ``caches``, when given, collects the persisted assignment frame for
     the caller to unpersist once the result is materialized (the
     lsh_dedup_incremental contract); without it the cached frame lives
-    until session cleanup — fine for one-shot jobs, pass it in loops."""
+    until session cleanup — fine for one-shot jobs, pass it in loops.
+
+    ``centroids`` passes explicit centroid vectors through to
+    ``semantic_dedup_pairs`` (skips the KMeans fit). ``quantize`` rounds
+    ``centroid_sim`` to that many decimals before the 'edge' ranking
+    (ties then break by id) — the BM25 determinism contract: the cosine
+    is libm math, and 6-dp rounding makes the survivor CHOICE
+    engine-portable/SQL-replicable."""
     pairs, assigned = semantic_dedup_pairs(
         df, id_col, vec_col, n_clusters=n_clusters, eps=eps, seed=seed,
-        fit_sample=fit_sample, max_cell=max_cell)
+        fit_sample=fit_sample, max_cell=max_cell, centroids=centroids)
     if caches is not None:
-        caches.append(assigned)
+        caches.append(assigned)  # the PERSISTED frame, pre-quantize
+    if quantize is not None:
+        assigned = assigned.withColumn(
+            "centroid_sim", F.round(F.col("centroid_sim"), quantize))
     clusters = duplicate_clusters(pairs)
     if keep == "quality":
         if not quality_col:
