@@ -777,8 +777,11 @@ def q_dedup_clusters(spark, sf_dir):
     property the operator's scale story rests on (a=id1, b=id2,
     common=dist)."""
     docs = _t(spark, sf_dir, "documents")
+    # persist the mined pairs: they feed BOTH the pair rows and the
+    # connected-components edge table (one shingle/inverted-index pass
+    # instead of two — r7 gate-cost shave)
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3,
-                                      max_doc_freq=200)
+                                      max_doc_freq=200).persist()
     pair_rows = pairs.select(
         F.lit("pair").alias("part"),
         F.col("id1").cast("long").alias("a"), F.col("id2").cast("long").alias("b"),
@@ -1106,21 +1109,24 @@ def q_text_quality(spark, sf_dir):
                 "lang", "left")
           .select("doc_id", "src_hub", "lang_auth"))
 
-    # WARC gate (r7): the ISO 28500 datasource round-trip. Documents are
-    # WRITTEN as WARC through the distributed writer in BOTH layouts
-    # (plain .warc + per-record-gzip .warc.gz, the CommonCrawl form), then
-    # READ BACK — ~32 KB byte-range splits force several splits per plain
-    # file, so the boundary-scan resync path is in the gate — and each
-    # payload is re-hashed. Per doc: n_warc must be 2 (one record per
-    # layout), n_warc_md5 1, warc_md5 == md5(text) iff every body
-    # survived byte-exact, warc_status_sum == 400 (the HTTP response
-    # layer parsed on both copies). The oracle computes the expected
-    # values from the table (DuckDB md5 hashes the same UTF-8 bytes).
+    # WARC gate (r7): the ISO 28500 datasource round-trip. A hash-chosen
+    # fifth of the documents (doc_id % 5 == 0 — volume adds no evidence,
+    # split/parse coverage does) is WRITTEN as WARC through the
+    # distributed writer in BOTH layouts (plain .warc + per-record-gzip
+    # .warc.gz, the CommonCrawl form), then READ BACK — ~16 KB byte-range
+    # splits force several splits per plain file, so the boundary-scan
+    # resync path is in the gate — and each payload is re-hashed. Per
+    # sampled doc: n_warc must be 2 (one record per layout), n_warc_md5
+    # 1, warc_md5 == md5(text) iff every body survived byte-exact,
+    # warc_status_sum == 400 (the HTTP response layer parsed on both
+    # copies); unsampled docs carry NULLs through the left join. The
+    # oracle computes the expected values from the table (DuckDB md5
+    # hashes the same UTF-8 bytes).
     import tempfile
 
     from .sources.warc import read_warc, register_warc
     register_warc(spark)
-    wrecs = docs.select(
+    wrecs = docs.where(F.col("doc_id") % 5 == 0).select(
         F.lit("response").alias("warc_type"),
         F.concat(F.lit("https://warc.example.com/"),
                  F.col("doc_id").cast("string")).alias("target_uri"),
@@ -1133,7 +1139,7 @@ def q_text_quality(spark, sf_dir):
         .option("compression", "none").mode("overwrite").save()
     wrecs.write.format("warc").option("path", wg) \
         .option("compression", "gzip").mode("overwrite").save()
-    rb = read_warc(spark, wp, split_mb=0.03) \
+    rb = read_warc(spark, wp, split_mb=0.015) \
         .unionByName(read_warc(spark, wg))
     warc = (rb.select(
         F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
@@ -1146,7 +1152,7 @@ def q_text_quality(spark, sf_dir):
              F.min("_bmd5").alias("warc_md5"),
              F.sum("_st").cast("long").alias("warc_status_sum")))
     return (base.join(fp, "doc_id").join(wb, "doc_id").join(lg, "doc_id")
-            .join(hx, "doc_id").join(warc, "doc_id"))
+            .join(hx, "doc_id").join(warc, "doc_id", "left"))
 
 
 # deterministic fixtures for the web-preprocessing gate: an HTML envelope
@@ -3016,8 +3022,11 @@ SELECT doc_id, CAST(ln AS BIGINT) AS n_chars, n_tokens, n_tokens_bpe, mean_token
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
        n_winnow_fp, w.canon_url, w.url_dom, w.web_md5, w.n_blocks, w.n_kept,
        g.n_links, g.hub_rank, x.src_hub, x.lang_auth,
-       CAST(2 AS BIGINT) AS n_warc, CAST(1 AS BIGINT) AS n_warc_md5,
-       md5(m.text) AS warc_md5, CAST(400 AS BIGINT) AS warc_status_sum
+       CASE WHEN doc_id % 5 = 0 THEN CAST(2 AS BIGINT) END AS n_warc,
+       CASE WHEN doc_id % 5 = 0 THEN CAST(1 AS BIGINT) END AS n_warc_md5,
+       CASE WHEN doc_id % 5 = 0 THEN md5(m.text) END AS warc_md5,
+       CASE WHEN doc_id % 5 = 0 THEN CAST(400 AS BIGINT) END
+         AS warc_status_sum
 FROM m JOIN web w USING (doc_id) JOIN lg g USING (doc_id)
        JOIN hx x USING (doc_id)
 """.replace("{web_cte}", _web_cte_sql()) \
