@@ -1543,3 +1543,62 @@ def test_semantic_dedup_explicit_centroids_portable(spark, sf_dir):
                 key=lambda i: (round(cos(rows[i], cents[want_cell[i]]), 6),
                                i)))
     assert kept == survivors
+
+
+def test_pq_encode_decode_python_mirror_and_topk(spark, sf_dir):
+    """r7 Product Quantization laws: (1) explicit-codebook encode matches
+    a pure-python argmin mirror (ties -> lowest code); (2) decode returns
+    the selected centroids exactly; (3) a centroid vector round-trips to
+    itself; (4) pq_topk over KMeans-trained codebooks is deterministic
+    and self-consistent with encode+decode scoring."""
+    import math as _math
+
+    from transmogrifai_spark.llm.similarity import (pq_decode, pq_encode,
+                                                    pq_topk, pq_train)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .where(F.col("vec_id") < 150)
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    m, dsub, k = 8, 8, 4
+    # hash-chosen explicit codebooks: subvectors of vectors 0..k-1
+    model = {"m": m, "k": k, "dsub": dsub, "dim": 64,
+             "codebooks": [[rows[c][j * dsub:(j + 1) * dsub]
+                            for c in range(k)] for j in range(m)]}
+    got = {r["vec_id"]: list(r["codes"]) for r in emb.select(
+        "vec_id", pq_encode(F.col("embedding"), model).alias("codes"))
+        .collect()}
+
+    def code(v, j):
+        best = min(range(k), key=lambda c: (
+            sum((x - y) * (x - y) for x, y in
+                zip(v[j * dsub:(j + 1) * dsub], model["codebooks"][j][c])),
+            c))
+        return best
+
+    want = {i: [code(v, j) for j in range(m)] for i, v in rows.items()}
+    assert got == want
+
+    dec = {r["vec_id"]: [float(x) for x in r["d"]] for r in emb.select(
+        "vec_id", pq_decode(pq_encode(F.col("embedding"), model),
+                            model).alias("d")).collect()}
+    for i, codes in want.items():
+        expect = [x for j in range(m)
+                  for x in model["codebooks"][j][codes[j]]]
+        assert dec[i] == expect
+    # a codebook-source vector reconstructs to itself exactly
+    assert dec[0] == rows[0] and dec[k - 1] == rows[k - 1]
+
+    # trained path: deterministic, right shape, rank contract
+    q = emb.where(F.col("vec_id") < 5)
+    out1 = pq_topk(emb, q, "vec_id", "embedding", k=3, dim=64, m=m,
+                   n_codes=4)
+    r1 = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                for r in out1.collect())
+    out2 = pq_topk(emb, q, "vec_id", "embedding", k=3, dim=64, m=m,
+                   n_codes=4)
+    r2 = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                for r in out2.collect())
+    assert r1 == r2
+    assert len(r1) == 5 * 3
+    assert {rk for _, rk, _ in r1} == {1, 2, 3}

@@ -1186,7 +1186,14 @@ def q_similarity_topk(spark, sf_dir):
       the per-dimension min/max grid, round/clamp codes, and lo + code*step
       reconstruction in SQL (every step a single IEEE double op in matching
       order), so the compressed-corpus scoring — not just the exact math —
-      is verified."""
+      is verified.
+    - method='pq_adc' (r7): PRODUCT QUANTIZATION (llm/similarity.pq_*,
+      Jégou et al. TPAMI 2011) at its own quantized answer, through the
+      explicit-codebook injection path — codebooks are the subvectors of
+      embeddings 0..15 (a bounded 16-row collect), so the oracle
+      replicates per-subspace argmin encode (squared euclidean, ties to
+      the lowest code), centroid-concatenation decode, and the
+      asymmetric full-query-vs-reconstructed-corpus cosine ranking."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
     brute = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=5) \
@@ -1197,7 +1204,15 @@ def q_similarity_topk(spark, sf_dir):
     sq = similarity.sq_topk(emb, q, "vec_id", "embedding", k=5, levels=256,
                             dim=64) \
         .withColumn("method", F.lit("sq_reconstructed"))
-    return brute.unionAll(ivf).unionAll(sq).select(
+    ctr_rows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    cvecs = [[float(x) for x in r["embedding"]] for r in ctr_rows]
+    pq_model = {"m": 8, "k": 16, "dsub": 8, "dim": 64,
+                "codebooks": [[v[j * 8:(j + 1) * 8] for v in cvecs]
+                              for j in range(8)]}
+    pq = similarity.pq_topk(emb, q, "vec_id", "embedding", k=5,
+                            model=pq_model) \
+        .withColumn("method", F.lit("pq_adc"))
+    return brute.unionAll(ivf).unionAll(sq).unionAll(pq).select(
         "method", "query_id", "neighbor_id", "rank",
         (F.round(F.col("cosine"), 6) + F.lit(0.0)).alias("cosine6"))
 
@@ -3583,6 +3598,44 @@ sq_scored AS (
                                      r.vec_id ASC) AS rank
   FROM recon r CROSS JOIN q
   WHERE r.vec_id != q.query_id
+),
+-- PQ replica (llm/similarity.py pq_encode/pq_decode, explicit-codebook
+-- path): codebooks = the 8-dim subvectors of embeddings 0..15; per
+-- (vector, subspace) the code is the squared-euclidean argmin over the
+-- 16 centroids (ties -> lowest code, the struct-sort rule); the
+-- reconstruction concatenates the selected centroid subvectors in
+-- subspace order; scoring is the same asymmetric cosine ranking.
+pqc AS (SELECT vec_id AS c, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 16),
+pqd AS (
+  SELECT e.vec_id, j.j, p.c,
+         list_sum(list_transform(generate_series(1, 8),
+           t -> (e.embedding[j.j * 8 + t]::DOUBLE - p.v[j.j * 8 + t])
+                * (e.embedding[j.j * 8 + t]::DOUBLE - p.v[j.j * 8 + t])))
+           AS d
+  FROM embeddings e CROSS JOIN range(0, 8) j(j) CROSS JOIN pqc p
+),
+pqsel AS (
+  SELECT vec_id, j, c,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY d ASC, c ASC) AS rn
+  FROM pqd
+),
+pqrec AS (
+  SELECT s.vec_id,
+         flatten(list(p.v[s.j * 8 + 1 : s.j * 8 + 8] ORDER BY s.j)) AS rv
+  FROM pqsel s JOIN pqc p ON p.c = s.c
+  WHERE s.rn = 1
+  GROUP BY s.vec_id
+),
+pq_scored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, r.rv) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, r.rv) DESC,
+                                     r.vec_id ASC) AS rank
+  FROM pqrec r CROSS JOIN q
+  WHERE r.vec_id != q.query_id
 )
 SELECT m.method, s.query_id, s.neighbor_id, CAST(s.rank AS INT) AS rank,
        round(s.cosine, 6) + 0.0 AS cosine6
@@ -3592,6 +3645,10 @@ UNION ALL
 SELECT 'sq_reconstructed', query_id, neighbor_id, CAST(rank AS INT),
        round(cosine, 6) + 0.0
 FROM sq_scored WHERE rank <= 5
+UNION ALL
+SELECT 'pq_adc', query_id, neighbor_id, CAST(rank AS INT),
+       round(cosine, 6) + 0.0
+FROM pq_scored WHERE rank <= 5
 """
 
 ORACLES["sessionize"] = """

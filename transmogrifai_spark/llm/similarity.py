@@ -454,6 +454,122 @@ def sq_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def pq_train(corpus: DataFrame, vec_col: str, dim: int, m: int = 8,
+             k: int = 16, seed: int = 42, max_iter: int = 10,
+             fit_sample: float | None = None) -> dict:
+    """Product-quantizer codebooks (Jégou, Douze, Schmid — TPAMI 2011,
+    the FAISS PQ analogue): each vector splits into ``m`` contiguous
+    subvectors of ``dim/m`` dims; an independent seeded KMeans learns
+    ``k`` centroids per subspace. A corpus vector then stores as ``m``
+    small integer codes — at m=8, k<=256 that's 8 BYTES per vector vs
+    256 for 64 float32 dims, the 32x scan-budget compression that makes
+    a 100 TB embedding corpus queryable from storage.
+
+    Training runs ``m`` KMeans fits; at scale fit on ``fit_sample`` (the
+    centroids converge on a tiny fraction) while encode stays a full
+    single pass. Returns a JSON-able model dict whose codebooks inline
+    as plan literals at encode/decode/query time — scoring never joins a
+    codebook table.
+
+    Explicit-codebook path: any ``{"m","k","dsub","codebooks"}`` dict
+    works in ``pq_encode``/``pq_decode``/``pq_topk`` (externally trained
+    codebooks — faiss — or the oracle gate's hash-chosen deterministic
+    ones), the same injection contract as semantic_dedup's
+    ``centroids=``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..util import ensure_parallelism
+
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    base = ensure_parallelism(corpus).select(F.col(vec_col).alias("_v"))
+    if fit_sample:
+        base = base.sample(fit_sample, seed=seed)
+    base = base.persist()
+    codebooks = []
+    for j in range(m):
+        sub = F.transform(F.slice(F.col("_v"), j * dsub + 1, dsub),
+                          lambda x: x.cast("double"))
+        km = KMeans(k=k, seed=seed + j, maxIter=max_iter,
+                    featuresCol="_fv", predictionCol="_c")
+        model = km.fit(base.select(array_to_vector(sub).alias("_fv")))
+        codebooks.append([[float(x) for x in c]
+                          for c in model.clusterCenters()])
+    base.unpersist()
+    return {"m": m, "k": k, "dsub": dsub, "dim": dim,
+            "codebooks": codebooks}
+
+
+def _pq_code(sub: Column, centroids: list[list[float]]) -> Column:
+    """argmin-distance code for one subvector: squared euclidean to each
+    centroid (plan literals), ties to the LOWEST code via the struct
+    sort — the IVF probe rule, SQL-replicable."""
+    cells = F.array(*[
+        F.struct(_sq_dist_to(sub, ctr).alias("d"), F.lit(c).alias("c"))
+        for c, ctr in enumerate(centroids)])
+    return F.element_at(F.array_sort(cells), 1)["c"]
+
+
+def pq_encode(vec: Column, model: dict) -> Column:
+    """array<float> -> array<int> of ``m`` codes: per subspace, the
+    nearest codebook centroid. Pure expression — the encode rides the
+    corpus scan, nothing shuffles."""
+    dsub = model["dsub"]
+    return F.array(*[
+        _pq_code(F.slice(vec, j * dsub + 1, dsub), model["codebooks"][j])
+        for j in range(model["m"])])
+
+
+def pq_decode(codes: Column, model: dict) -> Column:
+    """codes -> approximate vector: the concatenation of each subspace's
+    selected centroid (codebooks as literal matrices, element_at lookup —
+    constant plan depth, no join)."""
+    parts = []
+    for j in range(model["m"]):
+        mat = F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
+                        for ctr in model["codebooks"][j]])
+        parts.append(F.element_at(mat, F.element_at(codes, j + 1) + 1))
+    return F.flatten(F.array(*parts))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+            vec_col: str, k: int = 5, model: dict | None = None,
+            m: int = 8, n_codes: int = 16, dim: int | None = None,
+            fit_sample: float | None = None) -> DataFrame:
+    """Approximate top-k over PQ-COMPRESSED vectors: the corpus is
+    scanned as m-byte code arrays, reconstructed on the fly inside the
+    scan stage, and scored with exact cosine against the full-precision
+    broadcast queries — asymmetric scoring (full query vs compressed
+    corpus), the sq_topk pattern one compression level deeper (PQ stores
+    m codes ~ m bytes; SQ8 stores dim bytes). Composable with IVF: PQ-
+    encode each cell's vectors and prune cells first."""
+    from ..util import ensure_parallelism
+
+    if model is None:
+        if dim is None:
+            raise ValueError("pq_topk needs dim when no trained model given")
+        model = pq_train(corpus, vec_col, dim, m=m, k=n_codes,
+                         fit_sample=fit_sample)
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode(F.col(vec_col), model).alias("_codes"))
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("_qv")))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity(
+            F.col("_qv"), pq_decode(F.col("_codes"), model)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str, path: str,
                     n_lists: int = 16, seed: int = 42, max_iter: int = 10,
                     fit_sample: float | None = None) -> dict:
