@@ -1545,60 +1545,97 @@ def test_semantic_dedup_explicit_centroids_portable(spark, sf_dir):
     assert kept == survivors
 
 
-def test_pq_encode_decode_python_mirror_and_topk(spark, sf_dir):
-    """r7 Product Quantization laws: (1) explicit-codebook encode matches
-    a pure-python argmin mirror (ties -> lowest code); (2) decode returns
-    the selected centroids exactly; (3) a centroid vector round-trips to
-    itself; (4) pq_topk over KMeans-trained codebooks is deterministic
-    and self-consistent with encode+decode scoring."""
+def test_pq_encode_explicit_model_python_mirror(spark, sf_dir):
+    """r7: pq_encode(model=) skips every fit — cells, residual codes and
+    the reconstruction norm must match a pure-python replica of the
+    injected centroids/codebooks (argmin ties -> lowest cell/code)."""
     import math as _math
 
-    from transmogrifai_spark.llm.similarity import (pq_decode, pq_encode,
-                                                    pq_topk, pq_train)
+    from transmogrifai_spark.llm.similarity import pq_encode
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .where(F.col("vec_id") < 150)
+        .where(F.col("vec_id") < 120)
     rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
             for r in emb.collect()}
-    m, dsub, k = 8, 8, 4
-    # hash-chosen explicit codebooks: subvectors of vectors 0..k-1
-    model = {"m": m, "k": k, "dsub": dsub, "dim": 64,
-             "codebooks": [[rows[c][j * dsub:(j + 1) * dsub]
-                            for c in range(k)] for j in range(m)]}
-    got = {r["vec_id"]: list(r["codes"]) for r in emb.select(
-        "vec_id", pq_encode(F.col("embedding"), model).alias("codes"))
-        .collect()}
+    m, sub_d, kc = 8, 8, 6
+    model = {"centroids": [rows[0], rows[1]],
+             "codebooks": [[rows[2 + c][j * sub_d:(j + 1) * sub_d]
+                            for c in range(kc)] for j in range(m)]}
+    enc, out_model = pq_encode(emb, "vec_id", "embedding", 64, model=model,
+                               m=m)
+    assert out_model["centroids"] == model["centroids"]
+    assert out_model["codebooks"] == model["codebooks"]
+    got = {r["neighbor_id"]: (r["_cell"], list(r["_codes"]), r["_rnorm"])
+           for r in enc.collect()}
 
-    def code(v, j):
-        best = min(range(k), key=lambda c: (
-            sum((x - y) * (x - y) for x, y in
-                zip(v[j * dsub:(j + 1) * dsub], model["codebooks"][j][c])),
-            c))
-        return best
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
 
-    want = {i: [code(v, j) for j in range(m)] for i, v in rows.items()}
-    assert got == want
+    for i, v in rows.items():
+        cell = 0 if d2(v, rows[0]) <= d2(v, rows[1]) else 1
+        ctr = model["centroids"][cell]
+        res = [x - y for x, y in zip(v, ctr)]
+        codes = []
+        for j in range(m):
+            sub = res[j * sub_d:(j + 1) * sub_d]
+            codes.append(min(range(kc),
+                             key=lambda c: (d2(sub, model["codebooks"][j][c]), c)))
+        recon = [ctr[j * sub_d + t] + model["codebooks"][j][codes[j]][t]
+                 for j in range(m) for t in range(sub_d)]
+        rnorm = _math.sqrt(sum(x * x for x in recon))
+        gcell, gcodes, grnorm = got[i]
+        assert (gcell, gcodes) == (cell, codes), i
+        assert abs(grnorm - rnorm) < 1e-9, i
 
-    dec = {r["vec_id"]: [float(x) for x in r["d"]] for r in emb.select(
-        "vec_id", pq_decode(pq_encode(F.col("embedding"), model),
-                            model).alias("d")).collect()}
-    for i, codes in want.items():
-        expect = [x for j in range(m)
-                  for x in model["codebooks"][j][codes[j]]]
-        assert dec[i] == expect
-    # a codebook-source vector reconstructs to itself exactly
-    assert dec[0] == rows[0] and dec[k - 1] == rows[k - 1]
 
-    # trained path: deterministic, right shape, rank contract
-    q = emb.where(F.col("vec_id") < 5)
-    out1 = pq_topk(emb, q, "vec_id", "embedding", k=3, dim=64, m=m,
-                   n_codes=4)
-    r1 = sorted((r["query_id"], r["rank"], r["neighbor_id"])
-                for r in out1.collect())
-    out2 = pq_topk(emb, q, "vec_id", "embedding", k=3, dim=64, m=m,
-                   n_codes=4)
-    r2 = sorted((r["query_id"], r["rank"], r["neighbor_id"])
-                for r in out2.collect())
-    assert r1 == r2
-    assert len(r1) == 5 * 3
-    assert {rk for _, rk, _ in r1} == {1, 2, 3}
+def test_ivf_pq_explicit_model_full_probe_matches_adc_mirror(spark, sf_dir):
+    """r7: ivf_pq_topk(model=) at full probe — the ADC LUT score must
+    equal the python dot(q, recon)/(|q||recon|) ranking over the same
+    injected quantizer."""
+    import math as _math
+
+    from transmogrifai_spark.llm.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .where(F.col("vec_id") < 120)
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    m, sub_d, kc = 8, 8, 6
+    model = {"centroids": [rows[0], rows[1]],
+             "codebooks": [[rows[2 + c][j * sub_d:(j + 1) * sub_d]
+                            for c in range(kc)] for j in range(m)]}
+    q = emb.where(F.col("vec_id") < 3)
+    out = ivf_pq_topk(emb, q, "vec_id", "embedding", 64, k=4, n_probe=2,
+                      m=m, model=model)
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+           for r in out.collect()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def recon_of(v):
+        cell = 0 if d2(v, rows[0]) <= d2(v, rows[1]) else 1
+        ctr = model["centroids"][cell]
+        res = [x - y for x, y in zip(v, ctr)]
+        rec = []
+        for j in range(m):
+            sub = res[j * sub_d:(j + 1) * sub_d]
+            c = min(range(kc),
+                    key=lambda cc: (d2(sub, model["codebooks"][j][cc]), cc))
+            rec += [ctr[j * sub_d + t] + model["codebooks"][j][c][t]
+                    for t in range(sub_d)]
+        return rec
+
+    recs = {i: recon_of(v) for i, v in rows.items()}
+    for qi in (0, 1, 2):
+        qv = rows[qi]
+        nq = _math.sqrt(sum(x * x for x in qv))
+        scored = sorted(
+            ((-(sum(a * b for a, b in zip(qv, recs[i]))
+                / (nq * _math.sqrt(sum(x * x for x in recs[i])))), i)
+             for i in rows if i != qi))
+        for rank in range(1, 5):
+            cos, nid = scored[rank - 1]
+            gn, gc = got[(qi, rank)]
+            assert gn == nid, (qi, rank)
+            assert abs(gc - (-cos)) < 1e-9, (qi, rank)

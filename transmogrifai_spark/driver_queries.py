@@ -1187,13 +1187,17 @@ def q_similarity_topk(spark, sf_dir):
       reconstruction in SQL (every step a single IEEE double op in matching
       order), so the compressed-corpus scoring — not just the exact math —
       is verified.
-    - method='pq_adc' (r7): PRODUCT QUANTIZATION (llm/similarity.pq_*,
-      Jégou et al. TPAMI 2011) at its own quantized answer, through the
-      explicit-codebook injection path — codebooks are the subvectors of
-      embeddings 0..15 (a bounded 16-row collect), so the oracle
-      replicates per-subspace argmin encode (squared euclidean, ties to
-      the lowest code), centroid-concatenation decode, and the
-      asymmetric full-query-vs-reconstructed-corpus cosine ranking."""
+    - method='pq_adc' (r7): IVF-PQ (llm/similarity.ivf_pq_topk — Jégou
+      et al. TPAMI 2011, residual product quantization + ADC LUT
+      scoring) at its own quantized answer, through the explicit-model
+      injection path: centroids = embeddings 0/1, per-subspace codebooks
+      = the subvectors of embeddings 2..17 (a bounded 18-row collect),
+      n_probe=1 so the CELL-PRUNED candidate join is in the gate. The
+      oracle replicates nearest-cell assignment, residual argmin codes
+      (ties to the lowest code), centroid+codeword reconstruction, and
+      the cosine ranking over each query's probed cell only. (The ADC
+      LUT computes dot(q, recon) by distributivity; the oracle scores
+      the reconstruction directly — identical to the 6dp emission.)"""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
     brute = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=5) \
@@ -1204,13 +1208,13 @@ def q_similarity_topk(spark, sf_dir):
     sq = similarity.sq_topk(emb, q, "vec_id", "embedding", k=5, levels=256,
                             dim=64) \
         .withColumn("method", F.lit("sq_reconstructed"))
-    ctr_rows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ctr_rows = emb.where(F.col("vec_id") < 18).orderBy("vec_id").collect()
     cvecs = [[float(x) for x in r["embedding"]] for r in ctr_rows]
-    pq_model = {"m": 8, "k": 16, "dsub": 8, "dim": 64,
-                "codebooks": [[v[j * 8:(j + 1) * 8] for v in cvecs]
-                              for j in range(8)]}
-    pq = similarity.pq_topk(emb, q, "vec_id", "embedding", k=5,
-                            model=pq_model) \
+    pq_model = {"centroids": [cvecs[0], cvecs[1]],
+                "codebooks": [[cvecs[2 + c][j * 8:(j + 1) * 8]
+                               for c in range(16)] for j in range(8)]}
+    pq = similarity.ivf_pq_topk(emb, q, "vec_id", "embedding", 64, k=5,
+                                n_probe=1, m=8, model=pq_model) \
         .withColumn("method", F.lit("pq_adc"))
     return brute.unionAll(ivf).unionAll(sq).unionAll(pq).select(
         "method", "query_id", "neighbor_id", "rank",
@@ -3599,21 +3603,40 @@ sq_scored AS (
   FROM recon r CROSS JOIN q
   WHERE r.vec_id != q.query_id
 ),
--- PQ replica (llm/similarity.py pq_encode/pq_decode, explicit-codebook
--- path): codebooks = the 8-dim subvectors of embeddings 0..15; per
--- (vector, subspace) the code is the squared-euclidean argmin over the
--- 16 centroids (ties -> lowest code, the struct-sort rule); the
--- reconstruction concatenates the selected centroid subvectors in
--- subspace order; scoring is the same asymmetric cosine ranking.
-pqc AS (SELECT vec_id AS c, embedding::DOUBLE[] AS v
-        FROM embeddings WHERE vec_id < 16),
+-- IVF-PQ replica (llm/similarity.py pq_encode/ivf_pq_topk, explicit
+-- model): centroids = embeddings 0/1, codebook word c of subspace j =
+-- embedding (2+c)'s dims j*8+1..j*8+8. Per vector: nearest cell
+-- (squared euclidean, tie -> cell 0), residual v - centroid, per-
+-- subspace argmin code (tie -> lowest), reconstruction = centroid +
+-- selected codewords. n_probe=1: each query scores ONLY its own
+-- nearest cell's vectors.
+pcb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pctr AS (SELECT (SELECT v FROM pcb WHERE vec_id = 0) AS c0,
+                (SELECT v FROM pcb WHERE vec_id = 1) AS c1),
+pword AS (SELECT vec_id - 2 AS c, v FROM pcb
+          WHERE vec_id >= 2 AND vec_id < 18),
+pasg AS (
+  SELECT vec_id, v,
+         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                     i -> (v[i] - c0[i]) * (v[i] - c0[i])))
+                   <= list_sum(list_transform(generate_series(1, 64),
+                     i -> (v[i] - c1[i]) * (v[i] - c1[i])))
+              THEN 0 ELSE 1 END AS cell
+  FROM pcb CROSS JOIN pctr
+),
+pres AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(generate_series(1, 64),
+           i -> a.v[i] - (CASE WHEN a.cell = 0 THEN ctr.c0
+                               ELSE ctr.c1 END)[i]) AS res
+  FROM pasg a CROSS JOIN pctr ctr
+),
 pqd AS (
-  SELECT e.vec_id, j.j, p.c,
+  SELECT r.vec_id, j.j, w.c,
          list_sum(list_transform(generate_series(1, 8),
-           t -> (e.embedding[j.j * 8 + t]::DOUBLE - p.v[j.j * 8 + t])
-                * (e.embedding[j.j * 8 + t]::DOUBLE - p.v[j.j * 8 + t])))
-           AS d
-  FROM embeddings e CROSS JOIN range(0, 8) j(j) CROSS JOIN pqc p
+           t -> (r.res[j.j * 8 + t] - w.v[j.j * 8 + t])
+                * (r.res[j.j * 8 + t] - w.v[j.j * 8 + t]))) AS d
+  FROM pres r CROSS JOIN range(0, 8) j(j) CROSS JOIN pword w
 ),
 pqsel AS (
   SELECT vec_id, j, c,
@@ -3623,19 +3646,33 @@ pqsel AS (
 ),
 pqrec AS (
   SELECT s.vec_id,
-         flatten(list(p.v[s.j * 8 + 1 : s.j * 8 + 8] ORDER BY s.j)) AS rv
-  FROM pqsel s JOIN pqc p ON p.c = s.c
+         flatten(list(list_transform(generate_series(1, 8),
+           t -> (CASE WHEN a.cell = 0 THEN ctr.c0 ELSE ctr.c1 END)
+                  [s.j * 8 + t] + w.v[s.j * 8 + t])
+           ORDER BY s.j)) AS rv
+  FROM pqsel s JOIN pasg a USING (vec_id)
+       JOIN pword w ON w.c = s.c CROSS JOIN pctr ctr
   WHERE s.rn = 1
   GROUP BY s.vec_id
 ),
+pqq AS (
+  SELECT q.query_id, q.qv,
+         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                     i -> (q.qv[i] - c0[i]) * (q.qv[i] - c0[i])))
+                   <= list_sum(list_transform(generate_series(1, 64),
+                     i -> (q.qv[i] - c1[i]) * (q.qv[i] - c1[i])))
+              THEN 0 ELSE 1 END AS qcell
+  FROM q CROSS JOIN pctr
+),
 pq_scored AS (
-  SELECT q.query_id, r.vec_id AS neighbor_id,
-         list_cosine_similarity(q.qv, r.rv) AS cosine,
-         row_number() OVER (PARTITION BY q.query_id
-                            ORDER BY list_cosine_similarity(q.qv, r.rv) DESC,
+  SELECT qq.query_id, r.vec_id AS neighbor_id,
+         list_cosine_similarity(qq.qv, r.rv) AS cosine,
+         row_number() OVER (PARTITION BY qq.query_id
+                            ORDER BY list_cosine_similarity(qq.qv, r.rv) DESC,
                                      r.vec_id ASC) AS rank
-  FROM pqrec r CROSS JOIN q
-  WHERE r.vec_id != q.query_id
+  FROM pqrec r JOIN pasg a USING (vec_id)
+       JOIN pqq qq ON qq.qcell = a.cell
+  WHERE r.vec_id != qq.query_id
 )
 SELECT m.method, s.query_id, s.neighbor_id, CAST(s.rank AS INT) AS rank,
        round(s.cosine, 6) + 0.0 AS cosine6

@@ -260,7 +260,8 @@ def _lit_matrix(rows: list[list[float]]) -> Column:
 def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int,
               n_lists: int = 16, m: int = 4, k_codes: int = 16,
               seed: int = 42, max_iter: int = 10,
-              fit_sample: float | None = None):
+              fit_sample: float | None = None,
+              model: dict | None = None):
     """IVF-PQ encoder (Jégou et al., "Product Quantization for Nearest
     Neighbor Search", TPAMI 2011): after the IVF coarse quantizer, the
     residual (vec - cell centroid) is split into ``m`` subvectors and each
@@ -275,30 +276,47 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int,
     (plain floats — persistable as JSON, inlined as plan literals at query
     time). Fit runs on ``fit_sample`` at scale; encoding is one full pass of
     pure Catalyst expressions (argmin over codeword literals), no Python.
-    """
+
+    ``model`` (r7) injects explicit centroids + codebooks and skips every
+    fit — externally trained quantizers (faiss) or the oracle gate's
+    hash-chosen deterministic ones (the semantic_dedup ``centroids=``
+    contract). Cell assignment then uses the same nearest-centroid
+    expression as ``append_ivf_index`` (squared euclidean, ties to the
+    lower cell)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_d = dim // m
-    assigned, centroids = ivf_assignments(corpus, id_col, vec_col, n_lists,
-                                          seed, max_iter, fit_sample)
+    if model is not None:
+        centroids = model["centroids"]
+        assigned = ensure_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+            F.element_at(_probe_cells(F.col(vec_col), centroids, 1), 1)
+            .alias("_cell"))
+    else:
+        assigned, centroids = ivf_assignments(corpus, id_col, vec_col,
+                                              n_lists, seed, max_iter,
+                                              fit_sample)
     ctr_mat = _lit_matrix(centroids)
     residual = F.zip_with(F.col("_cv"),
                           F.element_at(ctr_mat, F.col("_cell") + 1),
                           lambda x, y: x.cast("double") - y)
     assigned = assigned.withColumn("_res", residual).persist()
 
-    codebooks = []
-    for i in range(m):
-        sl = assigned.select(
-            array_to_vector(F.slice(F.col("_res"), i * sub_d + 1, sub_d)).alias("_fv"))
-        fit_on = sl.sample(fit_sample, seed=seed + i) if fit_sample else sl
-        km = KMeans(k=k_codes, seed=seed + i, maxIter=max_iter,
-                    featuresCol="_fv", predictionCol="_code")
-        codebooks.append([[float(x) for x in c]
-                          for c in km.fit(fit_on).clusterCenters()])
+    if model is not None:
+        codebooks = model["codebooks"]
+    else:
+        codebooks = []
+        for i in range(m):
+            sl = assigned.select(
+                array_to_vector(F.slice(F.col("_res"), i * sub_d + 1, sub_d)).alias("_fv"))
+            fit_on = sl.sample(fit_sample, seed=seed + i) if fit_sample else sl
+            km = KMeans(k=k_codes, seed=seed + i, maxIter=max_iter,
+                        featuresCol="_fv", predictionCol="_code")
+            codebooks.append([[float(x) for x in c]
+                              for c in km.fit(fit_on).clusterCenters()])
 
     def argmin_code(res_slice: Column, book: list[list[float]]) -> Column:
         cands = F.array(*[
@@ -349,16 +367,19 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 vec_col: str, dim: int, k: int = 5, n_lists: int = 16,
                 n_probe: int = 2, m: int = 4, k_codes: int = 16,
                 seed: int = 42, max_iter: int = 10,
-                fit_sample: float | None = None) -> DataFrame:
+                fit_sample: float | None = None,
+                model: dict | None = None) -> DataFrame:
     """IVF-PQ approximate top-k: IVF restricts the scan to ``n_probe`` cells,
     PQ-ADC scores candidates from m-byte codes without touching the stored
     vectors. Same output shape as the other top-k operators; ``cosine`` is
     the PQ approximation dot(q, recon)/(|q|·|recon|). Plan: encoded corpus
     (persist/bucket it at scale) equi-joined to the broadcast exploded query
     probes — identical shuffle shape to ``ivf_topk`` but the scanned payload
-    per row is m codes + one norm, not ``dim`` floats."""
+    per row is m codes + one norm, not ``dim`` floats. ``model`` injects
+    explicit centroids/codebooks (see pq_encode) and skips every fit."""
     encoded, model = pq_encode(corpus, id_col, vec_col, dim, n_lists, m,
-                               k_codes, seed, max_iter, fit_sample)
+                               k_codes, seed, max_iter, fit_sample,
+                               model=model)
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
         .withColumn("_cell", F.explode(_probe_cells(F.col("_qv"), model["centroids"], n_probe))))
@@ -446,122 +467,6 @@ def sq_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_similarity(
             F.col("_qv"), sq_reconstruct(F.col("_codes"), model)))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine", "rank"))
-
-
-def pq_train(corpus: DataFrame, vec_col: str, dim: int, m: int = 8,
-             k: int = 16, seed: int = 42, max_iter: int = 10,
-             fit_sample: float | None = None) -> dict:
-    """Product-quantizer codebooks (Jégou, Douze, Schmid — TPAMI 2011,
-    the FAISS PQ analogue): each vector splits into ``m`` contiguous
-    subvectors of ``dim/m`` dims; an independent seeded KMeans learns
-    ``k`` centroids per subspace. A corpus vector then stores as ``m``
-    small integer codes — at m=8, k<=256 that's 8 BYTES per vector vs
-    256 for 64 float32 dims, the 32x scan-budget compression that makes
-    a 100 TB embedding corpus queryable from storage.
-
-    Training runs ``m`` KMeans fits; at scale fit on ``fit_sample`` (the
-    centroids converge on a tiny fraction) while encode stays a full
-    single pass. Returns a JSON-able model dict whose codebooks inline
-    as plan literals at encode/decode/query time — scoring never joins a
-    codebook table.
-
-    Explicit-codebook path: any ``{"m","k","dsub","codebooks"}`` dict
-    works in ``pq_encode``/``pq_decode``/``pq_topk`` (externally trained
-    codebooks — faiss — or the oracle gate's hash-chosen deterministic
-    ones), the same injection contract as semantic_dedup's
-    ``centroids=``."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from ..util import ensure_parallelism
-
-    if dim % m:
-        raise ValueError(f"m={m} must divide dim={dim}")
-    dsub = dim // m
-    base = ensure_parallelism(corpus).select(F.col(vec_col).alias("_v"))
-    if fit_sample:
-        base = base.sample(fit_sample, seed=seed)
-    base = base.persist()
-    codebooks = []
-    for j in range(m):
-        sub = F.transform(F.slice(F.col("_v"), j * dsub + 1, dsub),
-                          lambda x: x.cast("double"))
-        km = KMeans(k=k, seed=seed + j, maxIter=max_iter,
-                    featuresCol="_fv", predictionCol="_c")
-        model = km.fit(base.select(array_to_vector(sub).alias("_fv")))
-        codebooks.append([[float(x) for x in c]
-                          for c in model.clusterCenters()])
-    base.unpersist()
-    return {"m": m, "k": k, "dsub": dsub, "dim": dim,
-            "codebooks": codebooks}
-
-
-def _pq_code(sub: Column, centroids: list[list[float]]) -> Column:
-    """argmin-distance code for one subvector: squared euclidean to each
-    centroid (plan literals), ties to the LOWEST code via the struct
-    sort — the IVF probe rule, SQL-replicable."""
-    cells = F.array(*[
-        F.struct(_sq_dist_to(sub, ctr).alias("d"), F.lit(c).alias("c"))
-        for c, ctr in enumerate(centroids)])
-    return F.element_at(F.array_sort(cells), 1)["c"]
-
-
-def pq_encode(vec: Column, model: dict) -> Column:
-    """array<float> -> array<int> of ``m`` codes: per subspace, the
-    nearest codebook centroid. Pure expression — the encode rides the
-    corpus scan, nothing shuffles."""
-    dsub = model["dsub"]
-    return F.array(*[
-        _pq_code(F.slice(vec, j * dsub + 1, dsub), model["codebooks"][j])
-        for j in range(model["m"])])
-
-
-def pq_decode(codes: Column, model: dict) -> Column:
-    """codes -> approximate vector: the concatenation of each subspace's
-    selected centroid (codebooks as literal matrices, element_at lookup —
-    constant plan depth, no join)."""
-    parts = []
-    for j in range(model["m"]):
-        mat = F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
-                        for ctr in model["codebooks"][j]])
-        parts.append(F.element_at(mat, F.element_at(codes, j + 1) + 1))
-    return F.flatten(F.array(*parts))
-
-
-def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
-            vec_col: str, k: int = 5, model: dict | None = None,
-            m: int = 8, n_codes: int = 16, dim: int | None = None,
-            fit_sample: float | None = None) -> DataFrame:
-    """Approximate top-k over PQ-COMPRESSED vectors: the corpus is
-    scanned as m-byte code arrays, reconstructed on the fly inside the
-    scan stage, and scored with exact cosine against the full-precision
-    broadcast queries — asymmetric scoring (full query vs compressed
-    corpus), the sq_topk pattern one compression level deeper (PQ stores
-    m codes ~ m bytes; SQ8 stores dim bytes). Composable with IVF: PQ-
-    encode each cell's vectors and prune cells first."""
-    from ..util import ensure_parallelism
-
-    if model is None:
-        if dim is None:
-            raise ValueError("pq_topk needs dim when no trained model given")
-        model = pq_train(corpus, vec_col, dim, m=m, k=n_codes,
-                         fit_sample=fit_sample)
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_encode(F.col(vec_col), model).alias("_codes"))
-    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("_qv")))
-    scored = (
-        c.crossJoin(q)
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity(
-            F.col("_qv"), pq_decode(F.col("_codes"), model)))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
