@@ -81,11 +81,33 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents")
         return dedup.exact_dedup(docs, "doc_id", "text")
 
+    def join_left_base(spark, sf_dir):
+        # the registry query additionally carries the part='inner'
+        # skew_join arm (r7 merged the old join_inner_agg row into it);
+        # the bench keeps measuring what BASELINE.md recorded: the
+        # LeftOuter JoinedAggregateReader itself
+        from transmogrifai_spark.sources.joins import (JoinedAggregateReader,
+                                                       JoinedReader)
+        from transmogrifai_spark.sources.readers import AggSpec, DataReader
+        jr = JoinedReader(left=DataReader(path=f"{sf_dir}/customer.parquet"),
+                          right=DataReader(path=f"{sf_dir}/orders.parquet"),
+                          left_key="c_custkey", right_key="o_custkey",
+                          join_type="left")
+        ja = JoinedAggregateReader(
+            joined=jr, key_col="c_custkey",
+            specs=[AggSpec("n_orders",
+                           "case when o_orderkey is not null then 1 end",
+                           "sum"),
+                   AggSpec("total_spend", "o_totalprice", "sum_exact"),
+                   AggSpec("max_order", "o_totalprice", "max")])
+        return ja.generate(spark)
+
     runners = dict(SPARK_QUERIES)
     runners["dedup_near_ngram_capped"] = near_ngram_capped
     runners["similarity_topk"] = brute_topk
     runners["text_quality"] = text_quality_base
     runners["dedup_exact"] = dedup_exact_base
+    runners["join_left_agg"] = join_left_base
 
     # median of N repeats per query: single runs at this scale have 10-20%
     # run-to-run noise (JIT, page cache, GC), which made round-over-round
@@ -135,7 +157,8 @@ def main() -> None:
     # BASELINE-comparable headline total.
     registry_times: dict[str, float] = {}
     for name in ("similarity_topk", "text_quality", "dedup_exact",
-                 "dedup_clusters", "sketch_quantiles"):
+                 "dedup_clusters", "sketch_quantiles", "join_left_agg",
+                 "embedding_near_dup", "retrieval_indexed"):
         t0 = time.time()
         try:
             SPARK_QUERIES[name](spark, SF_DIR).count()
