@@ -336,3 +336,34 @@ def test_curate_corpus_url_dedup_null_urls_pass_through(spark, docs):
     want = sorted(null_ids + [min(v) for v in groups.values()])
     assert ids == want
     assert len(null_ids) > 1  # the regression is only visible with >1
+
+
+def test_diversity_sample_explicit_centroids_python_mirror(spark):
+    """r7: centroids= skips the KMeans fit — cells and the per-cell quota
+    draw must match a pure-python replica (nearest centroid, ties to the
+    lower cell; (hash_bucket, id) order; quota cut)."""
+    from transmogrifai_spark.llm.curation import diversity_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .where(F.col("vec_id") < 200)
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    cents = [rows[0], rows[1], rows[2]]
+    out = diversity_sample(emb, "vec_id", "embedding", per_cluster=20,
+                           centroids=cents, keep_cluster_col=True)
+    got = {(r["vec_id"], r["_cell"]) for r in out.collect()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def hb(i):
+        return ((i % 1_000_000 + 42) * 2654435761) % 1_000_000
+
+    cells = {}
+    for i, v in rows.items():
+        cells.setdefault(min(range(3), key=lambda c: (d2(v, cents[c]), c)),
+                         []).append(i)
+    want = {(i, c) for c, members in cells.items()
+            for i in sorted(members, key=lambda i: (hb(i), i))[:20]}
+    assert got == want and len(want) == sum(min(20, len(m))
+                                            for m in cells.values())

@@ -852,10 +852,18 @@ def q_corpus_mixture(spark, sf_dir):
     b=epoch, c=n_epochs, d=repeat_factor).
 
     r7: the shard / bm25 / dsir / dsirtop arms moved to the dedicated
-    retrieval_indexed row (q_retrieval_indexed) — this row now carries
-    only the six curation-sampler surfaces, capping the blast radius of
-    any one unfinished arm."""
-    from .llm.curation import (chunk_documents, domain_reweight, mix_corpora,
+    retrieval_indexed row (q_retrieval_indexed) — this row carries the
+    curation-SAMPLER surfaces only.
+
+    part='divers' (r7): cluster-balanced diversity sampling
+    (llm/curation.diversity_sample) through the explicit-centroid
+    injection path — three hash-chosen cells (the embeddings of vec_id
+    0/1/2), nearest-centroid assignment as a pure expression, and the
+    per-cell quota draw (row_number over (hash_bucket, id), <= 30). The
+    oracle replicates assignment (squared euclidean, ties to the lower
+    cell), the hash order, and the quota cut (a=vec_id, b=cell)."""
+    from .llm.curation import (chunk_documents, diversity_sample,
+                               domain_reweight, mix_corpora,
                                pack_sequences, stratified_fixed_sample,
                                token_budget_sample)
     from .llm.decontam import contamination_report
@@ -910,9 +918,21 @@ def q_corpus_mixture(spark, sf_dir):
         F.col("epoch").cast("long").alias("b"),
         F.col("n_epochs").cast("long").alias("c"),
         F.col("repeat_factor").cast("double").alias("d"))
+    emb = _t(spark, sf_dir, "embeddings")
+    dctr_rows = emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    dcents = [[float(x) for x in r["embedding"]] for r in dctr_rows]
+    divers_rows = diversity_sample(emb, "vec_id", "embedding",
+                                   per_cluster=30, centroids=dcents,
+                                   keep_cluster_col=True).select(
+        F.lit("divers").alias("part"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("vec_id").cast("long").alias("a"),
+        F.col("_cell").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        F.lit(None).cast("double").alias("d"))
     return (mix_rows.unionByName(strat_rows).unionByName(budget_rows)
             .unionByName(pack_rows).unionByName(chunk_rows)
-            .unionByName(repeat_rows))
+            .unionByName(repeat_rows).unionByName(divers_rows))
 
 
 def q_retrieval_indexed(spark, sf_dir):
@@ -3448,6 +3468,39 @@ FROM (
                    < CAST(floor((r - floor(r)) * 1000000.0) AS BIGINT)
               THEN 1 ELSE 0 END AS n_ep
   FROM rwr
+)
+UNION ALL
+-- divers: diversity_sample via explicit centroids (embeddings 0/1/2):
+-- nearest-centroid cell (squared euclidean, ties -> lower cell), per-cell
+-- quota draw in (hash_bucket, id) order, quota 30
+SELECT 'divers', CAST(NULL AS VARCHAR), CAST(vec_id AS BIGINT),
+       CAST(cell AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM (
+  WITH dcb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  dctr AS (SELECT (SELECT v FROM dcb WHERE vec_id = 0) AS c0,
+                  (SELECT v FROM dcb WHERE vec_id = 1) AS c1,
+                  (SELECT v FROM dcb WHERE vec_id = 2) AS c2),
+  dasg AS (
+    SELECT vec_id,
+           CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+                WHEN d1 <= d2 THEN 1 ELSE 2 END AS cell
+    FROM (
+      SELECT vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> (v[i] - c0[i]) * (v[i] - c0[i]))) AS d0,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> (v[i] - c1[i]) * (v[i] - c1[i]))) AS d1,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> (v[i] - c2[i]) * (v[i] - c2[i]))) AS d2
+      FROM dcb CROSS JOIN dctr)
+  ),
+  dsel AS (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY cell
+             ORDER BY ((vec_id % 1000000 + 42) * 2654435761) % 1000000,
+                      vec_id) AS rn
+    FROM dasg)
+  SELECT vec_id, cell FROM dsel WHERE rn <= 30
 )
 """
 

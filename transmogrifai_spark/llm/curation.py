@@ -230,7 +230,8 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
 def diversity_sample(df: DataFrame, id_col: str, vec_col: str,
                      n_clusters: int = 16, per_cluster: int = 100,
                      seed: int = 42, fit_sample: float | None = None,
-                     keep_cluster_col: bool = False) -> DataFrame:
+                     keep_cluster_col: bool = False,
+                     centroids: list[list[float]] | None = None) -> DataFrame:
     """Cluster-balanced (diversity) sampling over an embedding column:
     KMeans the corpus into ``n_clusters`` semantic cells (the IVF coarse
     quantizer from llm.similarity — fit on ``fit_sample`` at scale, assign
@@ -244,13 +245,27 @@ def diversity_sample(df: DataFrame, id_col: str, vec_col: str,
     diversity-selection step in training-data pipelines. Undersized
     clusters contribute all their documents (count law:
     sum(min(cluster_size, per_cluster))).
+
+    ``centroids`` (r7) injects explicit cell centroids and skips the
+    KMeans fit — assignment becomes the pure nearest-centroid expression
+    (squared euclidean, ties to the lower cell; the semantic_dedup /
+    pq_encode injection contract), making the whole draw SQL-replicable.
     """
     from pyspark.sql.window import Window
 
+    from ..util import ensure_parallelism
     from .similarity import ivf_assignments
 
-    assigned, _ = ivf_assignments(df, id_col, vec_col, n_lists=n_clusters,
-                                  seed=seed, fit_sample=fit_sample)
+    if centroids is not None:
+        from .similarity import _probe_cells
+        assigned = ensure_parallelism(df).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.element_at(_probe_cells(F.col(vec_col), centroids, 1), 1)
+            .alias("_cell"))
+    else:
+        assigned, _ = ivf_assignments(df, id_col, vec_col,
+                                      n_lists=n_clusters, seed=seed,
+                                      fit_sample=fit_sample)
     cells = assigned.select(F.col("neighbor_id").alias(id_col), "_cell")
     w = (Window.partitionBy("_cell")
          .orderBy(hash_bucket(F.col(id_col), seed).asc(),
