@@ -50,7 +50,7 @@ def _rows(n):
             for i in range(n)]
 
 
-@pytest.fixture(scope="module", params=["null", "deflate"])
+@pytest.fixture(scope="module", params=["null", "deflate", "snappy"])
 def container(request, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("avro") / f"t_{request.param}.avro")
     rows = _rows(5000)
@@ -100,9 +100,59 @@ def test_deterministic_writes(tmp_path):
 
 
 def test_unsupported_codec_gated(tmp_path):
+    # snappy is implemented from scratch since r7; zstandard stays gated
+    # (format not reasonably reimplementable, lib absent)
     with pytest.raises(NotImplementedError, match="codec"):
         avro_py.write_container(str(tmp_path / "x.avro"), SCHEMA, [],
-                                codec="snappy")
+                                codec="zstandard")
+
+
+def test_snappy_codec_roundtrip_and_vectors():
+    """Pure-python snappy (sources/snappy_py.py): identity round-trips on
+    adversarial inputs (empty, single byte, incompressible, long runs,
+    overlap-forcing periods, 70KB literals), known-vector decode for every
+    element type, and corrupt-stream rejection."""
+    import os as _os
+    import random
+
+    from transmogrifai_spark.sources import snappy_py as sn
+
+    rng = random.Random(7)
+    cases = [b"", b"x", b"ab" * 5, b"a" * 100000,
+             bytes(rng.randrange(256) for _ in range(70000)),
+             (b"0123456789" * 7000),
+             b"abcabcabcabc" + bytes(rng.randrange(256) for _ in range(50)),
+             _os.urandom(0) + b"\x80\x00" * 33000]
+    for c in cases:
+        enc = sn.compress(c)
+        assert sn.decompress(enc) == c
+    # compression actually happens on repetitive data
+    rep = b"the quick brown fox " * 4096
+    assert len(sn.compress(rep)) < len(rep) // 4
+    # known vectors: literal, copy1, copy2, copy4 (hand-assembled streams)
+    lit = bytes([5]) + bytes([4 << 2]) + b"hello"
+    assert sn.decompress(lit) == b"hello"
+    # "abcd" literal then copy1 len4 offset4 -> "abcdabcd"
+    c1 = bytes([8]) + bytes([3 << 2]) + b"abcd" + bytes([0b001]) + bytes([4])
+    assert sn.decompress(c1) == b"abcdabcd"
+    # overlap: "ab" then copy2 len6 offset2 -> "abababab"
+    c2 = (bytes([8]) + bytes([1 << 2]) + b"ab"
+          + bytes([((6 - 1) << 2) | 2]) + (2).to_bytes(2, "little"))
+    assert sn.decompress(c2) == b"abababab"
+    c4 = (bytes([8]) + bytes([3 << 2]) + b"wxyz"
+          + bytes([((4 - 1) << 2) | 3]) + (4).to_bytes(4, "little"))
+    assert sn.decompress(c4) == b"wxyzwxyz"
+    for bad in (bytes([4]) + bytes([0b001]) + bytes([9]),   # offset > out
+                bytes([9]) + bytes([4 << 2]) + b"hello"):    # wrong length
+        with pytest.raises(ValueError):
+            sn.decompress(bad)
+    # avro framing: CRC of the UNCOMPRESSED data is verified
+    import zlib
+    framed = sn.compress(b"payload") + (zlib.crc32(b"payload")).to_bytes(4, "big")
+    assert avro_py._decompress("snappy", framed) == b"payload"
+    broken = framed[:-1] + bytes([framed[-1] ^ 1])
+    with pytest.raises(ValueError, match="CRC"):
+        avro_py._decompress("snappy", broken)
 
 
 def test_schema_translation_both_ways():

@@ -17,8 +17,10 @@ with the spec's zig-zag varint primitives. Three pieces:
     logical types date / timestamp-millis / timestamp-micros / decimal),
   * a per-schema compiled decoder/encoder (closure tree, one dispatch per
     field per row, no per-value schema inspection),
-  * container read/write with ``null`` and ``deflate`` codecs (snappy /
-    zstandard are gated: the Python libs are absent here).
+  * container read/write with ``null``, ``deflate`` and — since r7 —
+    ``snappy`` codecs (snappy_py.py implements the block format from the
+    public spec, so no library is needed; zstandard stays gated: its
+    format is not reasonably reimplementable and the lib is absent).
 
 Scale design (the part that must survive 100 TB): files are read in
 HADOOP-STYLE BYTE-RANGE SPLITS. A split [start, end) owns every block whose
@@ -48,8 +50,11 @@ from pyspark.sql import types as T
 MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
 
-#: codecs implemented here; snappy/zstandard would need absent Python libs
-CODECS = ("null", "deflate")
+#: codecs implemented here. snappy is the from-scratch block codec in
+#: sources/snappy_py.py (Avro frames it as <snappy stream><4-byte
+#: big-endian CRC32 of the UNCOMPRESSED data>); zstandard still needs an
+#: absent Python lib and stays gated.
+CODECS = ("null", "deflate", "snappy")
 
 
 # --------------------------------------------------------------------------
@@ -511,6 +516,13 @@ def read_header(path: str) -> AvroHeader:
 def _decompress(codec: str, data: bytes) -> bytes:
     if codec == "deflate":
         return zlib.decompress(data, -15)  # raw deflate, per spec
+    if codec == "snappy":
+        from . import snappy_py
+        raw = snappy_py.decompress(data[:-4])
+        want = int.from_bytes(data[-4:], "big")
+        if zlib.crc32(raw) & 0xFFFFFFFF != want:
+            raise ValueError("avro snappy block CRC mismatch")
+        return raw
     return data
 
 
@@ -607,6 +619,10 @@ def write_container(path: str, schema: dict, rows, codec: str = "null",
             if codec == "deflate":
                 co = zlib.compressobj(9, zlib.DEFLATED, -15)
                 data = co.compress(data) + co.flush()
+            elif codec == "snappy":
+                from . import snappy_py
+                data = snappy_py.compress(data) \
+                    + (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
             out = bytearray()
             _zigzag(out, count)
             _zigzag(out, len(data))
