@@ -665,7 +665,19 @@ def q_multilabel_topn(spark, sf_dir):
 
 def q_name_lang_detect(spark, sf_dir):
     """HumanNameDetector + LangDetector confidences (dictionary membership +
-    stopword profiles, both pure expressions)."""
+    stopword profiles, both pure expressions).
+
+    r7 adds the STATISTICAL detector (llm/langid_nb — the Optimaize NB
+    family, trained not shipped): a char-bigram Naive Bayes is FIT on the
+    doc_id < 100 slice in portable mode (every model log-probability
+    rounded 6dp at fit; vocabulary = top-500 grams, ties by gram) and
+    classifies every document as pure expressions — the oracle replicates
+    the ENTIRE train-then-classify path in SQL: gram counting, the vocab
+    cut, Laplace smoothing with explicit DOUBLE casts, ln at 6dp, doc
+    priors, the per-doc DECIMAL(18,6) fold / gram count, and the
+    argmax with alphabetical tie-break (nb_pred, nb_en, nb_de)."""
+    from .llm.langid_nb import (nb_language_id, nb_language_scores,
+                                train_language_classifier)
     from .operators.detectors import is_human_name, language_scores
     docs = _t(spark, sf_dir, "documents")
     fake_name = F.concat(
@@ -673,12 +685,19 @@ def q_name_lang_detect(spark, sf_dir):
                      (F.col("doc_id") % 4 + 1).cast("int")),
         F.lit(" Smith"))
     scores = language_scores(F.col("text"))
+    nbm = train_language_classifier(docs.where(F.col("doc_id") < 100),
+                                    "text", "lang", n=2, max_vocab=500,
+                                    portable=True)
+    nbs = nb_language_scores(F.col("text"), nbm)
     return docs.select(
         "doc_id",
         fake_name.alias("synth_name"),
         is_human_name(fake_name).alias("is_name"),
         F.try_element_at(scores, F.lit("en")).alias("score_en"),
-        F.try_element_at(scores, F.lit("de")).alias("score_de"))
+        F.try_element_at(scores, F.lit("de")).alias("score_de"),
+        nb_language_id(F.col("text"), nbm).alias("nb_pred"),
+        (F.try_element_at(nbs, F.lit("en")) + F.lit(0.0)).alias("nb_en"),
+        (F.try_element_at(nbs, F.lit("de")) + F.lit(0.0)).alias("nb_de"))
 
 
 def q_raw_feature_filter(spark, sf_dir):
@@ -2431,8 +2450,80 @@ WITH base AS (
   FROM documents
 ), nm AS (
   SELECT *, {_tokens('synth_name')} AS ntoks FROM base
+),
+-- NB language-ID replica (llm/langid_nb, portable fit on doc_id < 100):
+-- char bigrams of lower(text) with whitespace collapsed, top-500 vocab
+-- (total desc, gram asc), Laplace logP = round(ln((c+0.5)/(tot+0.5*(V+1))),6),
+-- doc prior = round(ln(nd/n),6), per-doc DECIMAL(18,6) fold / gram count,
+-- argmax (score desc, lang asc)
+nbt AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+nbg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, length(t) - 1),
+                               i -> substr(t, i, 2))) AS g
+  FROM nbt WHERE length(t) >= 2
+),
+nblg AS (SELECT lang, g, count(*) AS c FROM nbg
+         WHERE doc_id < 100 GROUP BY lang, g),
+nbvocab AS (SELECT g FROM (SELECT g, sum(c) AS tt FROM nblg GROUP BY g
+                           ORDER BY tt DESC, g LIMIT 500)),
+nbv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM nbvocab),
+nbtot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS tot FROM nblg
+          GROUP BY lang),
+nbprior AS (
+  SELECT lang,
+         round(ln(CAST(count(*) AS DOUBLE)
+                  / CAST((SELECT count(*) FROM documents
+                          WHERE doc_id < 100) AS DOUBLE)), 6) AS pr
+  FROM documents WHERE doc_id < 100 GROUP BY lang
+),
+nblp AS (
+  SELECT vv.g, t.lang,
+         round(ln((CAST(COALESCE(c.c, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / (t.tot + CAST(0.5 AS DOUBLE)
+                             * (nbv.v + CAST(1.0 AS DOUBLE)))), 6) AS lp
+  FROM nbvocab vv CROSS JOIN nbtot t CROSS JOIN nbv
+  LEFT JOIN nblg c ON c.g = vv.g AND c.lang = t.lang
+),
+nbunk AS (
+  SELECT t.lang,
+         round(ln(CAST(0.5 AS DOUBLE)
+                  / (t.tot + CAST(0.5 AS DOUBLE)
+                             * (nbv.v + CAST(1.0 AS DOUBLE)))), 6) AS lp
+  FROM nbtot t CROSS JOIN nbv
+),
+nbdoc AS (
+  SELECT g.doc_id, t.lang AS ml,
+         (CAST(SUM(CAST(COALESCE(lp.lp, u.lp) AS DECIMAL(18,6)))
+               AS DOUBLE) + max(p.pr)) / count(*) AS score
+  FROM nbg g
+  CROSS JOIN (SELECT lang FROM nbtot) t
+  LEFT JOIN nblp lp ON lp.g = g.g AND lp.lang = t.lang
+  JOIN nbunk u ON u.lang = t.lang
+  JOIN nbprior p ON p.lang = t.lang
+  GROUP BY g.doc_id, t.lang
+),
+nbbest AS (
+  SELECT doc_id, ml, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, ml ASC) AS rn
+  FROM nbdoc
+),
+nbout AS (
+  SELECT b.doc_id,
+         COALESCE(max(CASE WHEN w.rn = 1 THEN w.ml END), 'und') AS nb_pred,
+         max(CASE WHEN d.ml = 'en' THEN d.score END) AS nb_en,
+         max(CASE WHEN d.ml = 'de' THEN d.score END) AS nb_de
+  FROM nbt b
+  LEFT JOIN nbbest w ON w.doc_id = b.doc_id
+  LEFT JOIN nbdoc d ON d.doc_id = b.doc_id
+  GROUP BY b.doc_id
 )
-SELECT doc_id, synth_name,
+SELECT nm.doc_id, synth_name,
        (CASE WHEN len(ntoks) = 0 THEN 0.0
              ELSE CAST(len(list_filter(ntoks, t -> list_contains({_NAMES_SQL}, t))) AS DOUBLE)
                   / CAST(len(ntoks) AS DOUBLE) END) >= 0.5 AS is_name,
@@ -2443,8 +2534,9 @@ SELECT doc_id, synth_name,
        CASE WHEN len(toks) = 0 THEN 0.0
             ELSE CAST(len(list_filter(toks, t -> list_contains(
                  ['der','die','das','und','ist','von','mit','ein','eine','zu'], t))) AS DOUBLE)
-                 / CAST(len(toks) AS DOUBLE) END AS score_de
-FROM nm
+                 / CAST(len(toks) AS DOUBLE) END AS score_de,
+       o.nb_pred, o.nb_en, o.nb_de
+FROM nm JOIN nbout o ON o.doc_id = nm.doc_id
 """
 
 ORACLES["raw_feature_filter"] = """
