@@ -996,11 +996,20 @@ def q_retrieval_indexed(spark, sf_dir):
     u^(-1/alpha) - 1 > 1 - score with u = (hash_bucket(id,42)+1)/1e6,
     alpha=9, over a deterministic score grid s = (doc_id % 100)/100.
     The oracle replicates hash, inverse-CDF Pareto draw, and the
-    comparison; the kept id SET is the evidence (a=doc_id, d=score)."""
+    comparison; the kept id SET is the evidence (a=doc_id, d=score).
+
+    part='rrf' (r7): HYBRID retrieval — Reciprocal Rank Fusion (Cormack
+    et al. SIGIR'09, llm/retrieval.reciprocal_rank_fusion) of the BM25
+    indexed top-5 (the part='bm25' ranking) with embedding-cosine brute
+    top-5 over the same id space; the outer-join chain's fixed-order
+    double additions and the (score desc, doc_id) re-rank are replicated
+    op-for-op (lang=query id, a=doc_id, b=fused rank, d=rrf score)."""
     import tempfile
 
     from .llm.dsir import dsir_log_weights, dsir_sample
     from .llm.quality_classifier import pareto_quality_sample
+    from .llm.retrieval import reciprocal_rank_fusion
+    from .llm.similarity import brute_force_topk
     from .llm.retrieval import append_bm25_index, bm25_topk_indexed, \
         build_bm25_index
     from .sources.shard_export import export_shards, read_shards
@@ -1021,9 +1030,23 @@ def q_retrieval_indexed(spark, sf_dir):
                      bp, n_shards=8, batch_id=0)
     append_bm25_index(spark, bp, docs.where(F.col("doc_id") % 2 == 1),
                       "doc_id", "text", batch_id=1)
-    bm25_rows = bm25_topk_indexed(spark, bp, bq, "qid", "qtext", k=5,
-                                  quantize=6).select(
+    bm = bm25_topk_indexed(spark, bp, bq, "qid", "qtext", k=5,
+                           quantize=6).persist()
+    bm25_rows = bm.select(
         F.lit("bm25").alias("part"),
+        F.col("query_id").cast("string").alias("lang"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("rank").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        (F.col("score") + F.lit(0.0)).alias("d"))
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), "vec_id",
+                           "embedding", k=5) \
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = reciprocal_rank_fusion(
+        [bm.select("query_id", "doc_id", "rank"), ann], k=8, c=60)
+    rrf_rows = fused.select(
+        F.lit("rrf").alias("part"),
         F.col("query_id").cast("string").alias("lang"),
         F.col("doc_id").cast("long").alias("a"),
         F.col("rank").cast("long").alias("b"),
@@ -1056,7 +1079,8 @@ def q_retrieval_indexed(spark, sf_dir):
         F.lit(None).cast("long").alias("c"),
         (F.col("q") + F.lit(0.0)).alias("d"))
     return (shard_rows.unionByName(bm25_rows).unionByName(dsir_rows)
-            .unionByName(dsirtop_rows).unionByName(pareto_rows))
+            .unionByName(dsirtop_rows).unionByName(pareto_rows)
+            .unionByName(rrf_rows))
 
 
 def q_text_quality(spark, sf_dir):
@@ -3594,6 +3618,90 @@ FROM (
     FROM dasg)
   SELECT vec_id, cell FROM dsel WHERE rn <= 30
 )
+"""
+
+# rrf: Reciprocal Rank Fusion of the bm25 top-5 (replicated identically
+# to the part='bm25' arm) with embedding-cosine brute top-5; the Spark
+# side adds 0.0 + coalesce(1/(60+rank_bm25), 0) + coalesce(1/(60+rank_ann), 0)
+# in THAT syntactic order (outer-join chain), replicated op-for-op, then
+# re-ranks (score desc, doc_id), top 8.
+ORACLES["retrieval_indexed"] += """
+UNION ALL
+SELECT 'rrf', CAST(query_id AS VARCHAR), CAST(doc_id AS BIGINT),
+       CAST(rank AS BIGINT), CAST(NULL AS BIGINT), score
+FROM (
+  WITH rtoks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                       t -> length(t) >= 1) AS toks
+    FROM documents
+  ),
+  rex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM rtoks),
+  rpost AS (SELECT term, doc_id, dl, count(*) AS tf
+            FROM rex GROUP BY term, doc_id, dl),
+  rstat AS (SELECT count(*) AS n, sum(len(toks)) AS tot FROM rtoks),
+  rdf AS (SELECT term, count(*) AS df FROM rpost GROUP BY term),
+  rqt AS (
+    SELECT DISTINCT qid, term FROM (
+      SELECT doc_id AS qid,
+             unnest(list_filter(
+               regexp_split_to_array(lower(substr(text, 1, 120)),
+                                     '[^\\p{L}\\p{N}]+'),
+               t -> length(t) >= 1)) AS term
+      FROM documents WHERE doc_id < 3)
+  ),
+  rscored AS (
+    SELECT qt.qid, p.doc_id,
+           SUM(CAST(round(
+             ln(1.0 + ((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                       / (CAST(d.df AS DOUBLE) + 0.5)))
+             * ((CAST(p.tf AS DOUBLE) * 2.2)
+                / (CAST(p.tf AS DOUBLE)
+                   + 1.2 * (0.25 + (0.75 * CAST(p.dl AS DOUBLE))
+                            / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+           , 6) AS DECIMAL(18,6))) AS score
+    FROM rpost p
+    JOIN rqt qt USING (term)
+    JOIN rdf d USING (term)
+    CROSS JOIN rstat s
+    GROUP BY qt.qid, p.doc_id
+  ),
+  rbm AS (
+    SELECT qid AS query_id, doc_id, rank FROM (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM rscored
+    ) WHERE rank <= 5
+  ),
+  rann AS (
+    SELECT query_id, doc_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                        c.vec_id ASC) AS rank
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id < 3) q
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c
+        ON c.vec_id != q.vec_id
+    ) WHERE rank <= 5
+  ),
+  rfused AS (
+    SELECT query_id, doc_id,
+           (CAST(0.0 AS DOUBLE)
+            + COALESCE(CAST(1.0 AS DOUBLE)
+                       / (CAST(60.0 AS DOUBLE) + CAST(b.rank AS DOUBLE)),
+                       CAST(0.0 AS DOUBLE))
+            + COALESCE(CAST(1.0 AS DOUBLE)
+                       / (CAST(60.0 AS DOUBLE) + CAST(a.rank AS DOUBLE)),
+                       CAST(0.0 AS DOUBLE))) AS score
+    FROM rbm b FULL OUTER JOIN rann a USING (query_id, doc_id)
+  )
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rfused
+) WHERE rank <= 8
 """
 
 # pareto: the GPT-3 quality re-sampling keep rule, exact replica —
