@@ -38,7 +38,10 @@ def test_every_registry_query_runs(spark, sf_dir):
                "binary_eval": {"cartesian"},
                # brute-force top-k IS a broadcast nested loop by design:
                # the (tiny) query side broadcasts, the corpus scans once
-               "similarity_topk": {"cartesian"}}
+               "similarity_topk": {"cartesian"},
+               # r7: the RRF arm fuses bm25 with brute_force_topk over a
+               # 3-query broadcast side — same documented pattern
+               "retrieval_indexed": {"cartesian"}}
     failures = {}
     for name, fn in entry_mod.queries().items():
         try:
