@@ -38,7 +38,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hashed_ngram_buckets", "dsir_log_ratio_table",
-           "dsir_log_weights", "dsir_sample"]
+           "dsir_log_weights", "dsir_sample", "dsir_count_partials",
+           "stream_dsir_counts", "read_dsir_counts",
+           "dsir_table_from_counts"]
 
 _MOD = 1_000_000  # curation.hash_bucket's modulus (u = (h+0.5)/MOD)
 
@@ -90,17 +92,11 @@ def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int, max_n: int,
     return counts, total
 
 
-def dsir_log_ratio_table(raw: DataFrame, target: DataFrame, text_col: str,
-                         n_buckets: int = 10_000, max_n: int = 2,
-                         alpha: float = 1.0,
-                         portable: bool = False) -> DataFrame:
-    """The config-sized scoring table: one row per bucket with
-    ``lr = round(ln(p_target / p_raw), 6)`` under Laplace smoothing
-    ``p = (cnt + alpha) / (total + alpha * n_buckets)``. Rounding at the
-    table makes downstream decimal sums exact and engine-portable."""
-    spark = raw.sparkSession
-    rc, rt = _bucket_counts(raw, text_col, n_buckets, max_n, portable)
-    tc, tt = _bucket_counts(target, text_col, n_buckets, max_n, portable)
+def _table_from_counts(rc: DataFrame, rt: int, tc: DataFrame, tt: int,
+                       n_buckets: int, alpha: float) -> DataFrame:
+    """Shared table arithmetic for the batch and streamed-count paths —
+    identical by construction, so the stream == batch law is exact."""
+    spark = rc.sparkSession
     buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     a = float(alpha)
     rden = float(rt + a * n_buckets)
@@ -115,6 +111,79 @@ def dsir_log_ratio_table(raw: DataFrame, target: DataFrame, text_col: str,
                   / F.lit(rden)).alias("pr")))
     return t.select("bucket",
                     F.round(F.log(F.col("pt") / F.col("pr")), 6).alias("lr"))
+
+
+def dsir_log_ratio_table(raw: DataFrame, target: DataFrame, text_col: str,
+                         n_buckets: int = 10_000, max_n: int = 2,
+                         alpha: float = 1.0,
+                         portable: bool = False) -> DataFrame:
+    """The config-sized scoring table: one row per bucket with
+    ``lr = round(ln(p_target / p_raw), 6)`` under Laplace smoothing
+    ``p = (cnt + alpha) / (total + alpha * n_buckets)``. Rounding at the
+    table makes downstream decimal sums exact and engine-portable."""
+    rc, rt = _bucket_counts(raw, text_col, n_buckets, max_n, portable)
+    tc, tt = _bucket_counts(target, text_col, n_buckets, max_n, portable)
+    return _table_from_counts(rc, rt, tc, tt, n_buckets, alpha)
+
+
+def dsir_count_partials(df: DataFrame, text_col: str,
+                        n_buckets: int = 10_000, max_n: int = 2,
+                        portable: bool = False) -> DataFrame:
+    """Mergeable DSIR state for one corpus slice: ``(bucket, cnt)``
+    feature-occurrence counts. Integer counts are an exact monoid —
+    merge = groupBy(bucket).sum — so per-batch partials reassemble the
+    one-shot distribution regardless of batch boundaries."""
+    feats = df.select(F.explode(hashed_ngram_buckets(
+        F.col(text_col), n_buckets, max_n, portable)).alias("bucket"))
+    return feats.groupBy("bucket").agg(F.count("*").alias("cnt"))
+
+
+def read_dsir_counts(spark, path: str) -> DataFrame:
+    """Merged ``(bucket, cnt)`` from a partial directory (per-batch
+    subdirs written by ``stream_dsir_counts`` or manual appends). The
+    path's file-listing cache is refreshed first: a replayed batch
+    OVERWRITES its subdir, and a listing cached before the replay would
+    point at deleted part files (FAILED_READ_FILE)."""
+    spark.catalog.refreshByPath(path)
+    return (spark.read.parquet(path)
+            .groupBy("bucket").agg(F.sum("cnt").alias("cnt")))
+
+
+def dsir_table_from_counts(raw_counts: DataFrame, target_counts: DataFrame,
+                           n_buckets: int = 10_000,
+                           alpha: float = 1.0) -> DataFrame:
+    """The log-ratio table from MERGED count frames (the streamed path).
+    Totals are exact integer sums, the arithmetic is the shared helper —
+    equals ``dsir_log_ratio_table`` over the same corpora exactly
+    (law-tested)."""
+    rt = raw_counts.agg(F.sum("cnt")).first()[0] or 0
+    tt = target_counts.agg(F.sum("cnt")).first()[0] or 0
+    return _table_from_counts(raw_counts, rt, target_counts, tt,
+                              n_buckets, alpha)
+
+
+def stream_dsir_counts(stream: DataFrame, path: str, text_col: str,
+                       n_buckets: int = 10_000, max_n: int = 2,
+                       portable: bool = False,
+                       checkpoint: str | None = None,
+                       available_now: bool = True):
+    """Streaming maintenance of a DSIR bucket-count directory: each
+    micro-batch's partial overwrites its own ``batch=<id>`` subdir
+    (at-least-once replays converge — the LSH/BM25/bloom pattern), so
+    the importance-weight table stays current as the corpus streams in:
+    ``dsir_table_from_counts(read_dsir_counts(...), target_counts)``.
+    Per-batch cost: one scan of the batch + a config-sized aggregation;
+    the accumulated corpus is never re-read."""
+    def do_batch(batch: DataFrame, batch_id: int) -> None:
+        dsir_count_partials(batch, text_col, n_buckets, max_n, portable) \
+            .write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    w = stream.writeStream.foreachBatch(do_batch).outputMode("update")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def dsir_log_weights(raw: DataFrame, target: DataFrame, id_col: str,
