@@ -173,7 +173,11 @@ def stream_dsir_counts(stream: DataFrame, path: str, text_col: str,
     the importance-weight table stays current as the corpus streams in:
     ``dsir_table_from_counts(read_dsir_counts(...), target_counts)``.
     Per-batch cost: one scan of the batch + a config-sized aggregation;
-    the accumulated corpus is never re-read."""
+    the accumulated corpus is never re-read. No compaction op exists for
+    this store ON PURPOSE: each batch dir holds at most ``n_buckets``
+    rows (config-sized, unlike the posting/band indexes whose batch dirs
+    scale with data), so even 10^5 batches fold in one trivial groupBy —
+    small-file pressure is bounded by config, not corpus."""
     def do_batch(batch: DataFrame, batch_id: int) -> None:
         dsir_count_partials(batch, text_col, n_buckets, max_n, portable) \
             .write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
