@@ -1639,3 +1639,31 @@ def test_ivf_pq_explicit_model_full_probe_matches_adc_mirror(spark, sf_dir):
             gn, gc = got[(qi, rank)]
             assert gn == nid, (qi, rank)
             assert abs(gc - (-cos)) < 1e-9, (qi, rank)
+
+
+def test_lsh_incremental_signatures_reuse_identical(spark, sf_dir,
+                                                    tmp_path):
+    """r7: passing a precomputed signatures frame to
+    lsh_dedup_incremental must reproduce the fresh-plan result exactly
+    (the production ingest shape: one signature scan feeds probe AND
+    register)."""
+    from transmogrifai_spark.llm.dedup import (build_lsh_index,
+                                               lsh_dedup_incremental,
+                                               minhash_signatures)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "lsh_sig")
+    build_lsh_index(a, "doc_id", "text", p, n=3, num_hashes=16, bands=4,
+                    portable=True, n_shards=16, batch_id=0)
+    fresh = {(r["id1"], r["id2"]) for r in
+             lsh_dedup_incremental(spark, p, b, "doc_id", "text").collect()}
+    sigs = minhash_signatures(b, "doc_id", "text", n=3, num_hashes=16,
+                              portable=True).persist()
+    reused = {(r["id1"], r["id2"]) for r in
+              lsh_dedup_incremental(spark, p, b, "doc_id", "text",
+                                    signatures=sigs).collect()}
+    sigs.unpersist()
+    assert reused == fresh and fresh

@@ -820,7 +820,8 @@ def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
                           within_batch: bool = True,
                           max_bucket: int | None = None,
                           exclude_batches: list[int] | None = None,
-                          caches: list | None = None) -> DataFrame:
+                          caches: list | None = None,
+                          signatures: DataFrame | None = None) -> DataFrame:
     """Near-duplicate candidates of a NEW batch: (new) x (indexed corpus)
     pairs plus — when ``within_batch`` — (new) x (new) pairs, WITHOUT
     touching corpus text. Returns (id1, id2, within) where ``within``
@@ -838,7 +839,15 @@ def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
     Scale shape: the new batch's banded rows are computed once and are
     small; the index side is filtered to the batch's DISTINCT shards (a
     partition-column predicate -> directory pruning), then equi-joined on
-    (band, bucket). Never all-pairs, never a corpus rescan."""
+    (band, bucket). Never all-pairs, never a corpus rescan.
+
+    ``signatures`` (r7): a precomputed ``minhash_signatures`` frame for
+    THIS batch (same hash params as the index) skips the signature scan
+    — the production ingest shape when the same batch is probed and then
+    registered (``append_lsh_index`` already takes it). The driver gate
+    deliberately does NOT pass it on the cross-probe path, so the
+    cross-plan hash-family consistency that caught the r6 seed-binding
+    bug stays under test."""
     import json
     import os
 
@@ -846,7 +855,8 @@ def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
         meta = json.load(f)
     nb = _lsh_banded(new_docs, id_col, text_col, n=meta["n"],
                      num_hashes=meta["num_hashes"], bands=meta["bands"],
-                     portable=meta["portable"], n_shards=meta["n_shards"])
+                     portable=meta["portable"], n_shards=meta["n_shards"],
+                     signatures=signatures)
     nb = nb.persist()
     if caches is not None:
         caches.append(nb)
