@@ -796,11 +796,13 @@ def q_dedup_clusters(spark, sf_dir):
     property the operator's scale story rests on (a=id1, b=id2,
     common=dist)."""
     docs = _t(spark, sf_dir, "documents")
-    # persist the mined pairs: they feed BOTH the pair rows and the
-    # connected-components edge table (one shingle/inverted-index pass
-    # instead of two — r7 gate-cost shave)
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3,
-                                      max_doc_freq=200).persist()
+    # snapshot the mined pairs driver-side (bounded: ~1k rows at sf0.1):
+    # they feed BOTH the pair rows and the connected-components edge
+    # table — one shingle/inverted-index pass, no persist outliving the
+    # query (r7 review)
+    pairs_live = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                           threshold=0.3, max_doc_freq=200)
+    pairs = spark.createDataFrame(pairs_live.collect(), pairs_live.schema)
     pair_rows = pairs.select(
         F.lit("pair").alias("part"),
         F.col("id1").cast("long").alias("a"), F.col("id2").cast("long").alias("b"),
@@ -1030,8 +1032,12 @@ def q_retrieval_indexed(spark, sf_dir):
                      bp, n_shards=8, batch_id=0)
     append_bm25_index(spark, bp, docs.where(F.col("doc_id") % 2 == 1),
                       "doc_id", "text", batch_id=1)
-    bm = bm25_topk_indexed(spark, bp, bq, "qid", "qtext", k=5,
-                           quantize=6).persist()
+    bm_live = bm25_topk_indexed(spark, bp, bq, "qid", "qtext", k=5,
+                                quantize=6)
+    # snapshot the 15-row result driver-side (the text_quality rank_rows
+    # pattern) instead of persisting: it feeds both the bm25 rows and the
+    # RRF fusion, and a persist here would outlive the query (r7 review)
+    bm = spark.createDataFrame(bm_live.collect(), bm_live.schema)
     bm25_rows = bm.select(
         F.lit("bm25").alias("part"),
         F.col("query_id").cast("string").alias("lang"),
@@ -1052,9 +1058,12 @@ def q_retrieval_indexed(spark, sf_dir):
         F.col("rank").cast("long").alias("b"),
         F.lit(None).cast("long").alias("c"),
         (F.col("score") + F.lit(0.0)).alias("d"))
-    dsw = dsir_log_weights(docs, docs.where(F.col("lang") == "en"),
-                           "doc_id", "text", n_buckets=512, alpha=1.0,
-                           portable=True).persist()
+    dsw_live = dsir_log_weights(docs, docs.where(F.col("lang") == "en"),
+                                "doc_id", "text", n_buckets=512, alpha=1.0,
+                                portable=True)
+    # one-doc-per-row weights table: bounded snapshot, shared by the dsir
+    # rows and the Gumbel top-k without a leaked persist
+    dsw = spark.createDataFrame(dsw_live.collect(), dsw_live.schema)
     dsir_rows = docs.select("doc_id", "lang").join(dsw, "doc_id").select(
         F.lit("dsir").alias("part"), "lang",
         F.col("doc_id").cast("long").alias("a"),
@@ -1255,12 +1264,14 @@ def q_similarity_topk(spark, sf_dir):
       scoring) at its own quantized answer, through the explicit-model
       injection path: centroids = embeddings 0/1, per-subspace codebooks
       = the subvectors of embeddings 2..17 (a bounded 18-row collect),
-      n_probe=1 so the CELL-PRUNED candidate join is in the gate. The
-      oracle replicates nearest-cell assignment, residual argmin codes
-      (ties to the lowest code), centroid+codeword reconstruction, and
-      the cosine ranking over each query's probed cell only. (The ADC
-      LUT computes dot(q, recon) by distributivity; the oracle scores
-      the reconstruction directly — identical to the 6dp emission.)"""
+      n_probe=1 so the CELL-PRUNED candidate join is in the gate, and
+      quantize=6 so RANKS compare on the 6dp-rounded cosine (the ADC
+      LUT computes dot(q, recon) by distributivity — a different IEEE
+      association than the oracle's direct reconstruction cosine, so
+      only the rounded value is cross-form stable; review r7 finding).
+      The oracle replicates nearest-cell assignment, residual argmin
+      codes (ties to the lowest code), centroid+codeword reconstruction,
+      and the rounded-cosine ranking over each query's probed cell."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
     brute = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=5) \
@@ -1277,7 +1288,8 @@ def q_similarity_topk(spark, sf_dir):
                 "codebooks": [[cvecs[2 + c][j * 8:(j + 1) * 8]
                                for c in range(16)] for j in range(8)]}
     pq = similarity.ivf_pq_topk(emb, q, "vec_id", "embedding", 64, k=5,
-                                n_probe=1, m=8, model=pq_model) \
+                                n_probe=1, m=8, model=pq_model,
+                                quantize=6) \
         .withColumn("method", F.lit("pq_adc"))
     return brute.unionAll(ivf).unionAll(sq).unionAll(pq).select(
         "method", "query_id", "neighbor_id", "rank",
@@ -3918,10 +3930,13 @@ pqq AS (
   FROM q CROSS JOIN pctr
 ),
 pq_scored AS (
+  -- rank on the 6dp-ROUNDED cosine (ivf_pq_topk quantize=6): the ADC
+  -- decomposition and this direct-reconstruction cosine differ in IEEE
+  -- association order, so only the rounded value is cross-form stable
   SELECT qq.query_id, r.vec_id AS neighbor_id,
-         list_cosine_similarity(qq.qv, r.rv) AS cosine,
+         round(list_cosine_similarity(qq.qv, r.rv), 6) AS cosine,
          row_number() OVER (PARTITION BY qq.query_id
-                            ORDER BY list_cosine_similarity(qq.qv, r.rv) DESC,
+                            ORDER BY round(list_cosine_similarity(qq.qv, r.rv), 6) DESC,
                                      r.vec_id ASC) AS rank
   FROM pqrec r JOIN pasg a USING (vec_id)
        JOIN pqq qq ON qq.qcell = a.cell

@@ -253,15 +253,10 @@ def diversity_sample(df: DataFrame, id_col: str, vec_col: str,
     """
     from pyspark.sql.window import Window
 
-    from ..util import ensure_parallelism
-    from .similarity import ivf_assignments
+    from .similarity import explicit_assignments, ivf_assignments
 
     if centroids is not None:
-        from .similarity import _probe_cells
-        assigned = ensure_parallelism(df).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.element_at(_probe_cells(F.col(vec_col), centroids, 1), 1)
-            .alias("_cell"))
+        assigned = explicit_assignments(df, id_col, vec_col, centroids)
     else:
         assigned, _ = ivf_assignments(df, id_col, vec_col,
                                       n_lists=n_clusters, seed=seed,

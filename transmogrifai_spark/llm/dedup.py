@@ -346,7 +346,13 @@ def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
     171-edge graph whose leaf plan carried 64-dim fold expressions.
     ``localCheckpoint(eager=True)`` truncates lineage each round (on a
     cluster, executor-local storage; the standard GraphX/connected-
-    components recipe)."""
+    components recipe). Tradeoffs to know: prior rounds' snapshot blocks
+    are released by the ContextCleaner when their DataFrames are GC'd
+    (each round's python reference is dropped on reassignment), not
+    synchronously as the old unpersist() did; and localCheckpoint blocks
+    are non-replicated with NO recompute lineage, so losing an executor
+    mid-run fails the job rather than recovering — use reliable
+    ``checkpoint()`` with a checkpoint dir on preemptible clusters."""
     edges = (pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
              .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
              .distinct().localCheckpoint(eager=True))
@@ -426,14 +432,11 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
     SQL-expressible — that form is law-tested (n_clusters=1 equals
     brute-force pairs; identical vectors always co-cluster) rather than
     oracle-gated."""
-    from .similarity import (_probe_cells, cosine_similarity,
+    from .similarity import (cosine_similarity, explicit_assignments,
                              ivf_assignments)
 
     if centroids is not None:
-        assigned = ensure_parallelism(df).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-            F.element_at(_probe_cells(F.col(vec_col), centroids, 1), 1)
-            .alias("_cell"))
+        assigned = explicit_assignments(df, id_col, vec_col, centroids)
     elif n_clusters == 1:
         # Spark ML KMeans requires k >= 2; one cluster is just the global
         # mean (used only for centroid_sim ranking — pair mining is the

@@ -138,12 +138,47 @@ def dsir_count_partials(df: DataFrame, text_col: str,
     return feats.groupBy("bucket").agg(F.count("*").alias("cnt"))
 
 
-def read_dsir_counts(spark, path: str) -> DataFrame:
+def _write_dsir_meta(path: str, n_buckets: int, max_n: int,
+                     portable: bool) -> None:
+    import json
+    import os
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_DSIR_COUNTS.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_buckets": n_buckets, "max_n": max_n,
+                   "portable": portable}, f)
+    os.replace(tmp, os.path.join(path, "_DSIR_COUNTS.json"))
+
+
+def read_dsir_counts(spark, path: str, n_buckets: int | None = None,
+                     max_n: int | None = None,
+                     portable: bool | None = None) -> DataFrame:
     """Merged ``(bucket, cnt)`` from a partial directory (per-batch
     subdirs written by ``stream_dsir_counts`` or manual appends). The
     path's file-listing cache is refreshed first: a replayed batch
     OVERWRITES its subdir, and a listing cached before the replay would
-    point at deleted part files (FAILED_READ_FILE)."""
+    point at deleted part files (FAILED_READ_FILE).
+
+    The store's ``_DSIR_COUNTS.json`` sidecar (the LSH/BM25 params
+    pattern) pins the hash parameters the counts were built with; any
+    explicitly passed parameter is VERIFIED against it — counts joined
+    into a table with mismatched n_buckets/portable would be silently
+    wrong (buckets align by id, no error), so mismatch raises."""
+    import json
+    import os
+    meta_path = os.path.join(path, "_DSIR_COUNTS.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        for name, got in (("n_buckets", n_buckets), ("max_n", max_n),
+                          ("portable", portable)):
+            if got is not None and got != meta[name]:
+                raise ValueError(
+                    f"dsir counts at {path} were built with "
+                    f"{name}={meta[name]!r}, caller expects {got!r} — "
+                    "mixed hash params would corrupt the ratio table")
+    # the sidecar's leading underscore keeps it invisible to the parquet
+    # file index (the _SUCCESS rule), so it lives beside the batch dirs
     spark.catalog.refreshByPath(path)
     return (spark.read.parquet(path)
             .groupBy("bucket").agg(F.sum("cnt").alias("cnt")))
@@ -178,6 +213,8 @@ def stream_dsir_counts(stream: DataFrame, path: str, text_col: str,
     rows (config-sized, unlike the posting/band indexes whose batch dirs
     scale with data), so even 10^5 batches fold in one trivial groupBy —
     small-file pressure is bounded by config, not corpus."""
+    _write_dsir_meta(path, n_buckets, max_n, portable)
+
     def do_batch(batch: DataFrame, batch_id: int) -> None:
         dsir_count_partials(batch, text_col, n_buckets, max_n, portable) \
             .write.mode("overwrite").parquet(f"{path}/batch={batch_id}")

@@ -108,16 +108,21 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
         # survivor. One hash-groupBy over (canon_url) — far cheaper than
         # content dedup, run first so content stages see fewer rows.
         from .web import canonicalize_url
-        canon = out.withColumn("_canon", canonicalize_url(F.col(url_col)))
+        canon = out.select(id_col,
+                           canonicalize_url(F.col(url_col)).alias("_canon"))
         # rows with NO canonical url (missing WARC target_uri, unparseable
         # scheme) pass through untouched — grouping them would collapse
-        # every null-URL document into one survivor (advisory finding)
+        # every null-URL document into one survivor (advisory finding).
+        # Survivor ids (min id per canonical url) union the null-url ids,
+        # then ONE left-semi join; the multi-regex canonicalization is
+        # evaluated only on the pruned (id, url) projection, never re-
+        # derived on the full-width frame (r7 review finding).
         keep = (canon.where(F.col("_canon").isNotNull())
                 .groupBy("_canon")
-                .agg(F.min(id_col).alias(id_col)).select(id_col))
-        has_url = canonicalize_url(F.col(url_col)).isNotNull()
-        out = (out.where(has_url).join(keep, id_col, "left_semi")
-               .unionByName(out.where(~has_url)))
+                .agg(F.min(id_col).alias(id_col)).select(id_col)
+                .unionByName(canon.where(F.col("_canon").isNull())
+                             .select(id_col)))
+        out = out.join(keep, id_col, "left_semi")
         stages.append(("url_dedup", out))
     if rules:
         kept = quality_filter(out, id_col, text_col, rules=rules) \

@@ -177,6 +177,19 @@ def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+def explicit_assignments(df: DataFrame, id_col: str, vec_col: str,
+                         centroids: list[list[float]]) -> DataFrame:
+    """The explicit-centroid injection contract shared by semantic_dedup,
+    pq_encode and diversity_sample: ``(neighbor_id, _cell)`` (+``_cv``)
+    via the pure nearest-centroid expression — squared euclidean over
+    centroid literals, ties to the LOWER cell (the IVF probe rule). One
+    scan, no fit, SQL-replicable."""
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.element_at(_probe_cells(F.col(vec_col), centroids, 1), 1)
+        .alias("_cell"))
+
+
 def ivf_assignments(corpus: DataFrame, id_col: str, vec_col: str,
                     n_lists: int = 16, seed: int = 42,
                     max_iter: int = 10,
@@ -291,10 +304,7 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int,
     sub_d = dim // m
     if model is not None:
         centroids = model["centroids"]
-        assigned = ensure_parallelism(corpus).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-            F.element_at(_probe_cells(F.col(vec_col), centroids, 1), 1)
-            .alias("_cell"))
+        assigned = explicit_assignments(corpus, id_col, vec_col, centroids)
     else:
         assigned, centroids = ivf_assignments(corpus, id_col, vec_col,
                                               n_lists, seed, max_iter,
@@ -303,11 +313,16 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int,
     residual = F.zip_with(F.col("_cv"),
                           F.element_at(ctr_mat, F.col("_cell") + 1),
                           lambda x, y: x.cast("double") - y)
-    assigned = assigned.withColumn("_res", residual).persist()
+    assigned = assigned.withColumn("_res", residual)
 
     if model is not None:
         codebooks = model["codebooks"]
     else:
+        # cache the residual frame ONLY for the m KMeans fits that rescan
+        # it (the injection path has no fits — a persist there is pure
+        # overhead, r7 review finding); released after the fits, since the
+        # returned encode plan recomputes residuals in its own single pass
+        assigned = assigned.persist()
         codebooks = []
         for i in range(m):
             sl = assigned.select(
@@ -340,7 +355,8 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int,
                .withColumn("_codes", codes)
                .withColumn("_rnorm", l2_norm(recon))
                .select("neighbor_id", "_cell", "_codes", "_rnorm"))
-    assigned.unpersist()
+    if model is None:
+        assigned.unpersist()
     return encoded, {"centroids": centroids, "codebooks": codebooks}
 
 
@@ -368,7 +384,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 n_probe: int = 2, m: int = 4, k_codes: int = 16,
                 seed: int = 42, max_iter: int = 10,
                 fit_sample: float | None = None,
-                model: dict | None = None) -> DataFrame:
+                model: dict | None = None,
+                quantize: int | None = None) -> DataFrame:
     """IVF-PQ approximate top-k: IVF restricts the scan to ``n_probe`` cells,
     PQ-ADC scores candidates from m-byte codes without touching the stored
     vectors. Same output shape as the other top-k operators; ``cosine`` is
@@ -376,7 +393,15 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     (persist/bucket it at scale) equi-joined to the broadcast exploded query
     probes — identical shuffle shape to ``ivf_topk`` but the scanned payload
     per row is m codes + one norm, not ``dim`` floats. ``model`` injects
-    explicit centroids/codebooks (see pq_encode) and skips every fit."""
+    explicit centroids/codebooks (see pq_encode) and skips every fit.
+
+    ``quantize`` rounds the cosine to that many decimals BEFORE the rank
+    window (ties then break by neighbor id) — the BM25 determinism
+    contract. The ADC decomposition sums dot(q, recon) in a different
+    IEEE association than a direct reconstruction dot, so ranks compared
+    against any re-derivation (another engine, a decode-then-score path)
+    are only stable on the rounded value; the oracle gate runs at
+    quantize=6."""
     encoded, model = pq_encode(corpus, id_col, vec_col, dim, n_lists, m,
                                k_codes, seed, max_iter, fit_sample,
                                model=model)
@@ -384,11 +409,14 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
         .withColumn("_cell", F.explode(_probe_cells(F.col("_qv"), model["centroids"], n_probe))))
     denom = l2_norm(F.col("_qv")) * F.col("_rnorm")
+    cos = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(pq_adc_score(F.col("_qv"), model) / denom)
+    if quantize is not None:
+        cos = F.round(cos, quantize)
     scored = (
         encoded.join(qb, "_cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.when(denom == 0, F.lit(0.0))
-                    .otherwise(pq_adc_score(F.col("_qv"), model) / denom))
+        .withColumn("cosine", cos)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
