@@ -1667,3 +1667,67 @@ def test_lsh_incremental_signatures_reuse_identical(spark, sf_dir,
                                     signatures=sigs).collect()}
     sigs.unpersist()
     assert reused == fresh and fresh
+
+
+def test_opq_rotation_orthogonal_error_and_mirror(spark, sf_dir):
+    """r7 OPQ (Ge et al. CVPR'13) laws: (1) the learned rotation is
+    orthogonal; (2) train-sample quantization error is never worse than
+    plain PQ at the same code budget (R starts at identity, so iteration
+    0 IS plain PQ); (3) the engine's rotate+encode matches a numpy
+    mirror; (4) opq_topk is deterministic with the right shape."""
+    import numpy as np
+
+    from transmogrifai_spark.llm.similarity import (_np_kmeans,
+                                                    opq_encode_frame,
+                                                    opq_topk, opq_train)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .where(F.col("vec_id") < 300)
+    model = opq_train(emb, "embedding", 64, m=8, k_codes=8, iters=4,
+                      fit_rows=300)
+    R = np.array(model["rotation"])
+    assert np.abs(R.T @ R - np.eye(64)).max() < 1e-9
+
+    rows = {r["vec_id"]: np.array([float(v) for v in r["embedding"]])
+            for r in emb.collect()}
+    x = np.array([rows[i] for i in sorted(rows)])
+
+    def mse(xr, books, dsub=8):
+        tot = 0.0
+        for j, cb in enumerate(books):
+            cb = np.array(cb)
+            sub = xr[:, j * dsub:(j + 1) * dsub]
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            tot += d.min(axis=1).sum()
+        return tot / len(xr)
+
+    opq_err = mse(x @ R, model["codebooks"])
+    plain_books = [_np_kmeans(x[:, j * 8:(j + 1) * 8], 8, 42 + j, 10)
+                   for j in range(8)]
+    plain_err = mse(x, plain_books)
+    assert opq_err <= plain_err * 1.0001, (opq_err, plain_err)
+
+    # engine encode == numpy mirror (rotate, per-subspace argmin, tie low)
+    enc = {r["neighbor_id"]: list(r["_codes"]) for r in
+           opq_encode_frame(emb, "vec_id", "embedding", model).collect()}
+    for i in sorted(rows)[:40]:
+        xr = rows[i] @ R
+        want = []
+        for j in range(8):
+            cb = np.array(model["codebooks"][j])
+            d = ((xr[j * 8:(j + 1) * 8][None, :] - cb) ** 2).sum(axis=1)
+            want.append(int(np.lexsort((np.arange(len(d)), d))[0]))
+        assert enc[i] == want, i
+
+    q = emb.where(F.col("vec_id") < 4)
+    out1 = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in
+                  opq_topk(emb, q, "vec_id", "embedding", 64, k=3,
+                           model=model, quantize=6).collect())
+    out2 = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in
+                  opq_topk(emb, q, "vec_id", "embedding", 64, k=3,
+                           model=model, quantize=6).collect())
+    assert out1 == out2 and len(out1) == 4 * 3
+    # refit determinism
+    m2 = opq_train(emb, "embedding", 64, m=8, k_codes=8, iters=4,
+                   fit_rows=300)
+    assert m2 == model

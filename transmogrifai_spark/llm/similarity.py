@@ -427,6 +427,167 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+# -- OPQ: optimized product quantization (rotation refinement) --------------
+
+def rotate_vector(vec: Column, rotation: list[list[float]]) -> Column:
+    """``R^T x`` as a pure expression: one ``dot`` fold per output
+    dimension against the rotation's COLUMN literals. O(d²) lambda steps
+    per vector — fine for query sides and ingest passes; at 100 TB apply
+    it once in the encode job, never per probe."""
+    return F.array(*[
+        dot(vec, F.array(*[F.lit(float(rotation[i][j]))
+                           for i in range(len(rotation))]))
+        for j in range(len(rotation[0]))])
+
+
+def _np_kmeans(x, k: int, seed: int, iters: int = 10):
+    """Tiny seeded Lloyd's k-means (driver-side, fit samples only).
+    Deterministic: numpy RandomState(seed) picks initial rows; empty
+    clusters re-seed to the point farthest from its centroid."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
+    c = x[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(len(c)):
+            members = x[a == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            else:
+                far = d[np.arange(len(x)), a].argmax()
+                c[j] = x[far]
+    return c
+
+
+def opq_train(corpus: DataFrame, vec_col: str, dim: int, m: int = 4,
+              k_codes: int = 16, iters: int = 5, seed: int = 42,
+              fit_rows: int = 2000, kmeans_iters: int = 10) -> dict:
+    """Optimized Product Quantization (Ge, He, Ke, Sun — CVPR 2013,
+    the non-parametric OPQ_NP): learn an ORTHOGONAL rotation R jointly
+    with the per-subspace codebooks so the rotated space distributes
+    variance evenly across subspaces — lower quantization error than
+    plain PQ at the same code budget (law-tested: train-sample MSE never
+    worse). Alternating optimization on a bounded driver-side sample
+    (the estimator-stage fit pattern; ``fit_rows`` caps the collect):
+
+      repeat ``iters`` times:
+        1. PQ codebooks per subspace of the rotated sample X·R
+           (seeded Lloyd's k-means, numpy);
+        2. reconstruct Y = decode(encode(X·R));
+        3. R <- U·Vᵀ from SVD(XᵀY) — the orthogonal Procrustes solution.
+
+    Returns ``{"rotation": R (d×d), "codebooks": [...], "m", "dsub"}``.
+    Apply with ``opq_encode_frame``/``opq_topk`` (rotate, then the plain
+    PQ machinery — codebooks live in the rotated space). No residual/IVF
+    coupling here: this is the flat-PQ refinement; compose with IVF by
+    rotating at ingest and feeding pq_encode(model=...).
+
+    Determinism caveat: the fit sample is ``limit(fit_rows)`` in scan
+    order — stable within one layout but not across cluster layouts.
+    For a layout-independent model, pre-sample deterministically
+    (``curation.deterministic_sample`` on an id) and pass that frame as
+    ``corpus`` — the fit itself is then fully seeded/reproducible."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    rows = (ensure_parallelism(corpus).select(vec_col).limit(fit_rows)
+            .collect())
+    x = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
+    r_mat = np.eye(dim)
+    codebooks = None
+    for _ in range(iters):
+        xr = x @ r_mat
+        codebooks = [_np_kmeans(xr[:, j * dsub:(j + 1) * dsub], k_codes,
+                                seed + j, kmeans_iters) for j in range(m)]
+        y = np.empty_like(xr)
+        for j, cb in enumerate(codebooks):
+            sub = xr[:, j * dsub:(j + 1) * dsub]
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            y[:, j * dsub:(j + 1) * dsub] = cb[d.argmin(axis=1)]
+        u, _, vt = np.linalg.svd(x.T @ y)
+        r_mat = u @ vt
+    # one final codebook fit against the final rotation
+    xr = x @ r_mat
+    codebooks = [_np_kmeans(xr[:, j * dsub:(j + 1) * dsub], k_codes,
+                            seed + j, kmeans_iters) for j in range(m)]
+    return {"rotation": [[float(v) for v in row] for row in r_mat],
+            "codebooks": [[[float(v) for v in c] for c in cb]
+                          for cb in codebooks],
+            "m": m, "dsub": dsub, "dim": dim}
+
+
+def _opq_flat_codes(vec: Column, model: dict) -> Column:
+    """m argmin codes of the ROTATED vector against the rotated-space
+    codebooks (flat PQ, no cell/residual)."""
+    rot = rotate_vector(vec, model["rotation"])
+    dsub = model["dsub"]
+    out = []
+    for j in range(model["m"]):
+        sub = F.slice(rot, j * dsub + 1, dsub)
+        cands = F.array(*[
+            F.struct(_sq_dist_to(sub, cw).alias("d"), F.lit(c).alias("c"))
+            for c, cw in enumerate(model["codebooks"][j])])
+        out.append(F.element_at(F.array_sort(cands), 1)["c"])
+    return F.array(*out)
+
+
+def opq_encode_frame(corpus: DataFrame, id_col: str, vec_col: str,
+                     model: dict) -> DataFrame:
+    """(neighbor_id, _codes, _rnorm): the OPQ-compressed corpus — rotate
+    + flat-PQ encode in ONE projection riding the scan."""
+    codes = _opq_flat_codes(F.col(vec_col), model)
+    recon = F.flatten(F.array(*[
+        F.element_at(_lit_matrix(model["codebooks"][j]),
+                     F.element_at(F.col("_codes"), j + 1) + 1)
+        for j in range(model["m"])]))
+    return (ensure_parallelism(corpus)
+            .select(F.col(id_col).alias("neighbor_id"),
+                    codes.alias("_codes"))
+            .withColumn("_rnorm", l2_norm(recon)))
+
+
+def opq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, dim: int, k: int = 5, m: int = 4,
+             k_codes: int = 16, iters: int = 5, seed: int = 42,
+             model: dict | None = None,
+             quantize: int | None = None) -> DataFrame:
+    """Approximate top-k over OPQ codes: queries are rotated into the
+    codebook space (a per-query O(d²) expression — the query side is
+    small), the corpus is scanned as m-byte codes, and the ADC LUT
+    scores dot(q·R, recon)/(|q·R|·|recon|). Since R is orthogonal the
+    cosine in rotated space IS the cosine in the original space — OPQ
+    changes the quantization error, not the metric. Same determinism
+    contract as ivf_pq_topk: ``quantize`` rounds before ranking."""
+    if model is None:
+        model = opq_train(corpus, vec_col, dim, m=m, k_codes=k_codes,
+                          iters=iters, seed=seed)
+    enc = opq_encode_frame(corpus, id_col, vec_col, model)
+    qb = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"),
+                       rotate_vector(F.col(vec_col), model["rotation"])
+                       .alias("_qv")))
+    # flat ADC: no cell term — score = sum_j LUT_j[code_j]
+    flat = {"centroids": [[0.0] * model["dim"]],
+            "codebooks": model["codebooks"]}
+    denom = l2_norm(F.col("_qv")) * F.col("_rnorm")
+    cos = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(pq_adc_score(F.col("_qv"), flat) / denom)
+    if quantize is not None:
+        cos = F.round(cos, quantize)
+    scored = (enc.withColumn("_cell", F.lit(0)).crossJoin(qb)
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine", cos))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 # -- scalar quantization (SQ) -----------------------------------------------
 
 def sq_train(corpus: DataFrame, vec_col: str, dim: int, levels: int = 256):
