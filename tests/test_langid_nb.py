@@ -100,6 +100,37 @@ def test_python_mirror_exact(spark, sf_dir):
             m["langs"], key=lambda l: (want[l], -m["langs"].index(l)))
 
 
+def test_fit_collects_are_config_bounded(spark, monkeypatch):
+    """The fit must never collect the full (lang, gram) count table —
+    on CJK/unicode corpora distinct grams are unbounded. Every collect
+    during fit is <= max(max_vocab * n_langs, max_vocab) rows: the vocab
+    draw (max_vocab), the per-lang gram totals (n_langs), doc priors
+    (n_langs), and the vocab-semi-joined counts (<= max_vocab * langs)."""
+    corpus = _corpus(spark, n_per_lang=40)
+    # patch the CONCRETE DataFrame class (pyspark 4 splits the abstract
+    # pyspark.sql.DataFrame from the classic implementation)
+    _DF = type(corpus)
+    max_vocab, n_langs = 50, 4
+    sizes = []
+    real_collect = _DF.collect
+
+    def spy(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_DF, "collect", spy)
+    m = train_language_classifier(corpus, "text", "lang", n=2,
+                                  max_vocab=max_vocab)
+    bound = max_vocab * n_langs
+    assert sizes and all(s <= bound for s in sizes), sizes
+    # and the model is still full-total-normalized: unk uses the TRUE
+    # per-language gram total (from the langs-row aggregate), not the
+    # vocab-restricted sum, so vocab truncation must NOT shift it
+    assert len(m["log_prob"]) == max_vocab
+    assert set(m["langs"]) == set(_SENTS)
+
+
 def test_empty_determinism_and_model_shape(spark):
     corpus = _corpus(spark, n_per_lang=40)
     m = train_language_classifier(corpus, "text", "lang", n=2,

@@ -346,30 +346,46 @@ def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
     171-edge graph whose leaf plan carried 64-dim fold expressions.
     ``localCheckpoint(eager=True)`` truncates lineage each round (on a
     cluster, executor-local storage; the standard GraphX/connected-
-    components recipe). Tradeoffs to know: prior rounds' snapshot blocks
-    are released by the ContextCleaner when their DataFrames are GC'd
-    (each round's python reference is dropped on reassignment), not
-    synchronously as the old unpersist() did; and localCheckpoint blocks
-    are non-replicated with NO recompute lineage, so losing an executor
-    mid-run fails the job rather than recovering — use reliable
-    ``checkpoint()`` with a checkpoint dir on preemptible clusters."""
+    components recipe). When the session has a RELIABLE checkpoint dir
+    configured (``sc.setCheckpointDir``), ``checkpoint()`` is used
+    instead — replicated to the FS, survives executor loss; the right
+    default on preemptible clusters. On the localCheckpoint path, each
+    round EXPLICITLY unpersists the previous round's snapshot blocks
+    (checkpointed RDD storage is released via ``DataFrame.unpersist``)
+    once the new round is materialized, so a long-lived session running
+    many clusterings holds at most two rounds of executor storage at any
+    moment instead of deferring the whole history to Python GC +
+    ContextCleaner."""
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def chk(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint(eager=True)
+
     edges = (pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
              .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
-             .distinct().localCheckpoint(eager=True))
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("lbl", F.col("node")).localCheckpoint(eager=True))
+             .distinct())
+    edges = chk(edges)
+    labels = chk(edges.select(F.col("src").alias("node")).distinct()
+                 .withColumn("lbl", F.col("node")))
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("lbl").alias("nlbl")))
-        new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-                      .select(F.col("node"),
-                              F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
-                              .alias("lbl")).localCheckpoint(eager=True))
+        new_labels = chk(
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(F.col("node"),
+                    F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
+                    .alias("lbl")))
         changed = (new_labels.alias("n").join(labels.alias("o"), "node")
                    .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count())
+        # new_labels is materialized (eager) and carries no lineage into
+        # the old round, so the old snapshot's blocks can go now
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster_id"))
 
 
@@ -824,7 +840,8 @@ def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
                           max_bucket: int | None = None,
                           exclude_batches: list[int] | None = None,
                           caches: list | None = None,
-                          signatures: DataFrame | None = None) -> DataFrame:
+                          signatures: DataFrame | None = None,
+                          signature_params: dict | None = None) -> DataFrame:
     """Near-duplicate candidates of a NEW batch: (new) x (indexed corpus)
     pairs plus — when ``within_batch`` — (new) x (new) pairs, WITHOUT
     touching corpus text. Returns (id1, id2, within) where ``within``
@@ -850,12 +867,36 @@ def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
     registered (``append_lsh_index`` already takes it). The driver gate
     deliberately does NOT pass it on the cross-probe path, so the
     cross-plan hash-family consistency that caught the r6 seed-binding
-    bug stays under test."""
+    bug stays under test.
+
+    A precomputed ``signatures`` frame MUST have been built with the
+    index's hash params — a mismatch silently yields wrong buckets and
+    false-negative dedup (the r6 seed-binding failure class). Two guards:
+    pass ``signature_params`` (the dict you gave ``minhash_signatures``:
+    n / num_hashes / portable) and it is compared field-by-field against
+    the index sidecar (the read_dsir_counts contract); independently, one
+    sample row's signature length is checked against the sidecar's
+    num_hashes (catches the most common mismatch even without params)."""
     import json
     import os
 
     with open(os.path.join(path, "_LSH_INDEX.json")) as f:
         meta = json.load(f)
+    if signatures is not None:
+        if signature_params is not None:
+            for k in ("n", "num_hashes", "portable"):
+                if k in signature_params and signature_params[k] != meta[k]:
+                    raise ValueError(
+                        f"precomputed signatures were built with {k}="
+                        f"{signature_params[k]!r} but the index at {path} "
+                        f"uses {k}={meta[k]!r} — probing with a mismatched "
+                        "hash family would silently miss duplicates")
+        probe = signatures.select(F.size("_sig").alias("_w")).head(1)
+        if probe and probe[0]["_w"] != meta["num_hashes"]:
+            raise ValueError(
+                f"precomputed signature width {probe[0]['_w']} != index "
+                f"num_hashes {meta['num_hashes']} at {path} — wrong hash "
+                "params would silently miss duplicates")
     nb = _lsh_banded(new_docs, id_col, text_col, n=meta["n"],
                      num_hashes=meta["num_hashes"], bands=meta["bands"],
                      portable=meta["portable"], n_shards=meta["n_shards"],

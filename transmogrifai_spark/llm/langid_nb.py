@@ -62,13 +62,19 @@ def train_language_classifier(df: DataFrame, text_col: str, lang_col: str,
                   .orderBy(F.col("_t").desc(), F.col("_g"))
                   .limit(max_vocab).collect())
     vocab = [r["_g"] for r in vocab_rows]
-    vset = set(vocab)
+    # Every driver collect here is config-bounded: lang_tot is one row
+    # per language (NOT the full (lang, gram) table — distinct grams are
+    # corpus-vocabulary-sized and unbounded on CJK/unicode text), and
+    # the count rows are semi-joined to the broadcast vocab first, so at
+    # most max_vocab * langs rows cross the wire.
+    lang_tot = {r["_l"]: r["_c"] for r in
+                grams.groupBy("_l").agg(F.count("*").alias("_c"))
+                .collect()}
+    vocab_df = df.sparkSession.createDataFrame(
+        [(g,) for g in vocab], "_g string")
     counts: dict[str, dict[str, int]] = {}
-    lang_tot: dict[str, int] = {}
-    for r in lg.collect():
-        lang_tot[r["_l"]] = lang_tot.get(r["_l"], 0) + r["_c"]
-        if r["_g"] in vset:
-            counts.setdefault(r["_l"], {})[r["_g"]] = r["_c"]
+    for r in lg.join(F.broadcast(vocab_df), "_g").collect():
+        counts.setdefault(r["_l"], {})[r["_g"]] = r["_c"]
     docs = {r["_l"]: r["_d"] for r in
             df.groupBy(F.col(lang_col).alias("_l"))
             .agg(F.count("*").alias("_d")).collect()}

@@ -303,6 +303,23 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int,
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_d = dim // m
     if model is not None:
+        # validate the injected model's shape UP FRONT: a mismatched
+        # external model (wrong m, wrong subvector width, wrong centroid
+        # dim) would otherwise silently mis-encode — zip_with over
+        # unequal-length arrays yields nulls, not errors
+        if len(model["codebooks"]) != m:
+            raise ValueError(
+                f"model has {len(model['codebooks'])} codebooks but m={m}")
+        for j, cb in enumerate(model["codebooks"]):
+            bad = [len(cw) for cw in cb if len(cw) != sub_d]
+            if bad:
+                raise ValueError(
+                    f"codebook {j} has codeword dim {bad[0]}, expected "
+                    f"dim/m = {sub_d}")
+        bad = [len(ct) for ct in model["centroids"] if len(ct) != dim]
+        if bad:
+            raise ValueError(
+                f"model centroid dim {bad[0]} != corpus dim {dim}")
         centroids = model["centroids"]
         assigned = explicit_assignments(corpus, id_col, vec_col, centroids)
     else:
@@ -443,7 +460,11 @@ def rotate_vector(vec: Column, rotation: list[list[float]]) -> Column:
 def _np_kmeans(x, k: int, seed: int, iters: int = 10):
     """Tiny seeded Lloyd's k-means (driver-side, fit samples only).
     Deterministic: numpy RandomState(seed) picks initial rows; empty
-    clusters re-seed to the point farthest from its centroid."""
+    clusters re-seed to DISTINCT farthest points — when several clusters
+    empty in one iteration, each takes the next point in descending
+    distance-to-assigned-centroid order, so no two reseeded clusters get
+    the same centroid (duplicate centroids waste codewords and never
+    separate again)."""
     import numpy as np
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
@@ -451,19 +472,24 @@ def _np_kmeans(x, k: int, seed: int, iters: int = 10):
     for _ in range(iters):
         d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         a = d.argmin(axis=1)
+        empties = []
         for j in range(len(c)):
             members = x[a == j]
             if len(members):
                 c[j] = members.mean(axis=0)
             else:
-                far = d[np.arange(len(x)), a].argmax()
-                c[j] = x[far]
+                empties.append(j)
+        if empties:
+            far_order = np.argsort(-d[np.arange(len(x)), a], kind="stable")
+            for t, j in enumerate(empties):
+                c[j] = x[far_order[t % len(x)]]
     return c
 
 
 def opq_train(corpus: DataFrame, vec_col: str, dim: int, m: int = 4,
               k_codes: int = 16, iters: int = 5, seed: int = 42,
-              fit_rows: int = 2000, kmeans_iters: int = 10) -> dict:
+              fit_rows: int = 2000, kmeans_iters: int = 10,
+              id_col: str | None = None) -> dict:
     """Optimized Product Quantization (Ge, He, Ke, Sun — CVPR 2013,
     the non-parametric OPQ_NP): learn an ORTHOGONAL rotation R jointly
     with the per-subspace codebooks so the rotated space distributes
@@ -484,18 +510,25 @@ def opq_train(corpus: DataFrame, vec_col: str, dim: int, m: int = 4,
     coupling here: this is the flat-PQ refinement; compose with IVF by
     rotating at ingest and feeding pq_encode(model=...).
 
-    Determinism caveat: the fit sample is ``limit(fit_rows)`` in scan
-    order — stable within one layout but not across cluster layouts.
-    For a layout-independent model, pre-sample deterministically
-    (``curation.deterministic_sample`` on an id) and pass that frame as
-    ``corpus`` — the fit itself is then fully seeded/reproducible."""
+    Pass ``id_col`` (recommended) and the fit sample is the ``fit_rows``
+    lowest rows by seeded id-hash — the diversity_sample draw: the SAME
+    rows on every run and every cluster/file layout, making the trained
+    rotation fully reproducible (and oracle-replicable). Without an id,
+    the sample falls back to ``limit(fit_rows)`` in scan order — stable
+    within one layout but not across layouts."""
     import numpy as np
 
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
     dsub = dim // m
-    rows = (ensure_parallelism(corpus).select(vec_col).limit(fit_rows)
-            .collect())
+    src = ensure_parallelism(corpus)
+    if id_col is not None:
+        samp = (src.select(vec_col, F.col(id_col).alias("_oid"))
+                .orderBy(F.xxhash64(F.col("_oid"), F.lit(seed)), "_oid")
+                .limit(fit_rows).select(vec_col))
+    else:
+        samp = src.select(vec_col).limit(fit_rows)
+    rows = samp.collect()
     x = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
     r_mat = np.eye(dim)
     codebooks = None
@@ -564,7 +597,7 @@ def opq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     contract as ivf_pq_topk: ``quantize`` rounds before ranking."""
     if model is None:
         model = opq_train(corpus, vec_col, dim, m=m, k_codes=k_codes,
-                          iters=iters, seed=seed)
+                          iters=iters, seed=seed, id_col=id_col)
     enc = opq_encode_frame(corpus, id_col, vec_col, model)
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"),
