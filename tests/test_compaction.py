@@ -207,3 +207,73 @@ def test_ivf_compaction_preserves_topk_even_mid_crash(spark, sf_dir, tmp_path):
     # appends continue against the compacted index
     append_ivf_index(spark, path, b.limit(0), batch_id=2)
     assert topk() == before
+
+
+def test_ivfpq_index_equals_in_memory_prunes_and_compacts(spark, sf_dir,
+                                                          tmp_path):
+    """IVF-PQ index laws (r8): (1) a two-batch on-disk index (build even
+    ids, append odd with the sidecar model — no refit) lands on EXACTLY
+    the one-shot in-memory ivf_pq_topk answer, because encoding is
+    per-row with an injected model; (2) the probed-cell read is a
+    partition-column filter at the scan; (3) compaction preserves top-k,
+    including in the crash window where consolidated and source batch
+    dirs coexist (the lag-dedup guard)."""
+    import shutil
+
+    from transmogrifai_spark.llm.similarity import (append_ivfpq_index,
+                                                    build_ivfpq_index,
+                                                    compact_ivfpq_index,
+                                                    ivf_pq_topk,
+                                                    ivfpq_topk_indexed)
+    from transmogrifai_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.where(F.col("vec_id") < 18).orderBy("vec_id").collect()
+    cv = [[float(x) for x in r["embedding"]] for r in rows]
+    model = {"centroids": [cv[0], cv[1]],
+             "codebooks": [[cv[2 + c][j * 8:(j + 1) * 8]
+                            for c in range(16)] for j in range(8)]}
+    q = emb.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivfpq")
+    cells = os.path.join(path, "cells")
+    build_ivfpq_index(emb.where(F.col("vec_id") % 2 == 0), "vec_id",
+                      "embedding", path, 64, m=8, model=model)
+    append_ivfpq_index(spark, path, emb.where(F.col("vec_id") % 2 == 1),
+                       batch_id=1)
+
+    def topk(n_probe=2):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in ivfpq_topk_indexed(spark, path, q, "vec_id",
+                                        "embedding", k=5, n_probe=n_probe,
+                                        quantize=6).collect())
+
+    before = topk()
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in ivf_pq_topk(emb, q, "vec_id", "embedding", 64, k=5,
+                             n_probe=2, m=8, model=model,
+                             quantize=6).collect())
+    assert before == want and before
+
+    # probed-cell partition filter reaches the scan node
+    one = ivfpq_topk_indexed(spark, path,
+                             emb.where(F.col("vec_id") == 0), "vec_id",
+                             "embedding", k=3, n_probe=1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "_cell" in scan.split("]")[0]
+
+    # crash window: consolidated copy coexists with sources
+    shutil.copytree(os.path.join(cells, "batch=1"),
+                    os.path.join(cells, "batch=-1"))
+    assert topk() == before
+    shutil.rmtree(os.path.join(cells, "batch=-1"))
+
+    stats = compact_ivfpq_index(spark, path, upto_batch=1)
+    assert stats["merged_batches"] == [0, 1] and stats["compacted_id"] == -1
+    assert _batch_dirs(cells) == ["batch=-1"]
+    assert topk() == before
+    # appends continue against the compacted index
+    append_ivfpq_index(spark, path, emb.limit(0), batch_id=2)
+    assert topk() == before

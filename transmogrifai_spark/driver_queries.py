@@ -1247,6 +1247,25 @@ _WEB_URL = ("HTTPS://WWW.Example.CO.UK:443/docs/",
             "?utm_source=feed&fbclid=x&b=", "&a=1#f")
 
 
+def _opq_gate_rotation(dim: int = 64) -> list[list[float]]:
+    """Deterministic orthogonal rotation for the OPQ gate: the product of
+    two Householder reflections built from fixed integer-pattern unit
+    vectors (no RNG). Non-symmetric (H1·H2 != (H1·H2)ᵀ), so a transposed
+    rotate_vector would fail the gate. The RESULT matrix is what both the
+    Spark model and the DuckDB oracle consume — inlined as the same float
+    literals on both sides — so the construction itself never has to be
+    replicated cross-engine."""
+    import numpy as np
+
+    u1 = np.arange(1.0, dim + 1.0)
+    u1 /= np.linalg.norm(u1)
+    u2 = np.array([float((i * 37) % dim + 1) for i in range(dim)])
+    u2 /= np.linalg.norm(u2)
+    h1 = np.eye(dim) - 2.0 * np.outer(u1, u1)
+    h2 = np.eye(dim) - 2.0 * np.outer(u2, u2)
+    return [[float(x) for x in row] for row in (h1 @ h2)]
+
+
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-k AND IVF at full probe (n_probe == n_lists)
     AND scalar-quantized (SQ8) top-k:
@@ -1271,8 +1290,22 @@ def q_similarity_topk(spark, sf_dir):
       only the rounded value is cross-form stable; review r7 finding).
       The oracle replicates nearest-cell assignment, residual argmin
       codes (ties to the lowest code), centroid+codeword reconstruction,
-      and the rounded-cosine ranking over each query's probed cell."""
-    emb = _t(spark, sf_dir, "embeddings")
+      and the rounded-cosine ranking over each query's probed cell.
+    - method='opq' (r8): OPQ (llm/similarity.opq_topk — Ge et al. CVPR
+      2013) through the SAME explicit-model injection contract: the
+      rotation is a deterministic two-Householder product
+      (_opq_gate_rotation — identical float literals on both sides),
+      codebooks reuse the embeddings-2..17 subvectors, the corpus is the
+      even-id half (mirrored in SQL; bounds the O(d²) rotate cost at the
+      gate), quantize=6 for cross-form rank stability. The oracle
+      replicates rotate (R-column dot per output dim), flat-PQ argmin
+      codes, codeword-only reconstruction, and the rounded rotated-space
+      cosine ranking — closing the one law-only ANN tier from r7."""
+    emb_live = _t(spark, sf_dir, "embeddings")
+    # snapshot the embeddings table driver-side ONCE (bounded: <= 2000
+    # rows x 64 floats at sf0.1) — five method arms otherwise each rescan
+    # the parquet (r7 verdict: the gate-cost shave pattern)
+    emb = spark.createDataFrame(emb_live.collect(), emb_live.schema)
     q = emb.where(F.col("vec_id") < 20)
     brute = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=5) \
         .withColumn("method", F.lit("brute"))
@@ -1291,9 +1324,17 @@ def q_similarity_topk(spark, sf_dir):
                                 n_probe=1, m=8, model=pq_model,
                                 quantize=6) \
         .withColumn("method", F.lit("pq_adc"))
-    return brute.unionAll(ivf).unionAll(sq).unionAll(pq).select(
-        "method", "query_id", "neighbor_id", "rank",
-        (F.round(F.col("cosine"), 6) + F.lit(0.0)).alias("cosine6"))
+    opq_model = {"rotation": _opq_gate_rotation(64),
+                 "codebooks": pq_model["codebooks"],
+                 "m": 8, "dsub": 8, "dim": 64}
+    opq = similarity.opq_topk(emb.where(F.col("vec_id") % 2 == 0), q,
+                              "vec_id", "embedding", 64, k=5, m=8,
+                              model=opq_model, quantize=6) \
+        .withColumn("method", F.lit("opq"))
+    return (brute.unionAll(ivf).unionAll(sq).unionAll(pq).unionAll(opq)
+            .select("method", "query_id", "neighbor_id", "rank",
+                    (F.round(F.col("cosine"), 6) + F.lit(0.0))
+                    .alias("cosine6")))
 
 
 def q_sessionize(spark, sf_dir):
@@ -1571,22 +1612,54 @@ def q_sketch_quantiles(spark, sf_dir):
 
 
 def q_ivf_topk_indexed(spark, sf_dir):
-    """PERSISTED IVF ANN index (llm/similarity.build_ivf_index): the corpus
-    is written partitioned by coarse-quantizer cell + centroid sidecar,
-    then queried at n_probe == n_lists. Full probe scans every cell, so the
-    result must equal brute-force cosine top-k EXACTLY, whatever the seeded
-    KMeans centroids are — the oracle is plain brute force. This gates the
-    on-disk index layout, the sidecar roundtrip, and the probed-cell read
-    path (directory pruning itself is law-tested in tests/)."""
+    """PERSISTED ANN indexes, both tiers (part column):
+
+    part='full': IVF index (llm/similarity.build_ivf_index) — corpus
+    written partitioned by coarse-quantizer cell + centroid sidecar,
+    queried at n_probe == n_lists. Full probe scans every cell, so the
+    result must equal brute-force cosine top-k EXACTLY, whatever the
+    seeded KMeans centroids are — the oracle is plain brute force. Gates
+    the on-disk layout, sidecar roundtrip, and probed-cell read path
+    (directory pruning itself is law-tested in tests/).
+
+    part='pq' (r8): IVF-PQ index (build_ivfpq_index /
+    append_ivfpq_index / ivfpq_topk_indexed) — the compressed-payload
+    index tier — driven END-TO-END through disk with the similarity_topk
+    gate's explicit quantizer model (centroids = embeddings 0/1,
+    codebooks = embeddings-2..17 subvectors): build on even vec_ids
+    (batch 0), APPEND odd (batch 1 — sidecar-model encode, no refit),
+    probe at n_probe=1 / quantize=6. Encoding is per-row with an
+    injected model, so the two-batch on-disk index must land on the
+    same quantized answer as the one-shot in-memory ivf_pq_topk — the
+    oracle is the same nearest-cell / residual-argmin / reconstruction
+    replica as similarity_topk's pq_adc arm."""
     import tempfile
 
-    from .llm.similarity import build_ivf_index, ivf_topk_indexed
+    from .llm.similarity import (append_ivfpq_index, build_ivf_index,
+                                 build_ivfpq_index, ivf_topk_indexed,
+                                 ivfpq_topk_indexed)
     emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
     d = tempfile.mkdtemp(prefix="ivf_index_gate_")
     build_ivf_index(emb, "vec_id", "embedding", d, n_lists=8)
-    q = emb.where(F.col("vec_id") < 20)
-    out = ivf_topk_indexed(spark, d, q, "vec_id", "embedding", k=5, n_probe=8)
+    full = ivf_topk_indexed(spark, d, q, "vec_id", "embedding", k=5,
+                            n_probe=8)
+    ctr_rows = emb.where(F.col("vec_id") < 18).orderBy("vec_id").collect()
+    cvecs = [[float(x) for x in r["embedding"]] for r in ctr_rows]
+    pq_model = {"centroids": [cvecs[0], cvecs[1]],
+                "codebooks": [[cvecs[2 + c][j * 8:(j + 1) * 8]
+                               for c in range(16)] for j in range(8)]}
+    d2 = tempfile.mkdtemp(prefix="ivfpq_index_gate_")
+    build_ivfpq_index(emb.where(F.col("vec_id") % 2 == 0), "vec_id",
+                      "embedding", d2, 64, m=8, model=pq_model)
+    append_ivfpq_index(spark, d2, emb.where(F.col("vec_id") % 2 == 1),
+                       batch_id=1)
+    pq = ivfpq_topk_indexed(spark, d2, q, "vec_id", "embedding", k=5,
+                            n_probe=1, quantize=6)
+    out = full.withColumn("part", F.lit("full")) \
+        .unionAll(pq.withColumn("part", F.lit("pq")))
     return out.select(
+        "part",
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         F.col("rank").cast("int").alias("rank"),
@@ -3941,6 +4014,61 @@ pq_scored AS (
   FROM pqrec r JOIN pasg a USING (vec_id)
        JOIN pqq qq ON qq.qcell = a.cell
   WHERE r.vec_id != qq.query_id
+),
+-- OPQ replica (llm/similarity.py opq_topk, explicit model): rotation R
+-- inlined as the SAME float literals the Spark model carries
+-- (_opq_gate_rotation — decimal text round-trips to identical doubles
+-- in both engines); rotated vector output j = sum_i v[i]*R[i][j]
+-- (rotate_vector's column dot); flat-PQ argmin codes over the
+-- embeddings-2..17 codebooks (tie -> lowest code); reconstruction =
+-- selected codewords only (no centroid); corpus = even vec_ids
+-- (mirrors the gate's subsample); rank on the 6dp-rounded
+-- rotated-space cosine (quantize=6 — ADC association caveat as pq_adc)
+orot AS (SELECT $OPQ_ROT$ AS rm),
+orv AS (
+  SELECT p.vec_id,
+         list_transform(generate_series(1, 64),
+           j -> list_sum(list_transform(generate_series(1, 64),
+             i -> p.v[i] * rm[i][j]))) AS rv
+  FROM pcb p CROSS JOIN orot
+  WHERE p.vec_id % 2 = 0
+),
+oqd AS (
+  SELECT r.vec_id, j.j, w.c,
+         list_sum(list_transform(generate_series(1, 8),
+           t -> (r.rv[j.j * 8 + t] - w.v[j.j * 8 + t])
+                * (r.rv[j.j * 8 + t] - w.v[j.j * 8 + t]))) AS d
+  FROM orv r CROSS JOIN range(0, 8) j(j) CROSS JOIN pword w
+),
+osel AS (
+  SELECT vec_id, j, c,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY d ASC, c ASC) AS rn
+  FROM oqd
+),
+orec AS (
+  SELECT s.vec_id,
+         flatten(list(list_transform(generate_series(1, 8),
+           t -> w.v[s.j * 8 + t]) ORDER BY s.j)) AS rv
+  FROM osel s JOIN pword w ON w.c = s.c
+  WHERE s.rn = 1
+  GROUP BY s.vec_id
+),
+oq AS (
+  SELECT q.query_id,
+         list_transform(generate_series(1, 64),
+           j -> list_sum(list_transform(generate_series(1, 64),
+             i -> q.qv[i] * rm[i][j]))) AS qrv
+  FROM q CROSS JOIN orot
+),
+opq_scored AS (
+  SELECT oq.query_id, r.vec_id AS neighbor_id,
+         round(list_cosine_similarity(oq.qrv, r.rv), 6) AS cosine,
+         row_number() OVER (PARTITION BY oq.query_id
+                            ORDER BY round(list_cosine_similarity(oq.qrv, r.rv), 6) DESC,
+                                     r.vec_id ASC) AS rank
+  FROM orec r CROSS JOIN oq
+  WHERE r.vec_id != oq.query_id
 )
 SELECT m.method, s.query_id, s.neighbor_id, CAST(s.rank AS INT) AS rank,
        round(s.cosine, 6) + 0.0 AS cosine6
@@ -3954,7 +4082,20 @@ UNION ALL
 SELECT 'pq_adc', query_id, neighbor_id, CAST(rank AS INT),
        round(cosine, 6) + 0.0
 FROM pq_scored WHERE rank <= 5
+UNION ALL
+SELECT 'opq', query_id, neighbor_id, CAST(rank AS INT),
+       round(cosine, 6) + 0.0
+FROM opq_scored WHERE rank <= 5
 """
+
+# inline the OPQ gate rotation as a DuckDB list-of-lists literal: python
+# repr is the shortest round-trip decimal, and DuckDB parses decimal text
+# to the nearest double, so both engines see bit-identical R entries
+ORACLES["similarity_topk"] = ORACLES["similarity_topk"].replace(
+    "$OPQ_ROT$",
+    "[" + ",".join(
+        "[" + ",".join(repr(x) for x in row) + "]"
+        for row in _opq_gate_rotation(64)) + "]")
 
 ORACLES["sessionize"] = """
 WITH s AS (
@@ -4280,11 +4421,85 @@ scored AS (
                                      c.vec_id ASC) AS rank
   FROM embeddings c CROSS JOIN q
   WHERE c.vec_id != q.query_id
+),
+-- IVF-PQ index replica: identical quantizer model and arithmetic as
+-- similarity_topk's pq_adc arm (nearest cell, residual argmin codes,
+-- centroid+codeword reconstruction, 6dp-rounded cosine over each
+-- query's single probed cell). The Spark side reads the codes from the
+-- two-batch on-disk index — per-row injected-model encoding makes the
+-- persisted form land on the same answer.
+pcb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pctr AS (SELECT (SELECT v FROM pcb WHERE vec_id = 0) AS c0,
+                (SELECT v FROM pcb WHERE vec_id = 1) AS c1),
+pword AS (SELECT vec_id - 2 AS c, v FROM pcb
+          WHERE vec_id >= 2 AND vec_id < 18),
+pasg AS (
+  SELECT vec_id, v,
+         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                     i -> (v[i] - c0[i]) * (v[i] - c0[i])))
+                   <= list_sum(list_transform(generate_series(1, 64),
+                     i -> (v[i] - c1[i]) * (v[i] - c1[i])))
+              THEN 0 ELSE 1 END AS cell
+  FROM pcb CROSS JOIN pctr
+),
+pres AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(generate_series(1, 64),
+           i -> a.v[i] - (CASE WHEN a.cell = 0 THEN ctr.c0
+                               ELSE ctr.c1 END)[i]) AS res
+  FROM pasg a CROSS JOIN pctr ctr
+),
+pqd AS (
+  SELECT r.vec_id, j.j, w.c,
+         list_sum(list_transform(generate_series(1, 8),
+           t -> (r.res[j.j * 8 + t] - w.v[j.j * 8 + t])
+                * (r.res[j.j * 8 + t] - w.v[j.j * 8 + t]))) AS d
+  FROM pres r CROSS JOIN range(0, 8) j(j) CROSS JOIN pword w
+),
+pqsel AS (
+  SELECT vec_id, j, c,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY d ASC, c ASC) AS rn
+  FROM pqd
+),
+pqrec AS (
+  SELECT s.vec_id,
+         flatten(list(list_transform(generate_series(1, 8),
+           t -> (CASE WHEN a.cell = 0 THEN ctr.c0 ELSE ctr.c1 END)
+                  [s.j * 8 + t] + w.v[s.j * 8 + t])
+           ORDER BY s.j)) AS rv
+  FROM pqsel s JOIN pasg a USING (vec_id)
+       JOIN pword w ON w.c = s.c CROSS JOIN pctr ctr
+  WHERE s.rn = 1
+  GROUP BY s.vec_id
+),
+pqq AS (
+  SELECT q.query_id, q.qv,
+         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                     i -> (q.qv[i] - c0[i]) * (q.qv[i] - c0[i])))
+                   <= list_sum(list_transform(generate_series(1, 64),
+                     i -> (q.qv[i] - c1[i]) * (q.qv[i] - c1[i])))
+              THEN 0 ELSE 1 END AS qcell
+  FROM q CROSS JOIN pctr
+),
+pq_scored AS (
+  SELECT qq.query_id, r.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qq.qv, r.rv), 6) AS cosine,
+         row_number() OVER (PARTITION BY qq.query_id
+                            ORDER BY round(list_cosine_similarity(qq.qv, r.rv), 6) DESC,
+                                     r.vec_id ASC) AS rank
+  FROM pqrec r JOIN pasg a USING (vec_id)
+       JOIN pqq qq ON qq.qcell = a.cell
+  WHERE r.vec_id != qq.query_id
 )
-SELECT CAST(query_id AS BIGINT) AS query_id,
+SELECT 'full' AS part, CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id,
        CAST(rank AS INT) AS rank, round(cosine, 6) + 0.0 AS cosine6
 FROM scored WHERE rank <= 5
+UNION ALL
+SELECT 'pq', CAST(query_id AS BIGINT), CAST(neighbor_id AS BIGINT),
+       CAST(rank AS INT), round(cosine, 6) + 0.0
+FROM pq_scored WHERE rank <= 5
 """
 
 ORACLES["stream_stream_join"] = """

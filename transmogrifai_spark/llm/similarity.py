@@ -215,20 +215,26 @@ def ivf_assignments(corpus: DataFrame, id_col: str, vec_col: str,
     return assigned, centroids
 
 
-def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
-    ctr = F.array(*[F.lit(x) for x in centroid])
+def _sq_dist_cols(a: Column, b: Column) -> Column:
     return F.aggregate(
-        F.zip_with(vec, ctr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0), lambda a, x: a + x)
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
+    return _sq_dist_cols(vec, _lit_vec(centroid))
 
 
 def _probe_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
     """Explodable list of the ``n_probe`` nearest centroid ids for a query
     vector. Centroid coords are plan literals — no second join; ties broken
-    by cell id ascending via the struct sort."""
-    cells = F.array(*[
-        F.struct(_sq_dist_to(vec, ctr).alias("d"), F.lit(i).alias("cell"))
-        for i, ctr in enumerate(centroids)])
+    by cell id ascending via the struct sort. The two-param transform
+    lambda is INTENTIONAL here: the second argument is the array index,
+    which IS the cell id."""
+    cells = F.transform(
+        _lit_matrix(centroids),
+        lambda ctr, i: F.struct(_sq_dist_cols(vec, ctr).alias("d"),
+                                i.alias("cell")))
     probe = F.slice(F.array_sort(cells), 1, min(n_probe, len(centroids)))
     return F.transform(probe, lambda s: s["cell"])
 
@@ -266,8 +272,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def _lit_vec(xs: list[float]) -> Column:
+    """array<double> literal from ONE parsed SQL expression (see
+    _lit_matrix — element-wise F.lit costs a py4j round-trip each; the
+    PQ/IVF plans build thousands of codeword/centroid literals)."""
+    return F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
+
+
 def _lit_matrix(rows: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+    """array<array<double>> literal built from ONE parsed SQL expression.
+    Building matrices element-wise through the python Column API costs a
+    py4j round-trip per element (~3 s for a 64×64 rotation, measured r8);
+    the SQL text parses JVM-side in milliseconds. ``repr`` emits the
+    shortest round-trip decimal and the ``D`` suffix makes the parser take
+    Double.parseDouble, so every parsed element is bit-identical to the
+    python float."""
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+        for r in rows) + ")")
 
 
 def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int,
@@ -351,10 +374,11 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int,
                               for c in km.fit(fit_on).clusterCenters()])
 
     def argmin_code(res_slice: Column, book: list[list[float]]) -> Column:
-        cands = F.array(*[
-            F.struct(_sq_dist_to(res_slice, cw).alias("d"),
-                     F.lit(c).alias("code"))
-            for c, cw in enumerate(book)])
+        # two-param transform lambda intentional: the index IS the code
+        cands = F.transform(
+            _lit_matrix(book),
+            lambda cw, c: F.struct(_sq_dist_cols(res_slice, cw).alias("d"),
+                                   c.alias("code")))
         return F.array_sort(cands)[0]["code"]
 
     codes = F.array(*[
@@ -388,10 +412,14 @@ def pq_adc_score(qv: Column, model: dict) -> Column:
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
     score = dot(qv, F.element_at(_lit_matrix(centroids), F.col("_cell") + 1))
+    # unary closure factory, NOT a defaulted two-param lambda: F.transform
+    # treats a second parameter as the array INDEX (the minhash_signature
+    # seed-shadowing landmine)
+    def lut_for(i: int):
+        return lambda cw: dot(F.slice(qv, i * sub_d + 1, sub_d), cw)
+
     for i in range(m):
-        lut = F.array(*[
-            dot(F.slice(qv, i * sub_d + 1, sub_d), F.array(*[F.lit(x) for x in cw]))
-            for cw in codebooks[i]])
+        lut = F.transform(_lit_matrix(codebooks[i]), lut_for(i))
         score = score + F.element_at(lut, F.element_at(F.col("_codes"), i + 1) + 1)
     return score
 
@@ -447,14 +475,16 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 # -- OPQ: optimized product quantization (rotation refinement) --------------
 
 def rotate_vector(vec: Column, rotation: list[list[float]]) -> Column:
-    """``R^T x`` as a pure expression: one ``dot`` fold per output
-    dimension against the rotation's COLUMN literals. O(d²) lambda steps
-    per vector — fine for query sides and ingest passes; at 100 TB apply
-    it once in the encode job, never per probe."""
-    return F.array(*[
-        dot(vec, F.array(*[F.lit(float(rotation[i][j]))
-                           for i in range(len(rotation))]))
-        for j in range(len(rotation[0]))])
+    """``R^T x`` as a pure expression: ONE ``transform`` over the
+    rotation's column-major literal matrix, a ``dot`` fold per output
+    dimension. O(d²) lambda steps per vector — fine for query sides and
+    ingest passes; at 100 TB apply it once in the encode job, never per
+    probe. The single-transform form keeps the expression tree O(d²) in
+    LITERALS but O(1) in operator nodes — 64 separate fold expressions
+    made analysis+codegen the dominant gate cost (r8)."""
+    cols = [[rotation[i][j] for i in range(len(rotation))]
+            for j in range(len(rotation[0]))]
+    return F.transform(_lit_matrix(cols), lambda col: dot(vec, col))
 
 
 def _np_kmeans(x, k: int, seed: int, iters: int = 10):
@@ -553,33 +583,45 @@ def opq_train(corpus: DataFrame, vec_col: str, dim: int, m: int = 4,
             "m": m, "dsub": dsub, "dim": dim}
 
 
-def _opq_flat_codes(vec: Column, model: dict) -> Column:
-    """m argmin codes of the ROTATED vector against the rotated-space
-    codebooks (flat PQ, no cell/residual)."""
-    rot = rotate_vector(vec, model["rotation"])
+def _opq_flat_codes(rot: Column, model: dict) -> Column:
+    """m argmin codes of the ALREADY-ROTATED vector against the
+    rotated-space codebooks (flat PQ, no cell/residual). ``rot`` must be
+    a cheap column reference: each of the m × k_codes distance subtrees
+    embeds it, so passing the O(d²)-literal rotate expression here
+    multiplies the plan by ~m·k_codes (a 10× analysis/codegen blowup the
+    r8 gate measured — 99 s -> 11 s at sf0.01)."""
     dsub = model["dsub"]
     out = []
     for j in range(model["m"]):
         sub = F.slice(rot, j * dsub + 1, dsub)
-        cands = F.array(*[
-            F.struct(_sq_dist_to(sub, cw).alias("d"), F.lit(c).alias("c"))
-            for c, cw in enumerate(model["codebooks"][j])])
+        # two-param transform lambda intentional: the index IS the code
+        cands = F.transform(
+            _lit_matrix(model["codebooks"][j]),
+            lambda cw, c: F.struct(_sq_dist_cols(sub, cw).alias("d"),
+                                   c.alias("c")))
         out.append(F.element_at(F.array_sort(cands), 1)["c"])
     return F.array(*out)
 
 
 def opq_encode_frame(corpus: DataFrame, id_col: str, vec_col: str,
                      model: dict) -> DataFrame:
-    """(neighbor_id, _codes, _rnorm): the OPQ-compressed corpus — rotate
-    + flat-PQ encode in ONE projection riding the scan."""
-    codes = _opq_flat_codes(F.col(vec_col), model)
+    """(neighbor_id, _codes, _rnorm): the OPQ-compressed corpus. The
+    rotation (d² literal multiplies per row) is materialized as its OWN
+    projection stage so every downstream consumer — m·k_codes code
+    distances, the reconstruction norm — references the computed column
+    instead of inlining the rotate expression (CollapseProject keeps
+    multi-consumer non-trivial aliases in their own Project)."""
+    rotated = (ensure_parallelism(corpus)
+               .select(F.col(id_col).alias("neighbor_id"),
+                       rotate_vector(F.col(vec_col), model["rotation"])
+                       .alias("_rot")))
     recon = F.flatten(F.array(*[
         F.element_at(_lit_matrix(model["codebooks"][j]),
                      F.element_at(F.col("_codes"), j + 1) + 1)
         for j in range(model["m"])]))
-    return (ensure_parallelism(corpus)
-            .select(F.col(id_col).alias("neighbor_id"),
-                    codes.alias("_codes"))
+    return (rotated
+            .select("neighbor_id",
+                    _opq_flat_codes(F.col("_rot"), model).alias("_codes"))
             .withColumn("_rnorm", l2_norm(recon)))
 
 
@@ -797,6 +839,123 @@ def compact_ivf_index(spark, path: str, upto_batch: int) -> dict:
     transient duplicate rows before ranking, so the rename/delete order
     is correctness-neutral. Run only for batches below any replaying
     stream's frontier."""
+    import os
+
+    from ..sources.layout import compact_batch_dirs
+    return compact_batch_dirs(spark, os.path.join(path, "cells"),
+                              upto_batch, shard_col="_cell")
+
+
+def build_ivfpq_index(corpus: DataFrame, id_col: str, vec_col: str,
+                      path: str, dim: int, n_lists: int = 16, m: int = 4,
+                      k_codes: int = 16, seed: int = 42, max_iter: int = 10,
+                      fit_sample: float | None = None,
+                      model: dict | None = None) -> dict:
+    """Persist an IVF-PQ index: the PQ-ENCODED corpus — (cell, m codes,
+    one reconstruction norm) per vector, m+8 bytes of payload instead of
+    ``dim`` floats — written PARTITIONED BY CELL (``_cell=N/``
+    directories) plus a JSON sidecar carrying the full quantizer model.
+    This composes the two 100 TB levers the flat index variants each have
+    one of: ``ivf_topk_indexed`` prunes DIRECTORIES but stores full
+    vectors; ``ivf_pq_topk`` scans compressed codes but re-encodes per
+    session. Here a query batch reads only its probed cells AND each
+    scanned row is codes+norm — scan volume drops by both
+    ~n_probe/n_lists and ~(m+8)/(8·dim). ``model`` injects an external
+    quantizer (faiss export, the oracle gate's explicit one) and skips
+    every fit; otherwise the KMeans fits run on ``fit_sample``.
+    Same batch layout as the IVF index (``cells/batch=0``), so
+    ``append_ivfpq_index`` / ``compact_ivfpq_index`` nest identically."""
+    import json
+    import os
+
+    encoded, model = pq_encode(corpus, id_col, vec_col, dim, n_lists, m,
+                               k_codes, seed, max_iter, fit_sample,
+                               model=model)
+    encoded.write.mode("overwrite").partitionBy("_cell") \
+        .parquet(os.path.join(path, "cells", "batch=0"))
+    meta = {"centroids": model["centroids"],
+            "codebooks": model["codebooks"], "dim": dim, "m": m,
+            "k_codes": k_codes, "id_col": id_col, "vec_col": vec_col}
+    tmp = os.path.join(path, "_IVFPQ_INDEX.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_IVFPQ_INDEX.json"))
+    return meta
+
+
+def append_ivfpq_index(spark, path: str, new_vectors: DataFrame,
+                       batch_id: int) -> None:
+    """Encode a vector batch with the index's STORED quantizer (sidecar
+    model injection — no fits, no corpus read; the assignment and code
+    argmins are pure expressions) and write it under ``batch=<id>/``
+    (overwrite — replay-idempotent, the LSH/IVF-index guard). Periodic
+    codebook refit on drifted corpora is an offline rebuild, not an
+    append concern — the standard IVF-PQ ingest split."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_IVFPQ_INDEX.json")) as f:
+        meta = json.load(f)
+    encoded, _ = pq_encode(new_vectors, meta["id_col"], meta["vec_col"],
+                           meta["dim"], m=meta["m"],
+                           k_codes=meta["k_codes"],
+                           model={"centroids": meta["centroids"],
+                                  "codebooks": meta["codebooks"]})
+    encoded.write.mode("overwrite").partitionBy("_cell") \
+        .parquet(os.path.join(path, "cells", f"batch={batch_id}"))
+
+
+def ivfpq_topk_indexed(spark, path: str, queries: DataFrame, id_col: str,
+                       vec_col: str, k: int = 5, n_probe: int = 2,
+                       quantize: int | None = None) -> DataFrame:
+    """ANN top-k against a persisted IVF-PQ index: probed-cell partition
+    pruning (a ``_cell`` partition-column predicate — only the probed
+    ``_cell=N/`` directories are read, verify with .inputFiles()) +
+    ADC scoring straight off the stored codes (the per-query LUT is a
+    plan expression over the sidecar codebooks; stored vectors are never
+    materialized). ``quantize`` rounds the cosine before ranking (the
+    cross-form determinism contract of ivf_pq_topk). Duplicate collapse
+    for compaction's crash window matches ivf_topk_indexed: duplicates
+    tie on (cosine, neighbor_id), so a lag() over the SAME rank window
+    drops them with no extra Exchange."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_IVFPQ_INDEX.json")) as f:
+        meta = json.load(f)
+    model = {"centroids": meta["centroids"], "codebooks": meta["codebooks"]}
+    enc = spark.read.parquet(os.path.join(path, "cells"))
+    qb = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+        .withColumn("_cell", F.explode(
+            _probe_cells(F.col("_qv"), meta["centroids"], n_probe))))
+    probed = sorted({r["_cell"] for r in qb.select("_cell").distinct().collect()})
+    denom = l2_norm(F.col("_qv")) * F.col("_rnorm")
+    cos = F.when(denom == 0, F.lit(0.0)) \
+        .otherwise(pq_adc_score(F.col("_qv"), model) / denom)
+    if quantize is not None:
+        cos = F.round(cos, quantize)
+    scored = (
+        enc.where(F.col("_cell").isin(probed))   # partition pruning
+        .join(qb, "_cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("_prev", F.lag("neighbor_id").over(w))
+            .where(F.col("_prev").isNull()
+                   | (F.col("_prev") != F.col("neighbor_id")))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def compact_ivfpq_index(spark, path: str, upto_batch: int) -> dict:
+    """Merge ``cells/batch=<id>`` subdirectories of an IVF-PQ index (same
+    layout and crash-window story as compact_ivf_index; the query tier's
+    lag() collapse makes the rename/delete order correctness-neutral)."""
     import os
 
     from ..sources.layout import compact_batch_dirs
