@@ -94,6 +94,45 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert all(r["neighbor_id"] != r["query_id"] for r in rows)
 
 
+def test_lsh_multiprobe_recall_never_worse_plan_unchanged(spark):
+    """Multi-probe LSH laws (Lv et al. 2007): (1) every single-bucket
+    candidate survives at every n_flip (flipping ADDS probed buckets,
+    never removes the base bucket), so recall vs brute force is monotone
+    non-decreasing in n_flip; (2) at n_flip=num_planes every bucket id
+    within hamming-1 is probed — candidates strictly contain the base
+    run's on this fixture; (3) the plan keeps the single broadcast-hash
+    equi-join — no extra Exchange, no cartesian (the expansion lives in
+    the broadcast query side)."""
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(80, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(80)],
+        "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 6)
+
+    def pairs(n_flip):
+        return {(r["query_id"], r["neighbor_id"]) for r in
+                similarity.hyperplane_lsh_topk(
+                    df, q, "vec_id", "embedding", dim=8, k=80,
+                    num_planes=4, n_flip=n_flip).collect()}
+
+    base, one, full = pairs(0), pairs(1), pairs(4)
+    assert base <= one <= full          # candidates only grow
+    assert full > base                  # the flips find NEW neighbors here
+    # brute-force recall (k=80 = everything reachable) is monotone
+    brute = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.brute_force_topk(df, q, "vec_id", "embedding",
+                                         k=80).collect()}
+    assert len(base & brute) <= len(one & brute) <= len(full & brute)
+    # plan: one broadcast hash join, no cartesian/extra shuffle
+    plan = similarity.hyperplane_lsh_topk(
+        df, q, "vec_id", "embedding", dim=8, k=5, num_planes=4,
+        n_flip=2)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_language_id_profiles(spark):
     df = spark.createDataFrame([
         (1, "the cat and the dog sat in a corner of the room"),

@@ -1859,8 +1859,11 @@ def q_embedding_near_dup(spark, sf_dir):
                            F.col("cluster_id").cast("long").alias("b"),
                            (F.round("centroid_sim", 6) + F.lit(0.0))
                            .alias("d")))
-    kept = dedup.semantic_dedup(emb, "vec_id", "embedding", eps=0.35,
-                                centroids=centroids, quantize=6)
+    # r8 gate-cost shave: derive the kept-set from the SAME pairs/CC/
+    # assignment frames the semclu rows use instead of letting
+    # semantic_dedup recompute the whole mine+CC pipeline
+    kept = dedup.semantic_dedup_keep(emb, "vec_id", clusters, assigned,
+                                     keep="edge", quantize=6)
     semkeep_rows = kept.select(
         F.lit("semkeep").alias("part"),
         F.col("vec_id").cast("long").alias("a"),
@@ -1953,12 +1956,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_similarity_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH ANN top-k with the portable ±1 "signs" plane family
-    (fixed-point dots -> fold-order-independent bucket bits)."""
+    (fixed-point dots -> fold-order-independent bucket bits).
+
+    part='base': single-bucket probe. part='probe1' (r8): MULTI-PROBE —
+    each query also probes the hamming-1 bucket with plane bit 0 flipped
+    (n_flip=1); the oracle replicates the probe expansion as a UNION of
+    (bucket, xor(bucket, 1)) on the query side of the SAME equi-join."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.hyperplane_lsh_topk(emb, emb.where(F.col("vec_id") < 20),
-                                         "vec_id", "embedding", dim=64, k=5,
-                                         planes="signs")
-    return out.select("query_id", "neighbor_id", "rank",
+    q = emb.where(F.col("vec_id") < 20)
+    base = similarity.hyperplane_lsh_topk(emb, q, "vec_id", "embedding",
+                                          dim=64, k=5, planes="signs")
+    probe = similarity.hyperplane_lsh_topk(emb, q, "vec_id", "embedding",
+                                           dim=64, k=5, planes="signs",
+                                           n_flip=1)
+    out = base.withColumn("part", F.lit("base")) \
+        .unionAll(probe.withColumn("part", F.lit("probe1")))
+    return out.select("part", "query_id", "neighbor_id", "rank",
                       (F.round(F.col("cosine"), 6) + F.lit(0.0)).alias("cosine6"))
 
 
@@ -3305,7 +3318,10 @@ _ND_BANDS = " ".join(
 ORACLES["embedding_near_dup"] = f"""
 WITH RECURSIVE
 cb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-banded AS (
+-- MATERIALIZED: the 16 fixed-point plane dots per row are the oracle's
+-- whole cost; without it DuckDB inlines this CTE into BOTH sides of the
+-- bucket self-join and pays it twice (r8 profile: 2 x 6 s -> 1 x 6 s)
+banded AS MATERIALIZED (
   SELECT vec_id, v, b, CASE b {_ND_BANDS} END AS bucket
   FROM cb, range(0, 4) bands(b)
 ),
@@ -3476,10 +3492,32 @@ scored AS (
                                      cb.vec_id ASC) AS rank
   FROM cb JOIN qb ON cb.bucket = qb.bucket
   WHERE cb.vec_id != qb.query_id
+),
+-- multi-probe (n_flip=1): the query side probes its own bucket AND the
+-- hamming-1 bucket with plane bit 0 flipped; same equi-join, corpus
+-- side untouched. A corpus vector has exactly one bucket and the two
+-- probed ids differ, so (query, neighbor) never repeats.
+qp AS (
+  SELECT query_id, qv, bucket FROM qb
+  UNION ALL
+  SELECT query_id, qv, xor(bucket, 1) FROM qb
+),
+probe_scored AS (
+  SELECT qp.query_id, cb.vec_id AS neighbor_id,
+         list_cosine_similarity(qp.qv, cb.v) AS cosine,
+         row_number() OVER (PARTITION BY qp.query_id
+                            ORDER BY list_cosine_similarity(qp.qv, cb.v) DESC,
+                                     cb.vec_id ASC) AS rank
+  FROM cb JOIN qp ON cb.bucket = qp.bucket
+  WHERE cb.vec_id != qp.query_id
 )
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+SELECT 'base' AS part, query_id, neighbor_id, CAST(rank AS INT) AS rank,
        round(cosine, 6) + 0.0 AS cosine6
 FROM scored WHERE rank <= 5
+UNION ALL
+SELECT 'probe1', query_id, neighbor_id, CAST(rank AS INT),
+       round(cosine, 6) + 0.0
+FROM probe_scored WHERE rank <= 5
 """
 
 ORACLES["corpus_mixture"] = """

@@ -469,9 +469,10 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
                                               n_lists=n_clusters, seed=seed,
                                               fit_sample=fit_sample)
     # one literal centroid matrix indexed by cell — constant plan depth
-    # (the parse_phone lesson: no per-cell when-chains)
-    ctr_mat = F.array(*[F.array(*[F.lit(float(x)) for x in ctr])
-                        for ctr in centroids])
+    # (the parse_phone lesson: no per-cell when-chains); built from one
+    # parsed SQL expression, not per-element py4j calls (r8)
+    from .similarity import _lit_matrix
+    ctr_mat = _lit_matrix(centroids)
     assigned = assigned.select(
         F.col("neighbor_id").alias("id"), F.col("_cv").alias("_v"), "_cell",
         cosine_similarity(F.col("_cv"),
@@ -529,10 +530,28 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         fit_sample=fit_sample, max_cell=max_cell, centroids=centroids)
     if caches is not None:
         caches.append(assigned)  # the PERSISTED frame, pre-quantize
+    clusters = duplicate_clusters(pairs)
+    return semantic_dedup_keep(df, id_col, clusters, assigned, keep=keep,
+                               quality_col=quality_col, quantize=quantize)
+
+
+def semantic_dedup_keep(df: DataFrame, id_col: str, clusters: DataFrame,
+                        assigned: DataFrame, keep: str = "edge",
+                        quality_col: str | None = None,
+                        quantize: int | None = None) -> DataFrame:
+    """Apply the SemDeDup survivor policy to PRECOMPUTED duplicate
+    clusters (``duplicate_clusters`` output) and assignment frame
+    (``semantic_dedup_pairs``'s second return). The composition point
+    that lets ONE mine+connected-components run feed both cluster
+    reporting and the kept-set — ``semantic_dedup`` previously had to
+    recompute the whole pipeline when a caller already held both (the
+    r8 gate-cost shave; the driver gate now derives its 'semclu' and
+    'semkeep' arms from the same frames). Semantics identical to
+    ``semantic_dedup``'s keep step, including the ``quantize``-then-rank
+    order for the 'edge' rule."""
     if quantize is not None:
         assigned = assigned.withColumn(
             "centroid_sim", F.round(F.col("centroid_sim"), quantize))
-    clusters = duplicate_clusters(pairs)
     if keep == "quality":
         if not quality_col:
             raise ValueError("keep='quality' requires quality_col")

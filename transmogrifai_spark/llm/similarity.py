@@ -119,7 +119,7 @@ def plane_bits(vec: Column, dim: int, num_planes: int, seed: int = 42) -> list[C
     products in any order lands on the identical bit."""
     bits = []
     for p in range(num_planes):
-        s = dot_fixed(vec, F.array(*[F.lit(x) for x in rademacher_signs(dim, p, seed)]))
+        s = dot_fixed(vec, _lit_vec(rademacher_signs(dim, p, seed)))
         bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
     return bits
 
@@ -151,19 +151,38 @@ def hyperplane_bucket(vec: Column, dim: int, num_planes: int = 8, seed: int = 42
 def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                         vec_col: str, dim: int, k: int = 5,
                         num_planes: int = 8, seed: int = 42,
-                        planes: str = "uniform") -> DataFrame:
+                        planes: str = "uniform",
+                        n_flip: int = 0) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     The corpus is bucketed once (a cheap narrow projection — at scale this is
     the column you'd persist/bucket-by in storage); the join is an equi-join
-    on bucket, so candidate generation is linear, not all-pairs. Recall can
-    be raised by probing neighboring buckets (hamming-1 flips) — the plan
-    shape stays identical."""
+    on bucket, so candidate generation is linear, not all-pairs.
+
+    ``n_flip`` (r8) is MULTI-PROBE LSH (Lv et al., VLDB 2007): each query
+    additionally probes the buckets at hamming distance 1 obtained by
+    flipping each of the first ``n_flip`` plane bits — the near-miss
+    buckets a true neighbor most likely fell into. The expansion is an
+    ``explode`` of n_flip+1 bucket ids on the (small, broadcast) QUERY
+    side only; the corpus side, the equi-join, and the rank window are
+    UNCHANGED — recall rises at the cost of probing n_flip more buckets
+    per query, never of rebucketing or rescanning the corpus. No
+    duplicate guard is needed: a corpus vector lives in exactly ONE
+    bucket and the probed ids are pairwise distinct, so a (query,
+    neighbor) pair matches at most once."""
     cb = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
                        hyperplane_bucket(F.col(vec_col), dim, num_planes, seed, planes).alias("_bucket"))
+    base = hyperplane_bucket(F.col(vec_col), dim, num_planes, seed, planes)
+    if n_flip:
+        probes = F.array(*([base] + [
+            base.bitwiseXOR(F.lit(1 << p).cast("long"))
+            for p in range(min(n_flip, num_planes))]))
+        bucket = F.explode(probes).alias("_bucket")
+    else:
+        bucket = base.alias("_bucket")
     qb = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-        hyperplane_bucket(F.col(vec_col), dim, num_planes, seed, planes).alias("_bucket")))
+        bucket))
     scored = (
         cb.join(qb, "_bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -687,8 +706,8 @@ def sq_encode(vec: Column, model: dict) -> Column:
     [0, levels-1]. At levels<=256 the code column stores as 1 byte/dim in
     parquet (dictionary/bit-packing) vs 4-8 for the float — the scan-budget
     win that makes a 100 TB corpus queryable."""
-    lo = F.array(*[F.lit(v) for v in model["lo"]])
-    step = F.array(*[F.lit(v) for v in model["step"]])
+    lo = _lit_vec(model["lo"])
+    step = _lit_vec(model["step"])
     lvl = model["levels"]
     scaled = F.zip_with(vec, lo, lambda x, l: x.cast("double") - l)
     return F.zip_with(scaled, step,
@@ -700,8 +719,8 @@ def sq_encode(vec: Column, model: dict) -> Column:
 def sq_reconstruct(codes: Column, model: dict) -> Column:
     """codes -> approximate vector: lo + code*step (inverse of sq_encode;
     max per-dimension error = step/2)."""
-    lo = F.array(*[F.lit(v) for v in model["lo"]])
-    step = F.array(*[F.lit(v) for v in model["step"]])
+    lo = _lit_vec(model["lo"])
+    step = _lit_vec(model["step"])
     scaled = F.zip_with(codes, step, lambda c, s: c.cast("double") * s)
     return F.zip_with(scaled, lo, lambda v, l: v + l)
 
