@@ -1,0 +1,140 @@
+"""Trainable statistical NER (operators/ner_nb.py): agreement with the
+gazetteer path, bounded fit collects, portable determinism.
+
+Reference: core/src/main/scala/com/salesforce/op/stages/impl/feature/
+NameEntityRecognizer.scala:56 (OpenNLP TokenNameFinder, GIS maxent) —
+same train-then-classify shape, NB over indicator features, trained from
+the corpus instead of shipped model assets (the langid_nb pattern).
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.operators.detectors import (_classify_chunk,
+                                                     typed_entities)
+from transmogrifai_spark.operators.ner_nb import (chunk_features,
+                                                  ner_nb_label,
+                                                  train_ner_classifier,
+                                                  typed_entities_statistical)
+
+_PERSON_FIRST = ["James", "Mary", "John", "Patricia", "Robert", "Jennifer",
+                 "Michael", "Linda", "William", "Elizabeth", "David",
+                 "Barbara", "Richard", "Susan", "Maria", "Anna"]
+_SURNAMES = ["Smith", "Jones", "Miller", "Davis", "Wilson", "Moore",
+             "Taylor", "Clark", "Hall", "Young"]
+_LOCATIONS = ["London", "Paris", "Berlin", "Madrid", "Rome", "Tokyo",
+              "Chicago", "Boston", "Seattle", "Texas", "California",
+              "Germany", "France", "Japan", "Canada", "Brazil"]
+_ORG_STEMS = ["Acme", "Globex", "Initech", "Umbrella", "Stark", "Wayne",
+              "Hooli", "Vandelay"]
+_ORG_SUFFIX = ["Inc", "Corp", "Ltd", "LLC", "Bank", "University", "Labs",
+               "Group"]
+_MONTHS = ["January", "February", "March", "April", "June", "July",
+           "August", "September", "October", "November", "December"]
+
+
+def _chunk_corpus(spark):
+    """Labeled (chunk, label) rows where the label comes from the
+    GAZETTEER classifier itself — the agreement fixture: a model trained
+    on gazetteer-labeled chunks must reproduce the gazetteer path."""
+    chunks = []
+    for i, f in enumerate(_PERSON_FIRST):
+        for s in _SURNAMES:
+            chunks.append((len(chunks), f"{f} {s}"))
+    for loc in _LOCATIONS:
+        for _ in range(8):
+            chunks.append((len(chunks), loc))
+    for st in _ORG_STEMS:
+        for su in _ORG_SUFFIX:
+            chunks.append((len(chunks), f"{st} {su}"))
+    for m in _MONTHS:
+        for d in (1, 5, 12, 28):
+            chunks.append((len(chunks), f"{m} {d}"))
+    df = spark.createDataFrame(chunks, "cid long, chunk string")
+    return df.withColumn("label", _classify_chunk(F.col("chunk")))
+
+
+def test_agreement_with_gazetteer_path(spark):
+    """>= 95% held-out agreement with the gazetteer classifier after
+    training ONLY on gazetteer-labeled chunks — the OpenNLP-replacement
+    law: the statistical path reproduces the rule path it was taught."""
+    corpus = _chunk_corpus(spark)
+    train = corpus.where(F.col("cid") % 5 != 0)
+    test = corpus.where(F.col("cid") % 5 == 0)
+    m = train_ner_classifier(train, "chunk", "label", max_vocab=3000)
+    assert set(m["labels"]) <= {"PERSON", "LOCATION", "ORGANIZATION",
+                                "DATE", "MISC"}
+    out = test.select("label",
+                      ner_nb_label(F.col("chunk"), m).alias("pred")).collect()
+    acc = sum(r["label"] == r["pred"] for r in out) / len(out)
+    assert acc >= 0.95, acc
+    # generalization the gazetteer CAN'T do and NB can: an unseen stem
+    # with a trained org suffix still classifies ORGANIZATION via last=
+    unseen = spark.createDataFrame([("Cyberdyne Corp",), ("Tyrell Inc",)],
+                                   "chunk string")
+    preds = [r["p"] for r in unseen.select(
+        ner_nb_label(F.col("chunk"), m).alias("p")).collect()]
+    assert preds == ["ORGANIZATION", "ORGANIZATION"]
+
+
+def test_fit_collects_are_config_bounded(spark, monkeypatch):
+    """The langid_nb r8 contract: no collect during fit may exceed
+    max(max_vocab * n_labels, max_vocab) rows."""
+    corpus = _chunk_corpus(spark)
+    _DF = type(corpus)
+    max_vocab = 40
+    sizes = []
+    real_collect = _DF.collect
+
+    def spy(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_DF, "collect", spy)
+    m = train_ner_classifier(corpus, "chunk", "label", max_vocab=max_vocab)
+    bound = max_vocab * max(len(m["labels"]), 1)
+    assert sizes and all(s <= bound for s in sizes), sizes
+    assert len(m["log_prob"]) == max_vocab
+
+
+def test_portable_determinism_and_null_handling(spark):
+    corpus = _chunk_corpus(spark)
+    m1 = train_ner_classifier(corpus, "chunk", "label", max_vocab=500,
+                              portable=True)
+    m2 = train_ner_classifier(corpus, "chunk", "label", max_vocab=500,
+                              portable=True)
+    assert m1 == m2
+    df = spark.createDataFrame([("James Smith",), (None,)], "chunk string")
+    out = [r["p"] for r in df.select(
+        ner_nb_label(F.col("chunk"), m1).alias("p")).collect()]
+    assert out[0] == "PERSON" and out[1] is None
+    # feature bag shape: context feature appears only when trained with one
+    bag = df.where(F.col("chunk").isNotNull()).select(
+        chunk_features(F.col("chunk")).alias("b")).first()["b"]
+    assert "first=james" in bag and "last=smith" in bag \
+        and "shape=multi" in bag and "nw=2" in bag
+
+
+def test_typed_entities_statistical_matches_gazetteer_map(spark):
+    """Drop-in law: on sentences over trained vocabulary, the statistical
+    typed-entities map agrees with the gazetteer map on every non-MISC
+    type (same chunk mining; only the classifier differs)."""
+    corpus = _chunk_corpus(spark)
+    m = train_ner_classifier(corpus, "chunk", "label", max_vocab=3000,
+                             context_col=None)
+    sents = spark.createDataFrame([
+        (0, "James Smith met Barbara Jones in London last March."),
+        (1, "Acme Corp and Globex Bank opened offices in Berlin."),
+        (2, "Dr Mary Davis joined Stark Labs on January 5."),
+    ], "sid long, text string")
+    both = sents.select(
+        "sid",
+        typed_entities(F.col("text")).alias("gaz"),
+        typed_entities_statistical(F.col("text"), m).alias("nb")).collect()
+    for r in both:
+        for t in ("PERSON", "LOCATION", "ORGANIZATION"):
+            gaz = set(r["gaz"].get(t) or [])
+            nb = set(r["nb"].get(t) or [])
+            # the NB path must find every gazetteer entity of that type
+            # (it may ADD correct ones the gazetteer missed)
+            assert gaz <= nb, (r["sid"], t, gaz, nb)

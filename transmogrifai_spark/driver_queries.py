@@ -700,6 +700,74 @@ def q_name_lang_detect(spark, sf_dir):
         (F.try_element_at(nbs, F.lit("de")) + F.lit(0.0)).alias("nb_de"))
 
 
+# deterministic chunk-synthesis lists for the trainable-NER gate: built
+# into BOTH the Spark query and the oracle SQL from documents.doc_id, so
+# the fixture is derivable on each side with zero data exchange
+_NER_FIRSTS = ["James", "Maria", "John", "Linda", "Robert", "Susan",
+               "David", "Anna"]
+_NER_SURS = ["Smith", "Jones", "Miller", "Davis", "Wilson", "Moore",
+             "Taylor", "Clark"]
+_NER_LOCS = ["London", "Paris", "Berlin", "Tokyo", "Chicago", "Boston",
+             "Germany", "Canada"]
+_NER_STEMS = ["Acme", "Globex", "Initech", "Umbrella", "Stark", "Wayne",
+              "Hooli", "Vandelay"]
+_NER_SUFS = ["Inc", "Corp", "Bank", "Labs"]
+_NER_MONTHS = ["January", "February", "March", "April", "June", "July",
+               "August", "September"]
+
+
+def q_ner_trainable(spark, sf_dir):
+    """Trainable statistical NER (operators/ner_nb — the OpenNLP
+    NameEntityRecognizer.scala:56 family, TRAINED not shipped; the
+    langid_nb pattern applied to entity chunks). A labeled chunk fixture
+    is synthesized deterministically from doc_id (PERSON 'First Sur',
+    LOCATION, ORGANIZATION 'Stem Suffix', DATE month — list literals on
+    both sides), the NB chunk classifier is FIT in portable mode on the
+    doc_id < 400 slice (feature bag per chunk: first=/last=/suf3=/
+    shape=/nw=; vocab = top-300 features, ties by feature asc; every
+    model log-prob rounded 6dp at fit), and every chunk is classified as
+    pure expressions. The oracle replicates the ENTIRE train-then-
+    classify path in SQL: feature bags, counts, the vocab cut, Laplace
+    smoothing with explicit DOUBLE casts, ln at 6dp, priors, the
+    DECIMAL(18,6) feature fold + prior, and the argmax with alphabetical
+    tie-break. Columns: doc_id, chunk, label (synthesized truth), pred,
+    s_per / s_org (PERSON / ORGANIZATION scores)."""
+    from .operators.ner_nb import (ner_nb_label, ner_nb_scores,
+                                   train_ner_classifier)
+    docs = _t(spark, sf_dir, "documents")
+    i = F.floor(F.col("doc_id") / 4)
+
+    def pick(lst, idx):
+        return F.element_at(F.array(*[F.lit(x) for x in lst]),
+                            (idx % len(lst) + 1).cast("int"))
+
+    chunk = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(pick(_NER_FIRSTS, i), F.lit(" "),
+                        pick(_NER_SURS, F.floor(i / 3))))
+        .when(F.col("doc_id") % 4 == 1, pick(_NER_LOCS, i))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(pick(_NER_STEMS, i), F.lit(" "),
+                       pick(_NER_SUFS, F.floor(i / 3))))
+        .otherwise(pick(_NER_MONTHS, i)))
+    label = (F.when(F.col("doc_id") % 4 == 0, F.lit("PERSON"))
+             .when(F.col("doc_id") % 4 == 1, F.lit("LOCATION"))
+             .when(F.col("doc_id") % 4 == 2, F.lit("ORGANIZATION"))
+             .otherwise(F.lit("DATE")))
+    base = docs.select("doc_id", chunk.alias("chunk"),
+                       label.alias("label"))
+    m = train_ner_classifier(base.where(F.col("doc_id") < 400), "chunk",
+                             "label", max_vocab=300, portable=True)
+    scores = ner_nb_scores(F.col("chunk"), m)
+    return base.select(
+        "doc_id", "chunk", "label",
+        ner_nb_label(F.col("chunk"), m).alias("pred"),
+        (F.try_element_at(scores, F.lit("PERSON")) + F.lit(0.0))
+        .alias("s_per"),
+        (F.try_element_at(scores, F.lit("ORGANIZATION")) + F.lit(0.0))
+        .alias("s_org"))
+
+
 def q_raw_feature_filter(spark, sf_dir):
     """RawFeatureFilter fill-rate sweep (exact ratios) PLUS a Deequ-style
     expectations report (operators/expectations.check_report) over the
@@ -1735,10 +1803,35 @@ def q_text_ml_vectors(spark, sf_dir):
                             lambda a, x: a + x), 4).alias("tfidf_sum"))
 
 
+# trainable-charset gate fixture: per-class vowel-byte -> high-byte maps
+# applied PAIRWISE on the hex of utf-8(p_name) (byte-aligned by
+# construction; same transform in the oracle SQL). The three classes mimic
+# windows-1252 / iso-8859-5 / koi8-r single-byte distributions.
+_CS_CLASSES = ["windows-1252", "iso-8859-5", "koi8-r"]
+_CS_MAPS = [
+    {"61": "E4", "65": "E9", "69": "EF", "6F": "F6", "75": "FC"},
+    {"61": "D0", "65": "D5", "69": "D8", "6F": "DE", "75": "E3"},
+    {"61": "C1", "65": "C5", "69": "C9", "6F": "CF", "75": "D5"},
+]
+
+
 def q_mime_detector(spark, sf_dir):
     """MIME magic-byte sniffing over synthesized base64 content (the oracle
-    rebuilds the payload bytes and applies the same magic-prefix rules)."""
+    rebuilds the payload bytes and applies the same magic-prefix rules).
+
+    r8 adds the TRAINABLE CHARSET column (operators/charset_nb — the
+    Tika/ICU4J single-byte n-gram model family of
+    MimeTypeDetector.scala:49, trained not shipped): a labeled
+    single-byte corpus is synthesized by mapping vowel bytes of
+    utf-8(p_name) to per-class high bytes (pairwise on hex — the oracle
+    applies the identical transform), the byte-bigram NB is FIT in
+    portable mode on p_partkey < 400, and every payload is classified as
+    pure expressions. The rule path answers windows-1252 for ALL of
+    these (non-UTF-8 high bytes — the blanket this model replaces); the
+    oracle replicates the whole train-then-classify path in SQL."""
     from .operators.categorical import detect_mime_type
+    from .operators.charset_nb import (charset_nb_label,
+                                       train_charset_classifier)
     p = _t(spark, sf_dir, "part")
     payload = F.when(F.col("p_partkey") % 3 == 0,
                      F.concat(F.unhex(F.lit("89504E470D0A1A0A")), F.encode(F.col("p_name"), "UTF-8"))) \
@@ -1746,7 +1839,35 @@ def q_mime_detector(spark, sf_dir):
               F.concat(F.unhex(F.lit("FFD8FFE0")), F.encode(F.col("p_name"), "UTF-8"))) \
         .otherwise(F.encode(F.col("p_name"), "UTF-8"))
     b64 = F.base64(payload)
-    return p.select("p_partkey", detect_mime_type(b64).alias("mime"))
+
+    hx = F.hex(F.encode(F.col("p_name"), "UTF-8"))
+    cls = (F.col("p_partkey") % 3).cast("int")
+
+    def map_pair(pair):
+        out = pair
+        for ci in range(2, -1, -1):
+            branch = pair
+            for k, v in sorted(_CS_MAPS[ci].items()):
+                branch = F.when(pair == k, F.lit(v)).otherwise(branch)
+            out = F.when(cls == ci, branch).otherwise(out)
+        return out
+
+    mapped = F.transform(
+        F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+        lambda i: map_pair(F.substr(hx, i * 2 - 1, F.lit(2))))
+    cs_payload = F.unhex(F.concat_ws("", mapped))
+    enc_label = F.element_at(F.array(*[F.lit(x) for x in _CS_CLASSES]),
+                             cls + 1)
+    base = p.select("p_partkey", b64.alias("b64"),
+                    cs_payload.alias("cs_payload"),
+                    enc_label.alias("enc"))
+    m = train_charset_classifier(base.where(F.col("p_partkey") < 400),
+                                 "cs_payload", "enc", max_vocab=300,
+                                 portable=True)
+    return base.select(
+        "p_partkey", detect_mime_type(F.col("b64")).alias("mime"),
+        F.col("enc").alias("charset_label"),
+        charset_nb_label(F.col("cs_payload"), m).alias("charset_pred"))
 
 
 def q_model_selection(spark, sf_dir):
@@ -2661,6 +2782,100 @@ SELECT nm.doc_id, synth_name,
 FROM nm JOIN nbout o ON o.doc_id = nm.doc_id
 """
 
+def _sql_strs(xs):
+    return "[" + ",".join(f"'{x}'" for x in xs) + "]"
+
+
+# trainable-NER replica (operators/ner_nb, portable fit on doc_id < 400):
+# chunk synthesis from the same list literals, 5-feature bag per chunk,
+# top-300 vocab (total desc, feature asc), Laplace logP/prior rounded 6dp,
+# DECIMAL(18,6) feature fold + prior, argmax (score desc, label asc)
+ORACLES["ner_trainable"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN ({_sql_strs(_NER_FIRSTS)})[CAST((doc_id // 4) % {len(_NER_FIRSTS)} + 1 AS INT)]
+                       || ' ' ||
+                       ({_sql_strs(_NER_SURS)})[CAST(((doc_id // 4) // 3) % {len(_NER_SURS)} + 1 AS INT)]
+           WHEN 1 THEN ({_sql_strs(_NER_LOCS)})[CAST((doc_id // 4) % {len(_NER_LOCS)} + 1 AS INT)]
+           WHEN 2 THEN ({_sql_strs(_NER_STEMS)})[CAST((doc_id // 4) % {len(_NER_STEMS)} + 1 AS INT)]
+                       || ' ' ||
+                       ({_sql_strs(_NER_SUFS)})[CAST(((doc_id // 4) // 3) % {len(_NER_SUFS)} + 1 AS INT)]
+           ELSE ({_sql_strs(_NER_MONTHS)})[CAST((doc_id // 4) % {len(_NER_MONTHS)} + 1 AS INT)]
+         END AS chunk,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'PERSON' WHEN 1 THEN 'LOCATION'
+           WHEN 2 THEN 'ORGANIZATION' ELSE 'DATE' END AS label
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, label, chunk,
+         ['first=' || lower(tk[1]),
+          'last=' || lower(tk[-1]),
+          'suf3=' || lower(substr(tk[-1], -3, 3)),
+          'shape=' || CASE WHEN regexp_matches(chunk, '^[A-Z]{{2,6}}$')
+                           THEN 'acro'
+                           WHEN contains(chunk, ' ') THEN 'multi'
+                           ELSE 'single' END,
+          'nw=' || CAST(len(tk) AS VARCHAR)] AS bag
+  FROM (SELECT *, string_split(chunk, ' ') AS tk FROM base)
+),
+fx AS (SELECT doc_id, label, unnest(bag) AS g FROM feat),
+lf AS (SELECT label AS l, g, count(*) AS c FROM fx
+       WHERE doc_id < 400 GROUP BY label, g),
+vocab AS (SELECT g FROM (SELECT g, sum(c) AS tt FROM lf GROUP BY g
+                         ORDER BY tt DESC, g LIMIT 300)),
+vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+tot AS (SELECT l, CAST(sum(c) AS DOUBLE) AS tot FROM lf GROUP BY l),
+prior AS (
+  SELECT label AS l,
+         round(ln(CAST(count(*) AS DOUBLE)
+                  / CAST((SELECT count(*) FROM base WHERE doc_id < 400)
+                         AS DOUBLE)), 6) AS pr
+  FROM base WHERE doc_id < 400 GROUP BY label
+),
+lp AS (
+  SELECT vo.g, t.l,
+         round(ln((CAST(COALESCE(c.c, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / (t.tot + CAST(0.5 AS DOUBLE)
+                             * (vv.v + CAST(1.0 AS DOUBLE)))), 6) AS lp
+  FROM vocab vo CROSS JOIN tot t CROSS JOIN vv
+  LEFT JOIN lf c ON c.g = vo.g AND c.l = t.l
+),
+unk AS (
+  SELECT t.l,
+         round(ln(CAST(0.5 AS DOUBLE)
+                  / (t.tot + CAST(0.5 AS DOUBLE)
+                             * (vv.v + CAST(1.0 AS DOUBLE)))), 6) AS lp
+  FROM tot t CROSS JOIN vv
+),
+score AS (
+  SELECT f.doc_id, t.l,
+         CAST(SUM(CAST(COALESCE(p.lp, u.lp) AS DECIMAL(18,6)))
+              AS DOUBLE) + max(pr.pr) AS s
+  FROM fx f
+  CROSS JOIN (SELECT l FROM tot) t
+  LEFT JOIN lp p ON p.g = f.g AND p.l = t.l
+  JOIN unk u ON u.l = t.l
+  JOIN prior pr ON pr.l = t.l
+  GROUP BY f.doc_id, t.l
+),
+best AS (
+  SELECT doc_id, l, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, l ASC) AS rn
+  FROM score
+)
+SELECT b.doc_id, b.chunk, b.label,
+       max(CASE WHEN w.rn = 1 THEN w.l END) AS pred,
+       max(CASE WHEN s.l = 'PERSON' THEN s.s END) + 0.0 AS s_per,
+       max(CASE WHEN s.l = 'ORGANIZATION' THEN s.s END) + 0.0 AS s_org
+FROM base b
+JOIN best w ON w.doc_id = b.doc_id
+JOIN score s ON s.doc_id = b.doc_id
+GROUP BY b.doc_id, b.chunk, b.label
+"""
+
 ORACLES["raw_feature_filter"] = """
 WITH m AS (
   SELECT CAST(count(l_quantity) AS DOUBLE) / count(*) AS fill_qty,
@@ -2833,6 +3048,23 @@ def _mime_case_sql() -> str:
         " ELSE 'application/octet-stream' END"
 
 
+def _cs_case_sql():
+    """CASE mapping one hex pair through the per-class vowel->high-byte
+    maps (_CS_MAPS) — identical to the Spark fixture's map_pair."""
+    arms = []
+    for ci, mp in enumerate(_CS_MAPS):
+        inner = " ".join(f"WHEN '{k}' THEN '{v}'"
+                         for k, v in sorted(mp.items()))
+        arms.append(f"WHEN {ci} THEN CASE substr(hx, i*2-1, 2) {inner} "
+                    f"ELSE substr(hx, i*2-1, 2) END")
+    return "CASE cls " + " ".join(arms) + " END"
+
+
+# mime rules + trainable-charset replica (operators/charset_nb, portable
+# fit on p_partkey < 400): vowel-byte mapped payloads, byte-bigram bags
+# (4-hex-char windows at odd offsets), top-300 vocab (total desc, gram
+# asc), Laplace logP/prior rounded 6dp, DECIMAL(18,6) fold + prior,
+# argmax (score desc, label asc) — the ner_trainable oracle skeleton
 ORACLES["mime_detector"] = f"""
 WITH payload AS (
   SELECT p_partkey,
@@ -2840,10 +3072,76 @@ WITH payload AS (
               WHEN p_partkey % 3 = 1 THEN 'FFD8FFE0' || hex(encode(p_name))
               ELSE hex(encode(p_name)) END AS hx
   FROM part
+),
+src AS (SELECT p_partkey, CAST(p_partkey % 3 AS INT) AS cls,
+               hex(encode(p_name)) AS hx
+        FROM part),
+mapped AS (
+  SELECT p_partkey,
+         ({_sql_strs(_CS_CLASSES)})[cls + 1] AS enc,
+         array_to_string(list_transform(
+           generate_series(1, CAST(length(hx) // 2 AS INT)),
+           i -> {_cs_case_sql()}), '') AS mhx
+  FROM src
+),
+bg AS (
+  SELECT p_partkey, enc,
+         unnest(list_transform(
+           generate_series(1, CAST(length(mhx) // 2 - 1 AS INT)),
+           i -> substr(mhx, i*2-1, 4))) AS g
+  FROM mapped WHERE length(mhx) >= 4
+),
+clf AS (SELECT enc AS l, g, count(*) AS c FROM bg
+        WHERE p_partkey < 400 GROUP BY enc, g),
+cvocab AS (SELECT g FROM (SELECT g, sum(c) AS tt FROM clf GROUP BY g
+                          ORDER BY tt DESC, g LIMIT 300)),
+cvv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM cvocab),
+ctot AS (SELECT l, CAST(sum(c) AS DOUBLE) AS tot FROM clf GROUP BY l),
+cprior AS (
+  SELECT enc AS l,
+         round(ln(CAST(count(*) AS DOUBLE)
+                  / CAST((SELECT count(*) FROM mapped
+                          WHERE p_partkey < 400) AS DOUBLE)), 6) AS pr
+  FROM mapped WHERE p_partkey < 400 GROUP BY enc
+),
+clp AS (
+  SELECT vo.g, t.l,
+         round(ln((CAST(COALESCE(c.c, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / (t.tot + CAST(0.5 AS DOUBLE)
+                             * (cvv.v + CAST(1.0 AS DOUBLE)))), 6) AS lp
+  FROM cvocab vo CROSS JOIN ctot t CROSS JOIN cvv
+  LEFT JOIN clf c ON c.g = vo.g AND c.l = t.l
+),
+cunk AS (
+  SELECT t.l,
+         round(ln(CAST(0.5 AS DOUBLE)
+                  / (t.tot + CAST(0.5 AS DOUBLE)
+                             * (cvv.v + CAST(1.0 AS DOUBLE)))), 6) AS lp
+  FROM ctot t CROSS JOIN cvv
+),
+cscore AS (
+  SELECT b.p_partkey, t.l,
+         CAST(SUM(CAST(COALESCE(p.lp, u.lp) AS DECIMAL(18,6)))
+              AS DOUBLE) + max(pr.pr) AS s
+  FROM bg b
+  CROSS JOIN (SELECT l FROM ctot) t
+  LEFT JOIN clp p ON p.g = b.g AND p.l = t.l
+  JOIN cunk u ON u.l = t.l
+  JOIN cprior pr ON pr.l = t.l
+  GROUP BY b.p_partkey, t.l
+),
+cbest AS (
+  SELECT p_partkey, l,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY s DESC, l ASC) AS rn
+  FROM cscore
 )
-SELECT p_partkey,
-       {_mime_case_sql()} AS mime
-FROM payload
+SELECT payload.p_partkey,
+       {_mime_case_sql()} AS mime,
+       m.enc AS charset_label,
+       (SELECT b.l FROM cbest b
+        WHERE b.p_partkey = payload.p_partkey AND b.rn = 1) AS charset_pred
+FROM payload JOIN mapped m ON m.p_partkey = payload.p_partkey
 """
 
 ORACLES["dedup_exact"] = """
@@ -4672,6 +4970,7 @@ SPARK_QUERIES = {
     "stopwords_ngrams": q_stopwords_ngrams,
     "multilabel_topn": q_multilabel_topn,
     "name_lang_detect": q_name_lang_detect,
+    "ner_trainable": q_ner_trainable,
     "raw_feature_filter": q_raw_feature_filter,
     "numeric_fitted": q_numeric_fitted,
     "binary_eval": q_binary_eval,
