@@ -677,3 +677,128 @@ def analyze_auto(c: Column, default_lang: str = "en",
                  (cjk_letters.cast("double") / letters.cast("double") >= 0.3),
                  analyze_cjk(c, min_token_length, to_lowercase)).otherwise(out)
     return out
+
+
+# -- dictionary (lexicon) segmentation for unsegmented scripts --------------
+
+# Thai block for segmentation routing (Thai has no inter-word spaces; the
+# reference routes it to Lucene's ThaiAnalyzer dictionary segmenter)
+_THAI_RANGE = "[฀-๿]"
+_SEG_INF = 1e18
+
+
+def lexicon_segment(c: Column, lexicon: dict[str, float] | list[str],
+                    unknown_cost: float = 2.0,
+                    max_word_len: int | None = None) -> Column:
+    """Least-cost dictionary segmentation of an UNSEGMENTED string
+    (Chinese/Japanese/Thai — scripts without inter-word spaces): the
+    Viterbi lattice algorithm of the reference's morphological analyzers
+    (Kuromoji / SmartChineseAnalyzer / ThaiAnalyzer behind
+    utils/.../LuceneTextAnalyzer.scala — dictionary + least-cost path),
+    with the DICTIONARY supplied by the caller instead of shipped as a
+    binary asset (the langid_nb "train/supply the data, don't ship it"
+    pattern; those analyzers' .dic files are data, the algorithm is
+    here).
+
+    ``lexicon``: word -> cost (lower = preferred), or a plain word list
+    (every word cost 1.0 — minimizing total cost then minimizes token
+    count, which prefers the longest-word segmentation, the MaxMatch
+    baseline). Characters not covered by any word become single-char
+    tokens at ``unknown_cost``. Ties prefer the longer leading word.
+
+    Pure Catalyst expressions: one ``aggregate`` builds the dp lattice
+    (dp[j] = min over i of dp[i] + cost(s[i:j]), i >= j - L), a second
+    backtracks the boundaries; per-row work is O(n · L) map-literal
+    probes, JVM-side, no UDF. The lexicon rides the plan as a map
+    literal — right for the 10²-10⁵-word dictionaries these analyzers
+    use; beyond that, pre-tokenize at ingest with a broadcast-join form.
+    NULL input -> empty array."""
+    if not isinstance(lexicon, dict):
+        lexicon = {w: 1.0 for w in lexicon}
+    if not lexicon:
+        raise ValueError("lexicon_segment needs a non-empty lexicon")
+    L = max_word_len or max(len(w) for w in lexicon)
+    mp = F.create_map(*[x for w, cost in sorted(lexicon.items())
+                        for x in (F.lit(w), F.lit(float(cost)))])
+
+    def segment(s: Column) -> Column:
+        n = F.length(s)
+
+        def word_cost(i: Column, j: Column) -> Column:
+            # cost of s[i:j] (0-based i, exclusive j) as one token
+            w = F.substr(s, i + 1, j - i)
+            dic = F.try_element_at(mp, w)
+            return F.coalesce(dic, F.when(j - i == 1,
+                                          F.lit(float(unknown_cost)))
+                              .otherwise(F.lit(_SEG_INF)))
+
+        def step(acc: Column, j: Column) -> Column:
+            cands = F.transform(
+                F.sequence(F.greatest(F.lit(0), j - L), j - 1),
+                lambda i: F.struct(
+                    (F.element_at(acc, i + 1)["cost"] + word_cost(i, j))
+                    .alias("cost"),
+                    i.alias("bp")))
+            return F.concat(acc, F.array(F.array_min(cands)))
+
+        dp_expr = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.array(F.struct(F.lit(0.0).alias("cost"),
+                             F.lit(-1).cast("int").alias("bp"))),
+            step)
+
+        # bind dp (then bounds) ONCE as transform-lambda variables — the
+        # detect_mime_type lesson: a repeated big subexpression inside an
+        # aggregate lambda would otherwise re-evaluate the whole lattice
+        # per backtrack step (O(n²·L) instead of O(n·L))
+        def with_dp(dp: Column) -> Column:
+            # backtrack: walk bp pointers from n to 0, collecting bounds
+            back = F.aggregate(
+                F.sequence(F.lit(1), n),
+                F.struct(n.alias("pos"), F.array(n).alias("bounds")),
+                lambda acc, _: F.when(
+                    acc["pos"] > 0,
+                    F.struct(
+                        F.element_at(dp, acc["pos"] + 1)["bp"].alias("pos"),
+                        F.concat(acc["bounds"],
+                                 F.array(F.element_at(dp, acc["pos"] + 1)["bp"]))
+                        .alias("bounds"))).otherwise(acc))
+            return F.reverse(back["bounds"])  # [0, b1, ..., n]
+
+        def with_bounds(bounds: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(1), F.size(bounds) - 1),
+                lambda t: F.substr(s, F.element_at(bounds, t) + 1,
+                                   F.element_at(bounds, t + 1)
+                                   - F.element_at(bounds, t)))
+
+        bounds_expr = F.get(F.transform(F.array(dp_expr), with_dp), 0)
+        return F.get(F.transform(F.array(bounds_expr), with_bounds), 0)
+
+    return F.when(c.isNull() | (F.length(c) == 0),
+                  F.array().cast("array<string>")) \
+        .otherwise(segment(c))
+
+
+def analyze_lexicon(c: Column, lexicon: dict[str, float] | list[str],
+                    min_token_length: int = 1, to_lowercase: bool = True,
+                    unknown_cost: float = 2.0) -> Column:
+    """``analyze_cjk``'s chain shape with DICTIONARY SEGMENTATION in
+    place of bigrams: CJK/Thai runs segment through ``lexicon_segment``
+    (the Kuromoji/SmartCN/ThaiAnalyzer form); embedded non-CJK words
+    tokenize normally and keep their position. Supply the lexicon your
+    corpus needs — the reference ships dictionaries as data; the
+    algorithm and plan shape are identical either way."""
+    lowered = F.lower(c) if to_lowercase else c
+    seg_inner = _CJK_INNER + "฀-๿"
+    word = f"[\\p{{L}}\\p{{N}}_'’\\-&&[^{seg_inner}]]+"
+    runs = F.regexp_extract_all(
+        F.coalesce(lowered, F.lit("")),
+        F.lit(f"([{seg_inner}]+|{word})"), 1)
+    is_seg = lambda r: F.regexp_like(r, F.lit(f"^[{seg_inner}]"))  # noqa: E731
+    toks = F.flatten(F.transform(runs, lambda r: F.when(
+        is_seg(r), lexicon_segment(r, lexicon, unknown_cost)
+    ).otherwise(F.array(r))))
+    if min_token_length > 1:
+        toks = F.filter(toks, lambda t: F.length(t) >= min_token_length)
+    return toks

@@ -98,55 +98,39 @@ def train_language_classifier(df: DataFrame, text_col: str, lang_col: str,
             "log_prior": log_prior, "unk": unk, "log_prob": log_prob}
 
 
-def _per_lang_score(grams: Column, model: dict, lang: str) -> Column:
-    """mean over grams of logP(g|lang) (unseen grams take the smoothed
-    zero) plus log_prior/|grams| — i.e. (log prior + sum logP)/|grams|,
-    a length-normalized NB log-posterior numerator. Portable mode folds
-    the 6dp-rounded terms through DECIMAL(18,6), so the sum (hence the
-    mean and every comparison on it) is partition- and engine-stable."""
-    mp = F.create_map(*[x for g, per in sorted(model["log_prob"].items())
-                        for x in (F.lit(g), F.lit(per[lang]))])
-    unk = F.lit(model["unk"][lang])
-    terms = F.transform(grams, lambda g: F.coalesce(
-        F.try_element_at(mp, g), unk))
-    if model.get("portable"):
-        # re-cast each step: decimal addition widens (18,6)+(28,6)->(29,6)
-        # and folds demand a fixed accumulator type. (28,6) holds any
-        # realistic sum (|logP| <= ~40 per gram) exactly.
-        s = F.aggregate(terms, F.lit(0).cast("decimal(28,6)"),
-                        lambda a, x: (a + x.cast("decimal(18,6)"))
-                        .cast("decimal(28,6)"))
-        total = (s.cast("double") + F.lit(model["log_prior"][lang]))
-    else:
-        s = F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
-        total = s + F.lit(model["log_prior"][lang])
-    return total / F.size(grams)
-
-
 def nb_language_scores(c: Column, model: dict) -> Column:
-    """map<lang, double> of length-normalized NB scores (higher = more
-    likely); empty-gram texts map every language to NULL."""
+    """map<lang, double> of length-normalized NB scores — per lang,
+    (log prior + sum over grams of logP(g|lang))/|grams|, unseen grams
+    at the smoothed zero; empty-gram texts map every language to NULL.
+    Portable mode folds 6dp-rounded terms through DECIMAL(18,6), so the
+    sum (hence every comparison on it) is partition- and engine-stable.
+    Scoring rides the shared bucketed-table scorer (``nbmodel`` — one
+    per-row-bound lookup table for ALL languages; the r8 fix for the
+    per-gram CreateMap re-evaluation that made literal-map probing
+    quadratic in practice). Values are bit-identical to the original
+    per-language fold."""
+    from ..nbmodel import nb_scores_map
     grams = _char_ngrams(c, model["n"])
-    pairs = []
-    for lang in model["langs"]:
-        pairs.append(F.lit(lang))
-        pairs.append(F.when(F.size(grams) > 0,
-                            _per_lang_score(grams, model, lang)))
-    return F.create_map(*pairs)
+    return nb_scores_map(grams, model, model["langs"], normalize=True)
 
 
 def nb_language_id(c: Column, model: dict) -> Column:
     """Best language by NB score, ties to the alphabetically first
-    language; ``'und'`` when the text has no n-grams. Derived from the
-    SAME ``nb_language_scores`` map expression, so a projection selecting
-    both the scores and the prediction evaluates the per-lang folds ONCE
-    (Spark's subexpression elimination dedups the identical subtree —
-    the folds over a 500-gram map literal are this operator's whole
-    cost). Argmax = ascending struct sort on (-score, lang), first
-    element: -score asc is score desc, ties take the smallest lang."""
-    grams = _char_ngrams(c, model["n"])
-    ent = F.map_entries(nb_language_scores(c, model))
-    best = F.element_at(F.array_sort(F.transform(
-        ent, lambda e: F.struct((-e["value"]).alias("ns"),
-                                e["key"].alias("l")))), 1)["l"]
-    return F.when(F.size(grams) > 0, best).otherwise(F.lit("und"))
+    language; ``'und'`` when the text has no n-grams. The scores map is
+    BOUND once (transform-lambda variable) and the argmax reads it —
+    re-referencing the map expression would re-run the whole fold per
+    reference. Argmax = ascending struct sort on (-score, lang), first
+    element: -score asc is score desc, ties take the smallest lang.
+    Empty-gram texts have all-NULL score values (nb_language_scores'
+    contract), so first-value-NULL is the 'und' test."""
+    scores = nb_language_scores(c, model)
+
+    def pick(mm: Column) -> Column:
+        best = F.element_at(F.array_sort(F.transform(
+            F.map_entries(mm),
+            lambda e: F.struct((-e["value"]).alias("ns"),
+                               e["key"].alias("l")))), 1)["l"]
+        return F.when(F.element_at(F.map_values(mm), 1).isNull(),
+                      F.lit("und")).otherwise(best)
+
+    return F.get(F.transform(F.array(scores), pick), 0)

@@ -142,45 +142,34 @@ def train_ner_classifier(df: DataFrame, chunk_col: str, label_col: str,
     return model
 
 
-def _per_label_score(bag: Column, model: dict, label: str) -> Column:
-    """log prior + sum over features of logP(f|label); portable mode
-    folds 6dp-rounded terms through DECIMAL(18,6) (fixed-order, engine-
-    stable — the langid_nb arithmetic with a constant-size bag, so no
-    length normalization is needed for cross-label comparison)."""
-    mp = F.create_map(*[x for g, per in sorted(model["log_prob"].items())
-                        for x in (F.lit(g), F.lit(per[label]))])
-    unk = F.lit(model["unk"][label])
-    terms = F.transform(bag, lambda g: F.coalesce(
-        F.try_element_at(mp, g), unk))
-    if model.get("portable"):
-        s = F.aggregate(terms, F.lit(0).cast("decimal(28,6)"),
-                        lambda a, x: (a + x.cast("decimal(18,6)"))
-                        .cast("decimal(28,6)"))
-        return s.cast("double") + F.lit(model["log_prior"][label])
-    s = F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
-    return s + F.lit(model["log_prior"][label])
-
-
 def bag_nb_scores(bag: Column, model: dict) -> Column:
-    """map<label, double> NB log-posteriors (unnormalized) for one
-    feature bag; NULL/empty bags map every label to NULL."""
-    pairs = []
-    for label in model["labels"]:
-        pairs.append(F.lit(label))
-        pairs.append(F.when(F.size(bag) > 0,
-                            _per_label_score(bag, model, label)))
-    return F.create_map(*pairs)
+    """map<label, double> NB log-posteriors (unnormalized — log prior +
+    sum over features of logP(f|label), absent features at the smoothed
+    zero) for one feature bag; NULL/empty bags map every label to NULL.
+    Portable mode folds 6dp-rounded terms through DECIMAL(18,6) (fixed
+    order, engine-stable). Scoring rides the shared bucketed-table
+    scorer (``nbmodel`` — one per-row-bound table for ALL labels)."""
+    from ..nbmodel import nb_scores_map
+    return nb_scores_map(bag, model, model["labels"], normalize=False)
 
 
 def bag_nb_label(bag: Column, model: dict) -> Column:
     """Best label by NB score, ties to the alphabetically first label;
-    NULL for NULL/empty bags. Argmax = ascending struct sort on
-    (-score, label), first element (the langid_nb rule)."""
-    ent = F.map_entries(bag_nb_scores(bag, model))
-    best = F.element_at(F.array_sort(F.transform(
-        ent, lambda e: F.struct((-e["value"]).alias("ns"),
-                                e["key"].alias("l")))), 1)["l"]
-    return F.when(F.size(bag) > 0, best)
+    NULL for NULL/empty bags (all score values NULL — the scores-map
+    contract — so first-value-NULL is the abstain test). The scores map
+    is bound once; argmax = ascending struct sort on (-score, label),
+    first element (the langid_nb rule)."""
+    scores = bag_nb_scores(bag, model)
+
+    def pick(mm: Column) -> Column:
+        best = F.element_at(F.array_sort(F.transform(
+            F.map_entries(mm),
+            lambda e: F.struct((-e["value"]).alias("ns"),
+                               e["key"].alias("l")))), 1)["l"]
+        return F.when(F.element_at(F.map_values(mm), 1).isNull(),
+                      F.lit(None).cast("string")).otherwise(best)
+
+    return F.get(F.transform(F.array(scores), pick), 0)
 
 
 def ner_nb_scores(chunk: Column, model: dict,
