@@ -1958,7 +1958,9 @@ def q_embedding_near_dup(spark, sf_dir):
     transitive closure, and the survivor ranking: semclu rows carry
     every clustered doc (a=doc, b=cluster_id, d=centroid_sim 6dp);
     semkeep rows carry the surviving ids (dup-group reps + untouched
-    docs)."""
+    docs). r8 shave: the kept-set derives from the same pairs/CC frames
+    as semclu, and the survivor pass runs on the id column only (the
+    vectors play no role in the keep rule)."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding",
                                                dim=64, threshold=0.35)
@@ -1983,8 +1985,9 @@ def q_embedding_near_dup(spark, sf_dir):
     # r8 gate-cost shave: derive the kept-set from the SAME pairs/CC/
     # assignment frames the semclu rows use instead of letting
     # semantic_dedup recompute the whole mine+CC pipeline
-    kept = dedup.semantic_dedup_keep(emb, "vec_id", clusters, assigned,
-                                     keep="edge", quantize=6)
+    kept = dedup.semantic_dedup_keep(emb.select("vec_id"), "vec_id",
+                                     clusters, assigned, keep="edge",
+                                     quantize=6)
     semkeep_rows = kept.select(
         F.lit("semkeep").alias("part"),
         F.col("vec_id").cast("long").alias("a"),
