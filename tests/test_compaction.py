@@ -277,3 +277,78 @@ def test_ivfpq_index_equals_in_memory_prunes_and_compacts(spark, sf_dir,
     # appends continue against the compacted index
     append_ivfpq_index(spark, path, emb.limit(0), batch_id=2)
     assert topk() == before
+
+
+def test_stream_ivfpq_index_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming IVF-PQ maintenance == one-shot over the full corpus,
+    after a bootstrap build over an EMPTY frame with an injected model
+    (the pure-streaming ingest shape; probing the empty index returns no
+    rows instead of failing)."""
+    from transmogrifai_spark.llm.similarity import (build_ivfpq_index,
+                                                    ivf_pq_topk,
+                                                    ivfpq_topk_indexed,
+                                                    stream_ivfpq_index)
+    from transmogrifai_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.where(F.col("vec_id") < 18).orderBy("vec_id").collect()
+    cv = [[float(x) for x in r["embedding"]] for r in rows]
+    model = {"centroids": [cv[0], cv[1]],
+             "codebooks": [[cv[2 + c][j * 8:(j + 1) * 8]
+                            for c in range(16)] for j in range(8)]}
+    q = emb.where(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivfpqs")
+    build_ivfpq_index(emb.limit(0), "vec_id", "embedding", path, 64, m=8,
+                      model=model)
+    assert ivfpq_topk_indexed(spark, path, q, "vec_id", "embedding",
+                              k=5, n_probe=2).count() == 0
+    src = str(tmp_path / "src")
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    sq = stream_ivfpq_index(stream, path, checkpoint=str(tmp_path / "ck"))
+    sq.awaitTermination()
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in
+        ivfpq_topk_indexed(spark, path, q, "vec_id", "embedding", k=5,
+                           n_probe=2, quantize=6).collect())
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in
+        ivf_pq_topk(emb, q, "vec_id", "embedding", 64, k=5, n_probe=2,
+                    m=8, model=model, quantize=6).collect())
+    assert got == want and got
+
+
+def test_stream_ivf_index_appends(spark, sf_dir, tmp_path):
+    """stream_ivf_index: bootstrap fit on an initial corpus, stream the
+    rest — top-k equals the build+append batch path (assignment is
+    per-row against the stored centroids either way)."""
+    from transmogrifai_spark.llm.similarity import (append_ivf_index,
+                                                    build_ivf_index,
+                                                    ivf_topk_indexed,
+                                                    stream_ivf_index)
+    from transmogrifai_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    b = emb.where(F.col("vec_id") % 3 != 0)
+    q = emb.where(F.col("vec_id") < 6)
+    p1, p2 = str(tmp_path / "s"), str(tmp_path / "b")
+    for p in (p1, p2):
+        build_ivf_index(a, "vec_id", "embedding", p, n_lists=8, seed=11)
+    src = str(tmp_path / "src")
+    b.repartition(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    sq = stream_ivf_index(stream, p1, checkpoint=str(tmp_path / "ck"))
+    sq.awaitTermination()
+    append_ivf_index(spark, p2, b, batch_id=1)
+
+    def topk(p):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in
+            ivf_topk_indexed(spark, p, q, "vec_id", "embedding", k=5,
+                             n_probe=8).collect())
+
+    assert topk(p1) == topk(p2) and topk(p1)

@@ -809,6 +809,27 @@ def append_ivf_index(spark, path: str, new_vectors: DataFrame,
         .parquet(os.path.join(path, "cells", f"batch={batch_id}"))
 
 
+def _read_index_or_empty(spark, cells_path: str, empty_shape: DataFrame):
+    """Read an index's ``cells/`` tree; ONLY the bootstrap case — an
+    index whose quantizer sidecar exists but no vector batch has landed
+    yet (the streaming-ingest pattern), so there are no parquet footers
+    — is recoverable, shaped as an empty frame from ``empty_shape``.
+    Any other read failure must surface (the lsh_dedup_incremental
+    guard)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(cells_path)
+    except AnalysisException as e:
+        msg = str(e)
+        if ("UNABLE_TO_INFER_SCHEMA" not in msg
+                and "PATH_NOT_FOUND" not in msg
+                and "Unable to infer schema" not in msg
+                and "Path does not exist" not in msg):
+            raise
+        return empty_shape.limit(0)
+
+
 def ivf_topk_indexed(spark, path: str, queries: DataFrame, id_col: str,
                      vec_col: str, k: int = 5, n_probe: int = 2) -> DataFrame:
     """ANN top-k against a persisted IVF index. The probed-cell filter is a
@@ -820,7 +841,12 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, id_col: str,
 
     with open(os.path.join(path, "_INDEX.json")) as f:
         meta = json.load(f)
-    assigned = spark.read.parquet(os.path.join(path, "cells"))
+    assigned = _read_index_or_empty(
+        spark, os.path.join(path, "cells"),
+        queries.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cv"),
+                       F.lit(0).alias("_cell"),
+                       F.lit(0).alias("batch")))
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
@@ -943,7 +969,13 @@ def ivfpq_topk_indexed(spark, path: str, queries: DataFrame, id_col: str,
     with open(os.path.join(path, "_IVFPQ_INDEX.json")) as f:
         meta = json.load(f)
     model = {"centroids": meta["centroids"], "codebooks": meta["codebooks"]}
-    enc = spark.read.parquet(os.path.join(path, "cells"))
+    enc = _read_index_or_empty(
+        spark, os.path.join(path, "cells"),
+        queries.select(F.col(id_col).alias("neighbor_id"),
+                       F.array().cast("array<int>").alias("_codes"),
+                       F.lit(0.0).alias("_rnorm"),
+                       F.lit(0).alias("_cell"),
+                       F.lit(0).alias("batch")))
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
@@ -980,3 +1012,59 @@ def compact_ivfpq_index(spark, path: str, upto_batch: int) -> dict:
     from ..sources.layout import compact_batch_dirs
     return compact_batch_dirs(spark, os.path.join(path, "cells"),
                               upto_batch, shard_col="_cell")
+
+
+def _stream_index_writer(stream: DataFrame, append_fn,
+                         checkpoint: str | None, available_now: bool,
+                         batch_id_base: int):
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        append_fn(batch.sparkSession, batch, batch_id_base + batch_id)
+
+    writer = stream.writeStream.foreachBatch(write_batch) \
+        .outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ivf_index(stream: DataFrame, path: str,
+                     checkpoint: str | None = None,
+                     available_now: bool = True,
+                     batch_id_base: int = 1):
+    """Maintain a persisted IVF index from a vector STREAM: each
+    micro-batch is assigned to the STORED centroids (sidecar literals —
+    no refit, no corpus read) and lands in its own ``batch=<id>/``
+    subdirectory with overwrite (replay-idempotent — the
+    stream_bm25_index guard). Queries through ``ivf_topk_indexed`` see
+    whatever the stream has reached. Bootstrap: ``build_ivf_index`` once
+    over an initial corpus or sample — the coarse quantizer needs a fit
+    (unlike BM25's read-time stats there is no empty-fit form); periodic
+    centroid refit on drifted corpora is an offline rebuild. Stream
+    micro-batch ids START AT 0 — ``batch_id_base`` (default 1) offsets
+    them so the first micro-batch does NOT overwrite the bootstrap
+    build's ``batch=0`` data (a real clobber trap: both writers are
+    replay-idempotent overwriters by design)."""
+    return _stream_index_writer(
+        stream,
+        lambda sp, b, bid: append_ivf_index(sp, path, b, batch_id=bid),
+        checkpoint, available_now, batch_id_base)
+
+
+def stream_ivfpq_index(stream: DataFrame, path: str,
+                       checkpoint: str | None = None,
+                       available_now: bool = True,
+                       batch_id_base: int = 1):
+    """Maintain a persisted IVF-PQ index from a vector STREAM (each
+    micro-batch sidecar-model-encoded into ``batch=<id>/``, overwrite —
+    replay-idempotent). Bootstrap: ``build_ivfpq_index`` once; with
+    ``model=`` injection an EMPTY initial corpus works (the sidecar is
+    the quantizer; probes on the empty index return no rows instead of
+    failing), which is the pure-streaming ingest shape. As with
+    stream_ivf_index, ``batch_id_base`` (default 1) keeps micro-batch 0
+    from overwriting a non-empty bootstrap ``batch=0``."""
+    return _stream_index_writer(
+        stream,
+        lambda sp, b, bid: append_ivfpq_index(sp, path, b, batch_id=bid),
+        checkpoint, available_now, batch_id_base)
