@@ -291,25 +291,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     )
 
 
-def _lit_vec(xs: list[float]) -> Column:
-    """array<double> literal from ONE parsed SQL expression (see
-    _lit_matrix — element-wise F.lit costs a py4j round-trip each; the
-    PQ/IVF plans build thousands of codeword/centroid literals)."""
-    return F.expr(
-        "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
-
-
-def _lit_matrix(rows: list[list[float]]) -> Column:
-    """array<array<double>> literal built from ONE parsed SQL expression.
-    Building matrices element-wise through the python Column API costs a
-    py4j round-trip per element (~3 s for a 64×64 rotation, measured r8);
-    the SQL text parses JVM-side in milliseconds. ``repr`` emits the
-    shortest round-trip decimal and the ``D`` suffix makes the parser take
-    Double.parseDouble, so every parsed element is bit-identical to the
-    python float."""
-    return F.expr("array(" + ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
-        for r in rows) + ")")
+# shared parsed-expression literal builders (util.lit_vec/lit_matrix);
+# kept under the module-private names every call site here uses
+from ..util import lit_matrix as _lit_matrix  # noqa: E402
+from ..util import lit_vec as _lit_vec  # noqa: E402
 
 
 def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int,

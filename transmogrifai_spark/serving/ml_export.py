@@ -45,6 +45,8 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..util import lit_vec
+
 from . import registry
 
 _IF_RE = re.compile(r"^If \(feature (\d+) (<=|>) ([0-9eE.+-]+)\)$")
@@ -254,7 +256,7 @@ def _tree_expr(node: dict, x: Column) -> Column:
 def _margin_expr(p, x: Column) -> Column:
     coefs = p["coefficients"]
     dotc = F.aggregate(
-        F.zip_with(x, F.array(*[F.lit(c) for c in coefs]),
+        F.zip_with(x, lit_vec(coefs),
                    lambda xi, wi: xi.cast("double") * wi),
         F.lit(0.0), lambda a, v: a + v)
     return F.lit(p["intercept"]) + dotc
@@ -263,7 +265,7 @@ def _margin_expr(p, x: Column) -> Column:
 def _dist_tree_expr(node: dict, x: Column) -> Column:
     """Tree whose leaves are class-distribution arrays."""
     if "d" in node:
-        return F.array(*[F.lit(v) for v in node["d"]])
+        return lit_vec(node["d"])
     v = F.try_element_at(x, F.lit(node["f"] + 1)).cast("double")
     cond = (v <= F.lit(node["t"])) if "t" in node else v.isin(node["in"])
     return F.when(cond, _dist_tree_expr(node["l"], x))         .otherwise(_dist_tree_expr(node["r"], x))
@@ -280,10 +282,12 @@ def _softmax_expr(margins: list[Column]) -> Column:
 def _affine_expr(layer: dict, x: Column) -> list[Column]:
     """y_j = b_j + W[j,:].x — the fold seeds at the bias, matching gemm's
     C := bias; C += W*x accumulation order."""
+    # weight rows as ONE parsed literal each (util.lit_vec — wide MLP
+    # layers otherwise cost a py4j round-trip per weight)
     outs = []
     for row, b in zip(layer["W"], layer["b"]):
         outs.append(F.aggregate(
-            F.zip_with(x, F.array(*[F.lit(w) for w in row]),
+            F.zip_with(x, lit_vec(row),
                        lambda xi, wi: xi.cast("double") * wi),
             F.lit(b), lambda a, v: a + v))
     return outs

@@ -1,7 +1,28 @@
 """Small planning utilities shared by operators."""
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def lit_vec(xs) -> Column:
+    """array<double> literal from ONE parsed SQL expression. Building
+    numeric literal arrays element-wise through the python Column API
+    costs a py4j round-trip per element (~3 s for a 64x64 matrix,
+    measured r8); the SQL text parses JVM-side in milliseconds. ``repr``
+    emits the shortest round-trip decimal and the ``D`` suffix makes the
+    parser take Double.parseDouble, so every parsed element is
+    bit-identical to the python float."""
+    return F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
+
+
+def lit_matrix(rows) -> Column:
+    """array<array<double>> literal from one parsed SQL expression (see
+    lit_vec)."""
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+        for r in rows) + ")")
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
