@@ -768,6 +768,43 @@ def q_ner_trainable(spark, sf_dir):
         .alias("s_org"))
 
 
+# lexicon-segmentation gate fixture: real zh words with overlapping
+# prefixes (中国 / 中国人, 人民 / 民银 / 银行) so the least-cost path is a
+# genuine lattice decision, prime-ish costs so path sums rarely tie (and
+# ties break identically on both sides: (cost, backpointer) ascending)
+_SEG_LEX = [("中国", 0.97), ("中国人", 1.13), ("人民", 1.27),
+            ("民银", 1.31), ("银行", 0.89), ("我", 0.71), ("是", 0.61),
+            ("的", 0.83)]
+_SEG_WORDS = [w for w, _ in _SEG_LEX]
+
+
+def q_lexicon_segment(spark, sf_dir):
+    """Viterbi dictionary segmentation (functions/text.lexicon_segment —
+    the Kuromoji/SmartCN/ThaiAnalyzer least-cost-path algorithm with a
+    caller-supplied lexicon), ORACLE-GATED: texts are synthesized from
+    doc_id as 3-word concatenations over an ambiguous zh lexicon
+    (overlapping prefixes force real lattice decisions), every 5th doc
+    appends an out-of-lexicon char (the unknown-char single-token path),
+    and the DuckDB oracle replicates the ENTIRE algorithm — the dp
+    lattice as a recursive CTE carrying the (cost, backpointer) list,
+    candidate min by (cost, bp) ascending, the backtrack walk, and the
+    token split — so the engine's aggregate-lattice expression form is
+    value-gated against an independent implementation. Output: one row
+    per (doc_id, tok_idx, token)."""
+    from .functions.text import lexicon_segment
+    docs = _t(spark, sf_dir, "documents")
+    warr = F.array(*[F.lit(w) for w in _SEG_WORDS])
+    text = F.concat(
+        F.element_at(warr, (F.col("doc_id") % 8 + 1).cast("int")),
+        F.element_at(warr, (F.floor(F.col("doc_id") / 8) % 8 + 1).cast("int")),
+        F.element_at(warr, (F.floor(F.col("doc_id") / 64) % 8 + 1).cast("int")))
+    text = F.when(F.col("doc_id") % 5 == 0,
+                  F.concat(text, F.lit("卡"))).otherwise(text)
+    toks = lexicon_segment(text, dict(_SEG_LEX), unknown_cost=2.0)
+    return docs.select("doc_id", toks.alias("_t")) \
+        .select("doc_id", F.posexplode("_t").alias("tok_idx", "token"))
+
+
 def q_raw_feature_filter(spark, sf_dir):
     """RawFeatureFilter fill-rate sweep (exact ratios) PLUS a Deequ-style
     expectations report (operators/expectations.check_report) over the
@@ -2787,6 +2824,64 @@ FROM nm JOIN nbout o ON o.doc_id = nm.doc_id
 
 def _sql_strs(xs):
     return "[" + ",".join(f"'{x}'" for x in xs) + "]"
+
+
+# full SQL replica of the Viterbi lexicon segmenter: the dp lattice as a
+# recursive CTE carrying the (cost, backpointer) list per position,
+# candidate min by (cost, bp) ascending (list_sort on structs — the same
+# tie rule as Spark's array_min), unknown single chars at cost 2.0, then
+# a recursive backtrack walk splitting the tokens
+ORACLES["lexicon_segment"] = f"""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id,
+         ({_sql_strs(_SEG_WORDS)})[CAST(doc_id % 8 + 1 AS INT)]
+         || ({_sql_strs(_SEG_WORDS)})[CAST((doc_id // 8) % 8 + 1 AS INT)]
+         || ({_sql_strs(_SEG_WORDS)})[CAST((doc_id // 64) % 8 + 1 AS INT)]
+         || CASE WHEN doc_id % 5 = 0 THEN '卡' ELSE '' END AS s
+  FROM documents
+),
+dp AS (
+  SELECT doc_id, s, 0 AS j,
+         [struct_pack(cost := 0.0, bp := CAST(-1 AS INT))] AS lat
+  FROM t
+  UNION ALL
+  SELECT doc_id, s, j + 1,
+         list_append(lat, (
+           list_sort(list_transform(
+             generate_series(CASE WHEN j - 2 > 0 THEN j - 2 ELSE 0 END, j),
+             i -> struct_pack(
+               cost := struct_extract(lat[CAST(i AS INT) + 1], 'cost')
+                       + COALESCE(
+                           map_extract(
+                             map({_sql_strs(_SEG_WORDS)},
+                                 [{",".join(repr(c) for _, c in _SEG_LEX)}]),
+                             substr(s, CAST(i AS INT) + 1,
+                                    j + 1 - CAST(i AS INT)))[1],
+                           CASE WHEN j + 1 - i = 1 THEN 2.0
+                                ELSE 1e18 END),
+               bp := CAST(i AS INT))))
+         )[1])
+  FROM dp WHERE j < length(s)
+),
+fin AS (SELECT doc_id, s, lat FROM dp WHERE j = length(s)),
+bt AS (
+  SELECT doc_id, s, lat, CAST(length(s) AS INT) AS pos,
+         []::VARCHAR[] AS toks
+  FROM fin
+  UNION ALL
+  SELECT doc_id, s, lat, struct_extract(lat[pos + 1], 'bp'),
+         list_prepend(substr(s, struct_extract(lat[pos + 1], 'bp') + 1,
+                             pos - struct_extract(lat[pos + 1], 'bp')),
+                      toks)
+  FROM bt WHERE pos > 0
+)
+SELECT doc_id, CAST(o - 1 AS INT) AS tok_idx, tok AS token
+FROM (SELECT doc_id,
+             unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS o
+      FROM bt WHERE pos = 0)
+"""
 
 
 # trainable-NER replica (operators/ner_nb, portable fit on doc_id < 400):
@@ -4974,6 +5069,7 @@ SPARK_QUERIES = {
     "multilabel_topn": q_multilabel_topn,
     "name_lang_detect": q_name_lang_detect,
     "ner_trainable": q_ner_trainable,
+    "lexicon_segment": q_lexicon_segment,
     "raw_feature_filter": q_raw_feature_filter,
     "numeric_fitted": q_numeric_fitted,
     "binary_eval": q_binary_eval,
