@@ -138,3 +138,24 @@ def test_typed_entities_statistical_matches_gazetteer_map(spark):
             # the NB path must find every gazetteer entity of that type
             # (it may ADD correct ones the gazetteer missed)
             assert gaz <= nb, (r["sid"], t, gaz, nb)
+
+
+def test_nbmodel_hostile_gram_bytes_roundtrip(spark):
+    """The shared scorer's lookup table is a PARSED SQL literal — grams
+    containing quotes, backslashes, and control bytes (possible in raw
+    corpora) must survive the escaping round-trip with exact scores."""
+    from transmogrifai_spark.nbmodel import nb_scores_map
+
+    model = {"labels": ["a", "b"],
+             "log_prior": {"a": -0.5, "b": -0.9},
+             "unk": {"a": -9.0, "b": -9.0},
+             "log_prob": {"x\x00y": {"a": -1.0, "b": -2.0},
+                          "p\tq": {"a": -3.0, "b": -0.5},
+                          "it's\\": {"a": -0.25, "b": -4.0}},
+             "portable": False}
+    df = spark.createDataFrame([(["x\x00y", "p\tq", "it's\\"],)],
+                               "g array<string>")
+    r = df.select(nb_scores_map(F.col("g"), model, model["labels"],
+                                normalize=False).alias("m")).first()["m"]
+    assert r["a"] == pytest.approx(-0.5 - 1.0 - 3.0 - 0.25, abs=1e-12)
+    assert r["b"] == pytest.approx(-0.9 - 2.0 - 0.5 - 4.0, abs=1e-12)

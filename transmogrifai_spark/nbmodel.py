@@ -41,10 +41,20 @@ _N_BUCKETS = 64
 
 
 def _sql_str(s: str) -> str:
-    """SQL string literal with Spark's default backslash escaping."""
-    return ("'" + s.replace("\\", "\\\\").replace("'", "\\'")
-            .replace("\n", "\\n").replace("\r", "\\r")
-            .replace("\t", "\\t") + "'")
+    """SQL string literal with Spark's default backslash escaping.
+    Control chars (possible in raw-corpus grams) go through \\uXXXX so
+    the parsed literal can never break the surrounding SQL text."""
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "'":
+            out.append("\\'")
+        elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+            out.append("\\u%04X" % ord(ch))
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
 
 
 def _table_expr(model: dict, labels: list[str]) -> Column:
