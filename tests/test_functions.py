@@ -477,3 +477,30 @@ def test_detect_mime_containers(spark):
     got = [r["m"] for r in
            df.select(detect_mime_type(F.col("b")).alias("m")).collect()]
     assert got == [w for _, w in cases], got
+
+
+def test_parse_phone_subrange_injection(spark):
+    """r8 PARITY delta 4a hook: caller-supplied sub-range number-plan
+    rules (the libphonenumber per-region XML tier as data). A listed
+    region's number must ALSO match some (prefix, min_len, max_len) rule;
+    unlisted regions keep the base behavior; invalidated numbers lose
+    their e164 too."""
+    from transmogrifai_spark.functions.text import parse_phone
+
+    ranges = {"US": [("212", 10, 10), ("415", 10, 10)],
+              "GB": [("7", 10, 10)]}   # GB mobiles only
+    cases = [
+        ("+1 212-253-0000", "+12122530000", True),    # in-range
+        ("+1 650-253-0000", None, False),             # valid len, no rule
+        ("+44 7911 123456", "+447911123456", True),   # GB mobile ok
+        ("+44 1911 123456", None, False),             # GB landline cut
+        ("+91 98765 43210", "+919876543210", True),   # IN unlisted: base
+    ]
+    df = spark.createDataFrame([(s,) for s, *_ in cases], "p string")
+    out = df.select(parse_phone(F.col("p"), ranges=ranges).alias("r")).collect()
+    for (s, e164, valid), r in zip(cases, out):
+        assert r["r"]["e164"] == e164, s
+        assert r["r"]["valid"] == valid, s
+    # and without ranges, behavior is unchanged
+    base = df.select(parse_phone(F.col("p")).alias("r")).collect()
+    assert all(b["r"]["valid"] for b in base[:4])

@@ -1770,3 +1770,58 @@ def test_opq_rotation_orthogonal_error_and_mirror(spark, sf_dir):
     m2 = opq_train(emb, "embedding", 64, m=8, k_codes=8, iters=4,
                    fit_rows=300)
     assert m2 == model
+
+
+def test_opq_rotation_composes_with_ivfpq_store(spark, sf_dir, tmp_path):
+    """The documented OPQ x IVF-PQ composition: rotate at ingest (R
+    orthogonal => cosine in rotated space IS the original cosine), then
+    build the persisted IVF-PQ index over rotated vectors with
+    rotated-space codebooks. Laws: (1) brute-force ranks over rotated
+    frames equal the original ranks (the orthogonality contract
+    opq_topk's scoring relies on); (2) the on-disk rotated-space IVF-PQ
+    answers equal the in-memory ivf_pq_topk over the same rotated
+    frames (the composition is just frames + model — no new code
+    path)."""
+    import os
+
+    from transmogrifai_spark.llm.similarity import (brute_force_topk,
+                                                    build_ivfpq_index,
+                                                    ivf_pq_topk,
+                                                    ivfpq_topk_indexed,
+                                                    opq_train,
+                                                    rotate_vector)
+    from transmogrifai_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .where(F.col("vec_id") < 250)
+    model = opq_train(emb, "embedding", 64, m=8, k_codes=8, iters=2,
+                      fit_rows=200, id_col="vec_id")
+    rot = emb.select("vec_id",
+                     rotate_vector(F.col("embedding"), model["rotation"])
+                     .alias("embedding"))
+    q = emb.where(F.col("vec_id") < 5)
+    qrot = rot.where(F.col("vec_id") < 5)
+
+    def ranks(df, queries):
+        return sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in
+                      brute_force_topk(df, queries, "vec_id", "embedding",
+                                       k=5).collect())
+
+    assert ranks(rot, qrot) == ranks(emb, q)
+
+    # rotated-space quantizer: centroids from two rotated rows, codebooks
+    # from the trained OPQ model (they live in rotated space)
+    ctr = [list(r["embedding"]) for r in
+           rot.where(F.col("vec_id") < 2).orderBy("vec_id").collect()]
+    pqm = {"centroids": ctr, "codebooks": model["codebooks"]}
+    path = str(tmp_path / "opq_ivfpq")
+    build_ivfpq_index(rot, "vec_id", "embedding", path, 64, m=8, model=pqm)
+    got = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+                 for r in ivfpq_topk_indexed(spark, path, qrot, "vec_id",
+                                             "embedding", k=5, n_probe=2,
+                                             quantize=6).collect())
+    want = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+                  for r in ivf_pq_topk(rot, qrot, "vec_id", "embedding",
+                                       64, k=5, n_probe=2, m=8, model=pqm,
+                                       quantize=6).collect())
+    assert got == want and got

@@ -255,7 +255,8 @@ def normalize_phone_digits(c: Column) -> Column:
     return F.regexp_replace(c, r"[^0-9]", "")
 
 
-def parse_phone(c: Column, default_region: str = "US") -> Column:
+def parse_phone(c: Column, default_region: str = "US",
+                ranges: dict | None = None) -> Column:
     """Parse free-form phone text to struct(e164, region, valid).
 
     International inputs ("+CC...", "00CC...", or NANP "011CC...") resolve
@@ -263,7 +264,17 @@ def parse_phone(c: Column, default_region: str = "US") -> Column:
     as a national number of ``default_region`` (trunk '0' — or NANP '1' —
     stripped). ``valid`` applies the region's length range and leading-digit
     pattern; numbers of regions outside the metadata table get valid=NULL
-    (unknown), never a false negative. NULL/empty input -> all-NULL struct."""
+    (unknown), never a false negative. NULL/empty input -> all-NULL struct.
+
+    ``ranges`` (r8) injects SUB-RANGE number-plan rules — the data tier
+    libphonenumber ships as per-region XML (PhoneNumberParser.scala:566's
+    underlying metadata) supplied by the caller instead (the
+    "train/supply the data, don't ship it" pattern):
+    ``{region: [(national_prefix, min_len, max_len), ...]}``. A number in
+    a listed region must ALSO match some rule (prefix + length window) to
+    stay valid; unlisted regions keep the base length+lead behavior. The
+    rules ride the plan as one region-keyed map literal — constant plan
+    depth whatever the table size."""
     if default_region not in _REGION_META:
         raise ValueError(f"unknown default_region {default_region!r}")
     d = normalize_phone_digits(c)
@@ -319,6 +330,16 @@ def parse_phone(c: Column, default_region: str = "US") -> Column:
     # method limit at the round-5 region count, silently dropping the whole
     # stage to interpreted mode). A lambda variable is evaluated exactly
     # once per row whatever the body does with it.
+    rng_map = None
+    if ranges:
+        rng_map = F.create_map(*[
+            x for reg, rules in sorted(ranges.items())
+            for x in (F.lit(reg), F.array(*[
+                F.struct(F.lit(pref).alias("p"),
+                         F.lit(int(lo)).alias("lo"),
+                         F.lit(int(hi)).alias("hi"))
+                for pref, lo, hi in rules]))])
+
     def _with_meta(region_v, national_v):
         def inner(m):
             base = (F.length(national_v) >= m["lo"]) & \
@@ -327,6 +348,15 @@ def parse_phone(c: Column, default_region: str = "US") -> Column:
             nanp_ok = F.regexp_like(national_v,
                                     F.lit("^[2-9][0-9]{2}[2-9]"))
             valid = F.when(m["cc"] == "1", base & nanp_ok).otherwise(base)
+            if rng_map is not None:
+                rules = F.try_element_at(rng_map, region_v)
+                in_range = F.exists(
+                    rules,
+                    lambda r: national_v.startswith(r["p"])
+                    & (F.length(national_v) >= r["lo"])
+                    & (F.length(national_v) <= r["hi"]))
+                valid = F.when(rules.isNotNull(),
+                               valid & in_range).otherwise(valid)
             e164 = F.when(valid, F.concat(F.lit("+"), m["cc"], national_v))
             return F.struct(e164.alias("e164"), region_v.alias("region"),
                             valid.alias("valid"))
