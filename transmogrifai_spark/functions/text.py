@@ -739,19 +739,26 @@ def lexicon_segment(c: Column, lexicon: dict[str, float] | list[str],
     Pure Catalyst expressions: one ``aggregate`` builds the dp lattice
     (dp[j] = min over i of dp[i] + cost(s[i:j]), i >= j - L), a second
     backtracks the boundaries; per-row work is O(n · L) map-literal
-    probes, JVM-side, no UDF. The lexicon rides the plan as a map
-    literal — right for the 10²-10⁵-word dictionaries these analyzers
-    use; beyond that, pre-tokenize at ingest with a broadcast-join form.
-    NULL input -> empty array."""
+    probes, JVM-side, no UDF. The lexicon map is built from ONE parsed
+    SQL expression (util.sql_str_lit escaping — arbitrary unicode words)
+    and BOUND once per row as a transform-lambda variable: CreateMap is
+    not constant-folded and lambda-body references re-evaluate per
+    element, so an unbound map would be rebuilt n·L times per row (the
+    nbmodel lesson). Right for the 10²-10⁵-word dictionaries these
+    analyzers use; beyond that, pre-tokenize at ingest with a
+    broadcast-join form. NULL input -> empty array."""
+    from ..util import sql_str_lit
+
     if not isinstance(lexicon, dict):
         lexicon = {w: 1.0 for w in lexicon}
     if not lexicon:
         raise ValueError("lexicon_segment needs a non-empty lexicon")
     L = max_word_len or max(len(w) for w in lexicon)
-    mp = F.create_map(*[x for w, cost in sorted(lexicon.items())
-                        for x in (F.lit(w), F.lit(float(cost)))])
+    mp_expr = F.expr("map(" + ",".join(
+        f"{sql_str_lit(w)},{float(cost)!r}D"
+        for w, cost in sorted(lexicon.items())) + ")")
 
-    def segment(s: Column) -> Column:
+    def _segment_with(s: Column, mp: Column) -> Column:
         n = F.length(s)
 
         def word_cost(i: Column, j: Column) -> Column:
@@ -805,9 +812,11 @@ def lexicon_segment(c: Column, lexicon: dict[str, float] | list[str],
         bounds_expr = F.get(F.transform(F.array(dp_expr), with_dp), 0)
         return F.get(F.transform(F.array(bounds_expr), with_bounds), 0)
 
+    out = F.get(F.transform(F.array(mp_expr),
+                            lambda mp: _segment_with(c, mp)), 0)
     return F.when(c.isNull() | (F.length(c) == 0),
                   F.array().cast("array<string>")) \
-        .otherwise(segment(c))
+        .otherwise(out)
 
 
 def analyze_lexicon(c: Column, lexicon: dict[str, float] | list[str],

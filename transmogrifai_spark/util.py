@@ -17,6 +17,24 @@ def lit_vec(xs) -> Column:
         "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
 
 
+def sql_str_lit(s: str) -> str:
+    """SQL string literal with Spark's default backslash escaping;
+    control chars via \\uXXXX so arbitrary corpus bytes can never break
+    the surrounding parsed SQL text (shared by nbmodel's lookup tables
+    and the lexicon-segmentation map)."""
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "'":
+            out.append("\\'")
+        elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+            out.append("\\u%04X" % ord(ch))
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
+
+
 def lit_matrix(rows) -> Column:
     """array<array<double>> literal from one parsed SQL expression (see
     lit_vec)."""
