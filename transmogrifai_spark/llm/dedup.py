@@ -970,16 +970,21 @@ def lsh_dedup_incremental(spark, path: str, new_docs: DataFrame,
 
 def stream_lsh_index(stream: DataFrame, path: str, id_col: str,
                      text_col: str, checkpoint: str | None = None,
-                     available_now: bool = True):
+                     available_now: bool = True,
+                     batch_id_base: int = 0):
     """Maintain the LSH index from a document STREAM: each micro-batch's
     banded rows land in their own ``batch=<id>/`` subdirectory (overwrite
     — replay-idempotent, the stream_rollup_partials guard). Pair with
     ``lsh_dedup_incremental`` inside the same foreachBatch to drop a
-    batch's near-duplicates before they are written anywhere."""
+    batch's near-duplicates before they are written anywhere. If the
+    index was BOOTSTRAPPED with real data (build over an initial corpus
+    at batch 0), pass ``batch_id_base=1`` — stream micro-batch ids start
+    at 0 and would silently overwrite ``batch=0`` (the stream_ivf_index
+    clobber trap)."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         append_lsh_index(batch.sparkSession, path, batch, id_col, text_col,
-                         batch_id=batch_id)
+                         batch_id=batch_id_base + batch_id)
 
     writer = stream.writeStream.foreachBatch(write_batch) \
         .outputMode("append")

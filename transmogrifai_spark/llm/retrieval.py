@@ -233,7 +233,8 @@ def append_bm25_index(spark, path: str, docs: DataFrame, id_col: str,
 
 def stream_bm25_index(stream: DataFrame, path: str, id_col: str,
                       text_col: str, checkpoint: str | None = None,
-                      available_now: bool = True):
+                      available_now: bool = True,
+                      batch_id_base: int = 0):
     """Maintain the BM25 index from a document STREAM: each micro-batch's
     postings land in their own ``batch=<id>/`` subdirectory with overwrite
     (replay-idempotent, the stream_rollup_partials guard) plus the batch's
@@ -243,11 +244,15 @@ def stream_bm25_index(stream: DataFrame, path: str, id_col: str,
 
     Bootstrap: call ``build_bm25_index`` once first (an EMPTY frame is
     fine — it just writes the params sidecar; the probe shapes an empty
-    postings side until real batches land)."""
+    postings side until real batches land). If you bootstrap with REAL
+    data instead, pass ``batch_id_base=1``: stream micro-batch ids start
+    at 0 and would overwrite the bootstrap's ``batch=0`` directory (both
+    writers are replay-idempotent overwriters by design — the
+    stream_ivf_index clobber trap)."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         append_bm25_index(batch.sparkSession, path, batch, id_col, text_col,
-                          batch_id=batch_id)
+                          batch_id=batch_id_base + batch_id)
 
     writer = stream.writeStream.foreachBatch(write_batch) \
         .outputMode("append")
