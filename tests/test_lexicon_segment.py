@@ -120,3 +120,112 @@ def test_python_viterbi_mirror(spark):
         "t", lexicon_segment(F.col("t"), lex).alias("s")).collect()}
     for t in texts:
         assert got[t] == py_viterbi(t), t
+
+
+def test_lattice_connection_costs_disambiguate(spark):
+    """Full-lattice (Kuromoji cost model) laws: word costs + class
+    transition costs jointly decide the path; flipping the connection
+    matrix flips the classic 東京|都 vs 東|京都 ambiguity; BOS/EOS
+    transitions and unknown-char tagging work; empty/NULL -> empty."""
+    from transmogrifai_spark.functions.text import lexicon_segment_lattice
+
+    lex = {"東京": (1.0, "NOUN"), "京都": (1.0, "NOUN"), "東": (1.0, "NOUN"),
+           "都": (1.0, "SUF"), "に": (0.5, "PART"), "行く": (1.0, "VERB")}
+    conn = {("NOUN", "SUF"): 0.0, ("NOUN", "NOUN"): 2.0,
+            ("SUF", "PART"): 0.0, ("NOUN", "PART"): 0.5,
+            ("PART", "VERB"): 0.0, ("BOS", "NOUN"): 0.0}
+    df = spark.createDataFrame([("東京都に行く",), ("",), (None,)],
+                               "t string")
+
+    def run(cn):
+        rows = df.select(
+            lexicon_segment_lattice(F.col("t"), lex, cn).alias("r")).collect()
+        return [[(x["token"], x["cls"]) for x in (r["r"] or [])]
+                for r in rows]
+
+    out = run(conn)
+    assert out[0] == [("東京", "NOUN"), ("都", "SUF"), ("に", "PART"),
+                      ("行く", "VERB")]
+    assert out[1] == [] and out[2] == []
+    flip = dict(conn)
+    flip[("NOUN", "SUF")] = 3.0
+    flip[("NOUN", "NOUN")] = 0.0
+    assert run(flip)[0][:2] == [("東", "NOUN"), ("京都", "NOUN")]
+    # BOS cost is a sunk constant over same-class starts: raising
+    # BOS->NOUN cannot change the argmin among NOUN-starting paths
+    bos = dict(conn)
+    bos[("BOS", "NOUN")] = 50.0
+    assert run(bos)[0] == out[0]
+    # unknown-char tagging: a leading char outside the lexicon isolates
+    # as a single UNK token and the rest still segments
+    df2 = spark.createDataFrame([("q東京都に行く",)], "t string")
+    r = df2.select(lexicon_segment_lattice(F.col("t"), lex, conn)
+                   .alias("r")).first()["r"]
+    typed = [(x["token"], x["cls"]) for x in r]
+    assert typed[0] == ("q", "UNK")
+    assert typed[1:] == [("東京", "NOUN"), ("都", "SUF"), ("に", "PART"),
+                         ("行く", "VERB")]
+
+
+def test_lattice_python_viterbi_mirror(spark):
+    """Engine lattice == reference python class-transition Viterbi on
+    random word concatenations (costs, backpointers, tie rules)."""
+    from transmogrifai_spark.functions.text import lexicon_segment_lattice
+
+    lex = {"ab": (1.0, "X"), "a": (0.8, "Y"), "b": (0.7, "Y"),
+           "ba": (1.1, "X"), "aa": (0.9, "Z")}
+    conn = {("BOS", "X"): 0.2, ("BOS", "Y"): 0.0,
+            ("X", "Y"): 0.1, ("Y", "X"): 0.4, ("Y", "Y"): 0.6,
+            ("X", "X"): 0.3, ("Z", "Y"): 0.0, ("Y", "Z"): 0.2,
+            ("X", "EOS"): 0.0, ("Y", "EOS"): 0.3}
+    classes = sorted({cls for _, cls in lex.values()} | {"UNK"})
+    ci = {cl: i for i, cl in enumerate(classes)}
+    L, INF, UNK_COST = 2, float("inf"), 2.0
+
+    def py_lattice(s):
+        n = len(s)
+        dp = [[(0.0 if j == 0 else INF, -1, -1) for _ in classes]
+              for j in range(n + 1)]
+        for j in range(1, n + 1):
+            for t, tc in enumerate(classes):
+                best = (INF, -1, -1)
+                for i in range(max(0, j - L), j):
+                    w = s[i:j]
+                    if w in lex:
+                        wc, wcls = lex[w]
+                    elif j - i == 1:
+                        wc, wcls = UNK_COST, "UNK"
+                    else:
+                        continue
+                    if ci[wcls] != t:
+                        continue
+                    if i == 0:
+                        pc, pk = conn.get(("BOS", tc), 0.0), -1
+                    else:
+                        pc, pk = min(
+                            (dp[i][p][0] + conn.get((classes[p], tc), 0.0),
+                             p) for p in range(len(classes)))
+                    cand = (wc + pc, i, pk)
+                    if cand < best:
+                        best = cand
+                dp[j][t] = best
+            # match the engine: unreachable (INF) cells keep bpi from the
+            # window min — irrelevant since INF never wins a real path
+        endc, endk = min((dp[n][t][0] + conn.get((classes[t], "EOS"), 0.0),
+                          t) for t in range(len(classes)))
+        toks, pos, k = [], n, endk
+        while pos > 0:
+            _, bpi, bpc = dp[pos][k]
+            toks.append((s[bpi:pos], classes[k]))
+            pos, k = bpi, bpc
+        return toks[::-1]
+
+    import itertools
+    texts = ["".join(p) for p in itertools.product("ab", repeat=5)][:20]
+    texts += ["abba", "aabb", "baab", "abcba"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {r["t"]: [(x["token"], x["cls"]) for x in r["r"]] for r in
+           df.select("t", lexicon_segment_lattice(
+               F.col("t"), lex, conn).alias("r")).collect()}
+    for t in texts:
+        assert got[t] == py_lattice(t), t

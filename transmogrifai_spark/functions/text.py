@@ -841,3 +841,152 @@ def analyze_lexicon(c: Column, lexicon: dict[str, float] | list[str],
     if min_token_length > 1:
         toks = F.filter(toks, lambda t: F.length(t) >= min_token_length)
     return toks
+
+
+def lexicon_segment_lattice(c: Column,
+                            lexicon: dict[str, tuple[float, str]],
+                            conn: dict[tuple[str, str], float] | None = None,
+                            unknown_cost: float = 2.0,
+                            unknown_class: str = "UNK",
+                            max_word_len: int | None = None) -> Column:
+    """FULL-LATTICE dictionary segmentation with CLASS-TRANSITION costs —
+    the complete Kuromoji/MeCab cost model (word cost + connection cost
+    between adjacent word classes), closing the algorithm half of the
+    reference's morphological-analyzer delta
+    (utils/.../text/LuceneTextAnalyzer.scala wraps Kuromoji, whose
+    lattice Viterbi minimizes Σ wordCost + Σ conn(leftClass, rightClass)
+    over learned matrices shipped as binary assets; here the matrices
+    are DATA the caller supplies).
+
+    ``lexicon``: word -> (cost, class). ``conn``: (prev_class, class) ->
+    cost; missing pairs cost 0.0; the pseudo-classes ``"BOS"``/``"EOS"``
+    key sentence-boundary transitions. Characters outside the lexicon
+    become single-char tokens of ``unknown_class`` at ``unknown_cost``.
+    Returns ``array<struct<token:string, cls:string>>`` — segmentation
+    AND tagging in one pass (set conn={} for plain class-less Viterbi;
+    then this degenerates to ``lexicon_segment`` with classes attached).
+
+    Expression shape (all JVM-side, no UDF): the dp lattice is an
+    aggregate whose state is an array (positions) of arrays (classes) of
+    (cost, backpointer-position, backpointer-class) structs — dp[j][t] =
+    min over window i and prev class c' of dp[i][c'] + conn[c'][t] +
+    wordCost(s[i:j]) where class(s[i:j]) == t; a second aggregate walks
+    the (position, class) backpointers. Ties break by (cost, earlier
+    start, lower prev-class index) identically to the python mirror.
+    Per-row work is O(n · L · |classes|²) — classes are POS-sized
+    (handfuls). The lexicon map is one parsed literal bound once per row
+    (the nbmodel rule)."""
+    from ..util import lit_vec, sql_str_lit
+
+    conn = conn or {}
+    if not lexicon:
+        raise ValueError("lexicon_segment_lattice needs a non-empty lexicon")
+    classes = sorted({cls for (_, cls) in lexicon.values()}
+                     | {unknown_class})
+    cidx = {cl: i for i, cl in enumerate(classes)}
+    n_c = len(classes)
+    unk_i = cidx[unknown_class]
+    L = max_word_len or max(len(w) for w in lexicon)
+    wm_expr = F.expr("map(" + ",".join(
+        f"{sql_str_lit(w)},named_struct('c',{float(cost)!r}D,"
+        f"'k',{cidx[cls]})"
+        for w, (cost, cls) in sorted(lexicon.items())) + ")")
+    conn_in = [[float(conn.get((classes[p], classes[t]), 0.0))
+                for p in range(n_c)] for t in range(n_c)]
+    bos_in = [float(conn.get(("BOS", classes[t]), 0.0)) for t in range(n_c)]
+    eos_out = [float(conn.get((classes[p], "EOS"), 0.0))
+               for p in range(n_c)]
+
+    def seg(s: Column, wm: Column) -> Column:
+        n = F.length(s)
+
+        def step(acc: Column, j: Column) -> Column:
+            # window word lookups ONCE per step: (i, word-entry-or-null)
+            wins = F.transform(
+                F.sequence(F.greatest(F.lit(0), j - L), j - 1),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.coalesce(
+                        F.try_element_at(wm, F.substr(s, i + 1, j - i)),
+                        F.when(j - i == 1, F.struct(
+                            F.lit(float(unknown_cost)).alias("c"),
+                            F.lit(unk_i).alias("k")))).alias("w")))
+            # UNARY closure factory, never defaulted extra lambda params:
+            # F.transform fills a second parameter with the array INDEX
+            # (the minhash_signature landmine, re-hit here in r8)
+            def cand_for(t: int, conn_t: Column):
+                def cand(e: Column) -> Column:
+                    i, w = e["i"], e["w"]
+                    dp_i = F.element_at(acc, i + 1)
+                    pm = F.array_min(F.transform(
+                        F.sequence(F.lit(0), F.lit(n_c - 1)),
+                        lambda p: F.struct(
+                            (F.element_at(dp_i, p + 1)["cost"]
+                             + F.element_at(conn_t, p + 1)).alias("pc"),
+                            p.cast("int").alias("pk"))))
+                    prev = F.when(
+                        i == 0,
+                        F.struct(F.lit(bos_in[t]).alias("pc"),
+                                 F.lit(-1).cast("int").alias("pk"))
+                    ).otherwise(pm)
+                    bad = w.isNull() | (w["k"] != t)
+                    return F.when(bad, F.struct(
+                        F.lit(_SEG_INF).alias("cost"),
+                        i.cast("int").alias("bpi"),
+                        F.lit(-1).cast("int").alias("bpc"))) \
+                        .otherwise(F.struct(
+                            (w["c"] + prev["pc"]).alias("cost"),
+                            i.cast("int").alias("bpi"),
+                            prev["pk"].alias("bpc")))
+                return cand
+
+            per_t = [
+                F.array_min(F.transform(wins,
+                                        cand_for(t, lit_vec(conn_in[t]))))
+                for t in range(n_c)]
+            return F.concat(acc, F.array(F.array(*per_t)))
+
+        init = F.array(F.array(*[
+            F.struct(F.lit(0.0).alias("cost"),
+                     F.lit(-1).cast("int").alias("bpi"),
+                     F.lit(-1).cast("int").alias("bpc"))
+            for _ in range(n_c)]))
+        lattice_expr = F.aggregate(F.sequence(F.lit(1), n), init, step)
+
+        def with_lat(lat: Column) -> Column:
+            dp_n = F.element_at(lat, n + 1)
+            end = F.array_min(F.transform(
+                F.sequence(F.lit(0), F.lit(n_c - 1)),
+                lambda t: F.struct(
+                    (F.element_at(dp_n, t + 1)["cost"]
+                     + F.element_at(lit_vec(eos_out), t + 1)).alias("ec"),
+                    t.cast("int").alias("k"))))
+            # backtrack over (pos, class) pairs, collecting typed tokens
+            walk = F.aggregate(
+                F.sequence(F.lit(1), n),
+                F.struct(n.cast("int").alias("pos"), end["k"].alias("k"),
+                         F.array().cast(
+                             "array<struct<token:string,cls:string>>")
+                         .alias("toks")),
+                lambda a, _: F.when(a["pos"] > 0, F.get(F.transform(
+                    F.array(F.element_at(F.element_at(lat, a["pos"] + 1),
+                                         a["k"] + 1)),
+                    lambda cell: F.struct(
+                        cell["bpi"].alias("pos"), cell["bpc"].alias("k"),
+                        F.concat(
+                            F.array(F.struct(
+                                F.substr(s, cell["bpi"] + 1,
+                                         a["pos"] - cell["bpi"])
+                                .alias("token"),
+                                F.element_at(
+                                    F.array(*[F.lit(cl) for cl in classes]),
+                                    a["k"] + 1).alias("cls"))),
+                            a["toks"]).alias("toks"))), 0)).otherwise(a))
+            return walk["toks"]
+
+        return F.get(F.transform(F.array(lattice_expr), with_lat), 0)
+
+    out = F.get(F.transform(F.array(wm_expr), lambda wm: seg(c, wm)), 0)
+    return F.when(c.isNull() | (F.length(c) == 0),
+                  F.array().cast("array<struct<token:string,cls:string>>")) \
+        .otherwise(out)
