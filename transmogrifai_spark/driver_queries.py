@@ -776,6 +776,15 @@ _SEG_LEX = [("中国", 0.97), ("中国人", 1.13), ("人民", 1.27),
             ("民银", 1.31), ("银行", 0.89), ("我", 0.71), ("是", 0.61),
             ("的", 0.83)]
 _SEG_WORDS = [w for w, _ in _SEG_LEX]
+# class-transition (Kuromoji cost model) gate fixture: classes per word +
+# a connection matrix whose costs genuinely steer paths (N->N expensive,
+# function-word transitions cheap)
+_SEG_CLS = {"中国": "N", "中国人": "N", "人民": "N", "民银": "N",
+            "银行": "N", "我": "PRON", "是": "V", "的": "PART"}
+_SEG_CONN = {("BOS", "PRON"): 0.0, ("BOS", "N"): 0.11, ("PRON", "V"): 0.0,
+             ("V", "N"): 0.19, ("N", "N"): 0.79, ("N", "PART"): 0.13,
+             ("PART", "N"): 0.29, ("N", "UNK"): 0.17, ("UNK", "N"): 0.23,
+             ("N", "EOS"): 0.0, ("UNK", "EOS"): 0.07}
 
 
 def q_lexicon_segment(spark, sf_dir):
@@ -789,9 +798,17 @@ def q_lexicon_segment(spark, sf_dir):
     lattice as a recursive CTE carrying the (cost, backpointer) list,
     candidate min by (cost, bp) ascending, the backtrack walk, and the
     token split — so the engine's aggregate-lattice expression form is
-    value-gated against an independent implementation. Output: one row
-    per (doc_id, tok_idx, token)."""
-    from .functions.text import lexicon_segment
+    value-gated against an independent implementation.
+
+    part='lattice' (r8b): the FULL Kuromoji/MeCab cost model
+    (lexicon_segment_lattice — word costs + class-transition costs with
+    BOS/EOS boundaries, emitting (token, class)); the oracle replicates
+    the positions x classes dp (per-class candidate min over window
+    words AND prev classes, identical (cost, bpi, bpc) tie order and
+    wc + (dp + conn) IEEE association) plus the (position, class)
+    backtrack. Output: (doc_id, part, tok_idx, token, cls) — plain rows
+    carry cls=NULL."""
+    from .functions.text import lexicon_segment, lexicon_segment_lattice
     docs = _t(spark, sf_dir, "documents")
     warr = F.array(*[F.lit(w) for w in _SEG_WORDS])
     text = F.concat(
@@ -801,8 +818,21 @@ def q_lexicon_segment(spark, sf_dir):
     text = F.when(F.col("doc_id") % 5 == 0,
                   F.concat(text, F.lit("卡"))).otherwise(text)
     toks = lexicon_segment(text, dict(_SEG_LEX), unknown_cost=2.0)
-    return docs.select("doc_id", toks.alias("_t")) \
-        .select("doc_id", F.posexplode("_t").alias("tok_idx", "token"))
+    plain = docs.select("doc_id", toks.alias("_t")) \
+        .select(F.lit("plain").alias("part"), "doc_id",
+                F.posexplode("_t").alias("tok_idx", "token")) \
+        .withColumn("cls", F.lit(None).cast("string"))
+    typed_lex = {w: (cost, _SEG_CLS[w]) for w, cost in _SEG_LEX}
+    ttoks = lexicon_segment_lattice(text, typed_lex, _SEG_CONN,
+                                    unknown_cost=2.0)
+    lattice = docs.select("doc_id", ttoks.alias("_t")) \
+        .select(F.lit("lattice").alias("part"), "doc_id",
+                F.posexplode("_t").alias("tok_idx", "e")) \
+        .select("part", "doc_id", "tok_idx",
+                F.col("e.token").alias("token"),
+                F.col("e.cls").alias("cls"))
+    return plain.unionByName(lattice) \
+        .select("doc_id", "part", "tok_idx", "token", "cls")
 
 
 def q_raw_feature_filter(spark, sf_dir):
@@ -2879,13 +2909,114 @@ bt AS (
                              pos - struct_extract(lat[pos + 1], 'bp')),
                       toks)
   FROM bt WHERE pos > 0
+),
+-- FULL Kuromoji cost-model replica (lexicon_segment_lattice): dp over
+-- positions x classes; per (j, t) the candidate min runs over window
+-- words of class t AND prev classes (pc = dp + conn, arrive = wc + pc —
+-- the engine's exact IEEE association); ties by (cost, bpi, bpc) then
+-- (pc, pk) ascending, matching array_min's struct order
+ldp AS (
+  SELECT doc_id, s, 0 AS j, [[$L_INIT$]] AS lat
+  FROM t
+  UNION ALL
+  SELECT doc_id, s, j + 1,
+         list_append(lat, list_transform(generate_series(0, $NC1$), t ->
+           (list_sort(list_transform(
+             generate_series(CASE WHEN j - 2 > 0 THEN j - 2 ELSE 0 END, j),
+             i -> (list_transform(
+               [COALESCE(map_extract($L_WMAP$,
+                          substr(s, CAST(i AS INT) + 1,
+                                 j + 1 - CAST(i AS INT)))[1],
+                         CASE WHEN j + 1 - i = 1
+                              THEN {{'c': 2.0::DOUBLE, 'k': $UNKI$}} END)],
+               we -> CASE WHEN we IS NULL OR we.k <> t
+                 THEN {{'cost': 1e18::DOUBLE, 'bpi': CAST(i AS INT),
+                       'bpc': CAST(-1 AS INT)}}
+                 ELSE (list_transform(
+                   [CASE WHEN i = 0
+                         THEN {{'pc': ($L_BOS$)[CAST(t AS INT) + 1],
+                               'pk': CAST(-1 AS INT)}}
+                         ELSE (list_sort(list_transform(
+                           generate_series(0, $NC1$),
+                           p -> {{'pc': struct_extract(
+                                   lat[CAST(i AS INT) + 1][CAST(p AS INT) + 1],
+                                   'cost')
+                                 + ($L_CONN$)[CAST(t AS INT) + 1]
+                                              [CAST(p AS INT) + 1],
+                                'pk': CAST(p AS INT)}})))[1] END],
+                   pv -> {{'cost': we.c + pv.pc, 'bpi': CAST(i AS INT),
+                          'bpc': pv.pk}}))[1]
+                 END))[1])))[1]))
+  FROM ldp WHERE j < length(s)
+),
+lfin AS (SELECT doc_id, s, lat FROM ldp WHERE j = length(s)),
+lend AS (
+  SELECT doc_id, s, lat,
+         struct_extract((list_sort(list_transform(
+           generate_series(0, $NC1$),
+           t -> {{'ec': struct_extract(lat[length(s) + 1][CAST(t AS INT) + 1],
+                                      'cost')
+                       + ($L_EOS$)[CAST(t AS INT) + 1],
+                 'k': CAST(t AS INT)}})))[1], 'k') AS k0
+  FROM lfin
+),
+lbt AS (
+  SELECT doc_id, s, lat, CAST(length(s) AS INT) AS pos, k0 AS k,
+         []::STRUCT(token VARCHAR, cls VARCHAR)[] AS toks
+  FROM lend
+  UNION ALL
+  SELECT doc_id, s, lat,
+         struct_extract(lat[pos + 1][k + 1], 'bpi'),
+         struct_extract(lat[pos + 1][k + 1], 'bpc'),
+         list_prepend(
+           {{'token': substr(s, struct_extract(lat[pos + 1][k + 1], 'bpi') + 1,
+                            pos - struct_extract(lat[pos + 1][k + 1], 'bpi')),
+            'cls': ($L_CLS$)[k + 1]}},
+           toks)
+  FROM lbt WHERE pos > 0
 )
-SELECT doc_id, CAST(o - 1 AS INT) AS tok_idx, tok AS token
+SELECT doc_id, 'plain' AS part, CAST(o - 1 AS INT) AS tok_idx,
+       tok AS token, CAST(NULL AS VARCHAR) AS cls
 FROM (SELECT doc_id,
              unnest(toks) AS tok,
              unnest(generate_series(1, len(toks))) AS o
       FROM bt WHERE pos = 0)
+UNION ALL
+SELECT doc_id, 'lattice', CAST(o - 1 AS INT),
+       struct_extract(tk, 'token'), struct_extract(tk, 'cls')
+FROM (SELECT doc_id,
+             unnest(toks) AS tk,
+             unnest(generate_series(1, len(toks))) AS o
+      FROM lbt WHERE pos = 0)
 """
+
+
+# inline the lattice fixture's class/connection data into the oracle —
+# generated from the SAME constants the Spark query uses
+_L_CLASSES = sorted(set(_SEG_CLS.values()) | {"UNK"})
+_L_CI = {c: i for i, c in enumerate(_L_CLASSES)}
+ORACLES["lexicon_segment"] = (
+    ORACLES["lexicon_segment"]
+    .replace("$NC1$", str(len(_L_CLASSES) - 1))
+    .replace("$UNKI$", str(_L_CI["UNK"]))
+    .replace("$L_INIT$", ",".join(
+        "{'cost': 0.0::DOUBLE, 'bpi': CAST(-1 AS INT),"
+        " 'bpc': CAST(-1 AS INT)}"
+        for _ in _L_CLASSES))
+    .replace("$L_WMAP$", "map(" + _sql_strs(_SEG_WORDS) + ",[" + ",".join(
+        f"{{'c': {float(cost)!r}::DOUBLE, 'k': {_L_CI[_SEG_CLS[w]]}}}"
+        for w, cost in _SEG_LEX) + "])")
+    .replace("$L_BOS$", "[" + ",".join(
+        repr(float(_SEG_CONN.get(("BOS", t), 0.0))) + "::DOUBLE"
+        for t in _L_CLASSES) + "]")
+    .replace("$L_EOS$", "[" + ",".join(
+        repr(float(_SEG_CONN.get((p, "EOS"), 0.0))) + "::DOUBLE"
+        for p in _L_CLASSES) + "]")
+    .replace("$L_CONN$", "[" + ",".join(
+        "[" + ",".join(repr(float(_SEG_CONN.get((p, t), 0.0))) + "::DOUBLE"
+                       for p in _L_CLASSES) + "]"
+        for t in _L_CLASSES) + "]")
+    .replace("$L_CLS$", _sql_strs(_L_CLASSES)))
 
 
 # trainable-NER replica (operators/ner_nb, portable fit on doc_id < 400):
