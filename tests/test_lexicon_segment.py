@@ -229,3 +229,33 @@ def test_lattice_python_viterbi_mirror(spark):
                F.col("t"), lex, conn).alias("r")).collect()}
     for t in texts:
         assert got[t] == py_lattice(t), t
+
+
+def test_lattice_degenerates_to_plain_viterbi(spark):
+    """Coherence law tying the two segmenters: with a single class and an
+    empty connection matrix, the full lattice's total cost reduces to the
+    plain Viterbi objective, so its token sequence EQUALS lexicon_segment
+    on every input (and every token carries that one class)."""
+    from transmogrifai_spark.functions.text import (analyze_lexicon_lattice,
+                                                    lexicon_segment_lattice)
+
+    plain_lex = {w: 1.0 for w in _ZH}
+    typed_lex = {w: (1.0, "W") for w in _ZH}
+    texts = ["中国人民银行", "北京大学学生", "银行行", "我是的中国人民",
+             "中国人学生", "abc"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    both = df.select(
+        "t",
+        lexicon_segment(F.col("t"), plain_lex).alias("p"),
+        lexicon_segment_lattice(F.col("t"), typed_lex, {}).alias("l")).collect()
+    for r in both:
+        lat = [(x["token"], x["cls"]) for x in r["l"]]
+        assert [tk for tk, _ in lat] == list(r["p"]), r["t"]
+        # known words tagged W, unknown chars UNK
+        for tk, cl in lat:
+            assert cl == ("W" if tk in plain_lex else "UNK"), (tk, cl)
+    # the analyzer-chain form routes runs identically to analyze_lexicon
+    mixed = spark.createDataFrame([("中国人民银行 opened",)], "t string")
+    out = mixed.select(analyze_lexicon_lattice(
+        F.col("t"), typed_lex, {}).alias("s")).first()["s"]
+    assert list(out) == ["中国", "人民", "银行", "opened"]

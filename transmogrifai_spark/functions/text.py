@@ -990,3 +990,32 @@ def lexicon_segment_lattice(c: Column,
     return F.when(c.isNull() | (F.length(c) == 0),
                   F.array().cast("array<struct<token:string,cls:string>>")) \
         .otherwise(out)
+
+
+def analyze_lexicon_lattice(c: Column,
+                            lexicon: dict[str, tuple[float, str]],
+                            conn: dict[tuple[str, str], float] | None = None,
+                            min_token_length: int = 1,
+                            to_lowercase: bool = True,
+                            unknown_cost: float = 2.0) -> Column:
+    """``analyze_lexicon`` with the FULL connection-cost lattice: CJK/Thai
+    runs go through ``lexicon_segment_lattice`` (word + class-transition
+    costs) and contribute their tokens; embedded non-CJK words pass
+    through in position. Token-only output (the analyzer chain shape);
+    use ``lexicon_segment_lattice`` directly when you want the classes."""
+    lowered = F.lower(c) if to_lowercase else c
+    seg_inner = _CJK_INNER + "฀-๿"
+    word = f"[\\p{{L}}\\p{{N}}_'’\\-&&[^{seg_inner}]]+"
+    runs = F.regexp_extract_all(
+        F.coalesce(lowered, F.lit("")),
+        F.lit(f"([{seg_inner}]+|{word})"), 1)
+    is_seg = lambda r: F.regexp_like(r, F.lit(f"^[{seg_inner}]"))  # noqa: E731
+    toks = F.flatten(F.transform(runs, lambda r: F.when(
+        is_seg(r),
+        F.transform(lexicon_segment_lattice(r, lexicon, conn,
+                                            unknown_cost=unknown_cost),
+                    lambda e: e["token"])
+    ).otherwise(F.array(r))))
+    if min_token_length > 1:
+        toks = F.filter(toks, lambda t: F.length(t) >= min_token_length)
+    return toks
