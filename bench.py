@@ -40,7 +40,10 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from transmogrifai_spark import session
-    from transmogrifai_spark.driver_queries import SPARK_QUERIES
+    from transmogrifai_spark.driver_queries import (SPARK_QUERIES,
+                                                    q_agg_reader_cutoff_base,
+                                                    q_conditional_reader,
+                                                    q_ml_train_score)
     from transmogrifai_spark.llm import dedup
     from transmogrifai_spark.sources.tables import load_table
 
@@ -108,6 +111,12 @@ def main() -> None:
     runners["text_quality"] = text_quality_base
     runners["dedup_exact"] = dedup_exact_base
     runners["join_left_agg"] = join_left_base
+    # r9 registry re-seat merged conditional_reader into agg_reader_cutoff
+    # and model_selection into ml_train_score (driver 50-row cap); the
+    # bench keeps measuring the BASELINE-recorded base forms
+    runners["agg_reader_cutoff"] = q_agg_reader_cutoff_base
+    runners["conditional_reader"] = q_conditional_reader
+    runners["ml_train_score"] = q_ml_train_score
 
     # median of N repeats per query: single runs at this scale have 10-20%
     # run-to-run noise (JIT, page cache, GC), which made round-over-round
@@ -120,6 +129,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     noisy_reps = {"ml_train_score": max(reps, 5)}
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = runners[name]
         samples: list[float] = []
@@ -133,6 +143,7 @@ def main() -> None:
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 samples.append(-1.0)
                 break
+        runs[name] = samples
         good = sorted(t for t in samples if t >= 0)
         times[name] = good[len(good) // 2] if good else -1.0
 
@@ -143,7 +154,7 @@ def main() -> None:
     try:
         ml_phases: dict[str, float] = {}
         t0 = time.time()
-        SPARK_QUERIES["ml_train_score"](spark, SF_DIR, timings=ml_phases).count()
+        q_ml_train_score(spark, SF_DIR, timings=ml_phases).count()
         ml_phases["metrics"] = round(
             time.time() - t0 - sum(ml_phases.values()), 3)
         phases["ml_train_score"] = ml_phases
@@ -175,6 +186,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        # per-query raw samples (median is the scored number) — lets the
+        # verdict separate machine-load inflation from real regressions
+        # (r6 and r8 both burned analysis time on load-noise deltas)
+        "runs": runs,
         "queries_registry_form": registry_times,
         "phases": phases,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,

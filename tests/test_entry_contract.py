@@ -65,7 +65,26 @@ def test_bench_headline_queries_resolvable():
             os.path.abspath(__file__))), "bench.py"))
     bench = iu.module_from_spec(spec)
     spec.loader.exec_module(bench)
-    overrides = {"dedup_near_ngram_capped", "similarity_topk"}
+    # bench-local base-form overrides (BASELINE-comparable shapes; the r9
+    # registry re-seat merged conditional_reader/model_selection away, so
+    # the bench measures their base functions directly)
+    overrides = {"dedup_near_ngram_capped", "similarity_topk",
+                 "conditional_reader"}
     q = set(entry_mod.queries())
     for name in bench.HEADLINE:
         assert name in q or name in overrides, name
+
+
+def test_registry_inside_driver_cap():
+    """r8 regression guard: the driver gates only the FIRST 50 registry
+    entries; a hash-gated query past position 50 (or a registry past 50 at
+    all) silently loses its correctness row. driver_queries raises at
+    import time; this pins the contract from the driver's side too."""
+    q = list(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert len(q) <= 50, f"registry has {len(q)} entries; driver caps at 50"
+    past_cap = [k for i, k in enumerate(q) if i >= 50 and k in o]
+    assert not past_cap, f"oracle-gated queries past the cap: {past_cap}"
+    # previously-regressed rows must be present and inside the window
+    for must in ("loco_insights", "mime_detector"):
+        assert must in q[:50] and must in o, must

@@ -172,9 +172,11 @@ def q_multiway_broadcast(spark, sf_dir):
 # event aggregation readers (the reference's GROUP BY)
 # ---------------------------------------------------------------------------
 
-def q_agg_reader_cutoff(spark, sf_dir):
+def q_agg_reader_cutoff_base(spark, sf_dir):
     """AggregateDataReader: predictors over t < cutoff, responses over
-    t >= cutoff, per-type monoids."""
+    t >= cutoff, per-type monoids. (Bench-measured base form — the
+    registry row ``agg_reader_cutoff`` joins the ConditionalDataReader
+    columns onto this, see q_agg_reader_cutoff.)"""
     ev = InlineReader(_t(spark, sf_dir, "events"))
     r = AggregateDataReader(
         reader=ev, key_col="user_id", time_col="ts",
@@ -229,6 +231,27 @@ def q_conditional_reader(spark, sf_dir):
                                       specs, timestamp_to_keep="min")
     return df.withColumn("pre_types", F.array_join(F.coalesce(
         F.col("pre_types"), F.array().cast("array<string>")), ","))
+
+
+def q_agg_reader_cutoff(spark, sf_dir):
+    """Registry row carrying BOTH cutoff readers (r9: the registry grew to
+    52 keys while the driver gates only the FIRST 50 — r8 silently lost
+    loco_insights/model_selection rows; merging the two event-reader
+    queries frees a slot without losing either hash gate):
+
+    * the AggregateDataReader columns (q_agg_reader_cutoff_base), and
+    * the ConditionalDataReader columns (q_conditional_reader,
+      pre_value/pre_events/pre_types) LEFT-joined on key — keys whose
+      condition never fired carry NULLs (the standalone conditional
+      reader DROPS those keys; the join preserves that semantic as
+      null-vs-present, which the oracle replicates).
+
+    Both readers aggregate the same events table on the same key, so the
+    join is a cheap post-aggregation merge (two 150-row frames at gate
+    scale), not a new shuffle shape."""
+    a = q_agg_reader_cutoff_base(spark, sf_dir)
+    b = q_conditional_reader(spark, sf_dir)
+    return a.join(b, "key", "left")
 
 
 def q_map_monoid(spark, sf_dir):
@@ -1437,10 +1460,20 @@ def q_similarity_topk(spark, sf_dir):
       codes, codeword-only reconstruction, and the rounded rotated-space
       cosine ranking — closing the one law-only ANN tier from r7."""
     emb_live = _t(spark, sf_dir, "embeddings")
-    # snapshot the embeddings table driver-side ONCE (bounded: <= 2000
-    # rows x 64 floats at sf0.1) — five method arms otherwise each rescan
-    # the parquet (r7 verdict: the gate-cost shave pattern)
-    emb = spark.createDataFrame(emb_live.collect(), emb_live.schema)
+    # snapshot the embeddings table driver-side ONCE — five method arms
+    # otherwise each rescan the parquet (r7 verdict: the gate-cost shave
+    # pattern). The collect is CAPPED at the documented gate scale
+    # (<= 2000 rows x 64 floats at sf0.1) so running the gate at a larger
+    # SF degrades to an explicit error instead of an unbounded driver
+    # collect (r8 advice).
+    _EMB_SNAPSHOT_CAP = 4096
+    _emb_rows = emb_live.limit(_EMB_SNAPSHOT_CAP + 1).collect()
+    if len(_emb_rows) > _EMB_SNAPSHOT_CAP:
+        raise ValueError(
+            f"q_similarity_topk gate snapshot expects <= {_EMB_SNAPSHOT_CAP} "
+            "embeddings (driver-side snapshot is a gate-scale shave); run "
+            "the similarity operators directly at larger scales")
+    emb = spark.createDataFrame(_emb_rows, emb_live.schema)
     q = emb.where(F.col("vec_id") < 20)
     brute = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=5) \
         .withColumn("method", F.lit("brute"))
@@ -2296,6 +2329,34 @@ def q_ml_train_score(spark, sf_dir, timings=None):
             4).alias("auc4"))
 
 
+def q_ml_train_score_merged(spark, sf_dir):
+    """Rows-only registry row carrying BOTH ML fit surfaces (r9 registry
+    re-seat — the driver gates only the first 50 registry keys, and the
+    two rows-only ML queries don't each need a slot):
+
+    * part='spine'     — q_ml_train_score (reader -> transmogrify -> LR ->
+                         per-split integer metrics), and
+    * part='selection' — q_model_selection (k-fold CV leaderboard over the
+                         default binary candidate zoo).
+
+    Both are seeded-ML outputs DuckDB cannot replicate (no oracle row by
+    design); row counts and the deterministic integer metric columns stay
+    comparable across rounds."""
+    null_s = F.lit(None).cast("string")
+    base = q_ml_train_score(spark, sf_dir).select(
+        F.lit("spine").alias("part"), "split", "n", "n_pos", "n_correct",
+        "auc4", null_s.alias("model"), null_s.alias("params"),
+        F.lit(None).cast("double").alias("cv_auroc"))
+    sel = q_model_selection(spark, sf_dir).select(
+        F.lit("selection").alias("part"), null_s.alias("split"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("n_pos"),
+        F.lit(None).cast("long").alias("n_correct"),
+        F.lit(None).cast("double").alias("auc4"),
+        "model", "params", "cv_auroc")
+    return base.unionByName(sel)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect; views: region nation customer supplier part
 # orders lineitem events documents embeddings)
@@ -2437,18 +2498,37 @@ GROUP BY r_name
 """
 
 ORACLES["agg_reader_cutoff"] = f"""
-SELECT CAST(user_id AS VARCHAR) AS key,
-       CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUTOFF}'
-                THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS total_value,
-       CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN 1 END) AS BIGINT) AS n_events,
-       CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUTOFF}' AND event_type = 'purchase'
-                THEN 1 END) AS BIGINT) AS n_purchases,
-       max(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN value END) AS max_value,
-       COALESCE(array_to_string(list_sort(list(DISTINCT event_type)
-                FILTER (WHERE ts < TIMESTAMP '{CUTOFF}')), ','), '') AS types_seen,
-       bool_or(event_type = 'error') FILTER (WHERE ts >= TIMESTAMP '{CUTOFF}') AS error_after
-FROM events
-GROUP BY user_id
+SELECT a.key, a.total_value, a.n_events, a.n_purchases, a.max_value,
+       a.types_seen, a.error_after,
+       b.pre_value, b.pre_events, b.pre_types
+FROM (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUTOFF}'
+                  THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS total_value,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN 1 END) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUTOFF}' AND event_type = 'purchase'
+                  THEN 1 END) AS BIGINT) AS n_purchases,
+         max(CASE WHEN ts < TIMESTAMP '{CUTOFF}' THEN value END) AS max_value,
+         COALESCE(array_to_string(list_sort(list(DISTINCT event_type)
+                  FILTER (WHERE ts < TIMESTAMP '{CUTOFF}')), ','), '') AS types_seen,
+         bool_or(event_type = 'error') FILTER (WHERE ts >= TIMESTAMP '{CUTOFF}') AS error_after
+  FROM events
+  GROUP BY user_id
+) a LEFT JOIN (
+  WITH cut AS (
+    SELECT user_id, min(ts) FILTER (WHERE event_type = 'purchase') AS cutoff
+    FROM events GROUP BY user_id
+  )
+  SELECT CAST(e.user_id AS VARCHAR) AS key,
+         CAST(SUM(CASE WHEN e.ts < c.cutoff
+                  THEN CAST(e.value AS DECIMAL(28,6)) END) AS DOUBLE) AS pre_value,
+         CAST(SUM(CASE WHEN e.ts < c.cutoff THEN 1 END) AS BIGINT) AS pre_events,
+         COALESCE(array_to_string(list_sort(list(DISTINCT e.event_type)
+                  FILTER (WHERE e.ts < c.cutoff)), ','), '') AS pre_types
+  FROM events e JOIN cut c ON e.user_id = c.user_id
+  WHERE c.cutoff IS NOT NULL
+  GROUP BY e.user_id
+) b USING (key)
 """
 
 ORACLES["agg_first_last"] = """
@@ -2472,22 +2552,6 @@ SELECT CAST(e.user_id AS VARCHAR) AS key,
        (CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) % 2) = 1
          AS odd_purchases
 FROM events e JOIN mode_pick m ON e.user_id = m.user_id AND m.rn = 1
-GROUP BY e.user_id
-"""
-
-ORACLES["conditional_reader"] = """
-WITH cut AS (
-  SELECT user_id, min(ts) FILTER (WHERE event_type = 'purchase') AS cutoff
-  FROM events GROUP BY user_id
-)
-SELECT CAST(e.user_id AS VARCHAR) AS key,
-       CAST(SUM(CASE WHEN e.ts < c.cutoff
-                THEN CAST(e.value AS DECIMAL(28,6)) END) AS DOUBLE) AS pre_value,
-       CAST(SUM(CASE WHEN e.ts < c.cutoff THEN 1 END) AS BIGINT) AS pre_events,
-       COALESCE(array_to_string(list_sort(list(DISTINCT e.event_type)
-                FILTER (WHERE e.ts < c.cutoff)), ','), '') AS pre_types
-FROM events e JOIN cut c ON e.user_id = c.user_id
-WHERE c.cutoff IS NOT NULL
 GROUP BY e.user_id
 """
 
@@ -5165,23 +5229,28 @@ FROM scored
 """
 
 
-# Exactly 50 entries (the driver gates at most 50 CORRECTNESS rows per
-# round — it emitted 50 for a 54/55-entry registry in rounds 1 and 2:
-# CORRECTNESS_r01 holds exactly the FIRST 50 dict entries, positions 50-54
-# were dropped. That cap is why the round-4 surfaces below were slotted by
-# MERGING related queries — string_indexer->onehot_topk,
-# sort_limit->set_ops, agg_concat_mode_logical->agg_first_last,
-# bin_score_calibration->binary_eval, map_vectorizer->map_monoid,
-# text_similarity->stopwords_ngrams, dedup_near_ngram->dedup_clusters —
-# rather than growing past the gated window).
+# AT MOST 50 entries, hash-gated rows FIRST (the driver gates at most 50
+# CORRECTNESS rows per round — it emitted 50 for a 54/55-entry registry in
+# rounds 1 and 2, and r8 proved the cap again the hard way: inserting
+# ner_trainable/lexicon_segment mid-dict grew the registry to 52 and
+# silently pushed loco_insights (hash-green in r7) and model_selection past
+# the gated window. r9 re-seat: conditional_reader merged into
+# agg_reader_cutoff (join on key, both gates kept), model_selection merged
+# into ml_train_score (both rows-only), rows-only entries moved LAST so a
+# future insertion can never displace a hash-gated row, and a module-level
+# guard below makes any violation an import error instead of silent
+# evidence loss. Earlier slot-freeing merges for the same reason:
+# string_indexer->onehot_topk, sort_limit->set_ops,
+# agg_concat_mode_logical->agg_first_last, bin_score_calibration->
+# binary_eval, map_vectorizer->map_monoid, text_similarity->
+# stopwords_ngrams, dedup_near_ngram->dedup_clusters. When adding r9+
+# gates, prefer new part= arms on existing rows over new registry keys.
 SPARK_QUERIES = {
     "scan_pushdown": q_scan_pushdown,
     "pricing_summary": q_pricing_summary,
     "join_left_agg": q_join_left_agg,
     "join_outer_combined": q_join_outer_combined,
     "multiway_broadcast": q_multiway_broadcast,
-    # the flagship spine + scale-path LSH queries, early in the gated window
-    "ml_train_score": q_ml_train_score,
     "sanity_checker": q_sanity_checker,
     "transmogrify_vector": q_transmogrify_vector,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5189,7 +5258,6 @@ SPARK_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "agg_reader_cutoff": q_agg_reader_cutoff,
     "agg_first_last": q_agg_first_last,
-    "conditional_reader": q_conditional_reader,
     "map_monoid": q_map_monoid,
     "filter_math_ops": q_filter_math_ops,
     "text_ops": q_text_ops,
@@ -5208,6 +5276,8 @@ SPARK_QUERIES = {
     "raw_feature_filter": q_raw_feature_filter,
     "numeric_fitted": q_numeric_fitted,
     "binary_eval": q_binary_eval,
+    "loco_insights": q_loco_insights,
+    "mime_detector": q_mime_detector,
     # round-4 extension surfaces, oracle-gated (VERDICT r4 item 1)
     "asof_join": q_asof_join,
     "cdc_scd2": q_cdc_scd2,
@@ -5225,9 +5295,28 @@ SPARK_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "sessionize": q_sessionize,
     "streaming_window": q_streaming_window,
-    # rows-only (non-SQL-expressible: seeded hashing / ML / vectors)
+    # rows-only LAST (non-SQL-expressible: seeded hashing / ML / vectors)
     "text_ml_vectors": q_text_ml_vectors,
-    "mime_detector": q_mime_detector,
-    "model_selection": q_model_selection,
-    "loco_insights": q_loco_insights,
+    "ml_train_score": q_ml_train_score_merged,
 }
+
+# Guard against the r8 failure mode: the driver checks only the FIRST
+# _DRIVER_QUERY_CAP registry entries, so a hash-gated query past the cap
+# (or a registry past the cap at all) silently loses its correctness row.
+# Make that an import-time error.
+_DRIVER_QUERY_CAP = 50
+if len(SPARK_QUERIES) > _DRIVER_QUERY_CAP:
+    raise AssertionError(
+        f"SPARK_QUERIES has {len(SPARK_QUERIES)} entries; the driver only "
+        f"gates the first {_DRIVER_QUERY_CAP} — merge queries (part= arms) "
+        "instead of growing the registry")
+_past_cap = [k for i, k in enumerate(SPARK_QUERIES)
+             if i >= _DRIVER_QUERY_CAP and k in ORACLES]
+if _past_cap:
+    raise AssertionError(
+        f"oracle-gated queries past the driver's {_DRIVER_QUERY_CAP}-row "
+        f"cap would lose their correctness rows: {_past_cap}")
+_orphan_oracles = sorted(set(ORACLES) - set(SPARK_QUERIES))
+if _orphan_oracles:
+    raise AssertionError(
+        f"ORACLES entries without a registry query: {_orphan_oracles}")

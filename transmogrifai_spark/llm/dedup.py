@@ -349,13 +349,14 @@ def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
     components recipe). When the session has a RELIABLE checkpoint dir
     configured (``sc.setCheckpointDir``), ``checkpoint()`` is used
     instead — replicated to the FS, survives executor loss; the right
-    default on preemptible clusters. On the localCheckpoint path, each
-    round EXPLICITLY unpersists the previous round's snapshot blocks
-    (checkpointed RDD storage is released via ``DataFrame.unpersist``)
-    once the new round is materialized, so a long-lived session running
-    many clusterings holds at most two rounds of executor storage at any
-    moment instead of deferring the whole history to Python GC +
-    ContextCleaner."""
+    default on preemptible clusters. Storage release: a checkpointed
+    DataFrame has no cache-manager entry, so ``DataFrame.unpersist`` is a
+    no-op for these snapshots (r8 advice — an earlier version of this
+    docstring over-claimed explicit release); the loop instead keeps AT
+    MOST TWO rounds of snapshots referenced at any moment (``labels`` is
+    rebound each round, dropping the only handle on round k-1), so the
+    JVM ContextCleaner reclaims each orphaned round's blocks promptly
+    rather than accumulating the whole history."""
     sc = pairs.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
 
@@ -380,12 +381,12 @@ def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
         changed = (new_labels.alias("n").join(labels.alias("o"), "node")
                    .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count())
         # new_labels is materialized (eager) and carries no lineage into
-        # the old round, so the old snapshot's blocks can go now
-        labels.unpersist()
+        # the old round; rebinding drops the last handle on the old
+        # snapshot so ContextCleaner can reclaim its blocks (unpersist()
+        # would be a no-op here — checkpointed frames have no cache entry)
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster_id"))
 
 

@@ -5,6 +5,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _finite_repr(x) -> str:
+    """repr of a float for SQL-literal embedding; non-finite values would
+    emit 'nan'/'inf' tokens the parser rejects with an opaque error far
+    from the caller, so raise a clear one here (r8 advice)."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(
+            f"non-finite value {v!r} cannot be embedded as a SQL double "
+            "literal (lit_vec/lit_matrix require finite inputs)")
+    return repr(v)
+
+
 def lit_vec(xs) -> Column:
     """array<double> literal from ONE parsed SQL expression. Building
     numeric literal arrays element-wise through the python Column API
@@ -12,9 +24,9 @@ def lit_vec(xs) -> Column:
     measured r8); the SQL text parses JVM-side in milliseconds. ``repr``
     emits the shortest round-trip decimal and the ``D`` suffix makes the
     parser take Double.parseDouble, so every parsed element is
-    bit-identical to the python float."""
+    bit-identical to the python float. Raises ValueError on NaN/Inf."""
     return F.expr(
-        "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
+        "array(" + ",".join(_finite_repr(x) + "D" for x in xs) + ")")
 
 
 def sql_str_lit(s: str) -> str:
@@ -37,9 +49,9 @@ def sql_str_lit(s: str) -> str:
 
 def lit_matrix(rows) -> Column:
     """array<array<double>> literal from one parsed SQL expression (see
-    lit_vec)."""
+    lit_vec). Raises ValueError on NaN/Inf."""
     return F.expr("array(" + ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+        "array(" + ",".join(_finite_repr(x) + "D" for x in r) + ")"
         for r in rows) + ")")
 
 
