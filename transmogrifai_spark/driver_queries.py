@@ -1804,12 +1804,24 @@ def q_ivf_topk_indexed(spark, sf_dir):
     injected model, so the two-batch on-disk index must land on the
     same quantized answer as the one-shot in-memory ivf_pq_topk — the
     oracle is the same nearest-cell / residual-argmin / reconstruction
-    replica as similarity_topk's pq_adc arm."""
+    replica as similarity_topk's pq_adc arm.
+
+    part='stream' (r9): the STREAMING ingest path for the same index
+    tier (llm/similarity.stream_ivfpq_index — the one ANN tier that was
+    law-only in r8): build on evens (bootstrap batch 0), then the odd
+    half arrives via a REAL parquet file stream (2 files, 1 per
+    micro-batch) through foreachBatch sidecar-model appends with the
+    default ``batch_id_base=1`` — the exact path where micro-batch 0
+    would otherwise clobber the bootstrap's batch=0 directory (the r8
+    trap) — then probed through disk. Assignment/encoding are per-row
+    against the sidecar model, so the streamed index must land on the
+    SAME rows as the batch-append 'pq' arm; the oracle emits the pq
+    replica twice under both part labels."""
     import tempfile
 
     from .llm.similarity import (append_ivfpq_index, build_ivf_index,
                                  build_ivfpq_index, ivf_topk_indexed,
-                                 ivfpq_topk_indexed)
+                                 ivfpq_topk_indexed, stream_ivfpq_index)
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
     d = tempfile.mkdtemp(prefix="ivf_index_gate_")
@@ -1828,8 +1840,23 @@ def q_ivf_topk_indexed(spark, sf_dir):
                        batch_id=1)
     pq = ivfpq_topk_indexed(spark, d2, q, "vec_id", "embedding", k=5,
                             n_probe=1, quantize=6)
+    # streamed twin of the pq arm: same bootstrap, odd half via file stream
+    d3 = tempfile.mkdtemp(prefix="ivfpq_index_stream_gate_")
+    build_ivfpq_index(emb.where(F.col("vec_id") % 2 == 0), "vec_id",
+                      "embedding", d3, 64, m=8, model=pq_model)
+    src = tempfile.mkdtemp(prefix="ivfpq_stream_src_")
+    emb.where(F.col("vec_id") % 2 == 1).repartition(2) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    sq = stream_ivfpq_index(stream, d3,
+                            checkpoint=tempfile.mkdtemp(prefix="ivfpq_ck_"))
+    sq.awaitTermination()
+    streamed = ivfpq_topk_indexed(spark, d3, q, "vec_id", "embedding", k=5,
+                                  n_probe=1, quantize=6)
     out = full.withColumn("part", F.lit("full")) \
-        .unionAll(pq.withColumn("part", F.lit("pq")))
+        .unionAll(pq.withColumn("part", F.lit("pq"))) \
+        .unionAll(streamed.withColumn("part", F.lit("stream")))
     return out.select(
         "part",
         F.col("query_id").cast("long").alias("query_id"),
@@ -5131,6 +5158,13 @@ SELECT 'full' AS part, CAST(query_id AS BIGINT) AS query_id,
 FROM scored WHERE rank <= 5
 UNION ALL
 SELECT 'pq', CAST(query_id AS BIGINT), CAST(neighbor_id AS BIGINT),
+       CAST(rank AS INT), round(cosine, 6) + 0.0
+FROM pq_scored WHERE rank <= 5
+UNION ALL
+-- part='stream': the streaming-ingest twin of the pq arm (same sidecar
+-- model, per-row encoding) — the answer is identical by construction,
+-- so the oracle is the same replica under the 'stream' label
+SELECT 'stream', CAST(query_id AS BIGINT), CAST(neighbor_id AS BIGINT),
        CAST(rank AS INT), round(cosine, 6) + 0.0
 FROM pq_scored WHERE rank <= 5
 """
