@@ -830,8 +830,18 @@ def q_lexicon_segment(spark, sf_dir):
     words AND prev classes, identical (cost, bpi, bpc) tie order and
     wc + (dp + conn) IEEE association) plus the (position, class)
     backtrack. Output: (doc_id, part, tok_idx, token, cls) — plain rows
-    carry cls=NULL."""
+    carry cls=NULL.
+
+    part='join' (r9): the BROADCAST-JOIN form
+    (operators/segmentation.lexicon_segment_join — dictionary as a
+    broadcast DataFrame, candidate-span explode + one broadcast hash
+    join + the identical dp over matched arcs; the scale path for
+    Kuromoji-size dictionaries where a plan-literal map would be
+    multi-MB). Same answer as 'plain' by construction, so the oracle
+    emits its recursive-CTE replica under both labels — the join form's
+    arc mining, grouping, and arc-dp all sit in the hash gate."""
     from .functions.text import lexicon_segment, lexicon_segment_lattice
+    from .operators.segmentation import lexicon_segment_join
     docs = _t(spark, sf_dir, "documents")
     warr = F.array(*[F.lit(w) for w in _SEG_WORDS])
     text = F.concat(
@@ -854,7 +864,15 @@ def q_lexicon_segment(spark, sf_dir):
         .select("part", "doc_id", "tok_idx",
                 F.col("e.token").alias("token"),
                 F.col("e.cls").alias("cls"))
-    return plain.unionByName(lattice) \
+    lex_df = spark.createDataFrame(
+        [(w, float(c)) for w, c in _SEG_LEX], "word string, cost double")
+    jtoks = lexicon_segment_join(docs.select("doc_id", text.alias("_s")),
+                                 "_s", lex_df, out_col="_t",
+                                 unknown_cost=2.0)
+    join_part = jtoks.select(F.lit("join").alias("part"), "doc_id",
+                             F.posexplode("_t").alias("tok_idx", "token")) \
+        .withColumn("cls", F.lit(None).cast("string"))
+    return plain.unionByName(lattice).unionByName(join_part) \
         .select("doc_id", "part", "tok_idx", "token", "cls")
 
 
@@ -3079,6 +3097,14 @@ FROM (SELECT doc_id,
              unnest(toks) AS tk,
              unnest(generate_series(1, len(toks))) AS o
       FROM lbt WHERE pos = 0)
+UNION ALL
+-- part='join': the broadcast-join form is answer-identical to the
+-- plain dp by construction; gating it re-uses the same replica
+SELECT doc_id, 'join', CAST(o - 1 AS INT), tok, CAST(NULL AS VARCHAR)
+FROM (SELECT doc_id,
+             unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS o
+      FROM bt WHERE pos = 0)
 """
 
 

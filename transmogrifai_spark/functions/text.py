@@ -745,8 +745,10 @@ def lexicon_segment(c: Column, lexicon: dict[str, float] | list[str],
     not constant-folded and lambda-body references re-evaluate per
     element, so an unbound map would be rebuilt n·L times per row (the
     nbmodel lesson). Right for the 10²-10⁵-word dictionaries these
-    analyzers use; beyond that, pre-tokenize at ingest with a
-    broadcast-join form. NULL input -> empty array."""
+    analyzers use; beyond that use
+    ``operators.segmentation.lexicon_segment_join`` — the same dp with
+    the dictionary as a broadcast DataFrame instead of a plan literal
+    (bit-equal by law test). NULL input -> empty array."""
     from ..util import sql_str_lit
 
     if not isinstance(lexicon, dict):

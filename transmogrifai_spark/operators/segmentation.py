@@ -1,0 +1,277 @@
+"""Dictionary segmentation at DICTIONARY scale: the broadcast-join form of
+``functions.text.lexicon_segment`` plus a loader for the public MeCab /
+IPADIC dictionary format.
+
+The plan-literal form (functions/text.py) binds the lexicon as one parsed
+map expression — right for the 10²-10⁵-word dictionaries, but a
+Kuromoji-scale dictionary (~400k entries,
+utils/src/main/scala/com/salesforce/op/utils/text/LuceneTextAnalyzer.scala's
+Japanese tier) would make the plan itself multi-MB and re-parse it per
+query. ``lexicon_segment_join`` keeps the dictionary DATA — a DataFrame,
+broadcast once — and runs the SAME Viterbi dp over the matched spans:
+
+1. candidate spans: every substring of length 1..L at every position of
+   each distinct text (map-side explode, no shuffle);
+2. one BROADCAST hash join against the lexicon (word -> cost) — the only
+   place the dictionary appears; candidates never shuffle;
+3. matched arcs grouped per text (the only shuffle — arc lists are tiny
+   relative to the candidate stream) and joined back;
+4. the identical dp/backtrack expressions as ``lexicon_segment`` over the
+   arc array — same costs, same (cost, earlier-start) tie-break, same
+   IEEE addition order, so the two forms are bit-equal on any lexicon
+   (law-tested in tests/test_segmentation_join.py).
+
+At 100 TB: step 1 is embarrassingly parallel; step 2 broadcasts only the
+dictionary (a few hundred MB for 400k entries — the size Kuromoji ships
+as a jar asset); step 3 shuffles only matched arcs (|arcs| per doc ~
+matched words, orders of magnitude below the candidate stream).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import _SEG_INF
+
+
+def _arcs_dp_tokens(s: Column, arcs: Column, unknown_cost: float) -> Column:
+    """Viterbi over an explicit arc list — the exact dp/backtrack of
+    ``lexicon_segment`` with the window-probe candidates replaced by the
+    pre-joined arcs. ``arcs``: array<struct<i:int,j:int,c:double>> (dict
+    matches; i/j are 0-based start / exclusive end). Single characters
+    not covered by a single-char dict arc get an ``unknown_cost`` arc —
+    the coalesce(dict, unknown) rule of the literal form."""
+    n = F.length(s)
+
+    def with_arcs(a: Column) -> Column:
+        # group arcs by END position once: element j-1 holds the arcs
+        # ending at j (bound as a lambda var so the filter sweep runs
+        # once, not per dp step — the nbmodel bind-once rule)
+        by_end = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda j: F.filter(a, lambda e: e["j"] == j))
+
+        def with_by_end(be: Column) -> Column:
+            def step(acc: Column, j: Column) -> Column:
+                ends = F.element_at(be, j)
+                dict_cands = F.transform(
+                    ends,
+                    lambda e: F.struct(
+                        (F.element_at(acc, e["i"] + 1)["cost"] + e["c"])
+                        .alias("cost"),
+                        e["i"].alias("bp")))
+                has_single = F.exists(ends, lambda e: e["i"] == j - 1)
+                unk = F.when(has_single, F.array().cast(
+                    "array<struct<cost:double,bp:int>>")).otherwise(
+                    F.array(F.struct(
+                        (F.element_at(acc, j)["cost"]
+                         + F.lit(float(unknown_cost))).alias("cost"),
+                        (j - 1).cast("int").alias("bp"))))
+                cands = F.concat(dict_cands, unk)
+                return F.concat(acc, F.array(F.array_min(cands)))
+
+            dp_expr = F.aggregate(
+                F.sequence(F.lit(1), n),
+                F.array(F.struct(F.lit(0.0).alias("cost"),
+                                 F.lit(-1).cast("int").alias("bp"))),
+                step)
+
+            def with_dp(dp: Column) -> Column:
+                back = F.aggregate(
+                    F.sequence(F.lit(1), n),
+                    F.struct(n.cast("int").alias("pos"),
+                             F.array(n.cast("int")).alias("bounds")),
+                    lambda acc, _: F.when(
+                        acc["pos"] > 0,
+                        F.struct(
+                            F.element_at(dp, acc["pos"] + 1)["bp"]
+                            .alias("pos"),
+                            F.concat(acc["bounds"],
+                                     F.array(F.element_at(
+                                         dp, acc["pos"] + 1)["bp"]))
+                            .alias("bounds"))).otherwise(acc))
+                return F.reverse(back["bounds"])
+
+            def with_bounds(bounds: Column) -> Column:
+                return F.transform(
+                    F.sequence(F.lit(1), F.size(bounds) - 1),
+                    lambda t: F.substr(
+                        s, F.element_at(bounds, t) + 1,
+                        F.element_at(bounds, t + 1)
+                        - F.element_at(bounds, t)))
+
+            bounds_expr = F.get(F.transform(F.array(dp_expr), with_dp), 0)
+            return F.get(F.transform(F.array(bounds_expr), with_bounds), 0)
+
+        return F.get(F.transform(F.array(by_end), with_by_end), 0)
+
+    out = F.get(F.transform(
+        F.array(F.coalesce(
+            arcs, F.array().cast("array<struct<i:int,j:int,c:double>>"))),
+        with_arcs), 0)
+    return F.when(s.isNull() | (F.length(s) == 0),
+                  F.array().cast("array<string>")).otherwise(out)
+
+
+def lexicon_segment_join(df: DataFrame, text_col: str,
+                         lexicon_df: DataFrame,
+                         out_col: str = "tokens",
+                         word_col: str = "word", cost_col: str = "cost",
+                         unknown_cost: float = 2.0,
+                         max_word_len: int | None = None) -> DataFrame:
+    """Least-cost dictionary segmentation with the lexicon as DATA (a
+    broadcast DataFrame) instead of a plan literal — the scale form
+    promised by ``lexicon_segment``'s docstring for dictionaries past
+    the ~10⁵-word plan-literal comfort zone (Kuromoji's Japanese
+    dictionary is ~400k surface forms).
+
+    ``lexicon_df``: (word_col string, cost_col double). Adds ``out_col``
+    (array<string>) to ``df``; rows whose text is NULL/empty get an
+    empty array. Result is bit-equal to
+    ``lexicon_segment(F.col(text_col), {word: cost, ...})`` — same dp,
+    same tie-breaks, same IEEE order (law-tested).
+
+    ``max_word_len`` bounds candidate-span length; when omitted it is
+    computed from the lexicon with one 1-row aggregate collect."""
+    spark = df.sparkSession
+    lex = lexicon_df.select(F.col(word_col).cast("string").alias("__w"),
+                            F.col(cost_col).cast("double").alias("__c"))
+    if max_word_len is None:
+        row = lex.agg(F.max(F.length("__w"))).first()  # 1-row bounded
+        max_word_len = int(row[0] or 1)
+    L = int(max_word_len)
+
+    texts = (df.select(F.col(text_col).alias("__t"))
+             .where(F.col("__t").isNotNull() & (F.length("__t") > 0))
+             .distinct())
+    # candidate spans: (text, i, j, word) for all 0 <= i < j <= n,
+    # j - i <= L — a map-side explode, never shuffled (the broadcast
+    # join keeps it local)
+    cands = texts.select(
+        "__t",
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.lit(0), F.length("__t") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(F.length("__t"), i + F.lit(L))),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"), j.cast("int").alias("j"),
+                    F.substr(F.col("__t"), i + 1, j - i).alias("w"))))))
+        .alias("sp"))
+    arcs = (cands.join(F.broadcast(lex), cands["sp.w"] == lex["__w"])
+            .groupBy("__t")
+            .agg(F.collect_list(F.struct(
+                F.col("sp.i").alias("i"), F.col("sp.j").alias("j"),
+                F.col("__c").alias("c"))).alias("__arcs")))
+    seg = _arcs_dp_tokens(F.col(text_col), F.col("__arcs"),
+                          unknown_cost=unknown_cost)
+    out = (df.join(arcs, df[text_col] == arcs["__t"], "left")
+           .drop("__t")
+           .withColumn(out_col, seg)
+           .drop("__arcs"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MeCab / IPADIC public dictionary format
+# ---------------------------------------------------------------------------
+
+def load_mecab_dict(spark, path: str) -> DataFrame:
+    """Read MeCab/IPADIC-format dictionary CSV (the public format of the
+    data Kuromoji ships compiled into its jar): one row per surface
+    form, ``surface,left_id,right_id,word_cost,pos1[,pos2,...]``.
+    Returns (word string, left_id int, right_id int, cost double,
+    cls string) where ``cls`` is the first POS column — the class key
+    ``lexicon_segment_lattice`` dispatches connection costs on.
+
+    The reference wires this data through Lucene's Kuromoji analyzer
+    (utils/.../text/LuceneTextAnalyzer.scala); here the user SUPPLIES
+    the dictionary (public-knowledge constraint: algorithm in code,
+    data at the caller's choice) and this loader closes the "parse it
+    yourself" gap."""
+    raw = spark.read.csv(path, header=False, inferSchema=False)
+    cols = raw.columns
+    need = 5
+    if len(cols) < need:
+        raise ValueError(
+            f"MeCab dictionary CSV needs >= {need} columns "
+            "(surface,left_id,right_id,cost,pos1[,...]); got "
+            f"{len(cols)}")
+    return raw.select(
+        F.col(cols[0]).cast("string").alias("word"),
+        F.col(cols[1]).cast("int").alias("left_id"),
+        F.col(cols[2]).cast("int").alias("right_id"),
+        F.col(cols[3]).cast("double").alias("cost"),
+        F.col(cols[4]).cast("string").alias("cls"))
+
+
+def load_mecab_matrix(spark, path: str) -> DataFrame:
+    """Read a MeCab ``matrix.def`` connection-cost matrix: first line
+    ``<n_right> <n_left>``, then ``right_id left_id cost`` triples —
+    cost of placing a word whose LEFT context id is ``left_id`` after a
+    word whose RIGHT context id is ``right_id``. Returns
+    (right_id int, left_id int, cost double)."""
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return (lines
+            .where(F.size(parts) == 3)  # skips the header pair + blanks
+            .select(parts[0].cast("int").alias("right_id"),
+                    parts[1].cast("int").alias("left_id"),
+                    parts[2].cast("double").alias("cost"))
+            .where(F.col("right_id").isNotNull()
+                   & F.col("left_id").isNotNull()
+                   & F.col("cost").isNotNull()))
+
+
+def mecab_lattice_model(dict_df: DataFrame, matrix_df: DataFrame,
+                        max_words: int = 200_000,
+                        bos_id: int = 0) -> tuple[dict, dict]:
+    """Assemble ``lexicon_segment_lattice`` inputs from loaded MeCab
+    tables: returns (lexicon, conn) where lexicon = word -> (cost,
+    class) and conn = (prev_class, class) -> cost.
+
+    MeCab keys connections by context ID, not POS: two words sharing a
+    POS can carry different ids. To stay EXACT, the class key is the
+    word's ``"left:right"`` id pair — conn[(p, c)] is then
+    matrix[right(p), left(c)] with no approximation; BOS/EOS use
+    ``bos_id`` (0 in every public MeCab distribution). The dp cost is
+    O(n·L·|classes|²), so this exact form fits fixture-to-mid-size
+    dictionaries; for full IPADIC run ``lexicon_segment_join`` (word
+    costs only) or supply a coarsened class map. Collects are bounded:
+    the dictionary collect is capped at ``max_words`` (clean error past
+    it) and the matrix collect is pruned to the id pairs the capped
+    dictionary actually uses."""
+    rows = dict_df.limit(max_words + 1).collect()
+    if len(rows) > max_words:
+        raise ValueError(
+            f"mecab_lattice_model collects the dictionary driver-side and "
+            f"is capped at {max_words} words; use lexicon_segment_join "
+            "for larger dictionaries")
+    lexicon = {}
+    cls_of = {}
+    for r in rows:
+        cls = f"{int(r['left_id'])}:{int(r['right_id'])}"
+        lexicon[r["word"]] = (float(r["cost"]), cls)
+        cls_of[cls] = (int(r["left_id"]), int(r["right_id"]))
+    used_right = {rid for (_, rid) in cls_of.values()} | {bos_id}
+    used_left = {lid for (lid, _) in cls_of.values()} | {bos_id}
+    mrows = (matrix_df
+             .where(F.col("right_id").isin(*sorted(used_right))
+                    & F.col("left_id").isin(*sorted(used_left)))
+             .collect())
+    m = {(int(r["right_id"]), int(r["left_id"])): float(r["cost"])
+         for r in mrows}
+    conn: dict[tuple[str, str], float] = {}
+    for p, (_, p_rid) in cls_of.items():
+        for c, (c_lid, _) in cls_of.items():
+            w = m.get((p_rid, c_lid))
+            if w is not None:
+                conn[(p, c)] = w
+    for c, (c_lid, _) in cls_of.items():
+        w = m.get((bos_id, c_lid))
+        if w is not None:
+            conn[("BOS", c)] = w
+    for p, (_, p_rid) in cls_of.items():
+        w = m.get((p_rid, bos_id))
+        if w is not None:
+            conn[(p, "EOS")] = w
+    return lexicon, conn
