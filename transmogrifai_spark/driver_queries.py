@@ -1358,8 +1358,10 @@ def q_text_quality(spark, sf_dir):
           .select("doc_id", "src_hub", "lang_auth"))
 
     # WARC gate (r7): the ISO 28500 datasource round-trip. A hash-chosen
-    # fifth of the documents (doc_id % 5 == 0 — volume adds no evidence,
-    # split/parse coverage does) is WRITTEN as WARC through the
+    # tenth of the documents (doc_id % 10 == 0 — volume adds no evidence,
+    # split/parse coverage does; r9 halved the r7 fifth, the one
+    # registry-form gate-cost shave left: parse is Python-side by design,
+    # it's a custom-format datasource) is WRITTEN as WARC through the
     # distributed writer in BOTH layouts (plain .warc + per-record-gzip
     # .warc.gz, the CommonCrawl form), then READ BACK — ~16 KB byte-range
     # splits force several splits per plain file, so the boundary-scan
@@ -1374,7 +1376,7 @@ def q_text_quality(spark, sf_dir):
 
     from .sources.warc import read_warc, register_warc
     register_warc(spark)
-    wrecs = docs.where(F.col("doc_id") % 5 == 0).select(
+    wrecs = docs.where(F.col("doc_id") % 10 == 0).select(
         F.lit("response").alias("warc_type"),
         F.concat(F.lit("https://warc.example.com/"),
                  F.col("doc_id").cast("string")).alias("target_uri"),
@@ -1387,7 +1389,7 @@ def q_text_quality(spark, sf_dir):
         .option("compression", "none").mode("overwrite").save()
     wrecs.write.format("warc").option("path", wg) \
         .option("compression", "gzip").mode("overwrite").save()
-    rb = read_warc(spark, wp, split_mb=0.015) \
+    rb = read_warc(spark, wp, split_mb=0.03) \
         .unionByName(read_warc(spark, wg))
     warc = (rb.select(
         F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
@@ -3923,10 +3925,10 @@ SELECT doc_id, CAST(ln AS BIGINT) AS n_chars, n_tokens, n_tokens_bpe, mean_token
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
        n_winnow_fp, w.canon_url, w.url_dom, w.web_md5, w.n_blocks, w.n_kept,
        g.n_links, g.hub_rank, x.src_hub, x.lang_auth,
-       CASE WHEN doc_id % 5 = 0 THEN CAST(2 AS BIGINT) END AS n_warc,
-       CASE WHEN doc_id % 5 = 0 THEN CAST(1 AS BIGINT) END AS n_warc_md5,
-       CASE WHEN doc_id % 5 = 0 THEN md5(m.text) END AS warc_md5,
-       CASE WHEN doc_id % 5 = 0 THEN CAST(400 AS BIGINT) END
+       CASE WHEN doc_id % 10 = 0 THEN CAST(2 AS BIGINT) END AS n_warc,
+       CASE WHEN doc_id % 10 = 0 THEN CAST(1 AS BIGINT) END AS n_warc_md5,
+       CASE WHEN doc_id % 10 = 0 THEN md5(m.text) END AS warc_md5,
+       CASE WHEN doc_id % 10 = 0 THEN CAST(400 AS BIGINT) END
          AS warc_status_sum
 FROM m JOIN web w USING (doc_id) JOIN lg g USING (doc_id)
        JOIN hx x USING (doc_id)
