@@ -159,3 +159,106 @@ def test_nbmodel_hostile_gram_bytes_roundtrip(spark):
                                 normalize=False).alias("m")).first()["m"]
     assert r["a"] == pytest.approx(-0.5 - 1.0 - 3.0 - 0.25, abs=1e-12)
     assert r["b"] == pytest.approx(-0.9 - 2.0 - 0.5 - 4.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# boundary tagger (r9, PARITY delta 3b): lowercase entities
+# ---------------------------------------------------------------------------
+
+_LC_ORGS = ["acme corp", "globex inc", "initech ltd", "umbrella labs",
+            "hooli group", "vandelay bank"]
+_LC_PEOPLE = ["van gogh", "de niro", "von neumann", "da vinci"]
+_FILLER = ["the quarterly report from", "we met with", "a filing by",
+           "according to", "new offices of", "the board of"]
+_TAIL = ["was published today", "closed the round", "signed the deal",
+         "opened in spring", "grew fast"]
+
+
+def _tagger_corpus(spark):
+    """Sentences with LOWERCASE entity mentions + gold mention lists —
+    the fixture the title-case chunk regex structurally cannot mine."""
+    rows = []
+    ents = _LC_ORGS + _LC_PEOPLE
+    for i, e in enumerate(ents):
+        for j, f in enumerate(_FILLER):
+            t = _TAIL[(i + j) % len(_TAIL)]
+            rows.append((len(rows), f"{f} {e} {t}", [e]))
+    return spark.createDataFrame(rows, "i long, text string, ents array<string>")
+
+
+def test_token_tagger_mines_lowercase_entities(spark):
+    """THE delta-3b law: on held-out sentences the trained boundary
+    tagger recovers lowercase entity chunks; the title-case regex
+    chunker finds nothing on the same text."""
+    import re
+
+    from transmogrifai_spark.operators.detectors import _CHUNK_RE
+    from transmogrifai_spark.operators.ner_nb import (mine_entity_chunks,
+                                                      train_token_tagger)
+    corpus = _tagger_corpus(spark)
+    train = corpus.where(F.col("i") % 4 != 3)
+    test = corpus.where(F.col("i") % 4 == 3)
+    model = train_token_tagger(train, "text", "ents")
+    assert sorted(model["labels"]) == ["E", "O"]
+    got = test.select("text", "ents",
+                      mine_entity_chunks(F.col("text"), model).alias("ch")) \
+        .collect()
+    assert got
+    hits = sum(1 for r in got if list(r["ch"]) == list(r["ents"]))
+    assert hits / len(got) >= 0.9, \
+        [(r["text"], list(r["ch"])) for r in got if
+         list(r["ch"]) != list(r["ents"])][:5]
+    # the regex chunker finds NO chunks in these all-lowercase sentences
+    for r in got:
+        assert re.findall(_CHUNK_RE, r["text"]) == []
+
+
+def test_nb_best_labels_matches_bag_nb_label(spark):
+    """Batch-vs-single law: nb_best_labels over an array of bags equals
+    bag_nb_label applied to each bag (same scores, same tie rule),
+    empty bags -> NULL."""
+    from transmogrifai_spark.nbmodel import nb_best_labels
+    from transmogrifai_spark.operators.ner_nb import (bag_nb_label,
+                                                      train_bag_classifier)
+    rows = [(i, ["w=%d" % (i % 5), "s=%d" % (i % 3)],
+             "A" if i % 2 == 0 else "B") for i in range(60)]
+    df = spark.createDataFrame(rows, "i long, bag array<string>, lab string")
+    model = train_bag_classifier(df, F.col("bag"), "lab")
+    probe = spark.createDataFrame(
+        [(0, [["w=0", "s=0"], ["w=1"], [], ["zzz"]])],
+        "i long, bags array<array<string>>")
+    batch = probe.select(
+        nb_best_labels(F.col("bags"), model, model["labels"]).alias("t")
+    ).first()["t"]
+    singles = probe.select(F.transform(
+        F.col("bags"), lambda b: bag_nb_label(b, model)).alias("t")
+    ).first()["t"]
+    assert list(batch) == list(singles)
+    assert batch[2] is None
+
+
+def test_typed_entities_statistical_with_tagger(spark):
+    """Opt-in chunker: typed_entities_statistical(tagger=...) types the
+    lowercase chunks the tagger mines."""
+    from transmogrifai_spark.operators.ner_nb import (
+        train_ner_classifier, train_token_tagger,
+        typed_entities_statistical)
+    corpus = _tagger_corpus(spark)
+    tagger = train_token_tagger(corpus, "text", "ents")
+    # chunk classifier: orgs end in a company suffix, people don't
+    labeled = []
+    for e in _LC_ORGS:
+        labeled.append((len(labeled), e, "ORGANIZATION"))
+    for p in _LC_PEOPLE:
+        labeled.append((len(labeled), p, "PERSON"))
+    cdf = spark.createDataFrame(labeled, "i long, chunk string, label string")
+    clf = train_ner_classifier(cdf, "chunk", "label")
+    df = spark.createDataFrame(
+        [(0, "we met with acme corp yesterday"),
+         (1, "a filing by van gogh was published today")],
+        "i long, text string")
+    out = {r["i"]: r["m"] for r in df.select(
+        "i", typed_entities_statistical(F.col("text"), clf,
+                                        tagger=tagger).alias("m")).collect()}
+    assert "acme corp" in list(out[0]["ORGANIZATION"])
+    assert "van gogh" in list(out[1]["PERSON"])

@@ -35,7 +35,7 @@ import zlib
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["nb_scores_map"]
+__all__ = ["nb_scores_map", "nb_best_labels"]
 
 _N_BUCKETS = 64
 
@@ -151,3 +151,60 @@ def nb_scores_map(grams: Column, model: dict, labels: list[str],
         return F.get(F.transform(F.array(scored), to_map), 0)
 
     return F.get(F.transform(F.array(grams), with_grams), 0)
+
+
+def nb_best_labels(bags: Column, model: dict, labels: list[str]) -> Column:
+    """array<string>: the best NB label per feature bag for an ARRAY of
+    bags (array<array<string>>) — the per-token batch form behind the
+    sequence taggers. The lookup table is bound ONCE per row and shared
+    by every bag (calling ``nb_scores_map`` per token would rebuild the
+    table literal per element — the HOF re-evaluation trap this module
+    exists to avoid). Scoring and tie rules are exactly
+    ``bag_nb_label``'s: unnormalized log prior + term sum, absent
+    features at the smoothed zero, argmax by ascending (-score, label);
+    empty bags yield NULL."""
+    unk = F.array(*[F.lit(model["unk"][lb]) for lb in labels])
+    priors = F.array(*[F.lit(model["log_prior"][lb]) for lb in labels])
+    label_arr = F.array(*[F.lit(lb) for lb in labels])
+    portable = bool(model.get("portable"))
+
+    def with_table(tab: Column) -> Column:
+        def score_bag(gs: Column) -> Column:
+            terms = F.transform(
+                gs,
+                lambda g: F.coalesce(
+                    F.try_element_at(
+                        F.try_element_at(
+                            tab,
+                            (F.crc32(F.encode(g, "UTF-8")) % _N_BUCKETS)
+                            .cast("int")),
+                        g),
+                    unk))
+            if portable:
+                zero = F.array(*[F.lit(0).cast("decimal(28,6)")
+                                 for _ in labels])
+                sums = F.aggregate(
+                    terms, zero,
+                    lambda a, t: F.zip_with(
+                        a, t,
+                        lambda x, y: (x + y.cast("decimal(18,6)"))
+                        .cast("decimal(28,6)")))
+                totals = F.zip_with(sums, priors,
+                                    lambda s, p: s.cast("double") + p)
+            else:
+                zero = F.array(*[F.lit(0.0) for _ in labels])
+                sums = F.aggregate(
+                    terms, zero,
+                    lambda a, t: F.zip_with(a, t, lambda x, y: x + y))
+                totals = F.zip_with(sums, priors, lambda s, p: s + p)
+            best = F.element_at(F.array_sort(F.zip_with(
+                totals, label_arr,
+                lambda s, lb: F.struct((-s).alias("ns"), lb.alias("l")))),
+                1)["l"]
+            return F.when(F.size(gs) > 0, best).otherwise(
+                F.lit(None).cast("string"))
+
+        return F.transform(bags, score_bag)
+
+    return F.get(F.transform(F.array(_table_expr(model, labels)),
+                             with_table), 0)

@@ -38,7 +38,13 @@ from pyspark.sql import functions as F
 
 __all__ = ["chunk_features", "train_ner_classifier", "ner_nb_scores",
            "ner_nb_label", "typed_entities_statistical",
-           "train_bag_classifier", "bag_nb_scores", "bag_nb_label"]
+           "train_bag_classifier", "bag_nb_scores", "bag_nb_label",
+           "token_window_features", "train_token_tagger",
+           "tag_token_entities", "mine_entity_chunks"]
+
+# token mining for the boundary tagger: keeps case (shape features need
+# it), apostrophes stay word-internal
+_TOKEN_RE = r"[A-Za-z][A-Za-z']*"
 
 
 def chunk_features(chunk: Column, context: Column | None = None) -> Column:
@@ -190,7 +196,126 @@ def ner_nb_label(chunk: Column, model: dict,
         model)
 
 
-def typed_entities_statistical(c: Column, model: dict) -> Column:
+def _token_shape(t: Column) -> Column:
+    return F.when(t.rlike(r"^[A-Z][A-Z']+$"), F.lit("caps")) \
+        .when(t.rlike(r"^[A-Z]"), F.lit("title")) \
+        .when(t.rlike(r"^[a-z]"), F.lit("lower")) \
+        .otherwise(F.lit("other"))
+
+
+def token_window_features(tokens: Column, i: Column) -> Column:
+    """array<string> window features for the token at 1-based index ``i``
+    of ``tokens`` — the per-token analogue of ``chunk_features`` behind
+    the BOUNDARY tagger (PARITY delta 3b: the shared title-case chunk
+    regex structurally misses lowercase entities; a trained tagger sees
+    identity/suffix/shape and one token of context either side, so
+    'acme corp' is learnable):
+
+    ``w=<tok>`` ``suf3=<s>`` ``shape=caps|title|lower|other``
+    ``prev=<tok or ^>`` ``next=<tok or $>`` ``pshape=`` ``nshape=``."""
+    tok = F.element_at(tokens, i)
+    # index 0 is INVALID for (try_)element_at (1-based, SQLSTATE 22003) —
+    # the boundary case needs an explicit guard, not just try_
+    prev = F.when(i > 1, F.try_element_at(tokens, i - 1))
+    nxt = F.try_element_at(tokens, i + 1)
+    return F.array(
+        F.concat(F.lit("w="), F.lower(tok)),
+        F.concat(F.lit("suf3="), F.lower(F.substring(tok, -3, 3))),
+        F.concat(F.lit("shape="), _token_shape(tok)),
+        F.concat(F.lit("prev="), F.lower(F.coalesce(prev, F.lit("^")))),
+        F.concat(F.lit("next="), F.lower(F.coalesce(nxt, F.lit("$")))),
+        F.concat(F.lit("pshape="),
+                 F.coalesce(F.when(prev.isNotNull(), _token_shape(prev)),
+                            F.lit("^"))),
+        F.concat(F.lit("nshape="),
+                 F.coalesce(F.when(nxt.isNotNull(), _token_shape(nxt)),
+                            F.lit("$"))))
+
+
+def train_token_tagger(df: DataFrame, text_col: str, entities_col: str,
+                       max_vocab: int = 4000, add_k: float = 0.5,
+                       portable: bool = False) -> dict:
+    """Fit the entity BOUNDARY tagger from labeled entity phrases:
+    ``entities_col`` holds array<string> gold entity mentions per row;
+    every token of the text covered by a mention token
+    (case-insensitive whole-token match — weak supervision, the usual
+    span-to-token projection) is tagged ``E``, the rest ``O``; the NB
+    model then fits over ``token_window_features`` bags
+    (``train_bag_classifier`` — bounded collects, shared machinery).
+    Unlike the chunk classifier this learns WHERE entities are, not just
+    what type a pre-mined chunk is, so lowercase mentions survive."""
+    toks = F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                                F.lit(f"({_TOKEN_RE})"), 1)
+    ent_toks = F.transform(
+        F.flatten(F.transform(
+            F.coalesce(F.col(entities_col),
+                       F.array().cast("array<string>")),
+            lambda e: F.split(e, " "))),
+        F.lower)
+    tags = F.transform(
+        toks, lambda t: F.when(F.array_contains(ent_toks, F.lower(t)),
+                               F.lit("E")).otherwise(F.lit("O")))
+    base = df.select(toks.alias("_toks"), tags.alias("_tags"))
+    ex = base.select("_toks", F.posexplode("_tags").alias("_i", "_lab"))
+    bag = token_window_features(F.col("_toks"), F.col("_i") + 1)
+    return train_bag_classifier(ex, bag, "_lab", max_vocab=max_vocab,
+                                add_k=add_k, portable=portable)
+
+
+def tag_token_entities(c: Column, model: dict) -> Column:
+    """array<struct<token:string, tag:string>>: every token of ``c``
+    tagged E/O by the boundary tagger. The NB table is bound once per
+    row (``nbmodel.nb_best_labels`` — never per token)."""
+    from ..nbmodel import nb_best_labels
+    toks = F.regexp_extract_all(F.coalesce(c, F.lit("")),
+                                F.lit(f"({_TOKEN_RE})"), 1)
+
+    def with_toks(ts: Column) -> Column:
+        bags = F.transform(F.sequence(F.lit(1), F.size(ts)),
+                           lambda i: token_window_features(ts, i))
+        tags = nb_best_labels(bags, model, model["labels"])
+        return F.zip_with(ts, tags,
+                          lambda t, g: F.struct(t.alias("token"),
+                                                g.alias("tag")))
+
+    empty = F.array().cast("array<struct<token:string,tag:string>>")
+    return F.when(F.size(toks) == 0, empty).otherwise(
+        F.get(F.transform(F.array(toks), with_toks), 0))
+
+
+def mine_entity_chunks(c: Column, model: dict) -> Column:
+    """array<string> entity chunks: consecutive ``E``-tagged tokens
+    joined with single spaces — the TRAINED opt-in replacement for the
+    title-case chunk regex (detectors._CHUNK_RE), able to mine
+    lowercase entities the regex structurally cannot."""
+    tagged = tag_token_entities(c, model)
+
+    def merge(tg: Column) -> Column:
+        state = F.aggregate(
+            tg,
+            F.struct(F.array().cast("array<string>").alias("chunks"),
+                     F.lit("").alias("cur")),
+            lambda acc, e: F.when(
+                e["tag"] == "E",
+                F.struct(acc["chunks"].alias("chunks"),
+                         F.when(acc["cur"] == "", e["token"])
+                         .otherwise(F.concat(acc["cur"], F.lit(" "),
+                                             e["token"])).alias("cur"))
+            ).otherwise(
+                F.struct(F.when(acc["cur"] == "", acc["chunks"])
+                         .otherwise(F.concat(acc["chunks"],
+                                             F.array(acc["cur"])))
+                         .alias("chunks"),
+                         F.lit("").alias("cur"))),
+            lambda acc: F.when(acc["cur"] == "", acc["chunks"])
+            .otherwise(F.concat(acc["chunks"], F.array(acc["cur"]))))
+        return state
+
+    return F.get(F.transform(F.array(tagged), merge), 0)
+
+
+def typed_entities_statistical(c: Column, model: dict,
+                               tagger: dict | None = None) -> Column:
     """``typed_entities``'s output shape (map<entity_type, tokens>) with
     the TRAINED chunk classifier in place of the gazetteer CASE: same
     chunk mining (capitalized runs, honorific stripping, function-word
@@ -198,12 +323,21 @@ def typed_entities_statistical(c: Column, model: dict) -> Column:
     ``ner_nb_label`` with context='hon' when an honorific preceded it.
     Drop-in swap: a model trained on gazetteer-labeled chunks reproduces
     the gazetteer path (the law test); a model trained on real labeled
-    spans upgrades quality with zero plan-shape change."""
+    spans upgrades quality with zero plan-shape change.
+
+    ``tagger`` (r9, opt-in — PARITY delta 3b): a ``train_token_tagger``
+    model; when supplied, chunks come from ``mine_entity_chunks``
+    (trained E/O boundary tagging, lowercase entities included) instead
+    of the title-case regex. Honorific context still derives from the
+    regex scan (an honorific is itself title-case)."""
     from .detectors import HONORIFICS, _CHUNK_RE
 
     hon_pat = "(?:%s)\\.? (%s)" % ("|".join(HONORIFICS), _CHUNK_RE)
     hon_people = F.regexp_extract_all(c, F.lit(hon_pat), 1)
-    raw_chunks = F.regexp_extract_all(c, F.lit(f"({_CHUNK_RE})"), 1)
+    if tagger is not None:
+        raw_chunks = mine_entity_chunks(c, tagger)
+    else:
+        raw_chunks = F.regexp_extract_all(c, F.lit(f"({_CHUNK_RE})"), 1)
     lead_strip = "^(?:%s)\\.? |^(?:The|A|An|This|That|In|On|At|And|But|Or) " \
         % "|".join(HONORIFICS)
     chunks = F.array_distinct(F.transform(
