@@ -176,3 +176,22 @@ def test_mecab_loader_rejects_narrow_csv(spark, tmp_path):
     p.write_text("a,b\n", encoding="utf-8")
     with pytest.raises(ValueError, match="columns"):
         load_mecab_dict(spark, str(p))
+
+
+def test_join_form_id_col_path_equals_text_keyed(spark):
+    """id_col keying (the long-document shuffle form) lands on the same
+    tokens as the default text-keyed form — including duplicate texts
+    and null/empty rows."""
+    lex = {w: 1.0 for w in _ZH}
+    df = spark.createDataFrame(
+        [(0, "中国人民银行"), (1, "中国人民银行"), (2, "银行行"),
+         (3, None), (4, "")], "i long, t string")
+    a = {r["i"]: list(r["tokens"]) for r in
+         lexicon_segment_join(df, "t", _lex_df(spark, lex))
+         .select("i", "tokens").collect()}
+    b = {r["i"]: list(r["tokens"]) for r in
+         lexicon_segment_join(df, "t", _lex_df(spark, lex), id_col="i")
+         .select("i", "tokens").collect()}
+    assert a == b
+    assert a[0] == a[1] == ["中国", "人民", "银行"]
+    assert a[3] == [] and a[4] == []

@@ -118,7 +118,8 @@ def lexicon_segment_join(df: DataFrame, text_col: str,
                          out_col: str = "tokens",
                          word_col: str = "word", cost_col: str = "cost",
                          unknown_cost: float = 2.0,
-                         max_word_len: int | None = None) -> DataFrame:
+                         max_word_len: int | None = None,
+                         id_col: str | None = None) -> DataFrame:
     """Least-cost dictionary segmentation with the lexicon as DATA (a
     broadcast DataFrame) instead of a plan literal — the scale form
     promised by ``lexicon_segment``'s docstring for dictionaries past
@@ -132,7 +133,13 @@ def lexicon_segment_join(df: DataFrame, text_col: str,
     same tie-breaks, same IEEE order (law-tested).
 
     ``max_word_len`` bounds candidate-span length; when omitted it is
-    computed from the lexicon with one 1-row aggregate collect."""
+    computed from the lexicon with one 1-row aggregate collect.
+
+    Shuffle key: by default the arc lists group and join back ON THE
+    TEXT VALUE (deduping shared texts for free — right for short CJK
+    strings); pass ``id_col`` naming a UNIQUE id column to key the
+    grouping/join on the id instead, so long documents never ride a
+    shuffle as the key (the 100 TB form)."""
     spark = df.sparkSession
     lex = lexicon_df.select(F.col(word_col).cast("string").alias("__w"),
                             F.col(cost_col).cast("double").alias("__c"))
@@ -141,14 +148,18 @@ def lexicon_segment_join(df: DataFrame, text_col: str,
         max_word_len = int(row[0] or 1)
     L = int(max_word_len)
 
-    texts = (df.select(F.col(text_col).alias("__t"))
-             .where(F.col("__t").isNotNull() & (F.length("__t") > 0))
-             .distinct())
-    # candidate spans: (text, i, j, word) for all 0 <= i < j <= n,
+    key = "__id" if id_col else "__t"
+    if id_col:
+        base = df.select(F.col(id_col).alias("__id"),
+                         F.col(text_col).alias("__t"))
+    else:
+        base = df.select(F.col(text_col).alias("__t")).distinct()
+    texts = base.where(F.col("__t").isNotNull() & (F.length("__t") > 0))
+    # candidate spans: (key, i, j, word) for all 0 <= i < j <= n,
     # j - i <= L — a map-side explode, never shuffled (the broadcast
     # join keeps it local)
     cands = texts.select(
-        "__t",
+        key,
         F.explode(F.flatten(F.transform(
             F.sequence(F.lit(0), F.length("__t") - 1),
             lambda i: F.transform(
@@ -158,14 +169,18 @@ def lexicon_segment_join(df: DataFrame, text_col: str,
                     F.substr(F.col("__t"), i + 1, j - i).alias("w"))))))
         .alias("sp"))
     arcs = (cands.join(F.broadcast(lex), cands["sp.w"] == lex["__w"])
-            .groupBy("__t")
+            .groupBy(key)
             .agg(F.collect_list(F.struct(
                 F.col("sp.i").alias("i"), F.col("sp.j").alias("j"),
                 F.col("__c").alias("c"))).alias("__arcs")))
     seg = _arcs_dp_tokens(F.col(text_col), F.col("__arcs"),
                           unknown_cost=unknown_cost)
-    out = (df.join(arcs, df[text_col] == arcs["__t"], "left")
-           .drop("__t")
+    if id_col:
+        cond = df[id_col] == arcs["__id"]
+    else:
+        cond = df[text_col] == arcs["__t"]
+    out = (df.join(arcs, cond, "left")
+           .drop("__id" if id_col else "__t")
            .withColumn(out_col, seg)
            .drop("__arcs"))
     return out
