@@ -154,3 +154,64 @@ def test_empty_determinism_and_model_shape(spark):
         # vocab covers every observed gram here, so the smoothed mass over
         # vocab + one unseen bucket is exactly 1 (up to fp summation)
         assert tot == pytest.approx(1.0, abs=1e-9)
+
+
+def test_langdetect_profile_loader_round_trip(spark, tmp_path):
+    """PUBLIC-format profile ingestion (PARITY delta 2's data half):
+    profiles GENERATED from a labeled corpus's gram counts (the
+    langdetect/Optimaize JSON shape — name/freq/n_words), loaded back,
+    must assemble EXACTLY the model train_language_classifier fits on
+    that corpus (equal per-language doc counts -> uniform priors), and
+    classify held-out text identically."""
+    import json
+
+    from transmogrifai_spark.llm.langid_nb import load_langdetect_profiles
+    from transmogrifai_spark.llm.lm_score import _char_ngrams
+
+    corpus = _corpus(spark)  # equal docs per language
+    trained = train_language_classifier(corpus, "text", "lang", n=2)
+
+    # emit one profile file per language from the corpus's OWN counts
+    rows = (corpus.select(F.col("lang").alias("_l"),
+                          F.explode(_char_ngrams(F.col("text"), 2))
+                          .alias("_g"))
+            .groupBy("_l", "_g").count().collect())
+    freq: dict = {}
+    for r in rows:
+        freq.setdefault(r["_l"], {})[r["_g"]] = r["count"]
+    pdir = tmp_path / "profiles"
+    pdir.mkdir()
+    for lang, f in freq.items():
+        (pdir / lang).write_text(json.dumps(
+            {"name": lang, "freq": f,
+             "n_words": [0, sum(f.values()), 0]}), encoding="utf-8")
+
+    loaded = load_langdetect_profiles(spark, str(pdir), n=2)
+    assert loaded == trained
+
+    probe = spark.createDataFrame(
+        [(0, "the children watch the brown fox"),
+         (1, "les enfants regardent le renard"),
+         (2, "die kinder zuschauen der hund"),
+         (3, "los niños miran el perro")], "i long, t string")
+    got = {r["i"]: r["p"] for r in probe.select(
+        "i", nb_language_id(F.col("t"), loaded).alias("p")).collect()}
+    assert got == {0: "en", 1: "fr", 2: "de", 3: "es"}
+
+
+def test_langdetect_profile_loader_caps_and_errors(spark, tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from transmogrifai_spark.llm.langid_nb import load_langdetect_profiles
+    pdir = tmp_path / "p2"
+    pdir.mkdir()
+    for lang in ("aa", "bb", "cc"):
+        (pdir / lang).write_text(json.dumps(
+            {"name": lang, "freq": {"ab": 3, "bc": 2},
+             "n_words": [0, 5, 0]}), encoding="utf-8")
+    with _pytest.raises(ValueError, match="capped"):
+        load_langdetect_profiles(spark, str(pdir), max_profiles=2)
+    with _pytest.raises(ValueError, match="no profile"):
+        load_langdetect_profiles(spark, str(tmp_path / "missing_dir_x"))

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from .lm_score import _char_ngrams
 
 __all__ = ["train_language_classifier", "nb_language_scores",
-           "nb_language_id"]
+           "nb_language_id", "load_langdetect_profiles"]
 
 
 def train_language_classifier(df: DataFrame, text_col: str, lang_col: str,
@@ -91,6 +91,84 @@ def train_language_classifier(df: DataFrame, text_col: str, lang_col: str,
     log_prob = {
         g: {l: rnd(math.log(
             (counts.get(l, {}).get(g, 0) + add_k)
+            / (lang_tot[l] + add_k * (v + 1))))
+            for l in langs}
+        for g in vocab}
+    return {"n": n, "add_k": add_k, "portable": portable, "langs": langs,
+            "log_prior": log_prior, "unk": unk, "log_prob": log_prob}
+
+
+def load_langdetect_profiles(spark, path: str, n: int = 2,
+                             max_vocab: int = 4000, add_k: float = 0.5,
+                             portable: bool = False,
+                             max_profiles: int = 256) -> dict:
+    """Assemble the NB model from PUBLIC-FORMAT language profiles instead
+    of a labeled corpus — the ingestion half of PARITY delta 2
+    (core/.../utils/text/OptimaizeLanguageDetector.scala wires Optimaize,
+    whose 70+ shipped profiles are exactly this JSON shape; the
+    langdetect project publishes the same format):
+
+        {"name": "<lang>", "freq": {"<gram>": count, ...},
+         "n_words": [unigram_total, bigram_total, trigram_total]}
+
+    one file per language under ``path``. Only grams of length ``n`` are
+    used (the scorer sweeps a single n per pass; profiles carry 1..3);
+    per-language totals come from ``n_words[n-1]`` (falling back to the
+    sum of used-gram counts when absent); vocabulary/smoothing/tie rules
+    are IDENTICAL to ``train_language_classifier`` (top ``max_vocab``
+    grams by total count, ties gram asc, add-k over vocab+1), and
+    priors are uniform — profiles carry corpus gram counts, not document
+    priors (Optimaize likewise assumes a uniform prior). A model built
+    from profiles generated off a corpus equals the corpus-trained model
+    exactly when doc counts are equal (the round-trip law test).
+
+    Profile files are model-sized assets (tens of KB each); they are
+    read distributed and collected bounded by ``max_profiles``."""
+    import json
+
+    try:
+        files = spark.read.text(path, wholetext=True) \
+            .limit(max_profiles + 1).collect()
+    except Exception as e:  # missing path -> one clear error, not an
+        raise ValueError(   # engine-specific AnalysisException
+            f"no profile files under {path!r}: {e.__class__.__name__}")
+    if len(files) > max_profiles:
+        raise ValueError(
+            f"load_langdetect_profiles is capped at {max_profiles} "
+            "profile files (one per language); raise max_profiles if you "
+            "really have more languages")
+    if not files:
+        raise ValueError(f"no profile files under {path!r}")
+    counts: dict[str, dict[str, int]] = {}
+    lang_tot: dict[str, int] = {}
+    for f in files:
+        p = json.loads(f["value"])
+        lang = p["name"]
+        freq = {g: int(c) for g, c in p.get("freq", {}).items()
+                if len(g) == n}
+        counts[lang] = freq
+        nw = p.get("n_words") or []
+        lang_tot[lang] = int(nw[n - 1]) if len(nw) >= n \
+            else sum(freq.values())
+    langs = sorted(counts)
+    totals: dict[str, int] = {}
+    for lang in langs:
+        for g, c in counts[lang].items():
+            totals[g] = totals.get(g, 0) + c
+    vocab = [g for g, _ in sorted(totals.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))
+             [:max_vocab]]
+    v = len(vocab)
+
+    def rnd(x: float) -> float:
+        return round(x, 6) if portable else x
+
+    log_prior = {l: rnd(math.log(1.0 / len(langs))) for l in langs}
+    unk = {l: rnd(math.log(add_k / (lang_tot[l] + add_k * (v + 1))))
+           for l in langs}
+    log_prob = {
+        g: {l: rnd(math.log(
+            (counts[l].get(g, 0) + add_k)
             / (lang_tot[l] + add_k * (v + 1))))
             for l in langs}
         for g in vocab}
