@@ -504,3 +504,30 @@ def test_parse_phone_subrange_injection(spark):
     # and without ranges, behavior is unchanged
     base = df.select(parse_phone(F.col("p")).alias("r")).collect()
     assert all(b["r"]["valid"] for b in base[:4])
+
+
+def test_analyze_round9_languages(spark):
+    """eu/ga/gl/hy/et analyzer chains (round-9: the five Lucene-covered
+    languages previously absent — PARITY delta 1c): stopwords drop,
+    light endings strip; Irish additionally strips the t-/n- prothesis
+    and d'/m'/b' elision BEFORE tokenization (IrishLowerCaseFilter +
+    ElisionFilter analogue — the tokenizer splits on -/' and would
+    strand single-letter noise tokens otherwise)."""
+    from transmogrifai_spark.functions.text import analyze
+    cases = [
+        ("eu", "etxeetan eta mendiak ez dira lagunekin",
+         {"etxe", "mendi", "lagun"}, {"eta", "ez", "dira"}),
+        ("ga", "an t-athair agus na madraí le d'fhear",
+         {"athair", "madr", "fhear"}, {"an", "agus", "na", "le", "t", "d"}),
+        ("gl", "as cancións e as casas do pobo",
+         {"can", "casa", "pobo"}, {"as", "e", "do"}),
+        ("hy", "գրքերը և տները մեջ",
+         {"գրք", "տներ"}, {"և", "մեջ"}),
+        ("et", "majades ja metsades on suured",
+         {"maja", "metsa", "suure"}, {"ja", "on"}),
+    ]
+    for lang, text, want_in, want_out in cases:
+        df = spark.createDataFrame([(text,)], "t string")
+        out = set(df.select(analyze(F.col("t"), lang).alias("a")).first()["a"])
+        assert want_in <= out, (lang, out)
+        assert not (want_out & out), (lang, out)

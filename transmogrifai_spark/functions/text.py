@@ -471,6 +471,23 @@ ANALYZER_STOPWORDS: dict[str, list[str]] = {
     "lv": ["un", "ir", "ka", "ar", "uz", "no", "par", "bet", "kā", "tas",
            "tā", "šis", "vai", "pēc", "pie", "kas", "to", "viņš", "mēs",
            "jau"],
+    # r9: the five Lucene-covered languages previously absent (delta 1c)
+    "eu": ["eta", "da", "ez", "du", "dute", "zen", "ere", "baina", "edo",
+           "hau", "hori", "bere", "izan", "dira", "egin", "oso", "bat",
+           "batean", "ditu", "zuen"],
+    "ga": ["agus", "an", "na", "is", "tá", "go", "ar", "le", "ag", "a",
+           "i", "do", "de", "den", "don", "ach", "nó", "mar", "bhí",
+           "atá", "seo", "sin", "as", "chun", "faoi"],
+    "gl": ["e", "a", "o", "as", "os", "un", "unha", "uns", "unhas", "de",
+           "do", "da", "dos", "das", "en", "no", "na", "nos", "nas",
+           "que", "é", "por", "para", "con", "se", "non", "máis", "como",
+           "ao", "aos"],
+    "hy": ["և", "է", "որ", "են", "ու", "այս", "այդ", "նա", "իր", "մի",
+           "չի", "չեն", "էր", "էին", "կամ", "բայց", "համար", "հետ",
+           "մեջ", "ես"],
+    "et": ["ja", "on", "ei", "et", "see", "ta", "kui", "ka", "aga",
+           "või", "oli", "ning", "mis", "oma", "tema", "selle", "nagu",
+           "siis", "kes", "üle"],
 }
 
 # longest-first suffix rules per language; (suffix, min_remaining_stem)
@@ -580,6 +597,27 @@ ANALYZER_PROFILES: dict[str, list[tuple[str, int]]] = {
     "lv": [("ajiem", 3), ("iem", 3), ("ām", 3), ("am", 3), ("as", 3),
            ("us", 3), ("os", 3), ("em", 3), ("es", 3), ("is", 3),
            ("u", 4), ("a", 4), ("e", 4), ("i", 4), ("s", 4)],
+    # r9 (delta 1c): Basque (snowball subset) — locative/genitive/
+    # comitative/ablative case endings + determiner plurals
+    "eu": [("arekin", 3), ("etako", 3), ("etan", 3), ("ekin", 3),
+           ("aren", 3), ("tik", 3), ("ari", 3), ("ak", 3), ("ek", 3),
+           ("an", 3), ("en", 3), ("ko", 3), ("a", 4)],
+    # Irish (snowball subset) — plural/verbal-noun endings; the t-/n-
+    # prothesis and d'/m'/b' elision strip as prefixes below
+    "ga": [("eacha", 3), ("acha", 3), ("anna", 3), ("aí", 3),
+           ("tha", 3), ("ta", 3), ("e", 4), ("a", 4)],
+    # Galician (Savoy GalicianStemmer subset, the pt-adjacent endings)
+    "gl": [("acións", 3), ("ación", 3), ("cións", 3), ("ción", 3),
+           ("mente", 3), ("es", 3), ("s", 3), ("a", 4), ("o", 4)],
+    # Armenian (snowball subset) — plural/declension endings
+    "hy": [("ները", 3), ("ների", 3), ("երը", 3), ("երի", 3),
+           ("ում", 3), ("ով", 3), ("ան", 3), ("ը", 4), ("ն", 4),
+           ("ի", 4)],
+    # Estonian (snowball subset) — case endings, the fi-adjacent set
+    "et": [("tesse", 3), ("desse", 3), ("sse", 3), ("tele", 3),
+           ("dele", 3), ("tes", 3), ("des", 3), ("ste", 3), ("st", 3),
+           ("le", 3), ("lt", 3), ("ga", 3), ("ks", 3), ("ni", 3),
+           ("d", 4), ("t", 4), ("l", 4)],
 }
 
 # prefix-strip rules for prefixing languages; (prefix, min_remaining_stem),
@@ -657,6 +695,14 @@ def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
     plain tokenizer (the reference's default-analyzer path)."""
     if lang in ("zh", "ja", "ko", "cjk"):
         return analyze_cjk(c, min_token_length, to_lowercase)
+    if lang == "ga":
+        # IrishLowerCaseFilter + ElisionFilter analogue, PRE-tokenize:
+        # the t-/n- prothesis ("t-athair") and d'/m'/b' elision
+        # ("d'fhear") must strip before the tokenizer splits on -/' and
+        # strands single-letter noise tokens
+        c = F.regexp_replace(
+            F.regexp_replace(c, r"(?i)\b[tn]-(?=[aeiouáéíóú])", ""),
+            r"(?i)\b[dmb][’'](?=\p{L})", "")
     toks = tokenize(c, min_token_length, to_lowercase)
     sw = ANALYZER_STOPWORDS.get(lang)
     if sw:
