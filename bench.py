@@ -50,6 +50,25 @@ def main() -> None:
     spark = session(cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).select(F.sum("id")).collect()  # warm up JVM/codegen
+    # warm up the Python-datasource executor workers too (same rationale
+    # as the JVM warm-up above: the first Python DataSource task pays
+    # ~5-10 s of worker + Arrow spin-up that would otherwise be
+    # attributed to whichever registry query touches WARC first)
+    try:
+        import tempfile
+
+        from transmogrifai_spark.sources.warc import read_warc, register_warc
+        register_warc(spark)
+        _wd = tempfile.mkdtemp(prefix="bench_warc_warm_")
+        spark.createDataFrame(
+            [("response", "https://w/0", 200, "text/plain", b"x")],
+            "warc_type string, target_uri string, http_status int, "
+            "http_content_type string, body binary") \
+            .write.format("warc").option("path", _wd) \
+            .mode("overwrite").save()
+        read_warc(spark, _wd).count()
+    except Exception as e:
+        print(f"bench warc warm-up skipped: {e}", file=sys.stderr)
 
     def near_ngram_capped(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")

@@ -1382,7 +1382,7 @@ def q_text_quality(spark, sf_dir):
                  F.col("doc_id").cast("string")).alias("target_uri"),
         F.lit(200).alias("http_status"),
         F.lit("text/plain").alias("http_content_type"),
-        F.encode(F.col("text"), "UTF-8").alias("body")).repartition(4)
+        F.encode(F.col("text"), "UTF-8").alias("body")).repartition(2)
     wp = tempfile.mkdtemp(prefix="warc_gate_plain_")
     wg = tempfile.mkdtemp(prefix="warc_gate_gz_")
     wrecs.write.format("warc").option("path", wp) \
