@@ -531,3 +531,50 @@ def test_analyze_round9_languages(spark):
         out = set(df.select(analyze(F.col("t"), lang).alias("a")).first()["a"])
         assert want_in <= out, (lang, out)
         assert not (want_out & out), (lang, out)
+
+
+def test_format_phone_injected_patterns(spark):
+    """PARITY delta 4b as data-only: caller-supplied libphonenumber-style
+    numberFormat (pattern, $-group replacement) pairs format the parsed
+    national number; first matching rule wins; unlisted regions, no-match
+    numbers, and invalid parses stay NULL."""
+    from transmogrifai_spark.functions.text import format_phone, parse_phone
+    fmts = {
+        "US": [(r"(\d{3})(\d{3})(\d{4})", r"($1) $2-$3")],
+        "FR": [(r"(\d)(\d{2})(\d{2})(\d{2})(\d{2})",
+                r"0$1 $2 $3 $4 $5")],
+        "DE": [(r"(\d{2,5})(\d+)", r"0$1/$2")],
+    }
+    df = spark.createDataFrame(
+        [(0, "+1 212 555 0123"), (1, "+33 6 12 34 56 78"),
+         (2, "+44 20 7946 0018"),  # GB: no format rules supplied
+         (3, "not a phone"), (4, None)], "i long, t string")
+    p = parse_phone(F.col("t"))
+    out = {r["i"]: (r["n"], r["x"]) for r in df.select(
+        "i",
+        format_phone(p, fmts).alias("n"),
+        format_phone(p, fmts, style="international").alias("x")).collect()}
+    assert out[0] == ("(212) 555-0123", "+1 (212) 555-0123")
+    assert out[1] == ("06 12 34 56 78", "+33 06 12 34 56 78")
+    assert out[2] == (None, None)   # region valid but no rules supplied
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="style"):
+        format_phone(p, fmts, style="rfc3966")
+
+
+def test_is_short_code_injected_tables(spark):
+    """PARITY delta 4c as data-only: per-region short-code regex tables;
+    listed regions return true/false, unlisted NULL (unknown)."""
+    from transmogrifai_spark.functions.text import is_short_code
+    codes = {"US": [r"[2-9]11", r"[2-9]\d{4,5}"]}
+    df = spark.createDataFrame(
+        [(0, "911"), (1, "411"), (2, "1234"), (3, "86753"), (4, None)],
+        "i long, t string")
+    us = {r["i"]: r["s"] for r in df.select(
+        "i", is_short_code(F.col("t"), "US", codes).alias("s")).collect()}
+    assert us == {0: True, 1: True, 2: False, 3: True, 4: False}
+    de = df.select(is_short_code(F.col("t"), "DE", codes).alias("s")) \
+        .first()["s"]
+    assert de is None

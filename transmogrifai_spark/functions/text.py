@@ -384,6 +384,70 @@ def is_valid_phone_us(c: Column) -> Column:
     return F.coalesce((F.length(d10) == 10) & ~d10.startswith("0") & ~d10.startswith("1"), F.lit(False))
 
 
+def format_phone(parsed: Column, formats: dict,
+                 style: str = "national") -> Column:
+    """Format a ``parse_phone`` struct with CALLER-SUPPLIED
+    libphonenumber-style numberFormat rules — the formatting-metadata
+    tier (PhoneNumberParser.scala's underlying libphonenumber ships this
+    as per-region XML; PARITY delta 4b restated as data-only, the
+    parse_phone(ranges=) pattern):
+
+    ``formats = {region: [(pattern, replacement), ...]}`` where
+    ``pattern`` is a full-match regex over the NATIONAL digits and
+    ``replacement`` uses ``$1..$n`` groups — the exact numberFormat
+    (pattern/format) pair shape of libphonenumber's XML. First matching
+    rule wins (the XML's document order). ``style``: ``'national'``
+    (formatted national number) or ``'international'`` (``+cc `` +
+    formatted). Numbers with no matching rule, unlisted regions, and
+    invalid/NULL parses return NULL — never a wrong format. Rule tables
+    are per-region handfuls of rows; the when-chain stays shallow."""
+    if style not in ("national", "international"):
+        raise ValueError(f"unknown style {style!r}")
+
+    def inner(p: Column) -> Column:
+        cc_map = F.create_map(*[
+            x for r, (cc, _lo, _hi, _ld) in _REGION_META.items()
+            for x in (F.lit(r), F.lit(cc))])
+        cc = F.try_element_at(cc_map, p["region"])
+        national = F.substring(p["e164"], F.length(cc) + 2, F.lit(20))
+        out = F.lit(None).cast("string")
+        for region in sorted(formats, reverse=True):
+            rules = formats[region]
+            fmt = F.lit(None).cast("string")
+            for pattern, repl in reversed(list(rules)):
+                anchored = "^(?:%s)$" % pattern
+                fmt = F.when(F.regexp_like(national, F.lit(anchored)),
+                             F.regexp_replace(national, anchored, repl)) \
+                    .otherwise(fmt)
+            out = F.when(p["region"] == region, fmt).otherwise(out)
+        if style == "international":
+            out = F.when(out.isNotNull(),
+                         F.concat(F.lit("+"), cc, F.lit(" "), out))
+        return F.when(p.isNull() | ~F.coalesce(p["valid"], F.lit(False)),
+                      F.lit(None).cast("string")).otherwise(out)
+
+    return F.get(F.transform(F.array(parsed), inner), 0)
+
+
+def is_short_code(c: Column, region: str, codes: dict) -> Column:
+    """Short-code / service-number validation with CALLER-SUPPLIED
+    per-region patterns (libphonenumber's ShortNumberInfo metadata tier;
+    PARITY delta 4c restated as data-only): ``codes = {region:
+    [full-match regex, ...]}`` over the normalized digits (e.g. US
+    ``'[2-9]11'`` for N11 services, 5-6 digit SMS codes
+    ``'[2-9]\\d{4,5}'``). Returns true/false for listed regions, NULL
+    for unlisted regions (unknown — the parse_phone valid=NULL
+    contract), false for NULL/empty input in a listed region."""
+    d = normalize_phone_digits(c)
+    pats = codes.get(region)
+    if pats is None:
+        return F.lit(None).cast("boolean")
+    hit = F.lit(False)
+    for pat in pats:
+        hit = hit | F.regexp_like(d, F.lit("^(?:%s)$" % pat))
+    return F.coalesce(hit & (F.length(d) > 0), F.lit(False))
+
+
 # -- language-aware analysis (TextTokenizer.scala:125 language routing +
 # utils/.../text/LuceneTextAnalyzer.scala per-language analyzers). The
 # reference ships Lucene's per-language analyzer chain (stopword filter +
