@@ -215,3 +215,25 @@ def test_langdetect_profile_loader_caps_and_errors(spark, tmp_path):
         load_langdetect_profiles(spark, str(pdir), max_profiles=2)
     with _pytest.raises(ValueError, match="no profile"):
         load_langdetect_profiles(spark, str(tmp_path / "missing_dir_x"))
+
+
+def test_nb_model_save_load_round_trip(spark, tmp_path):
+    """Persisted NB models reload EQUAL (floats round-trip via repr) and
+    score identically; unknown files raise a clean ValueError."""
+    import pytest as _pytest
+
+    from transmogrifai_spark.nbmodel import load_nb_model, save_nb_model
+    corpus = _corpus(spark, n_per_lang=40)
+    model = train_language_classifier(corpus, "text", "lang", n=2)
+    p = str(tmp_path / "langid.json")
+    save_nb_model(model, p)
+    loaded = load_nb_model(p)
+    assert loaded == model
+    probe = spark.createDataFrame([(0, "the quick brown fox")], "i long, t string")
+    a = probe.select(nb_language_id(F.col("t"), model).alias("p")).first()["p"]
+    b = probe.select(nb_language_id(F.col("t"), loaded).alias("p")).first()["p"]
+    assert a == b == "en"
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"x": 1}', encoding="utf-8")
+    with _pytest.raises(ValueError, match="nbmodel/1"):
+        load_nb_model(str(bad))

@@ -35,7 +35,34 @@ import zlib
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["nb_scores_map", "nb_best_labels"]
+__all__ = ["nb_scores_map", "nb_best_labels", "save_nb_model",
+           "load_nb_model"]
+
+
+def save_nb_model(model: dict, path: str) -> None:
+    """Persist a trained NB model dict (langid_nb / ner_nb / charset_nb /
+    token tagger — they share this shape) as versioned JSON. Floats
+    round-trip bit-exactly (json emits repr, the shortest round-trip
+    decimal), so a loaded model scores identically — including the
+    oracle-gated portable mode."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"format": "nbmodel/1", "model": model}, f,
+                  ensure_ascii=False)
+
+
+def load_nb_model(path: str) -> dict:
+    """Load a ``save_nb_model`` file; raises ValueError on an unknown
+    format marker (clean error instead of a downstream KeyError)."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        d = json.load(f)
+    if not isinstance(d, dict) or d.get("format") != "nbmodel/1":
+        raise ValueError(f"{path!r} is not a saved NB model "
+                         "(missing nbmodel/1 format marker)")
+    return d["model"]
 
 _N_BUCKETS = 64
 
