@@ -262,3 +262,25 @@ def test_typed_entities_statistical_with_tagger(spark):
                                         tagger=tagger).alias("m")).collect()}
     assert "acme corp" in list(out[0]["ORGANIZATION"])
     assert "van gogh" in list(out[1]["PERSON"])
+
+
+def test_token_tagger_non_ascii_entities(spark):
+    """r9 review fix: \\p{L} tokenization — accented lowercase mentions
+    ('crédit agricole') tokenize whole, train, and mine; the old ASCII
+    classes split at the accent and silently lost them."""
+    from transmogrifai_spark.operators.ner_nb import (mine_entity_chunks,
+                                                      train_token_tagger)
+    ents = ["crédit agricole", "münchner bank", "société générale",
+            "acme corp"]
+    rows = []
+    for i, e in enumerate(ents):
+        for j, f in enumerate(_FILLER):
+            rows.append((len(rows), f"{f} {e} {_TAIL[(i + j) % len(_TAIL)]}",
+                         [e]))
+    df = spark.createDataFrame(rows, "i long, text string, ents array<string>")
+    model = train_token_tagger(df, "text", "ents")
+    got = df.where(F.col("i") % 4 == 1).select(
+        "ents", mine_entity_chunks(F.col("text"), model).alias("ch")).collect()
+    hits = sum(1 for r in got if list(r["ch"]) == list(r["ents"]))
+    assert hits / len(got) >= 0.9, \
+        [(list(r["ents"]), list(r["ch"])) for r in got][:4]

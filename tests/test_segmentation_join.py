@@ -195,3 +195,15 @@ def test_join_form_id_col_path_equals_text_keyed(spark):
     assert a == b
     assert a[0] == a[1] == ["中国", "人民", "银行"]
     assert a[3] == [] and a[4] == []
+
+
+def test_join_form_null_id_raises(spark):
+    """A NULL id in id_col mode fails loudly (it could never join its
+    arcs back — the row would silently mis-segment as all-unknown)."""
+    import pytest as _pytest
+    df = spark.createDataFrame([(None, "中国人民")],
+                               "i long, t string")
+    out = lexicon_segment_join(df, "t", _lex_df(spark, {"中国": 1.0}),
+                               id_col="i")
+    with _pytest.raises(Exception, match="unique and non-null"):
+        out.collect()

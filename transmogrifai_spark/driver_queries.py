@@ -1363,9 +1363,10 @@ def q_text_quality(spark, sf_dir):
     # registry-form gate-cost shave left: parse is Python-side by design,
     # it's a custom-format datasource) is WRITTEN as WARC through the
     # distributed writer in BOTH layouts (plain .warc + per-record-gzip
-    # .warc.gz, the CommonCrawl form), then READ BACK — ~16 KB byte-range
-    # splits force several splits per plain file, so the boundary-scan
-    # resync path is in the gate — and each payload is re-hashed. Per
+    # .warc.gz, the CommonCrawl form), then READ BACK — ~30 KB byte-range
+    # splits (r9) still force multiple splits per plain file, so the
+    # boundary-scan resync path stays in the gate — and each payload is
+    # re-hashed. Per
     # sampled doc: n_warc must be 2 (one record per layout), n_warc_md5
     # 1, warc_md5 == md5(text) iff every body survived byte-exact,
     # warc_status_sum == 400 (the HTTP response layer parsed on both

@@ -400,29 +400,46 @@ def format_phone(parsed: Column, formats: dict,
     (formatted national number) or ``'international'`` (``+cc `` +
     formatted). Numbers with no matching rule, unlisted regions, and
     invalid/NULL parses return NULL — never a wrong format. Rule tables
-    are per-region handfuls of rows; the when-chain stays shallow."""
+    are per-region handfuls of rows; the when-chain stays shallow.
+
+    Plan shape (r9 review): the region->cc table is ONE parsed map
+    literal (never ~400 per-element ``F.lit`` py4j calls — the measured
+    plan-cost rule) and cc/national are bound once as transform-lambda
+    variables, so each rule branch references the bound value instead of
+    re-inlining the lookup chain (the nbmodel bind-once rule)."""
+    from ..util import sql_str_lit
+
     if style not in ("national", "international"):
         raise ValueError(f"unknown style {style!r}")
+    cc_map_expr = F.expr("map(" + ",".join(
+        f"{sql_str_lit(r)},{sql_str_lit(cc)}"
+        for r, (cc, _lo, _hi, _ld) in sorted(_REGION_META.items())) + ")")
 
     def inner(p: Column) -> Column:
-        cc_map = F.create_map(*[
-            x for r, (cc, _lo, _hi, _ld) in _REGION_META.items()
-            for x in (F.lit(r), F.lit(cc))])
-        cc = F.try_element_at(cc_map, p["region"])
-        national = F.substring(p["e164"], F.length(cc) + 2, F.lit(20))
-        out = F.lit(None).cast("string")
-        for region in sorted(formats, reverse=True):
-            rules = formats[region]
-            fmt = F.lit(None).cast("string")
-            for pattern, repl in reversed(list(rules)):
-                anchored = "^(?:%s)$" % pattern
-                fmt = F.when(F.regexp_like(national, F.lit(anchored)),
-                             F.regexp_replace(national, anchored, repl)) \
-                    .otherwise(fmt)
-            out = F.when(p["region"] == region, fmt).otherwise(out)
-        if style == "international":
-            out = F.when(out.isNotNull(),
-                         F.concat(F.lit("+"), cc, F.lit(" "), out))
+        def with_cc(cc: Column) -> Column:
+            def with_national(national: Column) -> Column:
+                out = F.lit(None).cast("string")
+                for region in sorted(formats, reverse=True):
+                    rules = formats[region]
+                    fmt = F.lit(None).cast("string")
+                    for pattern, repl in reversed(list(rules)):
+                        anchored = "^(?:%s)$" % pattern
+                        fmt = F.when(
+                            F.regexp_like(national, F.lit(anchored)),
+                            F.regexp_replace(national, anchored, repl)) \
+                            .otherwise(fmt)
+                    out = F.when(p["region"] == region, fmt).otherwise(out)
+                if style == "international":
+                    out = F.when(out.isNotNull(),
+                                 F.concat(F.lit("+"), cc, F.lit(" "), out))
+                return out
+
+            national = F.substring(p["e164"], F.length(cc) + 2, F.lit(20))
+            return F.get(F.transform(F.array(national), with_national), 0)
+
+        out = F.get(F.transform(
+            F.array(F.try_element_at(cc_map_expr, p["region"])),
+            with_cc), 0)
         return F.when(p.isNull() | ~F.coalesce(p["valid"], F.lit(False)),
                       F.lit(None).cast("string")).otherwise(out)
 
@@ -827,6 +844,45 @@ _THAI_RANGE = "[฀-๿]"
 _SEG_INF = 1e18
 
 
+def _viterbi_backtrack_tokens(s: Column, dp_expr: Column,
+                              n: Column) -> Column:
+    """Shared dp -> tokens backtrack for the Viterbi segmenters.
+    ``dp_expr``: array<struct<cost:double, bp:int>> with 1 + n entries
+    (entry j+1 = best arc ending at position j). BOTH segmentation
+    forms — the plan-literal ``lexicon_segment`` and the broadcast-join
+    ``operators.segmentation.lexicon_segment_join`` — call this ONE
+    copy; their bit-equality law rides on the backtrack never diverging
+    between them, so keep any change here.
+
+    dp (then bounds) is bound ONCE as a transform-lambda variable — the
+    detect_mime_type lesson: a repeated big subexpression inside an
+    aggregate lambda would otherwise re-evaluate the whole lattice per
+    backtrack step (O(n²·L) instead of O(n·L))."""
+    def with_dp(dp: Column) -> Column:
+        # backtrack: walk bp pointers from n to 0, collecting bounds
+        back = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.struct(n.alias("pos"), F.array(n).alias("bounds")),
+            lambda acc, _: F.when(
+                acc["pos"] > 0,
+                F.struct(
+                    F.element_at(dp, acc["pos"] + 1)["bp"].alias("pos"),
+                    F.concat(acc["bounds"],
+                             F.array(F.element_at(dp, acc["pos"] + 1)["bp"]))
+                    .alias("bounds"))).otherwise(acc))
+        return F.reverse(back["bounds"])  # [0, b1, ..., n]
+
+    def with_bounds(bounds: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(bounds) - 1),
+            lambda t: F.substr(s, F.element_at(bounds, t) + 1,
+                               F.element_at(bounds, t + 1)
+                               - F.element_at(bounds, t)))
+
+    bounds_expr = F.get(F.transform(F.array(dp_expr), with_dp), 0)
+    return F.get(F.transform(F.array(bounds_expr), with_bounds), 0)
+
+
 def lexicon_segment(c: Column, lexicon: dict[str, float] | list[str],
                     unknown_cost: float = 2.0,
                     max_word_len: int | None = None) -> Column:
@@ -895,34 +951,7 @@ def lexicon_segment(c: Column, lexicon: dict[str, float] | list[str],
             F.array(F.struct(F.lit(0.0).alias("cost"),
                              F.lit(-1).cast("int").alias("bp"))),
             step)
-
-        # bind dp (then bounds) ONCE as transform-lambda variables — the
-        # detect_mime_type lesson: a repeated big subexpression inside an
-        # aggregate lambda would otherwise re-evaluate the whole lattice
-        # per backtrack step (O(n²·L) instead of O(n·L))
-        def with_dp(dp: Column) -> Column:
-            # backtrack: walk bp pointers from n to 0, collecting bounds
-            back = F.aggregate(
-                F.sequence(F.lit(1), n),
-                F.struct(n.alias("pos"), F.array(n).alias("bounds")),
-                lambda acc, _: F.when(
-                    acc["pos"] > 0,
-                    F.struct(
-                        F.element_at(dp, acc["pos"] + 1)["bp"].alias("pos"),
-                        F.concat(acc["bounds"],
-                                 F.array(F.element_at(dp, acc["pos"] + 1)["bp"]))
-                        .alias("bounds"))).otherwise(acc))
-            return F.reverse(back["bounds"])  # [0, b1, ..., n]
-
-        def with_bounds(bounds: Column) -> Column:
-            return F.transform(
-                F.sequence(F.lit(1), F.size(bounds) - 1),
-                lambda t: F.substr(s, F.element_at(bounds, t) + 1,
-                                   F.element_at(bounds, t + 1)
-                                   - F.element_at(bounds, t)))
-
-        bounds_expr = F.get(F.transform(F.array(dp_expr), with_dp), 0)
-        return F.get(F.transform(F.array(bounds_expr), with_bounds), 0)
+        return _viterbi_backtrack_tokens(s, dp_expr, n)
 
     out = F.get(F.transform(F.array(mp_expr),
                             lambda mp: _segment_with(c, mp)), 0)

@@ -65,10 +65,13 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     from a uniform start. Follows rank_{i+1}(v) = (1-d)/N +
     d * (sum_{u->v} rank_i(u) * w(u,v)/outw(u) + dangling_i / N).
 
-    The returned frame stays PERSISTED (one small row per node — its
-    lineage spans every iteration, so dropping the cache would recompute
-    the whole chain on next use); ``.unpersist()`` it when done, the
-    dimensional_rollup handle contract."""
+    The returned frame is a CHECKPOINTED snapshot (r9 — one small row
+    per node, lineage already truncated, so re-use never recomputes the
+    iteration chain); calling ``.unpersist()`` on it is a harmless no-op
+    (checkpointed frames have no cache-manager entry — block release is
+    reference-drop + ContextCleaner, the llm/dedup contract), kept
+    acceptable for callers written against the old persisted-handle
+    contract."""
     w = (F.col(weight_col) if weight_col else F.lit(1.0)).cast("double")
     # persist the aggregated edge table FIRST: nodes/outw/frac/dangling all
     # derive from it — without the cache each one re-runs the (possibly
@@ -142,8 +145,9 @@ def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     the lineage-truncating count. ``portable`` applies the same
     round-9dp DECIMAL(29,9) order-independent summation; the norm's
     sqrt is IEEE-correctly-rounded, so portable runs are bit-reproducible
-    (law-tested against a pure-Python mirror). The returned frame stays
-    PERSISTED (one row per node); ``.unpersist()`` when done."""
+    (law-tested against a pure-Python mirror). The returned frame is a
+    CHECKPOINTED snapshot (see pagerank — ``.unpersist()`` on it is a
+    harmless no-op)."""
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
          .distinct().persist())

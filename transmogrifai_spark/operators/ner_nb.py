@@ -43,8 +43,11 @@ __all__ = ["chunk_features", "train_ner_classifier", "ner_nb_scores",
            "tag_token_entities", "mine_entity_chunks"]
 
 # token mining for the boundary tagger: keeps case (shape features need
-# it), apostrophes stay word-internal
-_TOKEN_RE = r"[A-Za-z][A-Za-z']*"
+# it), apostrophes stay word-internal; \p{L} so non-ASCII mentions
+# ("crédit agricole", "münchner bank") tokenize whole instead of
+# splitting at the accent (r9 review finding — ASCII classes here made
+# the lowercase-entity path silently ASCII-only)
+_TOKEN_RE = r"[\p{L}][\p{L}']*"
 
 
 def chunk_features(chunk: Column, context: Column | None = None) -> Column:
@@ -197,9 +200,11 @@ def ner_nb_label(chunk: Column, model: dict,
 
 
 def _token_shape(t: Column) -> Column:
-    return F.when(t.rlike(r"^[A-Z][A-Z']+$"), F.lit("caps")) \
-        .when(t.rlike(r"^[A-Z]"), F.lit("title")) \
-        .when(t.rlike(r"^[a-z]"), F.lit("lower")) \
+    # \p{Lu}/\p{Ll} so accented capitals ("Émile") shape as title/caps,
+    # not "other"
+    return F.when(t.rlike(r"^[\p{Lu}][\p{Lu}']+$"), F.lit("caps")) \
+        .when(t.rlike(r"^[\p{Lu}]"), F.lit("title")) \
+        .when(t.rlike(r"^[\p{Ll}]"), F.lit("lower")) \
         .otherwise(F.lit("other"))
 
 

@@ -31,16 +31,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import _SEG_INF
+from ..functions.text import _viterbi_backtrack_tokens
 
 
 def _arcs_dp_tokens(s: Column, arcs: Column, unknown_cost: float) -> Column:
-    """Viterbi over an explicit arc list — the exact dp/backtrack of
+    """Viterbi over an explicit arc list — the exact dp of
     ``lexicon_segment`` with the window-probe candidates replaced by the
-    pre-joined arcs. ``arcs``: array<struct<i:int,j:int,c:double>> (dict
-    matches; i/j are 0-based start / exclusive end). Single characters
-    not covered by a single-char dict arc get an ``unknown_cost`` arc —
-    the coalesce(dict, unknown) rule of the literal form."""
+    pre-joined arcs; the backtrack/token-slicing is the SHARED
+    ``_viterbi_backtrack_tokens`` (one copy for both forms — the
+    bit-equality law rides on it). ``arcs``:
+    array<struct<i:int,j:int,c:double>> (dict matches; i/j are 0-based
+    start / exclusive end). Single characters not covered by a
+    single-char dict arc get an ``unknown_cost`` arc — the
+    coalesce(dict, unknown) rule of the literal form."""
     n = F.length(s)
 
     def with_arcs(a: Column) -> Column:
@@ -75,33 +78,7 @@ def _arcs_dp_tokens(s: Column, arcs: Column, unknown_cost: float) -> Column:
                 F.array(F.struct(F.lit(0.0).alias("cost"),
                                  F.lit(-1).cast("int").alias("bp"))),
                 step)
-
-            def with_dp(dp: Column) -> Column:
-                back = F.aggregate(
-                    F.sequence(F.lit(1), n),
-                    F.struct(n.cast("int").alias("pos"),
-                             F.array(n.cast("int")).alias("bounds")),
-                    lambda acc, _: F.when(
-                        acc["pos"] > 0,
-                        F.struct(
-                            F.element_at(dp, acc["pos"] + 1)["bp"]
-                            .alias("pos"),
-                            F.concat(acc["bounds"],
-                                     F.array(F.element_at(
-                                         dp, acc["pos"] + 1)["bp"]))
-                            .alias("bounds"))).otherwise(acc))
-                return F.reverse(back["bounds"])
-
-            def with_bounds(bounds: Column) -> Column:
-                return F.transform(
-                    F.sequence(F.lit(1), F.size(bounds) - 1),
-                    lambda t: F.substr(
-                        s, F.element_at(bounds, t) + 1,
-                        F.element_at(bounds, t + 1)
-                        - F.element_at(bounds, t)))
-
-            bounds_expr = F.get(F.transform(F.array(dp_expr), with_dp), 0)
-            return F.get(F.transform(F.array(bounds_expr), with_bounds), 0)
+            return _viterbi_backtrack_tokens(s, dp_expr, n)
 
         return F.get(F.transform(F.array(by_end), with_by_end), 0)
 
@@ -137,9 +114,13 @@ def lexicon_segment_join(df: DataFrame, text_col: str,
 
     Shuffle key: by default the arc lists group and join back ON THE
     TEXT VALUE (deduping shared texts for free — right for short CJK
-    strings); pass ``id_col`` naming a UNIQUE id column to key the
-    grouping/join on the id instead, so long documents never ride a
-    shuffle as the key (the 100 TB form)."""
+    strings); pass ``id_col`` naming a UNIQUE, NON-NULL id column to
+    key the grouping/join on the id instead, so long documents never
+    ride a shuffle as the key (the 100 TB form). A NULL id raises at
+    evaluation time (it can never join its arcs back — the row would
+    silently mis-segment as all-unknown otherwise); id UNIQUENESS is
+    the caller's contract (duplicate ids would merge arc lists across
+    different texts)."""
     spark = df.sparkSession
     lex = lexicon_df.select(F.col(word_col).cast("string").alias("__w"),
                             F.col(cost_col).cast("double").alias("__c"))
@@ -176,6 +157,15 @@ def lexicon_segment_join(df: DataFrame, text_col: str,
     seg = _arcs_dp_tokens(F.col(text_col), F.col("__arcs"),
                           unknown_cost=unknown_cost)
     if id_col:
+        # a NULL id can never equi-join its arcs back — fail loudly at
+        # evaluation time instead of silently segmenting all-unknown
+        seg = F.when(
+            df[id_col].isNull() & F.col(text_col).isNotNull()
+            & (F.length(text_col) > 0),
+            F.raise_error(F.lit(
+                f"lexicon_segment_join: NULL in id_col {id_col!r} "
+                "(ids must be unique and non-null)"))
+            .cast("array<string>")).otherwise(seg)
         cond = df[id_col] == arcs["__id"]
     else:
         cond = df[text_col] == arcs["__t"]
@@ -269,9 +259,17 @@ def mecab_lattice_model(dict_df: DataFrame, matrix_df: DataFrame,
         cls_of[cls] = (int(r["left_id"]), int(r["right_id"]))
     used_right = {rid for (_, rid) in cls_of.values()} | {bos_id}
     used_left = {lid for (lid, _) in cls_of.values()} | {bos_id}
+    # prune via broadcast semi-joins, not isin: Column.isin builds one
+    # py4j literal per value (~3 s per few thousand — the measured
+    # plan-cost rule), and a real dictionary has thousands of context ids
+    spark = matrix_df.sparkSession
+    r_df = spark.createDataFrame([(i,) for i in sorted(used_right)],
+                                 "right_id int")
+    l_df = spark.createDataFrame([(i,) for i in sorted(used_left)],
+                                 "left_id int")
     mrows = (matrix_df
-             .where(F.col("right_id").isin(*sorted(used_right))
-                    & F.col("left_id").isin(*sorted(used_left)))
+             .join(F.broadcast(r_df), "right_id", "semi")
+             .join(F.broadcast(l_df), "left_id", "semi")
              .collect())
     m = {(int(r["right_id"]), int(r["left_id"])): float(r["cost"])
          for r in mrows}
