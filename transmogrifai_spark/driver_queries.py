@@ -1181,7 +1181,19 @@ def q_retrieval_indexed(spark, sf_dir):
     indexed top-5 (the part='bm25' ranking) with embedding-cosine brute
     top-5 over the same id space; the outer-join chain's fixed-order
     double additions and the (score desc, doc_id) re-rank are replicated
-    op-for-op (lang=query id, a=doc_id, b=fused rank, d=rrf score)."""
+    op-for-op (lang=query id, a=doc_id, b=fused rank, d=rrf score).
+
+    part='bm25s' (r9): the STREAMING ingest twin of part='bm25' —
+    same even-id bootstrap (batch 0), odd half arriving through a REAL
+    parquet file stream (1 file per micro-batch) via
+    llm/retrieval.stream_bm25_index foreachBatch appends with
+    batch_id_base=1 (the real-bootstrap clobber trap is IN the gate),
+    probed through disk. Postings/df/N/avgdl assembly is per-batch
+    either way, so the streamed index must produce the batch-append
+    answer row for row; the oracle emits its bm25 replica under both
+    labels. Closes the last streaming index writer with law-only
+    evidence (stream_ivfpq_index was gated in the ivf_topk_indexed
+    row earlier in r9)."""
     import tempfile
 
     from .llm.dsir import dsir_log_weights, dsir_sample
@@ -1263,9 +1275,32 @@ def q_retrieval_indexed(spark, sf_dir):
         F.lit(None).cast("long").alias("b"),
         F.lit(None).cast("long").alias("c"),
         (F.col("q") + F.lit(0.0)).alias("d"))
+    # streamed twin of the bm25 arm: same bootstrap, odd half via a real
+    # file stream with batch_id_base=1 (the non-empty-bootstrap trap)
+    from .llm.retrieval import stream_bm25_index
+    bs = tempfile.mkdtemp(prefix="bm25_stream_gate_")
+    build_bm25_index(docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text",
+                     bs, n_shards=8, batch_id=0)
+    src = tempfile.mkdtemp(prefix="bm25_stream_src_")
+    docs.where(F.col("doc_id") % 2 == 1).repartition(2) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    sq = stream_bm25_index(stream, bs, "doc_id", "text",
+                           checkpoint=tempfile.mkdtemp(prefix="bm25_ck_"),
+                           batch_id_base=1)
+    sq.awaitTermination()
+    bm25s_rows = bm25_topk_indexed(spark, bs, bq, "qid", "qtext", k=5,
+                                   quantize=6).select(
+        F.lit("bm25s").alias("part"),
+        F.col("query_id").cast("string").alias("lang"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("rank").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        (F.col("score") + F.lit(0.0)).alias("d"))
     return (shard_rows.unionByName(bm25_rows).unionByName(dsir_rows)
             .unionByName(dsirtop_rows).unionByName(pareto_rows)
-            .unionByName(rrf_rows))
+            .unionByName(rrf_rows).unionByName(bm25s_rows))
 
 
 def q_text_quality(spark, sf_dir):
@@ -4326,6 +4361,14 @@ FROM (
   FROM bscored
 ) WHERE rank <= 5
 """
+
+# part='bm25s' (r9): the streaming-ingest twin of the bm25 arm —
+# per-batch postings/stats assembly is identical whether a batch arrived
+# by append_bm25_index or through the foreachBatch stream writer, so the
+# oracle replica simply repeats under the new label
+ORACLES["retrieval_indexed"] += "\nUNION ALL\n" + \
+    ORACLES["retrieval_indexed"].replace(
+        "SELECT 'bm25' AS part,", "SELECT 'bm25s' AS part,", 1)
 
 # repeat: domain_reweight epochs expansion. The coefficient literals are
 # config-derived (scale * normalized share) and printed at full round-trip
