@@ -207,3 +207,77 @@ def test_join_form_null_id_raises(spark):
                                id_col="i")
     with _pytest.raises(Exception, match="unique and non-null"):
         out.collect()
+
+
+# ---------------------------------------------------------------------------
+# full-lattice join form (r9b)
+# ---------------------------------------------------------------------------
+
+_LAT_LEX = {
+    "中国": (100.0, "N"), "人民": (200.0, "N"), "银行": (150.0, "N"),
+    "中国人": (250.0, "N"), "民银": (260.0, "N"), "行": (400.0, "V"),
+    "我": (50.0, "P"), "是": (60.0, "V"),
+}
+_LAT_CONN = {
+    ("BOS", "N"): 5.0, ("BOS", "P"): 2.0, ("N", "N"): 20.0,
+    ("N", "V"): 35.0, ("P", "V"): 1.0, ("V", "N"): 8.0,
+    ("N", "EOS"): 3.0, ("V", "EOS"): 4.0,
+}
+
+
+def _lat_df(spark):
+    return spark.createDataFrame(
+        [(w, float(c), k) for w, (c, k) in _LAT_LEX.items()],
+        "word string, cost double, cls string")
+
+
+def test_lattice_join_form_equals_literal_form(spark):
+    """THE lattice law: the broadcast-join dp with connection costs lands
+    on byte-identical (token, cls) pairs as the plan-literal
+    lexicon_segment_lattice — ambiguous overlaps, unknown chars, empty
+    and NULL inputs included."""
+    from transmogrifai_spark.operators.segmentation import (
+        lexicon_segment_lattice_join)
+    texts = ["中国人民银行", "我是中国人", "银行行", "中国人x民",
+             "", None, "xyz"]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, t string")
+    lit_out = {r["i"]: [(e["token"], e["cls"]) for e in r["s"]]
+               for r in df.select("i", lexicon_segment_lattice(
+                   F.col("t"), dict(_LAT_LEX), dict(_LAT_CONN),
+                   unknown_cost=500.0).alias("s")).collect()}
+    join_out = {r["i"]: [(e["token"], e["cls"]) for e in r["morphemes"]]
+                for r in lexicon_segment_lattice_join(
+                    df, "t", _lat_df(spark), conn=dict(_LAT_CONN),
+                    unknown_cost=500.0).select("i", "morphemes").collect()}
+    assert join_out == lit_out
+    # and the classic disambiguation actually engages the conn matrix
+    assert [t for t, _ in lit_out[0]] == ["中国", "人民", "银行"]
+
+
+def test_lattice_join_form_plan_and_id_col(spark):
+    """No dictionary words in the plan; one broadcast join; id_col path
+    equal; class cap raises cleanly."""
+    import pytest as _pytest
+
+    from transmogrifai_spark.operators.segmentation import (
+        lexicon_segment_lattice_join)
+    sentinel = "züxqwortfolge"
+    lexd = spark.createDataFrame(
+        [(w, float(c), k) for w, (c, k) in _LAT_LEX.items()]
+        + [(sentinel, 1.0, "N")], "word string, cost double, cls string")
+    df = spark.createDataFrame([(0, "中国人民银行"), (1, "中国人民银行")],
+                               "i long, t string")
+    out = lexicon_segment_lattice_join(df, "t", lexd,
+                                       conn=dict(_LAT_CONN))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert sentinel not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    a = {r["i"]: [(e["token"], e["cls"]) for e in r["morphemes"]]
+         for r in out.select("i", "morphemes").collect()}
+    b = {r["i"]: [(e["token"], e["cls"]) for e in r["morphemes"]]
+         for r in lexicon_segment_lattice_join(
+             df, "t", lexd, conn=dict(_LAT_CONN), id_col="i")
+         .select("i", "morphemes").collect()}
+    assert a == b
+    with _pytest.raises(ValueError, match="classes"):
+        lexicon_segment_lattice_join(df, "t", lexd, max_classes=1)

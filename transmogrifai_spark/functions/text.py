@@ -1039,98 +1039,120 @@ def lexicon_segment_lattice(c: Column,
                for p in range(n_c)]
 
     def seg(s: Column, wm: Column) -> Column:
-        n = F.length(s)
-
-        def step(acc: Column, j: Column) -> Column:
-            # window word lookups ONCE per step: (i, word-entry-or-null)
-            wins = F.transform(
-                F.sequence(F.greatest(F.lit(0), j - L), j - 1),
-                lambda i: F.struct(
-                    i.alias("i"),
-                    F.coalesce(
-                        F.try_element_at(wm, F.substr(s, i + 1, j - i)),
-                        F.when(j - i == 1, F.struct(
-                            F.lit(float(unknown_cost)).alias("c"),
-                            F.lit(unk_i).alias("k")))).alias("w")))
-            # UNARY closure factory, never defaulted extra lambda params:
-            # F.transform fills a second parameter with the array INDEX
-            # (the minhash_signature landmine, re-hit here in r8)
-            def cand_for(t: int, conn_t: Column):
-                def cand(e: Column) -> Column:
-                    i, w = e["i"], e["w"]
-                    dp_i = F.element_at(acc, i + 1)
-                    pm = F.array_min(F.transform(
-                        F.sequence(F.lit(0), F.lit(n_c - 1)),
-                        lambda p: F.struct(
-                            (F.element_at(dp_i, p + 1)["cost"]
-                             + F.element_at(conn_t, p + 1)).alias("pc"),
-                            p.cast("int").alias("pk"))))
-                    prev = F.when(
-                        i == 0,
-                        F.struct(F.lit(bos_in[t]).alias("pc"),
-                                 F.lit(-1).cast("int").alias("pk"))
-                    ).otherwise(pm)
-                    bad = w.isNull() | (w["k"] != t)
-                    return F.when(bad, F.struct(
-                        F.lit(_SEG_INF).alias("cost"),
-                        i.cast("int").alias("bpi"),
-                        F.lit(-1).cast("int").alias("bpc"))) \
-                        .otherwise(F.struct(
-                            (w["c"] + prev["pc"]).alias("cost"),
-                            i.cast("int").alias("bpi"),
-                            prev["pk"].alias("bpc")))
-                return cand
-
-            per_t = [
-                F.array_min(F.transform(wins,
-                                        cand_for(t, lit_vec(conn_in[t]))))
-                for t in range(n_c)]
-            return F.concat(acc, F.array(F.array(*per_t)))
-
-        init = F.array(F.array(*[
-            F.struct(F.lit(0.0).alias("cost"),
-                     F.lit(-1).cast("int").alias("bpi"),
-                     F.lit(-1).cast("int").alias("bpc"))
-            for _ in range(n_c)]))
-        lattice_expr = F.aggregate(F.sequence(F.lit(1), n), init, step)
-
-        def with_lat(lat: Column) -> Column:
-            dp_n = F.element_at(lat, n + 1)
-            end = F.array_min(F.transform(
-                F.sequence(F.lit(0), F.lit(n_c - 1)),
-                lambda t: F.struct(
-                    (F.element_at(dp_n, t + 1)["cost"]
-                     + F.element_at(lit_vec(eos_out), t + 1)).alias("ec"),
-                    t.cast("int").alias("k"))))
-            # backtrack over (pos, class) pairs, collecting typed tokens
-            walk = F.aggregate(
-                F.sequence(F.lit(1), n),
-                F.struct(n.cast("int").alias("pos"), end["k"].alias("k"),
-                         F.array().cast(
-                             "array<struct<token:string,cls:string>>")
-                         .alias("toks")),
-                lambda a, _: F.when(a["pos"] > 0, F.get(F.transform(
-                    F.array(F.element_at(F.element_at(lat, a["pos"] + 1),
-                                         a["k"] + 1)),
-                    lambda cell: F.struct(
-                        cell["bpi"].alias("pos"), cell["bpc"].alias("k"),
-                        F.concat(
-                            F.array(F.struct(
-                                F.substr(s, cell["bpi"] + 1,
-                                         a["pos"] - cell["bpi"])
-                                .alias("token"),
-                                F.element_at(
-                                    F.array(*[F.lit(cl) for cl in classes]),
-                                    a["k"] + 1).alias("cls"))),
-                            a["toks"]).alias("toks"))), 0)).otherwise(a))
-            return walk["toks"]
-
-        return F.get(F.transform(F.array(lattice_expr), with_lat), 0)
+        return _lattice_dp_typed_tokens(
+            s, lambda i, j: F.try_element_at(wm, F.substr(s, i + 1, j - i)),
+            L=L, n_c=n_c, unk_i=unk_i, conn_in=conn_in, bos_in=bos_in,
+            eos_out=eos_out, classes=classes, unknown_cost=unknown_cost)
 
     out = F.get(F.transform(F.array(wm_expr), lambda wm: seg(c, wm)), 0)
     return F.when(c.isNull() | (F.length(c) == 0),
                   F.array().cast("array<struct<token:string,cls:string>>")) \
         .otherwise(out)
+
+
+def _lattice_dp_typed_tokens(s: Column, entry_at, L: int, n_c: int,
+                             unk_i: int, conn_in, bos_in, eos_out,
+                             classes, unknown_cost: float) -> Column:
+    """The shared positions×classes Viterbi core behind BOTH full-lattice
+    segmentation forms — the plan-literal ``lexicon_segment_lattice``
+    and the broadcast-join ``operators.segmentation.
+    lexicon_segment_lattice_join``; their bit-equality law rides on this
+    single copy (the r9 review rule that retired the plain form's
+    duplicated backtrack). ``entry_at(i, j)`` supplies the dictionary
+    entry struct(c, k) for span s[i:j] or NULL (map probe in the literal
+    form, pre-joined arc lookup in the join form); the unknown
+    single-char coalesce, candidate construction, tie order, and the
+    (position, class) backtrack live here, once."""
+    from ..util import lit_vec
+
+    n = F.length(s)
+
+    def step(acc: Column, j: Column) -> Column:
+        # window word lookups ONCE per step: (i, word-entry-or-null)
+        wins = F.transform(
+            F.sequence(F.greatest(F.lit(0), j - L), j - 1),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.coalesce(
+                    entry_at(i, j),
+                    F.when(j - i == 1, F.struct(
+                        F.lit(float(unknown_cost)).alias("c"),
+                        F.lit(unk_i).alias("k")))).alias("w")))
+
+        # UNARY closure factory, never defaulted extra lambda params:
+        # F.transform fills a second parameter with the array INDEX
+        # (the minhash_signature landmine, re-hit here in r8)
+        def cand_for(t: int, conn_t: Column):
+            def cand(e: Column) -> Column:
+                i, w = e["i"], e["w"]
+                dp_i = F.element_at(acc, i + 1)
+                pm = F.array_min(F.transform(
+                    F.sequence(F.lit(0), F.lit(n_c - 1)),
+                    lambda p: F.struct(
+                        (F.element_at(dp_i, p + 1)["cost"]
+                         + F.element_at(conn_t, p + 1)).alias("pc"),
+                        p.cast("int").alias("pk"))))
+                prev = F.when(
+                    i == 0,
+                    F.struct(F.lit(bos_in[t]).alias("pc"),
+                             F.lit(-1).cast("int").alias("pk"))
+                ).otherwise(pm)
+                bad = w.isNull() | (w["k"] != t)
+                return F.when(bad, F.struct(
+                    F.lit(_SEG_INF).alias("cost"),
+                    i.cast("int").alias("bpi"),
+                    F.lit(-1).cast("int").alias("bpc"))) \
+                    .otherwise(F.struct(
+                        (w["c"] + prev["pc"]).alias("cost"),
+                        i.cast("int").alias("bpi"),
+                        prev["pk"].alias("bpc")))
+            return cand
+
+        per_t = [
+            F.array_min(F.transform(wins,
+                                    cand_for(t, lit_vec(conn_in[t]))))
+            for t in range(n_c)]
+        return F.concat(acc, F.array(F.array(*per_t)))
+
+    init = F.array(F.array(*[
+        F.struct(F.lit(0.0).alias("cost"),
+                 F.lit(-1).cast("int").alias("bpi"),
+                 F.lit(-1).cast("int").alias("bpc"))
+        for _ in range(n_c)]))
+    lattice_expr = F.aggregate(F.sequence(F.lit(1), n), init, step)
+
+    def with_lat(lat: Column) -> Column:
+        dp_n = F.element_at(lat, n + 1)
+        end = F.array_min(F.transform(
+            F.sequence(F.lit(0), F.lit(n_c - 1)),
+            lambda t: F.struct(
+                (F.element_at(dp_n, t + 1)["cost"]
+                 + F.element_at(lit_vec(eos_out), t + 1)).alias("ec"),
+                t.cast("int").alias("k"))))
+        # backtrack over (pos, class) pairs, collecting typed tokens
+        walk = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.struct(n.cast("int").alias("pos"), end["k"].alias("k"),
+                     F.array().cast(
+                         "array<struct<token:string,cls:string>>")
+                     .alias("toks")),
+            lambda a, _: F.when(a["pos"] > 0, F.get(F.transform(
+                F.array(F.element_at(F.element_at(lat, a["pos"] + 1),
+                                     a["k"] + 1)),
+                lambda cell: F.struct(
+                    cell["bpi"].alias("pos"), cell["bpc"].alias("k"),
+                    F.concat(
+                        F.array(F.struct(
+                            F.substr(s, cell["bpi"] + 1,
+                                     a["pos"] - cell["bpi"])
+                            .alias("token"),
+                            F.element_at(
+                                F.array(*[F.lit(cl) for cl in classes]),
+                                a["k"] + 1).alias("cls"))),
+                        a["toks"]).alias("toks"))), 0)).otherwise(a))
+        return walk["toks"]
+
+    return F.get(F.transform(F.array(lattice_expr), with_lat), 0)
 
 
 def analyze_lexicon_lattice(c: Column,

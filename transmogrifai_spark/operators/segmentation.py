@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import _viterbi_backtrack_tokens
+from ..functions.text import (_lattice_dp_typed_tokens,
+                              _viterbi_backtrack_tokens)
 
 
 def _arcs_dp_tokens(s: Column, arcs: Column, unknown_cost: float) -> Column:
@@ -174,6 +175,144 @@ def lexicon_segment_join(df: DataFrame, text_col: str,
            .withColumn(out_col, seg)
            .drop("__arcs"))
     return out
+
+
+def lexicon_segment_lattice_join(df: DataFrame, text_col: str,
+                                 lexicon_df: DataFrame,
+                                 conn: dict | None = None,
+                                 out_col: str = "morphemes",
+                                 word_col: str = "word",
+                                 cost_col: str = "cost",
+                                 cls_col: str = "cls",
+                                 unknown_cost: float = 2.0,
+                                 unknown_class: str = "UNK",
+                                 max_word_len: int | None = None,
+                                 id_col: str | None = None,
+                                 max_classes: int = 48) -> DataFrame:
+    """FULL-LATTICE segmentation (word cost + class connection cost —
+    the complete Kuromoji/MeCab model of
+    ``functions.text.lexicon_segment_lattice``) with the DICTIONARY as a
+    broadcast DataFrame: Kuromoji-scale surfaces (~400k) with the cost
+    model intact. The dictionary never appears as a plan literal — only
+    the CLASS-level tables do (``conn`` stays a python dict: the
+    connection matrix is |classes|²-sized, the small data; the lexicon
+    is the big data).
+
+    ``lexicon_df``: (word_col string, cost_col double, cls_col string).
+    Adds ``out_col`` = array<struct<token:string, cls:string>>. The
+    candidate mining / broadcast join / arc grouping are exactly
+    ``lexicon_segment_join``'s; the dp is THE shared
+    ``_lattice_dp_typed_tokens`` core with the map probe replaced by an
+    arc lookup, so the result is bit-equal to the plan-literal lattice
+    form on any dictionary (law-tested). Classes are collected bounded
+    (one distinct pass, ``max_classes`` cap with a clean error — the dp
+    is O(n·L·|classes|²); coarsen classes or use the class-free
+    ``lexicon_segment_join`` past it). ``id_col``: as in
+    ``lexicon_segment_join`` (unique non-null ids; NULL raises)."""
+    conn = conn or {}
+    lex = lexicon_df.select(F.col(word_col).cast("string").alias("__w"),
+                            F.col(cost_col).cast("double").alias("__c"),
+                            F.col(cls_col).cast("string").alias("__k"))
+    cls_rows = [r[0] for r in
+                lex.select("__k").distinct().limit(max_classes + 1).collect()]
+    if len(cls_rows) > max_classes:
+        raise ValueError(
+            f"lexicon_segment_lattice_join is capped at {max_classes} "
+            "distinct classes (the dp is O(n*L*C^2)); coarsen the class "
+            "column or use lexicon_segment_join (word costs only)")
+    classes = sorted(set(cls_rows) | {unknown_class})
+    cidx = {cl: i for i, cl in enumerate(classes)}
+    n_c = len(classes)
+    unk_i = cidx[unknown_class]
+    if max_word_len is None:
+        row = lex.agg(F.max(F.length("__w"))).first()  # 1-row bounded
+        max_word_len = int(row[0] or 1)
+    L = int(max_word_len)
+    conn_in = [[float(conn.get((classes[p], classes[t]), 0.0))
+                for p in range(n_c)] for t in range(n_c)]
+    bos_in = [float(conn.get(("BOS", classes[t]), 0.0)) for t in range(n_c)]
+    eos_out = [float(conn.get((classes[p], "EOS"), 0.0))
+               for p in range(n_c)]
+    # class -> index via one parsed literal (never per-element F.lit)
+    from ..util import sql_str_lit
+    kmap = F.expr("map(" + ",".join(
+        f"{sql_str_lit(cl)},{cidx[cl]}" for cl in classes) + ")")
+    lexk = lex.select("__w", "__c",
+                      F.element_at(kmap, F.col("__k")).alias("__ki"))
+
+    key = "__id" if id_col else "__t"
+    if id_col:
+        base = df.select(F.col(id_col).alias("__id"),
+                         F.col(text_col).alias("__t"))
+    else:
+        base = df.select(F.col(text_col).alias("__t")).distinct()
+    texts = base.where(F.col("__t").isNotNull() & (F.length("__t") > 0))
+    cands = texts.select(
+        key,
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.lit(0), F.length("__t") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(F.length("__t"), i + F.lit(L))),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"), j.cast("int").alias("j"),
+                    F.substr(F.col("__t"), i + 1, j - i).alias("w"))))))
+        .alias("sp"))
+    arcs = (cands.join(F.broadcast(lexk), cands["sp.w"] == lexk["__w"])
+            .groupBy(key)
+            .agg(F.collect_list(F.struct(
+                F.col("sp.i").alias("i"), F.col("sp.j").alias("j"),
+                F.col("__c").alias("c"), F.col("__ki").alias("k")))
+                .alias("__arcs")))
+
+    def seg_with_arcs(s: Column, arcs_col: Column) -> Column:
+        def with_arcs(a: Column) -> Column:
+            n = F.length(s)
+            by_end = F.transform(
+                F.sequence(F.lit(1), n),
+                lambda j: F.filter(a, lambda e: e["j"] == j))
+
+            def with_by_end(be: Column) -> Column:
+                def entry_at(i: Column, j: Column) -> Column:
+                    hit = F.try_element_at(
+                        F.filter(F.element_at(be, j),
+                                 lambda e: e["i"] == i), F.lit(1))
+                    return F.when(hit.isNotNull(),
+                                  F.struct(hit["c"].alias("c"),
+                                           hit["k"].alias("k")))
+
+                return _lattice_dp_typed_tokens(
+                    s, entry_at, L=L, n_c=n_c, unk_i=unk_i,
+                    conn_in=conn_in, bos_in=bos_in, eos_out=eos_out,
+                    classes=classes, unknown_cost=unknown_cost)
+
+            return F.get(F.transform(F.array(by_end), with_by_end), 0)
+
+        out = F.get(F.transform(F.array(a_empty(arcs_col)), with_arcs), 0)
+        return F.when(
+            s.isNull() | (F.length(s) == 0),
+            F.array().cast("array<struct<token:string,cls:string>>")) \
+            .otherwise(out)
+
+    def a_empty(a: Column) -> Column:
+        return F.coalesce(
+            a, F.array().cast("array<struct<i:int,j:int,c:double,k:int>>"))
+
+    seg = seg_with_arcs(F.col(text_col), F.col("__arcs"))
+    if id_col:
+        seg = F.when(
+            df[id_col].isNull() & F.col(text_col).isNotNull()
+            & (F.length(text_col) > 0),
+            F.raise_error(F.lit(
+                f"lexicon_segment_lattice_join: NULL in id_col {id_col!r} "
+                "(ids must be unique and non-null)"))
+            .cast("array<struct<token:string,cls:string>>")).otherwise(seg)
+        cond = df[id_col] == arcs["__id"]
+    else:
+        cond = df[text_col] == arcs["__t"]
+    return (df.join(arcs, cond, "left")
+            .drop("__id" if id_col else "__t")
+            .withColumn(out_col, seg)
+            .drop("__arcs"))
 
 
 # ---------------------------------------------------------------------------
