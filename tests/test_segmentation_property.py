@@ -60,3 +60,45 @@ def test_join_form_equals_literal_form_and_python(spark, lex, ts):
     for i, t in enumerate(ts):
         want = _py_viterbi(t, lex) if t else []
         assert lit_out[i] == want, (t, sorted(lex), lit_out[i], want)
+
+
+_CLASSES = ["N", "V", "P"]
+lat_lexicons = st.dictionaries(
+    words, st.tuples(st.sampled_from([50.0, 100.0, 200.0, 400.0]),
+                     st.sampled_from(_CLASSES)),
+    min_size=1, max_size=10)
+conns = st.dictionaries(
+    st.tuples(st.sampled_from(_CLASSES + ["BOS"]),
+              st.sampled_from(_CLASSES + ["EOS"])),
+    st.sampled_from([0.0, 5.0, 20.0, 90.0]),
+    max_size=10)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lex=lat_lexicons, conn=conns,
+       ts=st.lists(st.text(alphabet=_ALPHABET, min_size=0, max_size=8),
+                   min_size=1, max_size=8))
+def test_lattice_join_form_equals_literal_form_random(spark, lex, conn, ts):
+    """Random dictionaries, class assignments, and connection matrices:
+    the broadcast-join lattice dp equals the plan-literal lattice dp
+    (token, cls) for (token, cls) — the shared-core law under
+    adversarial inputs, unknown chars and BOS/EOS transitions included."""
+    from transmogrifai_spark.functions.text import lexicon_segment_lattice
+    from transmogrifai_spark.operators.segmentation import (
+        lexicon_segment_lattice_join)
+    conn = {(p, t): c for (p, t), c in conn.items()
+            if p != "EOS" and t != "BOS"}
+    df = spark.createDataFrame(list(enumerate(ts)), "i long, t string")
+    lexd = spark.createDataFrame(
+        [(w, float(c), k) for w, (c, k) in lex.items()],
+        "word string, cost double, cls string")
+    lit_out = {r["i"]: [(e["token"], e["cls"]) for e in r["s"]]
+               for r in df.select("i", lexicon_segment_lattice(
+                   F.col("t"), dict(lex), dict(conn),
+                   unknown_cost=300.0).alias("s")).collect()}
+    join_out = {r["i"]: [(e["token"], e["cls"]) for e in r["morphemes"]]
+                for r in lexicon_segment_lattice_join(
+                    df, "t", lexd, conn=dict(conn), unknown_cost=300.0)
+                .select("i", "morphemes").collect()}
+    assert join_out == lit_out
