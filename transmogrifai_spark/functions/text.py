@@ -256,7 +256,8 @@ def normalize_phone_digits(c: Column) -> Column:
 
 
 def parse_phone(c: Column, default_region: str = "US",
-                ranges: dict | None = None) -> Column:
+                ranges: dict | None = None,
+                patterns: dict | None = None) -> Column:
     """Parse free-form phone text to struct(e164, region, valid).
 
     International inputs ("+CC...", "00CC...", or NANP "011CC...") resolve
@@ -274,7 +275,18 @@ def parse_phone(c: Column, default_region: str = "US",
     a listed region must ALSO match some rule (prefix + length window) to
     stay valid; unlisted regions keep the base length+lead behavior. The
     rules ride the plan as one region-keyed map literal — constant plan
-    depth whatever the table size."""
+    depth whatever the table size.
+
+    ``patterns`` (r9) injects FULL number-type regexes — the
+    isValidNumber fidelity tier (libphonenumber's per-type
+    nationalNumberPattern data, loadable from the public XML via
+    ``functions/phone_metadata.load_phone_metadata_xml``):
+    ``{region: [regex, ...]}``. A number in a listed region must ALSO
+    full-match some regex to stay valid; unlisted regions are
+    untouched. Same map-literal plan shape as ``ranges``; the regex is
+    a per-row value (region-keyed lookup), so this tier costs a
+    per-row pattern compile — use it as the precision layer on top of
+    the pushable prefix/length rules, not instead of them."""
     if default_region not in _REGION_META:
         raise ValueError(f"unknown default_region {default_region!r}")
     d = normalize_phone_digits(c)
@@ -339,6 +351,12 @@ def parse_phone(c: Column, default_region: str = "US",
                          F.lit(int(lo)).alias("lo"),
                          F.lit(int(hi)).alias("hi"))
                 for pref, lo, hi in rules]))])
+    pat_map = None
+    if patterns:
+        pat_map = F.create_map(*[
+            x for reg, pats in sorted(patterns.items())
+            for x in (F.lit(reg),
+                      F.array(*[F.lit("^(?:%s)$" % p) for p in pats]))])
 
     def _with_meta(region_v, national_v):
         def inner(m):
@@ -357,6 +375,12 @@ def parse_phone(c: Column, default_region: str = "US",
                     & (F.length(national_v) <= r["hi"]))
                 valid = F.when(rules.isNotNull(),
                                valid & in_range).otherwise(valid)
+            if pat_map is not None:
+                pats = F.try_element_at(pat_map, region_v)
+                in_pat = F.exists(
+                    pats, lambda p: F.regexp_like(national_v, p))
+                valid = F.when(pats.isNotNull(),
+                               valid & in_pat).otherwise(valid)
             e164 = F.when(valid, F.concat(F.lit("+"), m["cc"], national_v))
             return F.struct(e164.alias("e164"), region_v.alias("region"),
                             valid.alias("valid"))
