@@ -1,0 +1,175 @@
+"""OpenNLP GIS maxent models (operators/maxent.py): public plain-text
+format round-trip + expression scoring laws + the NER dispatch.
+
+Reference: core/src/main/scala/com/salesforce/op/stages/impl/feature/
+NameEntityRecognizer.scala:56 — scores with pre-trained OpenNLP maxent
+models; this module loads the user's copy of that public model format
+and scores it as expressions.
+"""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from transmogrifai_spark.operators.maxent import (load_opennlp_gis_model,
+                                                  maxent_best_outcome,
+                                                  maxent_probs,
+                                                  maxent_sums,
+                                                  save_opennlp_gis_model)
+
+
+def _model():
+    # two outcome patterns: PERSON/LOC predicates see all three
+    # outcomes, the ORG-only suffix predicate sees a strict subset —
+    # exercises the pattern-table compression both ways
+    return {
+        "outcomes": ["PERSON", "LOCATION", "ORGANIZATION"],
+        "weights": {
+            "w=alice": {"PERSON": 2.5, "LOCATION": -0.5,
+                        "ORGANIZATION": -1.0},
+            "w=paris": {"PERSON": -0.25, "LOCATION": 3.0,
+                        "ORGANIZATION": -0.75},
+            "shape=title": {"PERSON": 0.5, "LOCATION": 0.5,
+                            "ORGANIZATION": 0.25},
+            "suf3=inc": {"ORGANIZATION": 4.0},
+            "suf3=llc": {"ORGANIZATION": 3.5},
+        },
+        "correction_constant": 3,
+        "correction_param": 0.125,
+    }
+
+
+def _mirror_probs(bag, model):
+    """The published GISModel.eval arithmetic, feature values = 1."""
+    outcomes = model["outcomes"]
+    sums = {o: 0.0 for o in outcomes}
+    for f in bag:
+        per = model["weights"].get(f)
+        if per:
+            for o, w in per.items():
+                sums[o] += w
+    c = float(model["correction_constant"])
+    cp = float(model["correction_param"])
+    ex = [math.exp(sums[o] / c + cp) for o in outcomes]
+    z = 0.0
+    for v in ex:
+        z += v
+    return {o: v / z for o, v in zip(outcomes, ex)}
+
+
+@pytest.fixture(scope="module")
+def gis(tmp_path_factory):
+    p = tmp_path_factory.mktemp("gis") / "ner.gis.txt"
+    save_opennlp_gis_model(_model(), str(p))
+    return load_opennlp_gis_model(str(p)), str(p)
+
+
+def test_round_trip(gis):
+    loaded, path = gis
+    m = _model()
+    assert loaded["type"] == "GIS"
+    assert loaded["outcomes"] == m["outcomes"]
+    assert loaded["labels"] == m["outcomes"]
+    assert loaded["correction_constant"] == 3
+    assert loaded["correction_param"] == 0.125
+    # sparse weights identical, pattern grouping included (suf3=* carry
+    # ONLY the ORGANIZATION key)
+    assert loaded["weights"] == m["weights"]
+    # the file really is the public layout: header + int + double lines
+    with open(path, encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    assert lines[0] == "GIS"
+    assert lines[1] == "3"
+    assert float(lines[2]) == 0.125
+    assert lines[3] == "3" and lines[4:7] == m["outcomes"]
+    # two distinct outcome patterns were written
+    assert int(lines[7]) == 2
+
+
+def test_loader_errors(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("MAXENT_QN\n1\n0.0\n")
+    with pytest.raises(ValueError, match="expected 'GIS'"):
+        load_opennlp_gis_model(str(bad))
+    trunc = tmp_path / "trunc.txt"
+    trunc.write_text("GIS\n1\n0.0\n2\nA\n")
+    with pytest.raises(ValueError, match="truncated"):
+        load_opennlp_gis_model(str(trunc))
+
+
+def test_expression_scoring_matches_mirror(spark, gis):
+    """THE law: expression probabilities == the pure-Python GIS eval,
+    unknown predicates and subset-pattern predicates included."""
+    loaded, _ = gis
+    bags = [["w=alice", "shape=title"],
+            ["w=paris", "shape=title", "w=unknown"],
+            ["suf3=inc", "shape=title"],
+            ["suf3=llc"],
+            ["w=nothing", "also=nothing"]]
+    df = spark.createDataFrame([(b,) for b in bags], "bag array<string>")
+    got = df.select(maxent_probs(F.col("bag"), loaded).alias("p"),
+                    maxent_sums(F.col("bag"), loaded).alias("s")).collect()
+    for bag, row in zip(bags, got):
+        want = _mirror_probs(bag, loaded)
+        assert set(row["p"]) == set(want)
+        for o in want:
+            assert row["p"][o] == pytest.approx(want[o], rel=1e-12, abs=0)
+        assert sum(row["p"].values()) == pytest.approx(1.0, rel=1e-12)
+        # raw sums: unknown predicates contributed exactly 0
+        for o in loaded["outcomes"]:
+            base = sum(loaded["weights"].get(f, {}).get(o, 0.0)
+                       for f in bag)
+            assert row["s"][o] == pytest.approx(base, rel=1e-12, abs=1e-15)
+
+
+def test_best_outcome_tie_rule(spark):
+    """OpenNLP's getBestOutcome: FIRST max in OUTCOME order — pin it
+    with an exact tie (the NB family breaks ties alphabetically, so
+    outcome order B-before-A is the discriminating fixture)."""
+    model = {"type": "GIS", "outcomes": ["ZULU", "ALPHA"],
+             "labels": ["ZULU", "ALPHA"],
+             "weights": {"f": {"ZULU": 1.0, "ALPHA": 1.0},
+                         "g": {"ALPHA": 2.0}},
+             "correction_constant": 1, "correction_param": 0.0}
+    df = spark.createDataFrame([(["f"],), (["f", "g"],), ([],), (None,)],
+                               "bag array<string>")
+    got = [r["b"] for r in
+           df.select(maxent_best_outcome(F.col("bag"), model).alias("b"))
+           .collect()]
+    # exact tie -> ZULU (first in outcome order, NOT alphabetical);
+    # empty and NULL bags abstain
+    assert got == ["ZULU", "ALPHA", None, None]
+
+
+def test_ner_dispatch_via_type_marker(spark, gis):
+    """typed_entities_statistical routes type='GIS' models through the
+    maxent scorer: chunk_features-named predicates classify fixture
+    sentences into the typed-entity map."""
+    from transmogrifai_spark.operators.ner_nb import (
+        chunk_features, typed_entities_statistical)
+    # weights over the REAL chunk_features vocabulary: inspect the
+    # features the chunker emits, then weight them
+    probe = spark.range(1).select(
+        chunk_features(F.lit("Acme Inc")).alias("f"),
+        chunk_features(F.lit("Alice")).alias("g")).head()
+    assert "suf3=inc" in probe["f"] and "first=alice" in probe["g"]
+    model = {
+        "type": "GIS",
+        "outcomes": ["PERSON", "LOCATION", "ORGANIZATION"],
+        "labels": ["PERSON", "LOCATION", "ORGANIZATION"],
+        "weights": {
+            "first=alice": {"PERSON": 2.5, "LOCATION": -0.5,
+                            "ORGANIZATION": -1.0},
+            "first=paris": {"PERSON": -0.25, "LOCATION": 3.0,
+                            "ORGANIZATION": -0.75},
+            "suf3=inc": {"ORGANIZATION": 4.0},
+        },
+        "correction_constant": 3, "correction_param": 0.0,
+        "context": False,
+    }
+    df = spark.createDataFrame(
+        [("Alice visited Acme Inc in May",)], "text string")
+    got = df.select(typed_entities_statistical(
+        F.col("text"), model).alias("e")).head()["e"]
+    assert "Alice" in got["PERSON"]
+    assert "Acme Inc" in got["ORGANIZATION"]

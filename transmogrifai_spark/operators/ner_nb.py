@@ -334,8 +334,18 @@ def typed_entities_statistical(c: Column, model: dict,
     model; when supplied, chunks come from ``mine_entity_chunks``
     (trained E/O boundary tagging, lowercase entities included) instead
     of the title-case regex. Honorific context still derives from the
-    regex scan (an honorific is itself title-case)."""
+    regex scan (an honorific is itself title-case).
+
+    ``model`` may also be a loaded OpenNLP GIS maxent model
+    (``operators/maxent.load_opennlp_gis_model`` — ``type='GIS'``
+    marker, PARITY delta 3a's data tier): chunks are then classified by
+    ``ner_maxent_label`` over the same indicator features, OpenNLP's
+    first-max-in-outcome-order tie rule included."""
     from .detectors import HONORIFICS, _CHUNK_RE
+    if model.get("type") == "GIS":
+        from .maxent import ner_maxent_label as _label_fn
+    else:
+        _label_fn = ner_nb_label
 
     hon_pat = "(?:%s)\\.? (%s)" % ("|".join(HONORIFICS), _CHUNK_RE)
     hon_people = F.regexp_extract_all(c, F.lit(hon_pat), 1)
@@ -353,7 +363,7 @@ def typed_entities_statistical(c: Column, model: dict,
                           "she", "they", "we", "i", "in", "on", "at"))
     tagged = F.transform(
         chunks, lambda ch: F.struct(
-            ner_nb_label(
+            _label_fn(
                 ch, model,
                 context=F.when(F.array_contains(hon_people, ch),
                                F.lit("hon")).otherwise(F.lit("^")))
