@@ -1218,6 +1218,12 @@ def q_retrieval_indexed(spark, sf_dir):
     bp = tempfile.mkdtemp(prefix="bm25_gate_")
     build_bm25_index(docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text",
                      bp, n_shards=8, batch_id=0)
+    # the streaming twin needs the IDENTICAL even-id bootstrap; the index
+    # is plain files, so snapshot it now (one file copy) instead of paying
+    # a second tokenize+postings build job (gate-cost shave)
+    import shutil
+    bs = tempfile.mkdtemp(prefix="bm25_stream_gate_")
+    shutil.copytree(bp, bs, dirs_exist_ok=True)
     append_bm25_index(spark, bp, docs.where(F.col("doc_id") % 2 == 1),
                       "doc_id", "text", batch_id=1)
     bm_live = bm25_topk_indexed(spark, bp, bq, "qid", "qtext", k=5,
@@ -1278,9 +1284,6 @@ def q_retrieval_indexed(spark, sf_dir):
     # streamed twin of the bm25 arm: same bootstrap, odd half via a real
     # file stream with batch_id_base=1 (the non-empty-bootstrap trap)
     from .llm.retrieval import stream_bm25_index
-    bs = tempfile.mkdtemp(prefix="bm25_stream_gate_")
-    build_bm25_index(docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text",
-                     bs, n_shards=8, batch_id=0)
     src = tempfile.mkdtemp(prefix="bm25_stream_src_")
     docs.where(F.col("doc_id") % 2 == 1).repartition(2) \
         .write.mode("overwrite").parquet(src)
