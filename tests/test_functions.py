@@ -119,8 +119,9 @@ def test_analyze_per_language(spark):
     en, de, fr, und = [
         df.select(analyze(F.col("t"), lg).alias("a")).collect()
         for lg in ("en", "de", "fr", "zz")]
-    # en: stopwords the/are dropped, plural-s stripped
-    assert en[0]["a"] == ["cat", "running", "quickly"]
+    # en: stopwords the/are dropped, FULL Porter stemming (r9: the
+    # Lucene EnglishAnalyzer chain is PorterStemFilter, not minimal-s)
+    assert en[0]["a"] == ["cat", "run", "quickli"]
     # de: der/und/die dropped, -en stripped
     assert "der" not in de[1]["a"] and "und" not in de[1]["a"]
     assert "hund" in de[1]["a"]
@@ -151,10 +152,15 @@ def test_analyze_auto_routes_by_detected_language(spark):
 
 def test_analyze_never_mangles_short_tokens(spark):
     from transmogrifai_spark.functions.text import analyze
-    df = spark.createDataFrame([("as is bus mes",)], "t string")
+    # en rides Porter now, whose guard is length<=2 (strings of 1-2
+    # letters pass through untouched — the reference implementation's
+    # rule); the min-stem guards still protect the light-stemmer chains
+    df = spark.createDataFrame([("ox el gnu",)], "t string")
     out = df.select(analyze(F.col("t"), "en").alias("a")).first()["a"]
-    # min-stem guard: 'bus'/'mes' stay intact ('as'/'is' are stopwords)
-    assert "bus" in out and "mes" in out
+    assert "ox" in out and "el" in out
+    de = spark.createDataFrame([("bus mes",)], "t string")
+    out_de = de.select(analyze(F.col("t"), "de").alias("a")).first()["a"]
+    assert "bus" in out_de and "mes" in out_de
 
 
 def test_parse_phone_multi_region(spark):

@@ -825,6 +825,12 @@ def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
             toks, lambda t: F.replace(F.replace(t, F.lit("ي"), F.lit("ی")),
                                       F.lit("ك"), F.lit("ک")))
     if stem:
+        if lang == "en":
+            # Lucene's EnglishAnalyzer stems with PorterStemFilter — the
+            # COMPLETE algorithm, not the minimal plural-s filter the en
+            # chain shipped through r8 (PARITY delta 1a, English arm)
+            from .porter import porter_stem
+            return F.transform(toks, porter_stem)
         pfx = ANALYZER_PREFIX_RULES.get(lang)
         if pfx:
             toks = F.transform(toks, lambda t: _strip_prefix(t, pfx))
