@@ -251,3 +251,124 @@ def tokenize_corpus(df: DataFrame, model: dict, text_col: str = "text",
     enc = bpe_encode(F.col(text_col), model)
     return df.withColumn(out_col, enc) \
         .withColumn(f"{out_col}_count", F.size(F.col(out_col)).cast("long"))
+
+
+# ------------------------------------------------- unigram (SentencePiece)
+
+SPM_SPACE = "▁"  # ▁ — the public SentencePiece whitespace marker
+
+
+def load_sentencepiece_vocab(spark, path: str,
+                             drop_control: bool = True) -> DataFrame:
+    """Load a vocabulary in the PUBLIC SentencePiece export format (the
+    ``spm_export_vocab`` / HuggingFace ``*.vocab`` layout: one
+    ``<piece>\\t<log_prob>`` line per piece, the piece id implicit in
+    the line order) as a lexicon DataFrame ``(piece, cost, piece_id)``
+    with ``cost = -log_prob`` — ready for the broadcast-join Viterbi
+    (``unigram_tokenize``): maximizing Σ log p(piece) IS minimizing the
+    dp's Σ cost. ``drop_control`` removes ``<...>``-bracketed control
+    symbols (<unk>/<s>/</s>/<pad> head entries) — they never match raw
+    text and must not enter the segmentation lexicon. The whole file is
+    vocabulary-sized (32-256k lines), read driver-side in one pass.
+    Raises ValueError on lines without a tab or a numeric score."""
+    rows = []
+    with open(path, encoding="utf-8") as f:
+        for i, ln in enumerate(f):
+            ln = ln.rstrip("\n")
+            if not ln:
+                continue
+            if "\t" not in ln:
+                raise ValueError(
+                    f"line {i + 1} is not '<piece>\\t<log_prob>': {ln!r}")
+            piece, score = ln.rsplit("\t", 1)
+            try:
+                lp = float(score)
+            except ValueError:
+                raise ValueError(
+                    f"line {i + 1} has a non-numeric score: {ln!r}")
+            if drop_control and piece.startswith("<") and \
+                    piece.endswith(">"):
+                continue
+            rows.append((piece, -lp, i))
+    if not rows:
+        raise ValueError(f"{path!r} contains no usable vocab pieces")
+    return spark.createDataFrame(
+        rows, "piece string, cost double, piece_id long")
+
+
+def _spm_pretokenize(c: Column) -> Column:
+    """The default SentencePiece normalizer subset this engine can do
+    expression-side: collapse/trim whitespace runs, mark the remaining
+    separators and the word-start boundary with ▁ (add_dummy_prefix).
+    Full NFKC normalization is assumed upstream (documented delta — no
+    Unicode-normalization expression without a UDF)."""
+    squeezed = F.trim(F.regexp_replace(F.coalesce(c, F.lit("")),
+                                       r"\s+", " "))
+    marked = F.translate(squeezed, " ", SPM_SPACE)
+    return F.when(F.length(marked) == 0, marked) \
+        .otherwise(F.concat(F.lit(SPM_SPACE), marked))
+
+
+def unigram_tokenize(df: DataFrame, text_col: str, vocab_df: DataFrame,
+                     out_col: str = "pieces",
+                     unknown_cost: float | None = None,
+                     id_col: str | None = None) -> DataFrame:
+    """SentencePiece-unigram tokenization at corpus scale: the vocab is
+    DATA (a broadcast DataFrame from ``load_sentencepiece_vocab``) and
+    the decoder is the engine's existing broadcast-join Viterbi
+    (``operators/segmentation.lexicon_segment_join``) — unigram-LM
+    tokenization (Kudo 2018) is EXACTLY least-cost dictionary
+    segmentation with cost = -log p(piece), so the 400k-dictionary
+    machinery (candidate-span explode, one broadcast hash join, arc dp)
+    is the tokenizer. Adds ``out_col`` (array<string> of pieces, ▁
+    marking word starts).
+
+    ``unknown_cost`` prices single-character fallback arcs for
+    characters outside the vocab (SentencePiece's unk pieces); when
+    omitted it is max(cost)+10 over the vocab (one 1-row aggregate —
+    the spm min_score-minus-penalty convention), so unknowns never beat
+    a real piece. Byte-fallback vocabs are not decomposed to bytes
+    (documented delta: unknown characters stay single-char pieces).
+
+    ``id_col``: forwarded to the join segmenter — REQUIRED shape for
+    long documents so the shuffle keys on the id, never the text."""
+    if unknown_cost is None:
+        unknown_cost = float(
+            vocab_df.agg(F.max("cost")).head()[0]) + 10.0
+    from ..operators.segmentation import lexicon_segment_join
+    pre = f"_spm_pre_{out_col}"
+    staged = df.withColumn(pre, _spm_pretokenize(F.col(text_col)))
+    out = lexicon_segment_join(staged, pre, vocab_df, out_col=out_col,
+                               word_col="piece", cost_col="cost",
+                               unknown_cost=unknown_cost, id_col=id_col)
+    return out.drop(pre)
+
+
+def unigram_ids(df: DataFrame, text_col: str, vocab_df: DataFrame,
+                id_col: str, out_col: str = "piece_ids",
+                unk_id: int = 0) -> DataFrame:
+    """Piece-id encoding for training-shard export: ``unigram_tokenize``
+    then pieces -> ids via posexplode + ONE broadcast join + an ordered
+    re-collect keyed on ``id_col`` (required: the regroup must never key
+    on document text). Unknown pieces (single-char fallbacks outside the
+    vocab) take ``unk_id`` — SentencePiece's unk id convention. Rows
+    with no pieces (empty/NULL text) get an empty array. Cost shape at
+    100 TB: the explode triples row count but carries only (id, pos,
+    piece); the join is broadcast; the single shuffle is the groupBy on
+    the unique id."""
+    toks = unigram_tokenize(df, text_col, vocab_df, out_col="_pieces",
+                            id_col=id_col)
+    ex = toks.select(id_col, F.posexplode_outer("_pieces")
+                     .alias("_pos", "_piece"))
+    joined = ex.join(F.broadcast(vocab_df.select(
+        F.col("piece").alias("_piece"), "piece_id")), "_piece", "left")
+    ids = joined.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("_pos", "piece_id")))
+        .alias("_o"))
+    ids = ids.select(
+        id_col,
+        F.transform(
+            F.filter(F.col("_o"), lambda s: s["_pos"].isNotNull()),
+            lambda s: F.coalesce(s["piece_id"], F.lit(unk_id)))
+        .alias(out_col))
+    return toks.drop("_pieces").join(ids, id_col, "left")
