@@ -372,3 +372,189 @@ def unigram_ids(df: DataFrame, text_col: str, vocab_df: DataFrame,
             lambda s: F.coalesce(s["piece_id"], F.lit(unk_id)))
         .alias(out_col))
     return toks.drop("_pieces").join(ids, id_col, "left")
+
+
+# ---------------------------------------------------- WordPiece (BERT)
+
+_WP_BUCKETS = 64
+
+
+def load_wordpiece_vocab(path: str) -> dict:
+    """Load the PUBLIC BERT ``vocab.txt`` format (one piece per line,
+    the piece id implicit in the line order, continuation pieces
+    ``##``-prefixed) into a WordPiece model dict: ``{"vocab": {piece:
+    id}, "unk": "[UNK]", "max_piece_len": N}``. Raises ValueError on an
+    empty file or a vocabulary without the [UNK] piece (the algorithm
+    cannot represent failure without it)."""
+    vocab: dict[str, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for i, ln in enumerate(f):
+            piece = ln.rstrip("\n")
+            if piece:
+                vocab.setdefault(piece, i)
+    if not vocab:
+        raise ValueError(f"{path!r} contains no vocab pieces")
+    if "[UNK]" not in vocab:
+        raise ValueError(f"{path!r} has no [UNK] piece")
+    return {"vocab": vocab, "unk": "[UNK]",
+            "max_piece_len": max(len(p) for p in vocab)}
+
+
+def _wp_table_expr(model: dict) -> Column:
+    """The vocabulary as ONE parsed bucketed literal
+    map<int, map<string, int>> (piece -> id), crc32-bucketed exactly
+    like the nbmodel tables (probe-side expression and build-side
+    python agree on the bucket)."""
+    import zlib
+
+    from ..nbmodel import _sql_str
+    buckets: dict[int, list[tuple[str, int]]] = {}
+    for piece, pid in sorted(model["vocab"].items()):
+        b = zlib.crc32(piece.encode("utf-8")) % _WP_BUCKETS
+        buckets.setdefault(b, []).append((piece, pid))
+    parts = []
+    for b in sorted(buckets):
+        inner = ",".join(f"{_sql_str(p)},{int(i)}"
+                         for p, i in buckets[b])
+        parts.append(f"{b},map({inner})")
+    return F.expr("map(" + ",".join(parts) + ")")
+
+
+def _wp_probe(tab: Column, cand: Column) -> Column:
+    return F.try_element_at(
+        F.try_element_at(tab, (F.crc32(F.encode(cand, "UTF-8"))
+                               % _WP_BUCKETS).cast("int")), cand)
+
+
+# BasicTokenizer's split shape: CJK chars isolated, letter/digit runs
+# kept (CJK EXCLUDED from runs via Java class intersection — a greedy
+# \p{L}+ would swallow a CJK char glued to a Latin run), every other
+# visible char its own token
+_WP_CJK = "⺀-⿿぀-ヿ㐀-䶿一-鿿가-힯豈-﫿"
+_WP_PRE_RE = (f"([{_WP_CJK}]|[\\p{{L}}\\p{{N}}&&[^{_WP_CJK}]]+"
+              "|[^\\p{L}\\p{N}\\s])")
+# the published max_input_chars_per_word guard: longer words are [UNK]
+# without scanning (also bounds the per-word aggregate)
+_WP_MAX_WORD = 200
+
+
+def wordpiece_tokenize(c: Column, model: dict,
+                       lowercase: bool = True) -> Column:
+    """BERT WordPiece tokenization as pure expressions: the published
+    greedy longest-match-first algorithm (repeatedly take the longest
+    vocabulary piece at the cursor, continuations ``##``-prefixed; if
+    some position matches nothing the WHOLE word becomes [UNK]).
+    Pre-tokenization is the BasicTokenizer shape — lowercase (uncased
+    models), punctuation split into single-char tokens, CJK characters
+    isolated; accent-stripping (NFD) is assumed upstream, the same
+    normalization delta as the unigram path.
+
+    Plan shape: the vocabulary rides as ONE parsed bucketed literal
+    bound once per row and shared by every word; each word's scan is an
+    aggregate over its character positions with a longest-first probe
+    chain (max_piece_len deep) per cursor stop — comfortable to ~10^5
+    pieces (the lexicon_segment plan-literal bound; BERT vocabs are
+    ~30k)."""
+    unk = model["unk"]
+    max_len = int(model["max_piece_len"])
+    text = F.coalesce(c, F.lit(""))
+    if lowercase:
+        text = F.lower(text)
+    words = F.regexp_extract_all(text, F.lit(_WP_PRE_RE), 1)
+
+    def with_table(tab: Column) -> Column:
+        def scan(w: Column) -> Column:
+            def step(acc: Column, _i: Column) -> Column:
+                # longest-first probe at the cursor; ## for continuations
+                best = F.lit(None).cast("string")
+                for ln in range(1, max_len + 1):
+                    raw = w.substr(acc["pos"], F.lit(ln))
+                    cand = F.when(acc["pos"] > 1,
+                                  F.concat(F.lit("##"), raw)) \
+                        .otherwise(raw)
+                    ok = (F.length(raw) == ln) & \
+                        _wp_probe(tab, cand).isNotNull()
+                    best = F.when(ok, cand).otherwise(best)
+                live = ~acc["bad"] & (acc["pos"] <= F.length(w))
+                return F.when(
+                    live & best.isNotNull(),
+                    F.struct(
+                        (acc["pos"] + F.length(best) -
+                         F.when(acc["pos"] > 1, F.lit(2))
+                         .otherwise(F.lit(0))).alias("pos"),
+                        F.concat(acc["pieces"],
+                                 F.array(best)).alias("pieces"),
+                        F.lit(False).alias("bad"))) \
+                    .when(live & best.isNull(),
+                          F.struct(acc["pos"].alias("pos"),
+                                   acc["pieces"].alias("pieces"),
+                                   F.lit(True).alias("bad"))) \
+                    .otherwise(acc)
+
+            init = F.struct(
+                F.lit(1).alias("pos"),
+                F.array().cast("array<string>").alias("pieces"),
+                F.lit(False).alias("bad"))
+            state = F.aggregate(F.sequence(F.lit(1), F.length(w)),
+                                init, step)
+            return F.when(F.length(w) > _WP_MAX_WORD,
+                          F.array(F.lit(unk))) \
+                .when(state["bad"], F.array(F.lit(unk))) \
+                .otherwise(state["pieces"])
+
+        return F.flatten(F.transform(words, scan))
+
+    out = F.get(F.transform(F.array(_wp_table_expr(model)), with_table), 0)
+    return F.when(F.length(text) == 0,
+                  F.array().cast("array<string>")).otherwise(out)
+
+
+def wordpiece_ids(c: Column, model: dict,
+                  lowercase: bool = True) -> Column:
+    """Piece-id encoding: ``wordpiece_tokenize`` then one probe per
+    piece against the same bound table ([UNK] included — it is in the
+    vocabulary by the loader's contract)."""
+    pieces = wordpiece_tokenize(c, model, lowercase=lowercase)
+
+    def with_table(tab: Column) -> Column:
+        return F.transform(pieces, lambda p: _wp_probe(tab, p))
+
+    return F.get(F.transform(F.array(_wp_table_expr(model)), with_table), 0)
+
+
+def wordpiece_tokenize_py(text: str, model: dict,
+                          lowercase: bool = True) -> list[str]:
+    """Pure-Python mirror of the published algorithm (the law-test
+    partner)."""
+    import re as _re
+    if text is None:
+        return []
+    if lowercase:
+        text = text.lower()
+    vocab = model["vocab"]
+    out: list[str] = []
+    # python-re equivalent of _WP_PRE_RE ([^\W_\s] = \p{L}\p{N})
+    py_re = (f"[{_WP_CJK}]|[^\\W_\\s{_WP_CJK}]+|[^\\w\\s]|_")
+    for w in _re.findall(py_re, text, _re.UNICODE):
+        if len(w) > _WP_MAX_WORD:
+            out.append(model["unk"])
+            continue
+        start, pieces, bad = 0, [], False
+        while start < len(w):
+            end = len(w)
+            cur = None
+            while start < end:
+                sub = w[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                bad = True
+                break
+            pieces.append(cur)
+            start = end
+        out.extend([model["unk"]] if bad else pieces)
+    return out
