@@ -649,22 +649,54 @@ def q_geo_midpoint(spark, sf_dir):
                       F.col("m")[2].alias("mid_acc"))
 
 
+# Porter gate fixture: roots x tails = one morphology-rich synthetic
+# word per doc_id, covering every step's suffixes (the ner/lexicon
+# synthesize-from-keys pattern). Shared by the Spark arm and the oracle.
+_P_ROOTS = ["hope", "rate", "motor", "control", "relat", "gener",
+            "condit", "digit", "tripl", "fizz", "hop", "tan", "fall",
+            "fil", "happ", "caress", "pon", "ti", "agre", "plaster",
+            "conflat", "troubl", "siz", "oper", "feud"]
+_P_TAILS = ["", "s", "sses", "ies", "eed", "ed", "ing", "y",
+            "ational", "ization", "fulness", "biliti", "logi", "icate",
+            "ative", "ness", "ement", "ion", "ous", "e"]
+
+
 def q_stopwords_ngrams(spark, sf_dir):
     """OpStopWordsRemover + OpNGram as expressions over document tokens.
     Also carries JaccardSimilarity between each document and its successor
     (``next_jaccard``, null for the last doc) — formerly the separate
-    text_similarity registry row, merged to free a 50-row-window slot."""
+    text_similarity registry row, merged to free a 50-row-window slot.
+
+    porter_word/porter (r9): the FULL Porter stemmer
+    (functions/porter.py — the Lucene EnglishAnalyzer stemmer, PARITY
+    delta 1a's English arm) oracle-gated end-to-end: one synthetic
+    morphology-rich word per doc (roots x tails keyed by doc_id) stemmed
+    by the expression chain; the DuckDB oracle replicates ALL FIVE steps
+    op-for-op — the consonant-vowel skeleton as the same two regex
+    rewrites, the measure as the same VC-group count, every step's
+    longest-suffix-first CASE generated FROM THE SAME RULE TABLES
+    (functions/porter._STEP2/3/4) as the Spark expressions."""
+    from .functions.porter import porter_stem
     from .llm.textqual import STOPWORD_PROFILES
     docs = _t(spark, sf_dir, "documents")
     toks = TX.tokenize(F.col("text"))
     nostop = TX.remove_stopwords(toks, STOPWORD_PROFILES["en"])
     bigrams = TX.ngrams(nostop, 2)
+    root = F.element_at(F.array(*[F.lit(r) for r in _P_ROOTS]),
+                        (F.col("doc_id") % len(_P_ROOTS) + 1).cast("int"))
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in _P_TAILS]),
+        (F.floor(F.col("doc_id") / len(_P_ROOTS)).cast("long")
+         % len(_P_TAILS) + 1).cast("int"))
+    word = F.concat(root, tail)
     base = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(nostop).cast("long").alias("n_tokens_nostop"),
         F.size(bigrams).cast("long").alias("n_bigrams"),
-        F.coalesce(F.try_element_at(bigrams, F.lit(1)), F.lit("")).alias("first_bigram"))
+        F.coalesce(F.try_element_at(bigrams, F.lit(1)), F.lit("")).alias("first_bigram"),
+        word.alias("porter_word"),
+        porter_stem(word).alias("porter"))
     sim = q_text_similarity(spark, sf_dir).select(
         F.col("id1").alias("doc_id"),
         F.col("token_jaccard").alias("next_jaccard"))
@@ -2864,8 +2896,122 @@ GROUP BY c_mktsegment
 _EN_SW = "[" + ",".join(f"'{w}'" for w in
                         ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]) + "]"
 
+
+# -- Porter stemmer replica, GENERATED from the same rule tables the
+# Spark expressions use (functions/porter._STEP2/3/4) — the mime-CASE /
+# lexicon-lattice oracle pattern: one source of truth, two engines.
+
+def _p_cv(s: str) -> str:
+    # the same two-rewrite consonant/vowel skeleton (verified: RE2's
+    # left-to-right non-overlapping scan matches Java's for ([^a])y)
+    return ("regexp_replace(regexp_replace(" + s +
+            ", '[aeiou]', 'a', 'g'), '([^a])y', '\\1a', 'g')")
+
+
+def _p_m(s: str) -> str:
+    return f"len(regexp_extract_all({_p_cv(s)}, 'a+[^a]+'))"
+
+
+def _p_hv(s: str) -> str:
+    return f"contains({_p_cv(s)}, 'a')"
+
+
+def _p_dbl(s: str) -> str:
+    return (f"(length({s}) >= 2 AND substr({s}, length({s})-1, 1) = "
+            f"substr({s}, length({s}), 1) AND "
+            f"regexp_matches({_p_cv(s)}, '[^a]$'))")
+
+
+def _p_o(s: str) -> str:
+    return (f"(regexp_matches({_p_cv(s)}, '[^a]a[^a]$') AND NOT "
+            f"regexp_matches({s}, '[wxy]$'))")
+
+
+def _p_trim(w: str, n: int) -> str:
+    return f"substr({w}, 1, length({w}) - {n})"
+
+
+def _p_rules_sql(w: str, rules) -> str:
+    """One step's CASE chain — first matching suffix wins, a failed
+    condition leaves the word (no fallthrough), same as _rules."""
+    from .functions.porter import _M0, _M1
+    parts = []
+    for sfx, repl, cond in rules:
+        stem = _p_trim(w, len(sfx))
+        new = f"({stem} || '{repl}')" if repl else stem
+        if cond is None:
+            val = new
+        else:
+            if cond is _M0:
+                c = f"{_p_m(stem)} > 0"
+            elif cond is _M1:
+                c = f"{_p_m(stem)} > 1"
+            elif sfx == "ion":
+                c = (f"({_p_m(stem)} > 1 AND "
+                     f"regexp_matches({stem}, '[st]$'))")
+            else:
+                raise AssertionError(f"unknown condition for {sfx!r}")
+            val = f"CASE WHEN {c} THEN {new} ELSE {w} END"
+        parts.append(f"WHEN ends_with({w}, '{sfx}') THEN {val}")
+    return "CASE " + " ".join(parts) + f" ELSE {w} END"
+
+
+def _p_adjust(t: str) -> str:
+    # step 1b's post-trim fixups
+    return (f"CASE WHEN ends_with({t},'at') OR ends_with({t},'bl') "
+            f"OR ends_with({t},'iz') THEN ({t} || 'e') "
+            f"WHEN {_p_dbl(t)} AND NOT regexp_matches({t}, '[lsz]$') "
+            f"THEN {_p_trim(t, 1)} "
+            f"WHEN {_p_m(t)} = 1 AND {_p_o(t)} THEN ({t} || 'e') "
+            f"ELSE {t} END")
+
+
+def _porter_ctes(word_expr: str) -> str:
+    """The full five-step chain as CTEs pw0..pw7 over documents —
+    CTE-per-step is the SQL bind-once (each step's text references its
+    input COLUMN, never the previous step's expression)."""
+    from .functions.porter import _STEP2, _STEP3, _STEP4
+    s1a = _p_rules_sql("w", [("sses", "ss", None), ("ies", "i", None),
+                             ("ss", "ss", None), ("s", "", None)])
+    e3, e2 = _p_trim("w", 3), _p_trim("w", 2)
+    s1b = (f"CASE WHEN ends_with(w, 'eed') THEN "
+           f"(CASE WHEN {_p_m(e3)} > 0 THEN {_p_trim('w', 1)} ELSE w END) "
+           f"WHEN ends_with(w, 'ed') AND {_p_hv(e2)} THEN {_p_adjust(e2)} "
+           f"WHEN ends_with(w, 'ing') AND {_p_hv(e3)} THEN {_p_adjust(e3)} "
+           f"ELSE w END")
+    e1 = _p_trim("w", 1)
+    s1c = (f"CASE WHEN ends_with(w, 'y') AND {_p_hv(e1)} "
+           f"THEN ({e1} || 'i') ELSE w END")
+    s5a = (f"CASE WHEN ends_with(w, 'e') AND ({_p_m('w')} > 1 OR "
+           f"({_p_m('w')} = 1 AND NOT {_p_o(e1)})) THEN {e1} ELSE w END")
+    s5b = (f"CASE WHEN ends_with(w, 'll') AND {_p_m('w')} > 1 "
+           f"THEN {_p_trim('w', 1)} ELSE w END")
+    return f"""pw0 AS (
+  SELECT doc_id, {word_expr} AS w0, {word_expr} AS w FROM documents
+), pw1 AS (SELECT doc_id, w0, {s1a} AS w FROM pw0
+), pw2 AS (SELECT doc_id, w0, {s1b} AS w FROM pw1
+), pw3 AS (SELECT doc_id, w0, {s1c} AS w FROM pw2
+), pw4 AS (SELECT doc_id, w0, {_p_rules_sql('w', _STEP2)} AS w FROM pw3
+), pw5 AS (SELECT doc_id, w0, {_p_rules_sql('w', _STEP3)} AS w FROM pw4
+), pw6 AS (SELECT doc_id, w0, {_p_rules_sql('w', _STEP4)} AS w FROM pw5
+), pw7 AS (SELECT doc_id, w0, {s5b} AS w
+           FROM (SELECT doc_id, w0, {s5a} AS w FROM pw6)
+), pfin AS (
+  SELECT doc_id, w0 AS porter_word,
+         CASE WHEN length(w0) <= 2 THEN w0 ELSE w END AS porter
+  FROM pw7
+)"""
+
+
+_P_ROOTS_SQL = "[" + ",".join(f"'{r}'" for r in _P_ROOTS) + "]"
+_P_TAILS_SQL = "[" + ",".join(f"'{t}'" for t in _P_TAILS) + "]"
+_P_WORD_SQL = (f"(({_P_ROOTS_SQL})[CAST(doc_id % {len(_P_ROOTS)} + 1 "
+               f"AS INT)] || ({_P_TAILS_SQL})[CAST((doc_id // "
+               f"{len(_P_ROOTS)}) % {len(_P_TAILS)} + 1 AS INT)])")
+
 ORACLES["stopwords_ngrams"] = f"""
-WITH t AS (
+WITH {_porter_ctes(_P_WORD_SQL)},
+t AS (
   SELECT doc_id, {_tokens('text')} AS toks FROM documents
 ), ns AS (
   SELECT doc_id, toks,
@@ -2884,8 +3030,10 @@ SELECT ns.doc_id,
        CAST(len(nostop) AS BIGINT) AS n_tokens_nostop,
        CAST(CASE WHEN len(nostop) >= 2 THEN len(nostop) - 1 ELSE 0 END AS BIGINT) AS n_bigrams,
        CASE WHEN len(nostop) >= 2 THEN nostop[1] || ' ' || nostop[2] ELSE '' END AS first_bigram,
+       pfin.porter_word, pfin.porter,
        sim.next_jaccard
 FROM ns LEFT JOIN sim ON ns.doc_id = sim.doc_id
+        JOIN pfin ON ns.doc_id = pfin.doc_id
 """
 
 ORACLES["multilabel_topn"] = """
