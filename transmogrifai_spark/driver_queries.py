@@ -660,6 +660,15 @@ _P_TAILS = ["", "s", "sses", "ies", "eed", "ed", "ing", "y",
             "ational", "ization", "fulness", "biliti", "logi", "icate",
             "ative", "ness", "ement", "ion", "ous", "e"]
 
+# WordPiece gate fixture: a vocab with ## continuations + words that
+# exercise greedy longest-match, continuation chains, and the
+# whole-word-[UNK] dead-cursor path. Shared by both engines.
+_WP_GATE_VOCAB = ["[PAD]", "[UNK]", "un", "##aff", "##able", "##ffable",
+                  "run", "##ning", "##n", "##ing", "hope", "##ful",
+                  "##ness", "rate", "##s", "fall", "##l", "q", "##x"]
+_WP_ROOTS = ["un", "run", "hope", "rate", "fall", "qx"]
+_WP_TAILS = ["", "affable", "ning", "fulness", "s", "zz"]
+
 
 def q_stopwords_ngrams(spark, sf_dir):
     """OpStopWordsRemover + OpNGram as expressions over document tokens.
@@ -675,8 +684,17 @@ def q_stopwords_ngrams(spark, sf_dir):
     op-for-op — the consonant-vowel skeleton as the same two regex
     rewrites, the measure as the same VC-group count, every step's
     longest-suffix-first CASE generated FROM THE SAME RULE TABLES
-    (functions/porter._STEP2/3/4) as the Spark expressions."""
+    (functions/porter._STEP2/3/4) as the Spark expressions.
+
+    wp_word/wp_pieces (r9): the WordPiece greedy scan
+    (llm/tokenizer.wordpiece_tokenize) oracle-gated: a second synthetic
+    word per doc over a ##-continuation vocabulary (greedy-vs-optimal
+    splits, continuation chains, the dead-cursor whole-word-[UNK]
+    path); the oracle replays the published cursor scan as a RECURSIVE
+    CTE whose longest-first probe CASE is generated from the SAME
+    fixture vocab."""
     from .functions.porter import porter_stem
+    from .llm.tokenizer import wordpiece_tokenize
     from .llm.textqual import STOPWORD_PROFILES
     docs = _t(spark, sf_dir, "documents")
     toks = TX.tokenize(F.col("text"))
@@ -689,6 +707,16 @@ def q_stopwords_ngrams(spark, sf_dir):
         (F.floor(F.col("doc_id") / len(_P_ROOTS)).cast("long")
          % len(_P_TAILS) + 1).cast("int"))
     word = F.concat(root, tail)
+    wp_model = {"vocab": {p: i for i, p in enumerate(_WP_GATE_VOCAB)},
+                "unk": "[UNK]",
+                "max_piece_len": max(len(p) for p in _WP_GATE_VOCAB)}
+    wp_word = F.concat(
+        F.element_at(F.array(*[F.lit(r) for r in _WP_ROOTS]),
+                     (F.col("doc_id") % len(_WP_ROOTS) + 1).cast("int")),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _WP_TAILS]),
+            (F.floor(F.col("doc_id") / len(_WP_ROOTS)).cast("long")
+             % len(_WP_TAILS) + 1).cast("int")))
     base = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -696,7 +724,10 @@ def q_stopwords_ngrams(spark, sf_dir):
         F.size(bigrams).cast("long").alias("n_bigrams"),
         F.coalesce(F.try_element_at(bigrams, F.lit(1)), F.lit("")).alias("first_bigram"),
         word.alias("porter_word"),
-        porter_stem(word).alias("porter"))
+        porter_stem(word).alias("porter"),
+        wp_word.alias("wp_word"),
+        F.array_join(wordpiece_tokenize(wp_word, wp_model), " ")
+        .alias("wp_pieces"))
     sim = q_text_similarity(spark, sf_dir).select(
         F.col("id1").alias("doc_id"),
         F.col("token_jaccard").alias("next_jaccard"))
@@ -3009,8 +3040,58 @@ _P_WORD_SQL = (f"(({_P_ROOTS_SQL})[CAST(doc_id % {len(_P_ROOTS)} + 1 "
                f"AS INT)] || ({_P_TAILS_SQL})[CAST((doc_id // "
                f"{len(_P_ROOTS)}) % {len(_P_TAILS)} + 1 AS INT)])")
 
+
+def _wp_ctes() -> str:
+    """The WordPiece greedy cursor scan as a recursive CTE — the
+    longest-first probe at the cursor is a CASE over piece lengths
+    generated from the SAME fixture vocabulary the Spark arm uses;
+    recursion stops on a dead cursor (bad) or past-end position, the
+    terminal row per doc is the answer ([UNK] for bad words — fixture
+    words are single words, the published whole-word rule)."""
+    vocab_sql = "[" + ",".join(f"'{p}'" for p in _WP_GATE_VOCAB) + "]"
+    max_len = max(len(p) for p in _WP_GATE_VOCAB)
+    word = (f"(({'[' + ','.join(chr(39) + r + chr(39) for r in _WP_ROOTS) + ']'})"
+            f"[CAST(doc_id % {len(_WP_ROOTS)} + 1 AS INT)] || "
+            f"({'[' + ','.join(chr(39) + t + chr(39) for t in _WP_TAILS) + ']'})"
+            f"[CAST((doc_id // {len(_WP_ROOTS)}) % {len(_WP_TAILS)} + 1 "
+            f"AS INT)])")
+    branches = []
+    for ln in range(max_len, 0, -1):
+        cand = (f"(CASE WHEN pos > 1 THEN '##' || substr(w, pos, {ln}) "
+                f"ELSE substr(w, pos, {ln}) END)")
+        branches.append(
+            f"WHEN pos + {ln} - 1 <= length(w) AND "
+            f"list_contains({vocab_sql}, {cand}) THEN {cand}")
+    best = "CASE " + " ".join(branches) + " ELSE NULL END"
+    return f"""wpw AS (
+  SELECT doc_id, {word} AS w FROM documents
+),
+wps AS (
+  SELECT doc_id, w, 1 AS pos, CAST('' AS VARCHAR) AS acc, FALSE AS bad
+  FROM wpw
+  UNION ALL
+  SELECT doc_id, w,
+         CASE WHEN best IS NULL THEN pos
+              ELSE pos + length(best)
+                   - CASE WHEN pos > 1 THEN 2 ELSE 0 END END AS pos,
+         CASE WHEN best IS NULL THEN acc
+              WHEN acc = '' THEN best
+              ELSE acc || ' ' || best END AS acc,
+         best IS NULL AS bad
+  FROM (SELECT doc_id, w, pos, acc, {best} AS best
+        FROM wps WHERE NOT bad AND pos <= length(w))
+),
+wpf AS (
+  SELECT doc_id, w AS wp_word,
+         CASE WHEN bad THEN '[UNK]' ELSE acc END AS wp_pieces,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY bad DESC, pos DESC) AS rn
+  FROM wps
+)"""
+
 ORACLES["stopwords_ngrams"] = f"""
-WITH {_porter_ctes(_P_WORD_SQL)},
+WITH RECURSIVE {_porter_ctes(_P_WORD_SQL)},
+{_wp_ctes()},
 t AS (
   SELECT doc_id, {_tokens('text')} AS toks FROM documents
 ), ns AS (
@@ -3031,9 +3112,11 @@ SELECT ns.doc_id,
        CAST(CASE WHEN len(nostop) >= 2 THEN len(nostop) - 1 ELSE 0 END AS BIGINT) AS n_bigrams,
        CASE WHEN len(nostop) >= 2 THEN nostop[1] || ' ' || nostop[2] ELSE '' END AS first_bigram,
        pfin.porter_word, pfin.porter,
+       wpf.wp_word, wpf.wp_pieces,
        sim.next_jaccard
 FROM ns LEFT JOIN sim ON ns.doc_id = sim.doc_id
         JOIN pfin ON ns.doc_id = pfin.doc_id
+        JOIN wpf ON ns.doc_id = wpf.doc_id AND wpf.rn = 1
 """
 
 ORACLES["multilabel_topn"] = """
