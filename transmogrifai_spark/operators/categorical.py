@@ -214,12 +214,24 @@ _OOXML_TYPES: list[tuple[bytes, str]] = [
 ]
 
 
-def detect_mime_type(c: Column, default: str = "application/octet-stream") -> Column:
+def detect_mime_type(c: Column, default: str = "application/octet-stream",
+                     rules: list | None = None) -> Column:
     """Magic-byte MIME sniff of a Base64 Text column — pure expressions
     (try_to_binary + hex-substring compares at the signature offsets, so
     container formats like RIFF disambiguate on their subtype bytes).
     NULL input -> NULL; malformed base64 decodes to NULL (try_to_binary)
     and falls back to the default.
+
+    ``rules`` (r9) substitutes the built-in signature table with
+    caller-supplied rules ``[(mime, [(offset, bytes), ...]), ...]`` —
+    first-match-wins in list order; each rule is the AND of its
+    offset-pattern pairs (the ``_MAGIC`` shape). Load Tika's public
+    mimetypes XML straight into this via
+    ``operators/mime_metadata.load_tika_mimetypes_xml``. The built-in
+    table (and the oracle gate that replicates it) is untouched when
+    omitted. The expression-level OOXML container refinement (zip +
+    first-entry [Content_Types].xml) still applies on top of injected
+    rules — it inspects structure, not signatures.
 
     Codegen shape (r6): the hex payload is bound ONCE as a transform-lambda
     variable (the parse_phone/winnowing lesson — references, not
@@ -233,6 +245,7 @@ def detect_mime_type(c: Column, default: str = "application/octet-stream") -> Co
     are unchanged: array_position returns the FIRST true index, list order
     is rule order."""
     raw = F.try_to_binary(c, F.lit("base64"))
+    table = _MAGIC if rules is None else rules
 
     def _sniff(hx: Column) -> Column:
         def cond(parts):
@@ -242,8 +255,8 @@ def detect_mime_type(c: Column, default: str = "application/octet-stream") -> Co
                            == F.lit(magic.hex().upper()))
             return cc
 
-        conds = F.array(*[cond(parts) for _, parts in _MAGIC])
-        mimes = F.array(*[F.lit(m) for m, _ in _MAGIC])
+        conds = F.array(*[cond(parts) for _, parts in table])
+        mimes = F.array(*[F.lit(m) for m, _ in table])
         idx = F.array_position(conds, F.lit(True))
         out = F.when(idx > 0, F.element_at(mimes, idx.cast("int"))) \
             .otherwise(F.lit(default))
