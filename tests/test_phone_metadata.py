@@ -224,3 +224,28 @@ def test_patterns_only_tier(spark, meta):
                                 patterns=meta["patterns"])["valid"]
                     .alias("v")).collect()
     assert [r["v"] for r in got] == [True, False]
+
+
+def test_load_stopword_list(spark, tmp_path):
+    """Snowball/Lucene stopword-file format: | comments, blanks, and the
+    analyze(stopwords=) override."""
+    from transmogrifai_spark.functions.text import (analyze,
+                                                    load_stopword_list)
+    p = tmp_path / "english_stop.txt"
+    p.write_text(
+        " | An English stop word list.\n"
+        "\n"
+        "the | definite article\n"
+        "quick\n"
+        "   \n"
+        "brown | because we can\n")
+    sw = load_stopword_list(str(p))
+    assert sw == ["the", "quick", "brown"]
+    df = spark.createDataFrame([("the quick brown foxes",)], "t string")
+    out = df.select(analyze(F.col("t"), "en", stopwords=sw).alias("a")) \
+        .first()["a"]
+    assert out == ["fox"]  # loaded set removed all three; porter stemmed
+    empty = tmp_path / "empty.txt"
+    empty.write_text("| only a comment\n")
+    with pytest.raises(ValueError, match="no stopwords"):
+        load_stopword_list(str(empty))

@@ -792,12 +792,33 @@ def analyze_cjk(c: Column, min_token_length: int = 1,
     return toks
 
 
+def load_stopword_list(path: str) -> list[str]:
+    """Load a stop set in the PUBLIC Snowball/Lucene stopword-file
+    format (one word per line, ``|`` starts a comment, blank lines
+    ignored) — the layout Lucene's own per-language stop files ship in,
+    so a user can feed the full 30-300-word sets to ``analyze``
+    (``stopwords=``) instead of the built-in 20-35-word subsets (PARITY
+    delta 1d as data). Raises ValueError on an empty result."""
+    words = []
+    with open(path, encoding="utf-8") as f:
+        for ln in f:
+            w = ln.split("|", 1)[0].strip()
+            if w:
+                words.append(w)
+    if not words:
+        raise ValueError(f"{path!r} contains no stopwords")
+    return words
+
+
 def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
-            to_lowercase: bool = True, stem: bool = True) -> Column:
+            to_lowercase: bool = True, stem: bool = True,
+            stopwords: list[str] | None = None) -> Column:
     """Per-language analyzer chain: tokenize -> language stopword removal ->
     light suffix stemming. ``lang`` in zh/ja/ko/cjk routes to the CJK
     bigram chain (``analyze_cjk``). Unknown languages fall back to the
-    plain tokenizer (the reference's default-analyzer path)."""
+    plain tokenizer (the reference's default-analyzer path).
+    ``stopwords`` overrides the built-in stop set (load a full
+    Snowball-format file via ``load_stopword_list``)."""
     if lang in ("zh", "ja", "ko", "cjk"):
         return analyze_cjk(c, min_token_length, to_lowercase)
     if lang == "ga":
@@ -809,7 +830,8 @@ def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
             F.regexp_replace(c, r"(?i)\b[tn]-(?=[aeiouáéíóú])", ""),
             r"(?i)\b[dmb][’'](?=\p{L})", "")
     toks = tokenize(c, min_token_length, to_lowercase)
-    sw = ANALYZER_STOPWORDS.get(lang)
+    sw = stopwords if stopwords is not None \
+        else ANALYZER_STOPWORDS.get(lang)
     if sw:
         toks = remove_stopwords(toks, sw)
     if lang == "el":
