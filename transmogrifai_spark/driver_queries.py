@@ -801,6 +801,33 @@ _NER_SUFS = ["Inc", "Corp", "Bank", "Labs"]
 _NER_MONTHS = ["January", "February", "March", "April", "June", "July",
                "August", "September"]
 
+# maxent gate fixture (the injection pattern): a GIS weight table
+# GENERATED from the same name lists — one source of truth, two engines
+_MX_OUTCOMES = ["PERSON", "LOCATION", "ORGANIZATION", "DATE"]
+
+
+def _mx_weights() -> dict:
+    w: dict[str, dict[str, float]] = {}
+
+    def add(pred, outcome, v):
+        w.setdefault(pred, {})[outcome] = \
+            w.get(pred, {}).get(outcome, 0.0) + v
+
+    for n in _NER_FIRSTS:
+        add(f"first={n.lower()}", "PERSON", 1.75)
+    for n in _NER_LOCS:
+        add(f"first={n.lower()}", "LOCATION", 1.5)
+    for n in _NER_STEMS:
+        add(f"first={n.lower()}", "ORGANIZATION", 1.25)
+    for n in _NER_MONTHS:
+        add(f"first={n.lower()}", "DATE", 2.25)
+    for s in _NER_SUFS:
+        add(f"suf3={s.lower()[-3:]}", "ORGANIZATION", 2.5)
+    add("shape=multi", "PERSON", 0.25)
+    add("shape=multi", "ORGANIZATION", 0.125)
+    add("shape=single", "LOCATION", 0.25)
+    return w
+
 
 def q_ner_trainable(spark, sf_dir):
     """Trainable statistical NER (operators/ner_nb — the OpenNLP
@@ -817,9 +844,19 @@ def q_ner_trainable(spark, sf_dir):
     smoothing with explicit DOUBLE casts, ln at 6dp, priors, the
     DECIMAL(18,6) feature fold + prior, and the argmax with alphabetical
     tie-break. Columns: doc_id, chunk, label (synthesized truth), pred,
-    s_per / s_org (PERSON / ORGANIZATION scores)."""
-    from .operators.ner_nb import (ner_nb_label, ner_nb_scores,
-                                   train_ner_classifier)
+    s_per / s_org (PERSON / ORGANIZATION scores).
+
+    mx_pred/mx_sper (r9): the OpenNLP GIS MAXENT scorer
+    (operators/maxent.py — PARITY delta 3a's model-data tier) gated via
+    model INJECTION (the OPQ pattern): a fixture weight table generated
+    from the same name lists rides both engines as identical literals;
+    the oracle folds the per-outcome weight sums in the expression
+    fold's exact left-associative feature order and replicates the
+    published FIRST-max-in-OUTCOME-order tie rule (>= CASE cascade) —
+    distinct from the NB arm's alphabetical ties."""
+    from .operators.maxent import maxent_best_outcome, maxent_sums
+    from .operators.ner_nb import (chunk_features, ner_nb_label,
+                                   ner_nb_scores, train_ner_classifier)
     docs = _t(spark, sf_dir, "documents")
     i = F.floor(F.col("doc_id") / 4)
 
@@ -845,13 +882,22 @@ def q_ner_trainable(spark, sf_dir):
     m = train_ner_classifier(base.where(F.col("doc_id") < 400), "chunk",
                              "label", max_vocab=300, portable=True)
     scores = ner_nb_scores(F.col("chunk"), m)
+    mx = {"type": "GIS", "outcomes": list(_MX_OUTCOMES),
+          "labels": list(_MX_OUTCOMES), "weights": _mx_weights(),
+          "correction_constant": 1, "correction_param": 0.0,
+          "context": False}
+    feats = chunk_features(F.col("chunk"))
+    mx_sums = maxent_sums(feats, mx)
     return base.select(
         "doc_id", "chunk", "label",
         ner_nb_label(F.col("chunk"), m).alias("pred"),
         (F.try_element_at(scores, F.lit("PERSON")) + F.lit(0.0))
         .alias("s_per"),
         (F.try_element_at(scores, F.lit("ORGANIZATION")) + F.lit(0.0))
-        .alias("s_org"))
+        .alias("s_org"),
+        maxent_best_outcome(feats, mx).alias("mx_pred"),
+        (F.try_element_at(mx_sums, F.lit("PERSON")) + F.lit(0.0))
+        .alias("mx_sper"))
 
 
 # lexicon-segmentation gate fixture: real zh words with overlapping
@@ -3491,12 +3537,56 @@ best AS (
 SELECT b.doc_id, b.chunk, b.label,
        max(CASE WHEN w.rn = 1 THEN w.l END) AS pred,
        max(CASE WHEN s.l = 'PERSON' THEN s.s END) + 0.0 AS s_per,
-       max(CASE WHEN s.l = 'ORGANIZATION' THEN s.s END) + 0.0 AS s_org
+       max(CASE WHEN s.l = 'ORGANIZATION' THEN s.s END) + 0.0 AS s_org,
+       max(m.mx_pred) AS mx_pred,
+       max(m.s_p) + 0.0 AS mx_sper
 FROM base b
 JOIN best w ON w.doc_id = b.doc_id
 JOIN score s ON s.doc_id = b.doc_id
+JOIN mx m ON m.doc_id = b.doc_id
 GROUP BY b.doc_id, b.chunk, b.label
 """
+
+
+def _mx_sum_sql(outcome: str) -> str:
+    """One outcome's raw weight accumulator, folded in the EXACT
+    left-associative order of the expression scorer: 0.0 + w(bag[1]) +
+    ... + w(bag[5]) + prior(0.0). CASE tables generated from the shared
+    _mx_weights() dict (absent predicate/outcome = +0)."""
+    w = _mx_weights()
+    terms = []
+    for i in range(1, 6):
+        whens = " ".join(
+            f"WHEN bag[{i}] = '{p}' THEN CAST({v[outcome]!r} AS DOUBLE)"
+            for p, v in sorted(w.items()) if outcome in v)
+        terms.append(f"(CASE {whens} ELSE CAST(0.0 AS DOUBLE) END)")
+    return ("CAST(0.0 AS DOUBLE) + " + " + ".join(terms) +
+            " + CAST(0.0 AS DOUBLE)")
+
+
+# the maxent arm rides the SAME feat CTE; the >=-cascade argmax is the
+# published FIRST-max-in-OUTCOME-order rule (earlier outcome wins ties)
+ORACLES["ner_trainable"] = ORACLES["ner_trainable"].replace(
+    "best AS (",
+    f"""mx AS (
+  SELECT doc_id,
+         {_mx_sum_sql('PERSON')} AS s_p,
+         {_mx_sum_sql('LOCATION')} AS s_l,
+         {_mx_sum_sql('ORGANIZATION')} AS s_o,
+         {_mx_sum_sql('DATE')} AS s_d,
+         CASE WHEN {_mx_sum_sql('PERSON')} >= {_mx_sum_sql('LOCATION')}
+               AND {_mx_sum_sql('PERSON')} >= {_mx_sum_sql('ORGANIZATION')}
+               AND {_mx_sum_sql('PERSON')} >= {_mx_sum_sql('DATE')}
+              THEN 'PERSON'
+              WHEN {_mx_sum_sql('LOCATION')} >= {_mx_sum_sql('ORGANIZATION')}
+               AND {_mx_sum_sql('LOCATION')} >= {_mx_sum_sql('DATE')}
+              THEN 'LOCATION'
+              WHEN {_mx_sum_sql('ORGANIZATION')} >= {_mx_sum_sql('DATE')}
+              THEN 'ORGANIZATION'
+              ELSE 'DATE' END AS mx_pred
+  FROM feat
+),
+best AS (""", 1)
 
 ORACLES["raw_feature_filter"] = """
 WITH m AS (
