@@ -315,7 +315,17 @@ def q_text_ops(spark, sf_dir):
     """Tokenizer / text length / substring / email parse-and-validate
     (TextTokenizer, SubstringTransformer, RichTextFeature email DSL) + phone
     validation/normalization (PhoneNumberParser surface) — one per-customer
-    projection (merged so every registry entry fits the 50-query window)."""
+    projection (merged so every registry entry fits the 50-query window).
+
+    ph_* / intl_* (r9): the FULL parse_phone path finally hash-gated
+    (previously only the NANP fast path was): the national arm runs the
+    e164 struct WITH the r8/r9 sub-range + full-regex tiers
+    (ranges=/patterns= — the libphonenumber data tiers as injected
+    rules), the intl arm cycles +1/+44/+49 inputs of varying national
+    length through the longest-cc map probe, per-region length/lead
+    metadata, and the NANP 4th-digit rule. The oracle replicates every
+    check from the SAME _REGION_META rows (generated SQL — one source
+    of truth)."""
     cust = _t(spark, sf_dir, "customer")
     name = F.col("c_name")
     email = F.concat(F.regexp_replace(F.lower(name), r"[^a-z0-9]", ""), F.lit("@example.com"))
@@ -335,6 +345,14 @@ def q_text_ops(spark, sf_dir):
     note = F.concat(F.lit("contact "), email_part, F.lit(" from "), ip,
                     F.lit(" card "), card)
     pii_counts = PII.detect_pii(note, ["email", "ipv4", "credit_card"])
+    p_nat = TX.parse_phone(phone, "US",
+                           ranges={"US": [("2", 10, 10)]},
+                           patterns={"US": [r"[2-8]\d{9}"]})
+    intl_raw = F.concat(
+        F.element_at(F.array(F.lit("+1"), F.lit("+44"), F.lit("+49")),
+                     (F.col("c_custkey") % 3 + 1).cast("int")),
+        digits.substr(F.lit(1), (F.col("c_custkey") % 8 + 4).cast("int")))
+    p_intl = TX.parse_phone(intl_raw, "US")
     return cust.select(
         "c_custkey",
         F.size(TX.tokenize(name)).cast("long").alias("n_tokens"),
@@ -348,6 +366,11 @@ def q_text_ops(spark, sf_dir):
         phone.alias("phone"),
         TX.normalize_phone_digits(phone).alias("phone_digits"),
         TX.is_valid_phone_us(phone).alias("phone_valid"),
+        p_nat["e164"].alias("ph_e164"),
+        F.coalesce(p_nat["valid"], F.lit(False)).alias("ph_sub_valid"),
+        p_intl["region"].alias("intl_region"),
+        F.coalesce(p_intl["valid"], F.lit(False)).alias("intl_valid"),
+        p_intl["e164"].alias("intl_e164"),
         note.alias("pii_note"),
         F.element_at(pii_counts, "email").alias("pii_emails"),
         F.element_at(pii_counts, "ipv4").alias("pii_ipv4"),
@@ -2797,6 +2820,30 @@ _EMAIL_RE_SQL = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
 _PII_EMAIL = PII.PII_PATTERNS["email"]
 _PII_IPV4 = PII.PII_PATTERNS["ipv4"]
 
+def _ph_valid_sql(nat: str, region: str) -> str:
+    """One region's validity predicate, generated from the SAME
+    _REGION_META row parse_phone uses (length window + lead regex + the
+    NANP 4th-digit rule for cc=1)."""
+    from .functions.text import _REGION_META
+    cc, lo, hi, lead = _REGION_META[region]
+    cond = (f"(length({nat}) BETWEEN {lo} AND {hi} "
+            f"AND regexp_matches({nat}, '^(?:{lead})'))")
+    if cc == "1":
+        cond = (f"({cond} AND regexp_matches({nat}, "
+                f"'^[2-9][0-9]{{2}}[2-9]'))")
+    return cond
+
+
+_PH_INTL_VALID = (
+    "CASE CAST(c_custkey % 3 AS INT) "
+    f"WHEN 0 THEN {_ph_valid_sql('inat', 'US')} "
+    f"WHEN 1 THEN {_ph_valid_sql('inat', 'GB')} "
+    f"ELSE {_ph_valid_sql('inat', 'DE')} END")
+_PH_NAT_SUB = (
+    f"({_ph_valid_sql('d10', 'US')} "
+    "AND d10 LIKE '2%' AND length(d10) BETWEEN 10 AND 10 "
+    "AND regexp_matches(d10, '^(?:[2-8][0-9]{9})$'))")
+
 ORACLES["text_ops"] = f"""
 SELECT c_custkey,
        CAST(len({_tokens('c_name')}) AS BIGINT) AS n_tokens,
@@ -2813,6 +2860,13 @@ SELECT c_custkey,
        regexp_replace(phone, '[^0-9]', '', 'g') AS phone_digits,
        CASE WHEN length(d10) = 10 AND d10 NOT LIKE '0%' AND d10 NOT LIKE '1%'
             THEN TRUE ELSE FALSE END AS phone_valid,
+       CASE WHEN {_PH_NAT_SUB} THEN '+1' || d10 END AS ph_e164,
+       COALESCE({_PH_NAT_SUB}, FALSE) AS ph_sub_valid,
+       CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'US'
+            WHEN 1 THEN 'GB' ELSE 'DE' END AS intl_region,
+       COALESCE({_PH_INTL_VALID}, FALSE) AS intl_valid,
+       CASE WHEN {_PH_INTL_VALID}
+            THEN '+' || icc || inat END AS intl_e164,
        note AS pii_note,
        CAST(len(regexp_extract_all(note, '{_PII_EMAIL}')) AS INTEGER) AS pii_emails,
        CAST(len(regexp_extract_all(note, '{_PII_IPV4}')) AS INTEGER) AS pii_ipv4,
@@ -2821,6 +2875,9 @@ SELECT c_custkey,
                       '{_PII_IPV4}', '[IPV4]', 'g') AS note_redacted
 FROM (
   SELECT *, CASE WHEN length(d) = 11 AND d LIKE '1%' THEN substr(d, 2, 10) ELSE d END AS d10,
+         CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN '1'
+              WHEN 1 THEN '44' ELSE '49' END AS icc,
+         substr(p, 1, CAST(c_custkey % 8 + 4 AS INT)) AS inat,
          'contact ' || (CASE WHEN c_custkey % 3 = 0 THEN 'none' ELSE email END)
            || ' from 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.1 card '
            || (CASE WHEN c_custkey % 2 = 0 THEN '4532015112830366'
