@@ -83,3 +83,27 @@ def test_embeddings_feed_the_ann_stack(spark, tmp_path):
     # self-matches are excluded: nearest to doc1 is doc2 (shares
     # quick+fox), then doc3
     assert got == [2, 3]
+
+
+def test_portable_pooling_matches_default(spark, tmp_path):
+    """portable=True (decimal per-position means) agrees with the
+    Summarizer running mean to float precision, and is layout-invariant
+    (the determinism contract that makes it oracle-gateable)."""
+    p = tmp_path / "toy.vec"
+    p.write_text(_VEC)
+    vecs = load_word_vectors(spark, str(p))
+    df = spark.createDataFrame(
+        [(1, "the quick fox dog the"), (2, "dog quick")],
+        "i long, t string")
+    fast = {r["i"]: r["embedding"] for r in
+            embed_documents(df, "t", vecs, id_col="i").collect()}
+    port = {r["i"]: r["embedding"] for r in
+            embed_documents(df, "t", vecs, id_col="i",
+                            portable=True).collect()}
+    for i in fast:
+        assert port[i] == pytest.approx(fast[i], rel=1e-5)
+    # layout invariance: repartitioned input produces BIT-equal output
+    port2 = {r["i"]: r["embedding"] for r in
+             embed_documents(df.repartition(7), "t", vecs, id_col="i",
+                             portable=True).collect()}
+    assert port2 == port

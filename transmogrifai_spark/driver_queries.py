@@ -2315,7 +2315,40 @@ def q_embedding_near_dup(spark, sf_dir):
         F.col("vec_id").cast("long").alias("a"),
         F.lit(None).cast("long").alias("b"),
         F.lit(None).cast("double").alias("d"))
-    return lsh_rows.unionByName(semclu_rows).unionByName(semkeep_rows)
+    # part='pool' (r9): text -> embedding ingestion gated end to end —
+    # embed_documents in its PORTABLE decimal-mean form over a word-
+    # vector table computed from the corpus vocabulary by pure char-code
+    # arithmetic (both engines derive the SAME vectors from the words
+    # themselves — no file, no collect); rows: a=doc_id, b=dimension,
+    # d=float32 component back-cast to double. Gates the tokenize ->
+    # vocab join -> per-position decimal mean -> float cast pipeline
+    # (llm/embeddings.embed_documents portable=True).
+    from .llm.embeddings import embed_documents
+    from .llm.textqual import TOKEN_PATTERN
+    docs = _t(spark, sf_dir, "documents")
+    vocab = docs.select(F.explode(F.regexp_extract_all(
+        F.lower("text"), F.lit(f"({TOKEN_PATTERN})"), 1)).alias("word")) \
+        .distinct()
+
+    def _comp(i: int):
+        ch = F.substring(F.col("word"),
+                         (F.pmod(F.lit(i), F.length("word")) + 1)
+                         .cast("int"), 1)
+        return ((F.ascii(ch) * F.lit(i + 3)) % 100).cast("double") \
+            / F.lit(100.0) - F.lit(0.5)
+
+    vecs = vocab.select("word", F.array(*[_comp(i) for i in range(8)])
+                        .alias("vec"))
+    pooled = embed_documents(docs, "text", vecs, id_col="doc_id",
+                             portable=True)
+    pool_rows = pooled.where(F.col("embedding").isNotNull()).select(
+        F.lit("pool").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.posexplode("embedding").alias("_p", "_v")) \
+        .select("part", "a", (F.col("_p")).cast("long").alias("b"),
+                F.col("_v").cast("double").alias("d"))
+    return lsh_rows.unionByName(semclu_rows).unionByName(semkeep_rows) \
+        .unionByName(pool_rows)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -4455,6 +4488,25 @@ UNION ALL
 SELECT 'semkeep', CAST(doc AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE)
 FROM ranked WHERE rn = 1
+UNION ALL
+-- part='pool': embed_documents portable pooling — char-code fixture
+-- vectors, per-position DECIMAL(30,8) mean, float32 back-cast
+SELECT 'pool', CAST(doc_id AS BIGINT), CAST(pos AS BIGINT),
+       CAST(CAST(m AS FLOAT) AS DOUBLE)
+FROM (
+  SELECT doc_id, i AS pos,
+         CAST(SUM(CAST(comp AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS m
+  FROM (
+    SELECT doc_id, i,
+           CAST((ascii(substr(word, CAST(i % length(word) AS INT) + 1, 1))
+                 * (i + 3)) % 100 AS DOUBLE) / 100.0 - 0.5 AS comp
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '{_BPE}')) AS word
+          FROM documents),
+         (SELECT unnest(range(8)) AS i)
+  )
+  GROUP BY doc_id, i
+)
 """
 
 ORACLES["dedup_minhash_lsh"] = f"""

@@ -82,7 +82,8 @@ def load_word_vectors(spark, path: str, dim: int | None = None) -> DataFrame:
 def embed_documents(df: DataFrame, text_col: str, vectors: DataFrame,
                     id_col: str, out_col: str = "embedding",
                     lowercase: bool = True,
-                    broadcast_vectors: bool = True) -> DataFrame:
+                    broadcast_vectors: bool = True,
+                    portable: bool = False) -> DataFrame:
     """Mean-pooled word-vector document embeddings: tokenize ->
     token->vector join -> ONE id-keyed element-wise mean
     (``Summarizer.mean`` — the JVM running-mean aggregator, so no
@@ -95,7 +96,16 @@ def embed_documents(df: DataFrame, text_col: str, vectors: DataFrame,
     backoff is a documented delta; supply subword-enriched .vec exports
     if OOV coverage matters. ``broadcast_vectors=False`` switches the
     vocabulary join to a shuffle hash join for vector tables past
-    broadcast size (2M+ words x 300d)."""
+    broadcast size (2M+ words x 300d).
+
+    ``portable=True`` swaps the running-mean aggregator for the
+    engine-portable decimal form (the geo_midpoint/BM25 determinism
+    contract): per-position DECIMAL(30,8) sums divided by the token
+    count — order-independent and SQL-replicable bit for bit, at the
+    cost of a positions-explode (tokens x dim rows through the
+    aggregation; the default Summarizer path never materializes them).
+    Use it when embeddings feed a hash-compared or cross-engine
+    pipeline; the default is the cheap path."""
     from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.ml.stat import Summarizer
 
@@ -109,10 +119,21 @@ def embed_documents(df: DataFrame, text_col: str, vectors: DataFrame,
     vt = vectors.select("word", "vec")
     joined = toks.join(F.broadcast(vt) if broadcast_vectors else vt,
                        "word", "inner")
-    means = joined.groupBy(id_col).agg(
-        Summarizer.mean(array_to_vector(F.col("vec"))).alias("_mv"))
-    means = means.select(
-        id_col,
-        F.transform(vector_to_array("_mv"),
-                    lambda x: x.cast("float")).alias(out_col))
+    if portable:
+        ex = joined.select(id_col,
+                           F.posexplode("vec").alias("_pos", "_v"))
+        dims = ex.groupBy(id_col, "_pos").agg(
+            (F.sum(F.col("_v").cast("decimal(30,8)")).cast("double")
+             / F.count(F.lit(1))).alias("_m"))
+        means = dims.groupBy(id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s["_m"].cast("float")).alias(out_col))
+    else:
+        means = joined.groupBy(id_col).agg(
+            Summarizer.mean(array_to_vector(F.col("vec"))).alias("_mv"))
+        means = means.select(
+            id_col,
+            F.transform(vector_to_array("_mv"),
+                        lambda x: x.cast("float")).alias(out_col))
     return df.join(means, id_col, "left")
