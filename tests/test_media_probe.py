@@ -150,3 +150,74 @@ def test_probe_audio_metadata(spark):
     assert got[2]["probed_channels"] is None
     assert got[3]["probed_duration_ms"] is None
     assert got[4]["probed_duration_ms"] is None
+
+
+# ---- perceptual dHash over uncompressed BMP (decode-free image content)
+
+def _make_bmp(w, h, pix, top_down=False):
+    """Minimal spec-conformant 24bpp BI_RGB BMP; pix(x, y) -> (b, g, r)
+    with y=0 the TOP image row."""
+    import struct
+    stride = (w * 3 + 3) // 4 * 4
+    off = 54
+    size = off + stride * h
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, off)
+    hdr += struct.pack("<iiiHHIIiiII", 40, w, (-h if top_down else h),
+                       1, 24, 0, stride * h, 2835, 2835, 0, 0)
+    rows = []
+    yr = range(h) if top_down else range(h - 1, -1, -1)
+    for y in yr:
+        row = b"".join(bytes(pix(x, y)) for x in range(w))
+        rows.append(row + b"\x00" * (stride - len(row)))
+    return hdr + b"".join(rows)
+
+
+def _grad(x, y):
+    return ((x * 7) % 256, (y * 11) % 256, (x + y) % 256)
+
+
+def test_bmp_dhash_matches_python_mirror(spark):
+    from transmogrifai_spark.llm.multimodal import bmp_dhash, bmp_dhash_py
+    blobs = [
+        _make_bmp(16, 12, _grad),
+        _make_bmp(16, 12, _grad, top_down=True),       # same image
+        _make_bmp(17, 12, _grad),                      # stride padding
+        _make_bmp(64, 48, lambda x, y: (30, 60, 90)),  # flat -> hash 0
+        _make_bmp(9, 8, _grad),                        # minimum grid
+        _make_bmp(8, 8, _grad),                        # too narrow -> NULL
+        b"BM" + b"\x00" * 40,                          # short -> NULL
+        b"\x89PNG" + b"\x00" * 60,                     # not bmp -> NULL
+        None,
+    ]
+    df = spark.createDataFrame([(i, b) for i, b in enumerate(blobs)],
+                               "i long, content binary")
+    got = {r["i"]: r["h"] for r in
+           df.select("i", bmp_dhash(F.col("content")).alias("h"))
+           .collect()}
+    for i, b in enumerate(blobs):
+        from transmogrifai_spark.llm.multimodal import bmp_dhash_py
+        assert got[i] == bmp_dhash_py(b), f"blob {i}"
+    # bottom-up and top-down encodings of the SAME image hash equal
+    assert got[0] == got[1] is not None
+    # flat image: no neighbor differences -> 0
+    assert got[3] == 0
+
+
+def test_bmp_dhash_perceptual_property(spark):
+    """Small noise -> small hamming distance; different image -> large."""
+    from transmogrifai_spark.llm.multimodal import bmp_dhash_py
+
+    def noisy(x, y):
+        b, g, r = _grad(x, y)
+        n = 3 if (x * 31 + y * 17) % 5 == 0 else 0
+        return (min(255, b + n), g, r)
+
+    base = bmp_dhash_py(_make_bmp(32, 24, _grad))
+    near = bmp_dhash_py(_make_bmp(32, 24, noisy))
+    far = bmp_dhash_py(_make_bmp(32, 24,
+                                 lambda x, y: ((255 - x * 9) % 256,
+                                               (y * y) % 256,
+                                               (x ^ y) % 256)))
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(base, near) <= 8
+    assert ham(base, far) > 16

@@ -302,14 +302,18 @@ def simhash_groups(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                           max_hamming: int = 3, portable: bool = False) -> DataFrame:
-    """SimHash near-duplicates within a hamming radius: band the 64-bit
-    signature into 4 x 16-bit keys (pigeonhole: any pair within hamming<=3
-    shares at least one exact band), bucket-join candidates, then filter by
-    exact hamming distance via bit_count — all native expressions."""
+def sig_near_dup_pairs(df: DataFrame, id_col: str, sig_col,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs within a hamming radius over ANY 64-bit
+    signature column/expression — the banded search factored out of the
+    SimHash path so other 64-bit perceptual signatures compose with it
+    (r9: `multimodal.bmp_dhash` image hashes ride this directly): band
+    into 4 x 16-bit keys (pigeonhole: any pair within hamming<=3 shares
+    at least one exact band), bucket-join candidates, exact
+    bit_count verify."""
     sig = df.select(F.col(id_col).alias("_id"),
-                    simhash64(F.col(text_col), portable=portable).alias("_sig"))
+                    (F.col(sig_col) if isinstance(sig_col, str)
+                     else sig_col).alias("_sig"))
     sig = ensure_parallelism(sig).persist()
     banded = sig.select("_id", "_sig", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -325,6 +329,16 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     return (cand.withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
             .select("id1", "id2", "hamming"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 3, portable: bool = False) -> DataFrame:
+    """SimHash near-duplicates within a hamming radius: the banded
+    64-bit search (``sig_near_dup_pairs``) over ``simhash64`` text
+    signatures — all native expressions."""
+    return sig_near_dup_pairs(
+        df, id_col, simhash64(F.col(text_col), portable=portable),
+        max_hamming=max_hamming)
 
 
 def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",

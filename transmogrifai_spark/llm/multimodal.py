@@ -397,3 +397,106 @@ def probe_audio_metadata(df: DataFrame, content_col: str = "content") -> DataFra
             yield out
 
     return with_fast.mapInPandas(probe, schema).drop("_wav")
+
+
+def bmp_dhash(c) -> "F.Column":
+    """Perceptual difference-hash (dHash) of an UNCOMPRESSED 24-bit BMP
+    blob as pure expressions — the first image-CONTENT operator that
+    needs no decoder: BMP stores raw pixel rows at a header-declared
+    offset, so the standard dHash recipe (sample a 9x8 grayscale grid,
+    emit one bit per horizontal neighbor comparison, 64 bits total)
+    compiles to 72 fixed-arithmetic byte probes. Compressed formats
+    (PNG/JPEG) still need the env-gated decoder path — this gives the
+    image near-dup tier a REAL, testable member in any environment
+    (pipeline: exact digest dedup -> bmp_dhash perceptual pairs via the
+    same banded 64-bit hamming search the SimHash index uses).
+
+    Recipe details (pinned by the python-mirror law test): grid point
+    (gx, gy) samples the pixel at (floor(gx*W/9), floor(gy*H/8)) —
+    integer-exact arithmetic, no resampling kernel; gray = B+G+R (an
+    order-preserving luminance proxy — dHash only compares); bit index
+    i = gy*8+gx set iff gray(gx,gy) > gray(gx+1,gy); bottom-up and
+    top-down (negative height) row orders both handled. Returns BIGINT
+    (bit 63 may set the sign — it is a hash, compare with
+    bit_count(a ^ b)); NULL for NULL/short input, non-BMP magic,
+    bpp != 24, compressed BMPs (BI_RGB only), or images smaller than
+    the 9x8 grid."""
+    hdr = F.struct(
+        _le_uint(c, 11, 4).alias("off"),
+        _le_int32(c, 19).alias("w"),
+        _le_int32(c, 23).alias("h_raw"),
+        _le_uint(c, 29, 2).alias("bpp"),
+        _le_uint(c, 31, 4).alias("comp"))
+
+    def with_hdr(m):
+        w = m["w"]
+        h = F.abs(m["h_raw"])
+        bottom_up = m["h_raw"] > 0
+        w3 = w * 3
+        stride = (w3 + 3) - F.pmod(w3 + 3, F.lit(4))
+
+        def gray(gx: int, gy: int):
+            # integer-exact floor(gx*w/9), floor(gy*h/8): subtract the
+            # remainder, then the double division of an exact multiple
+            # is exact
+            gxw = w * gx
+            px = ((gxw - F.pmod(gxw, F.lit(9))) / 9).cast("long")
+            gyh = h * gy
+            py = ((gyh - F.pmod(gyh, F.lit(8))) / 8).cast("long")
+            row = F.when(bottom_up, h - 1 - py).otherwise(py)
+            pos = (m["off"] + row * stride + px * 3 + 1).cast("int")
+            b0 = F.conv(F.hex(c.substr(pos, F.lit(3))), 16, 10) \
+                .cast("long")
+            # the 3-byte big-endian int b0 = B*65536 + G*256 + R; the
+            # byte SUM is what dHash compares: fold the base-256 digits
+            return (b0 % 256) + ((b0 / 256).cast("long") % 256) + \
+                (b0 / 65536).cast("long")
+
+        h64 = F.lit(0).cast("long")
+        for gy in range(8):
+            for gx in range(8):
+                bit = gray(gx, gy) > gray(gx + 1, gy)
+                h64 = h64.bitwiseOR(
+                    F.when(bit, F.shiftleft(F.lit(1).cast("long"),
+                                            gy * 8 + gx))
+                    .otherwise(F.lit(0).cast("long")))
+        ok = (m["bpp"] == 24) & (m["comp"] == 0) & (w >= 9) & (h >= 8) \
+            & (F.length(c) >= m["off"] + h * stride)
+        return F.when(ok, h64)
+
+    is_bmp = F.hex(F.substring(c, 1, 2)) == "424D"
+    out = F.get(F.transform(F.array(hdr), with_hdr), 0)
+    return F.when(c.isNull() | (F.length(c) < 54) | ~is_bmp,
+                  F.lit(None).cast("bigint")).otherwise(out)
+
+
+def bmp_dhash_py(data: bytes) -> int | None:
+    """Pure-Python mirror of ``bmp_dhash`` (the law-test partner)."""
+    if data is None or len(data) < 54 or data[:2] != b"BM":
+        return None
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h_raw = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) // 4 * 4
+    if bpp != 24 or comp != 0 or w < 9 or h < 8 or \
+            len(data) < off + h * stride:
+        return None
+
+    def gray(gx, gy):
+        px = gx * w // 9
+        py = gy * h // 8
+        row = (h - 1 - py) if h_raw > 0 else py
+        p = off + row * stride + px * 3
+        return data[p] + data[p + 1] + data[p + 2]
+
+    out = 0
+    for gy in range(8):
+        for gx in range(8):
+            if gray(gx, gy) > gray(gx + 1, gy):
+                out |= 1 << (gy * 8 + gx)
+    if out >= 2**63:
+        out -= 2**64   # BIGINT sign, same as shiftleft(1L, 63)
+    return out
