@@ -221,3 +221,61 @@ def test_bmp_dhash_perceptual_property(spark):
     ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
     assert ham(base, near) <= 8
     assert ham(base, far) > 16
+
+
+# ---- decode-free WAV energy fingerprint
+
+def _make_wav(samples, channels=1, rate=8000):
+    import struct
+    data = b"".join(struct.pack("<h", max(-32768, min(32767, s)))
+                    for s in samples for _ in range(channels))
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                 rate * channels * 2, channels * 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def _burst(n=2048, loud_from=0.25, loud_to=0.5, amp=12000, quiet=300):
+    out = []
+    for i in range(n):
+        a = amp if loud_from <= i / n < loud_to else quiet
+        out.append(a if i % 2 == 0 else -a)
+    return out
+
+
+def test_wav_energy_sig_matches_mirror(spark):
+    from transmogrifai_spark.llm.multimodal import (wav_energy_sig,
+                                                    wav_energy_sig_py)
+    blobs = [
+        _make_wav(_burst()),
+        _make_wav(_burst(), channels=2),           # stereo, 1st channel
+        _make_wav(_burst(loud_from=0.6, loud_to=0.9)),
+        _make_wav([100] * 2048),                   # flat
+        _make_wav([0] * 2048),                     # silence -> NULL
+        _make_wav([5] * 64),                       # too short -> NULL
+        b"RIFF" + b"\x00" * 60,                    # not WAVE -> NULL
+        None,
+    ]
+    df = spark.createDataFrame([(i, b) for i, b in enumerate(blobs)],
+                               "i long, content binary")
+    got = {r["i"]: r["s"] for r in
+           df.select("i", wav_energy_sig(F.col("content")).alias("s"))
+           .collect()}
+    for i, b in enumerate(blobs):
+        assert got[i] == wav_energy_sig_py(b), f"blob {i}"
+    assert got[0] is not None and got[4] is None and got[5] is None
+
+
+def test_wav_energy_sig_volume_invariant_and_discriminative(spark):
+    from transmogrifai_spark.llm.multimodal import wav_energy_sig_py
+    base = wav_energy_sig_py(_make_wav(_burst(amp=8000, quiet=200)))
+    loud = wav_energy_sig_py(_make_wav(
+        [s * 2 for s in _burst(amp=8000, quiet=200)]))
+    moved = wav_energy_sig_py(_make_wav(
+        _burst(loud_from=0.6, loud_to=0.85, amp=8000, quiet=200)))
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    # doubling the volume scales bins and mean together -> same code
+    assert ham(base, loud) == 0
+    # moving the burst elsewhere flips many thermometer bits
+    assert ham(base, moved) > 12

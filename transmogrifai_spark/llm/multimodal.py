@@ -500,3 +500,126 @@ def bmp_dhash_py(data: bytes) -> int | None:
     if out >= 2**63:
         out -= 2**64   # BIGINT sign, same as shiftleft(1L, 63)
     return out
+
+
+def wav_energy_sig(c, probes_per_bin: int = 8) -> "F.Column":
+    """Volume-invariant 64-bit energy-envelope fingerprint of a
+    canonical PCM16 WAV blob — the audio sibling of ``bmp_dhash``, and
+    like it decoder-free: PCM samples sit at fixed arithmetic offsets
+    after the canonical 44-byte header, so the envelope is pure byte
+    probes. Recipe (pinned by the python-mirror law): the data section
+    splits into 16 time bins; each bin's energy = Σ|sample| over
+    ``probes_per_bin`` evenly spaced int16 probes (first channel);
+    each bin emits a 4-bit THERMOMETER code against the whole-signal
+    mean energy (thresholds 0.5/1/1.5/2 x mean, integer-exact
+    comparisons) — monotone unary coding, so hamming distance between
+    signatures tracks envelope difference, and scaling the volume
+    scales bin and mean energies together (invariance law). Compare
+    with ``dedup.sig_near_dup_pairs``. NULL for NULL/short input,
+    non-canonical chunk order, or non-PCM16 data."""
+    n_bins = 16
+    data_size = _le_uint(c, 41, 4)
+    channels = _le_uint(c, 23, 2)
+    bits = _le_uint(c, 35, 2)
+    hdr = F.struct(
+        data_size.alias("ds"),
+        (data_size / (channels * 2)).cast("long").alias("n_samples"),
+        (channels * 2).alias("frame"))
+
+    def with_hdr(m):
+        n = m["n_samples"]
+        total_probes = n_bins * probes_per_bin
+
+        def sample_abs(k: int):
+            # probe k of total: sample index floor(k * n / total),
+            # integer-exact via subtract-remainder
+            kn = n * k
+            idx = ((kn - F.pmod(kn, F.lit(total_probes)))
+                   / total_probes).cast("long")
+            pos = (F.lit(45) + idx * m["frame"]).cast("int")
+            u = F.conv(F.hex(c.substr(pos, F.lit(1))), 16, 10) \
+                .cast("long") + \
+                F.conv(F.hex(c.substr(pos + 1, F.lit(1))), 16, 10) \
+                .cast("long") * 256
+            s = F.when(u >= 32768, u - 65536).otherwise(u)
+            return F.abs(s)
+
+        bins = F.array(*[
+            sum([sample_abs(b * probes_per_bin + j)
+                 for j in range(probes_per_bin)], F.lit(0).cast("long"))
+            for b in range(n_bins)])
+
+        # bind the bin-energy array, then the total, as lambda
+        # variables: the naive form re-inlined every probe subtree into
+        # each of the 64 threshold comparisons (observed: plan blow-up
+        # that killed the JVM — the engine-wide bind-once rule)
+        def with_bins(eb):
+            def with_total(tot):
+                sig = F.lit(0).cast("long")
+                # 4-bit thermometer per bin: e > total*k/32 integer tests
+                for b in range(n_bins):
+                    e = F.element_at(eb, b + 1)
+                    for t, (lhs, rhs) in enumerate([(32, 1), (16, 1),
+                                                    (32, 3), (8, 1)]):
+                        bit = (e * lhs) > (tot * rhs)
+                        sig = sig.bitwiseOR(
+                            F.when(bit,
+                                   F.shiftleft(F.lit(1).cast("long"),
+                                               b * 4 + t))
+                            .otherwise(F.lit(0).cast("long")))
+                ok = (n >= total_probes) & \
+                    (F.length(c) >= F.lit(44) + m["ds"]) & (tot > 0)
+                return F.when(ok, sig)
+
+            total = F.aggregate(eb, F.lit(0).cast("long"),
+                                lambda a, x: a + x)
+            return F.get(F.transform(F.array(total), with_total), 0)
+
+        return F.get(F.transform(F.array(bins), with_bins), 0)
+
+    is_riff = (F.hex(F.substring(c, 1, 4)) == "52494646") & \
+        (F.hex(F.substring(c, 9, 4)) == "57415645")
+    canonical = (F.hex(F.substring(c, 13, 4)) == "666D7420") & \
+        (F.hex(F.substring(c, 37, 4)) == "64617461")
+    out = F.get(F.transform(F.array(hdr), with_hdr), 0)
+    return F.when(c.isNull() | (F.length(c) < 44) | ~is_riff |
+                  ~canonical | (bits != 16) | (channels < 1),
+                  F.lit(None).cast("bigint")).otherwise(out)
+
+
+def wav_energy_sig_py(data: bytes, probes_per_bin: int = 8) -> int | None:
+    """Pure-Python mirror of ``wav_energy_sig`` (the law-test partner)."""
+    if data is None or len(data) < 44 or data[:4] != b"RIFF" or \
+            data[8:12] != b"WAVE" or data[12:16] != b"fmt " or \
+            data[36:40] != b"data":
+        return None
+    channels = int.from_bytes(data[22:24], "little")
+    bits = int.from_bytes(data[34:36], "little")
+    ds = int.from_bytes(data[40:44], "little")
+    if bits != 16 or channels < 1 or len(data) < 44 + ds:
+        return None
+    frame = channels * 2
+    n = ds // frame
+    n_bins = 16
+    total_probes = n_bins * probes_per_bin
+    if n < total_probes:
+        return None
+
+    def sample_abs(k):
+        idx = n * k // total_probes
+        p = 44 + idx * frame
+        s = int.from_bytes(data[p:p + 2], "little", signed=True)
+        return abs(s)
+
+    bins = [sum(sample_abs(b * probes_per_bin + j)
+                for j in range(probes_per_bin)) for b in range(n_bins)]
+    total = sum(bins)
+    if total == 0:
+        return None
+    sig = 0
+    for b, e in enumerate(bins):
+        for t, (lhs, rhs) in enumerate([(32, 1), (16, 1), (32, 3),
+                                        (8, 1)]):
+            if e * lhs > total * rhs:
+                sig |= 1 << (b * 4 + t)
+    return sig
