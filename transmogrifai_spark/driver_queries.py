@@ -683,6 +683,57 @@ _P_TAILS = ["", "s", "sses", "ies", "eed", "ed", "ing", "y",
             "ational", "ization", "fulness", "biliti", "logi", "icate",
             "ative", "ness", "ement", "ion", "ous", "e"]
 
+# Snowball gate fixtures (r10): one morphology-rich synthetic word per
+# doc_id and language (roots x tails, the porter recipe), covering
+# every step of each algorithm — prelude marking (bauer/pay/ennu),
+# ß/umlauts, R1/R2/RV region edges, pronoun attachment in and out of
+# RV (luch/d + ándoselo), the gu rules (sigu), accent removal, the
+# par/col/tap RV exception, undoubling, and the ment-family verb-step
+# re-entry. Shared by the Spark arm and the DuckDB oracle, whose step
+# CTEs are generated from the SAME rule tables (functions/snowball).
+_SB_DE_ROOTS = ["arbeit", "schön", "groß", "freund", "bedürfnis",
+                "quell", "lauf", "kind", "wunder", "billig",
+                "verhältnis", "bauer", "tät", "kategori", "macht",
+                "äuß", "system", "nied", "geh", "feld"]
+_SB_DE_TAILS = ["", "e", "en", "ern", "er", "em", "es", "s", "est",
+                "st", "end", "ung", "ig", "ik", "isch", "lich",
+                "heit", "keit", "igkeit", "lichkeit", "erheit",
+                "enheit", "nisse", "igung", "ungen"]
+_SB_FR_ROOTS = ["continu", "nation", "génér", "log", "bio", "part",
+                "colomb", "tap", "pay", "citoyen", "fin", "vend",
+                "aigu", "majestu", "complèt", "créat", "commenç",
+                "éparpill", "act", "ennu"]
+_SB_FR_TAILS = ["", "s", "e", "es", "ement", "ements", "amment",
+                "emment", "ment", "ance", "iques", "ateurs", "ation",
+                "logies", "ité", "ives", "eaux", "aux", "euses",
+                "issement", "aient", "issions", "èrent", "ière", "ë"]
+_SB_ES_ROOTS = ["logr", "gener", "compr", "luch", "beb", "d", "huy",
+                "cómod", "felic", "torne", "argü", "pud", "tuy",
+                "cant", "leal", "general", "sigu", "bueno", "ción",
+                "atrev"]
+_SB_ES_TAILS = ["", "s", "es", "os", "a", "o", "e", "icos", "able",
+                "ista", "oso", "amiento", "adora", "ación", "antes",
+                "logías", "ución", "encias", "amente", "mente",
+                "idades", "ándoselo", "iéndose", "arían", "iésemos"]
+
+
+def _sb_word_sql(roots, tails):
+    r_sql = "[" + ",".join(f"'{r}'" for r in roots) + "]"
+    t_sql = "[" + ",".join(f"'{t}'" for t in tails) + "]"
+    return (f"(({r_sql})[CAST(doc_id % {len(roots)} + 1 AS INT)] || "
+            f"({t_sql})[CAST((doc_id // {len(roots)}) % {len(tails)}"
+            f" + 1 AS INT)])")
+
+
+def _sb_word_spark_sql(roots, tails):
+    r_sql = ",".join(f"'{r}'" for r in roots)
+    t_sql = ",".join(f"'{t}'" for t in tails)
+    return (f"(element_at(array({r_sql}), CAST(doc_id % {len(roots)}"
+            f" + 1 AS INT)) || element_at(array({t_sql}), "
+            f"CAST((doc_id div {len(roots)}) % {len(tails)} + 1 "
+            f"AS INT)))")
+
+
 # WordPiece gate fixture: a vocab with ## continuations + words that
 # exercise greedy longest-match, continuation chains, and the
 # whole-word-[UNK] dead-cursor path. Shared by both engines.
@@ -715,8 +766,18 @@ def q_stopwords_ngrams(spark, sf_dir):
     splits, continuation chains, the dead-cursor whole-word-[UNK]
     path); the oracle replays the published cursor scan as a RECURSIVE
     CTE whose longest-first probe CASE is generated from the SAME
-    fixture vocab."""
+    fixture vocab.
+
+    sb_de/sb_fr/sb_es (r10): the FULL Snowball stemmers
+    (functions/snowball.py — PARITY delta 1a's de/fr/es arms, closed)
+    oracle-gated end-to-end: one morphology-rich word per doc and
+    language (roots x tails), stemmed by the Catalyst chain on the
+    Spark side and by CTE-per-step DuckDB SQL on the oracle side, BOTH
+    generated from the same rule tables by the same step interpreter
+    (snowball_sql_ctes) — prelude marking, R1/R2/RV arithmetic, every
+    suffix step, undoubling, un-accenting, postlude."""
     from .functions.porter import porter_stem
+    from .functions.snowball import snowball_spark_sql
     from .llm.tokenizer import wordpiece_tokenize
     from .llm.textqual import STOPWORD_PROFILES
     docs = _t(spark, sf_dir, "documents")
@@ -740,6 +801,13 @@ def q_stopwords_ngrams(spark, sf_dir):
             F.array(*[F.lit(t) for t in _WP_TAILS]),
             (F.floor(F.col("doc_id") / len(_WP_ROOTS)).cast("long")
              % len(_WP_TAILS) + 1).cast("int")))
+    # the stemmers ride the Spark-SQL TEXT backend (snowball_spark_sql:
+    # one F.expr parse JVM-side) — the Column form costs 1-3.5 s of
+    # py4j round trips per language at build time, pure gate overhead
+    sb_words = {lg: _sb_word_spark_sql(r, t) for lg, r, t in (
+        ("de", _SB_DE_ROOTS, _SB_DE_TAILS),
+        ("fr", _SB_FR_ROOTS, _SB_FR_TAILS),
+        ("es", _SB_ES_ROOTS, _SB_ES_TAILS))}
     base = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -750,7 +818,13 @@ def q_stopwords_ngrams(spark, sf_dir):
         porter_stem(word).alias("porter"),
         wp_word.alias("wp_word"),
         F.array_join(wordpiece_tokenize(wp_word, wp_model), " ")
-        .alias("wp_pieces"))
+        .alias("wp_pieces"),
+        F.expr(sb_words["de"]).alias("sb_de_word"),
+        F.expr(snowball_spark_sql("de", sb_words["de"])).alias("sb_de"),
+        F.expr(sb_words["fr"]).alias("sb_fr_word"),
+        F.expr(snowball_spark_sql("fr", sb_words["fr"])).alias("sb_fr"),
+        F.expr(sb_words["es"]).alias("sb_es_word"),
+        F.expr(snowball_spark_sql("es", sb_words["es"])).alias("sb_es"))
     sim = q_text_similarity(spark, sf_dir).select(
         F.col("id1").alias("doc_id"),
         F.col("token_jaccard").alias("next_jaccard"))
@@ -3225,9 +3299,30 @@ wpf AS (
   FROM wps
 )"""
 
+# -- Snowball de/fr/es replicas, GENERATED from the same rule tables
+# the Spark expressions use by the same interpreter walking the same
+# control flow (functions/snowball.snowball_sql_ctes) — CTE-per-step
+# is the SQL bind-once, exactly the porter pattern.
+def _sb_ctes() -> tuple[str, str]:
+    from .functions.snowball import snowball_sql_ctes
+    chains, joins = [], []
+    for lang, roots, tails in (
+            ("de", _SB_DE_ROOTS, _SB_DE_TAILS),
+            ("fr", _SB_FR_ROOTS, _SB_FR_TAILS),
+            ("es", _SB_ES_ROOTS, _SB_ES_TAILS)):
+        ctes, fin = snowball_sql_ctes(
+            lang, _sb_word_sql(roots, tails), f"sb{lang}")
+        chains.append(ctes)
+        joins.append(fin)
+    return ",\n".join(chains), joins
+
+
+_SB_CHAINS, _SB_FINS = _sb_ctes()
+
 ORACLES["stopwords_ngrams"] = f"""
 WITH RECURSIVE {_porter_ctes(_P_WORD_SQL)},
 {_wp_ctes()},
+{_SB_CHAINS},
 t AS (
   SELECT doc_id, {_tokens('text')} AS toks FROM documents
 ), ns AS (
@@ -3249,10 +3344,16 @@ SELECT ns.doc_id,
        CASE WHEN len(nostop) >= 2 THEN nostop[1] || ' ' || nostop[2] ELSE '' END AS first_bigram,
        pfin.porter_word, pfin.porter,
        wpf.wp_word, wpf.wp_pieces,
+       {_SB_FINS[0]}.w0 AS sb_de_word, {_SB_FINS[0]}.stem AS sb_de,
+       {_SB_FINS[1]}.w0 AS sb_fr_word, {_SB_FINS[1]}.stem AS sb_fr,
+       {_SB_FINS[2]}.w0 AS sb_es_word, {_SB_FINS[2]}.stem AS sb_es,
        sim.next_jaccard
 FROM ns LEFT JOIN sim ON ns.doc_id = sim.doc_id
         JOIN pfin ON ns.doc_id = pfin.doc_id
         JOIN wpf ON ns.doc_id = wpf.doc_id AND wpf.rn = 1
+        JOIN {_SB_FINS[0]} ON ns.doc_id = {_SB_FINS[0]}.doc_id
+        JOIN {_SB_FINS[1]} ON ns.doc_id = {_SB_FINS[1]}.doc_id
+        JOIN {_SB_FINS[2]} ON ns.doc_id = {_SB_FINS[2]}.doc_id
 """
 
 ORACLES["multilabel_topn"] = """

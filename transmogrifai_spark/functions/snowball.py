@@ -1,0 +1,1139 @@
+"""Full Snowball stemmers (German, French, Spanish) from ONE spec,
+interpreted by THREE backends: Catalyst expressions, DuckDB SQL text,
+and plain Python.
+
+Reference: the per-language analyzer registry the reference routes
+text through (utils/src/main/scala/com/salesforce/op/utils/text/
+LuceneTextAnalyzer.scala). Through r9 the de/fr/es chains here shipped
+ordered light-suffix subsets (PARITY delta 1a: "stems one step
+shallower"); this module closes those arms with the COMPLETE published
+Snowball algorithms (M.F. Porter, snowballstem.org — the stemmer
+family Lucene ships as SnowballFilter), the porter.py pattern
+generalized: every rule table below is the single source of truth, and
+the Spark expression chain, the DuckDB oracle CTEs, and the Python
+mirror are all generated from it by the same step interpreter walking
+the same control flow. A law test pins Spark == Python over fixture +
+hypothesis words; the driver oracle pins Spark == SQL end-to-end.
+
+Spark-first design notes (the 100 TB shape):
+- Pure expressions, zero UDFs: suffix steps are longest-first CASE
+  chains; regions (R1/R2/RV) are two regexp skeleton rewrites + locate
+  arithmetic computed ONCE per word.
+- Bind-once: each step binds its output (plus the region integers) as
+  a transform-lambda struct field before the next step references it —
+  naive chaining would re-inline every step into each reference and
+  grow the plan exponentially across the 8-13 stages (the engine-wide
+  rule porter.py states; SQL binds via CTE-per-step, Python is eager).
+
+Documented micro-deltas vs the Snowball reference implementation (all
+three shared by every backend, so laws and oracles stay exact):
+- Prelude marking runs as ORDERED consume-scans (u-between-vowels pass
+  before y/i passes) instead of one left-to-right combined scan; the
+  two diverge only on abutting mark sites inside vowel runs ('ayua',
+  'aiue') which real de/fr words don't produce.
+- French diaeresis: ë/ï stay plain vowels (the pre-2018 behavior; the
+  2018 revision rewrites them He/Hi through the whole algorithm).
+- German2's ae/oe/ue umlaut folding is available as variant="german2"
+  (law-tested; the driver oracle gates the standard variant).
+"""
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["snowball_stem", "snowball_stem_py", "snowball_sql_ctes",
+           "SNOWBALL_LANGS"]
+
+SNOWBALL_LANGS = ("de", "fr", "es")
+
+_DE_V = "aeiouyäöü"
+_FR_V = "aeiouyâàëéêèïîôûù"
+_ES_V = "aeiouáéíóúü"
+
+_DE_S_END = "bdfghklmnrt"     # valid s-endings (step 1)
+_DE_ST_END = "bdfghklmnt"     # valid st-endings (step 2)
+
+
+# ---------------------------------------------------------------------------
+# backends
+
+
+class _SparkB:
+    """Values are Columns; bind packs live refs into a struct and
+    continues inside a transform lambda (the porter _bind trick, struct
+    form, so every step is evaluated once per row)."""
+
+    kind = "spark"
+
+    def lit(self, s):
+        return F.lit(s)
+
+    num = lit
+
+    def true(self):
+        return F.lit(True)
+
+    def when(self, c, a, b):
+        return F.when(c, a).otherwise(b)
+
+    def endswith(self, w, s):
+        return w.endswith(s)
+
+    def startswith(self, w, s):
+        return w.startswith(s)
+
+    def drop(self, w, n):
+        return w.substr(F.lit(1), F.length(w) - n)
+
+    def append(self, w, s):
+        return F.concat(w, F.lit(s))
+
+    def length(self, w):
+        return F.length(w)
+
+    def add(self, a, b):
+        return a + b
+
+    def sub(self, a, b):
+        return a - b
+
+    def ge(self, a, b):
+        return a >= b
+
+    def gt(self, a, b):
+        return a > b
+
+    def eq(self, a, b):
+        return a == b
+
+    def eqs(self, a, b):
+        return a == b
+
+    def and_(self, *cs):
+        out = cs[0]
+        for c in cs[1:]:
+            out = out & c
+        return out
+
+    def or_(self, *cs):
+        out = cs[0]
+        for c in cs[1:]:
+            out = out | c
+        return out
+
+    def not_(self, c):
+        return ~c
+
+    def char_from_end(self, w, i):
+        # '' when the word is shorter than i (no such character)
+        return F.when(F.length(w) >= i,
+                      w.substr(F.length(w) - F.lit(i - 1), F.lit(1))) \
+            .otherwise(F.lit(""))
+
+    def take_char(self, w, i):
+        return w.substr(F.lit(i), F.lit(1))
+
+    def in_chars(self, ch, chars):
+        return ch.isin(list(chars))
+
+    def regex_replace(self, w, pat, repl):
+        return F.regexp_replace(w, pat, repl)     # global; $1 refs
+
+    def replace_all(self, w, a, b):
+        return F.regexp_replace(w, re.escape(a), b)
+
+    def locate_from(self, w, sub, start):
+        """Absolute 1-based position of ``sub`` at/after position
+        ``start`` (a Column), 0 if absent."""
+        tail = w.substr(start, F.length(w))
+        found = F.locate(sub, tail)
+        return F.when(found > 0, found + start - 1).otherwise(F.lit(0))
+
+    def greatest(self, a, b):
+        return F.greatest(a, F.lit(b) if isinstance(b, int) else b)
+
+    def bind(self, refs, name, val, cont):
+        items = list(refs.items()) + [(name, val)]
+        keys = [k for k, _ in items]
+        arr = F.array(F.struct(*[v.alias(k) for k, v in items]))
+        return F.get(F.transform(
+            arr, lambda s: cont({k: s[k] for k in keys})), 0)
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+class _SqlB:
+    """Values are DuckDB SQL expression strings; bind emits one CTE per
+    step (the SQL bind-once — each step's text references its input
+    COLUMN, never the previous step's expression)."""
+
+    kind = "sql"
+
+    def __init__(self, prefix: str, key: str, source: str):
+        self.prefix, self.key = prefix, key
+        self.ctes: list[str] = []
+        self.cols = [key, "w0"]
+        self.n = 0
+        self.src = source
+
+    def lit(self, s):
+        return _q(s)
+
+    def num(self, n):
+        return str(n)
+
+    def true(self):
+        return "TRUE"
+
+    def when(self, c, a, b):
+        return f"CASE WHEN {c} THEN {a} ELSE {b} END"
+
+    def endswith(self, w, s):
+        return f"ends_with({w}, {_q(s)})"
+
+    def startswith(self, w, s):
+        return f"starts_with({w}, {_q(s)})"
+
+    def drop(self, w, n):
+        return f"substr({w}, 1, length({w}) - {n})"
+
+    def append(self, w, s):
+        return f"({w} || {_q(s)})"
+
+    def length(self, w):
+        return f"length({w})"
+
+    def add(self, a, b):
+        return f"({a} + {b})"
+
+    def sub(self, a, b):
+        return f"({a} - {b})"
+
+    def ge(self, a, b):
+        return f"({a} >= {b})"
+
+    def gt(self, a, b):
+        return f"({a} > {b})"
+
+    def eq(self, a, b):
+        return f"({a} = {b})"
+
+    eqs = eq
+
+    def and_(self, *cs):
+        return "(" + " AND ".join(cs) + ")"
+
+    def or_(self, *cs):
+        return "(" + " OR ".join(cs) + ")"
+
+    def not_(self, c):
+        return f"(NOT {c})"
+
+    def char_from_end(self, w, i):
+        return (f"CASE WHEN length({w}) >= {i} THEN "
+                f"substr({w}, length({w}) - {i - 1}, 1) ELSE '' END")
+
+    def take_char(self, w, i):
+        return f"substr({w}, {i}, 1)"
+
+    def in_chars(self, ch, chars):
+        lst = ", ".join(_q(c) for c in chars)
+        return f"({ch} IN ({lst}))"
+
+    def regex_replace(self, w, pat, repl):
+        repl_sql = repl.replace("$", "\\")
+        return (f"regexp_replace({w}, {_q(pat)}, {_q(repl_sql)}, 'g')")
+
+    def replace_all(self, w, a, b):
+        return f"replace({w}, {_q(a)}, {_q(b)})"
+
+    def locate_from(self, w, sub, start):
+        tail = f"substr({w}, {start})"
+        found = f"instr({tail}, {_q(sub)})"
+        return (f"CASE WHEN {found} > 0 THEN {found} + {start} - 1 "
+                f"ELSE 0 END")
+
+    def greatest(self, a, b):
+        return f"greatest({a}, {b})"
+
+    def bind(self, refs, name, val, cont):
+        self.n += 1
+        cte = f"{self.prefix}{self.n}"
+        prev = f"{self.prefix}{self.n - 1}" if self.n > 1 else self.src
+        self.ctes.append(
+            f"{cte} AS (SELECT {', '.join(self.cols)}, {val} AS {name} "
+            f"FROM {prev})")
+        self.cols.append(name)
+        return cont({**refs, name: name})
+
+
+class _SparkSqlB(_SqlB):
+    """Spark-SQL-dialect text backend: same expression generator as the
+    DuckDB one, but bind-once is a nested transform-over-struct lambda
+    (the textual form of _SparkB's bind) so the whole stemmer arrives
+    as ONE parsed expression. Building the Column form costs 1-3.5 s of
+    py4j round trips per language; this form is one F.expr call — the
+    driver-gate path uses it."""
+
+    def __init__(self):
+        self.depth = 0
+
+    def endswith(self, w, s):
+        return f"endswith({w}, {_q(s)})"
+
+    def startswith(self, w, s):
+        return f"startswith({w}, {_q(s)})"
+
+    def regex_replace(self, w, pat, repl):
+        # Spark regexp_replace is global; replacement refs stay $1
+        return f"regexp_replace({w}, {_q(pat)}, {_q(repl)})"
+
+    def bind(self, refs, name, val, cont):
+        self.depth += 1
+        var = f"sb{self.depth}"
+        items = list(refs.items()) + [(name, val)]
+        fields = ", ".join(f"{_q(k)}, {v}" for k, v in items)
+        inner = cont({k: f"{var}.{k}" for k, _ in items})
+        return (f"transform(array(named_struct({fields})), "
+                f"{var} -> {inner})[0]")
+
+
+class _PyB:
+    """Values are native str/int/bool; eager evaluation (the mirror)."""
+
+    kind = "py"
+
+    def lit(self, s):
+        return s
+
+    num = lit
+
+    def true(self):
+        return True
+
+    def when(self, c, a, b):
+        return a if c else b
+
+    def endswith(self, w, s):
+        return w.endswith(s)
+
+    def startswith(self, w, s):
+        return w.startswith(s)
+
+    def drop(self, w, n):
+        return w[:len(w) - n] if n <= len(w) else ""
+
+    def append(self, w, s):
+        return w + s
+
+    def length(self, w):
+        return len(w)
+
+    def add(self, a, b):
+        return a + b
+
+    def sub(self, a, b):
+        return a - b
+
+    def ge(self, a, b):
+        return a >= b
+
+    def gt(self, a, b):
+        return a > b
+
+    def eq(self, a, b):
+        return a == b
+
+    eqs = eq
+
+    def and_(self, *cs):
+        return all(cs)
+
+    def or_(self, *cs):
+        return any(cs)
+
+    def not_(self, c):
+        return not c
+
+    def char_from_end(self, w, i):
+        return w[len(w) - i] if len(w) >= i else ""
+
+    def take_char(self, w, i):
+        return w[i - 1] if len(w) >= i else ""
+
+    def in_chars(self, ch, chars):
+        return ch in set(chars)
+
+    def regex_replace(self, w, pat, repl):
+        return re.sub(pat, repl.replace("$", "\\"), w)
+
+    def replace_all(self, w, a, b):
+        return w.replace(a, b)
+
+    def locate_from(self, w, sub, start):
+        idx = w.find(sub, start - 1)
+        return idx + 1 if idx >= 0 else 0
+
+    def greatest(self, a, b):
+        return max(a, b)
+
+    def bind(self, refs, name, val, cont):
+        return cont({**refs, name: val})
+
+
+# ---------------------------------------------------------------------------
+# shared step machinery
+
+
+def _sorted_rules(rules):
+    """Snowball's among(): the longest matching suffix wins; a failed
+    condition on the winner does NOT fall through to a shorter one."""
+    return sorted(rules, key=lambda r: -len(r[0]))
+
+
+def _apply_rules(B, w, rules):
+    out = w
+    for sfx, act in reversed(_sorted_rules(rules)):
+        out = B.when(B.endswith(w, sfx), act(w, sfx), out)
+    return out
+
+
+def _in_r(B, R, w, sfxlen, rkey):
+    """Suffix start position (1-based, absolute — deletions only ever
+    shorten the right edge, so prepared-word region marks stay valid)
+    at or after the region start."""
+    return B.ge(B.sub(B.length(w), B.num(sfxlen - 1)), R[rkey])
+
+
+def _prev_nonvowel(B, w, sfxlen, vowels):
+    """There IS a character before the suffix and it is a non-vowel
+    (Snowball's backward non-v test fails at the limit)."""
+    return B.and_(B.gt(B.length(w), B.num(sfxlen)),
+                  B.not_(B.in_chars(B.char_from_end(w, sfxlen + 1),
+                                    vowels)))
+
+
+def _skeleton(B, w, vowels):
+    """Positional consonant/vowel skeleton: vowels -> 'a', every other
+    character -> 'b' (length-preserving; marker capitals are
+    consonants by construction)."""
+    return B.regex_replace(B.regex_replace(w, f"[{vowels}]", "a"),
+                           "[^a]", "b")
+
+
+def _r1_raw(B, R, skel, wlen):
+    p = B.locate_from(skel, "ab", B.num(1))
+    return B.when(B.gt(p, B.num(0)), B.add(p, B.num(2)),
+                  B.add(wlen, B.num(1)))
+
+
+def _r2_from(B, skel, r1, wlen):
+    p = B.locate_from(skel, "ab", r1)
+    return B.when(B.gt(p, B.num(0)), B.add(p, B.num(2)),
+                  B.add(wlen, B.num(1)))
+
+
+def _run(B, plan, w0, finalize):
+    def go(i, refs):
+        if i == len(plan):
+            return finalize(B, refs)
+        name, build = plan[i]
+        return B.bind(refs, name, build(B, refs),
+                      lambda r2: go(i + 1, r2))
+    return go(0, {"w0": w0})
+
+
+# ---------------------------------------------------------------------------
+# GERMAN (snowballstem.org/algorithms/german/stemmer.html; german2
+# variant folds ae/oe/ue in the prelude)
+
+
+def _de_prelude(B, w, variant):
+    w = B.replace_all(w, "ß", "ss")
+    if variant == "german2":
+        w = B.replace_all(w, "ae", "ä")
+        w = B.replace_all(w, "oe", "ö")
+        # ue after q keeps its u (Quelle); consume-scan handles ^ue
+        w = B.regex_replace(w, "^ue", "ü")
+        w = B.regex_replace(w, "([^q])ue", "$1ü")
+    w = B.regex_replace(w, f"([{_DE_V}])u([{_DE_V}])", "$1U$2")
+    w = B.regex_replace(w, f"([{_DE_V}])y([{_DE_V}])", "$1Y$2")
+    return w
+
+
+def _de_step1(B, R, w):
+    def plain(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def e_group(wd, sfx):
+        # after an e/en/es deletion a trailing 'niss' undoubles (nis)
+        t = B.drop(wd, len(sfx))
+        t = B.when(B.endswith(t, "niss"), B.drop(t, 1), t)
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"), t, wd)
+
+    def s_rule(wd, sfx):
+        ok = B.and_(_in_r(B, R, wd, 1, "r1"),
+                    B.in_chars(B.char_from_end(wd, 2), _DE_S_END))
+        return B.when(ok, B.drop(wd, 1), wd)
+
+    return _apply_rules(B, w, [
+        ("ern", plain), ("em", plain), ("er", plain),
+        ("en", e_group), ("es", e_group), ("e", e_group),
+        ("s", s_rule),
+    ])
+
+
+def _de_step2(B, R, w):
+    def plain(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def st_rule(wd, sfx):
+        # valid st-ending, itself preceded by at least 3 letters
+        ok = B.and_(_in_r(B, R, wd, 2, "r1"),
+                    B.in_chars(B.char_from_end(wd, 3), _DE_ST_END),
+                    B.ge(B.length(wd), B.num(6)))
+        return B.when(ok, B.drop(wd, 2), wd)
+
+    return _apply_rules(B, w, [
+        ("est", plain), ("en", plain), ("er", plain), ("st", st_rule),
+    ])
+
+
+def _de_step3(B, R, w):
+    def not_e_before(wd, n):
+        return B.not_(B.eq(B.char_from_end(wd, n + 1), B.lit("e")))
+
+    def end_ung(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        ig_ok = B.and_(B.endswith(t, "ig"), _in_r(B, R, t, 2, "r2"),
+                       not_e_before(t, 2))
+        t2 = B.when(ig_ok, B.drop(t, 2), t)
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    def ig_ik_isch(wd, sfx):
+        ok = B.and_(_in_r(B, R, wd, len(sfx), "r2"),
+                    not_e_before(wd, len(sfx)))
+        return B.when(ok, B.drop(wd, len(sfx)), wd)
+
+    def lich_heit(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        er_ok = B.and_(B.endswith(t, "er"), _in_r(B, R, t, 2, "r1"))
+        en_ok = B.and_(B.endswith(t, "en"), _in_r(B, R, t, 2, "r1"))
+        t2 = B.when(B.or_(er_ok, en_ok), B.drop(t, 2), t)
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    def keit(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        lich_ok = B.and_(B.endswith(t, "lich"), _in_r(B, R, t, 4, "r2"))
+        ig_ok = B.and_(B.endswith(t, "ig"), _in_r(B, R, t, 2, "r2"))
+        t2 = B.when(lich_ok, B.drop(t, 4),
+                    B.when(ig_ok, B.drop(t, 2), t))
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    return _apply_rules(B, w, [
+        ("isch", ig_ik_isch), ("lich", lich_heit), ("heit", lich_heit),
+        ("keit", keit), ("end", end_ung), ("ung", end_ung),
+        ("ig", ig_ik_isch), ("ik", ig_ik_isch),
+    ])
+
+
+def _de_plan(variant):
+    return [
+        ("w", lambda B, R: _de_prelude(B, R["w0"], variant)),
+        ("skel", lambda B, R: _skeleton(B, R["w"], _DE_V)),
+        ("r1r", lambda B, R: _r1_raw(B, R, R["skel"],
+                                     B.length(R["w"]))),
+        # R2 uses the UNADJUSTED R1; the >=3-letter floor applies after
+        ("r2", lambda B, R: _r2_from(B, R["skel"], R["r1r"],
+                                     B.length(R["w"]))),
+        ("r1", lambda B, R: B.greatest(R["r1r"], B.num(4))),
+        ("w1", lambda B, R: _de_step1(B, R, R["w"])),
+        ("w2", lambda B, R: _de_step2(B, R, R["w1"])),
+        ("w3", lambda B, R: _de_step3(B, R, R["w2"])),
+    ]
+
+
+def _de_final(B, refs):
+    w = refs["w3"]
+    for a, b in (("U", "u"), ("Y", "y"), ("ä", "a"), ("ö", "o"),
+                 ("ü", "u")):
+        w = B.replace_all(w, a, b)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# FRENCH (snowballstem.org/algorithms/french/stemmer.html, pre-2018
+# diaeresis behavior)
+
+
+def _fr_prelude(B, w):
+    V = _FR_V
+    w = B.regex_replace(w, f"([{V}])y", "$1Y")
+    w = B.regex_replace(w, f"y([{V}])", "Y$1")
+    w = B.regex_replace(w, f"([{V}])u([{V}])", "$1U$2")
+    w = B.regex_replace(w, "qu", "qU")
+    w = B.regex_replace(w, f"([{V}])i([{V}])", "$1I$2")
+    return w
+
+
+def _fr_rv(B, R, w, skel):
+    wlen = B.length(w)
+    two_vowels = B.and_(B.in_chars(B.take_char(w, 1), _FR_V),
+                        B.in_chars(B.take_char(w, 2), _FR_V))
+    exc = B.or_(B.startswith(w, "par"), B.startswith(w, "col"),
+                B.startswith(w, "tap"))
+    p = B.locate_from(skel, "a", B.num(2))
+    dflt = B.when(B.gt(p, B.num(0)), B.add(p, B.num(1)),
+                  B.add(wlen, B.num(1)))
+    return B.when(B.or_(two_vowels, exc), B.num(4), dflt)
+
+
+def _fr_ment_family(B, w):
+    """True iff the longest step-1 suffix of ``w`` is one of amment /
+    emment / ment / ments (the endings whose discovery re-enables the
+    verb-suffix steps)."""
+    return B.and_(
+        B.or_(B.endswith(w, "ment"), B.endswith(w, "ments")),
+        B.not_(B.or_(B.endswith(w, "ement"), B.endswith(w, "ements"),
+                     B.endswith(w, "issement"),
+                     B.endswith(w, "issements"))))
+
+
+def _fr_step1(B, R, w):
+    def del_r2(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def repl_r2(repl):
+        def act(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                          B.append(B.drop(wd, len(sfx)), repl), wd)
+        return act
+
+    def ateur(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        ic = B.endswith(t, "ic")
+        t2 = B.when(B.and_(ic, _in_r(B, R, t, 2, "r2")), B.drop(t, 2),
+                    B.when(ic, B.append(B.drop(t, 2), "iqU"), t))
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    def ement(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        iv = B.and_(B.endswith(t, "iv"), _in_r(B, R, t, 2, "r2"))
+        t_iv = B.drop(t, 2)
+        t_iv = B.when(B.and_(B.endswith(t_iv, "at"),
+                             _in_r(B, R, t_iv, 2, "r2")),
+                      B.drop(t_iv, 2), t_iv)
+        eus = B.endswith(t, "eus")
+        t_eus = B.when(_in_r(B, R, t, 3, "r2"), B.drop(t, 3),
+                       B.when(_in_r(B, R, t, 3, "r1"),
+                              B.append(B.drop(t, 3), "eux"), t))
+        abl_iqU = B.and_(B.or_(B.endswith(t, "abl"),
+                               B.endswith(t, "iqU")),
+                         _in_r(B, R, t, 3, "r2"))
+        ier = B.and_(B.or_(B.endswith(t, "ièr"), B.endswith(t, "Ièr")),
+                     _in_r(B, R, t, 3, "rv"))
+        t2 = B.when(iv, t_iv,
+                    B.when(eus, t_eus,
+                           B.when(abl_iqU, B.drop(t, 3),
+                                  B.when(ier,
+                                         B.append(B.drop(t, 3), "i"),
+                                         t))))
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"), t2, wd)
+
+    def ite(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        abil = B.endswith(t, "abil")
+        t_abil = B.when(_in_r(B, R, t, 4, "r2"), B.drop(t, 4),
+                        B.append(B.drop(t, 4), "abl"))
+        ic = B.endswith(t, "ic")
+        t_ic = B.when(_in_r(B, R, t, 2, "r2"), B.drop(t, 2),
+                      B.append(B.drop(t, 2), "iqU"))
+        iv = B.and_(B.endswith(t, "iv"), _in_r(B, R, t, 2, "r2"))
+        t2 = B.when(abil, t_abil,
+                    B.when(ic, t_ic, B.when(iv, B.drop(t, 2), t)))
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    def if_ive(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        at = B.and_(B.endswith(t, "at"), _in_r(B, R, t, 2, "r2"))
+        t_at = B.drop(t, 2)
+        ic = B.endswith(t_at, "ic")
+        t_at = B.when(B.and_(ic, _in_r(B, R, t_at, 2, "r2")),
+                      B.drop(t_at, 2),
+                      B.when(ic, B.append(B.drop(t_at, 2), "iqU"),
+                             t_at))
+        t2 = B.when(at, t_at, t)
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    def eaux(wd, sfx):
+        return B.drop(wd, 1)                       # eaux -> eau, always
+
+    def aux(wd, sfx):
+        return B.when(_in_r(B, R, wd, 3, "r1"),
+                      B.append(B.drop(wd, 3), "al"), wd)
+
+    def euse(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                      B.drop(wd, len(sfx)),
+                      B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                             B.append(B.drop(wd, len(sfx)), "eux"),
+                             wd))
+
+    def issement(wd, sfx):
+        ok = B.and_(_in_r(B, R, wd, len(sfx), "r1"),
+                    _prev_nonvowel(B, wd, len(sfx), _FR_V))
+        return B.when(ok, B.drop(wd, len(sfx)), wd)
+
+    def repl_rv(repl):
+        def act(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                          B.append(B.drop(wd, len(sfx)), repl), wd)
+        return act
+
+    def ment(wd, sfx):
+        # preceded by a vowel which is itself in RV
+        prev_in_rv = B.ge(B.sub(B.length(wd), B.num(len(sfx))),
+                          R["rv"])
+        ok = B.and_(B.in_chars(B.char_from_end(wd, len(sfx) + 1),
+                               _FR_V), prev_in_rv)
+        return B.when(ok, B.drop(wd, len(sfx)), wd)
+
+    rules = []
+    for s in ("ance", "iqUe", "isme", "able", "iste", "eux", "ances",
+              "iqUes", "ismes", "ables", "istes"):
+        rules.append((s, del_r2))
+    for s in ("atrice", "ateur", "ation", "atrices", "ateurs",
+              "ations"):
+        rules.append((s, ateur))
+    rules += [("logie", repl_r2("log")), ("logies", repl_r2("log"))]
+    for s in ("usion", "ution", "usions", "utions"):
+        rules.append((s, repl_r2("u")))
+    rules += [("ence", repl_r2("ent")), ("ences", repl_r2("ent")),
+              ("ement", ement), ("ements", ement),
+              ("ité", ite), ("ités", ite),
+              ("if", if_ive), ("ive", if_ive), ("ifs", if_ive),
+              ("ives", if_ive),
+              ("eaux", eaux), ("aux", aux),
+              ("euse", euse), ("euses", euse),
+              ("issement", issement), ("issements", issement),
+              ("amment", repl_rv("ant")), ("emment", repl_rv("ent")),
+              ("ment", ment), ("ments", ment)]
+    return _apply_rules(B, w, rules)
+
+
+_FR_2A = ("îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+          "iraIent", "irais", "irait", "iras", "irent", "irez",
+          "iriez", "irions", "irons", "iront", "is", "issaIent",
+          "issais", "issait", "issant", "issante", "issantes",
+          "issants", "isse", "issent", "isses", "issez", "issiez",
+          "issions", "issons", "it")
+
+_FR_2B_DEL = ("é", "ée", "ées", "és", "èrent", "er", "era", "erai",
+              "eraIent", "erais", "erait", "eras", "erez", "eriez",
+              "erions", "erons", "eront", "ez", "iez")
+_FR_2B_E = ("âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait",
+            "ant", "ante", "antes", "ants", "as", "asse", "assent",
+            "asses", "assiez", "assions")
+
+
+def _fr_step2a(B, R, w):
+    def act(wd, sfx):
+        ok = B.and_(_in_r(B, R, wd, len(sfx), "rv"),
+                    _prev_nonvowel(B, wd, len(sfx), _FR_V),
+                    B.ge(B.sub(B.length(wd), B.num(len(sfx))),
+                         R["rv"]))
+        return B.when(ok, B.drop(wd, len(sfx)), wd)
+    return _apply_rules(B, w, [(s, act) for s in _FR_2A])
+
+
+def _fr_step2b(B, R, w):
+    def ions(wd, sfx):
+        ok = B.and_(_in_r(B, R, wd, 4, "rv"), _in_r(B, R, wd, 4, "r2"))
+        return B.when(ok, B.drop(wd, 4), wd)
+
+    def del_rv(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def del_rv_e(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        e_ok = B.and_(B.endswith(t, "e"),
+                      B.ge(B.length(t), R["rv"]))
+        t2 = B.when(e_ok, B.drop(t, 1), t)
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"), t2, wd)
+
+    rules = [("ions", ions)]
+    rules += [(s, del_rv) for s in _FR_2B_DEL]
+    rules += [(s, del_rv_e) for s in _FR_2B_E]
+    return _apply_rules(B, w, rules)
+
+
+def _fr_step4(B, R, w):
+    # s-removal: word ends s not preceded by a/i/o/u/è/s (a missing
+    # preceding character also deletes — the backward test at limit)
+    s_ok = B.and_(B.endswith(w, "s"),
+                  B.not_(B.in_chars(B.char_from_end(w, 2), "aiouès")))
+    w = B.when(s_ok, B.drop(w, 1), w)
+
+    def ion(wd, sfx):
+        prev_in_rv = B.ge(B.sub(B.length(wd), B.num(3)), R["rv"])
+        ok = B.and_(_in_r(B, R, wd, 3, "rv"), _in_r(B, R, wd, 3, "r2"),
+                    B.in_chars(B.char_from_end(wd, 4), "st"),
+                    prev_in_rv)
+        return B.when(ok, B.drop(wd, 3), wd)
+
+    def ier(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                      B.append(B.drop(wd, len(sfx)), "i"), wd)
+
+    def e_rule(wd, sfx):
+        return B.when(_in_r(B, R, wd, 1, "rv"), B.drop(wd, 1), wd)
+
+    def e_trema(wd, sfx):
+        ok = B.and_(_in_r(B, R, wd, 1, "rv"), B.endswith(wd, "guë"))
+        return B.when(ok, B.drop(wd, 1), wd)
+
+    return _apply_rules(B, w, [
+        ("ion", ion), ("ier", ier), ("ière", ier), ("Ier", ier),
+        ("Ière", ier), ("e", e_rule), ("ë", e_trema),
+    ])
+
+
+def _fr_plan():
+    def w4(B, R):
+        # altered = the LAST step obeyed (1, 2a or 2b) changed the word
+        altered = B.when(
+            B.not_(R["d2a"]), B.not_(B.eqs(R["w1"], R["w"])),
+            B.when(B.not_(B.eqs(R["w2a"], R["w1"])), B.true(),
+                   B.not_(B.eqs(R["w2b"], R["w2a"]))))
+        step3 = B.when(B.endswith(R["w2b"], "Y"),
+                       B.append(B.drop(R["w2b"], 1), "i"),
+                       B.when(B.endswith(R["w2b"], "ç"),
+                              B.append(B.drop(R["w2b"], 1), "c"),
+                              R["w2b"]))
+        return B.when(altered, step3, _fr_step4(B, R, R["w2b"]))
+
+    def undouble(B, R):
+        w = R["w4"]
+        cond = B.or_(*[B.endswith(w, d)
+                       for d in ("enn", "onn", "ett", "ell", "eill")])
+        return B.when(cond, B.drop(w, 1), w)
+
+    def unaccent(B, R):
+        return B.regex_replace(R["w5"], f"[éè]([^{_FR_V}]+)$", "e$1")
+
+    return [
+        ("w", lambda B, R: _fr_prelude(B, R["w0"])),
+        ("skel", lambda B, R: _skeleton(B, R["w"], _FR_V)),
+        ("r1", lambda B, R: _r1_raw(B, R, R["skel"],
+                                    B.length(R["w"]))),
+        ("r2", lambda B, R: _r2_from(B, R["skel"], R["r1"],
+                                     B.length(R["w"]))),
+        ("rv", lambda B, R: _fr_rv(B, R, R["w"], R["skel"])),
+        ("w1", lambda B, R: _fr_step1(B, R, R["w"])),
+        ("d2a", lambda B, R: B.or_(B.eqs(R["w1"], R["w"]),
+                                   _fr_ment_family(B, R["w"]))),
+        ("w2a", lambda B, R: B.when(R["d2a"],
+                                    _fr_step2a(B, R, R["w1"]),
+                                    R["w1"])),
+        ("d2b", lambda B, R: B.and_(R["d2a"],
+                                    B.eqs(R["w2a"], R["w1"]))),
+        ("w2b", lambda B, R: B.when(R["d2b"],
+                                    _fr_step2b(B, R, R["w2a"]),
+                                    R["w2a"])),
+        ("w4", w4),
+        ("w5", undouble),
+        ("w6", unaccent),
+    ]
+
+
+def _fr_final(B, refs):
+    w = refs["w6"]
+    for a, b in (("I", "i"), ("U", "u"), ("Y", "y")):
+        w = B.replace_all(w, a, b)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# SPANISH (snowballstem.org/algorithms/spanish/stemmer.html)
+
+
+def _es_rv(B, R, w, skel):
+    wlen = B.length(w)
+    c1v = B.in_chars(B.take_char(w, 1), _ES_V)
+    c2v = B.in_chars(B.take_char(w, 2), _ES_V)
+    pa = B.locate_from(skel, "a", B.num(3))
+    after_vowel = B.when(B.gt(pa, B.num(0)), B.add(pa, B.num(1)),
+                         B.add(wlen, B.num(1)))
+    pb = B.locate_from(skel, "b", B.num(3))
+    after_cons = B.when(B.gt(pb, B.num(0)), B.add(pb, B.num(1)),
+                        B.add(wlen, B.num(1)))
+    return B.when(B.not_(c2v), after_vowel,
+                  B.when(c1v, after_cons, B.num(4)))
+
+
+_ES_PRON = ("selas", "selos", "sela", "selo", "las", "les", "los",
+            "nos", "me", "se", "la", "le", "lo")
+
+# (suffix, unaccented replacement or None=keep) — the gerund/infinitive
+# forms a pronoun may attach to; the form itself must lie in RV
+_ES_PRON_PRE = (("iéndo", "iendo"), ("iendo", None), ("yendo", None),
+                ("ándo", "ando"), ("ando", None),
+                ("ár", "ar"), ("ér", "er"), ("ír", "ir"),
+                ("ar", None), ("er", None), ("ir", None))
+
+
+def _es_step0(B, R, w):
+    def act(wd, p_sfx):
+        t = B.drop(wd, len(p_sfx))
+        out = wd                      # no valid preceding form: keep
+        for pre, repl in reversed(_sorted_rules(_ES_PRON_PRE)):
+            cond = B.and_(B.endswith(t, pre),
+                          _in_r(B, R, t, len(pre), "rv"))
+            if pre == "yendo":
+                # yendo must follow u (the u may sit outside RV)
+                cond = B.and_(cond, B.eq(
+                    B.char_from_end(t, len(pre) + 1), B.lit("u")))
+            val = t if repl is None else \
+                B.append(B.drop(t, len(pre)), repl)
+            out = B.when(cond, val, out)
+        return out
+
+    return _apply_rules(B, w, [(p, act) for p in _ES_PRON])
+
+
+def _es_step1(B, R, w):
+    def del_r2(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def del_r2_ic(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        t2 = B.when(B.and_(B.endswith(t, "ic"),
+                           _in_r(B, R, t, 2, "r2")), B.drop(t, 2), t)
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    def repl_r2(repl):
+        def act(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                          B.append(B.drop(wd, len(sfx)), repl), wd)
+        return act
+
+    def amente(wd, sfx):
+        t = B.drop(wd, 6)
+        iv = B.and_(B.endswith(t, "iv"), _in_r(B, R, t, 2, "r2"))
+        t_iv = B.drop(t, 2)
+        t_iv = B.when(B.and_(B.endswith(t_iv, "at"),
+                             _in_r(B, R, t_iv, 2, "r2")),
+                      B.drop(t_iv, 2), t_iv)
+        osicad = B.and_(
+            B.or_(B.endswith(t, "os"), B.endswith(t, "ic"),
+                  B.endswith(t, "ad")),
+            _in_r(B, R, t, 2, "r2"))
+        t2 = B.when(iv, t_iv, B.when(osicad, B.drop(t, 2), t))
+        return B.when(_in_r(B, R, wd, 6, "r1"), t2, wd)
+
+    def mente(wd, sfx):
+        t = B.drop(wd, 5)
+        pre = B.and_(
+            B.or_(B.endswith(t, "ante"), B.endswith(t, "able"),
+                  B.endswith(t, "ible")),
+            _in_r(B, R, t, 4, "r2"))
+        t2 = B.when(pre, B.drop(t, 4), t)
+        return B.when(_in_r(B, R, wd, 5, "r2"), t2, wd)
+
+    def idad(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        abil = B.and_(B.endswith(t, "abil"), _in_r(B, R, t, 4, "r2"))
+        iciv = B.and_(B.or_(B.endswith(t, "ic"), B.endswith(t, "iv")),
+                      _in_r(B, R, t, 2, "r2"))
+        t2 = B.when(abil, B.drop(t, 4), B.when(iciv, B.drop(t, 2), t))
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    def iva(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        t2 = B.when(B.and_(B.endswith(t, "at"),
+                           _in_r(B, R, t, 2, "r2")), B.drop(t, 2), t)
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    rules = []
+    for s in ("anza", "anzas", "ico", "ica", "icos", "icas", "ismo",
+              "ismos", "able", "ables", "ible", "ibles", "ista",
+              "istas", "oso", "osa", "osos", "osas", "amiento",
+              "amientos", "imiento", "imientos"):
+        rules.append((s, del_r2))
+    for s in ("adora", "ador", "ación", "adoras", "adores", "aciones",
+              "ante", "antes", "ancia", "ancias"):
+        rules.append((s, del_r2_ic))
+    rules += [("logía", repl_r2("log")), ("logías", repl_r2("log")),
+              ("ución", repl_r2("u")), ("uciones", repl_r2("u")),
+              ("encia", repl_r2("ente")), ("encias", repl_r2("ente")),
+              ("amente", amente), ("mente", mente),
+              ("idad", idad), ("idades", idad),
+              ("iva", iva), ("ivo", iva), ("ivas", iva), ("ivos", iva)]
+    return _apply_rules(B, w, rules)
+
+
+_ES_2A = ("ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó",
+          "yas", "yes", "yais", "yamos")
+
+_ES_2B_GU = ("en", "es", "éis", "emos")
+_ES_2B = ("arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+          "aríamos", "aremos", "ará", "aré", "erían", "erías", "erán",
+          "erás", "eríais", "ería", "eréis", "eríamos", "eremos",
+          "erá", "eré", "irían", "irías", "irán", "irás", "iríais",
+          "iría", "iréis", "iríamos", "iremos", "irá", "iré", "aba",
+          "ada", "ida", "ía", "ara", "iera", "ad", "ed", "id", "ase",
+          "iese", "aste", "iste", "an", "aban", "ían", "aran",
+          "ieran", "asen", "iesen", "aron", "ieron", "ado", "ido",
+          "ando", "iendo", "ió", "ar", "er", "ir", "as", "abas",
+          "adas", "idas", "ías", "aras", "ieras", "ases", "ieses",
+          "ís", "áis", "abais", "íais", "arais", "ierais", "aseis",
+          "ieseis", "asteis", "isteis", "ados", "idos", "amos",
+          "ábamos", "íamos", "imos", "áramos", "iéramos", "iésemos",
+          "ásemos")
+
+
+def _es_step2a(B, R, w):
+    def act(wd, sfx):
+        ok = B.and_(_in_r(B, R, wd, len(sfx), "rv"),
+                    B.eq(B.char_from_end(wd, len(sfx) + 1),
+                         B.lit("u")))
+        return B.when(ok, B.drop(wd, len(sfx)), wd)
+    return _apply_rules(B, w, [(s, act) for s in _ES_2A])
+
+
+def _es_step2b(B, R, w):
+    def gu(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        t2 = B.when(B.endswith(t, "gu"), B.drop(t, 1), t)
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"), t2, wd)
+
+    def del_rv(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                      B.drop(wd, len(sfx)), wd)
+
+    rules = [(s, gu) for s in _ES_2B_GU]
+    rules += [(s, del_rv) for s in _ES_2B]
+    return _apply_rules(B, w, rules)
+
+
+def _es_step3(B, R, w):
+    def del_rv(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def e_rule(wd, sfx):
+        t = B.drop(wd, 1)
+        gu_ok = B.and_(B.endswith(t, "gu"),
+                       B.ge(B.length(t), R["rv"]))
+        t2 = B.when(gu_ok, B.drop(t, 1), t)
+        return B.when(_in_r(B, R, wd, 1, "rv"), t2, wd)
+
+    return _apply_rules(B, w, [
+        ("os", del_rv), ("a", del_rv), ("o", del_rv), ("á", del_rv),
+        ("í", del_rv), ("ó", del_rv), ("e", e_rule), ("é", e_rule),
+    ])
+
+
+def _es_plan():
+    return [
+        ("skel", lambda B, R: _skeleton(B, R["w0"], _ES_V)),
+        ("r1", lambda B, R: _r1_raw(B, R, R["skel"],
+                                    B.length(R["w0"]))),
+        ("r2", lambda B, R: _r2_from(B, R["skel"], R["r1"],
+                                     B.length(R["w0"]))),
+        ("rv", lambda B, R: _es_rv(B, R, R["w0"], R["skel"])),
+        ("wp", lambda B, R: _es_step0(B, R, R["w0"])),
+        ("w1", lambda B, R: _es_step1(B, R, R["wp"])),
+        ("d2a", lambda B, R: B.eqs(R["w1"], R["wp"])),
+        ("w2a", lambda B, R: B.when(R["d2a"],
+                                    _es_step2a(B, R, R["w1"]),
+                                    R["w1"])),
+        ("d2b", lambda B, R: B.and_(R["d2a"],
+                                    B.eqs(R["w2a"], R["w1"]))),
+        ("w2b", lambda B, R: B.when(R["d2b"],
+                                    _es_step2b(B, R, R["w2a"]),
+                                    R["w2a"])),
+        ("w3", lambda B, R: _es_step3(B, R, R["w2b"])),
+    ]
+
+
+def _es_final(B, refs):
+    w = refs["w3"]
+    for a, b in (("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"),
+                 ("ú", "u")):
+        w = B.replace_all(w, a, b)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def _lang_program(lang: str, variant: str | None):
+    if lang == "de":
+        return _de_plan(variant or "german"), _de_final
+    if lang == "fr":
+        return _fr_plan(), _fr_final
+    if lang == "es":
+        return _es_plan(), _es_final
+    raise ValueError(
+        f"snowball_stem: unsupported language {lang!r} "
+        f"(supported: {SNOWBALL_LANGS})")
+
+
+def snowball_stem(t: Column, lang: str,
+                  variant: str | None = None) -> Column:
+    """Stem one lowercase token with the complete published Snowball
+    algorithm for ``lang`` ('de', 'fr', 'es') as pure Catalyst
+    expressions. NULL passes through."""
+    plan, final = _lang_program(lang, variant)
+    return _run(_SparkB(), plan, t, final)
+
+
+def snowball_stem_py(w: str | None, lang: str,
+                     variant: str | None = None) -> str | None:
+    """The same algorithm over native Python values — the law-test
+    partner, produced by the SAME interpreter walking the SAME rule
+    tables (not a hand copy)."""
+    if w is None:
+        return None
+    plan, final = _lang_program(lang, variant)
+    return _run(_PyB(), plan, w, final)
+
+
+def snowball_spark_sql(lang: str, input_expr: str,
+                       variant: str | None = None) -> str:
+    """The whole stemmer as ONE Spark-SQL expression string over
+    ``input_expr`` (fast to build: pure Python string assembly; parse
+    happens JVM-side in one F.expr). Equal to ``snowball_stem`` by the
+    backend law tests."""
+    plan, final = _lang_program(lang, variant)
+    return _run(_SparkSqlB(), plan, f"({input_expr})", final)
+
+
+def snowball_sql_ctes(lang: str, word_expr: str, prefix: str,
+                      source_table: str = "documents",
+                      key: str = "doc_id") -> tuple[str, str]:
+    """DuckDB replica: CTE-per-step chain generated from the same rule
+    tables. Returns (cte_text, final_cte_name); the final CTE has
+    columns (key, w0, stem)."""
+    plan, final = _lang_program(lang, None)
+    B = _SqlB(prefix, key, f"{prefix}0")
+    base = (f"{prefix}0 AS (SELECT {key}, {word_expr} AS w0 "
+            f"FROM {source_table})")
+    out = _run(B, plan, "w0", final)
+    fin = f"{prefix}f"
+    ctes = ",\n".join([base] + B.ctes)
+    last = f"{prefix}{B.n}"
+    ctes += (f",\n{fin} AS (SELECT {key}, w0, {out} AS stem "
+             f"FROM {last})")
+    return ctes, fin

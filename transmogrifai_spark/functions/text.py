@@ -853,6 +853,11 @@ def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
             # chain shipped through r8 (PARITY delta 1a, English arm)
             from .porter import porter_stem
             return F.transform(toks, porter_stem)
+        if lang in ("de", "fr", "es"):
+            # the full published Snowball algorithms (PARITY delta 1a,
+            # de/fr/es arms, closed r10 — light suffix subsets before)
+            from .snowball import snowball_stem
+            return F.transform(toks, lambda t: snowball_stem(t, lang))
         pfx = ANALYZER_PREFIX_RULES.get(lang)
         if pfx:
             toks = F.transform(toks, lambda t: _strip_prefix(t, pfx))

@@ -43,8 +43,9 @@ def load_word_vectors(spark, path: str, dim: int | None = None) -> DataFrame:
     sniffed from the first data line (one small collect). Lines whose
     token count disagrees with ``dim``+1 are REJECTED with a count in
     the raised error rather than silently dropped — a truncated
-    download should fail loudly. The .vec header line (2 tokens) is
-    recognized and excluded either way."""
+    download should fail loudly. A 2-token line counts as the .vec
+    ``count dim`` header ONLY when both tokens are plain integers; a
+    truncated vector line ('word 0.12') is a bad line, not a header."""
     raw = spark.read.text(path).select(F.col("value").alias("ln"))
     toks = F.split(F.trim("ln"), r"\s+")
     parsed = raw.where(F.length(F.trim("ln")) > 0) \
@@ -55,8 +56,10 @@ def load_word_vectors(spark, path: str, dim: int | None = None) -> DataFrame:
             raise ValueError(f"{path!r} has no vector lines")
         dim = head[0] - 1
     good = parsed.where(F.size("t") == dim + 1)
-    n_bad = parsed.where((F.size("t") != dim + 1) &
-                         (F.size("t") != 2)).count()
+    is_header = (F.size("t") == 2) & \
+        F.element_at("t", 1).rlike("^[0-9]+$") & \
+        F.element_at("t", 2).rlike("^[0-9]+$")
+    n_bad = parsed.where((F.size("t") != dim + 1) & ~is_header).count()
     if n_bad:
         raise ValueError(
             f"{path!r}: {n_bad} lines disagree with dim={dim} "

@@ -429,8 +429,15 @@ def _wp_probe(tab: Column, cand: Column) -> Column:
 # BasicTokenizer's split shape: CJK chars isolated, letter/digit runs
 # kept (CJK EXCLUDED from runs via Java class intersection — a greedy
 # \p{L}+ would swallow a CJK char glued to a Latin run), every other
-# visible char its own token
-_WP_CJK = "⺀-⿿぀-ヿ㐀-䶿一-鿿가-힯豈-﫿"
+# visible char its own token. Ranges = BERT's _is_chinese_char EXACTLY
+# (r10, closing the r9 ADVICE delta): CJK Unified Ideographs + ext A,
+# compatibility ideographs, and the supplementary-plane extensions
+# B-E + compat supplement (literal astral chars — both Java Pattern
+# and Python re treat them as single code points in classes). Kana,
+# Hangul and radicals are NOT isolated — BERT keeps them inside runs.
+_WP_CJK = ("㐀-䶿一-鿿豈-﫿"
+           "\U00020000-\U0002A6DF\U0002A700-\U0002CEAF"
+           "\U0002F800-\U0002FA1F")
 _WP_PRE_RE = (f"([{_WP_CJK}]|[\\p{{L}}\\p{{N}}&&[^{_WP_CJK}]]+"
               "|[^\\p{L}\\p{N}\\s])")
 # the published max_input_chars_per_word guard: longer words are [UNK]

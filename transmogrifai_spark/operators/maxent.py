@@ -21,10 +21,14 @@ so the NB scorer's sum machinery applies with zero priors and zero unk:
 
     p(o | features) ∝ exp( (Σ_active w[f][o]) / C + correction )
 
-exactly the published GISModel.eval arithmetic (the correction term is
-added to every outcome, so it cancels in the normalization but is kept
-for fidelity; feature values are the default 1.0 — the binary-indicator
-form OpenNLP's NER/doccat features use).
+the GISModel.eval shape (feature values are the default 1.0 — the
+binary-indicator form OpenNLP's NER/doccat features use). One honest
+simplification: classic OpenNLP scales the correction term by
+(1 - n_active/C) before adding it; since the term is added to EVERY
+outcome it cancels in the softmax normalization, so probabilities and
+argmax are identical either way — only the un-normalized exponent
+differs (r9 ADVICE fix: the claim here was previously "exactly the
+published arithmetic").
 
 `typed_entities_statistical` dispatches on the model's ``type`` marker,
 so a loaded GIS model drops into the NER path wherever a trained NB

@@ -70,7 +70,10 @@ def _parse_value(v: str, vtype: str) -> bytes | None:
              "host16": 2, "host32": 4, "byte": 1}.get(vtype)
     if width is None:
         return None
-    order = "little" if vtype.startswith("little") else "big"
+    # shared-mime-info 'host' types mean native byte order; every
+    # platform this engine targets (x86-64, arm64) is little-endian,
+    # so host16/host32 encode little — not big (r9 ADVICE fix)
+    order = "little" if vtype.startswith(("little", "host")) else "big"
     try:
         return n.to_bytes(width, order)
     except OverflowError:
