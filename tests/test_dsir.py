@@ -195,3 +195,42 @@ def test_stream_dsir_counts_equals_batch_and_replay(spark, corpora,
         .write.mode("overwrite").parquet(f"{store}/batch={bid}")
     again = sorted(map(tuple, read_dsir_counts(spark, store).collect()))
     assert restored == again
+
+
+def test_stream_dsir_counts_batch_id_base_protects_bootstrap(
+        spark, corpora, tmp_path):
+    """r10: a count directory bootstrapped with real partials at batch=0
+    must survive streaming appends — batch_id_base=1 offsets the stream's
+    0-based micro-batch ids (the stream_ivf/lsh clobber-trap guard), and
+    the merged result equals the one-shot distribution over both halves."""
+    import glob
+
+    from transmogrifai_spark.llm.dsir import (dsir_count_partials,
+                                              read_dsir_counts,
+                                              stream_dsir_counts)
+
+    docs, _ = corpora
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    odds = docs.where(F.col("doc_id") % 2 == 1)
+    store = str(tmp_path / "counts")
+    dsir_count_partials(evens, "text", n_buckets=B, portable=True) \
+        .write.mode("overwrite").parquet(f"{store}/batch=0")
+    src = str(tmp_path / "src")
+    odds.select("doc_id", "text").repartition(2) \
+        .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema(odds.select("doc_id", "text").schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_dsir_counts(stream, store, "text", n_buckets=B,
+                           portable=True,
+                           checkpoint=str(tmp_path / "ck"),
+                           batch_id_base=1)
+    q.awaitTermination()
+    # bootstrap intact: batch ids are 0 (bootstrap), 1, 2 (streamed)
+    got_ids = sorted(int(d.rsplit("=", 1)[1])
+                     for d in glob.glob(f"{store}/batch=*"))
+    assert got_ids == [0, 1, 2]
+    merged = read_dsir_counts(spark, store, n_buckets=B, portable=True)
+    oneshot = dsir_count_partials(docs, "text", n_buckets=B, portable=True)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, oneshot.collect()))

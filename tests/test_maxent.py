@@ -173,3 +173,109 @@ def test_ner_dispatch_via_type_marker(spark, gis):
         F.col("text"), model).alias("e")).head()["e"]
     assert "Alice" in got["PERSON"]
     assert "Acme Inc" in got["ORGANIZATION"]
+
+
+# -- r10: token-level beam decoding (NameFinderME semantics) --
+
+def _beam_fixture_model():
+    import random
+    rng = random.Random(7)
+    out = ["other", "per-start", "per-cont"]
+    pool = ["Alice", "Bob", "ran", "to", "Paris", "in", "May", "2020",
+            "smith", "Dr"]
+    feats = {"wc=ic", "wc=lc", "wc=num", "wc=other", "pw=*BOS*",
+             "nw=*EOS*"}
+    for t in pool:
+        feats |= {f"w={t}", f"wl={t.lower()}", f"pw={t}", f"nw={t}"}
+    weights = {f: {o: round(rng.uniform(-2, 2), 3) for o in out}
+               for f in sorted(feats)}
+    for p in out:
+        weights[f"pd={p}"] = {o: round(rng.uniform(-2, 2), 3)
+                              for o in out}
+    model = {"type": "GIS", "outcomes": out, "labels": out,
+             "weights": weights, "correction_constant": 3,
+             "correction_param": 0.0, "context": False}
+    seqs = [[rng.choice(pool) for _ in range(rng.randint(0, 7))]
+            for _ in range(40)]
+    return model, seqs
+
+
+def test_beam_tag_expression_equals_python_mirror(spark):
+    """THE law: the aggregate-over-positions beam expression decodes
+    every sequence exactly like the Python beam mirror, at width 3 and
+    width 1 (greedy), with and without the sequence validator."""
+    from transmogrifai_spark.operators.maxent import (maxent_beam_tag,
+                                                      maxent_beam_tag_py)
+    model, seqs = _beam_fixture_model()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)] + [(999, None)],
+        "i long, toks array<string>")
+    for kw in ({}, {"beam": 1}, {"validate": False}):
+        got = {r["i"]: (list(r["o"]) if r["o"] is not None else None)
+               for r in df.select(
+                   "i", maxent_beam_tag(F.col("toks"), model,
+                                        **kw).alias("o")).collect()}
+        want = {i: maxent_beam_tag_py(s, model, **kw)
+                for i, s in enumerate(seqs)}
+        assert {i: got[i] for i in want} == want
+        assert got[999] == []        # NULL input -> empty tag array
+
+
+def test_beam_validator_blocks_cont_without_start():
+    """NameFinderSequenceValidator: '<type>-cont' only after
+    '<type>-start'/'<type>-cont' — never sequence-initial, never after
+    'other' (checked over every decoded sequence)."""
+    from transmogrifai_spark.operators.maxent import maxent_beam_tag_py
+    model, seqs = _beam_fixture_model()
+    for s in seqs:
+        prev = None
+        for o in maxent_beam_tag_py(s, model):
+            if o == "per-cont":
+                assert prev in ("per-start", "per-cont"), (s, o)
+            prev = o
+
+
+def test_beam_width_3_dominates_greedy():
+    """The decoding-depth law: the width-3 beam's final accumulated
+    log-prob is >= the greedy (width-1) path's on every sequence, and
+    strictly better on some (the prev-outcome coupling makes locally
+    best choices globally suboptimal — the reason NameFinderME beams)."""
+    import math
+
+    from transmogrifai_spark.operators.maxent import (_beam_model_parts,
+                                                      beam_token_features,
+                                                      maxent_beam_tag_py)
+    model, seqs = _beam_fixture_model()
+    outcomes, c, pd, (cont_ok, bos_ok) = _beam_model_parts(model)
+    idx = {o: i for i, o in enumerate(outcomes)}
+    dense = {p: [per.get(o, 0.0) for o in outcomes]
+             for p, per in model["weights"].items()}
+
+    def path_score(toks, labs):
+        total, prev = 0.0, None
+        for i, (t, lab) in enumerate(zip(toks, labs)):
+            feats = beam_token_features(
+                t, toks[i - 1] if i > 0 else None,
+                toks[i + 1] if i + 1 < len(toks) else None)
+            base = [0.0] * len(outcomes)
+            for f in feats:
+                w = dense.get(f)
+                if w:
+                    base = [a + b for a, b in zip(base, w)]
+            row = pd[prev] if prev is not None else [0.0] * len(outcomes)
+            s = [a + b for a, b in zip(base, row)]
+            lz = math.log(sum(math.exp(x / c) for x in s))
+            total += round(s[idx[lab]] / c - lz, 9)
+            prev = idx[lab]
+        return total
+
+    better = 0
+    for s in seqs:
+        if not s:
+            continue
+        b3 = path_score(s, maxent_beam_tag_py(s, model, beam=3))
+        b1 = path_score(s, maxent_beam_tag_py(s, model, beam=1))
+        assert b3 >= b1 - 1e-9, s
+        if b3 > b1 + 1e-9:
+            better += 1
+    assert better > 0

@@ -1507,9 +1507,48 @@ def q_retrieval_indexed(spark, sf_dir):
         F.col("rank").cast("long").alias("b"),
         F.lit(None).cast("long").alias("c"),
         (F.col("score") + F.lit(0.0)).alias("d"))
+    # streamed twin of the dsir arm (r10 — the LAST index writer with
+    # law-only evidence): even-id bucket-count partials bootstrap
+    # batch=0, odd half arrives through a real parquet file stream via
+    # llm/dsir.stream_dsir_counts with batch_id_base=1 (the clobber
+    # trap, guarded in this writer since r10); the merged per-batch
+    # partials re-assemble the one-shot raw distribution EXACTLY
+    # (integer-count monoid), so the table built from them must produce
+    # the dsir answer row for row — the oracle emits its dsir replica
+    # under the 'dsirs' label too.
+    from .llm.dsir import (dsir_count_partials, dsir_table_from_counts,
+                           read_dsir_counts, stream_dsir_counts)
+    dp = tempfile.mkdtemp(prefix="dsir_stream_gate_")
+    dsir_count_partials(docs.where(F.col("doc_id") % 2 == 0), "text",
+                        n_buckets=512, portable=True) \
+        .write.mode("overwrite").parquet(f"{dp}/batch=0")
+    dsrc = tempfile.mkdtemp(prefix="dsir_stream_src_")
+    docs.where(F.col("doc_id") % 2 == 1).repartition(2) \
+        .write.mode("overwrite").parquet(dsrc)
+    dstream = spark.readStream.schema(docs.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(dsrc)
+    dq = stream_dsir_counts(dstream, dp, "text", n_buckets=512,
+                            portable=True,
+                            checkpoint=tempfile.mkdtemp(prefix="dsir_ck_"),
+                            batch_id_base=1)
+    dq.awaitTermination()
+    raw_counts = read_dsir_counts(spark, dp, n_buckets=512, portable=True)
+    tgt_counts = dsir_count_partials(docs.where(F.col("lang") == "en"),
+                                     "text", n_buckets=512, portable=True)
+    stab = dsir_table_from_counts(raw_counts, tgt_counts, n_buckets=512,
+                                  alpha=1.0)
+    dsw_s = dsir_log_weights(docs, None, "doc_id", "text", n_buckets=512,
+                             alpha=1.0, portable=True, table=stab)
+    dsirs_rows = docs.select("doc_id", "lang").join(dsw_s, "doc_id").select(
+        F.lit("dsirs").alias("part"), "lang",
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("n_feats").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        (F.col("log_weight") + F.lit(0.0)).alias("d"))
     return (shard_rows.unionByName(bm25_rows).unionByName(dsir_rows)
             .unionByName(dsirtop_rows).unionByName(pareto_rows)
-            .unionByName(rrf_rows).unionByName(bm25s_rows))
+            .unionByName(rrf_rows).unionByName(bm25s_rows)
+            .unionByName(dsirs_rows))
 
 
 def q_text_quality(spark, sf_dir):
@@ -2211,6 +2250,21 @@ _CS_MAPS = [
 ]
 
 
+# media-content gate fixtures (r10): real BMP/WAV headers as hex — a
+# 9x8 24bpp BMP (54-byte header, 28-byte stride, 224 data bytes) in
+# bottom-up (+8) and top-down (-8) height variants, and a canonical
+# 44-byte mono PCM16 WAV with 128 samples (256 data bytes). Data bytes
+# come from p_partkey formulas shared with the oracle.
+_BMP_HDR_POS = ("424D" "16010000" "00000000" "36000000"   # BM, size, rsvd, off=54
+                "28000000" "09000000" "08000000"          # dib=40, w=9, h=+8
+                "0100" "1800" + "0" * 48)                 # planes, bpp=24, rest 0
+_BMP_HDR_NEG = ("424D" "16010000" "00000000" "36000000"
+                "28000000" "09000000" "F8FFFFFF"          # h=-8 (top-down)
+                "0100" "1800" + "0" * 48)
+_WAV_HDR = ("524946462401000057415645666D74201000000001000100401F0000"
+            "803E0000020010006461746100010000")
+
+
 def q_mime_detector(spark, sf_dir):
     """MIME magic-byte sniffing over synthesized base64 content (the oracle
     rebuilds the payload bytes and applies the same magic-prefix rules).
@@ -2254,16 +2308,45 @@ def q_mime_detector(spark, sf_dir):
     cs_payload = F.unhex(F.concat_ws("", mapped))
     enc_label = F.element_at(F.array(*[F.lit(x) for x in _CS_CLASSES]),
                              cls + 1)
+    # r10 media-CONTENT arms: a real 9x8 24-bit BMP (bottom-up for
+    # even keys, top-down negative-height for odd) and a canonical
+    # 128-sample PCM16 mono WAV are synthesized per part row from
+    # p_partkey byte formulas, and the DECODE-FREE content operators
+    # (llm/multimodal.bmp_dhash / wav_energy_sig — fixed-arithmetic
+    # byte probes, no image/audio libs) run over the actual blobs; the
+    # oracle computes the expected 64-bit signatures directly from the
+    # same byte formulas (grid sampling, row order, thermometer
+    # thresholds replicated in integer SQL).
+    from .llm.multimodal import bmp_dhash, wav_energy_sig
+    pk = F.col("p_partkey")
+    bmp_data_hex = F.concat_ws("", F.transform(
+        F.sequence(F.lit(0), F.lit(223)),
+        lambda i: F.lpad(F.hex((pk * 7 + i * 13) % 256), 2, "0")))
+    bmp_blob = F.unhex(F.concat(
+        F.when(pk % 2 == 0, F.lit(_BMP_HDR_POS))
+        .otherwise(F.lit(_BMP_HDR_NEG)), bmp_data_hex))
+    wav_data_hex = F.concat_ws("", F.transform(
+        F.sequence(F.lit(0), F.lit(127)),
+        lambda k: F.concat(
+            F.lpad(F.hex(((pk * 31 + k * 37) % 65536) % 256), 2, "0"),
+            F.lpad(F.hex(F.shiftright(
+                ((pk * 31 + k * 37) % 65536).cast("long"), 8)), 2,
+                "0"))))
+    wav_blob = F.unhex(F.concat(F.lit(_WAV_HDR), wav_data_hex))
     base = p.select("p_partkey", b64.alias("b64"),
                     cs_payload.alias("cs_payload"),
-                    enc_label.alias("enc"))
+                    enc_label.alias("enc"),
+                    bmp_blob.alias("bmp_blob"),
+                    wav_blob.alias("wav_blob"))
     m = train_charset_classifier(base.where(F.col("p_partkey") < 400),
                                  "cs_payload", "enc", max_vocab=300,
                                  portable=True)
     return base.select(
         "p_partkey", detect_mime_type(F.col("b64")).alias("mime"),
         F.col("enc").alias("charset_label"),
-        charset_nb_label(F.col("cs_payload"), m).alias("charset_pred"))
+        charset_nb_label(F.col("cs_payload"), m).alias("charset_pred"),
+        bmp_dhash(F.col("bmp_blob")).alias("bmp_hash"),
+        wav_energy_sig(F.col("wav_blob")).alias("wav_sig"))
 
 
 def q_model_selection(spark, sf_dir):
@@ -2478,7 +2561,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     production shape). The two PROBES still construct their signatures in
     fresh plans — index written by plan 1, probed by plan 2 — so the
     cross-plan hash-family consistency that caught the r6 seed-binding bug
-    remains under test."""
+    remains under test.
+
+    part='stream' (r10 — the LAST law-only streaming index writer
+    driver-gated): the even-id index build is snapshotted (file copy)
+    before anything else touches it, the odd half arrives through a
+    REAL parquet file stream via llm/dedup.stream_lsh_index foreachBatch
+    appends with batch_id_base=1 (the clobber trap in the gate, the
+    ivf/bm25 recipe), and ONE probe of every document against the
+    streamed index must reproduce the one-shot candidate set exactly —
+    banded rows depend only on each document's own text, so the
+    bootstrap + streamed batches reassemble the full index regardless
+    of batch boundaries. The oracle emits its pair replica under the
+    'stream' label too."""
+    import shutil
     import tempfile
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=3,
@@ -2495,6 +2591,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     dedup.build_lsh_index(a, "doc_id", "text", p, n=3, num_hashes=16,
                           bands=4, portable=True, n_shards=16, batch_id=0,
                           signatures=sigs.where(F.col("id") % 2 == 0))
+    # snapshot the even-id bootstrap for the streaming twin NOW (one
+    # file copy — the bm25s gate-cost shave) before the probes below
+    ps = tempfile.mkdtemp(prefix="lsh_stream_gate_")
+    shutil.copytree(p, ps, dirs_exist_ok=True)
     a_pairs = dedup.lsh_dedup_incremental(spark, p, a, "doc_id", "text",
                                           within_batch=False)
     b_pairs = dedup.lsh_dedup_incremental(spark, p, b, "doc_id", "text",
@@ -2504,7 +2604,30 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                     F.greatest("id1", "id2").cast("long").alias("id2"))
             .distinct()
             .select(F.lit("incremental").alias("part"), "id1", "id2"))
-    return full.unionByName(incr)
+    # streamed twin: odd half through a real file stream appending to
+    # the bootstrap snapshot; one all-docs probe (shared signatures)
+    # must equal the one-shot candidate set
+    src = tempfile.mkdtemp(prefix="lsh_stream_src_")
+    # one stream file = one micro-batch: the base-offset + append path
+    # is fully exercised by bootstrap(0) + streamed batch(1), and each
+    # extra micro-batch costs a full banding-plan compile (gate budget)
+    b.repartition(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    sq = dedup.stream_lsh_index(
+        stream, ps, "doc_id", "text",
+        checkpoint=tempfile.mkdtemp(prefix="lsh_ck_"), batch_id_base=1)
+    sq.awaitTermination()
+    s_pairs = dedup.lsh_dedup_incremental(
+        spark, ps, docs, "doc_id", "text", within_batch=False,
+        signatures=sigs,
+        signature_params={"n": 3, "num_hashes": 16, "portable": True})
+    streamed = (s_pairs
+                .select(F.least("id1", "id2").cast("long").alias("id1"),
+                        F.greatest("id1", "id2").cast("long").alias("id2"))
+                .distinct()
+                .select(F.lit("stream").alias("part"), "id1", "id2"))
+    return full.unionByName(incr).unionByName(streamed)
 
 
 def q_similarity_ann_lsh(spark, sf_dir):
@@ -4038,13 +4161,74 @@ cbest AS (
          row_number() OVER (PARTITION BY p_partkey
                             ORDER BY s DESC, l ASC) AS rn
   FROM cscore
+),
+-- r10 media-CONTENT replicas: the EXPECTED dHash / energy signature
+-- computed directly from the same p_partkey byte formulas the Spark
+-- side synthesizes its real BMP/WAV blobs from — grid sampling
+-- (px=gx, py=gy at 9x8), bottom-up vs top-down row order by key
+-- parity, B+G+R gray fold, and the 16-bin / 4-bit thermometer with
+-- integer threshold tests; bit 63 is the BIGINT sign (simhash trick)
+bmpg AS (
+  SELECT p.p_partkey, gy.gy, gx.gx,
+         CASE WHEN p.p_partkey % 2 = 0 THEN 7 - gy.gy
+              ELSE gy.gy END AS rw
+  FROM part p, range(0, 8) gy(gy), range(0, 8) gx(gx)
+),
+bmpb AS (
+  SELECT p_partkey, gy, gx,
+         ((p_partkey*7 + (rw*28 + gx*3 + 0)*13) % 256
+          + (p_partkey*7 + (rw*28 + gx*3 + 1)*13) % 256
+          + (p_partkey*7 + (rw*28 + gx*3 + 2)*13) % 256) AS g0,
+         ((p_partkey*7 + (rw*28 + (gx+1)*3 + 0)*13) % 256
+          + (p_partkey*7 + (rw*28 + (gx+1)*3 + 1)*13) % 256
+          + (p_partkey*7 + (rw*28 + (gx+1)*3 + 2)*13) % 256) AS g1
+  FROM bmpg
+),
+bmph AS (
+  SELECT p_partkey,
+         CAST(SUM(CASE WHEN g0 > g1 THEN
+             CASE WHEN gy*8 + gx = 63
+                  THEN CAST(-9223372036854775808 AS BIGINT)
+                  ELSE (1::BIGINT << (gy*8 + gx)) END
+           ELSE 0 END) AS BIGINT) AS bmp_hash
+  FROM bmpb GROUP BY p_partkey
+),
+wavu AS (
+  SELECT p_partkey, b,
+         SUM(CASE WHEN u >= 32768 THEN 65536 - u ELSE u END) AS e
+  FROM (SELECT p.p_partkey, b.b AS b,
+               (p.p_partkey*31 + (b.b*8 + j.j)*37) % 65536 AS u
+        FROM part p, range(0, 16) b(b), range(0, 8) j(j))
+  GROUP BY p_partkey, b
+),
+wavs AS (
+  SELECT p_partkey,
+         CAST(SUM(CASE WHEN bit THEN
+             CASE WHEN idx = 63
+                  THEN CAST(-9223372036854775808 AS BIGINT)
+                  ELSE (1::BIGINT << idx) END
+           ELSE 0 END) AS BIGINT) AS wav_sig
+  FROM (
+    SELECT wb.p_partkey, wb.b*4 + t.t AS idx,
+           CASE t.t WHEN 0 THEN wb.e*32 > wt.tot
+                    WHEN 1 THEN wb.e*16 > wt.tot
+                    WHEN 2 THEN wb.e*32 > wt.tot*3
+                    ELSE wb.e*8 > wt.tot END AS bit
+    FROM wavu wb
+    JOIN (SELECT p_partkey, SUM(e) AS tot FROM wavu
+          GROUP BY p_partkey) wt USING (p_partkey)
+    CROSS JOIN range(0, 4) t(t)
+  ) GROUP BY p_partkey
 )
 SELECT payload.p_partkey,
        {_mime_case_sql()} AS mime,
        m.enc AS charset_label,
        (SELECT b.l FROM cbest b
-        WHERE b.p_partkey = payload.p_partkey AND b.rn = 1) AS charset_pred
+        WHERE b.p_partkey = payload.p_partkey AND b.rn = 1) AS charset_pred,
+       bmph.bmp_hash, wavs.wav_sig
 FROM payload JOIN mapped m ON m.p_partkey = payload.p_partkey
+             JOIN bmph ON bmph.p_partkey = payload.p_partkey
+             JOIN wavs ON wavs.p_partkey = payload.p_partkey
 """
 
 ORACLES["dedup_exact"] = """
@@ -4644,6 +4828,9 @@ FROM pairs
 UNION ALL
 SELECT 'incremental', CAST(id1 AS BIGINT), CAST(id2 AS BIGINT)
 FROM pairs
+UNION ALL
+SELECT 'stream', CAST(id1 AS BIGINT), CAST(id2 AS BIGINT)
+FROM pairs
 """
 
 ORACLES["dedup_simhash"] = f"""
@@ -5154,6 +5341,10 @@ SELECT part, lang, a, b, c, d FROM (
   )
   SELECT 'dsir' AS part, lang, CAST(doc_id AS BIGINT) AS a,
          n_feats AS b, CAST(NULL AS BIGINT) AS c, lw AS d
+  FROM dw
+  UNION ALL
+  SELECT 'dsirs', lang, CAST(doc_id AS BIGINT),
+         n_feats, CAST(NULL AS BIGINT), lw
   FROM dw
   UNION ALL
   SELECT 'dsirtop', lang, CAST(doc_id AS BIGINT),

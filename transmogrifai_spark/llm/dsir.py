@@ -201,7 +201,8 @@ def stream_dsir_counts(stream: DataFrame, path: str, text_col: str,
                        n_buckets: int = 10_000, max_n: int = 2,
                        portable: bool = False,
                        checkpoint: str | None = None,
-                       available_now: bool = True):
+                       available_now: bool = True,
+                       batch_id_base: int = 0):
     """Streaming maintenance of a DSIR bucket-count directory: each
     micro-batch's partial overwrites its own ``batch=<id>`` subdir
     (at-least-once replays converge — the LSH/BM25/bloom pattern), so
@@ -212,12 +213,19 @@ def stream_dsir_counts(stream: DataFrame, path: str, text_col: str,
     this store ON PURPOSE: each batch dir holds at most ``n_buckets``
     rows (config-sized, unlike the posting/band indexes whose batch dirs
     scale with data), so even 10^5 batches fold in one trivial groupBy —
-    small-file pressure is bounded by config, not corpus."""
+    small-file pressure is bounded by config, not corpus.
+
+    If the directory was BOOTSTRAPPED with real counts (a manual
+    ``dsir_count_partials(...).write`` at ``batch=0``), pass
+    ``batch_id_base=1`` — stream micro-batch ids start at 0 and would
+    silently overwrite the bootstrap (the stream_ivf_index /
+    stream_lsh_index clobber trap, same guard)."""
     _write_dsir_meta(path, n_buckets, max_n, portable)
 
     def do_batch(batch: DataFrame, batch_id: int) -> None:
         dsir_count_partials(batch, text_col, n_buckets, max_n, portable) \
-            .write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+            .write.mode("overwrite") \
+            .parquet(f"{path}/batch={batch_id_base + batch_id}")
 
     w = stream.writeStream.foreachBatch(do_batch).outputMode("update")
     if checkpoint:

@@ -41,7 +41,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["load_opennlp_gis_model", "save_opennlp_gis_model",
            "maxent_sums", "maxent_probs", "maxent_best_outcome",
-           "ner_maxent_label"]
+           "ner_maxent_label", "maxent_beam_tag", "maxent_beam_tag_py",
+           "beam_token_features"]
 
 
 def load_opennlp_gis_model(path: str) -> dict:
@@ -236,3 +237,241 @@ def ner_maxent_label(chunk: Column, model: dict,
     return maxent_best_outcome(
         chunk_features(chunk, context if model.get("context") else None),
         model)
+
+
+# ---------------------------------------------------------------------------
+# Token-level BEAM-DECODED tagging (r10 — PARITY delta 3a's decoding
+# residual): OpenNLP's NameFinderME does not label chunks, it labels
+# TOKENS, decoding the outcome sequence with a width-3 beam search over
+# per-token maxent distributions whose context features include the
+# PREVIOUS OUTCOME (reference: core/src/main/scala/com/salesforce/op/
+# stages/impl/feature/NameEntityRecognizer.scala:56 scoring through
+# utils/.../text/OpenNLPModels.scala -> NameFinderME/BeamSearch).
+#
+# Re-expression: per-position token features are hypothesis-INDEPENDENT,
+# so their active-weight sums are computed once per position (one
+# bucketed-table bind, the maxent_sums machinery); the only
+# hypothesis-coupled term is the pd=<prevOutcome> predicate, a k x k
+# literal matrix added per extension. The beam itself is ONE
+# F.aggregate over positions whose accumulator is the live hypothesis
+# array (<= beam structs of (outcome indices, score)) — the WordPiece
+# cursor-scan shape, bind-once at every stage. Per-step log-probs are
+# rounded to 9dp in BOTH engines (the engine's portability
+# quantization: JVM and libm exp/ln can differ in the last ulp, and a
+# beam comparison must not flip on that); ties break on the outcome
+# index sequence ascending (deterministic — OpenNLP's heap order is
+# unspecified).
+#
+# The sequence validator (validate=True) is NameFinderSequenceValidator:
+# an outcome named '<type>-cont' may only follow '<type>-start' or
+# '<type>-cont'; everything else is always valid.
+
+_BEAM_Q = 9
+
+
+def beam_token_features(token, prev_tok, next_tok):
+    """The documented per-token context feature set (backend-shared):
+    w=<token>, wl=<lower>, wc=<shape: ic/lc/num/other>, pw=<prev or
+    *BOS*>, nw=<next or *EOS*>. The beam adds pd=<prevOutcome> itself.
+    Works on Columns (Spark) or str/None (the mirror)."""
+    if isinstance(token, str) or token is None:
+        import re as _re
+        shape = ("num" if token and _re.fullmatch(r"[0-9]+", token) else
+                 "ic" if token and token[0].isupper() else
+                 "lc" if token and token[0].islower() else "other")
+        return [f"w={token}", f"wl={token.lower() if token else token}",
+                f"wc={shape}",
+                f"pw={prev_tok if prev_tok is not None else '*BOS*'}",
+                f"nw={next_tok if next_tok is not None else '*EOS*'}"]
+    shape = F.when(token.rlike("^[0-9]+$"), F.lit("num")) \
+        .when(token.rlike("^[A-Z]"), F.lit("ic")) \
+        .when(token.rlike("^[a-z]"), F.lit("lc")) \
+        .otherwise(F.lit("other"))
+    return F.array(
+        F.concat(F.lit("w="), token),
+        F.concat(F.lit("wl="), F.lower(token)),
+        F.concat(F.lit("wc="), shape),
+        F.concat(F.lit("pw="), F.coalesce(prev_tok, F.lit("*BOS*"))),
+        F.concat(F.lit("nw="), F.coalesce(next_tok, F.lit("*EOS*"))))
+
+
+def _beam_model_parts(model: dict):
+    outcomes = list(model["outcomes"])
+    c = float(model["correction_constant"])
+    # pd-matrix: pw[p][o] = weight of predicate 'pd=<outcome p>' for o
+    pd = [[float(model["weights"].get(f"pd={p}", {}).get(o, 0.0))
+           for o in outcomes] for p in outcomes]
+    cont_ok = _cont_validity(outcomes)
+    return outcomes, c, pd, cont_ok
+
+
+def _cont_validity(outcomes: list[str]):
+    """cont_ok[o][p] = may outcome o follow outcome p (and, row
+    cont_bos[o] = may o start the sequence) under the
+    NameFinderSequenceValidator rule."""
+    def typ(o):
+        return o[:-5] if o.endswith("-cont") else \
+            o[:-6] if o.endswith("-start") else None
+
+    ok = []
+    bos = []
+    for o in outcomes:
+        if o.endswith("-cont"):
+            t = typ(o)
+            ok.append([typ(p) == t and
+                       (p.endswith("-start") or p.endswith("-cont"))
+                       for p in outcomes])
+            bos.append(False)
+        else:
+            ok.append([True] * len(outcomes))
+            bos.append(True)
+    return ok, bos
+
+
+def maxent_beam_tag(tokens: Column, model: dict, beam: int = 3,
+                    validate: bool = True) -> Column:
+    """Tag a token array with per-token outcomes via width-``beam``
+    beam search over the GIS model — array<string>, aligned with the
+    input tokens; [] for NULL/empty input. Scores are accumulated
+    per-step log-probabilities (softmax of sums/C; the correction term
+    cancels), 9dp-rounded each step."""
+    outcomes, c, pd, (cont_ok, bos_ok) = _beam_model_parts(model)
+    k = len(outcomes)
+    pd_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in pd])
+    ok_lit = F.array(*[F.array(*[F.lit(bool(v)) for v in row])
+                       for row in cont_ok])
+    bos_lit = F.array(*[F.lit(bool(v)) for v in bos_ok])
+    toks = F.coalesce(tokens, F.array().cast("array<string>"))
+
+    def with_toks(ts: Column) -> Column:
+        n = F.size(ts)
+        # sequence(1, 0) counts DOWN — an empty token array needs an
+        # explicit empty position list
+        pos = F.when(n > 0, F.sequence(F.lit(1), n)) \
+            .otherwise(F.array().cast("array<int>"))
+        feats = F.transform(
+            pos,
+            lambda i: beam_token_features(
+                F.element_at(ts, i),
+                # index 0 always throws, even in try_element_at: route
+                # a NULL index for the first position instead
+                F.try_element_at(ts, F.when(i > 1, i - 1)),
+                F.try_element_at(ts, i + 1)))
+        base = F.transform(
+            feats, lambda fa: F.map_values(maxent_sums(fa, model)))
+
+        def with_base(bs: Column) -> Column:
+            init = F.array(F.struct(
+                F.array().cast("array<int>").alias("labs"),
+                F.lit(0.0).alias("sc")))
+
+            def step(acc: Column, sc: Column) -> Column:
+                def extend(h: Column) -> Column:
+                    first = F.size(h["labs"]) == 0
+                    prev = F.try_element_at(h["labs"], F.lit(-1))
+                    pdrow = F.when(
+                        first,
+                        F.array(*[F.lit(0.0)] * k)) \
+                        .otherwise(F.element_at(pd_lit, prev + 1))
+
+                    def with_row(row: Column) -> Column:
+                        s = F.zip_with(sc, row, lambda a, b: a + b)
+
+                        def with_s(sv: Column) -> Column:
+                            z = F.aggregate(
+                                F.transform(sv,
+                                            lambda x: F.exp(x / F.lit(c))),
+                                F.lit(0.0), lambda a, x: a + x)
+
+                            def with_z(lz: Column) -> Column:
+                                return F.transform(
+                                    F.sequence(F.lit(0), F.lit(k - 1)),
+                                    lambda o: F.struct(
+                                        F.concat(h["labs"], F.array(o))
+                                        .alias("labs"),
+                                        (h["sc"] + F.round(
+                                            F.element_at(sv, o + 1)
+                                            / F.lit(c) - lz,
+                                            _BEAM_Q)).alias("sc"),
+                                        (F.when(
+                                            first,
+                                            F.element_at(bos_lit, o + 1))
+                                         .otherwise(F.element_at(
+                                             F.element_at(ok_lit, o + 1),
+                                             prev + 1))
+                                         if validate else F.lit(True))
+                                        .alias("ok")))
+
+                            return F.get(F.transform(
+                                F.array(F.log(z)), with_z), 0)
+
+                        return F.get(F.transform(F.array(s), with_s), 0)
+
+                    return F.get(F.transform(F.array(pdrow), with_row), 0)
+
+                cands = F.filter(F.flatten(F.transform(acc, extend)),
+                                 lambda x: x["ok"])
+                ranked = F.array_sort(F.transform(
+                    cands, lambda x: F.struct(
+                        (-x["sc"]).alias("ns"),
+                        x["labs"].alias("labs"))))
+                return F.transform(
+                    F.slice(ranked, 1, beam),
+                    lambda r: F.struct(r["labs"].alias("labs"),
+                                       (-r["ns"]).alias("sc")))
+
+            best = F.try_element_at(F.aggregate(bs, init, step), F.lit(1))
+            return F.when(
+                best.isNull(), F.array().cast("array<string>")) \
+                .otherwise(F.transform(
+                    best["labs"],
+                    lambda o: F.element_at(
+                        F.array(*[F.lit(x) for x in outcomes]), o + 1)))
+
+        return F.get(F.transform(F.array(base), with_base), 0)
+
+    return F.get(F.transform(F.array(toks), with_toks), 0)
+
+
+def maxent_beam_tag_py(tokens, model: dict, beam: int = 3,
+                       validate: bool = True):
+    """Pure-Python beam mirror (the law-test partner) — identical
+    feature set, pd coupling, 9dp step rounding, and
+    (-score, outcome-index-sequence) ranking."""
+    import math
+
+    if not tokens:
+        return []
+    outcomes, c, pd, (cont_ok, bos_ok) = _beam_model_parts(model)
+    k = len(outcomes)
+    dense = {p: [per.get(o, 0.0) for o in outcomes]
+             for p, per in model["weights"].items()}
+    hyps = [([], 0.0)]
+    for i, tok in enumerate(tokens):
+        feats = beam_token_features(
+            tok, tokens[i - 1] if i > 0 else None,
+            tokens[i + 1] if i + 1 < len(tokens) else None)
+        base = [0.0] * k
+        for f in feats:
+            w = dense.get(f)
+            if w:
+                base = [a + b for a, b in zip(base, w)]
+        cands = []
+        for labs, hsc in hyps:
+            prev = labs[-1] if labs else None
+            row = pd[prev] if prev is not None else [0.0] * k
+            s = [a + b for a, b in zip(base, row)]
+            z = 0.0
+            for x in s:
+                z += math.exp(x / c)
+            lz = math.log(z)
+            for o in range(k):
+                if validate:
+                    okv = bos_ok[o] if prev is None else cont_ok[o][prev]
+                    if not okv:
+                        continue
+                cands.append((labs + [o],
+                              hsc + round(s[o] / c - lz, _BEAM_Q)))
+        cands.sort(key=lambda x: (-x[1], x[0]))
+        hyps = cands[:beam]
+    return [outcomes[o] for o in hyps[0][0]]
