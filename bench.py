@@ -198,6 +198,72 @@ def main() -> None:
                   file=sys.stderr)
             registry_times[name] = -1.0
 
+    # r10: tracked medians for the heavy text aggregate-scan paths
+    # (WordPiece greedy scan, unigram broadcast-join Viterbi, dictionary
+    # segmentation) — r9 had one-off numbers only; a regression in these
+    # per-word/per-position aggregate scans is invisible in the headline
+    # set, so they get their own median-of-3 rows here and a scaling
+    # table in BASELINE.md. Fixtures are fixed (corpus-independent):
+    # single-char coverage + common-suffix pieces, so every word
+    # tokenizes and the scans do full work.
+    text_scale: dict[str, float] = {}
+    try:
+        from transmogrifai_spark.llm.tokenizer import (unigram_tokenize,
+                                                       wordpiece_tokenize)
+        from transmogrifai_spark.operators.segmentation import \
+            lexicon_segment_join
+        letters = "abcdefghijklmnopqrstuvwxyz0123456789"
+        wp_pieces = (["[UNK]"] + list(letters) +
+                     ["##" + c for c in letters] +
+                     ["the", "and", "ing", "tion", "er", "in", "re",
+                      "##ing", "##tion", "##er", "##ed", "##s", "##ly"])
+        wp_model = {"vocab": {p: i for i, p in enumerate(wp_pieces)},
+                    "unk": "[UNK]",
+                    "max_piece_len": max(len(p) for p in wp_pieces)}
+        sp_rows = ([("▁" + c, 5.0) for c in letters] +
+                   [(c, 5.5) for c in letters] +
+                   [("▁the", 1.0), ("▁and", 1.0), ("▁of", 1.0),
+                    ("ing", 2.0), ("ed", 2.0), ("s", 2.5), ("er", 2.0),
+                    ("tion", 1.5)])
+        lex_words = (["the", "and", "of", "to", "in", "is", "it",
+                      "that", "for", "on", "with", "as", "at", "this",
+                      "but", "by", "from", "they", "we", "her", "she",
+                      "or", "an", "will", "my", "one", "all", "would",
+                      "there", "their"] + list(letters))
+
+        def ts_wordpiece(spark, sf_dir):
+            docs = load_table(spark, sf_dir, "documents")
+            return docs.select(F.sum(F.size(wordpiece_tokenize(
+                F.col("text"), wp_model))).alias("n"))
+
+        def ts_unigram(spark, sf_dir):
+            docs = load_table(spark, sf_dir, "documents")
+            vocab_df = spark.createDataFrame(sp_rows,
+                                             "piece string, cost double")
+            out = unigram_tokenize(docs, "text", vocab_df,
+                                   id_col="doc_id")
+            return out.select(F.sum(F.size("pieces")).alias("n"))
+
+        def ts_lexjoin(spark, sf_dir):
+            docs = load_table(spark, sf_dir, "documents")
+            lex_df = spark.createDataFrame(
+                [(w, 1.0) for w in lex_words], "word string, cost double")
+            out = lexicon_segment_join(docs, "text", lex_df,
+                                       unknown_cost=2.0, id_col="doc_id")
+            return out.select(F.sum(F.size("tokens")).alias("n"))
+
+        for name, fn in (("wordpiece_tokenize", ts_wordpiece),
+                         ("unigram_tokenize", ts_unigram),
+                         ("lexicon_segment_join", ts_lexjoin)):
+            samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                fn(spark, SF_DIR).collect()
+                samples.append(round(time.time() - t0, 3))
+            text_scale[name] = sorted(samples)[len(samples) // 2]
+    except Exception as e:
+        print(f"bench error in text_scale: {e}", file=sys.stderr)
+
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -210,6 +276,7 @@ def main() -> None:
         # (r6 and r8 both burned analysis time on load-noise deltas)
         "runs": runs,
         "queries_registry_form": registry_times,
+        "text_scale": text_scale,
         "phases": phases,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
     }))

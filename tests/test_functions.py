@@ -241,8 +241,10 @@ def test_analyze_round4_languages(spark):
          {"gatt"}, {"il", "e", "i", "sono"}),
         ("pt", "o gato e os gatos de casa para as informações",
          {"gato", "informaç"}, {"o", "e", "os", "de", "para", "as"}),
+        # nl rides the FULL Snowball chain since r10: katten -> kat
+        # (en-deletion + tt undouble; the light subset stopped at katt)
         ("nl", "de katten en de honden zijn bij het huis",
-         {"katt", "hond"}, {"de", "en", "zijn", "het"}),
+         {"kat", "hond"}, {"de", "en", "zijn", "het"}),
         ("sv", "katterna och hundarna är med en bil",
          {"katt", "hund"}, {"och", "är", "med", "en"}),
     ]
@@ -271,8 +273,10 @@ def test_analyze_session4_languages(spark):
     cases = [
         ("no", "kattene og hundene er ikke med bilene",
          {"katt", "hund", "bil"}, {"og", "er", "ikke", "med"}),
+        # da rides the FULL Snowball chain since r10: kattene -> kat
+        # (the danish undouble step — the light subset stopped at katt)
         ("da", "kattene og hundene er ikke med husene",
-         {"katt", "hund", "hus"}, {"og", "er", "ikke", "med"}),
+         {"kat", "hund", "hus"}, {"og", "er", "ikke", "med"}),
         ("fi", "talossa ja autolla ei kirjasta kaupungille",
          {"talo", "auto", "kirja", "kaupungi"}, {"ja", "ei"}),
         ("ru", "кошками и собаками не в домах красивый",

@@ -1825,3 +1825,26 @@ def test_opq_rotation_composes_with_ivfpq_store(spark, sf_dir, tmp_path):
                                        64, k=5, n_probe=2, m=8, model=pqm,
                                        quantize=6).collect())
     assert got == want and got
+
+
+def test_ivf_injected_centroids_full_probe_equals_brute(spark, sf_dir):
+    """r10: the explicit-model contract at the coarse tier — injected
+    centroids skip the KMeans fit entirely, and at full probe the
+    answer still equals brute force (the law holds for ANY centroid
+    set); a wrong centroid count raises."""
+    import pytest as _pt
+
+    from transmogrifai_spark.llm import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    ctrs = [[float(x) for x in r["embedding"]]
+            for r in emb.where(F.col("vec_id") < 4).collect()]
+    got = similarity.ivf_topk(emb, q, "vec_id", "embedding", k=3,
+                              n_lists=4, n_probe=4, centroids=ctrs)
+    want = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=3)
+    key = ["query_id", "rank"]
+    assert sorted(map(tuple, got.select(*key, "neighbor_id").collect())) \
+        == sorted(map(tuple, want.select(*key, "neighbor_id").collect()))
+    with _pt.raises(ValueError, match="centroid count"):
+        similarity.ivf_topk(emb, q, "vec_id", "embedding", k=3,
+                            n_lists=8, n_probe=8, centroids=ctrs)

@@ -50,6 +50,77 @@ _PINNED = {
         ("créations", "création"),         # step4 s-removal, ion kept
         ("activité", "activ"),             # ité + iv chain
     ],
+    "sv": [
+        ("klubbarna", "klubb"),            # step1 arna
+        ("jackorna", "jack"),
+        ("betydelse", "betyd"),            # step1 e + step3 els
+        ("skolans", "skolan"),             # s after valid s-ending
+        ("möjligheterna", "möj"),          # heterna + step3 lig
+        ("vackraste", "vackr"),            # aste
+        ("fullt", "fullt"),                # fullt->full blocked: R1 short
+        ("friskt", "frisk"),               # step2 kt undouble
+        ("översättningen", "översättning"),
+    ],
+    "no": [
+        ("forskningens", "forskning"),     # ens
+        ("bilene", "bil"),                 # ene
+        ("klokken", "klokk"),              # en
+        ("merkert", "merker"),             # ert -> er
+        ("sikkerhetslov", "sikker"),       # step3 hetslov
+        ("mulighetene", "mulig"),          # hetene + (no ig rule fires)
+        ("huset", "hus"),                  # et
+        ("viktigst", "viktigst"),          # no danish igst rule in no
+    ],
+    "da": [
+        ("undersøgelse", "undersøg"),      # e + step3 els
+        ("mulighederne", "mulighed"),      # erne
+        ("billigst", "bil"),               # igst + step3 lig
+        ("væggene", "væg"),                # ene + undouble gg
+        ("kattene", "kat"),                # ene + undouble tt
+        ("huset", "hus"),
+        ("vigtigste", "vigt"),             # e + igst + ig
+        ("løst", "løst"),                  # løst->løs blocked: R1 short
+    ],
+    "ru": [
+        ("книгами", "книг"),               # noun ами
+        ("красивый", "красив"),            # adjective ый
+        ("делающий", "дела"),              # adjective + participle ющ (а-)
+        ("важная", "важн"),                # adjective ая
+        ("возможность", "возможн"),        # noun ь + derivational ост
+        ("читавшись", "чита"),             # perfective gerund вшись (а-)
+        ("пересказывают", "пересказыва"),  # verb ют after а
+        ("интереснейшее", "интересн"),     # adjective ее + step4 ейш
+        ("прочитанный", "прочита"),        # adjectival + нн participle
+        ("быстрее", "быстр"),
+    ],
+    "nl": [
+        ("lichamelijk", "licham"),         # lijk + step2 re-run
+        ("lichamelijkheden", "licham"),    # heden->heid, heid, lijk
+        ("lopen", "lop"),                  # en after valid ending
+        ("katten", "kat"),                 # en + tt undouble
+        ("maan", "man"),                   # step4 CVD double vowel
+        ("brood", "brod"),
+        ("duizeligheid", "duizel"),        # heid + ig
+        ("uitdrukking", "uitdruk"),        # ing + kk undouble
+        ("bruikbaar", "bruikbar"),         # baar outside R2, step4
+        ("vruchtbar", "vruchtbar"),        # bar gated on step2's e flag
+        ("verduidelijken", "verduid"),
+        ("belangrijkste", "belangrijkst"),
+    ],
+    "it": [
+        ("abbandonata", "abbandon"),       # step2 ata
+        ("pronunciarla", "pronunc"),       # step0 la after ar -> +e
+        ("mangiandolo", "mang"),           # step0 lo after ando
+        ("portarglielo", "port"),          # step0 glielo after ar
+        ("organizzazione", "organizz"),    # azione in R2
+        ("felicità", "felic"),             # ità; ic outside R2
+        ("attivamente", "attiv"),          # amente in R1
+        ("biologia", "biolog"),            # logia -> log
+        ("crocchio", "crocc"),             # 3a vowel+i, 3b ch -> c
+        ("abbaiamo", "abba"),              # prelude I + verb Iamo
+        ("comprendiamo", "comprend"),
+        ("finirebbero", "fin"),
+    ],
     "es": [
         ("lograba", "logr"),               # 2b aba
         ("generosas", "gener"),            # step1 osas in R2
@@ -76,7 +147,7 @@ def test_python_mirror_pinned():
     assert bad == []
 
 
-@pytest.mark.parametrize("lang", ["de", "fr", "es"])
+@pytest.mark.parametrize("lang", ["de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"])
 def test_expression_matches_pinned(spark, lang):
     cases = _PINNED[lang]
     df = spark.createDataFrame([(w,) for w, _ in cases], "w string")
@@ -87,7 +158,7 @@ def test_expression_matches_pinned(spark, lang):
     assert bad == []
 
 
-@pytest.mark.parametrize("lang", ["de", "fr", "es"])
+@pytest.mark.parametrize("lang", ["de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"])
 def test_sql_replica_matches_mirror_pinned(lang):
     words = [w for w, _ in _PINNED[lang]]
     con = duckdb.connect()
@@ -102,7 +173,7 @@ def test_sql_replica_matches_mirror_pinned(lang):
         {w: snowball_stem_py(w, lang) for w in words}
 
 
-@pytest.mark.parametrize("lang", ["de", "fr", "es"])
+@pytest.mark.parametrize("lang", ["de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"])
 def test_spark_sql_text_backend_matches_mirror(spark, lang):
     """The F.expr text form (the fast-build driver-gate path) stems
     exactly like the mirror — fourth backend, same rule tables."""
@@ -116,7 +187,7 @@ def test_spark_sql_text_backend_matches_mirror(spark, lang):
 
 def test_expression_null_passthrough(spark):
     df = spark.createDataFrame([(None,), ("",)], "w string")
-    for lang in ("de", "fr", "es"):
+    for lang in ("de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"):
         got = [r["s"] for r in
                df.select(snowball_stem(F.col("w"), lang).alias("s"))
                .collect()]
@@ -135,6 +206,12 @@ _ALPHA = {
     "de": "abcdefghiklmnorstuzäöüß",
     "fr": "abcdefgilmnopqrstuvyzçéèêëïâùû",
     "es": "abcdefgilmnoprstuyzáéíóúüñ",
+    "sv": "abdefghiklmnorstuvyäåö",
+    "no": "abdefghiklmnorstuvyæåø",
+    "da": "abdefghiklmnorstuvyzæåø",
+    "ru": "абвгдежиклмнопрстуüыьэюяйшщ",
+    "it": "abcdefgilmnopqrstuvzàèìòù",
+    "nl": "abdefghijklmnoprstuvwyzëé",
 }
 _TAILS = {
     "de": ["", "e", "en", "ern", "er", "em", "es", "s", "est", "st",
@@ -154,6 +231,31 @@ _TAILS = {
            "ándolo", "iéndosela", "árselas", "érselo", "yendo",
            "aba", "arían", "iésemos", "áis", "emos", "en", "é", "ó",
            "ya", "yeron", "uyen", "gue"],
+    "sv": ["", "a", "arna", "erna", "heterna", "orna", "ade", "ande",
+           "aste", "anden", "heten", "heter", "arnas", "hetens",
+           "andet", "ast", "s", "es", "lig", "ig", "els", "löst",
+           "fullt", "tt", "dt"],
+    "no": ["", "a", "e", "ede", "ande", "ende", "ane", "ene",
+           "hetene", "en", "heten", "ar", "er", "heter", "as", "es",
+           "hetenes", "ens", "ets", "et", "ast", "s", "erte", "ert",
+           "hetslov"],
+    "da": ["", "hed", "ethed", "ered", "e", "erede", "ende",
+           "erende", "ene", "erne", "ere", "en", "heden", "eren",
+           "er", "heder", "heds", "endes", "ernes", "hedens", "et",
+           "s", "igst", "løst", "elig"],
+    "ru": ["", "а", "ами", "ая", "ый", "ой", "ого", "ыми", "ейшее",
+           "ость", "остью", "и", "ями", "ях", "ь", "ю", "я",
+           "вшись", "ывшись", "ла", "ете", "ют", "уют", "ить",
+           "нный"],
+    "it": ["", "a", "e", "i", "o", "anza", "ici", "iche", "ismo",
+           "abile", "ista", "oso", "mente", "atrice", "azione",
+           "atori", "logia", "uzione", "enza", "amento", "amente",
+           "ità", "ivo", "ando", "endo", "arla", "andolo", "arglielo",
+           "iamo", "erebbero", "ata", "uta", "irò", "chi", "ghi"],
+    "nl": ["", "e", "en", "ene", "s", "se", "heden", "heid", "end",
+           "ing", "ig", "lijk", "baar", "bar", "tje", "kken",
+           "tten", "dden", "igheid", "elijk", "eren", "aar", "ood",
+           "aan", "uur"],
 }
 
 
@@ -166,7 +268,7 @@ def _words(lang):
         .map(lambda p: p[0] + p[1]))
 
 
-@pytest.mark.parametrize("lang", ["de", "fr", "es"])
+@pytest.mark.parametrize("lang", ["de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"])
 @settings(max_examples=20, deadline=None)
 @given(data=st.data())
 def test_expression_equals_mirror_on_random_words(spark, lang, data):
@@ -181,7 +283,7 @@ def test_expression_equals_mirror_on_random_words(spark, lang, data):
     assert got == {w: snowball_stem_py(w, lang) for w in words}
 
 
-@pytest.mark.parametrize("lang", ["de", "fr", "es"])
+@pytest.mark.parametrize("lang", ["de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"])
 @settings(max_examples=10, deadline=None)
 @given(data=st.data())
 def test_sql_replica_equals_mirror_on_random_words(lang, data):

@@ -1,5 +1,6 @@
-"""Full Snowball stemmers (German, French, Spanish) from ONE spec,
-interpreted by THREE backends: Catalyst expressions, DuckDB SQL text,
+"""Full Snowball stemmers (German, French, Spanish, Swedish,
+Norwegian, Danish, Russian) from ONE spec per language, interpreted by
+FOUR backends: Catalyst expressions, Spark-SQL text, DuckDB SQL text,
 and plain Python.
 
 Reference: the per-language analyzer registry the reference routes
@@ -46,7 +47,7 @@ from pyspark.sql import functions as F
 __all__ = ["snowball_stem", "snowball_stem_py", "snowball_sql_ctes",
            "SNOWBALL_LANGS"]
 
-SNOWBALL_LANGS = ("de", "fr", "es")
+SNOWBALL_LANGS = ("de", "fr", "es", "sv", "no", "da", "ru", "it", "nl")
 
 _DE_V = "aeiouyäöü"
 _FR_V = "aeiouyâàëéêèïîôûù"
@@ -89,6 +90,9 @@ class _SparkB:
 
     def append(self, w, s):
         return F.concat(w, F.lit(s))
+
+    def concat2(self, a, b):
+        return F.concat(a, b)
 
     def length(self, w):
         return F.length(w)
@@ -203,6 +207,9 @@ class _SqlB:
 
     def append(self, w, s):
         return f"({w} || {_q(s)})"
+
+    def concat2(self, a, b):
+        return f"({a} || {b})"
 
     def length(self, w):
         return f"length({w})"
@@ -329,6 +336,9 @@ class _PyB:
 
     def append(self, w, s):
         return w + s
+
+    def concat2(self, a, b):
+        return a + b
 
     def length(self, w):
         return len(w)
@@ -1085,6 +1095,18 @@ def _lang_program(lang: str, variant: str | None):
         return _fr_plan(), _fr_final
     if lang == "es":
         return _es_plan(), _es_final
+    if lang == "sv":
+        return _sv_plan(), _ident_final
+    if lang == "no":
+        return _no_plan(), _ident_final
+    if lang == "da":
+        return _da_plan(), _ident_final
+    if lang == "ru":
+        return _ru_plan(), _ident_final
+    if lang == "it":
+        return _it_plan(), _it_final
+    if lang == "nl":
+        return _nl_plan(), _nl_final
     raise ValueError(
         f"snowball_stem: unsupported language {lang!r} "
         f"(supported: {SNOWBALL_LANGS})")
@@ -1137,3 +1159,627 @@ def snowball_sql_ctes(lang: str, word_expr: str, prefix: str,
     ctes += (f",\n{fin} AS (SELECT {key}, w0, {out} AS stem "
              f"FROM {last})")
     return ctes, fin
+
+
+# ---------------------------------------------------------------------------
+# SCANDINAVIAN (snowballstem.org swedish/norwegian/danish) — the light
+# end of the family: R1 (with the >=3-letter floor), one big step-1
+# among + a valid-s-ending s-rule, a consonant-pair undouble, and a
+# small step 3.
+
+_SV_V = "aeiouyäåö"
+_NO_V = "aeiouyæåø"
+_DA_V = "aeiouyæåø"
+
+_SV_STEP1 = ("a arna erna heterna orna ad e ade ande arne are aste en "
+             "anden aren heten ern ar er heter or as arnas ernas ornas "
+             "es ades andes ens arens hetens erns at andet het "
+             "ast").split()
+_SV_S_END = "bcdfghjklmnoprtvy"
+_SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+
+_NO_STEP1 = ("a e ede ande ende ane ene hetene en heten ar er heter as "
+             "es edes endes enes hetenes ens hetens ers ets et het "
+             "ast").split()
+_NO_S_END = "bcdfghjlmnoprtvyz"   # plus k-not-after-vowel, special-cased
+_NO_STEP3 = ("leg eleg ig eig lig elig els lov elov slov "
+             "hetslov").split()
+
+_DA_STEP1 = ("hed ethed ered e erede ende erende ene erne ere en heden "
+             "eren er heder erer heds es endes erendes enes ernes eres "
+             "ens hedens erens ers ets erets et eret").split()
+_DA_S_END = "abcdfghjklmnoprtvyzå"
+_DA_PAIRS = ("gd", "dt", "gt", "kt")
+
+
+def _scand_r1(B, R, skel, wlen):
+    return B.greatest(_r1_raw(B, R, skel, wlen), B.num(4))
+
+
+def _scand_step1(B, R, w, suffixes, s_end, vowels,
+                 k_not_after_vowel=False, erte=False):
+    def plain(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def s_rule(wd, sfx):
+        prev = B.char_from_end(wd, 2)
+        ok = B.in_chars(prev, s_end)
+        if k_not_after_vowel:
+            ok = B.or_(ok, B.and_(
+                B.eq(prev, B.lit("k")),
+                B.not_(B.in_chars(B.char_from_end(wd, 3), vowels))))
+        return B.when(B.and_(_in_r(B, R, wd, 1, "r1"), ok),
+                      B.drop(wd, 1), wd)
+
+    def ert(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      B.append(B.drop(wd, len(sfx)), "er"), wd)
+
+    rules = [(s, plain) for s in suffixes] + [("s", s_rule)]
+    if erte:
+        rules += [("erte", ert), ("ert", ert)]
+    return _apply_rules(B, w, rules)
+
+
+def _scand_pairs(B, R, w, pairs):
+    cond = B.or_(*[B.and_(B.endswith(w, p), _in_r(B, R, w, 2, "r1"))
+                   for p in pairs])
+    return B.when(cond, B.drop(w, 1), w)
+
+
+def _sv_step3(B, R, w):
+    def dele(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def repl(to):
+        def act(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                          B.append(B.drop(wd, len(sfx)), to), wd)
+        return act
+
+    return _apply_rules(B, w, [
+        ("lig", dele), ("ig", dele), ("els", dele),
+        ("löst", repl("lös")), ("fullt", repl("full")),
+    ])
+
+
+def _sv_plan():
+    return [
+        ("skel", lambda B, R: _skeleton(B, R["w0"], _SV_V)),
+        ("r1", lambda B, R: _scand_r1(B, R, R["skel"],
+                                      B.length(R["w0"]))),
+        ("w1", lambda B, R: _scand_step1(B, R, R["w0"], _SV_STEP1,
+                                         _SV_S_END, _SV_V)),
+        ("w2", lambda B, R: _scand_pairs(B, R, R["w1"], _SV_PAIRS)),
+        ("w3", lambda B, R: _sv_step3(B, R, R["w2"])),
+    ]
+
+
+def _no_step3(B, R, w):
+    def dele(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      B.drop(wd, len(sfx)), wd)
+    return _apply_rules(B, w, [(s, dele) for s in _NO_STEP3])
+
+
+def _no_plan():
+    def step2(B, R):
+        # dt / vt in R1: delete the t
+        w = R["w1"]
+        cond = B.or_(B.and_(B.endswith(w, "dt"),
+                            _in_r(B, R, w, 2, "r1")),
+                     B.and_(B.endswith(w, "vt"),
+                            _in_r(B, R, w, 2, "r1")))
+        return B.when(cond, B.drop(w, 1), w)
+
+    return [
+        ("skel", lambda B, R: _skeleton(B, R["w0"], _NO_V)),
+        ("r1", lambda B, R: _scand_r1(B, R, R["skel"],
+                                      B.length(R["w0"]))),
+        ("w1", lambda B, R: _scand_step1(B, R, R["w0"], _NO_STEP1,
+                                         _NO_S_END, _NO_V,
+                                         k_not_after_vowel=True,
+                                         erte=True)),
+        ("w2", step2),
+        ("w3", lambda B, R: _no_step3(B, R, R["w2"])),
+    ]
+
+
+def _da_step3(B, R, w):
+    # igst: drop the st (not R1-limited), then the R1 among; a delete
+    # there re-runs the consonant-pair rule on the result
+    w = B.when(B.endswith(w, "igst"), B.drop(w, 2), w)
+
+    def dele(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        t = _scand_pairs(B, R, t, _DA_PAIRS)
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"), t, wd)
+
+    def repl(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      B.append(B.drop(wd, len(sfx)), "løs"), wd)
+
+    return _apply_rules(B, w, [
+        ("elig", dele), ("lig", dele), ("els", dele), ("ig", dele),
+        ("løst", repl),
+    ])
+
+
+def _da_undouble(B, R, w):
+    last = B.char_from_end(w, 1)
+    cond = B.and_(B.ge(B.length(w), B.num(2)),
+                  B.eq(last, B.char_from_end(w, 2)),
+                  B.not_(B.in_chars(last, _DA_V)),
+                  _in_r(B, R, w, 1, "r1"))
+    return B.when(cond, B.drop(w, 1), w)
+
+
+def _da_plan():
+    return [
+        ("skel", lambda B, R: _skeleton(B, R["w0"], _DA_V)),
+        ("r1", lambda B, R: _scand_r1(B, R, R["skel"],
+                                      B.length(R["w0"]))),
+        ("w1", lambda B, R: _scand_step1(B, R, R["w0"], _DA_STEP1,
+                                         _DA_S_END, _DA_V)),
+        ("w2", lambda B, R: _scand_pairs(B, R, R["w1"], _DA_PAIRS)),
+        ("w3", lambda B, R: _da_step3(B, R, R["w2"])),
+        ("w4", lambda B, R: _da_undouble(B, R, R["w3"])),
+    ]
+
+
+def _ident_final(B, refs):
+    last = [k for k in refs if k.startswith("w")][-1]
+    return refs[last]
+
+
+# ---------------------------------------------------------------------------
+# RUSSIAN (snowballstem.org/algorithms/russian/stemmer.html) — all
+# suffix searches confined to RV; group-1 endings only match after
+# а/я (which stays); R2 gates the derivational step.
+
+_RU_V = "аеиоуыэюя"
+
+_RU_GER1 = ["в", "вши", "вшись"]
+_RU_GER2 = ["ив", "ивши", "ившись", "ыв", "ывши", "ывшись"]
+_RU_ADJ = ("ее ие ые ое ими ыми ей ий ый ой ем им ым ом его ого ему "
+           "ому их ых ею ою ую юю ая яя").split()
+_RU_PART1 = ["ем", "нн", "вш", "ющ", "щ"]
+_RU_PART2 = ["ивш", "ывш", "ующ"]
+_RU_VERB1 = ("ла на ете йте ли й л ем н ло но ет ют ны ть ешь "
+             "нно").split()
+_RU_VERB2 = ("ила ыла ена ейте уйте ите или ыли ей уй ил ыл им ым ен "
+             "ило ыло ено ят ует уют ит ыт ены ить ыть ишь ую "
+             "ю").split()
+_RU_NOUN = ("а ев ов ие ье е иями ями ами еи ии и ией ей ой ий й иям "
+            "ям ием ем ам ом о у ах иях ях ы ь ию ью ю ия ья "
+            "я").split()
+
+
+def _ru_rules(B, R, w, g1, g2):
+    """One RV-confined among over group-1 (preceded by а/я, kept) and
+    group-2 (unconditional) endings."""
+    def del_rv(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def del_ay(wd, sfx):
+        prev_pos_ok = B.ge(B.sub(B.length(wd), B.num(len(sfx))),
+                           R["rv"])
+        ok = B.and_(_in_r(B, R, wd, len(sfx), "rv"),
+                    B.in_chars(B.char_from_end(wd, len(sfx) + 1),
+                               "ая"),
+                    prev_pos_ok)
+        return B.when(ok, B.drop(wd, len(sfx)), wd)
+
+    rules = [(s, del_ay) for s in g1] + [(s, del_rv) for s in g2]
+    return _apply_rules(B, w, rules)
+
+
+def _ru_adjectival(B, R, w):
+    def act(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        t = _ru_rules(B, R, t, _RU_PART1, _RU_PART2)
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"), t, wd)
+    return _apply_rules(B, w, [(s, act) for s in _RU_ADJ])
+
+
+def _ru_plan():
+    def rv(B, R):
+        p = B.locate_from(R["skel"], "a", B.num(1))
+        return B.when(B.gt(p, B.num(0)), B.add(p, B.num(1)),
+                      B.add(B.length(R["w0"]), B.num(1)))
+
+    def refl(B, R, w):
+        def dele(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                          B.drop(wd, len(sfx)), wd)
+        return _apply_rules(B, w, [("ся", dele), ("сь", dele)])
+
+    def w2(B, R):
+        w = R["w1"]
+        return B.when(B.and_(B.endswith(w, "и"),
+                             _in_r(B, R, w, 1, "rv")),
+                      B.drop(w, 1), w)
+
+    def w3(B, R):
+        w = R["w2"]
+        def dele(wd, sfx):
+            return B.when(B.and_(_in_r(B, R, wd, len(sfx), "r2"),
+                                 _in_r(B, R, wd, len(sfx), "rv")),
+                          B.drop(wd, len(sfx)), wd)
+        return _apply_rules(B, w, [("ость", dele), ("ост", dele)])
+
+    def w4(B, R):
+        w = R["w3"]
+        nn = B.and_(B.endswith(w, "нн"), _in_r(B, R, w, 2, "rv"))
+        def sup(wd, n):
+            t = B.drop(wd, n)
+            return B.when(B.and_(B.endswith(t, "нн"),
+                                 _in_r(B, R, t, 2, "rv")),
+                          B.drop(t, 1), t)
+        e4 = B.and_(B.endswith(w, "ейше"), _in_r(B, R, w, 4, "rv"))
+        e3 = B.and_(B.endswith(w, "ейш"), _in_r(B, R, w, 3, "rv"))
+        soft = B.and_(B.endswith(w, "ь"), _in_r(B, R, w, 1, "rv"))
+        return B.when(nn, B.drop(w, 1),
+                      B.when(e4, sup(w, 4),
+                             B.when(e3, sup(w, 3),
+                                    B.when(soft, B.drop(w, 1), w))))
+
+    return [
+        ("skel", lambda B, R: _skeleton(B, R["w0"], _RU_V)),
+        ("rv", rv),
+        ("r1r", lambda B, R: _r1_raw(B, R, R["skel"],
+                                     B.length(R["w0"]))),
+        ("r2", lambda B, R: _r2_from(B, R["skel"], R["r1r"],
+                                     B.length(R["w0"]))),
+        ("g", lambda B, R: _ru_rules(B, R, R["w0"], _RU_GER1,
+                                     _RU_GER2)),
+        ("d1", lambda B, R: B.not_(B.eqs(R["g"], R["w0"]))),
+        ("rb", lambda B, R: B.when(R["d1"], R["g"],
+                                   refl(B, R, R["w0"]))),
+        ("aj", lambda B, R: B.when(R["d1"], R["rb"],
+                                   _ru_adjectival(B, R, R["rb"]))),
+        ("d2", lambda B, R: B.or_(R["d1"],
+                                  B.not_(B.eqs(R["aj"], R["rb"])))),
+        ("vb", lambda B, R: B.when(R["d2"], R["aj"],
+                                   _ru_rules(B, R, R["aj"], _RU_VERB1,
+                                             _RU_VERB2))),
+        ("d3", lambda B, R: B.or_(R["d2"],
+                                  B.not_(B.eqs(R["vb"], R["aj"])))),
+        ("w1", lambda B, R: B.when(R["d3"], R["vb"],
+                                   _ru_rules(B, R, R["vb"], [],
+                                             _RU_NOUN))),
+        ("w2", w2),
+        ("w3", w3),
+        ("w4", w4),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# ITALIAN (snowballstem.org/algorithms/italian/stemmer.html) — the
+# Spanish shape with an Italian prelude (acute->grave folding, qU and
+# u/i-between-vowels marking), attached pronouns after gerund/
+# infinitive forms ((b) replaces the pronoun with e), and the
+# double-vowel step 3a.
+
+_IT_V = "aeiouàèìòù"
+
+_IT_PRON = ("ci gli la le li lo mi ne si ti vi sene gliela gliele "
+            "glieli glielo gliene mela mele meli melo mene tela tele "
+            "teli telo tene cela cele celi celo cene vela vele veli "
+            "velo vene").split()
+
+_IT_STEP1_DEL_R2 = ("anza anze ico ici ica ice iche ichi ismo ismi "
+                    "abile abili ibile ibili ista iste isti istà "
+                    "istè istì oso osi osa ose mente atrice atrici "
+                    "ante anti").split()
+
+_IT_VERB = ("ammo ando ano are arono asse assero assi assimo ata ate "
+            "ati ato ava avamo avano avate avi avo emmo enda ende "
+            "endi endo erà erai eranno ere erebbe erebbero erei "
+            "eremmo eremo ereste eresti erete erò erono essero ete "
+            "eva evamo evano evate evi evo iamo Iamo immo irà irai "
+            "iranno ire irebbe irebbero irei iremmo iremo ireste "
+            "iresti irete irò irono isca iscano isce isci isco "
+            "iscono issero ita ite iti ito iva ivamo ivano ivate ivi "
+            "ivo ono uta ute uti uto ar ir").split()
+
+
+def _it_prelude(B, w):
+    for a, b in (("á", "à"), ("é", "è"), ("í", "ì"), ("ó", "ò"),
+                 ("ú", "ù")):
+        w = B.replace_all(w, a, b)
+    w = B.regex_replace(w, f"([{_IT_V}])u([{_IT_V}])", "$1U$2")
+    w = B.regex_replace(w, "qu", "qU")
+    w = B.regex_replace(w, f"([{_IT_V}])i([{_IT_V}])", "$1I$2")
+    return w
+
+
+def _it_step0(B, R, w):
+    def act(wd, p_sfx):
+        t = B.drop(wd, len(p_sfx))
+        out = wd
+        for pre, repl in (("ando", None), ("endo", None),
+                          ("ar", "e"), ("er", "e"), ("ir", "e")):
+            cond = B.and_(B.endswith(t, pre),
+                          _in_r(B, R, t, len(pre), "rv"))
+            val = t if repl is None else B.append(t, repl)
+            out = B.when(cond, val, out)
+        return out
+    return _apply_rules(B, w, [(p, act) for p in _IT_PRON])
+
+
+def _it_step1(B, R, w):
+    def del_r2(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def del_r2_ic(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        t2 = B.when(B.and_(B.endswith(t, "ic"),
+                           _in_r(B, R, t, 2, "r2")), B.drop(t, 2), t)
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    def repl_r2(repl):
+        def act(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                          B.append(B.drop(wd, len(sfx)), repl), wd)
+        return act
+
+    def del_rv(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def amente(wd, sfx):
+        t = B.drop(wd, 6)
+        iv = B.and_(B.endswith(t, "iv"), _in_r(B, R, t, 2, "r2"))
+        t_iv = B.drop(t, 2)
+        t_iv = B.when(B.and_(B.endswith(t_iv, "at"),
+                             _in_r(B, R, t_iv, 2, "r2")),
+                      B.drop(t_iv, 2), t_iv)
+        offs = B.and_(B.or_(B.endswith(t, "os"), B.endswith(t, "ic")),
+                      _in_r(B, R, t, 2, "r2"))
+        abil = B.and_(B.endswith(t, "abil"), _in_r(B, R, t, 4, "r2"))
+        t2 = B.when(iv, t_iv,
+                    B.when(abil, B.drop(t, 4),
+                           B.when(offs, B.drop(t, 2), t)))
+        return B.when(_in_r(B, R, wd, 6, "r1"), t2, wd)
+
+    def ita(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        t2 = B.when(B.and_(B.endswith(t, "abil"),
+                           _in_r(B, R, t, 4, "r2")), B.drop(t, 4),
+                    B.when(B.and_(B.or_(B.endswith(t, "ic"),
+                                        B.endswith(t, "iv")),
+                                  _in_r(B, R, t, 2, "r2")),
+                           B.drop(t, 2), t))
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    def ivo(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        at = B.and_(B.endswith(t, "at"), _in_r(B, R, t, 2, "r2"))
+        t_at = B.drop(t, 2)
+        t_at = B.when(B.and_(B.endswith(t_at, "ic"),
+                             _in_r(B, R, t_at, 2, "r2")),
+                      B.drop(t_at, 2), t_at)
+        t2 = B.when(at, t_at, t)
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    rules = [(s, del_r2) for s in _IT_STEP1_DEL_R2]
+    for s in ("azione", "azioni", "atore", "atori"):
+        rules.append((s, del_r2_ic))
+    rules += [("logia", repl_r2("log")), ("logie", repl_r2("log")),
+              ("uzione", repl_r2("u")), ("uzioni", repl_r2("u")),
+              ("usione", repl_r2("u")), ("usioni", repl_r2("u")),
+              ("enza", repl_r2("ente")), ("enze", repl_r2("ente")),
+              ("amento", del_rv), ("amenti", del_rv),
+              ("imento", del_rv), ("imenti", del_rv),
+              ("amente", amente),
+              ("ità", ita),
+              ("ivo", ivo), ("ivi", ivo), ("iva", ivo), ("ive", ivo)]
+    return _apply_rules(B, w, rules)
+
+
+def _it_plan():
+    def step2(B, R):
+        def del_rv(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                          B.drop(wd, len(sfx)), wd)
+        w1, wp = R["w1"], R["wp"]
+        v = _apply_rules(B, w1, [(s, del_rv) for s in _IT_VERB])
+        return B.when(B.eqs(w1, wp), v, w1)
+
+    def step3a(B, R):
+        w = R["w2"]
+        final_v = B.and_(B.in_chars(B.char_from_end(w, 1), "aeioàèìò"),
+                         _in_r(B, R, w, 1, "rv"))
+        t = B.when(final_v, B.drop(w, 1), w)
+        i_too = B.and_(final_v, B.endswith(t, "i"),
+                       B.ge(B.length(t), R["rv"]))
+        return B.when(i_too, B.drop(t, 1), t)
+
+    def step3b(B, R):
+        w = R["w3"]
+        cond = B.and_(B.or_(B.endswith(w, "ch"), B.endswith(w, "gh")),
+                      _in_r(B, R, w, 2, "rv"))
+        return B.when(cond, B.drop(w, 1), w)
+
+    return [
+        ("w", lambda B, R: _it_prelude(B, R["w0"])),
+        ("skel", lambda B, R: _skeleton(B, R["w"], _IT_V)),
+        ("r1", lambda B, R: _r1_raw(B, R, R["skel"],
+                                    B.length(R["w"]))),
+        ("r2", lambda B, R: _r2_from(B, R["skel"], R["r1"],
+                                     B.length(R["w"]))),
+        ("rv", lambda B, R: _es_like_rv(B, R, R["w"], R["skel"],
+                                        _IT_V)),
+        ("wp", lambda B, R: _it_step0(B, R, R["w"])),
+        ("w1", lambda B, R: _it_step1(B, R, R["wp"])),
+        ("w2", step2),
+        ("w3", step3a),
+        ("w4", step3b),
+    ]
+
+
+def _es_like_rv(B, R, w, skel, vowels):
+    """The Spanish/Italian RV rule over an arbitrary vowel class."""
+    wlen = B.length(w)
+    c1v = B.in_chars(B.take_char(w, 1), vowels)
+    c2v = B.in_chars(B.take_char(w, 2), vowels)
+    pa = B.locate_from(skel, "a", B.num(3))
+    after_vowel = B.when(B.gt(pa, B.num(0)), B.add(pa, B.num(1)),
+                         B.add(wlen, B.num(1)))
+    pb = B.locate_from(skel, "b", B.num(3))
+    after_cons = B.when(B.gt(pb, B.num(0)), B.add(pb, B.num(1)),
+                        B.add(wlen, B.num(1)))
+    return B.when(B.not_(c2v), after_vowel,
+                  B.when(c1v, after_cons, B.num(4)))
+
+
+def _it_final(B, refs):
+    w = refs["w4"]
+    for a, b in (("I", "i"), ("U", "u")):
+        w = B.replace_all(w, a, b)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# DUTCH (snowballstem.org/algorithms/dutch/stemmer.html) — umlaut/acute
+# folding + initial-y / y-after-vowel / i-between-vowels marking, the
+# en/s valid-ending rules with kk/dd/tt undoubling, the e-removal flag
+# that gates 'bar', the heid step with its en re-application, and the
+# CVD double-vowel undoubling.
+
+_NL_V = "aeiouyè"
+
+
+def _nl_prelude(B, w):
+    for a, b in (("ä", "a"), ("ë", "e"), ("ï", "i"), ("ö", "o"),
+                 ("ü", "u"), ("á", "a"), ("é", "e"), ("í", "i"),
+                 ("ó", "o"), ("ú", "u")):
+        w = B.replace_all(w, a, b)
+    w = B.regex_replace(w, "^y", "Y")
+    w = B.regex_replace(w, f"([{_NL_V}])y", "$1Y")
+    w = B.regex_replace(w, f"([{_NL_V}])i([{_NL_V}])", "$1I$2")
+    return w
+
+
+def _nl_undouble(B, w):
+    cond = B.or_(B.endswith(w, "kk"), B.endswith(w, "dd"),
+                 B.endswith(w, "tt"))
+    return B.when(cond, B.drop(w, 1), w)
+
+
+def _nl_step1(B, R, w):
+    def heden(wd, sfx):
+        return B.when(_in_r(B, R, wd, 5, "r1"),
+                      B.append(B.drop(wd, 5), "heid"), wd)
+
+    def en_rule(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        ok = B.and_(_in_r(B, R, wd, len(sfx), "r1"),
+                    _prev_nonvowel(B, wd, len(sfx), _NL_V),
+                    B.not_(B.endswith(t, "gem")))
+        return B.when(ok, _nl_undouble(B, t), wd)
+
+    def s_rule(wd, sfx):
+        prev = B.char_from_end(wd, len(sfx) + 1)
+        ok = B.and_(_in_r(B, R, wd, len(sfx), "r1"),
+                    B.not_(B.in_chars(prev, _NL_V + "j")),
+                    B.gt(B.length(wd), B.num(len(sfx))))
+        return B.when(ok, B.drop(wd, len(sfx)), wd)
+
+    return _apply_rules(B, w, [
+        ("heden", heden), ("ene", en_rule), ("en", en_rule),
+        ("se", s_rule), ("s", s_rule),
+    ])
+
+
+def _nl_step2_cond(B, R, w):
+    return B.and_(B.endswith(w, "e"), _in_r(B, R, w, 1, "r1"),
+                  _prev_nonvowel(B, w, 1, _NL_V))
+
+
+def _nl_step3a(B, R, w):
+    t = B.drop(w, 4)
+    en_ok = B.and_(B.endswith(t, "en"), _in_r(B, R, t, 2, "r1"),
+                   _prev_nonvowel(B, t, 2, _NL_V),
+                   B.not_(B.endswith(B.drop(t, 2), "gem")))
+    t2 = B.when(en_ok, _nl_undouble(B, B.drop(t, 2)), t)
+    ok = B.and_(B.endswith(w, "heid"), _in_r(B, R, w, 4, "r2"),
+                B.not_(B.eq(B.char_from_end(w, 5), B.lit("c"))))
+    return B.when(ok, t2, w)
+
+
+def _nl_step3b(B, R, w, e_removed):
+    def end_ing(wd, sfx):
+        t = B.drop(wd, 3)
+        ig_ok = B.and_(B.endswith(t, "ig"), _in_r(B, R, t, 2, "r2"),
+                       B.not_(B.eq(B.char_from_end(t, 3), B.lit("e"))))
+        t2 = B.when(ig_ok, B.drop(t, 2), _nl_undouble(B, t))
+        return B.when(_in_r(B, R, wd, 3, "r2"), t2, wd)
+
+    def ig(wd, sfx):
+        ok = B.and_(_in_r(B, R, wd, 2, "r2"),
+                    B.not_(B.eq(B.char_from_end(wd, 3), B.lit("e"))))
+        return B.when(ok, B.drop(wd, 2), wd)
+
+    def lijk(wd, sfx):
+        t = B.drop(wd, 4)
+        e_ok = _nl_step2_cond(B, R, t)
+        t2 = B.when(e_ok, _nl_undouble(B, B.drop(t, 1)), t)
+        return B.when(_in_r(B, R, wd, 4, "r2"), t2, wd)
+
+    def baar(wd, sfx):
+        return B.when(_in_r(B, R, wd, 4, "r2"), B.drop(wd, 4), wd)
+
+    def bar(wd, sfx):
+        return B.when(B.and_(_in_r(B, R, wd, 3, "r2"), e_removed),
+                      B.drop(wd, 3), wd)
+
+    return _apply_rules(B, w, [
+        ("lijk", lijk), ("baar", baar), ("end", end_ing),
+        ("ing", end_ing), ("bar", bar), ("ig", ig),
+    ])
+
+
+def _nl_step4(B, w):
+    # C V V D at the end, V in {aa,ee,oo,uu}, D a non-vowel other than
+    # I, C a non-vowel: drop one of the double vowels
+    d = B.char_from_end(w, 1)
+    v1 = B.char_from_end(w, 2)
+    v2 = B.char_from_end(w, 3)
+    c = B.char_from_end(w, 4)
+    cond = B.and_(B.ge(B.length(w), B.num(4)),
+                  B.not_(B.in_chars(d, _NL_V + "I")),
+                  B.eq(v1, v2), B.in_chars(v1, "aeou"),
+                  B.not_(B.in_chars(c, _NL_V)))
+    return B.when(cond, B.concat2(B.drop(w, 2), d), w)
+
+
+def _nl_plan():
+    return [
+        ("w", lambda B, R: _nl_prelude(B, R["w0"])),
+        ("skel", lambda B, R: _skeleton(B, R["w"], _NL_V)),
+        ("r1r", lambda B, R: _r1_raw(B, R, R["skel"],
+                                     B.length(R["w"]))),
+        ("r2", lambda B, R: _r2_from(B, R["skel"], R["r1r"],
+                                     B.length(R["w"]))),
+        ("r1", lambda B, R: B.greatest(R["r1r"], B.num(4))),
+        ("w1", lambda B, R: _nl_step1(B, R, R["w"])),
+        ("ef", lambda B, R: _nl_step2_cond(B, R, R["w1"])),
+        ("w2", lambda B, R: B.when(
+            R["ef"], _nl_undouble(B, B.drop(R["w1"], 1)), R["w1"])),
+        ("w3a", lambda B, R: _nl_step3a(B, R, R["w2"])),
+        ("w3b", lambda B, R: _nl_step3b(B, R, R["w3a"], R["ef"])),
+        ("w4", lambda B, R: _nl_step4(B, R["w3b"])),
+    ]
+
+
+def _nl_final(B, refs):
+    w = refs["w4"]
+    for a, b in (("I", "i"), ("Y", "y")):
+        w = B.replace_all(w, a, b)
+    return w

@@ -853,9 +853,10 @@ def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
             # chain shipped through r8 (PARITY delta 1a, English arm)
             from .porter import porter_stem
             return F.transform(toks, porter_stem)
-        if lang in ("de", "fr", "es"):
-            # the full published Snowball algorithms (PARITY delta 1a,
-            # de/fr/es arms, closed r10 — light suffix subsets before)
+        if lang in ("de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"):
+            # the full published Snowball algorithms (PARITY delta 1a —
+            # light suffix subsets before r10; the ANALYZER_PROFILES
+            # entries for these languages are superseded on this path)
             from .snowball import snowball_stem
             return F.transform(toks, lambda t: snowball_stem(t, lang))
         pfx = ANALYZER_PREFIX_RULES.get(lang)

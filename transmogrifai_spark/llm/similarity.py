@@ -212,18 +212,35 @@ def explicit_assignments(df: DataFrame, id_col: str, vec_col: str,
 def ivf_assignments(corpus: DataFrame, id_col: str, vec_col: str,
                     n_lists: int = 16, seed: int = 42,
                     max_iter: int = 10,
-                    fit_sample: float | None = None):
+                    fit_sample: float | None = None,
+                    centroids: list[list[float]] | None = None):
     """IVF coarse quantizer: KMeans over the corpus embeddings.
 
     Returns (assigned_corpus, centroids): the corpus with a ``_cell`` column
     and the centroid list (plain python floats). At 100 TB the KMeans fit
     runs on ``fit_sample`` (centroid positions converge on a tiny fraction
-    of the data) while assignment stays a full single pass."""
+    of the data) while assignment stays a full single pass.
+
+    Pass ``centroids`` to SKIP the fit entirely (the pq/opq
+    explicit-model injection contract extended to the coarse tier):
+    assignment becomes a pure nearest-centroid expression over the
+    literals — the production shape when the quantizer was trained
+    elsewhere, and a gate-cost shave (the full-probe == brute law holds
+    for ANY centroid set, r10)."""
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    if centroids is not None:
+        if len(centroids) != n_lists:
+            raise ValueError(
+                f"injected centroid count {len(centroids)} != n_lists "
+                f"{n_lists}")
+        assigned = c.withColumn(
+            "_cell", F.element_at(
+                _probe_cells(F.col("_cv"), centroids, 1), 1))
+        return assigned, [[float(x) for x in v] for v in centroids]
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     fit_on = c.sample(fit_sample, seed=seed) if fit_sample else c
     km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_fv",
                 predictionCol="_cell")
@@ -260,7 +277,8 @@ def _probe_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Col
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
              k: int = 5, n_lists: int = 16, n_probe: int = 2, seed: int = 42,
-             max_iter: int = 10, fit_sample: float | None = None) -> DataFrame:
+             max_iter: int = 10, fit_sample: float | None = None,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the other classic ANN scale
     path beside LSH: a KMeans coarse quantizer partitions the corpus into
     ``n_lists`` cells; each query probes only its ``n_probe`` nearest
@@ -272,7 +290,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     per-query top-k window. ``n_probe == n_lists`` degenerates to exact
     brute force (every cell scanned) — the law the tests pin."""
     assigned, centroids = ivf_assignments(corpus, id_col, vec_col, n_lists,
-                                          seed, max_iter, fit_sample)
+                                          seed, max_iter, fit_sample,
+                                          centroids)
     # n_probe nearest centroids per query, centroid coords inlined as literals
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
@@ -745,7 +764,8 @@ def sq_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
 
 def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str, path: str,
                     n_lists: int = 16, seed: int = 42, max_iter: int = 10,
-                    fit_sample: float | None = None) -> dict:
+                    fit_sample: float | None = None,
+                    centroids: list[list[float]] | None = None) -> dict:
     """Persist an IVF index: the assigned corpus written PARTITIONED BY
     CELL (`_cell=N/` directories) plus a JSON sidecar with the centroids
     and params. Build cost is paid once; afterwards every query batch
@@ -756,7 +776,8 @@ def build_ivf_index(corpus: DataFrame, id_col: str, vec_col: str, path: str,
     import os
 
     assigned, centroids = ivf_assignments(corpus, id_col, vec_col, n_lists,
-                                          seed, max_iter, fit_sample)
+                                          seed, max_iter, fit_sample,
+                                          centroids)
     # batch=0 subdir so append_ivf_index batches nest as sibling partitions
     # (readers discover batch + _cell partition columns; _cell pruning is
     # unaffected, batch is ignored)
