@@ -44,8 +44,8 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["snowball_stem", "snowball_stem_py", "snowball_sql_ctes",
-           "SNOWBALL_LANGS"]
+__all__ = ["snowball_stem", "snowball_stem_py", "snowball_spark_sql",
+           "snowball_sql_ctes", "SNOWBALL_LANGS"]
 
 SNOWBALL_LANGS = ("de", "fr", "es", "sv", "no", "da", "ru", "it", "nl")
 
