@@ -72,6 +72,25 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
     assert s == p
 
 
+def test_ngram_cap_broadcasts_hot_set(spark, sf_dir):
+    """The max_doc_freq cap in ngram_jaccard_pairs must broadcast the
+    bounded OVER-cap (hot) shingle set and remove it with a left_anti
+    join. Broadcasting the under-cap side — nearly every distinct shingle
+    in the corpus — builds an unbounded driver-side table at 100 TB."""
+    from transmogrifai_spark.llm.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8,
+                             max_doc_freq=200)
+    plan = _formatted(df)
+    # the cap join is a broadcast ANTI join (hot set on the build side)
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
+    # the broadcast side filters for OVER-cap frequency, never under-cap
+    bcast_filters = [l for l in plan.splitlines()
+                     if "Condition" in l and "_df" in l]
+    assert bcast_filters and all("> 200" in l for l in bcast_filters), \
+        "\n".join(bcast_filters)
+
+
 def test_rank_windows_are_partitioned(spark, sf_dir):
     """Spearman / AuROC rank plans must not contain a window without a
     PARTITION BY (a global Window.orderBy funnels every distinct value

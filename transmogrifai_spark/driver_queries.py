@@ -1047,6 +1047,51 @@ def _mx_weights() -> dict:
     return w
 
 
+# beam-decoding gate fixture (r11 — retires the last law-only r10
+# algorithm): a TOKEN-level GIS model with -start/-cont outcomes and
+# pd=<prevOutcome> coupling, generated from the same name lists (per-name
+# 0.01*i jitter so every list slot produces a distinct score path), plus
+# 4-token sentences synthesized from doc_id. Three patterns exercise the
+# NameFinderSequenceValidator both at BOS (a surname first — person-cont
+# must be pruned with no predecessor) and mid-sequence (a surname after
+# 'other' — person-cont pruned again).
+_NER_LOWS = ["visited", "in", "from", "met"]
+_BEAM_OUTCOMES = ["other", "person-start", "person-cont", "location-start"]
+
+
+def _beam_weights() -> dict:
+    w: dict[str, dict[str, float]] = {}
+
+    def add(pred, outcome, v):
+        w.setdefault(pred, {})[outcome] = v
+
+    for i, n in enumerate(_NER_FIRSTS):
+        add(f"wl={n.lower()}", "person-start", 2.0 + 0.01 * i)
+        add(f"wl={n.lower()}", "person-cont", 0.45)
+        add(f"pw={n}", "person-cont", 0.3)
+    for i, s in enumerate(_NER_SURS):
+        add(f"wl={s.lower()}", "person-cont", 1.8 + 0.01 * i)
+        add(f"wl={s.lower()}", "location-start", 0.6)
+        add(f"nw={s}", "person-start", 0.35)
+    for i, c in enumerate(_NER_LOCS):
+        add(f"wl={c.lower()}", "location-start", 2.1 + 0.01 * i)
+        add(f"wl={c.lower()}", "person-cont", 0.4)
+    for i, v in enumerate(_NER_LOWS):
+        add(f"wl={v}", "other", 1.9 + 0.01 * i)
+    add("wc=ic", "person-start", 0.3)
+    add("wc=ic", "location-start", 0.25)
+    add("wc=lc", "other", 0.8)
+    add("pd=other", "person-start", 0.2)
+    add("pd=person-start", "person-cont", 1.2)
+    add("pd=person-start", "person-start", -0.4)
+    add("pd=person-start", "other", -0.3)
+    add("pd=person-cont", "person-cont", 0.5)
+    add("pd=person-cont", "other", 0.2)
+    add("pd=location-start", "other", 0.4)
+    add("pd=location-start", "location-start", -0.2)
+    return w
+
+
 def q_ner_trainable(spark, sf_dir):
     """Trainable statistical NER (operators/ner_nb — the OpenNLP
     NameEntityRecognizer.scala:56 family, TRAINED not shipped; the
@@ -1071,8 +1116,21 @@ def q_ner_trainable(spark, sf_dir):
     the oracle folds the per-outcome weight sums in the expression
     fold's exact left-associative feature order and replicates the
     published FIRST-max-in-OUTCOME-order tie rule (>= CASE cascade) —
-    distinct from the NB arm's alphabetical ties."""
-    from .operators.maxent import maxent_best_outcome, maxent_sums
+    distinct from the NB arm's alphabetical ties.
+
+    beam_tags/beam_sc (r11): TOKEN-level width-3 BEAM decoding
+    (operators/maxent.maxent_beam_tag — NameFinderME/BeamSearch
+    semantics: per-position maxent distributions, pd=<prevOutcome>
+    coupling, the NameFinderSequenceValidator, 9dp per-step log-prob
+    rounding) gated by model injection: the _beam_weights() fixture and
+    4-token sentences synthesized from doc_id ride both engines, and
+    the oracle replicates the ENTIRE beam — per-position base sums in
+    the scorer's left-associative feature fold order, the per-extension
+    softmax normalizer folded in outcome order, validity pruning at BOS
+    and mid-sequence, top-3 selection by (score DESC, outcome-index
+    sequence ASC) — unrolled position by position in SQL."""
+    from .operators.maxent import (maxent_beam_decode, maxent_best_outcome,
+                                   maxent_sums)
     from .operators.ner_nb import (chunk_features, ner_nb_label,
                                    ner_nb_scores, train_ner_classifier)
     docs = _t(spark, sf_dir, "documents")
@@ -1106,6 +1164,26 @@ def q_ner_trainable(spark, sf_dir):
           "context": False}
     feats = chunk_features(F.col("chunk"))
     mx_sums = maxent_sums(feats, mx)
+    # beam fixture: 4-token sentences + the pd-coupled token model
+    bm = {"type": "GIS", "outcomes": list(_BEAM_OUTCOMES),
+          "labels": list(_BEAM_OUTCOMES), "weights": _beam_weights(),
+          "correction_constant": 1, "correction_param": 0.0,
+          "context": False}
+    j = F.floor(F.col("doc_id") / 3)
+    btoks = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.array(pick(_NER_FIRSTS, j), pick(_NER_SURS, F.floor(j / 3)),
+                       pick(_NER_LOWS, j), pick(_NER_LOCS, F.floor(j / 5))))
+        .when(F.col("doc_id") % 3 == 1,
+              F.array(pick(_NER_SURS, j), pick(_NER_FIRSTS, F.floor(j / 3)),
+                      pick(_NER_LOWS, j), pick(_NER_SURS, F.floor(j / 5))))
+        .otherwise(
+            F.array(pick(_NER_LOCS, j), pick(_NER_LOWS, j),
+                    pick(_NER_FIRSTS, F.floor(j / 3)),
+                    pick(_NER_SURS, F.floor(j / 5)))))
+    base = base.withColumn("_btoks", btoks)
+    bdec = maxent_beam_decode(F.col("_btoks"), bm, beam=3, validate=True)
+    base = base.withColumn("_bdec", bdec)
     return base.select(
         "doc_id", "chunk", "label",
         ner_nb_label(F.col("chunk"), m).alias("pred"),
@@ -1115,7 +1193,9 @@ def q_ner_trainable(spark, sf_dir):
         .alias("s_org"),
         maxent_best_outcome(feats, mx).alias("mx_pred"),
         (F.try_element_at(mx_sums, F.lit("PERSON")) + F.lit(0.0))
-        .alias("mx_sper"))
+        .alias("mx_sper"),
+        F.concat_ws(" ", F.col("_bdec")["tags"]).alias("beam_tags"),
+        (F.col("_bdec")["sc"] + F.lit(0.0)).alias("beam_sc"))
 
 
 # lexicon-segmentation gate fixture: real zh words with overlapping
@@ -4039,6 +4119,171 @@ ORACLES["ner_trainable"] = ORACLES["ner_trainable"].replace(
   FROM feat
 ),
 best AS (""", 1)
+
+
+def _beam_sql() -> str:
+    """Full SQL replica of the width-3 token beam (maxent_beam_decode),
+    unrolled position by position for the fixture's 4-token sentences:
+    per-position base sums in the scorer's left-associative feature
+    fold order (0 + w= + wl= + wc= + pw= + nw= + prior), the
+    per-extension softmax normalizer folded in OUTCOME order, pd rows
+    and validity masks generated from the same _beam_weights() /
+    _cont_validity tables the engine binds, per-step 9dp rounding, and
+    top-3 selection by (score DESC, outcome-index string ASC) — digit
+    strings of equal length compare exactly like the engine's
+    index-array tie-break."""
+    from .operators.maxent import _beam_model_parts
+    outcomes, c, pd, (cont_ok, bos_ok) = _beam_model_parts(
+        {"outcomes": list(_BEAM_OUTCOMES), "weights": _beam_weights(),
+         "correction_constant": 1})
+    k = len(outcomes)
+    w = _beam_weights()
+
+    def case(col: str, prefix: str, outcome: str) -> str:
+        whens = " ".join(
+            f"WHEN {col} = '{p[len(prefix):]}' THEN CAST({v[outcome]!r} AS DOUBLE)"
+            for p, v in sorted(w.items())
+            if p.startswith(prefix) and outcome in v)
+        if not whens:
+            return "CAST(0.0 AS DOUBLE)"
+        return f"(CASE {whens} ELSE CAST(0.0 AS DOUBLE) END)"
+
+    def base(p: int, oi: int) -> str:
+        o = outcomes[oi]
+        return ("CAST(0.0 AS DOUBLE) + CAST(0.0 AS DOUBLE) + "
+                + case(f"wl{p}", "wl=", o) + " + "
+                + case(f"wc{p}", "wc=", o) + " + "
+                + case(f"pw{p}", "pw=", o) + " + "
+                + case(f"nw{p}", "nw=", o) + " + CAST(0.0 AS DOUBLE)")
+
+    def pdcase(oi: int) -> str:
+        whens = " ".join(f"WHEN {pi} THEN CAST({pd[pi][oi]!r} AS DOUBLE)"
+                         for pi in range(k))
+        return f"(CASE prev {whens} END)"
+
+    def shape(p: int) -> str:
+        return (f"CASE WHEN regexp_matches(tk[{p}], '^[0-9]+$') THEN 'num' "
+                f"WHEN regexp_matches(tk[{p}], '^[A-Z]') THEN 'ic' "
+                f"WHEN regexp_matches(tk[{p}], '^[a-z]') THEN 'lc' "
+                f"ELSE 'other' END")
+
+    fs, ss, ws_, ls = (_sql_strs(_NER_FIRSTS), _sql_strs(_NER_SURS),
+                       _sql_strs(_NER_LOWS), _sql_strs(_NER_LOCS))
+    nf, ns, nw_, nl = (len(_NER_FIRSTS), len(_NER_SURS), len(_NER_LOWS),
+                       len(_NER_LOCS))
+    feat_cols = []
+    for p in range(1, 5):
+        feat_cols.append(f"lower(tk[{p}]) AS wl{p}")
+        feat_cols.append(f"{shape(p)} AS wc{p}")
+        pw_src = "'*BOS*'" if p == 1 else f"tk[{p - 1}]"
+        nw_src = "'*EOS*'" if p == 4 else f"tk[{p + 1}]"
+        feat_cols.append(f"{pw_src} AS pw{p}")
+        feat_cols.append(f"{nw_src} AS nw{p}")
+    bsum_cols = [f"{base(p, oi)} AS b{p}_{oi}"
+                 for p in range(1, 5) for oi in range(k)]
+    z = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+        f"exp(s_{oi} / 1.0)" for oi in range(k))
+    pick_s = "CASE o " + " ".join(
+        f"WHEN {oi} THEN s_{oi}" for oi in range(k)) + " END"
+    bos_allowed = ",".join(str(oi) for oi in range(k) if bos_ok[oi])
+    conds = []
+    for oi in range(k):
+        allowed = [pi for pi in range(k) if cont_ok[oi][pi]]
+        if len(allowed) < k:
+            conds.append(
+                f"(o <> {oi} OR prev IN ({','.join(map(str, allowed))}))")
+    valid = (" AND " + " AND ".join(conds)) if conds else ""
+    steps = []
+    for p in range(2, 5):
+        svec = ", ".join(f"b{p}_{oi} + {pdcase(oi)} AS s_{oi}"
+                         for oi in range(k))
+        steps.append(f"""e{p} AS (
+  SELECT h.doc_id, h.labs, h.sc,
+         CAST(substr(h.labs, -1, 1) AS INT) AS prev,
+         {svec}
+  FROM h{p - 1}t h JOIN bsum b ON b.doc_id = h.doc_id
+),
+h{p} AS (
+  SELECT doc_id, o, labs || CAST(o AS VARCHAR) AS labs,
+         sc + round(({pick_s}) / 1.0 - ln({z}), 9) AS sc
+  FROM e{p} CROSS JOIN (SELECT unnest([0,1,2,3]) AS o) oo
+  WHERE TRUE{valid}
+),
+h{p}t AS (
+  SELECT doc_id, labs, sc FROM
+    (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY sc DESC, labs ASC) AS rn
+     FROM h{p}) WHERE rn <= 3
+)""")
+    names = _sql_strs(outcomes)
+    tags = " || ' ' || ".join(
+        f"({names})[CAST(substr(labs, {p}, 1) AS INT) + 1]"
+        for p in range(1, 5))
+    return f"""btoks AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN [({fs})[CAST(j % {nf} + 1 AS INT)],
+                        ({ss})[CAST((j // 3) % {ns} + 1 AS INT)],
+                        ({ws_})[CAST(j % {nw_} + 1 AS INT)],
+                        ({ls})[CAST((j // 5) % {nl} + 1 AS INT)]]
+           WHEN 1 THEN [({ss})[CAST(j % {ns} + 1 AS INT)],
+                        ({fs})[CAST((j // 3) % {nf} + 1 AS INT)],
+                        ({ws_})[CAST(j % {nw_} + 1 AS INT)],
+                        ({ss})[CAST((j // 5) % {ns} + 1 AS INT)]]
+           ELSE [({ls})[CAST(j % {nl} + 1 AS INT)],
+                 ({ws_})[CAST(j % {nw_} + 1 AS INT)],
+                 ({fs})[CAST((j // 3) % {nf} + 1 AS INT)],
+                 ({ss})[CAST((j // 5) % {ns} + 1 AS INT)]]
+         END AS tk
+  FROM (SELECT doc_id, doc_id // 3 AS j FROM documents)
+),
+bfeat AS (
+  SELECT doc_id, {', '.join(feat_cols)}
+  FROM btoks
+),
+bsum AS (
+  SELECT doc_id,
+         {', '.join(bsum_cols)}
+  FROM bfeat
+),
+h1 AS (
+  SELECT doc_id, o, CAST(o AS VARCHAR) AS labs,
+         CAST(0.0 AS DOUBLE)
+         + round(({pick_s}) / 1.0 - ln({z}), 9) AS sc
+  FROM (SELECT doc_id,
+               {', '.join(f'b1_{oi} + 0.0 AS s_{oi}' for oi in range(k))}
+        FROM bsum)
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS o) oo
+  WHERE o IN ({bos_allowed})
+),
+h1t AS (
+  SELECT doc_id, labs, sc FROM
+    (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY sc DESC, labs ASC) AS rn
+     FROM h1) WHERE rn <= 3
+),
+{','.join(steps)},
+beam AS (
+  SELECT doc_id, {tags} AS tags, sc
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY sc DESC, labs ASC) AS rn
+        FROM h4t) WHERE rn = 1
+),
+"""
+
+
+ORACLES["ner_trainable"] = ORACLES["ner_trainable"].replace(
+    "best AS (", _beam_sql() + "best AS (", 1)
+ORACLES["ner_trainable"] = ORACLES["ner_trainable"].replace(
+    """       max(m.mx_pred) AS mx_pred,
+       max(m.s_p) + 0.0 AS mx_sper
+FROM base b""",
+    """       max(m.mx_pred) AS mx_pred,
+       max(m.s_p) + 0.0 AS mx_sper,
+       max(bmm.tags) AS beam_tags,
+       max(bmm.sc) + 0.0 AS beam_sc
+FROM base b
+JOIN beam bmm ON bmm.doc_id = b.doc_id""", 1)
 
 ORACLES["raw_feature_filter"] = """
 WITH m AS (

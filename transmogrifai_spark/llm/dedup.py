@@ -112,8 +112,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # write as a bucketed temp table (bucketed by _sh to pre-shuffle the join).
     sh = sh.persist()
     if max_doc_freq is not None:
+        # Broadcast the OVER-cap (hot) shingle set and anti-join it away.
+        # The hot set is bounded by construction (few ultra-common shingles
+        # clear the cap), while the under-cap set is nearly ALL distinct
+        # shingles in the corpus — broadcasting that side would build an
+        # unbounded driver-side table at 100 TB. Same pattern as the hot-set
+        # anti-joins in exact_substring_spans / winnowing below.
         freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-        sh = sh.join(F.broadcast(freq.where(F.col("_df") <= max_doc_freq).select("_sh")), "_sh")
+        hot = freq.where(F.col("_df") > max_doc_freq).select("_sh")
+        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     # the join rows stay (8B, 8B[, 8B]) narrow; sizes attach AFTER the pair
     # aggregation, when only one row per surviving candidate pair remains

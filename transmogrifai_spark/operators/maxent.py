@@ -41,7 +41,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["load_opennlp_gis_model", "save_opennlp_gis_model",
            "maxent_sums", "maxent_probs", "maxent_best_outcome",
-           "ner_maxent_label", "maxent_beam_tag", "maxent_beam_tag_py",
+           "ner_maxent_label", "maxent_beam_decode", "maxent_beam_tag",
+           "maxent_beam_tag_py", "maxent_beam_decode_py",
            "beam_token_features"]
 
 
@@ -328,13 +329,15 @@ def _cont_validity(outcomes: list[str]):
     return ok, bos
 
 
-def maxent_beam_tag(tokens: Column, model: dict, beam: int = 3,
-                    validate: bool = True) -> Column:
-    """Tag a token array with per-token outcomes via width-``beam``
-    beam search over the GIS model — array<string>, aligned with the
-    input tokens; [] for NULL/empty input. Scores are accumulated
-    per-step log-probabilities (softmax of sums/C; the correction term
-    cancels), 9dp-rounded each step."""
+def maxent_beam_decode(tokens: Column, model: dict, beam: int = 3,
+                       validate: bool = True) -> Column:
+    """Width-``beam`` beam search over the GIS model, returning the
+    BEST hypothesis as ``struct<tags: array<string>, sc: double>`` —
+    tags aligned with the input tokens ([] with sc 0.0 for NULL/empty
+    input). Scores are accumulated per-step log-probabilities (softmax
+    of sums/C; the correction term cancels), 9dp-rounded each step —
+    the portability quantization that makes the SQL-oracle replica
+    exact."""
     outcomes, c, pd, (cont_ok, bos_ok) = _beam_model_parts(model)
     k = len(outcomes)
     pd_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in pd])
@@ -421,27 +424,44 @@ def maxent_beam_tag(tokens: Column, model: dict, beam: int = 3,
                                        (-r["ns"]).alias("sc")))
 
             best = F.try_element_at(F.aggregate(bs, init, step), F.lit(1))
-            return F.when(
+            tags = F.when(
                 best.isNull(), F.array().cast("array<string>")) \
                 .otherwise(F.transform(
                     best["labs"],
                     lambda o: F.element_at(
                         F.array(*[F.lit(x) for x in outcomes]), o + 1)))
+            sc = F.coalesce(best["sc"], F.lit(0.0))
+            return F.struct(tags.alias("tags"), sc.alias("sc"))
 
         return F.get(F.transform(F.array(base), with_base), 0)
 
     return F.get(F.transform(F.array(toks), with_toks), 0)
 
 
+def maxent_beam_tag(tokens: Column, model: dict, beam: int = 3,
+                    validate: bool = True) -> Column:
+    """Tag a token array with per-token outcomes via width-``beam``
+    beam search — array<string> aligned with the input tokens; [] for
+    NULL/empty input (``maxent_beam_decode``'s tags field)."""
+    return maxent_beam_decode(tokens, model, beam, validate)["tags"]
+
+
 def maxent_beam_tag_py(tokens, model: dict, beam: int = 3,
                        validate: bool = True):
     """Pure-Python beam mirror (the law-test partner) — identical
     feature set, pd coupling, 9dp step rounding, and
-    (-score, outcome-index-sequence) ranking."""
+    (-score, outcome-index-sequence) ranking. Tags only; see
+    ``maxent_beam_decode_py`` for (tags, score)."""
+    return maxent_beam_decode_py(tokens, model, beam, validate)[0]
+
+
+def maxent_beam_decode_py(tokens, model: dict, beam: int = 3,
+                          validate: bool = True):
+    """Pure-Python mirror of ``maxent_beam_decode``: (tags, score)."""
     import math
 
     if not tokens:
-        return []
+        return [], 0.0
     outcomes, c, pd, (cont_ok, bos_ok) = _beam_model_parts(model)
     k = len(outcomes)
     dense = {p: [per.get(o, 0.0) for o in outcomes]
@@ -474,4 +494,4 @@ def maxent_beam_tag_py(tokens, model: dict, beam: int = 3,
                               hsc + round(s[o] / c - lz, _BEAM_Q)))
         cands.sort(key=lambda x: (-x[1], x[0]))
         hyps = cands[:beam]
-    return [outcomes[o] for o in hyps[0][0]]
+    return [outcomes[o] for o in hyps[0][0]], hyps[0][1]
