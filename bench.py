@@ -236,6 +236,46 @@ def main() -> None:
             return docs.select(F.sum(F.size(wordpiece_tokenize(
                 F.col("text"), wp_model))).alias("n"))
 
+        def ts_wordpiece_df(spark, sf_dir):
+            # the distinct-word form (r11): scan once per word TYPE,
+            # join back — the Zipf-exploiting scale path
+            from transmogrifai_spark.llm.tokenizer import \
+                wordpiece_tokenize_df
+            docs = load_table(spark, sf_dir, "documents")
+            out = wordpiece_tokenize_df(docs, "text", wp_model,
+                                        "doc_id")
+            return out.select(F.sum(F.size("pieces")).alias("n"))
+
+        def ts_snowball(spark, sf_dir):
+            # one language is enough for the regression row: the pt
+            # chain (r11) over per-doc tokens, pure projection
+            from transmogrifai_spark.functions.snowball import \
+                snowball_stem
+            from transmogrifai_spark.functions.text import tokenize
+            docs = load_table(spark, sf_dir, "documents")
+            toks = tokenize(F.col("text"))
+            return docs.select(F.sum(F.size(F.transform(
+                toks, lambda t: snowball_stem(t, "pt")))).alias("n"))
+
+        def ts_beam(spark, sf_dir):
+            # width-3 beam tagging (r11 gate) over real document tokens
+            from transmogrifai_spark.functions.text import tokenize
+            from transmogrifai_spark.operators.maxent import \
+                maxent_beam_tag
+            bm = {"type": "GIS",
+                  "outcomes": ["other", "ent-start", "ent-cont"],
+                  "labels": ["other", "ent-start", "ent-cont"],
+                  "weights": {"wc=ic": {"ent-start": 1.5},
+                              "wc=lc": {"other": 1.5},
+                              "pd=ent-start": {"ent-cont": 1.0},
+                              "pd=ent-cont": {"ent-cont": 0.4}},
+                  "correction_constant": 1, "correction_param": 0.0,
+                  "context": False}
+            docs = load_table(spark, sf_dir, "documents")
+            toks = F.slice(tokenize(F.col("text")), 1, 16)
+            return docs.select(F.sum(F.size(
+                maxent_beam_tag(toks, bm))).alias("n"))
+
         def ts_unigram(spark, sf_dir):
             docs = load_table(spark, sf_dir, "documents")
             vocab_df = spark.createDataFrame(sp_rows,
@@ -253,8 +293,11 @@ def main() -> None:
             return out.select(F.sum(F.size("tokens")).alias("n"))
 
         for name, fn in (("wordpiece_tokenize", ts_wordpiece),
+                         ("wordpiece_tokenize_df", ts_wordpiece_df),
                          ("unigram_tokenize", ts_unigram),
-                         ("lexicon_segment_join", ts_lexjoin)):
+                         ("lexicon_segment_join", ts_lexjoin),
+                         ("snowball_stem", ts_snowball),
+                         ("maxent_beam_tag", ts_beam)):
             samples = []
             for _ in range(reps):
                 t0 = time.time()

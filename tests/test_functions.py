@@ -239,8 +239,10 @@ def test_analyze_round4_languages(spark):
     cases = [
         ("it", "il gatto e i gatti sono nella stagione delle informazioni",
          {"gatt"}, {"il", "e", "i", "sono"}),
+        # pt rides the FULL Snowball chain since r11: gatos -> gat
+        # (residual-suffix step), informações -> inform (aço~es in R2)
         ("pt", "o gato e os gatos de casa para as informações",
-         {"gato", "informaç"}, {"o", "e", "os", "de", "para", "as"}),
+         {"gat", "inform"}, {"o", "e", "os", "de", "para", "as"}),
         # nl rides the FULL Snowball chain since r10: katten -> kat
         # (en-deletion + tt undouble; the light subset stopped at katt)
         ("nl", "de katten en de honden zijn bij het huis",
@@ -277,14 +279,17 @@ def test_analyze_session4_languages(spark):
         # (the danish undouble step — the light subset stopped at katt)
         ("da", "kattene og hundene er ikke med husene",
          {"kat", "hund", "hus"}, {"og", "er", "ikke", "med"}),
+        # fi/ro/hu ride the FULL Snowball chains since r11
         ("fi", "talossa ja autolla ei kirjasta kaupungille",
-         {"talo", "auto", "kirja", "kaupungi"}, {"ja", "ei"}),
+         {"talo", "auto", "kirj", "kaupung"}, {"ja", "ei"}),
         ("ru", "кошками и собаками не в домах красивый",
          {"кошк", "собак", "дом", "красив"}, {"и", "не", "в"}),
+        # oraş: the ro chain folds comma-below ș/ț to the cedilla forms
+        # its rule tables use (the modern-Snowball ad-hoc extension)
         ("ro", "pisicile și câinii nu sunt în casele orașului",
-         {"pisici", "câin", "cas", "oraș"}, {"și", "nu", "sunt"}),
+         {"pisic", "câin", "cas", "oraş"}, {"și", "nu", "sunt"}),
         ("hu", "a macskáknak és a kutyáknak nem van házakban",
-         {"macskák", "kutyák", "házak"}, {"a", "és", "nem", "van"}),
+         {"macska", "kutya", "ház"}, {"a", "és", "nem", "van"}),
     ]
     for lang, text, want_in, want_out in cases:
         df = spark.createDataFrame([(text,)], "t string")

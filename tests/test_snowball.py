@@ -137,6 +137,60 @@ _PINNED = {
         ("tuyos", "tuy"),                  # step3 os
         ("generalidades", "general"),
     ],
+    # r11 wave 4 (hand-walked through the published algorithms)
+    "pt": [
+        ("quilométricas", "quilométr"),    # step1 icas in R2
+        ("falarão", "fal"),                # nasal prelude + 2 ara~o
+        ("amoroso", "amor"),               # step1 oso
+        ("felicidade", "felic"),           # idade, ic outside R2
+        ("lógica", "lógic"),               # step4 residual a
+        ("comeu", "com"),                  # step2 eu
+        ("proposição", "proposiçã"),       # step4 o + postlude ã
+        ("abandonaram", "abandon"),        # step2 aram
+        ("felizmente", "feliz"),           # mente in R2
+        ("generosidade", "generos"),       # idade (os is not a chain)
+        ("administrativas", "administr"),  # ivas + at chain
+        ("espécie", "espéc"),              # step5 e + ci rule
+        ("comíamos", "com"),               # step2 íamos
+        ("irmão", "irmã"),                 # step4 o under the ~ mark
+        ("capazes", "capaz"),
+    ],
+    "ro": [
+        ("copilul", "copil"),              # step0 ul
+        ("frumoasă", "frumoas"),           # oasă outside R2, step4 ă
+        ("abilitate", "abil"),             # step2 itate (step1 R1-blocked)
+        ("lucrările", "lucrăr"),           # step0 ile->i + step4 i
+        ("importantă", "import"),          # step2 antă
+        ("jucători", "jucat"),             # step1 ători->at
+        ("folosire", "folos"),             # step3 ire after consonant
+        ("acţiunea", "acţiun"),            # step0 ea->e + step4 e
+        ("naţional", "naţional"),
+    ],
+    "fi": [
+        ("kirjasta", "kirj"),              # step3 sta + 6b cX
+        ("taloissa", "talo"),              # step3 ssa + step5 i
+        ("suurimmat", "suurim"),           # step5 t + 6b + 6e mm
+        ("aatonaatto", "aatonaato"),       # 6e double consonant
+        ("taloissammeko", "talo"),         # step1 ko + step2 mme
+        ("nopeasti", "nopeast"),           # sti R2-blocked, 6b i
+        ("talon", "talo"),                 # step3 n
+        ("kalaa", "kala"),                 # step3 a after cv
+        ("taloihin", "talo"),              # step3 hin after i
+        ("tyttöjen", "tyttöj"),            # step3 n + 6b e
+        ("edellytyksellä", "edellytyks"),
+    ],
+    "hu": [
+        ("házakat", "ház"),                # case at + plural ak
+        ("szállodában", "szállod"),        # case ban + á->a + owner a
+        ("gépekkel", "gép"),               # instrum el + undouble kk
+        ("fáknak", "fák"),                 # ák outside R1 stays
+        ("asszonnyal", "asszony"),         # instrum al + nny undouble
+        ("könyvet", "könyv"),              # case et
+        ("barátaimmal", "barát"),          # case val... aim plur owner
+        ("városok", "város"),              # plural ok
+        ("kertjeinkben", "kert"),          # case ben + jeink
+        ("emberek", "ember"),              # plural ek
+    ],
 }
 
 
@@ -147,7 +201,7 @@ def test_python_mirror_pinned():
     assert bad == []
 
 
-@pytest.mark.parametrize("lang", ["de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"])
+@pytest.mark.parametrize("lang", sorted(_PINNED))
 def test_expression_matches_pinned(spark, lang):
     cases = _PINNED[lang]
     df = spark.createDataFrame([(w,) for w, _ in cases], "w string")
@@ -158,7 +212,7 @@ def test_expression_matches_pinned(spark, lang):
     assert bad == []
 
 
-@pytest.mark.parametrize("lang", ["de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"])
+@pytest.mark.parametrize("lang", sorted(_PINNED))
 def test_sql_replica_matches_mirror_pinned(lang):
     words = [w for w, _ in _PINNED[lang]]
     con = duckdb.connect()
@@ -173,7 +227,7 @@ def test_sql_replica_matches_mirror_pinned(lang):
         {w: snowball_stem_py(w, lang) for w in words}
 
 
-@pytest.mark.parametrize("lang", ["de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"])
+@pytest.mark.parametrize("lang", sorted(_PINNED))
 def test_spark_sql_text_backend_matches_mirror(spark, lang):
     """The F.expr text form (the fast-build driver-gate path) stems
     exactly like the mirror — fourth backend, same rule tables."""
@@ -187,7 +241,7 @@ def test_spark_sql_text_backend_matches_mirror(spark, lang):
 
 def test_expression_null_passthrough(spark):
     df = spark.createDataFrame([(None,), ("",)], "w string")
-    for lang in ("de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"):
+    for lang in sorted(_PINNED):
         got = [r["s"] for r in
                df.select(snowball_stem(F.col("w"), lang).alias("s"))
                .collect()]
@@ -212,6 +266,10 @@ _ALPHA = {
     "ru": "абвгдежиклмнопрстуüыьэюяйшщ",
     "it": "abcdefgilmnopqrstuvzàèìòù",
     "nl": "abdefghijklmnoprstuvwyzëé",
+    "pt": "abcdefgilmnopqrstuvzáéíóúâêôãõç",
+    "ro": "abcdefgilmnoprstuvzăâîşţțș",
+    "fi": "adehijklmnoprstuvyäö",
+    "hu": "abcdefgiklmnoprstvzáéíóöőúüű",
 }
 _TAILS = {
     "de": ["", "e", "en", "ern", "er", "em", "es", "s", "est", "st",
@@ -256,6 +314,30 @@ _TAILS = {
            "ing", "ig", "lijk", "baar", "bar", "tje", "kken",
            "tten", "dden", "igheid", "elijk", "eren", "aar", "ood",
            "aan", "uur"],
+    "pt": ["", "s", "es", "a", "o", "icos", "ável", "ista", "oso",
+           "amento", "adoras", "ação", "ções", "ante", "logias",
+           "ução", "ências", "amente", "mente", "idades", "ivas",
+           "iras", "aram", "ará", "ássemos", "íamos", "ão", "eu",
+           "é", "gue", "cie", "ç"],
+    "ro": ["", "ul", "ului", "aua", "ele", "elor", "ii", "iile",
+           "ilor", "ile", "atei", "aţie", "abilitate", "ivitate",
+           "icitate", "icatori", "ativ", "ător", "itiv", "ată",
+           "abilă", "oase", "antă", "itate", "ivă", "ută", "ită",
+           "iune", "işti", "are", "ând", "ează", "eşte", "eam",
+           "aserăm", "userăm", "âse", "seserăţi", "ăm", "iţi", "ie",
+           "ă"],
+    "fi": ["", "kin", "kaan", "ko", "han", "sti", "si", "ni", "nsa",
+           "mme", "an", "en", "han", "hin", "siin", "den", "seen",
+           "a", "tta", "ssa", "sta", "lla", "lle", "na", "ksi", "n",
+           "t", "impi", "mpi", "mma", "eja", "i", "j", "oj", "jo",
+           "tto", "kkaa", "lä", "ttä"],
+    "hu": ["", "al", "el", "ban", "ben", "nak", "val", "tól", "ból",
+           "hoz", "ig", "at", "ot", "ért", "képpen", "kor", "ul",
+           "vá", "onként", "ként", "en", "n", "t", "án", "ánként",
+           "én", "astul", "stül", "á", "é", "aké", "ké", "éi",
+           "ünk", "juk", "em", "od", "ja", "a", "e", "ánk", "ém",
+           "jaim", "eim", "id", "jai", "aink", "itek", "ik", "ák",
+           "ék", "ok", "k", "kkal", "ccsel"],
 }
 
 
@@ -268,7 +350,7 @@ def _words(lang):
         .map(lambda p: p[0] + p[1]))
 
 
-@pytest.mark.parametrize("lang", ["de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"])
+@pytest.mark.parametrize("lang", sorted(_PINNED))
 @settings(max_examples=20, deadline=None)
 @given(data=st.data())
 def test_expression_equals_mirror_on_random_words(spark, lang, data):
@@ -283,7 +365,7 @@ def test_expression_equals_mirror_on_random_words(spark, lang, data):
     assert got == {w: snowball_stem_py(w, lang) for w in words}
 
 
-@pytest.mark.parametrize("lang", ["de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"])
+@pytest.mark.parametrize("lang", sorted(_PINNED))
 @settings(max_examples=10, deadline=None)
 @given(data=st.data())
 def test_sql_replica_equals_mirror_on_random_words(lang, data):

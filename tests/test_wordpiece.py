@@ -90,3 +90,30 @@ def test_expression_equals_mirror_random(spark, wp, texts):
         "i", wordpiece_tokenize(F.col("t"), wp).alias("p")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == wordpiece_tokenize_py(t, wp), repr(t)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_txt, min_size=1, max_size=16, unique=True))
+def test_df_form_equals_column_form(spark, wp, texts):
+    """The distinct-word df form (scan once per TYPE, join back,
+    array_sort regroup) tokenizes exactly like the per-row column
+    form — same _wp_scan_word aggregate, different plan shape."""
+    from transmogrifai_spark.llm.tokenizer import wordpiece_tokenize_df
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, t string")
+    col_form = {r["i"]: r["p"] for r in df.select(
+        "i", wordpiece_tokenize(F.col("t"), wp).alias("p")).collect()}
+    df_form = {r["i"]: r["pieces"] for r in
+               wordpiece_tokenize_df(df, "t", wp, "i")
+               .select("i", "pieces").collect()}
+    assert df_form == col_form
+
+
+def test_df_form_empty_and_null_rows(spark, wp):
+    from transmogrifai_spark.llm.tokenizer import wordpiece_tokenize_df
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "the fox")],
+                               "i long, t string")
+    got = {r["i"]: r["pieces"] for r in
+           wordpiece_tokenize_df(df, "t", wp, "i")
+           .select("i", "pieces").collect()}
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["the", "fox"]

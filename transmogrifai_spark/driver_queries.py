@@ -768,6 +768,45 @@ _SB_NL_TAILS = ["", "e", "en", "ene", "s", "se", "heden", "heid",
                 "end", "ing", "ig", "lijk", "baar", "bar", "kken",
                 "tten", "dden", "igheid", "elijk", "eren", "aar",
                 "ood", "aan", "ste", "t"]
+# r11 wave 4: pt/ro/fi/hu — tails cover the nasal-marker prelude +
+# residual e/ci/gu + ç rules (pt), step-0 plurals, the repeated
+# combining step and the consonant-or-u verb guard (ro), the guarded
+# case endings, comparative and four-part tidy + undouble (fi), the
+# digraph-aware R1, instrumental/factive undoubling and the owner
+# chains (hu).
+_SB_PT_ROOTS = ["abandon", "quilométr", "felic", "lóg", "amor",
+                "propos", "gener", "administrat", "espéc", "com",
+                "irm", "fal", "capaz", "bonit", "organiz", "trabalh",
+                "vend", "constru", "naç", "decis"]
+_SB_PT_TAILS = ["", "s", "es", "a", "o", "icos", "ável", "ista",
+                "oso", "amento", "adoras", "ação", "ações", "ução",
+                "ências", "amente", "mente", "idades", "ivas", "iras",
+                "aram", "ará", "ássemos", "íamos", "ão"]
+_SB_RO_ROOTS = ["copil", "frumo", "abil", "lucr", "import", "juc",
+                "folos", "acţiun", "naţion", "băie", "măr", "citit",
+                "scri", "cânt", "munc", "oraş", "ştiinţ", "prieten",
+                "călător", "gând"]
+_SB_RO_TAILS = ["", "ul", "ului", "aua", "ele", "elor", "ii", "iile",
+                "ilor", "ile", "atei", "aţie", "abilitate",
+                "ivitate", "icatori", "ativ", "ător", "ată", "oase",
+                "antă", "iune", "işti", "are", "ează", "aserăm"]
+_SB_FI_ROOTS = ["kirja", "talo", "suurim", "aatonaat", "nopea",
+                "kala", "tyttö", "edellytyk", "käs", "opiskelij",
+                "järjestelm", "mahdollisuuk", "kaup", "työ", "vuo",
+                "yhteiskun", "tutkimuk", "suomalais", "perhe",
+                "helsing"]
+_SB_FI_TAILS = ["", "sta", "ssa", "lla", "lle", "n", "t", "a", "ä",
+                "kin", "ko", "han", "sti", "si", "ni", "nsa", "mme",
+                "an", "hin", "siin", "seen", "immat", "mpi", "eja",
+                "tto"]
+_SB_HU_ROOTS = ["ház", "szállod", "gép", "asszony", "könyv", "barát",
+                "város", "kert", "ember", "alm", "madár", "tanár",
+                "gyerek", "virág", "munk", "orszá", "csalá",
+                "szeret", "kuty", "egyetem"]
+_SB_HU_TAILS = ["", "ban", "ben", "nak", "val", "kkal", "ccsel",
+                "tól", "ból", "hoz", "ig", "at", "ért", "képpen",
+                "onként", "én", "astul", "á", "aké", "éi", "ünk",
+                "jaim", "ák", "ok", "a"]
 
 
 def _sb_word_sql(roots, tails):
@@ -793,32 +832,39 @@ def _sb_word_spark_sql(roots, tails):
 _SB_COL_CACHE: dict = {}
 
 
-def _sb_stem_cols():
-    if _SB_COL_CACHE:
-        return _SB_COL_CACHE
-    from concurrent.futures import ThreadPoolExecutor
-
+def _sb_lang_cols(lg: str):
+    """(word, stem) Columns for one gate language, built once per
+    process (unresolved expression trees are JVM-lifetime valid, so
+    the 1-7 s py4j build per language is paid once however many times
+    the gate runs)."""
+    if lg in _SB_COL_CACHE:
+        return _SB_COL_CACHE[lg]
     from .functions.snowball import snowball_stem
+    roots, tails = next((r, t) for lang, r, t in _SB_FIXTURES
+                        if lang == lg)
+    root = F.element_at(
+        F.array(*[F.lit(r) for r in roots]),
+        (F.col("doc_id") % len(roots) + 1).cast("int"))
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in tails]),
+        (F.floor(F.col("doc_id") / len(roots)).cast("long")
+         % len(tails) + 1).cast("int"))
+    w = F.concat(root, tail)
+    _SB_COL_CACHE[lg] = (w, snowball_stem(w, lg))
+    return _SB_COL_CACHE[lg]
 
-    def build(entry):
-        lg, roots, tails = entry
-        root = F.element_at(
-            F.array(*[F.lit(r) for r in roots]),
-            (F.col("doc_id") % len(roots) + 1).cast("int"))
-        tail = F.element_at(
-            F.array(*[F.lit(t) for t in tails]),
-            (F.floor(F.col("doc_id") / len(roots)).cast("long")
-             % len(tails) + 1).cast("int"))
-        w = F.concat(root, tail)
-        return lg, (w, snowball_stem(w, lg))
 
-    # py4j releases the GIL around gateway IO, so the ~30 s of
-    # single-threaded Column construction across nine languages
-    # parallelizes well; trees are pure JVM objects, thread-safe
-    with ThreadPoolExecutor(max_workers=9) as ex:
-        for lg, cols in ex.map(build, _SB_FIXTURES):
-            _SB_COL_CACHE[lg] = cols
-    return _SB_COL_CACHE
+def _sb_stem_cols():
+    # py4j releases the GIL around gateway IO, so the Column
+    # construction across thirteen languages parallelizes well;
+    # trees are pure JVM objects, thread-safe
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=13) as ex:
+        for lg, cols in zip(
+                [f[0] for f in _SB_FIXTURES],
+                ex.map(_sb_lang_cols, [f[0] for f in _SB_FIXTURES])):
+            pass
+    return dict(_SB_COL_CACHE)
 
 
 # WordPiece gate fixture: a vocab with ## continuations + words that
@@ -855,14 +901,19 @@ def q_stopwords_ngrams(spark, sf_dir):
     CTE whose longest-first probe CASE is generated from the SAME
     fixture vocab.
 
-    sb_de/sb_fr/sb_es (r10): the FULL Snowball stemmers
-    (functions/snowball.py — PARITY delta 1a's de/fr/es arms, closed)
+    sb_* (r10 de/fr/es/sv/no/da/ru/it/nl, r11 pt/ro/fi/hu): the FULL
+    Snowball stemmers (functions/snowball.py — PARITY delta 1a arms)
     oracle-gated end-to-end: one morphology-rich word per doc and
     language (roots x tails), stemmed by the Catalyst chain on the
     Spark side and by CTE-per-step DuckDB SQL on the oracle side, BOTH
     generated from the same rule tables by the same step interpreter
     (snowball_sql_ctes) — prelude marking, R1/R2/RV arithmetic, every
-    suffix step, undoubling, un-accenting, postlude."""
+    suffix step, undoubling, un-accenting, postlude; r11 adds the pt
+    nasal markers + residual rules, the ro unrolled combining step +
+    verb guards, the fi guarded case amongs + tidy/undouble, and the
+    hu digraph-aware R1 + owner chains. The 13 per-language snapshot
+    sub-jobs run as concurrent Spark jobs; the oracle CTEs are
+    MATERIALIZED so DuckDB never re-inlines a step."""
     from .functions.porter import porter_stem
     from .llm.tokenizer import wordpiece_tokenize
     from .llm.textqual import STOPWORD_PROFILES
@@ -901,7 +952,6 @@ def q_stopwords_ngrams(spark, sf_dir):
     # via py4j with ZERO parser-cache growth. (2) NO_CODEGEN skips
     # Janino entirely — at 500-5000 fixture rows interpreted
     # evaluation is instant and nothing lands in the codegen cache.
-    sb_cols = _sb_stem_cols()
     _SB_SNAP_CAP = 20_000
     n_docs = docs.count()
     if n_docs > _SB_SNAP_CAP:
@@ -923,14 +973,27 @@ def q_stopwords_ngrams(spark, sf_dir):
     try:
         spark.conf.set(_factory_key, "NO_CODEGEN")
         spark.conf.set(_wscg_key, "false")
-        for lg, (word_col, stem_col) in sb_cols.items():
+
+        # the 13 per-language sub-jobs are independent tiny collects —
+        # each thread builds (or cache-hits) its language's Column
+        # trees and immediately runs its snapshot job, so construction
+        # and evaluation overlap across languages instead of running
+        # as two barriers; order of the local joins is pinned by the
+        # fixture list
+        def snap_one(lg):
+            word_col, stem_col = _sb_lang_cols(lg)
             lg_df = docs.select(
                 "doc_id",
                 word_col.alias(f"sb_{lg}_word"),
                 stem_col.alias(f"sb_{lg}"))
-            snap = spark.createDataFrame(lg_df.collect(), lg_df.schema)
-            sb_joined = snap if sb_joined is None \
-                else sb_joined.join(snap, "doc_id")
+            return spark.createDataFrame(lg_df.collect(), lg_df.schema)
+
+        from concurrent.futures import ThreadPoolExecutor
+        langs = [f[0] for f in _SB_FIXTURES]
+        with ThreadPoolExecutor(max_workers=len(langs)) as ex:
+            for snap in ex.map(snap_one, langs):
+                sb_joined = snap if sb_joined is None \
+                    else sb_joined.join(snap, "doc_id")
     finally:
         spark.conf.set(_factory_key, _old_factory)
         spark.conf.set(_wscg_key, _old_wscg)
@@ -3655,6 +3718,10 @@ _SB_FIXTURES = [
     ("ru", _SB_RU_ROOTS, _SB_RU_TAILS),
     ("it", _SB_IT_ROOTS, _SB_IT_TAILS),
     ("nl", _SB_NL_ROOTS, _SB_NL_TAILS),
+    ("pt", _SB_PT_ROOTS, _SB_PT_TAILS),
+    ("ro", _SB_RO_ROOTS, _SB_RO_TAILS),
+    ("fi", _SB_FI_ROOTS, _SB_FI_TAILS),
+    ("hu", _SB_HU_ROOTS, _SB_HU_TAILS),
 ]
 _SB_CHAINS, _SB_FINS = _sb_ctes()
 _SB_SELECTS = ",\n".join(

@@ -1,7 +1,6 @@
-"""Full Snowball stemmers (German, French, Spanish, Swedish,
-Norwegian, Danish, Russian) from ONE spec per language, interpreted by
-FOUR backends: Catalyst expressions, Spark-SQL text, DuckDB SQL text,
-and plain Python.
+"""Full Snowball stemmers (de fr es sv no da ru it nl pt ro fi hu)
+from ONE spec per language, interpreted by FOUR backends: Catalyst
+expressions, Spark-SQL text, DuckDB SQL text, and plain Python.
 
 Reference: the per-language analyzer registry the reference routes
 text through (utils/src/main/scala/com/salesforce/op/utils/text/
@@ -36,6 +35,20 @@ three shared by every backend, so laws and oracles stay exact):
   2018 revision rewrites them He/Hi through the whole algorithm).
 - German2's ae/oe/ue umlaut folding is available as variant="german2"
   (law-tested; the driver oracle gates the standard variant).
+- Romanian (r11): the step-1 repeat loop is unrolled to 4 passes (every
+  replacement strictly shortens the word and a re-match needs a >=4-char
+  suffix; a no-match pass is a fixpoint, so extra passes are identity —
+  real vocabulary never chains past 3); comma-below ş/ţ fold to the
+  cedilla forms the rule tables use (the ad-hoc extension modern
+  Snowball also applies).
+- Finnish (r11): preceding-char guards (cv, Vi, LV, hXn, the step-2
+  possessive contexts) are tested UNRESTRICTED — only the suffix itself
+  must lie in R1/R2 (the published kalaa -> kala requires the 'c' of
+  the cv test to sit before R1); step-6 a-d consume entirely inside R1.
+- Hungarian (r11): the á->a/é->e ending normalization runs only when a
+  case suffix was actually deleted; the owned/sing-owner/plural-owner
+  tables are reconstructed from the published algorithm description —
+  rare paradigm cells may differ from the reference binary.
 """
 from __future__ import annotations
 
@@ -47,7 +60,8 @@ from pyspark.sql import functions as F
 __all__ = ["snowball_stem", "snowball_stem_py", "snowball_spark_sql",
            "snowball_sql_ctes", "SNOWBALL_LANGS"]
 
-SNOWBALL_LANGS = ("de", "fr", "es", "sv", "no", "da", "ru", "it", "nl")
+SNOWBALL_LANGS = ("de", "fr", "es", "sv", "no", "da", "ru", "it", "nl",
+                  "pt", "ro", "fi", "hu")
 
 _DE_V = "aeiouyäöü"
 _FR_V = "aeiouyâàëéêèïîôûù"
@@ -154,6 +168,33 @@ class _SparkB:
         tail = w.substr(start, F.length(w))
         found = F.locate(sub, tail)
         return F.when(found > 0, found + start - 1).otherwise(F.lit(0))
+
+    @staticmethod
+    def _pos(p):
+        return F.lit(p) if isinstance(p, int) else p
+
+    def char_at(self, w, pos):
+        """1-based char at an EXPRESSION position; '' out of range
+        (guarded — Spark substring treats pos 0 as 1 and negatives as
+        from-the-end, so out-of-range must never be observed raw)."""
+        p = self._pos(pos)
+        return F.when((p >= 1) & (p <= F.length(w)),
+                      w.substr(p, F.lit(1))).otherwise(F.lit(""))
+
+    def substr_at(self, w, pos, n):
+        p = self._pos(pos)
+        return F.when(p >= 1, w.substr(p, F.lit(n))).otherwise(F.lit(""))
+
+    def prefix_to(self, w, pos):
+        """Chars 1..pos (expression position; '' when pos <= 0)."""
+        p = self._pos(pos)
+        return F.when(p >= 1, w.substr(F.lit(1), p)).otherwise(F.lit(""))
+
+    def suffix_from(self, w, pos):
+        """Chars pos..end (expression position; '' past the end)."""
+        p = self._pos(pos)
+        return F.when((p >= 1) & (p <= F.length(w)),
+                      w.substr(p, F.length(w))).otherwise(F.lit(""))
 
     def greatest(self, a, b):
         return F.greatest(a, F.lit(b) if isinstance(b, int) else b)
@@ -264,6 +305,22 @@ class _SqlB:
         return (f"CASE WHEN {found} > 0 THEN {found} + {start} - 1 "
                 f"ELSE 0 END")
 
+    def char_at(self, w, pos):
+        return (f"CASE WHEN ({pos}) >= 1 AND ({pos}) <= length({w}) "
+                f"THEN substr({w}, {pos}, 1) ELSE '' END")
+
+    def substr_at(self, w, pos, n):
+        return (f"CASE WHEN ({pos}) >= 1 "
+                f"THEN substr({w}, {pos}, {n}) ELSE '' END")
+
+    def prefix_to(self, w, pos):
+        return (f"CASE WHEN ({pos}) >= 1 "
+                f"THEN substr({w}, 1, {pos}) ELSE '' END")
+
+    def suffix_from(self, w, pos):
+        return (f"CASE WHEN ({pos}) >= 1 AND ({pos}) <= length({w}) "
+                f"THEN substr({w}, {pos}) ELSE '' END")
+
     def greatest(self, a, b):
         return f"greatest({a}, {b})"
 
@@ -271,9 +328,14 @@ class _SqlB:
         self.n += 1
         cte = f"{self.prefix}{self.n}"
         prev = f"{self.prefix}{self.n - 1}" if self.n > 1 else self.src
+        # MATERIALIZED: DuckDB inlines single-reference CTEs, which
+        # substitutes each step's defining expression into EVERY
+        # reference the next step makes — the exact exponential
+        # re-inlining the CTE-per-step form exists to prevent. The
+        # hint pins one evaluation per step.
         self.ctes.append(
-            f"{cte} AS (SELECT {', '.join(self.cols)}, {val} AS {name} "
-            f"FROM {prev})")
+            f"{cte} AS MATERIALIZED (SELECT {', '.join(self.cols)}, "
+            f"{val} AS {name} FROM {prev})")
         self.cols.append(name)
         return cont({**refs, name: name})
 
@@ -387,6 +449,18 @@ class _PyB:
     def locate_from(self, w, sub, start):
         idx = w.find(sub, start - 1)
         return idx + 1 if idx >= 0 else 0
+
+    def char_at(self, w, pos):
+        return w[pos - 1] if 1 <= pos <= len(w) else ""
+
+    def substr_at(self, w, pos, n):
+        return w[pos - 1:pos - 1 + n] if pos >= 1 else ""
+
+    def prefix_to(self, w, pos):
+        return w[:pos] if pos >= 1 else ""
+
+    def suffix_from(self, w, pos):
+        return w[pos - 1:] if 1 <= pos <= len(w) else ""
 
     def greatest(self, a, b):
         return max(a, b)
@@ -1107,6 +1181,14 @@ def _lang_program(lang: str, variant: str | None):
         return _it_plan(), _it_final
     if lang == "nl":
         return _nl_plan(), _nl_final
+    if lang == "pt":
+        return _pt_plan(), _pt_final
+    if lang == "ro":
+        return _ro_plan(), _ro_final
+    if lang == "fi":
+        return _fi_plan(), _ident_final
+    if lang == "hu":
+        return _hu_plan(), _ident_final
     raise ValueError(
         f"snowball_stem: unsupported language {lang!r} "
         f"(supported: {SNOWBALL_LANGS})")
@@ -1115,7 +1197,7 @@ def _lang_program(lang: str, variant: str | None):
 def snowball_stem(t: Column, lang: str,
                   variant: str | None = None) -> Column:
     """Stem one lowercase token with the complete published Snowball
-    algorithm for ``lang`` ('de', 'fr', 'es') as pure Catalyst
+    algorithm for ``lang`` (see SNOWBALL_LANGS) as pure Catalyst
     expressions. NULL passes through."""
     plan, final = _lang_program(lang, variant)
     return _run(_SparkB(), plan, t, final)
@@ -1783,3 +1865,748 @@ def _nl_final(B, refs):
     for a, b in (("I", "i"), ("Y", "y")):
         w = B.replace_all(w, a, b)
     return w
+
+
+# ---------------------------------------------------------------------------
+# PORTUGUESE (snowballstem.org/algorithms/portuguese/stemmer.html) —
+# the Spanish shape minus attached pronouns, with the nasal-vowel
+# prelude (ã/õ -> a~/o~ so '~' rides the pipeline as a consonant and
+# the postlude restores it), the e/é/ê + gu/ci residual step, and the
+# ç -> c rewrite.
+
+_PT_V = "aeiouáéíóúâêô"
+
+_PT_STEP1_DEL_R2 = ("eza ezas ico ica icos icas ismo ismos ável ível "
+                    "ista istas oso osa osos osas amento amentos "
+                    "imento imentos adora ador aça~o adoras adores "
+                    "aço~es ante antes ância").split()
+
+_PT_VERB = ("ada ida ia aria eria iria ará ara erá era irá ava asse "
+            "esse isse aste este iste ei arei erei irei am iam ariam "
+            "eriam iriam aram eram iram avam em arem erem irem assem "
+            "essem issem ado ido ando endo indo ara~o era~o ira~o ar "
+            "er ir as adas idas ias arias erias irias arás aras erás "
+            "eras irás avas es ardes erdes irdes ares eres ires "
+            "asses esses isses astes estes istes is ais iais aríeis "
+            "eríeis iríeis áreis areis éreis ereis íreis ireis "
+            "ásseis ésseis ísseis áveis íeis ados idos ámos amos "
+            "íamos aríamos eríamos iríamos áramos éramos íramos "
+            "ávamos emos aremos eremos iremos ássemos êssemos "
+            "íssemos imos armos ermos irmos eu iu ou ira iras").split()
+
+
+def _pt_prelude(B, w):
+    w = B.replace_all(w, "ã", "a~")
+    w = B.replace_all(w, "õ", "o~")
+    return w
+
+
+def _pt_step1(B, R, w):
+    def del_r2(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def repl_r2(repl):
+        def act(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                          B.append(B.drop(wd, len(sfx)), repl), wd)
+        return act
+
+    def amente(wd, sfx):
+        t = B.drop(wd, 6)
+        iv = B.and_(B.endswith(t, "iv"), _in_r(B, R, t, 2, "r2"))
+        t_iv = B.drop(t, 2)
+        t_iv = B.when(B.and_(B.endswith(t_iv, "at"),
+                             _in_r(B, R, t_iv, 2, "r2")),
+                      B.drop(t_iv, 2), t_iv)
+        osicad = B.and_(
+            B.or_(B.endswith(t, "os"), B.endswith(t, "ic"),
+                  B.endswith(t, "ad")),
+            _in_r(B, R, t, 2, "r2"))
+        t2 = B.when(iv, t_iv, B.when(osicad, B.drop(t, 2), t))
+        return B.when(_in_r(B, R, wd, 6, "r1"), t2, wd)
+
+    def mente(wd, sfx):
+        t = B.drop(wd, 5)
+        pre = B.and_(
+            B.or_(B.endswith(t, "ante"), B.endswith(t, "avel"),
+                  B.endswith(t, "ível")),
+            _in_r(B, R, t, 4, "r2"))
+        t2 = B.when(pre, B.drop(t, 4), t)
+        return B.when(_in_r(B, R, wd, 5, "r2"), t2, wd)
+
+    def idade(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        abil = B.and_(B.endswith(t, "abil"), _in_r(B, R, t, 4, "r2"))
+        iciv = B.and_(B.or_(B.endswith(t, "ic"), B.endswith(t, "iv")),
+                      _in_r(B, R, t, 2, "r2"))
+        t2 = B.when(abil, B.drop(t, 4), B.when(iciv, B.drop(t, 2), t))
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    def iva(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        t2 = B.when(B.and_(B.endswith(t, "at"),
+                           _in_r(B, R, t, 2, "r2")), B.drop(t, 2), t)
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"), t2, wd)
+
+    def eira(wd, sfx):
+        ok = B.and_(_in_r(B, R, wd, len(sfx), "rv"),
+                    B.eq(B.char_from_end(wd, len(sfx) + 1),
+                         B.lit("e")))
+        return B.when(ok, B.append(B.drop(wd, len(sfx)), "ir"), wd)
+
+    rules = [(s, del_r2) for s in _PT_STEP1_DEL_R2]
+    rules += [("logia", repl_r2("log")), ("logias", repl_r2("log")),
+              ("uça~o", repl_r2("u")), ("uço~es", repl_r2("u")),
+              ("ência", repl_r2("ente")), ("ências", repl_r2("ente")),
+              ("amente", amente), ("mente", mente),
+              ("idade", idade), ("idades", idade),
+              ("iva", iva), ("ivo", iva), ("ivas", iva), ("ivos", iva),
+              ("ira", eira), ("iras", eira)]
+    return _apply_rules(B, w, rules)
+
+
+def _pt_step2(B, R, w):
+    def del_rv(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                      B.drop(wd, len(sfx)), wd)
+    return _apply_rules(B, w, [(s, del_rv) for s in _PT_VERB])
+
+
+def _pt_step5(B, R, w):
+    def e_rule(wd, sfx):
+        t = B.drop(wd, 1)
+        gu_ok = B.and_(B.endswith(t, "gu"),
+                       B.ge(B.length(t), R["rv"]))
+        ci_ok = B.and_(B.endswith(t, "ci"),
+                       B.ge(B.length(t), R["rv"]))
+        t2 = B.when(B.or_(gu_ok, ci_ok), B.drop(t, 1), t)
+        return B.when(_in_r(B, R, wd, 1, "rv"), t2, wd)
+
+    def ccedil(wd, sfx):
+        return B.append(B.drop(wd, 1), "c")
+
+    return _apply_rules(B, w, [
+        ("e", e_rule), ("é", e_rule), ("ê", e_rule), ("ç", ccedil),
+    ])
+
+
+def _pt_plan():
+    def step3(B, R):
+        w = R["w2"]
+        ok = B.and_(B.endswith(w, "i"), _in_r(B, R, w, 1, "rv"),
+                    B.eq(B.char_from_end(w, 2), B.lit("c")))
+        return B.when(R["alt"], B.when(ok, B.drop(w, 1), w), w)
+
+    def step4(B, R):
+        w = R["w3"]
+
+        def del_rv(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                          B.drop(wd, len(sfx)), wd)
+
+        t = _apply_rules(B, w, [
+            ("os", del_rv), ("a", del_rv), ("i", del_rv),
+            ("o", del_rv), ("á", del_rv), ("í", del_rv),
+            ("ó", del_rv)])
+        return B.when(R["alt"], w, t)
+
+    return [
+        ("w", lambda B, R: _pt_prelude(B, R["w0"])),
+        ("skel", lambda B, R: _skeleton(B, R["w"], _PT_V)),
+        ("r1", lambda B, R: _r1_raw(B, R, R["skel"],
+                                    B.length(R["w"]))),
+        ("r2", lambda B, R: _r2_from(B, R["skel"], R["r1"],
+                                     B.length(R["w"]))),
+        ("rv", lambda B, R: _es_like_rv(B, R, R["w"], R["skel"],
+                                        _PT_V)),
+        ("w1", lambda B, R: _pt_step1(B, R, R["w"])),
+        ("d1", lambda B, R: B.eqs(R["w1"], R["w"])),
+        ("w2", lambda B, R: B.when(R["d1"],
+                                   _pt_step2(B, R, R["w1"]),
+                                   R["w1"])),
+        ("alt", lambda B, R: B.not_(B.eqs(R["w2"], R["w"]))),
+        ("w3", step3),
+        ("w4", step4),
+        ("w5", lambda B, R: _pt_step5(B, R, R["w4"])),
+    ]
+
+
+def _pt_final(B, refs):
+    w = refs["w5"]
+    w = B.replace_all(w, "a~", "ã")
+    w = B.replace_all(w, "o~", "õ")
+    return w
+
+
+# ---------------------------------------------------------------------------
+# ROMANIAN (snowballstem.org/algorithms/romanian/stemmer.html) — the
+# Romance shape with a plural step 0, the REPEATED combining-suffix
+# step 1 (unrolled to a fixed depth: every replacement strictly
+# shortens the word and re-matching needs a >=4-char suffix, so real
+# vocabulary never chains past 3; a no-match pass is a fixpoint, so
+# extra passes are identity), the ţ-aware iune rule, and the
+# consonant-or-u guard on group-A verb suffixes. Comma-below ş/ţ
+# (U+0219/U+021B) are folded to the cedilla forms the algorithm's
+# tables use (the same ad-hoc extension modern Snowball applies).
+
+_RO_V = "aăâeiîou"
+
+_RO_STEP1 = [
+    ("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+    ("abilităţi", "abil"), ("ibilitate", "ibil"),
+    ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"),
+    ("ivităţi", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+    ("icităţi", "ic"), ("icator", "ic"), ("icatori", "ic"),
+    ("iciv", "ic"), ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"),
+    ("icivă", "ic"), ("ical", "ic"), ("icala", "ic"), ("icale", "ic"),
+    ("icali", "ic"), ("icală", "ic"),
+    ("ativ", "at"), ("ativa", "at"), ("ative", "at"), ("ativi", "at"),
+    ("ativă", "at"), ("aţiune", "at"), ("atoare", "at"), ("ator", "at"),
+    ("atori", "at"), ("ătoare", "at"), ("ător", "at"), ("ători", "at"),
+    ("itiv", "it"), ("itiva", "it"), ("itive", "it"), ("itivi", "it"),
+    ("itivă", "it"), ("iţiune", "it"), ("itoare", "it"), ("itor", "it"),
+    ("itori", "it"),
+]
+
+_RO_STEP2_DEL = ("at ata ată ati ate abil abila abile abili abilă "
+                 "ibil ibila ibile ibili ibilă oasa oasă oase os osi "
+                 "oşi ant anta ante anti antă ator atori itate itati "
+                 "ităi ităţi iv iva ive ivi ivă ut uta ute uti ută "
+                 "it ita ite iti ită ic ica ice ici ică").split()
+
+_RO_ISM = ("ism isme ist ista iste isti istă işti").split()
+
+# group A: delete if the char before the suffix is in RV and is a
+# consonant or 'u'
+_RO_VERB_A = ("are ere ire âre ind ând indu ându eze ească ez ezi "
+              "ează esc eşti eşte ăsc ăşti ăşte am ai au eam eai eau "
+              "iam iai iau ui uşi urăm userăm useşi use usem âi âşi "
+              "ârăm âserăm âseşi âse âsem işi irăm iserăm iseşi ise "
+              "isem aşi arăm aserăm aseşi ase asem").split()
+# group B: delete (suffix in RV is the only condition)
+_RO_VERB_B = ("ăm aţi em eţi im iţi âm âţi seşi serăm serăţi seră "
+              "sei se sesem seseşi sese seserăm seserăţi seseră").split()
+
+_RO_UNROLL = 4
+
+
+def _ro_prelude(B, w):
+    w = B.replace_all(w, "ș", "ş")
+    w = B.replace_all(w, "ț", "ţ")
+    w = B.regex_replace(w, f"([{_RO_V}])u([{_RO_V}])", "$1U$2")
+    w = B.regex_replace(w, f"([{_RO_V}])i([{_RO_V}])", "$1I$2")
+    return w
+
+
+def _ro_step0(B, R, w):
+    def repl_r1(repl):
+        def act(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                          B.append(B.drop(wd, len(sfx)), repl), wd)
+        return act
+
+    def del_r1(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def ile(wd, sfx):
+        t = B.drop(wd, 3)
+        ok = B.and_(_in_r(B, R, wd, 3, "r1"),
+                    B.not_(B.endswith(t, "ab")))
+        return B.when(ok, B.append(t, "i"), wd)
+
+    rules = [("ul", del_r1), ("ului", del_r1),
+             ("aua", repl_r1("a")),
+             ("ea", repl_r1("e")), ("ele", repl_r1("e")),
+             ("elor", repl_r1("e")),
+             ("ii", repl_r1("i")), ("iua", repl_r1("i")),
+             ("iei", repl_r1("i")), ("iile", repl_r1("i")),
+             ("iilor", repl_r1("i")), ("ilor", repl_r1("i")),
+             ("ile", ile),
+             ("atei", repl_r1("at")),
+             ("aţie", repl_r1("aţi")), ("aţia", repl_r1("aţi"))]
+    return _apply_rules(B, w, rules)
+
+
+def _ro_step1_pass(B, R, w):
+    def repl(r):
+        def act(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                          B.append(B.drop(wd, len(sfx)), r), wd)
+        return act
+    return _apply_rules(B, w, [(s, repl(r)) for s, r in _RO_STEP1])
+
+
+def _ro_step2(B, R, w):
+    def del_r2(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def iune(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        ok = B.and_(_in_r(B, R, wd, len(sfx), "r2"),
+                    B.endswith(t, "ţ"))
+        return B.when(ok, B.append(B.drop(t, 1), "t"), wd)
+
+    def ist(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                      B.append(B.drop(wd, len(sfx)), "ist"), wd)
+
+    rules = [(s, del_r2) for s in _RO_STEP2_DEL]
+    rules += [("iune", iune), ("iuni", iune)]
+    rules += [(s, ist) for s in _RO_ISM]
+    return _apply_rules(B, w, rules)
+
+
+def _ro_step3(B, R, w):
+    def del_a(wd, sfx):
+        prev = B.char_from_end(wd, len(sfx) + 1)
+        ok = B.and_(
+            _in_r(B, R, wd, len(sfx), "rv"),
+            # the preceding char must itself lie in RV ("preceded in
+            # RV by...") and be a consonant or u
+            B.ge(B.sub(B.length(wd), B.num(len(sfx))), R["rv"]),
+            B.or_(B.and_(B.not_(B.eq(prev, B.lit(""))),
+                         B.not_(B.in_chars(prev, _RO_V))),
+                  B.eq(prev, B.lit("u"))))
+        return B.when(ok, B.drop(wd, len(sfx)), wd)
+
+    def del_b(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                      B.drop(wd, len(sfx)), wd)
+
+    rules = [(s, del_a) for s in _RO_VERB_A]
+    rules += [(s, del_b) for s in _RO_VERB_B]
+    return _apply_rules(B, w, rules)
+
+
+def _ro_step4(B, R, w):
+    def del_rv(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "rv"),
+                      B.drop(wd, len(sfx)), wd)
+    return _apply_rules(B, w, [
+        ("a", del_rv), ("e", del_rv), ("i", del_rv), ("ie", del_rv),
+        ("ă", del_rv)])
+
+
+def _ro_plan():
+    plan = [
+        ("w", lambda B, R: _ro_prelude(B, R["w0"])),
+        ("skel", lambda B, R: _skeleton(B, R["w"], _RO_V)),
+        ("r1", lambda B, R: _r1_raw(B, R, R["skel"],
+                                    B.length(R["w"]))),
+        ("r2", lambda B, R: _r2_from(B, R["skel"], R["r1"],
+                                     B.length(R["w"]))),
+        ("rv", lambda B, R: _es_like_rv(B, R, R["w"], R["skel"],
+                                        _RO_V)),
+        ("p0", lambda B, R: _ro_step0(B, R, R["w"])),
+    ]
+    prev = "p0"
+    for i in range(1, _RO_UNROLL + 1):
+        plan.append((f"p1{i}",
+                     (lambda p: lambda B, R:
+                      _ro_step1_pass(B, R, R[p]))(prev)))
+        prev = f"p1{i}"
+    plan += [
+        # standard_suffix_removed: step 1 or step 2 changed the word
+        ("w2", lambda B, R: _ro_step2(B, R, R[prev])),
+        ("std", lambda B, R: B.not_(B.eqs(R["w2"], R["p0"]))),
+        ("w3", lambda B, R: B.when(R["std"], R["w2"],
+                                   _ro_step3(B, R, R["w2"]))),
+        ("w4", lambda B, R: _ro_step4(B, R, R["w3"])),
+    ]
+    return plan
+
+
+def _ro_final(B, refs):
+    w = refs["w4"]
+    for a, b in (("I", "i"), ("U", "u")):
+        w = B.replace_all(w, a, b)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# FINNISH (snowballstem.org/algorithms/finnish/stemmer.html) — six
+# steps over R1/R2: particle/sti, possessives, the case-ending among
+# with per-suffix preceding-char guards (hXn, Vi, LV, cv, e), the
+# R2 comparative step, the step-3-coupled plural step, and the
+# four-part R1 tidy plus the unrestricted double-consonant undouble
+# (aatonaatto -> aatonaato). Preceding-char conditions are tested
+# unrestricted (only the suffix itself must lie in the region) — the
+# published kalaa -> kala requires the 'c' of the cv test to sit
+# before R1.
+
+_FI_V = "aeiouyäö"
+_FI_RV = "aeiouäö"          # restricted vowels (no y): Vi / LV tests
+
+_FI_STEP3_PLAIN = ("ta tä ssa ssä sta stä lla llä lta ltä lle na nä "
+                   "ksi ine").split()
+
+
+def _fi_lv_at_end(B, w, vowels=_FI_RV):
+    c1 = B.char_from_end(w, 1)
+    c2 = B.char_from_end(w, 2)
+    return B.and_(B.not_(B.eq(c1, B.lit(""))),
+                  B.not_(B.eq(c2, B.lit(""))),
+                  B.eqs(c1, c2), B.in_chars(c1, vowels))
+
+
+def _fi_step1(B, R, w):
+    def particle(wd, sfx):
+        prev = B.char_from_end(wd, len(sfx) + 1)
+        ok = B.and_(_in_r(B, R, wd, len(sfx), "r1"),
+                    B.in_chars(prev, "nt" + _FI_V))
+        return B.when(ok, B.drop(wd, len(sfx)), wd)
+
+    def sti(wd, sfx):
+        return B.when(_in_r(B, R, wd, 3, "r2"), B.drop(wd, 3), wd)
+
+    rules = [(s, particle) for s in
+             ("kin", "kaan", "kään", "ko", "kö", "han", "hän", "pa",
+              "pä")]
+    rules.append(("sti", sti))
+    return _apply_rules(B, w, rules)
+
+
+def _fi_step2(B, R, w):
+    def si(wd, sfx):
+        ok = B.and_(_in_r(B, R, wd, 2, "r1"),
+                    B.not_(B.eq(B.char_from_end(wd, 3), B.lit("k"))))
+        return B.when(ok, B.drop(wd, 2), wd)
+
+    def ni(wd, sfx):
+        t = B.drop(wd, 2)
+        t2 = B.when(B.endswith(t, "kse"),
+                    B.append(B.drop(t, 1), "i"), t)
+        return B.when(_in_r(B, R, wd, 2, "r1"), t2, wd)
+
+    def del_r1(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def an(pres):
+        def act(wd, sfx):
+            t = B.drop(wd, 2)
+            ok = B.and_(_in_r(B, R, wd, 2, "r1"),
+                        B.or_(*[B.endswith(t, p) for p in pres]))
+            return B.when(ok, t, wd)
+        return act
+
+    return _apply_rules(B, w, [
+        ("si", si), ("ni", ni),
+        ("nsa", del_r1), ("nsä", del_r1), ("mme", del_r1),
+        ("nne", del_r1),
+        ("an", an(("ta", "ssa", "sta", "lla", "lta", "na"))),
+        ("än", an(("tä", "ssä", "stä", "llä", "ltä", "nä"))),
+        ("en", an(("lle", "ine"))),
+    ])
+
+
+def _fi_step3(B, R, w):
+    def del_r1(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def hxn(prevc):
+        def act(wd, sfx):
+            ok = B.and_(_in_r(B, R, wd, 3, "r1"),
+                        B.eq(B.char_from_end(wd, 4), B.lit(prevc)))
+            return B.when(ok, B.drop(wd, 3), wd)
+        return act
+
+    def vi(wd, sfx):
+        ok = B.and_(
+            _in_r(B, R, wd, len(sfx), "r1"),
+            B.eq(B.char_from_end(wd, len(sfx) + 1), B.lit("i")),
+            B.in_chars(B.char_from_end(wd, len(sfx) + 2), _FI_RV))
+        return B.when(ok, B.drop(wd, len(sfx)), wd)
+
+    def seen(wd, sfx):
+        c1 = B.char_from_end(wd, 5)
+        c2 = B.char_from_end(wd, 6)
+        ok = B.and_(_in_r(B, R, wd, 4, "r1"), B.eqs(c1, c2),
+                    B.in_chars(c1, _FI_RV))
+        return B.when(ok, B.drop(wd, 4), wd)
+
+    def a_cv(wd, sfx):
+        v = B.char_from_end(wd, 2)
+        c = B.char_from_end(wd, 3)
+        ok = B.and_(_in_r(B, R, wd, 1, "r1"),
+                    B.in_chars(v, _FI_V),
+                    B.not_(B.eq(c, B.lit(""))),
+                    B.not_(B.in_chars(c, _FI_V)))
+        return B.when(ok, B.drop(wd, 1), wd)
+
+    def tta(wd, sfx):
+        ok = B.and_(_in_r(B, R, wd, 3, "r1"),
+                    B.eq(B.char_from_end(wd, 4), B.lit("e")))
+        return B.when(ok, B.drop(wd, 3), wd)
+
+    def n_rule(wd, sfx):
+        t = B.drop(wd, 1)
+        lv = B.or_(_fi_lv_at_end(B, t), B.endswith(t, "ie"))
+        t2 = B.when(lv, B.drop(t, 1), t)
+        return B.when(_in_r(B, R, wd, 1, "r1"), t2, wd)
+
+    rules = [("han", hxn("a")), ("hen", hxn("e")), ("hin", hxn("i")),
+             ("hon", hxn("o")), ("hun", hxn("u")), ("hyn", hxn("y")),
+             ("hän", hxn("ä")), ("hön", hxn("ö")),
+             ("siin", vi), ("den", vi), ("tten", vi),
+             ("seen", seen),
+             ("a", a_cv), ("ä", a_cv),
+             ("tta", tta), ("ttä", tta),
+             ("n", n_rule)]
+    rules += [(s, del_r1) for s in _FI_STEP3_PLAIN]
+    return _apply_rules(B, w, rules)
+
+
+def _fi_step4(B, R, w):
+    def del_r2(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r2"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def mpi(wd, sfx):
+        t = B.drop(wd, 3)
+        ok = B.and_(_in_r(B, R, wd, 3, "r2"),
+                    B.not_(B.endswith(t, "po")))
+        return B.when(ok, t, wd)
+
+    rules = [(s, del_r2) for s in
+             ("impi", "impa", "impä", "immi", "imma", "immä", "eja",
+              "ejä")]
+    rules += [(s, mpi) for s in
+              ("mpi", "mpa", "mpä", "mmi", "mma", "mmä")]
+    return _apply_rules(B, w, rules)
+
+
+def _fi_step5(B, R, w, t1, removed3):
+    ij = B.and_(B.or_(B.endswith(w, "i"), B.endswith(w, "j")),
+                _in_r(B, R, w, 1, "r1"))
+    w_ij = B.when(ij, B.drop(w, 1), w)
+    t_ok = B.and_(B.endswith(w, "t"), _in_r(B, R, w, 1, "r1"),
+                  B.in_chars(B.char_from_end(w, 2), _FI_V))
+    imma = B.and_(B.endswith(t1, "imma"), _in_r(B, R, t1, 4, "r2"))
+    mma = B.and_(B.endswith(t1, "mma"), _in_r(B, R, t1, 3, "r2"),
+                 B.not_(B.endswith(B.drop(t1, 3), "po")))
+    t2 = B.when(imma, B.drop(t1, 4), B.when(mma, B.drop(t1, 3), t1))
+    w_t = B.when(t_ok, t2, w)
+    return B.when(removed3, w_ij, w_t)
+
+
+def _fi_step6a(B, R, w):
+    # (a) R1 ends with a long vowel: drop the last letter
+    a_ok = B.and_(_fi_lv_at_end(B, w),
+                  B.ge(B.sub(B.length(w), B.num(1)), R["r1"]))
+    return B.when(a_ok, B.drop(w, 1), w)
+
+
+def _fi_step6b(B, R, w):
+    # (b) ends cX, X in a/ä/e/i, both in R1
+    xb = B.char_from_end(w, 1)
+    cb = B.char_from_end(w, 2)
+    b_ok = B.and_(B.in_chars(xb, "aäei"),
+                  B.not_(B.eq(cb, B.lit(""))),
+                  B.not_(B.in_chars(cb, _FI_V)),
+                  B.ge(B.sub(B.length(w), B.num(1)), R["r1"]))
+    return B.when(b_ok, B.drop(w, 1), w)
+
+
+def _fi_step6c(B, R, w):
+    # (c) ends oj/uj in R1
+    c_ok = B.and_(B.or_(B.endswith(w, "oj"), B.endswith(w, "uj")),
+                  B.ge(B.sub(B.length(w), B.num(1)), R["r1"]))
+    return B.when(c_ok, B.drop(w, 1), w)
+
+
+def _fi_step6d(B, R, w):
+    # (d) ends jo in R1
+    d_ok = B.and_(B.endswith(w, "jo"),
+                  B.ge(B.sub(B.length(w), B.num(1)), R["r1"]))
+    return B.when(d_ok, B.drop(w, 1), w)
+
+
+def _fi_step6e(B, w, lpos):
+    # double consonant followed by zero or more vowels, unrestricted:
+    # remove the second consonant of the pair (lpos = position of the
+    # last consonant, bound as its own plan step — it embeds a
+    # skeleton regex pair that would otherwise inline 10+ times)
+    ok = B.and_(B.ge(lpos, B.num(2)),
+                B.eqs(B.char_at(w, lpos),
+                      B.char_at(w, B.sub(lpos, B.num(1)))))
+    return B.when(
+        ok,
+        B.concat2(B.prefix_to(w, B.sub(lpos, B.num(1))),
+                  B.suffix_from(w, B.add(lpos, B.num(1)))),
+        w)
+
+
+def _fi_plan():
+    return [
+        ("skel", lambda B, R: _skeleton(B, R["w0"], _FI_V)),
+        ("r1", lambda B, R: _r1_raw(B, R, R["skel"],
+                                    B.length(R["w0"]))),
+        ("r2", lambda B, R: _r2_from(B, R["skel"], R["r1"],
+                                     B.length(R["w0"]))),
+        ("w1", lambda B, R: _fi_step1(B, R, R["w0"])),
+        ("w2", lambda B, R: _fi_step2(B, R, R["w1"])),
+        ("w3", lambda B, R: _fi_step3(B, R, R["w2"])),
+        ("d3", lambda B, R: B.not_(B.eqs(R["w3"], R["w2"]))),
+        ("w4", lambda B, R: _fi_step4(B, R, R["w3"])),
+        ("w4d", lambda B, R: B.drop(R["w4"], 1)),
+        ("w5", lambda B, R: _fi_step5(B, R, R["w4"], R["w4d"],
+                                      R["d3"])),
+        # the four R1-restricted tidy parts are separate plan steps —
+        # chained inside ONE bind they re-inline each other's text
+        # (216 KB for the single w6 CTE in the SQL backend, measured)
+        ("w6a", lambda B, R: _fi_step6a(B, R, R["w5"])),
+        ("w6b", lambda B, R: _fi_step6b(B, R, R["w6a"])),
+        ("w6c", lambda B, R: _fi_step6c(B, R, R["w6b"])),
+        ("w6d", lambda B, R: _fi_step6d(B, R, R["w6c"])),
+        ("lc", lambda B, R: B.length(B.regex_replace(
+            _skeleton(B, R["w6d"], _FI_V), "a+$", ""))),
+        ("w6e", lambda B, R: _fi_step6e(B, R["w6d"], R["lc"])),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# HUNGARIAN (snowballstem.org/algorithms/hungarian/stemmer.html) —
+# digraph-aware R1 (a digraph at the first consonant position counts
+# as one consonant), nine suffix families applied in the published
+# order (instrumental, case, special case, other case, factive, owned,
+# singular owner, plural owner, plural), the double-consonant test
+# with digraph doubles (ccs/ggy/lly/nny/ssz/tty/zzs), undoubling, and
+# the á->a / é->e ending normalization after case removal.
+
+_HU_V = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("cs", "dz", "dzs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES2 = ("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll",
+                "mm", "nn", "pp", "rr", "ss", "tt", "vv", "zz")
+_HU_DOUBLES3 = ("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs")
+
+_HU_CASE = ("ban ben ba be ra re nak nek val vel tól től ról ről ból "
+            "ből hoz hez höz nál nél ig at et ot öt ért képp képpen "
+            "kor ul ül vá vé onként enként anként ként en on an ön "
+            "n t").split()
+
+_HU_SING_OWNER_DEL = ("ünk unk nk juk jük uk ük em om am m od ed ad "
+                      "öd d ja je a e o").split()
+_HU_SING_OWNER_A = ("ánk ájuk ám ád á").split()
+_HU_SING_OWNER_E = ("énk éjük ém éd é").split()
+
+_HU_PLUR_OWNER_DEL = ("jaim jeim aim eim im jaid jeid aid eid id jai "
+                      "jei ai ei i jaink jeink aink eink ink jaitok "
+                      "jeitek aitok eitek itek jaik jeik aik eik "
+                      "ik").split()
+_HU_PLUR_OWNER_A = ("áim áid ái áink áitok áik").split()
+_HU_PLUR_OWNER_E = ("éim éid éi éink éitek éik").split()
+
+
+def _hu_r1(B, R):
+    w, skel = R["w0"], R["skel"]
+    wlen = B.length(w)
+    none = B.add(wlen, B.num(1))
+    # starts with a vowel: after the first consonant (digraph-aware)
+    c = B.locate_from(skel, "b", B.num(1))
+    di3 = B.eqs(B.substr_at(w, c, 3), B.lit("dzs"))
+    di2 = B.or_(*[B.eqs(B.substr_at(w, c, 2), B.lit(d))
+                  for d in _HU_DIGRAPHS if len(d) == 2])
+    after_c = B.when(B.eq(c, B.num(0)), none,
+                     B.when(di3, B.add(c, B.num(3)),
+                            B.when(di2, B.add(c, B.num(2)),
+                                   B.add(c, B.num(1)))))
+    # starts with a consonant: after the first vowel
+    v = B.locate_from(skel, "a", B.num(1))
+    after_v = B.when(B.eq(v, B.num(0)), none, B.add(v, B.num(1)))
+    return B.when(B.in_chars(B.take_char(w, 1), _HU_V),
+                  after_c, after_v)
+
+
+def _hu_is_double(B, t):
+    return B.or_(*([B.endswith(t, d) for d in _HU_DOUBLES3]
+                   + [B.endswith(t, d) for d in _HU_DOUBLES2]))
+
+
+def _hu_undouble(B, t):
+    out = B.drop(t, 1)
+    for d in _HU_DOUBLES3:
+        # doubled digraph xXY -> XY: remove the leading extra char
+        out = B.when(B.endswith(t, d),
+                     B.append(B.drop(t, 3), d[1:]), out)
+    return out
+
+
+def _hu_v_ending(B, t):
+    return B.when(B.endswith(t, "á"), B.append(B.drop(t, 1), "a"),
+                  B.when(B.endswith(t, "é"),
+                         B.append(B.drop(t, 1), "e"), t))
+
+
+def _hu_instrum(B, R, w):
+    def act(wd, sfx):
+        t = B.drop(wd, 2)
+        ok = B.and_(_in_r(B, R, wd, 2, "r1"), _hu_is_double(B, t))
+        return B.when(ok, _hu_undouble(B, t), wd)
+    return _apply_rules(B, w, [("al", act), ("el", act)])
+
+
+def _hu_case(B, R, w):
+    def act(wd, sfx):
+        t = B.drop(wd, len(sfx))
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      _hu_v_ending(B, t), wd)
+    return _apply_rules(B, w, [(s, act) for s in _HU_CASE])
+
+
+def _hu_repl_table(B, R, w, dels, to_a, to_e):
+    def del_r1(wd, sfx):
+        return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                      B.drop(wd, len(sfx)), wd)
+
+    def repl(r):
+        def act(wd, sfx):
+            return B.when(_in_r(B, R, wd, len(sfx), "r1"),
+                          B.append(B.drop(wd, len(sfx)), r), wd)
+        return act
+
+    rules = [(s, del_r1) for s in dels]
+    rules += [(s, repl("a")) for s in to_a]
+    rules += [(s, repl("e")) for s in to_e]
+    return _apply_rules(B, w, rules)
+
+
+def _hu_factive(B, R, w):
+    def act(wd, sfx):
+        t = B.drop(wd, 1)
+        ok = B.and_(_in_r(B, R, wd, 1, "r1"), _hu_is_double(B, t))
+        return B.when(ok, _hu_undouble(B, t), wd)
+    return _apply_rules(B, w, [("á", act), ("é", act)])
+
+
+def _hu_plan():
+    return [
+        ("skel", lambda B, R: _skeleton(B, R["w0"], _HU_V)),
+        ("r1", _hu_r1),
+        ("w1", lambda B, R: _hu_instrum(B, R, R["w0"])),
+        ("w2", lambda B, R: _hu_case(B, R, R["w1"])),
+        ("w3", lambda B, R: _hu_repl_table(
+            B, R, R["w2"], [], ["án", "ánként"], ["én"])),
+        ("w4", lambda B, R: _hu_repl_table(
+            B, R, R["w3"], ["astul", "estül", "stul", "stül"],
+            ["ástul"], ["éstül"])),
+        ("w5", lambda B, R: _hu_factive(B, R, R["w4"])),
+        ("w6", lambda B, R: _hu_repl_table(
+            B, R, R["w5"],
+            ["aké", "eké", "oké", "öké", "ké", "éi", "é"],
+            ["áké", "áéi"], ["éké", "ééi"])),
+        ("w7", lambda B, R: _hu_repl_table(
+            B, R, R["w6"], _HU_SING_OWNER_DEL,
+            _HU_SING_OWNER_A, _HU_SING_OWNER_E)),
+        ("w8", lambda B, R: _hu_repl_table(
+            B, R, R["w7"], _HU_PLUR_OWNER_DEL,
+            _HU_PLUR_OWNER_A, _HU_PLUR_OWNER_E)),
+        ("w9", lambda B, R: _hu_repl_table(
+            B, R, R["w8"], ["ök", "ok", "ek", "ak", "k"],
+            ["ák"], ["ék"])),
+    ]

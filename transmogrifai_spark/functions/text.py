@@ -71,9 +71,14 @@ def char_ngrams(c: Column, n: int = 3, to_lowercase: bool = True) -> Column:
 
 
 def remove_stopwords(tokens: Column, stopwords: list[str]) -> Column:
-    """OpStopWordsRemover.scala:48 — drop stopwords (case-insensitive)."""
-    sw = F.array(*[F.lit(w.lower()) for w in stopwords])
-    return F.filter(tokens, lambda t: ~F.array_contains(sw, F.lower(t)))
+    """OpStopWordsRemover.scala:48 — drop stopwords (case-insensitive).
+    Membership is ``isin`` so Catalyst's OptimizeIn rewrites the
+    literal list to an InSet HASH probe — an O(1) test per token that
+    holds up for the full 30-300-word Lucene-band default sets
+    (``stopwords_full``), where a literal-array ``array_contains``
+    would be a linear scan per token."""
+    words = sorted({w.lower() for w in stopwords})
+    return F.filter(tokens, lambda t: ~F.lower(t).isin(words))
 
 
 def jaccard_similarity(a: Column, b: Column) -> Column:
@@ -830,8 +835,16 @@ def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
             F.regexp_replace(c, r"(?i)\b[tn]-(?=[aeiouáéíóú])", ""),
             r"(?i)\b[dmb][’'](?=\p{L})", "")
     toks = tokenize(c, min_token_length, to_lowercase)
-    sw = stopwords if stopwords is not None \
-        else ANALYZER_STOPWORDS.get(lang)
+    if stopwords is not None:
+        sw = stopwords
+    else:
+        # full Lucene-band default stop sets (PARITY delta 1d closed
+        # r11), unioned with the compact legacy sets so the default
+        # never drops a word it used to stop
+        from .stopwords_full import FULL_STOPWORDS
+        legacy = ANALYZER_STOPWORDS.get(lang, [])
+        full = FULL_STOPWORDS.get(lang, [])
+        sw = sorted(set(full) | set(legacy)) or None
     if sw:
         toks = remove_stopwords(toks, sw)
     if lang == "el":
@@ -853,9 +866,10 @@ def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
             # chain shipped through r8 (PARITY delta 1a, English arm)
             from .porter import porter_stem
             return F.transform(toks, porter_stem)
-        if lang in ("de", "fr", "es", "sv", "no", "da", "ru", "it", "nl"):
+        from .snowball import SNOWBALL_LANGS
+        if lang in SNOWBALL_LANGS:
             # the full published Snowball algorithms (PARITY delta 1a —
-            # light suffix subsets before r10; the ANALYZER_PROFILES
+            # light suffix subsets before r10/r11; the ANALYZER_PROFILES
             # entries for these languages are superseded on this path)
             from .snowball import snowball_stem
             return F.transform(toks, lambda t: snowball_stem(t, lang))

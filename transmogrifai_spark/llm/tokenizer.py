@@ -462,58 +462,115 @@ def wordpiece_tokenize(c: Column, model: dict,
     chain (max_piece_len deep) per cursor stop — comfortable to ~10^5
     pieces (the lexicon_segment plan-literal bound; BERT vocabs are
     ~30k)."""
-    unk = model["unk"]
-    max_len = int(model["max_piece_len"])
     text = F.coalesce(c, F.lit(""))
     if lowercase:
         text = F.lower(text)
     words = F.regexp_extract_all(text, F.lit(_WP_PRE_RE), 1)
 
     def with_table(tab: Column) -> Column:
-        def scan(w: Column) -> Column:
-            def step(acc: Column, _i: Column) -> Column:
-                # longest-first probe at the cursor; ## for continuations
-                best = F.lit(None).cast("string")
-                for ln in range(1, max_len + 1):
-                    raw = w.substr(acc["pos"], F.lit(ln))
-                    cand = F.when(acc["pos"] > 1,
-                                  F.concat(F.lit("##"), raw)) \
-                        .otherwise(raw)
-                    ok = (F.length(raw) == ln) & \
-                        _wp_probe(tab, cand).isNotNull()
-                    best = F.when(ok, cand).otherwise(best)
-                live = ~acc["bad"] & (acc["pos"] <= F.length(w))
-                return F.when(
-                    live & best.isNotNull(),
-                    F.struct(
-                        (acc["pos"] + F.length(best) -
-                         F.when(acc["pos"] > 1, F.lit(2))
-                         .otherwise(F.lit(0))).alias("pos"),
-                        F.concat(acc["pieces"],
-                                 F.array(best)).alias("pieces"),
-                        F.lit(False).alias("bad"))) \
-                    .when(live & best.isNull(),
-                          F.struct(acc["pos"].alias("pos"),
-                                   acc["pieces"].alias("pieces"),
-                                   F.lit(True).alias("bad"))) \
-                    .otherwise(acc)
-
-            init = F.struct(
-                F.lit(1).alias("pos"),
-                F.array().cast("array<string>").alias("pieces"),
-                F.lit(False).alias("bad"))
-            state = F.aggregate(F.sequence(F.lit(1), F.length(w)),
-                                init, step)
-            return F.when(F.length(w) > _WP_MAX_WORD,
-                          F.array(F.lit(unk))) \
-                .when(state["bad"], F.array(F.lit(unk))) \
-                .otherwise(state["pieces"])
-
-        return F.flatten(F.transform(words, scan))
+        return F.flatten(F.transform(
+            words, lambda w: _wp_scan_word(w, tab, model)))
 
     out = F.get(F.transform(F.array(_wp_table_expr(model)), with_table), 0)
     return F.when(F.length(text) == 0,
                   F.array().cast("array<string>")).otherwise(out)
+
+
+def _wp_scan_word(w: Column, tab: Column, model: dict) -> Column:
+    """Pieces for ONE pre-tokenized word: the published greedy
+    longest-match cursor scan as an aggregate over character positions
+    (shared by the per-row column form and the distinct-word df form)."""
+    unk = model["unk"]
+    max_len = int(model["max_piece_len"])
+
+    def step(acc: Column, _i: Column) -> Column:
+        # longest-first probe at the cursor; ## for continuations
+        best = F.lit(None).cast("string")
+        for ln in range(1, max_len + 1):
+            raw = w.substr(acc["pos"], F.lit(ln))
+            cand = F.when(acc["pos"] > 1,
+                          F.concat(F.lit("##"), raw)) \
+                .otherwise(raw)
+            ok = (F.length(raw) == ln) & \
+                _wp_probe(tab, cand).isNotNull()
+            best = F.when(ok, cand).otherwise(best)
+        live = ~acc["bad"] & (acc["pos"] <= F.length(w))
+        return F.when(
+            live & best.isNotNull(),
+            F.struct(
+                (acc["pos"] + F.length(best) -
+                 F.when(acc["pos"] > 1, F.lit(2))
+                 .otherwise(F.lit(0))).alias("pos"),
+                F.concat(acc["pieces"],
+                         F.array(best)).alias("pieces"),
+                F.lit(False).alias("bad"))) \
+            .when(live & best.isNull(),
+                  F.struct(acc["pos"].alias("pos"),
+                           acc["pieces"].alias("pieces"),
+                           F.lit(True).alias("bad"))) \
+            .otherwise(acc)
+
+    init = F.struct(
+        F.lit(1).alias("pos"),
+        F.array().cast("array<string>").alias("pieces"),
+        F.lit(False).alias("bad"))
+    state = F.aggregate(F.sequence(F.lit(1), F.length(w)),
+                        init, step)
+    return F.when(F.length(w) > _WP_MAX_WORD,
+                  F.array(F.lit(unk))) \
+        .when(state["bad"], F.array(F.lit(unk))) \
+        .otherwise(state["pieces"])
+
+
+def wordpiece_tokenize_df(df: DataFrame, text_col: str, model: dict,
+                          id_col: str, out_col: str = "pieces",
+                          lowercase: bool = True) -> DataFrame:
+    """WordPiece at corpus scale via a DISTINCT-WORD scan: explode the
+    pre-tokenized words, run the greedy cursor scan ONCE per distinct
+    word, join the pieces back, and reassemble per document in word
+    order. Equal to ``wordpiece_tokenize`` by construction (law-tested)
+    — the scan is the same ``_wp_scan_word`` aggregate — but under a
+    Zipfian corpus the heavy per-character scan runs once per TYPE
+    instead of once per TOKEN instance (the same economics the BPE
+    pandas-UDF path gets from its per-batch word cache).
+
+    Plan shape: one distinct on the 8-byte-ish word keys, one join back
+    on the same keys (AQE broadcasts the scanned table when the type
+    count is small), one groupBy on ``id_col`` with an array_sort
+    regroup — the shuffle never keys on document text. ``id_col`` must
+    be unique per row."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        text = F.lower(text)
+    staged = df.withColumn(
+        "_wp_words", F.regexp_extract_all(text, F.lit(_WP_PRE_RE), 1))
+    ex = staged.select(
+        F.col(id_col).alias("_wid"),
+        F.posexplode("_wp_words").alias("_pos", "_w"))
+    distinct = ex.select("_w").distinct()
+
+    def with_table(tab: Column) -> Column:
+        return _wp_scan_word(F.col("_w"), tab, model)
+
+    scanned = distinct.withColumn(
+        "_pieces",
+        F.get(F.transform(F.array(_wp_table_expr(model)), with_table),
+              0))
+    regrouped = (
+        ex.join(scanned, "_w")
+        .groupBy("_wid")
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("_pos").alias("p"),
+                         F.col("_pieces").alias("pc")))),
+            lambda s: s["pc"])).alias(out_col)))
+    out = (staged.join(regrouped,
+                       staged[id_col] == regrouped["_wid"], "left")
+           .drop("_wid", "_wp_words")
+           .withColumn(out_col,
+                       F.coalesce(F.col(out_col),
+                                  F.array().cast("array<string>"))))
+    return out
 
 
 def wordpiece_ids(c: Column, model: dict,
