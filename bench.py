@@ -248,14 +248,41 @@ def main() -> None:
 
         def ts_snowball(spark, sf_dir):
             # one language is enough for the regression row: the pt
-            # chain (r11) over per-doc tokens, pure projection
+            # chain (r11) as a pure projection over a CONTROLLED token
+            # volume (20k synthetic morphology-rich words — the 12-step
+            # chain exceeds whole-stage codegen, so per-row interpreted
+            # cost is what this row tracks; the raw corpus would cost
+            # ~80-120 s and track document length, not the expression)
+            from transmogrifai_spark.functions.snowball import \
+                snowball_stem
+            roots = ["abandon", "quilométr", "felic", "lóg", "amor",
+                     "propos", "gener", "administrat", "espéc", "com"]
+            tails = ["", "s", "a", "o", "icos", "amento", "ação",
+                     "amente", "idades", "aram", "ássemos", "ão"]
+            w = F.concat(
+                F.element_at(F.array(*[F.lit(r) for r in roots]),
+                             (F.col("id") % 10 + 1).cast("int")),
+                F.element_at(F.array(*[F.lit(t) for t in tails]),
+                             (F.floor(F.col("id") / 10) % 12 + 1)
+                             .cast("int")))
+            return spark.range(20_000).select(
+                F.sum(F.length(snowball_stem(w, "pt"))).alias("n"))
+
+        def ts_snowball_df(spark, sf_dir):
+            # the TYPE-level scale path: stem every document token via
+            # distinct_element_transform (explode -> distinct -> stem
+            # once per type -> join back) — the Zipf economics row
             from transmogrifai_spark.functions.snowball import \
                 snowball_stem
             from transmogrifai_spark.functions.text import tokenize
-            docs = load_table(spark, sf_dir, "documents")
-            toks = tokenize(F.col("text"))
-            return docs.select(F.sum(F.size(F.transform(
-                toks, lambda t: snowball_stem(t, "pt")))).alias("n"))
+            from transmogrifai_spark.util import \
+                distinct_element_transform
+            docs = load_table(spark, sf_dir, "documents") \
+                .withColumn("_toks", tokenize(F.col("text")))
+            out = distinct_element_transform(
+                docs, "_toks", lambda t: snowball_stem(t, "pt"),
+                "doc_id", "stems")
+            return out.select(F.sum(F.size("stems")).alias("n"))
 
         def ts_beam(spark, sf_dir):
             # width-3 beam tagging (r11 gate) over real document tokens
@@ -297,6 +324,7 @@ def main() -> None:
                          ("unigram_tokenize", ts_unigram),
                          ("lexicon_segment_join", ts_lexjoin),
                          ("snowball_stem", ts_snowball),
+                         ("snowball_stem_df", ts_snowball_df),
                          ("maxent_beam_tag", ts_beam)):
             samples = []
             for _ in range(reps):

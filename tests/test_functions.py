@@ -593,3 +593,22 @@ def test_is_short_code_injected_tables(spark):
     de = df.select(is_short_code(F.col("t"), "DE", codes).alias("s")) \
         .first()["s"]
     assert de is None
+
+
+def test_analyze_df_equals_analyze(spark):
+    """analyze_df (type-level stemming via distinct_element_transform)
+    tokenizes exactly like analyze across stemmer tiers: full Snowball
+    (pt), full Porter (en), light-chain with normalization (el), no
+    stemmer (unknown lang), and the CJK whole-text route."""
+    from transmogrifai_spark.functions.text import analyze, analyze_df
+    rows = [(1, "as casas e os gatos de informações administrativas"),
+            (2, "felizmente comeu a proposição"),
+            (3, ""), (4, None), (5, "the foxes were running quickly")]
+    df = spark.createDataFrame(rows, "i long, t string")
+    for lang in ("pt", "en", "el", "zz", "zh"):
+        direct = {r["i"]: (r["a"] or []) for r in df.select(
+            "i", analyze(F.col("t"), lang).alias("a")).collect()}
+        via = {r["i"]: (r["tokens"] or []) for r in
+               analyze_df(df, "t", lang, "i")
+               .select("i", "tokens").collect()}
+        assert via == direct, lang

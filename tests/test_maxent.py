@@ -279,3 +279,100 @@ def test_beam_width_3_dominates_greedy():
         if b3 > b1 + 1e-9:
             better += 1
     assert better > 0
+
+
+def test_binary_gis_round_trip(tmp_path):
+    """The BINARY GIS serialization (BinaryGISModelWriter: the same
+    GISModelWriter.persist token sequence, Java DataOutputStream
+    encodings) round-trips and matches the plain-text load — including
+    modified-UTF-8 edges (NUL -> C0 80, supplementary chars as CESU-8
+    surrogate pairs)."""
+    from transmogrifai_spark.operators.maxent import (
+        load_opennlp_gis_model_bin, save_opennlp_gis_model_bin)
+    m = _model()
+    m["weights"]["w=jörg\U0001d11e\x00"] = {"PERSON": 0.5}
+    tp, bp = tmp_path / "m.txt", tmp_path / "m.gis"
+    save_opennlp_gis_model(m, str(tp))
+    save_opennlp_gis_model_bin(m, str(bp))
+    t = load_opennlp_gis_model(str(tp))
+    b = load_opennlp_gis_model_bin(str(bp))
+    assert b["outcomes"] == t["outcomes"] == m["outcomes"]
+    assert b["correction_constant"] == 3
+    assert b["correction_param"] == 0.125
+    assert b["weights"] == t["weights"]
+    # binary header magic is the writeUTF('GIS') prefix
+    assert open(bp, "rb").read(5) == b"\x00\x03GIS"
+
+
+def test_binary_gis_truncation_and_header_errors(tmp_path):
+    from transmogrifai_spark.operators.maxent import (
+        load_opennlp_gis_model_bin, save_opennlp_gis_model_bin)
+    bp = tmp_path / "m.gis"
+    save_opennlp_gis_model_bin(_model(), str(bp))
+    data = open(bp, "rb").read()
+    with pytest.raises(ValueError, match="truncated"):
+        load_opennlp_gis_model_bin(data[:-4])
+    with pytest.raises(ValueError, match="not a GIS model"):
+        load_opennlp_gis_model_bin(b"\x00\x03QNM" + data[5:])
+
+
+def test_opennlp_zip_archive_load(tmp_path):
+    """Model ARCHIVE (.bin zip: manifest.properties + serialized model
+    entries): the GIS entry is found by CONTENT magic, the manifest
+    parses with java-Properties escapes, and a GIS-free archive raises
+    a clean error."""
+    import zipfile
+
+    from transmogrifai_spark.operators.maxent import (
+        load_opennlp_model_zip, save_opennlp_gis_model_bin)
+    bp = tmp_path / "inner.gis"
+    save_opennlp_gis_model_bin(_model(), str(bp))
+    zp = tmp_path / "ner-model.bin"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("manifest.properties",
+                    "#c\nManifest-Version=1.0\n"
+                    "Component-Name: TokenNameFinder\nLanguage=en\n"
+                    "key\\:esc=va\\nlue\\u0041\n")
+        zf.writestr("nameFinder.model", open(bp, "rb").read())
+    z = load_opennlp_model_zip(str(zp))
+    assert z["weights"] == _mk_loaded_weights()
+    assert z["manifest"]["Language"] == "en"
+    assert z["manifest"]["Component-Name"] == "TokenNameFinder"
+    assert z["manifest"]["key:esc"] == "va\nlueA"
+    zp2 = tmp_path / "perc-model.bin"
+    with zipfile.ZipFile(zp2, "w") as zf:
+        zf.writestr("manifest.properties", "a=b\n")
+        zf.writestr("x.model", b"\x00\x0aPerceptron")
+    with pytest.raises(ValueError, match="no binary GIS model entry"):
+        load_opennlp_model_zip(str(zp2))
+
+
+def _mk_loaded_weights():
+    m = _model()
+    return {p: {o: float(w) for o, w in per.items()}
+            for p, per in m["weights"].items()}
+
+
+def test_zip_loaded_model_scores_like_text_loaded(spark, gis, tmp_path):
+    """A model that traveled zip->binary scores bit-identically to the
+    plain-text-loaded copy through the expression scorer."""
+    import zipfile
+
+    from transmogrifai_spark.operators.maxent import (
+        load_opennlp_model_zip, save_opennlp_gis_model_bin)
+    model, _ = gis
+    bp = tmp_path / "m.gis"
+    save_opennlp_gis_model_bin(model, str(bp))
+    zp = tmp_path / "m-model.bin"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("manifest.properties", "Language=en\n")
+        zf.writestr("m.model", open(bp, "rb").read())
+    z = load_opennlp_model_zip(str(zp))
+    bags = [["w=alice", "shape=title"], ["suf3=inc"], ["w=paris"]]
+    df = spark.createDataFrame([(b,) for b in bags],
+                               "bag array<string>")
+    a = df.select(maxent_best_outcome(F.col("bag"), model)
+                  .alias("o")).collect()
+    b = df.select(maxent_best_outcome(F.col("bag"), z)
+                  .alias("o")).collect()
+    assert [r["o"] for r in a] == [r["o"] for r in b]

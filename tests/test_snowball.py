@@ -400,3 +400,23 @@ def test_analyze_routes_de_fr_es_through_snowball(spark):
     assert row["de"] == ["schonheit", "bedurfnis"]
     assert row["fr"] == ["continu", "création", "majestu"]
     assert row["es"] == ["felic", "gener", "logr"]
+
+
+def test_distinct_element_transform_equals_direct(spark):
+    """The type-level dedup form (util.distinct_element_transform)
+    stems exactly like a direct F.transform — including repeated
+    tokens, NULL elements (position-preserved), and empty/NULL arrays."""
+    from transmogrifai_spark.util import distinct_element_transform
+    rows = [(1, ["casas", "gatos", "casas", "informações"]),
+            (2, ["administrativas", None, "comeu"]),
+            (3, []), (4, None), (5, ["casas"])]
+    df = spark.createDataFrame(rows, "i long, a array<string>")
+    fn = lambda t: snowball_stem(t, "pt")
+    direct = {r["i"]: r["s"] for r in df.select(
+        "i", F.transform("a", fn).alias("s")).collect()}
+    via = {r["i"]: r["o"] for r in distinct_element_transform(
+        df, "a", fn, "i", "o").select("i", "o").collect()}
+    # direct transform of NULL array is NULL; the df form normalizes
+    # to [] (documented) — compare with that normalization
+    direct = {k: (v if v is not None else []) for k, v in direct.items()}
+    assert via == direct

@@ -893,13 +893,16 @@ def q_stopwords_ngrams(spark, sf_dir):
     longest-suffix-first CASE generated FROM THE SAME RULE TABLES
     (functions/porter._STEP2/3/4) as the Spark expressions.
 
-    wp_word/wp_pieces (r9): the WordPiece greedy scan
-    (llm/tokenizer.wordpiece_tokenize) oracle-gated: a second synthetic
-    word per doc over a ##-continuation vocabulary (greedy-vs-optimal
-    splits, continuation chains, the dead-cursor whole-word-[UNK]
-    path); the oracle replays the published cursor scan as a RECURSIVE
-    CTE whose longest-first probe CASE is generated from the SAME
-    fixture vocab.
+    wp_word/wp_pieces (r9): the WordPiece greedy scan oracle-gated: a
+    second synthetic word per doc over a ##-continuation vocabulary
+    (greedy-vs-optimal splits, continuation chains, the dead-cursor
+    whole-word-[UNK] path); the oracle replays the published cursor
+    scan as a RECURSIVE CTE whose longest-first probe CASE is
+    generated from the SAME fixture vocab. Since r11 the Spark side
+    runs the DISTINCT-WORD df form (wordpiece_tokenize_df — the Zipf
+    scale path), which equals the column form by the tokenizer laws,
+    so the gate covers explode/distinct/scan-per-type/join/regroup
+    end-to-end.
 
     sb_* (r10 de/fr/es/sv/no/da/ru/it/nl, r11 pt/ro/fi/hu): the FULL
     Snowball stemmers (functions/snowball.py — PARITY delta 1a arms)
@@ -915,7 +918,6 @@ def q_stopwords_ngrams(spark, sf_dir):
     sub-jobs run as concurrent Spark jobs; the oracle CTEs are
     MATERIALIZED so DuckDB never re-inlines a step."""
     from .functions.porter import porter_stem
-    from .llm.tokenizer import wordpiece_tokenize
     from .llm.textqual import STOPWORD_PROFILES
     docs = _t(spark, sf_dir, "documents")
     toks = TX.tokenize(F.col("text"))
@@ -1005,9 +1007,16 @@ def q_stopwords_ngrams(spark, sf_dir):
         F.coalesce(F.try_element_at(bigrams, F.lit(1)), F.lit("")).alias("first_bigram"),
         word.alias("porter_word"),
         porter_stem(word).alias("porter"),
-        wp_word.alias("wp_word"),
-        F.array_join(wordpiece_tokenize(wp_word, wp_model), " ")
-        .alias("wp_pieces"))
+        wp_word.alias("wp_word"))
+    # wp_pieces rides the DISTINCT-WORD df form (r11) — the Zipf scale
+    # path (explode -> scan once per word type -> join back) gated
+    # against the SAME recursive-CTE oracle as the column form, which
+    # it equals by the tokenizer law tests
+    from .llm.tokenizer import wordpiece_tokenize_df
+    base = wordpiece_tokenize_df(base, "wp_word", wp_model, "doc_id",
+                                 out_col="_wpp")
+    base = base.withColumn("wp_pieces", F.array_join("_wpp", " ")) \
+        .drop("_wpp")
     base = base.join(sb_joined, "doc_id")
     sim = q_text_similarity(spark, sf_dir).select(
         F.col("id1").alias("doc_id"),

@@ -860,26 +860,69 @@ def analyze(c: Column, lang: str = "en", min_token_length: int = 1,
             toks, lambda t: F.replace(F.replace(t, F.lit("ي"), F.lit("ی")),
                                       F.lit("ك"), F.lit("ک")))
     if stem:
-        if lang == "en":
-            # Lucene's EnglishAnalyzer stems with PorterStemFilter — the
-            # COMPLETE algorithm, not the minimal plural-s filter the en
-            # chain shipped through r8 (PARITY delta 1a, English arm)
-            from .porter import porter_stem
-            return F.transform(toks, porter_stem)
-        from .snowball import SNOWBALL_LANGS
-        if lang in SNOWBALL_LANGS:
-            # the full published Snowball algorithms (PARITY delta 1a —
-            # light suffix subsets before r10/r11; the ANALYZER_PROFILES
-            # entries for these languages are superseded on this path)
-            from .snowball import snowball_stem
-            return F.transform(toks, lambda t: snowball_stem(t, lang))
-        pfx = ANALYZER_PREFIX_RULES.get(lang)
-        if pfx:
-            toks = F.transform(toks, lambda t: _strip_prefix(t, pfx))
-        rules = ANALYZER_PROFILES.get(lang)
-        if rules:
-            toks = F.transform(toks, lambda t: _stem_token(t, rules))
+        fn = _analyzer_stem_fn(lang)
+        if fn is not None:
+            return F.transform(toks, fn)
     return toks
+
+
+def _analyzer_stem_fn(lang: str):
+    """Per-token stemmer Column function for ``lang``, or None when the
+    chain has no stemming tier (shared by ``analyze``'s in-array
+    transform and ``analyze_df``'s distinct-element form)."""
+    if lang == "en":
+        # Lucene's EnglishAnalyzer stems with PorterStemFilter — the
+        # COMPLETE algorithm, not the minimal plural-s filter the en
+        # chain shipped through r8 (PARITY delta 1a, English arm)
+        from .porter import porter_stem
+        return porter_stem
+    from .snowball import SNOWBALL_LANGS
+    if lang in SNOWBALL_LANGS:
+        # the full published Snowball algorithms (PARITY delta 1a —
+        # light suffix subsets before r10/r11; the ANALYZER_PROFILES
+        # entries for these languages are superseded on this path)
+        from .snowball import snowball_stem
+        return lambda t: snowball_stem(t, lang)
+    pfx = ANALYZER_PREFIX_RULES.get(lang)
+    rules = ANALYZER_PROFILES.get(lang)
+    if not pfx and not rules:
+        return None
+
+    def light(t: Column) -> Column:
+        if pfx:
+            t = _strip_prefix(t, pfx)
+        if rules:
+            t = _stem_token(t, rules)
+        return t
+
+    return light
+
+
+def analyze_df(df: "DataFrame", text_col: str, lang: str, id_col: str,
+               out_col: str = "tokens", min_token_length: int = 1,
+               to_lowercase: bool = True, stem: bool = True,
+               stopwords: list[str] | None = None) -> "DataFrame":
+    """Corpus-scale ``analyze``: the same per-language chain, with the
+    STEMMING tier applied once per distinct token
+    (``util.distinct_element_transform``) instead of once per token
+    instance. Equal to ``analyze`` by construction (the pre-stem chain
+    is shared and the stem fn is the same Column function; law-tested)
+    — the right shape when the stemmer is a full Porter/Snowball chain,
+    whose 5-13-step expression exceeds whole-stage codegen and costs
+    ~0.5-1 ms per interpreted evaluation: under a Zipfian corpus the
+    type/token ratio is the speedup. CJK languages route to the
+    whole-text segmentation chain unchanged (no word-level distinct
+    structure to exploit). ``id_col`` must be unique per row."""
+    pre = analyze(F.col(text_col), lang, min_token_length,
+                  to_lowercase, stem=False, stopwords=stopwords)
+    fn = _analyzer_stem_fn(lang) if stem else None
+    if lang in ("zh", "ja", "ko", "cjk") or fn is None:
+        return df.withColumn(out_col, pre)
+    from ..util import distinct_element_transform
+    staged = df.withColumn(f"_adf_{out_col}", pre)
+    out = distinct_element_transform(staged, f"_adf_{out_col}", fn,
+                                     id_col, out_col)
+    return out.drop(f"_adf_{out_col}")
 
 
 def analyze_auto(c: Column, default_lang: str = "en",

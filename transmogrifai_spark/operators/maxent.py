@@ -40,6 +40,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["load_opennlp_gis_model", "save_opennlp_gis_model",
+           "load_opennlp_gis_model_bin", "save_opennlp_gis_model_bin",
+           "load_opennlp_model_zip", "load_java_properties",
            "maxent_sums", "maxent_probs", "maxent_best_outcome",
            "ner_maxent_label", "maxent_beam_decode", "maxent_beam_tag",
            "maxent_beam_tag_py", "maxent_beam_decode_py",
@@ -79,48 +81,189 @@ def load_opennlp_gis_model(path: str) -> dict:
         except StopIteration:
             raise ValueError(f"truncated GIS model file: missing {what}")
 
-    header = nxt("header")
+    return _parse_gis_stream(nxt, lambda w: int(nxt(w)),
+                             lambda w: float(nxt(w)))
+
+
+def _parse_gis_stream(next_utf, next_int, next_double) -> dict:
+    """Shared structural parser for BOTH public GIS serializations —
+    OpenNLP's GISModelWriter.persist emits one token sequence
+    (UTF 'GIS', int correction constant, double correction param,
+    outcome labels, outcome patterns as space-joined-int UTF strings,
+    predicate names, parameter doubles) that the plain-text and binary
+    writers encode line-per-token and DataOutputStream-per-token
+    respectively."""
+    header = next_utf("header")
     if header.strip() != "GIS":
         raise ValueError(
-            f"not a plain-text GIS model (header {header!r}, expected 'GIS')")
-    corr_const = int(nxt("correction constant"))
-    corr_param = float(nxt("correction parameter"))
-    n_out = int(nxt("outcome count"))
-    outcomes = [nxt("outcome label") for _ in range(n_out)]
-    n_pat = int(nxt("pattern count"))
+            f"not a GIS model (header {header!r}, expected 'GIS')")
+    corr_const = next_int("correction constant")
+    corr_param = next_double("correction parameter")
+    n_out = next_int("outcome count")
+    outcomes = [next_utf("outcome label") for _ in range(n_out)]
+    n_pat = next_int("pattern count")
     patterns: list[tuple[int, list[int]]] = []
     for _ in range(n_pat):
-        parts = nxt("pattern line").split()
+        parts = next_utf("pattern line").split()
         if len(parts) < 2:
             raise ValueError(f"bad GIS outcome-pattern line: {parts!r}")
         k, oidx = int(parts[0]), [int(x) for x in parts[1:]]
         if any(o < 0 or o >= n_out for o in oidx):
             raise ValueError(f"outcome index out of range in {parts!r}")
         patterns.append((k, oidx))
-    n_pred = int(nxt("predicate count"))
+    n_pred = next_int("predicate count")
     if sum(k for k, _ in patterns) != n_pred:
         raise ValueError(
             "pattern predicate counts do not sum to the predicate count")
-    preds = [nxt("predicate name") for _ in range(n_pred)]
+    preds = [next_utf("predicate name") for _ in range(n_pred)]
     weights: dict[str, dict[str, float]] = {}
     pid = 0
     for k, oidx in patterns:
         for _ in range(k):
             weights[preds[pid]] = {
-                outcomes[o]: float(nxt("parameter")) for o in oidx}
+                outcomes[o]: next_double("parameter") for o in oidx}
             pid += 1
     return {"type": "GIS", "outcomes": outcomes, "labels": list(outcomes),
             "weights": weights, "correction_constant": corr_const,
             "correction_param": corr_param, "context": False}
 
 
-def save_opennlp_gis_model(model: dict, path: str) -> None:
-    """Write ``{"outcomes", "weights", ...}`` in the same public
-    plain-text GIS layout (predicates grouped by their outcome-pattern
-    signature, the writer-side compression the format defines) — the
-    round-trip partner of ``load_opennlp_gis_model`` and a migration
-    path for models trained elsewhere. Floats are written with repr
-    (shortest round-trip decimal), so load-back scores bit-identically."""
+# -- Java DataOutputStream primitives (the binary GIS encoding):
+# writeUTF = 2-byte big-endian length + MODIFIED UTF-8 (NUL -> C0 80,
+# supplementary chars as CESU-8 surrogate pairs), writeInt = '>i',
+# writeDouble = '>d'. Implemented from the published Java
+# serialization spec — no Java involved.
+
+
+def _java_modified_utf8(s: str) -> bytes:
+    out = bytearray()
+    for ch in s:
+        cp = ord(ch)
+        if cp == 0:
+            out += b"\xc0\x80"
+        elif cp < 0x80:
+            out.append(cp)
+        elif cp < 0x800:
+            out += ch.encode("utf-8")
+        elif cp <= 0xFFFF:
+            out += ch.encode("utf-8")
+        else:
+            # CESU-8: encode each UTF-16 surrogate as 3-byte UTF-8
+            cp -= 0x10000
+            hi = 0xD800 + (cp >> 10)
+            lo = 0xDC00 + (cp & 0x3FF)
+            for su in (hi, lo):
+                out += bytes([0xE0 | (su >> 12),
+                              0x80 | ((su >> 6) & 0x3F),
+                              0x80 | (su & 0x3F)])
+    return bytes(out)
+
+
+def _java_modified_utf8_decode(b: bytes) -> str:
+    out = []
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i]
+        if c < 0x80:
+            out.append(chr(c))
+            i += 1
+        elif (c & 0xE0) == 0xC0:
+            if i + 1 >= n:
+                raise ValueError("truncated modified-UTF-8 sequence")
+            out.append(chr(((c & 0x1F) << 6) | (b[i + 1] & 0x3F)))
+            i += 2
+        elif (c & 0xF0) == 0xE0:
+            if i + 2 >= n:
+                raise ValueError("truncated modified-UTF-8 sequence")
+            cu = (((c & 0x0F) << 12) | ((b[i + 1] & 0x3F) << 6)
+                  | (b[i + 2] & 0x3F))
+            i += 3
+            if 0xD800 <= cu <= 0xDBFF and i + 2 < n and \
+                    (b[i] & 0xF0) == 0xE0:
+                lo = (((b[i] & 0x0F) << 12) | ((b[i + 1] & 0x3F) << 6)
+                      | (b[i + 2] & 0x3F))
+                if 0xDC00 <= lo <= 0xDFFF:
+                    cu = 0x10000 + ((cu - 0xD800) << 10) + (lo - 0xDC00)
+                    i += 3
+            out.append(chr(cu))
+        else:
+            raise ValueError(f"bad modified-UTF-8 lead byte {c:#x}")
+    return "".join(out)
+
+
+class _JavaDataIn:
+    def __init__(self, data: bytes):
+        self.b = data
+        self.i = 0
+
+    def _take(self, n: int, what: str) -> bytes:
+        if self.i + n > len(self.b):
+            raise ValueError(f"truncated binary GIS model: missing {what}")
+        out = self.b[self.i:self.i + n]
+        self.i += n
+        return out
+
+    def utf(self, what: str) -> str:
+        import struct
+        (ln,) = struct.unpack(">H", self._take(2, what))
+        return _java_modified_utf8_decode(self._take(ln, what))
+
+    def int4(self, what: str) -> int:
+        import struct
+        return struct.unpack(">i", self._take(4, what))[0]
+
+    def dbl(self, what: str) -> float:
+        import struct
+        return struct.unpack(">d", self._take(8, what))[0]
+
+
+def load_opennlp_gis_model_bin(path_or_bytes) -> dict:
+    """Read the BINARY GIS serialization (OpenNLP's
+    ``BinaryGISModelWriter``: the same GISModelWriter.persist token
+    sequence as the plain-text layout, each token encoded with Java
+    DataOutputStream — writeUTF/writeInt/writeDouble big-endian).
+    Accepts a path or raw bytes. Same return shape as
+    ``load_opennlp_gis_model``."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    din = _JavaDataIn(data)
+    return _parse_gis_stream(din.utf, din.int4, din.dbl)
+
+
+def save_opennlp_gis_model_bin(model: dict, path: str) -> None:
+    """Write the binary GIS serialization — byte-level round-trip
+    partner of ``load_opennlp_gis_model_bin`` (same writer-side
+    pattern grouping as the plain-text writer)."""
+    import io
+    import struct
+    buf = io.BytesIO()
+
+    def w_utf(s: str) -> None:
+        enc = _java_modified_utf8(s)
+        if len(enc) > 0xFFFF:
+            raise ValueError("writeUTF limit exceeded (65535 bytes)")
+        buf.write(struct.pack(">H", len(enc)))
+        buf.write(enc)
+
+    def w_int(v: int) -> None:
+        buf.write(struct.pack(">i", v))
+
+    def w_dbl(v: float) -> None:
+        buf.write(struct.pack(">d", v))
+
+    for kind, val in _gis_token_stream(model):
+        (w_utf if kind == "utf" else w_int if kind == "int"
+         else w_dbl)(val)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def _gis_token_stream(model: dict):
+    """The GISModelWriter.persist token sequence as (kind, value)
+    pairs — single source for both writers."""
     outcomes: list[str] = list(model["outcomes"])
     o_idx = {o: i for i, o in enumerate(outcomes)}
     groups: dict[tuple[int, ...], list[str]] = {}
@@ -133,20 +276,126 @@ def save_opennlp_gis_model(model: dict, path: str) -> None:
         if not sig:
             raise ValueError(f"predicate {pred!r} has no outcome weights")
         groups.setdefault(sig, []).append(pred)
-    out = ["GIS", str(int(model.get("correction_constant", 1))),
-           repr(float(model.get("correction_param", 0.0))),
-           str(len(outcomes)), *outcomes, str(len(groups))]
+    yield "utf", "GIS"
+    yield "int", int(model.get("correction_constant", 1))
+    yield "dbl", float(model.get("correction_param", 0.0))
+    yield "int", len(outcomes)
+    for o in outcomes:
+        yield "utf", o
+    yield "int", len(groups)
     sigs = list(groups)
     for sig in sigs:
-        out.append(" ".join([str(len(groups[sig]))] +
-                            [str(o) for o in sig]))
-    out.append(str(sum(len(v) for v in groups.values())))
+        yield "utf", " ".join([str(len(groups[sig]))]
+                              + [str(o) for o in sig])
+    yield "int", sum(len(v) for v in groups.values())
     for sig in sigs:
-        out.extend(groups[sig])
+        for pred in groups[sig]:
+            yield "utf", pred
     for sig in sigs:
         for pred in groups[sig]:
             per = model["weights"][pred]
-            out.extend(repr(float(per[outcomes[o]])) for o in sig)
+            for o in sig:
+                yield "dbl", float(per[outcomes[o]])
+
+
+def load_java_properties(text: str) -> dict:
+    """Parse the java.util.Properties text format (the
+    manifest.properties entry OpenNLP model zips carry): key=value or
+    key:value or key value, backslash escapes (\\:, \\=, \\n, \\t,
+    \\uXXXX), line continuations with a trailing backslash, #/!
+    comments."""
+    props: dict[str, str] = {}
+    lines = text.splitlines()
+    i = 0
+
+    def unescape(s: str) -> str:
+        out, j = [], 0
+        while j < len(s):
+            c = s[j]
+            if c == "\\" and j + 1 < len(s):
+                nc = s[j + 1]
+                if nc == "u" and j + 5 < len(s):
+                    out.append(chr(int(s[j + 2:j + 6], 16)))
+                    j += 6
+                    continue
+                out.append({"n": "\n", "t": "\t", "r": "\r",
+                            "f": "\f"}.get(nc, nc))
+                j += 2
+            else:
+                out.append(c)
+                j += 1
+        return "".join(out)
+
+    while i < len(lines):
+        ln = lines[i].lstrip()
+        i += 1
+        if not ln or ln[0] in "#!":
+            continue
+        while ln.endswith("\\") and not ln.endswith("\\\\"):
+            cont = lines[i].lstrip() if i < len(lines) else ""
+            ln = ln[:-1] + cont
+            i += 1
+        k = []
+        j = 0
+        while j < len(ln):
+            c = ln[j]
+            if c == "\\" and j + 1 < len(ln):
+                k.append(c + ln[j + 1])
+                j += 2
+                continue
+            if c in "=:" or c.isspace():
+                break
+            k.append(c)
+            j += 1
+        rest = ln[j:].lstrip()
+        if rest[:1] in ("=", ":"):
+            rest = rest[1:].lstrip()
+        props[unescape("".join(k))] = unescape(rest)
+    return props
+
+
+def load_opennlp_model_zip(path: str) -> dict:
+    """Read an OpenNLP model ARCHIVE (.bin): the zip packaging every
+    OpenNLP tool ships models in — a ``manifest.properties`` entry
+    (java Properties format) plus serialized model entries. The GIS
+    model entry is located by CONTENT (its DataOutputStream bytes
+    start with writeUTF('GIS') = 00 03 'G' 'I' 'S'), not by a guessed
+    entry name, so name-finder / doccat / POS archives all resolve.
+    Returns the parsed GIS model dict with the manifest attached under
+    ``"manifest"``. Raises ValueError when no GIS entry is present
+    (e.g. a perceptron-model archive — unsupported, stated clearly)."""
+    import zipfile
+    manifest: dict = {}
+    model: dict | None = None
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+        for name in names:
+            data = zf.read(name)
+            if name.endswith("manifest.properties"):
+                manifest = load_java_properties(
+                    data.decode("utf-8", errors="replace"))
+            elif model is None and data[:5] == b"\x00\x03GIS":
+                model = load_opennlp_gis_model_bin(data)
+    if model is None:
+        raise ValueError(
+            f"no binary GIS model entry found in {path!r} (entries: "
+            f"{names}); perceptron/QN-format entries are not supported "
+            "— export the model with a GIS trainer or the plain-text "
+            "writer")
+    model["manifest"] = manifest
+    return model
+
+
+def save_opennlp_gis_model(model: dict, path: str) -> None:
+    """Write ``{"outcomes", "weights", ...}`` in the same public
+    plain-text GIS layout (predicates grouped by their outcome-pattern
+    signature, the writer-side compression the format defines) — the
+    round-trip partner of ``load_opennlp_gis_model`` and a migration
+    path for models trained elsewhere. Floats are written with repr
+    (shortest round-trip decimal), so load-back scores bit-identically."""
+    out = [val if kind == "utf"
+           else str(val) if kind == "int" else repr(val)
+           for kind, val in _gis_token_stream(model)]
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(out) + "\n")
 

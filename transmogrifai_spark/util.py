@@ -369,3 +369,47 @@ def top_k_by_group(df: DataFrame, group_cols: list[str], item_col: str,
          .orderBy(F.col("item_count").desc(), F.col(item_col).asc()))
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def distinct_element_transform(df: DataFrame, arr_col: str, fn,
+                               id_col: str, out_col: str) -> DataFrame:
+    """Apply a HEAVY per-element Column function to every element of an
+    array column via TYPE-level dedup: posexplode -> distinct elements
+    -> ``fn`` once per distinct element -> join the results back ->
+    ordered regroup on ``id_col``. Equal to
+    ``withColumn(out_col, F.transform(arr_col, fn))`` by construction
+    (law-tested for the stemmer family), but the heavy expression runs
+    once per element TYPE instead of once per element INSTANCE — under
+    a Zipfian corpus the type/token ratio is the speedup (the economics
+    ``wordpiece_tokenize_df`` and the BPE per-batch cache exploit).
+
+    Use when ``fn`` is expensive enough to dominate two narrow shuffles
+    (distinct on the element keys + the join back) and elements repeat —
+    full Snowball stemming over natural-language tokens is the model
+    case (the 12-step chain exceeds whole-stage codegen, so the per-row
+    interpreted cost is large). NULL elements pass through as NULL
+    outputs (``fn`` is never consulted for them); empty/NULL arrays
+    yield empty arrays. ``id_col`` must be unique per row."""
+    ex = df.select(F.col(id_col).alias("_det_id"),
+                   F.posexplode(F.col(arr_col)).alias("_pos", "_el"))
+    mapped = (ex.select("_el").where(F.col("_el").isNotNull())
+              .distinct().withColumn("_val", fn(F.col("_el"))))
+    etype = dict(mapped.dtypes)["_val"]
+    regrouped = (
+        ex.join(mapped, "_el", "left")
+        .groupBy("_det_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(
+                # collect_list drops NULL structs, not structs with a
+                # null field, so null elements keep their position
+                F.struct(F.col("_pos").alias("p"),
+                         F.col("_val").alias("v")))),
+            lambda s: s["v"]).alias(out_col)))
+    out = (df.join(regrouped, df[id_col] == regrouped["_det_id"],
+                   "left")
+           .drop("_det_id")
+           .withColumn(out_col,
+                       F.coalesce(F.col(out_col),
+                                  F.expr(f"array()").cast(
+                                      f"array<{etype}>"))))
+    return out
