@@ -376,3 +376,63 @@ def test_zip_loaded_model_scores_like_text_loaded(spark, gis, tmp_path):
     b = df.select(maxent_best_outcome(F.col("bag"), z)
                   .alias("o")).collect()
     assert [r["o"] for r in a] == [r["o"] for r in b]
+
+
+def _beam_fix_model():
+    return {"type": "GIS",
+            "outcomes": ["other", "person-start", "person-cont",
+                         "location-start"],
+            "labels": ["other", "person-start", "person-cont",
+                       "location-start"],
+            "weights": {"wl=alice": {"person-start": 2.0},
+                        "wl=smith": {"person-cont": 1.8},
+                        "wl=paris": {"location-start": 2.2},
+                        "wl=went": {"other": 2.0},
+                        "wl=to": {"other": 2.0},
+                        "pd=person-start": {"person-cont": 1.0}},
+            "correction_constant": 1, "correction_param": 0.0,
+            "context": False}
+
+
+def test_beam_spans_expression_equals_mirror(spark):
+    """Span extraction (the NameFinderME.find() Span[] shape) over the
+    beam tags: expression == python mirror on sequences exercising
+    open/extend/close, back-to-back mentions, a trailing live span,
+    and empty input."""
+    from transmogrifai_spark.operators.maxent import (
+        maxent_beam_spans, maxent_beam_spans_py)
+    m = _beam_fix_model()
+    seqs = [["Alice", "Smith", "went", "to", "Paris"],
+            ["Alice", "Smith", "Alice", "Smith"],   # back-to-back
+            ["went", "to"],
+            ["Alice", "Smith"],                      # trailing live span
+            ["Paris"],
+            []]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)],
+                               "i long, toks array<string>")
+    got = {r["i"]: [x.asDict() for x in r["s"]] for r in df.select(
+        "i", maxent_beam_spans(F.col("toks"), m).alias("s")).collect()}
+    for i, s in enumerate(seqs):
+        assert got[i] == maxent_beam_spans_py(s, m), (i, s, got[i])
+    # pinned shape: person span [0,2) + location span [4,5)
+    assert got[0] == [
+        {"type": "person", "start": 0, "end": 2, "text": "Alice Smith"},
+        {"type": "location", "start": 4, "end": 5, "text": "Paris"}]
+    assert got[3] == [
+        {"type": "person", "start": 0, "end": 2, "text": "Alice Smith"}]
+
+
+def test_beam_spans_cont_without_start_opens(spark):
+    """A -cont emitted with no live span of its type (possible with
+    validate=False) OPENS a mention — the NameFinderME convention."""
+    from transmogrifai_spark.operators.maxent import (
+        maxent_beam_spans, maxent_beam_spans_py)
+    m = _beam_fix_model()
+    toks = ["Smith", "went"]   # wl=smith only scores person-cont
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = [x.asDict() for x in df.select(
+        maxent_beam_spans(F.col("toks"), m, validate=False)
+        .alias("s")).first()["s"]]
+    assert got == maxent_beam_spans_py(toks, m, validate=False)
+    assert got == [{"type": "person", "start": 0, "end": 1,
+                    "text": "Smith"}]

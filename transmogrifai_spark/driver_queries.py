@@ -1201,8 +1201,9 @@ def q_ner_trainable(spark, sf_dir):
     softmax normalizer folded in outcome order, validity pruning at BOS
     and mid-sequence, top-3 selection by (score DESC, outcome-index
     sequence ASC) — unrolled position by position in SQL."""
-    from .operators.maxent import (maxent_beam_decode, maxent_best_outcome,
-                                   maxent_sums)
+    from .operators.maxent import (maxent_beam_decode,
+                                   maxent_beam_spans,
+                                   maxent_best_outcome, maxent_sums)
     from .operators.ner_nb import (chunk_features, ner_nb_label,
                                    ner_nb_scores, train_ner_classifier)
     docs = _t(spark, sf_dir, "documents")
@@ -1256,6 +1257,16 @@ def q_ner_trainable(spark, sf_dir):
     base = base.withColumn("_btoks", btoks)
     bdec = maxent_beam_decode(F.col("_btoks"), bm, beam=3, validate=True)
     base = base.withColumn("_bdec", bdec)
+    spans = maxent_beam_spans(F.col("_btoks"), bm, beam=3,
+                              validate=True)
+    base = base.withColumn(
+        "_bspans",
+        F.array_join(F.transform(
+            spans,
+            lambda s: F.concat(s["type"], F.lit(":"),
+                               s["start"].cast("string"), F.lit("-"),
+                               s["end"].cast("string"), F.lit("="),
+                               s["text"])), "|"))
     return base.select(
         "doc_id", "chunk", "label",
         ner_nb_label(F.col("chunk"), m).alias("pred"),
@@ -1267,7 +1278,8 @@ def q_ner_trainable(spark, sf_dir):
         (F.try_element_at(mx_sums, F.lit("PERSON")) + F.lit(0.0))
         .alias("mx_sper"),
         F.concat_ws(" ", F.col("_bdec")["tags"]).alias("beam_tags"),
-        (F.col("_bdec")["sc"] + F.lit(0.0)).alias("beam_sc"))
+        (F.col("_bdec")["sc"] + F.lit(0.0)).alias("beam_sc"),
+        F.col("_bspans").alias("beam_spans"))
 
 
 # lexicon-segmentation gate fixture: real zh words with overlapping
@@ -4295,6 +4307,52 @@ h{p}t AS (
     tags = " || ' ' || ".join(
         f"({names})[CAST(substr(labs, {p}, 1) AS INT) + 1]"
         for p in range(1, 5))
+    # span walk (maxent_beam_spans): unrolled over the 4 positions,
+    # carrying (serialized spans, live type, live 1-based start); the
+    # serialization 'type:start-end=text' matches the Spark column
+    span_steps = []
+    for p in range(1, 5):
+        tg = f"tg{p}"
+        is_start = f"({tg} LIKE '%-start')"
+        is_cont = f"({tg} LIKE '%-cont')"
+        s_typ = f"substr({tg}, 1, length({tg}) - 6)"
+        c_typ = f"substr({tg}, 1, length({tg}) - 5)"
+        closed = (
+            "CASE WHEN cur IS NULL THEN txt ELSE txt || "
+            "(CASE WHEN txt = '' THEN '' ELSE '|' END) || cur || ':' "
+            f"|| CAST(cs - 1 AS VARCHAR) || '-' || "
+            f"CAST({p} - 1 AS VARCHAR) || '=' || "
+            f"array_to_string(tk[cs:{p} - 1], ' ') END")
+        keep_cont = f"({is_cont} AND cur IS NOT NULL AND cur = {c_typ})"
+        span_steps.append(f"""bs{p} AS (
+  SELECT doc_id, labs, tk, tg1, tg2, tg3, tg4,
+         CASE WHEN {keep_cont} THEN txt ELSE {closed} END AS txt,
+         CASE WHEN {is_start} THEN {s_typ}
+              WHEN {keep_cont} THEN cur
+              WHEN {is_cont} THEN {c_typ}
+              ELSE NULL END AS cur,
+         CASE WHEN {is_start} THEN {p}
+              WHEN {keep_cont} THEN cs
+              WHEN {is_cont} THEN {p}
+              ELSE 0 END AS cs
+  FROM bs{p - 1})""")
+    tg_cols = ", ".join(
+        f"({names})[CAST(substr(b.labs, {p}, 1) AS INT) + 1] AS tg{p}"
+        for p in range(1, 5))
+    span_sql = f"""bs0 AS (
+  SELECT b.doc_id, b.labs, t.tk, {tg_cols},
+         '' AS txt, CAST(NULL AS VARCHAR) AS cur, 0 AS cs
+  FROM beam b JOIN btoks t ON t.doc_id = b.doc_id),
+{','.join(span_steps)},
+bspan AS (
+  SELECT doc_id,
+         CASE WHEN cur IS NULL THEN txt ELSE txt ||
+              (CASE WHEN txt = '' THEN '' ELSE '|' END) || cur || ':'
+              || CAST(cs - 1 AS VARCHAR) || '-' || '4' || '=' ||
+              array_to_string(tk[cs:4], ' ') END AS spans
+  FROM bs4
+),
+"""
     return f"""btoks AS (
   SELECT doc_id,
          CASE CAST(doc_id % 3 AS INT)
@@ -4340,12 +4398,12 @@ h1t AS (
 ),
 {','.join(steps)},
 beam AS (
-  SELECT doc_id, {tags} AS tags, sc
+  SELECT doc_id, labs, {tags} AS tags, sc
   FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                                      ORDER BY sc DESC, labs ASC) AS rn
         FROM h4t) WHERE rn = 1
 ),
-"""
+{span_sql}"""
 
 
 ORACLES["ner_trainable"] = ORACLES["ner_trainable"].replace(
@@ -4357,9 +4415,11 @@ FROM base b""",
     """       max(m.mx_pred) AS mx_pred,
        max(m.s_p) + 0.0 AS mx_sper,
        max(bmm.tags) AS beam_tags,
-       max(bmm.sc) + 0.0 AS beam_sc
+       max(bmm.sc) + 0.0 AS beam_sc,
+       max(bsp.spans) AS beam_spans
 FROM base b
-JOIN beam bmm ON bmm.doc_id = b.doc_id""", 1)
+JOIN beam bmm ON bmm.doc_id = b.doc_id
+JOIN bspan bsp ON bsp.doc_id = b.doc_id""", 1)
 
 ORACLES["raw_feature_filter"] = """
 WITH m AS (

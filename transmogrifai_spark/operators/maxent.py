@@ -44,6 +44,7 @@ __all__ = ["load_opennlp_gis_model", "save_opennlp_gis_model",
            "load_opennlp_model_zip", "load_java_properties",
            "maxent_sums", "maxent_probs", "maxent_best_outcome",
            "ner_maxent_label", "maxent_beam_decode", "maxent_beam_tag",
+           "maxent_beam_spans", "maxent_beam_spans_py",
            "maxent_beam_tag_py", "maxent_beam_decode_py",
            "beam_token_features"]
 
@@ -693,6 +694,112 @@ def maxent_beam_tag(tokens: Column, model: dict, beam: int = 3,
     beam search — array<string> aligned with the input tokens; [] for
     NULL/empty input (``maxent_beam_decode``'s tags field)."""
     return maxent_beam_decode(tokens, model, beam, validate)["tags"]
+
+
+def maxent_beam_spans(tokens: Column, model: dict, beam: int = 3,
+                      validate: bool = True) -> Column:
+    """Typed entity SPANS from beam-decoded token tags — the
+    NameFinderME.find() output shape (opennlp Span[]): one struct per
+    mention with 0-based token ``start``, EXCLUSIVE ``end``, the
+    ``type`` (the outcome name minus its -start/-cont marker), and the
+    mention ``text`` (space-joined tokens). The walk is ONE aggregate
+    over positions on top of the decoded tag array: '-start' opens a
+    span (closing any live one), '-cont' extends a live span of the
+    SAME type, anything else closes. Returns
+    array<struct<type,start,end,text>>; [] for empty input."""
+    tags = maxent_beam_tag(tokens, model, beam, validate)
+    toks = F.coalesce(tokens, F.array().cast("array<string>"))
+
+    def with_both(ts: Column, tg: Column) -> Column:
+        n = F.size(tg)
+        pos = F.when(n > 0, F.sequence(F.lit(1), n)) \
+            .otherwise(F.array().cast("array<int>"))
+        init = F.struct(
+            F.array().cast(
+                "array<struct<type:string,start:int,end:int>>")
+            .alias("spans"),
+            F.lit(None).cast("string").alias("cur"),
+            F.lit(0).alias("cs"))
+
+        def step(acc: Column, i: Column) -> Column:
+            t = F.element_at(tg, i)
+            is_start = t.endswith("-start")
+            is_cont = t.endswith("-cont")
+            start_typ = F.substring(t, 1, F.length(t) - 6)
+            cont_typ = F.substring(t, 1, F.length(t) - 5)
+            # close the live span with end = i-1 (exclusive, 0-based)
+            spans_closed = F.when(
+                acc["cur"].isNull(), acc["spans"]) \
+                .otherwise(F.concat(acc["spans"], F.array(F.struct(
+                    acc["cur"].alias("type"),
+                    (acc["cs"] - 1).alias("start"),
+                    (i - 1).cast("int").alias("end")))))
+            return F.when(
+                is_start,
+                F.struct(spans_closed.alias("spans"),
+                         start_typ.alias("cur"),
+                         i.cast("int").alias("cs"))) \
+                .when(is_cont & acc["cur"].isNotNull() &
+                      (acc["cur"] == cont_typ), acc) \
+                .when(is_cont,  # cont without a matching live span:
+                      # NameFinderME treats it as opening a mention
+                      # (decoding without the validator can emit it)
+                      F.struct(spans_closed.alias("spans"),
+                               cont_typ.alias("cur"),
+                               i.cast("int").alias("cs"))) \
+                .otherwise(F.struct(spans_closed.alias("spans"),
+                                    F.lit(None).cast("string")
+                                    .alias("cur"),
+                                    F.lit(0).alias("cs")))
+
+        fin = F.aggregate(pos, init, step)
+        all_spans = F.when(
+            fin["cur"].isNull(), fin["spans"]) \
+            .otherwise(F.concat(fin["spans"], F.array(F.struct(
+                fin["cur"].alias("type"),
+                (fin["cs"] - 1).alias("start"),
+                n.cast("int").alias("end")))))
+        return F.transform(
+            all_spans,
+            lambda s: F.struct(
+                s["type"].alias("type"), s["start"].alias("start"),
+                s["end"].alias("end"),
+                F.array_join(F.slice(ts, s["start"] + 1,
+                                     s["end"] - s["start"]), " ")
+                .alias("text")))
+
+    out = F.get(F.transform(
+        F.array(F.struct(toks.alias("ts"), tags.alias("tg"))),
+        lambda p: with_both(p["ts"], p["tg"])), 0)
+    return out
+
+
+def maxent_beam_spans_py(tokens, model: dict, beam: int = 3,
+                         validate: bool = True):
+    """Pure-Python mirror of ``maxent_beam_spans``."""
+    tags = maxent_beam_tag_py(tokens, model, beam, validate)
+    spans = []
+    cur, cs = None, 0
+    for i, t in enumerate(tags):
+        if t.endswith("-start"):
+            if cur is not None:
+                spans.append((cur, cs, i))
+            cur, cs = t[:-6], i
+        elif t.endswith("-cont"):
+            typ = t[:-5]
+            if cur == typ:
+                continue
+            if cur is not None:
+                spans.append((cur, cs, i))
+            cur, cs = typ, i
+        else:
+            if cur is not None:
+                spans.append((cur, cs, i))
+            cur = None
+    if cur is not None:
+        spans.append((cur, cs, len(tags)))
+    return [{"type": ty, "start": s, "end": e,
+             "text": " ".join(tokens[s:e])} for ty, s, e in spans]
 
 
 def maxent_beam_tag_py(tokens, model: dict, beam: int = 3,
