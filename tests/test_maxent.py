@@ -436,3 +436,28 @@ def test_beam_spans_cont_without_start_opens(spark):
     assert got == maxent_beam_spans_py(toks, m, validate=False)
     assert got == [{"type": "person", "start": 0, "end": 1,
                     "text": "Smith"}]
+
+
+def test_ner_find_end_to_end(spark, tmp_path):
+    """Document-level TokenNameFinder over a zip-packaged model: text
+    -> case-preserving tokens -> beam -> typed spans."""
+    import zipfile
+
+    from transmogrifai_spark.operators.maxent import (
+        load_opennlp_model_zip, ner_find, save_opennlp_gis_model_bin)
+    bp = tmp_path / "m.gis"
+    save_opennlp_gis_model_bin(_beam_fix_model(), str(bp))
+    zp = tmp_path / "person-model.bin"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("manifest.properties", "Language=en\n")
+        zf.writestr("m.model", open(bp, "rb").read())
+    model = load_opennlp_model_zip(str(zp))
+    df = spark.createDataFrame(
+        [(1, "Alice Smith went to Paris"), (2, "went to"), (3, None)],
+        "i long, t string")
+    got = {r["i"]: [x.asDict() for x in r["entities"]] for r in
+           ner_find(df, "t", model).select("i", "entities").collect()}
+    assert got[1] == [
+        {"type": "person", "start": 0, "end": 2, "text": "Alice Smith"},
+        {"type": "location", "start": 4, "end": 5, "text": "Paris"}]
+    assert got[2] == [] and got[3] == []

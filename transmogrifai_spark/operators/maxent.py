@@ -44,7 +44,7 @@ __all__ = ["load_opennlp_gis_model", "save_opennlp_gis_model",
            "load_opennlp_model_zip", "load_java_properties",
            "maxent_sums", "maxent_probs", "maxent_best_outcome",
            "ner_maxent_label", "maxent_beam_decode", "maxent_beam_tag",
-           "maxent_beam_spans", "maxent_beam_spans_py",
+           "maxent_beam_spans", "maxent_beam_spans_py", "ner_find",
            "maxent_beam_tag_py", "maxent_beam_decode_py",
            "beam_token_features"]
 
@@ -772,6 +772,23 @@ def maxent_beam_spans(tokens: Column, model: dict, beam: int = 3,
         F.array(F.struct(toks.alias("ts"), tags.alias("tg"))),
         lambda p: with_both(p["ts"], p["tg"])), 0)
     return out
+
+
+def ner_find(df, text_col: str, model: dict, id_col: str | None = None,
+             beam: int = 3, validate: bool = True,
+             out_col: str = "entities"):
+    """Document-level TokenNameFinder: case-preserving tokenization ->
+    width-``beam`` decoding -> typed spans (``maxent_beam_spans``) —
+    the end-user surface over a GIS model loaded from any of the three
+    public formats (plain text, binary, .bin zip archive). Case is
+    preserved because the documented feature set reads token shape
+    (wc=) and raw context (w=/pw=/nw=). ``id_col`` is unused (the span
+    walk is per-row) and accepted for signature symmetry with the
+    df-form operators."""
+    from ..functions.text import tokenize
+    toks = tokenize(F.col(text_col), to_lowercase=False)
+    return df.withColumn(out_col,
+                         maxent_beam_spans(toks, model, beam, validate))
 
 
 def maxent_beam_spans_py(tokens, model: dict, beam: int = 3,
