@@ -124,6 +124,24 @@ def main() -> None:
                    AggSpec("max_order", "o_totalprice", "max")])
         return ja.generate(spark)
 
+    # fixed-cost calibration probe (r12, VERDICT r11 #6): a constant
+    # 100M-row codegen hash-sum whose cost depends only on the box, not
+    # the engine — BENCH totals are only comparable across rounds after
+    # normalizing by this (r11's +22% "regression" was pure machine
+    # load, proven by an A/B of the r10 commit on the same box). Taken
+    # once after warm-up and once after the full sweep so within-run
+    # drift (page cache, thermal, co-tenant load) is visible too.
+    def calibrate() -> float:
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(0, 100_000_000, 1, CPUS).select(
+                F.expr("bit_xor(xxhash64(id))")).collect()
+            samples.append(round(time.time() - t0, 3))
+        return sorted(samples)[1]
+
+    calibration: dict[str, float] = {"start": calibrate()}
+
     runners = dict(SPARK_QUERIES)
     runners["dedup_near_ngram_capped"] = near_ngram_capped
     runners["similarity_topk"] = brute_topk
@@ -311,6 +329,18 @@ def main() -> None:
                                    id_col="doc_id")
             return out.select(F.sum(F.size("pieces")).alias("n"))
 
+        def ts_unigram_df(spark, sf_dir):
+            # the distinct-WORD form (r12): Viterbi once per word TYPE
+            # — the wordpiece_tokenize_df economics on the unigram path
+            from transmogrifai_spark.llm.tokenizer import \
+                unigram_tokenize_df
+            docs = load_table(spark, sf_dir, "documents")
+            vocab_df = spark.createDataFrame(sp_rows,
+                                             "piece string, cost double")
+            out = unigram_tokenize_df(docs, "text", vocab_df,
+                                      id_col="doc_id")
+            return out.select(F.sum(F.size("pieces")).alias("n"))
+
         def ts_lexjoin(spark, sf_dir):
             docs = load_table(spark, sf_dir, "documents")
             lex_df = spark.createDataFrame(
@@ -322,6 +352,7 @@ def main() -> None:
         for name, fn in (("wordpiece_tokenize", ts_wordpiece),
                          ("wordpiece_tokenize_df", ts_wordpiece_df),
                          ("unigram_tokenize", ts_unigram),
+                         ("unigram_tokenize_df", ts_unigram_df),
                          ("lexicon_segment_join", ts_lexjoin),
                          ("snowball_stem", ts_snowball),
                          ("snowball_stem_df", ts_snowball_df),
@@ -334,6 +365,8 @@ def main() -> None:
             text_scale[name] = sorted(samples)[len(samples) // 2]
     except Exception as e:
         print(f"bench error in text_scale: {e}", file=sys.stderr)
+
+    calibration["end"] = calibrate()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -349,6 +382,9 @@ def main() -> None:
         "queries_registry_form": registry_times,
         "text_scale": text_scale,
         "phases": phases,
+        # box-speed normalizer: divide cross-round totals by the ratio
+        # of calibration medians before reading a delta as real
+        "calibration": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
     }))
     spark.stop()

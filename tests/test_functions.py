@@ -612,3 +612,102 @@ def test_analyze_df_equals_analyze(spark):
                analyze_df(df, "t", lang, "i")
                .select("i", "tokens").collect()}
         assert via == direct, lang
+
+
+def test_analyze_df_null_and_duplicate_id_raise(spark):
+    """analyze_df rides distinct_element_transform's join-back, so its
+    NULL/duplicate id guard applies: a NULL id on a token-bearing row
+    and duplicate ids both raise instead of silently mis-answering
+    (VERDICT r11 'What's wrong' #1)."""
+    import pytest
+    from transmogrifai_spark.functions.text import analyze_df
+    df = spark.createDataFrame([(1, "as casas"), (None, "os gatos")],
+                               "i long, t string")
+    with pytest.raises(Exception, match="NULL in id_col"):
+        analyze_df(df, "t", "pt", "i").collect()
+    dup = spark.createDataFrame([(1, "as casas"), (1, "os gatos")],
+                                "i long, t string")
+    with pytest.raises(Exception, match="duplicate values in id_col"):
+        analyze_df(dup, "t", "pt", "i").collect()
+    # NULL id on a token-free row stays allowed
+    ok = spark.createDataFrame([(None, ""), (None, None), (2, "casas")],
+                               "i long, t string")
+    got = {r["i"]: r["tokens"] for r in
+           analyze_df(ok, "t", "pt", "i").select("i", "tokens").collect()}
+    from transmogrifai_spark.functions.text import analyze
+    direct = ok.select(analyze(F.col("t"), "pt").alias("a")) \
+        .where(F.col("t") == "casas").first()["a"]
+    assert got[None] == [] and got[2] == direct
+
+
+def test_analyze_auto_df_equals_analyze_auto(spark):
+    """analyze_auto_df (type-level stemming per (language, token)
+    pair) tokenizes exactly like analyze_auto across routed languages
+    (en -> Porter, de/ru -> full Snowball via the step backend,
+    el -> light chain, undetermined -> default, CJK -> bigram route)
+    and empty/NULL rows."""
+    from transmogrifai_spark.functions.text import (analyze_auto,
+                                                    analyze_auto_df)
+    rows = [
+        (1, "the cats are running in the garden with the dogs"),
+        (2, "der hund und die katze sind mit einem ball im garten"),
+        (3, "xyzzy plugh qwerty"),
+        (4, ""), (5, None),
+        (6, "это книги и женщины на собрании в городе"),
+        (7, "中国人民銀行"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    direct = {r["i"]: (r["a"] or []) for r in
+              df.select("i", analyze_auto(F.col("t")).alias("a"))
+              .collect()}
+    via = {r["i"]: (r["tokens"] or []) for r in
+           analyze_auto_df(df, "t", "i").select("i", "tokens")
+           .collect()}
+    assert via == direct
+    # stem=False short-circuit equals analyze_auto's pre-stem shape...
+    nostem = {r["i"]: (r["tokens"] or []) for r in
+              analyze_auto_df(df, "t", "i", stem=False)
+              .select("i", "tokens").collect()}
+    pre = {r["i"]: (r["a"] or []) for r in
+           df.select("i", analyze_auto(F.col("t"), stem=False)
+                     .alias("a")).collect()}
+    assert nostem == pre
+
+
+def test_analyze_auto_df_id_guards(spark):
+    """NULL ids on machinery token-bearing rows raise; duplicate ids
+    with DIFFERENT texts regroup independently via the (id,
+    text-hash) key and stay CORRECT; exact-duplicate (id, text) rows
+    raise; a NULL id on a CJK-routed row skips the machinery and
+    stays allowed."""
+    import pytest
+    from transmogrifai_spark.functions.text import (analyze,
+                                                    analyze_auto_df)
+    df = spark.createDataFrame(
+        [(1, "the cats are running"), (None, "the dogs were seen")],
+        "i long, t string")
+    with pytest.raises(Exception, match="NULL in id_col"):
+        analyze_auto_df(df, "t", "i").collect()
+    # duplicate ids, different texts: each row keeps ITS OWN tokens
+    dup = spark.createDataFrame(
+        [(1, "the cats are running"), (1, "der hund und die katze")],
+        "i long, t string")
+    got = sorted(list(r["tokens"]) for r in
+                 analyze_auto_df(dup, "t", "i").collect())
+    want_en = dup.where(F.col("t").startswith("the")).select(
+        analyze(F.col("t"), "en").alias("a")).first()["a"]
+    want_de = dup.where(~F.col("t").startswith("the")).select(
+        analyze(F.col("t"), "de").alias("a")).first()["a"]
+    assert got == sorted([list(want_en), list(want_de)])
+    # exact-duplicate (id, text) rows would interleave: raise
+    xdup = spark.createDataFrame(
+        [(1, "the cats are running"), (1, "the cats are running")],
+        "i long, t string")
+    with pytest.raises(Exception, match="duplicate \\(id, text\\)"):
+        analyze_auto_df(xdup, "t", "i").collect()
+    ok = spark.createDataFrame([(None, "中国人民銀行"), (2, "the cats")],
+                               "i long, t string")
+    got = {r["i"]: r["tokens"] for r in
+           analyze_auto_df(ok, "t", "i").select("i", "tokens")
+           .collect()}
+    assert got[None] and got[2]

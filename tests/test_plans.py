@@ -113,3 +113,26 @@ def test_rank_windows_are_partitioned(spark, sf_dir):
                 # count top-level bracket groups after the expr list
                 assert re.search(r"\], \[[^\]]*\], \[", line), (
                     "global (unpartitioned) window found:\n" + line)
+
+
+def test_unigram_df_plan_broadcasts_vocab_and_keys_on_ids(spark, sf_dir):
+    """unigram_tokenize_df's plan must (1) join the vocabulary with a
+    BROADCAST hash join (the dictionary is the small side — a shuffled
+    join would move the candidate stream), (2) contain no Python UDF,
+    and (3) never shuffle on the document text — exchanges key on the
+    word/text values of the DISTINCT word stream and on the id column
+    only."""
+    from transmogrifai_spark.llm.tokenizer import unigram_tokenize_df
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = spark.createDataFrame(
+        [("▁the", 1.0), ("▁a", 2.0), ("a", 2.5), ("t", 3.0),
+         ("h", 3.0), ("e", 3.0), ("▁", 1.5)],
+        "piece string, cost double")
+    out = unigram_tokenize_df(docs, "text", vocab, id_col="doc_id")
+    plan = _formatted(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no exchange partitions on the raw document text column
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln

@@ -239,6 +239,25 @@ def test_spark_sql_text_backend_matches_mirror(spark, lang):
     assert got == {w: snowball_stem_py(w, lang) for w in words}
 
 
+@pytest.mark.parametrize("lang", sorted(_PINNED))
+def test_step_backend_matches_mirror(spark, lang):
+    """The STEP backend (snowball_spark_steps — the r12 driver-gate
+    path: chain of small parsed step/chunk expressions applied as
+    withColumn projections) stems exactly like the mirror — fifth
+    backend, same rule tables."""
+    from transmogrifai_spark.functions.snowball import \
+        snowball_spark_steps
+    words = [w for w, _ in _PINNED[lang]] + ["", "x", "qq"]
+    steps, fin = snowball_spark_steps(lang)
+    df = spark.createDataFrame([(w,) for w in words], "w string") \
+        .withColumn("w0", F.col("w"))
+    for name, val in steps:
+        df = df.withColumn(name, F.expr(val))
+    got = {r["w"]: r["s"] for r in
+           df.selectExpr("w", f"({fin}) AS s").collect()}
+    assert got == {w: snowball_stem_py(w, lang) for w in words}
+
+
 def test_expression_null_passthrough(spark):
     df = spark.createDataFrame([(None,), ("",)], "w string")
     for lang in sorted(_PINNED):
@@ -420,3 +439,35 @@ def test_distinct_element_transform_equals_direct(spark):
     # to [] (documented) — compare with that normalization
     direct = {k: (v if v is not None else []) for k, v in direct.items()}
     assert via == direct
+
+
+def test_distinct_element_transform_null_id_raises(spark):
+    """A NULL id with a non-empty array can never equi-join its
+    regrouped result back — the guard raises instead of silently
+    returning array() (VERDICT r11 'What's wrong' #1)."""
+    import pytest
+    from transmogrifai_spark.util import distinct_element_transform
+    fn = lambda t: snowball_stem(t, "pt")
+    df = spark.createDataFrame([(1, ["casas"]), (None, ["gatos"])],
+                               "i long, a array<string>")
+    out = distinct_element_transform(df, "a", fn, "i", "o")
+    with pytest.raises(Exception, match="NULL in id_col"):
+        out.collect()
+    # NULL id with an EMPTY/NULL array is harmless and stays allowed
+    ok = spark.createDataFrame([(None, []), (None, None), (2, ["comeu"])],
+                               "i long, a array<string>")
+    got = {r["i"]: r["o"] for r in distinct_element_transform(
+        ok, "a", fn, "i", "o").collect()}
+    assert got[None] == [] and got[2] == ["com"]
+
+
+def test_distinct_element_transform_duplicate_id_raises(spark):
+    """Duplicate ids merge arrays across rows in the regroup — the
+    size mismatch between input and output fails loudly."""
+    import pytest
+    from transmogrifai_spark.util import distinct_element_transform
+    fn = lambda t: snowball_stem(t, "pt")
+    df = spark.createDataFrame([(1, ["casas"]), (1, ["gatos", "comeu"])],
+                               "i long, a array<string>")
+    with pytest.raises(Exception, match="duplicate values in id_col"):
+        distinct_element_transform(df, "a", fn, "i", "o").collect()

@@ -127,3 +127,55 @@ def test_unigram_ids(spark, vocab):
     # ▁the ▁ z q -> [id(▁the), id(▁), 0, 0]
     assert out[1]["piece_ids"] == [vmap[_ + "the"], vmap[_], 0, 0]
     assert out[2]["piece_ids"] == []
+
+
+def test_df_form_equals_column_form(spark, vocab):
+    """Law: unigram_tokenize_df (distinct-WORD Viterbi) is
+    piece-equal to unigram_tokenize (whole-text Viterbi) — the ▁
+    boundary-forcing decomposition — across multi-space runs, unknown
+    chars, literal ▁ input, and empty/NULL rows."""
+    from transmogrifai_spark.llm.tokenizer import unigram_tokenize_df
+    texts = ["the   themes", "them quick", "quick themes the",
+             "mes mes", "e m th", "the zq", "x" + _ + "y", _ + _,
+             " ", "", None, "themes"]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, t string")
+    via = {r["i"]: r["pieces"] for r in
+           unigram_tokenize_df(df, "t", vocab, id_col="i").collect()}
+    direct = {r["i"]: r["pieces"] for r in
+              unigram_tokenize(df, "t", vocab, id_col="i").collect()}
+    assert via == direct
+
+
+def test_df_form_internal_space_vocab_falls_back(spark):
+    """A vocab with an internal-▁ piece (split_by_whitespace=false
+    training) breaks the per-word decomposition — the df form detects
+    it with one bounded probe and routes to the whole-text Viterbi,
+    where the cross-word piece CAN win."""
+    from transmogrifai_spark.llm.tokenizer import unigram_tokenize_df
+    rows = ([(_ + c, 5.0) for c in "ofthe"] + [(c, 5.5) for c in "ofthe"]
+            + [(_ + "of" + _ + "the", 1.0)])
+    vocab = spark.createDataFrame(rows, "piece string, cost double")
+    df = spark.createDataFrame([(1, "of the")], "i long, t string")
+    got = unigram_tokenize_df(df, "t", vocab, id_col="i") \
+        .head()["pieces"]
+    assert got == [_ + "of" + _ + "the"]
+
+
+def test_df_form_null_or_duplicate_id_raises(spark, vocab):
+    """The regroup join key must be non-null and unique — NULL ids on
+    word-bearing rows and duplicate ids raise instead of silently
+    mis-answering (the lexicon_segment_join guard)."""
+    from transmogrifai_spark.llm.tokenizer import unigram_tokenize_df
+    df = spark.createDataFrame([(1, "the"), (None, "quick")],
+                               "i long, t string")
+    with pytest.raises(Exception, match="NULL in id_col"):
+        unigram_tokenize_df(df, "t", vocab, id_col="i").collect()
+    dup = spark.createDataFrame([(1, "the"), (1, "quick")],
+                                "i long, t string")
+    with pytest.raises(Exception, match="duplicate values in id_col"):
+        unigram_tokenize_df(dup, "t", vocab, id_col="i").collect()
+    ok = spark.createDataFrame([(None, ""), (None, None), (2, "the")],
+                               "i long, t string")
+    got = {r["i"]: r["pieces"] for r in
+           unigram_tokenize_df(ok, "t", vocab, id_col="i").collect()}
+    assert got[None] == [] and got[2] == [_ + "the"]

@@ -117,3 +117,25 @@ def test_df_form_empty_and_null_rows(spark, wp):
            .select("i", "pieces").collect()}
     assert got[1] == [] and got[2] == []
     assert got[3] == ["the", "fox"]
+
+
+def test_df_form_null_or_duplicate_id_raises(spark, wp):
+    """The regroup join key must be non-null and unique: a NULL id
+    raises (instead of silently tokenizing to []), and duplicate ids
+    raise (instead of silently merging piece lists across rows)."""
+    import pytest
+    from transmogrifai_spark.llm.tokenizer import wordpiece_tokenize_df
+    df = spark.createDataFrame([(1, "the fox"), (None, "the dog")],
+                               "i long, t string")
+    with pytest.raises(Exception, match="NULL in id_col"):
+        wordpiece_tokenize_df(df, "t", wp, "i").collect()
+    dup = spark.createDataFrame([(1, "the fox"), (1, "the dog ran")],
+                                "i long, t string")
+    with pytest.raises(Exception, match="duplicate values in id_col"):
+        wordpiece_tokenize_df(dup, "t", wp, "i").collect()
+    # NULL id on a wordless text stays allowed
+    ok = spark.createDataFrame([(None, ""), (2, "the fox")],
+                               "i long, t string")
+    got = {r["i"]: r["pieces"] for r in
+           wordpiece_tokenize_df(ok, "t", wp, "i").collect()}
+    assert got[None] == [] and got[2] == ["the", "fox"]

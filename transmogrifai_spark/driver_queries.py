@@ -826,45 +826,24 @@ def _sb_word_spark_sql(roots, tails):
             f"AS INT)))")
 
 
-# stemmer Columns are pure unresolved expression trees over doc_id —
-# JVM-lifetime valid, so the 1-4 s py4j build per language is paid
-# once per process however many times the gate runs
-_SB_COL_CACHE: dict = {}
+# stemmer step chains (snowball_spark_steps) are pure Python text —
+# built in milliseconds for all 13 languages, cached per process. r12:
+# this replaced the Column-tree build, whose 1-10 s of py4j round
+# trips per language were ~44 s of every gate round (the r11 VERDICT's
+# gate-budget finding); the step form parses as many SMALL F.expr
+# texts (linear ANTLR cost, bounded DFA retention — the one-big-parse
+# form measured ~300 MB retained for ru alone), same values by the
+# backend law tests
+_SB_STEP_CACHE: dict = {}
 
 
-def _sb_lang_cols(lg: str):
-    """(word, stem) Columns for one gate language, built once per
-    process (unresolved expression trees are JVM-lifetime valid, so
-    the 1-7 s py4j build per language is paid once however many times
-    the gate runs)."""
-    if lg in _SB_COL_CACHE:
-        return _SB_COL_CACHE[lg]
-    from .functions.snowball import snowball_stem
-    roots, tails = next((r, t) for lang, r, t in _SB_FIXTURES
-                        if lang == lg)
-    root = F.element_at(
-        F.array(*[F.lit(r) for r in roots]),
-        (F.col("doc_id") % len(roots) + 1).cast("int"))
-    tail = F.element_at(
-        F.array(*[F.lit(t) for t in tails]),
-        (F.floor(F.col("doc_id") / len(roots)).cast("long")
-         % len(tails) + 1).cast("int"))
-    w = F.concat(root, tail)
-    _SB_COL_CACHE[lg] = (w, snowball_stem(w, lg))
-    return _SB_COL_CACHE[lg]
-
-
-def _sb_stem_cols():
-    # py4j releases the GIL around gateway IO, so the Column
-    # construction across thirteen languages parallelizes well;
-    # trees are pure JVM objects, thread-safe
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=13) as ex:
-        for lg, cols in zip(
-                [f[0] for f in _SB_FIXTURES],
-                ex.map(_sb_lang_cols, [f[0] for f in _SB_FIXTURES])):
-            pass
-    return dict(_SB_COL_CACHE)
+def _sb_lang_steps(lg: str):
+    """(steps, final_expr) for one gate language — see
+    functions.snowball.snowball_spark_steps."""
+    if lg not in _SB_STEP_CACHE:
+        from .functions.snowball import snowball_spark_steps
+        _SB_STEP_CACHE[lg] = snowball_spark_steps(lg)
+    return _SB_STEP_CACHE[lg]
 
 
 # WordPiece gate fixture: a vocab with ## continuations + words that
@@ -942,18 +921,20 @@ def q_stopwords_ngrams(spark, sf_dir):
              % len(_WP_TAILS) + 1).cast("int")))
     # Each language runs as its OWN small job whose 3-column result is
     # snapshotted driver-side and local-joined back, built with the
-    # COLUMN backend and evaluated INTERPRETED. Both choices are about
-    # a stock 1g driver surviving the whole 50-query sweep (driver_sim
-    # caught each failure mode in turn): (1) parsing the ~40-80 KB
-    # per-language Spark-SQL text through F.expr grows the ANTLR
-    # parser's STATIC DFA/prediction caches by ~40-70 MB per language
-    # — ~430 MB retained for the life of the JVM (measured; the
-    # snowball_spark_sql text form stays the right choice for
-    # long-lived user sessions, where the one-time parser warm-up
-    # amortizes, but a 1g gate sweep dies on it); Column trees build
-    # via py4j with ZERO parser-cache growth. (2) NO_CODEGEN skips
-    # Janino entirely — at 500-5000 fixture rows interpreted
-    # evaluation is instant and nothing lands in the codegen cache.
+    # STEP backend (r12) and evaluated INTERPRETED. Both choices are
+    # about a stock 1g driver surviving the whole 50-query sweep AND
+    # the r11 gate-budget finding (the sweep doubled to 75-90 s):
+    # (1) the step backend (snowball_spark_steps) assembles pure
+    # Python text in milliseconds and parses each step/chunk as a
+    # SMALL F.expr — neither the Column backend's 1-10 s of py4j
+    # round trips per language (~44 s of every gate round, measured)
+    # nor the one-big-parse snowball_spark_sql form's superlinear
+    # ANTLR cost and STATIC DFA-cache retention (40-70 MB per
+    # language, ~430 MB JVM-lifetime, measured r11 — a 1g gate sweep
+    # dies on it; small chunked parses retain a bounded fraction).
+    # (2) NO_CODEGEN skips Janino entirely — at 500-5000 fixture rows
+    # interpreted evaluation is instant and nothing lands in the
+    # codegen cache.
     _SB_SNAP_CAP = 20_000
     n_docs = docs.count()
     if n_docs > _SB_SNAP_CAP:
@@ -977,17 +958,23 @@ def q_stopwords_ngrams(spark, sf_dir):
         spark.conf.set(_wscg_key, "false")
 
         # the 13 per-language sub-jobs are independent tiny collects —
-        # each thread builds (or cache-hits) its language's Column
-        # trees and immediately runs its snapshot job, so construction
-        # and evaluation overlap across languages instead of running
-        # as two barriers; order of the local joins is pinned by the
-        # fixture list
+        # each builds its stemmer as a chain of SMALL parsed step
+        # expressions (snowball_spark_steps, r12: replaced the 1-10 s
+        # py4j Column build per language) applied as withColumn
+        # projections, then runs its snapshot job; threads overlap the
+        # parse/analyze with evaluation across languages; order of the
+        # local joins is pinned by the fixture list
         def snap_one(lg):
-            word_col, stem_col = _sb_lang_cols(lg)
-            lg_df = docs.select(
+            steps, fin = _sb_lang_steps(lg)
+            roots, tails = next((r, t) for lang, r, t in _SB_FIXTURES
+                                if lang == lg)
+            lg_df = docs.selectExpr(
                 "doc_id",
-                word_col.alias(f"sb_{lg}_word"),
-                stem_col.alias(f"sb_{lg}"))
+                f"{_sb_word_spark_sql(roots, tails)} AS w0")
+            for name, val in steps:
+                lg_df = lg_df.withColumn(name, F.expr(val))
+            lg_df = lg_df.selectExpr(
+                "doc_id", f"w0 AS sb_{lg}_word", f"({fin}) AS sb_{lg}")
             return spark.createDataFrame(lg_df.collect(), lg_df.schema)
 
         from concurrent.futures import ThreadPoolExecutor
@@ -1299,6 +1286,18 @@ _SEG_CONN = {("BOS", "PRON"): 0.0, ("BOS", "N"): 0.11, ("PRON", "V"): 0.0,
              ("V", "N"): 0.19, ("N", "N"): 0.79, ("N", "PART"): 0.13,
              ("PART", "N"): 0.29, ("N", "UNK"): 0.17, ("UNK", "N"): 0.23,
              ("N", "EOS"): 0.0, ("UNK", "EOS"): 0.07}
+# SentencePiece-unigram df-form gate fixture (r12): ambiguous 1-3-char
+# pieces over {a,b} so least-cost genuinely beats greedy ("▁ab" vs
+# "▁a"+"b" vs "▁"+"ab"), ▁-only and ▁-prefixed boundary pieces, costs
+# spaced >= 0.1 so path sums never near-tie across the per-word /
+# whole-text float offsets; max piece length 3 chars matches the
+# oracle dp's window. No piece has an internal ▁ — the precondition
+# for unigram_tokenize_df's per-word decomposition
+_UG_WORDS = ["aba", "ab", "ba", "a", "b", "bb", "aab", "bba"]
+_UG_VOCAB = [("▁a", 1.2), ("▁ab", 2.0), ("a", 1.1),
+             ("b", 1.3), ("ab", 1.9), ("ba", 1.8), ("▁b", 2.2),
+             ("▁", 1.0), ("aa", 2.4), ("bb", 2.6)]
+_UG_UNK = 12.6  # max(cost) + 10 — the spm unknown-fallback convention
 
 
 def q_lexicon_segment(spark, sf_dir):
@@ -1330,7 +1329,20 @@ def q_lexicon_segment(spark, sf_dir):
     Kuromoji-size dictionaries where a plan-literal map would be
     multi-MB). Same answer as 'plain' by construction, so the oracle
     emits its recursive-CTE replica under both labels — the join form's
-    arc mining, grouping, and arc-dp all sit in the hash gate."""
+    arc mining, grouping, and arc-dp all sit in the hash gate.
+
+    part='unigram' (r12): the DISTINCT-WORD SentencePiece-unigram form
+    (llm/tokenizer.unigram_tokenize_df — whitespace pre-tokenize into
+    ▁-prefixed words, Viterbi once per word TYPE via the join
+    segmenter's text-value dedup, ordered regroup per doc). Texts are
+    two-word concatenations over an ambiguous {a,b} piece vocabulary
+    with ▁ boundary pieces; every 5th doc gets an in-word unknown char
+    and every 7th a whole unknown word (the max(cost)+10 fallback).
+    The oracle replays the WHOLE-TEXT dp over the ▁-marked string with
+    the same recursive-CTE replica — the df form equals it by the ▁
+    boundary-forcing decomposition (no internal-▁ pieces in the
+    fixture vocab), so the gate pins the decomposition itself, not
+    just the shared dp."""
     from .functions.text import lexicon_segment, lexicon_segment_lattice
     from .operators.segmentation import lexicon_segment_join
     docs = _t(spark, sf_dir, "documents")
@@ -1363,7 +1375,28 @@ def q_lexicon_segment(spark, sf_dir):
     join_part = jtoks.select(F.lit("join").alias("part"), "doc_id",
                              F.posexplode("_t").alias("tok_idx", "token")) \
         .withColumn("cls", F.lit(None).cast("string"))
+    from .llm.tokenizer import unigram_tokenize_df
+    uarr = F.array(*[F.lit(w) for w in _UG_WORDS])
+    utext = F.concat(
+        F.element_at(uarr, (F.col("doc_id") % 8 + 1).cast("int")),
+        F.lit(" "),
+        F.element_at(uarr,
+                     (F.floor(F.col("doc_id") / 8) % 8 + 1).cast("int")))
+    utext = F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(utext, F.lit("z"))).otherwise(utext)
+    utext = F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(utext, F.lit(" z"))).otherwise(utext)
+    uvocab = spark.createDataFrame(
+        [(p, float(c)) for p, c in _UG_VOCAB],
+        "piece string, cost double")
+    useg = unigram_tokenize_df(
+        docs.select("doc_id", utext.alias("_u")), "_u", uvocab,
+        id_col="doc_id", out_col="_t", unknown_cost=_UG_UNK)
+    uni_part = useg.select(F.lit("unigram").alias("part"), "doc_id",
+                           F.posexplode("_t").alias("tok_idx", "token")) \
+        .withColumn("cls", F.lit(None).cast("string"))
     return plain.unionByName(lattice).unionByName(join_part) \
+        .unionByName(uni_part) \
         .select("doc_id", "part", "tok_idx", "token", "cls")
 
 
@@ -3957,6 +3990,61 @@ bt AS (
                       toks)
   FROM bt WHERE pos > 0
 ),
+-- SentencePiece-unigram replica (unigram_tokenize_df): the WHOLE-TEXT
+-- dp over the ▁-marked string (the engine runs the per-word
+-- decomposition, equal by ▁ boundary forcing); same (cost, bp) tie
+-- rule, unknown single chars at max(cost)+10 = 12.6. The fixture
+-- texts have single internal spaces only, so _spm_pretokenize's
+-- squeeze/trim are identity and the marking is one replace
+ut AS (
+  SELECT doc_id,
+         ({_sql_strs(_UG_WORDS)})[CAST(doc_id % 8 + 1 AS INT)]
+         || ' ' ||
+         ({_sql_strs(_UG_WORDS)})[CAST((doc_id // 8) % 8 + 1 AS INT)]
+         || CASE WHEN doc_id % 5 = 0 THEN 'z' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' z' ELSE '' END AS raw
+  FROM documents
+),
+um AS (
+  SELECT doc_id, '▁' || replace(raw, ' ', '▁') AS s FROM ut
+),
+udp AS (
+  SELECT doc_id, s, 0 AS j,
+         [struct_pack(cost := 0.0::DOUBLE, bp := CAST(-1 AS INT))] AS lat
+  FROM um
+  UNION ALL
+  SELECT doc_id, s, j + 1,
+         list_append(lat, (
+           list_sort(list_transform(
+             generate_series(CASE WHEN j - 2 > 0 THEN j - 2 ELSE 0 END, j),
+             i -> struct_pack(
+               cost := struct_extract(lat[CAST(i AS INT) + 1], 'cost')
+                       + COALESCE(
+                           map_extract(
+                             map({_sql_strs([p for p, _ in _UG_VOCAB])},
+                                 [{",".join(repr(c) + "::DOUBLE"
+                                            for _, c in _UG_VOCAB)}]),
+                             substr(s, CAST(i AS INT) + 1,
+                                    j + 1 - CAST(i AS INT)))[1],
+                           CASE WHEN j + 1 - i = 1
+                                THEN {_UG_UNK!r}::DOUBLE
+                                ELSE 1e18 END),
+               bp := CAST(i AS INT))))
+         )[1])
+  FROM udp WHERE j < length(s)
+),
+ufin AS (SELECT doc_id, s, lat FROM udp WHERE j = length(s)),
+ubt AS (
+  SELECT doc_id, s, lat, CAST(length(s) AS INT) AS pos,
+         []::VARCHAR[] AS toks
+  FROM ufin
+  UNION ALL
+  SELECT doc_id, s, lat, struct_extract(lat[pos + 1], 'bp'),
+         list_prepend(substr(s, struct_extract(lat[pos + 1], 'bp') + 1,
+                             pos - struct_extract(lat[pos + 1], 'bp')),
+                      toks)
+  FROM ubt WHERE pos > 0
+),
 -- FULL Kuromoji cost-model replica (lexicon_segment_lattice): dp over
 -- positions x classes; per (j, t) the candidate min runs over window
 -- words of class t AND prev classes (pc = dp + conn, arrive = wc + pc —
@@ -4043,6 +4131,12 @@ FROM (SELECT doc_id,
              unnest(toks) AS tok,
              unnest(generate_series(1, len(toks))) AS o
       FROM bt WHERE pos = 0)
+UNION ALL
+SELECT doc_id, 'unigram', CAST(o - 1 AS INT), tok, CAST(NULL AS VARCHAR)
+FROM (SELECT doc_id,
+             unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS o
+      FROM ubt WHERE pos = 0)
 """
 
 

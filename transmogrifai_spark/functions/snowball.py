@@ -371,6 +371,72 @@ class _SparkSqlB(_SqlB):
                 f"{var} -> {inner})[0]")
 
 
+class _SparkStepB(_SparkSqlB):
+    """Spark-SQL dialect with a STEP-PER-COLUMN bind: each plan step —
+    and, via ``subbind``, each ``_RULE_CHUNK``-rule slice of a big
+    among — is recorded as (column_name, small_expression_text)
+    referencing earlier step COLUMNS by name. The caller applies the
+    chain as ``withColumn`` projections, so the stemmer arrives as
+    many SMALL parses instead of one giant ``F.expr`` (whose ANTLR
+    prediction cost and DFA-cache retention are superlinear in text
+    size) and with ~zero py4j round trips (the Column backend's cost).
+    Spark's CollapseProject keeps non-cheap multiply-referenced step
+    outputs in their own projections, so each step evaluates once.
+    Equal to every other backend by the shared-spec law tests."""
+
+    def __init__(self, col_prefix: str = "_sb_"):
+        self.steps: list[tuple[str, str]] = []
+        self._aux = 0
+        self._pfx = col_prefix
+
+    def subbind(self, val):
+        self._aux += 1
+        name = f"{self._pfx}a{self._aux}"
+        self.steps.append((name, val))
+        return name
+
+    def bind(self, refs, name, val, cont):
+        # plan step names ('w', 'r1', 'skel', ...) become COLUMNS in
+        # the caller's frame — prefix them so they can never collide
+        # with (and silently overwrite) a data column; a per-language
+        # prefix also lets several languages' chains share one frame
+        col = f"{self._pfx}{name}"
+        self.steps.append((col, val))
+        return cont({**refs, name: col})
+
+
+def snowball_spark_steps(lang: str, variant: str | None = None,
+                         col_prefix: str = "_sb_",
+                         input_col: str = "w0"
+                         ) -> tuple[list[tuple[str, str]], str]:
+    """The stemmer as a chain of small Spark-SQL step expressions over
+    an input column named ``w0``: returns ``(steps, final_expr)`` where
+    each step is ``(column_name, expression_text)`` referencing earlier
+    step columns, and ``final_expr`` names the stem. Step columns are
+    ``col_prefix``-prefixed (default ``_sb_``) so they can never
+    collide with a data column — pass a per-language prefix to lay
+    several languages' chains side by side in one frame (the
+    ``analyze_auto_df`` shape); ``input_col`` names the lowercase
+    token column the chain reads. Select (or drop) the step columns
+    away after the final projection. Apply with::
+
+        df = df.withColumn("w0", ...)          # lowercase token
+        for name, expr in steps:
+            df = df.withColumn(name, F.expr(expr))
+        df = df.selectExpr(..., f"{final_expr} AS stem")
+
+    The fast-BUILD backend: pure-Python text assembly plus one tiny
+    ``F.expr`` parse per step/chunk — neither the Column backend's
+    1-10 s of py4j round trips per language nor the one-big-parse
+    form's superlinear ANTLR cost and DFA-cache retention (measured
+    ~300 MB retained for the ru stemmer's 85 KB step). Equal to
+    ``snowball_stem`` by the backend law tests."""
+    plan, final = _lang_program(lang, variant)
+    B = _SparkStepB(col_prefix)
+    out = _run(B, plan, input_col, final)
+    return B.steps, out
+
+
 class _PyB:
     """Values are native str/int/bool; eager evaluation (the mirror)."""
 
@@ -479,10 +545,21 @@ def _sorted_rules(rules):
     return sorted(rules, key=lambda r: -len(r[0]))
 
 
+# rules per sub-bound chunk in backends that support subbind (the
+# step backend): ANTLR's adaptive prediction is superlinear in single-
+# expression size (an 85 KB ru step parses in ~10 s and retains
+# ~300 MB of DFA cache; 8-rule chunks parse in linear time with
+# near-zero retention), so big amongs split into chained chunk columns
+_RULE_CHUNK = 8
+
+
 def _apply_rules(B, w, rules):
     out = w
-    for sfx, act in reversed(_sorted_rules(rules)):
+    sub = getattr(B, "subbind", None)
+    for i, (sfx, act) in enumerate(reversed(_sorted_rules(rules)), 1):
         out = B.when(B.endswith(w, sfx), act(w, sfx), out)
+        if sub is not None and i % _RULE_CHUNK == 0:
+            out = sub(out)
     return out
 
 

@@ -912,7 +912,12 @@ def analyze_df(df: "DataFrame", text_col: str, lang: str, id_col: str,
     ~0.5-1 ms per interpreted evaluation: under a Zipfian corpus the
     type/token ratio is the speedup. CJK languages route to the
     whole-text segmentation chain unchanged (no word-level distinct
-    structure to exploit). ``id_col`` must be unique per row."""
+    structure to exploit).
+
+    ``id_col`` must be non-NULL and unique per row — the regroup joins
+    back on it; a NULL id on a token-bearing row and duplicate ids both
+    raise at evaluation time (the ``distinct_element_transform`` guard)
+    rather than silently returning a wrong token list."""
     pre = analyze(F.col(text_col), lang, min_token_length,
                   to_lowercase, stem=False, stopwords=stopwords)
     fn = _analyzer_stem_fn(lang) if stem else None
@@ -949,6 +954,217 @@ def analyze_auto(c: Column, default_lang: str = "en",
                  (cjk_letters.cast("double") / letters.cast("double") >= 0.3),
                  analyze_cjk(c, min_token_length, to_lowercase)).otherwise(out)
     return out
+
+
+def analyze_auto_df(df: "DataFrame", text_col: str, id_col: str,
+                    out_col: str = "tokens", default_lang: str = "en",
+                    min_token_length: int = 1,
+                    to_lowercase: bool = True,
+                    stem: bool = True) -> "DataFrame":
+    """Corpus-scale ``analyze_auto``: per-row language routing with the
+    language RESOURCES as DATA instead of plan literals, and the
+    stemming tier applied once per distinct (language, token) pair.
+    Row-for-row equal to ``analyze_auto`` (law-tested).
+
+    Why a separate form exists: ``analyze_auto`` inlines every
+    language's detection profile and FULL Lucene-band stop set as
+    literals inside a 30-branch CASE — ~10^4 string literals in one
+    expression tree — and stems once per token INSTANCE. Evaluation
+    is fine; but every Catalyst analysis of a plan built on top
+    re-walks the megabyte tree (each further ``withColumn`` pays it
+    again), and under Zipf the per-instance stemming dominates. This
+    form keeps the plan SMALL and the heavy work per TYPE:
+
+    1. DETECTION IS A JOIN: the exploded lowercase token stream joins
+       the broadcast (lang, profile-word, index) table; hits/total
+       per (row, lang) reproduce ``stopword_ratio`` exactly (same
+       long-count IEEE division), and the argmax rides the same
+       (score, -index) struct-max tie rule as ``language_id``; rows
+       with zero profile hits detect 'und'. One shuffle, keyed on the
+       (id, text-hash) pair — never on text;
+    2. the CJK script ratio and the routed language stay tiny
+       expressions; CJK rows take the whole-text bigram route and
+       skip the machinery; ga-routed rows get the pre-tokenize
+       rewrite;
+    3. STOP SETS ARE DATA: a broadcast ANTI-JOIN of the exploded
+       (lang, lower(token)) stream against the (lang, stopword)
+       table — the 100 TB shape for 10^4-word resources (the InSet
+       expression stays right for single-language ``analyze``);
+    4. el/fa character normalization post-stop, two tiny expressions;
+    5. STEMMING RUNS PER TYPE: one distinct over (language, token),
+       then each language's stemmer over ONLY its own pairs
+       (Snowball rides the step backend; en rides Porter; light
+       chains their rule strips) united and joined back. The
+       per-language branches share the distinct's exchange
+       (ReuseExchange), so the corpus is not rescanned per language.
+       First evaluation pays a one-time Janino fallback per Snowball
+       stage (the 12-step chains exceed the 64 KB codegen method
+       limit and run interpreted — the same cost the column form
+       pays);
+    6. one ordered regroup keyed on (``id_col``, xxhash64(text)) —
+       rows with duplicate ids but DIFFERENT texts regroup
+       independently (correct output, not a silent merge).
+
+    Guards: a NULL id on a machinery row with any raw tokens raises
+    (conservative: even if every token is a stopword); exact-duplicate
+    (id, text) rows would interleave their regrouped tokens and raise
+    instead. Both fail loudly — never a silently wrong token list."""
+    from ..llm.textqual import STOPWORD_PROFILES_EXTENDED
+    spark = df.sparkSession
+    c = F.col(text_col)
+    key_col = f"_aad_h_{out_col}"
+    h = F.xxhash64(F.coalesce(c, F.lit("")))
+
+    # 1. detection as data: profile table + hit-count argmax
+    det_langs = sorted(STOPWORD_PROFILES_EXTENDED)
+    prof_rows = [(lg, w, i) for i, lg in enumerate(det_langs)
+                 for w in STOPWORD_PROFILES_EXTENDED[lg]]
+    prof = spark.createDataFrame(prof_rows,
+                                 "_plg string, _pw string, _pidx int")
+    base = df.withColumn(key_col, h)         .withColumn("_aad_dtoks", tokenize(c))
+    det_ex = base.select(
+        F.col(id_col).alias("_did"), F.col(key_col).alias("_dh"),
+        F.size("_aad_dtoks").alias("_dn"),
+        F.explode("_aad_dtoks").alias("_dt"))
+    hits = (det_ex.join(F.broadcast(prof),
+                        det_ex["_dt"] == prof["_pw"])
+            .groupBy("_did", "_dh", "_dn", "_plg", "_pidx")
+            .agg(F.count(F.lit(1)).alias("_hits")))
+    lang_arr = F.array(*[F.lit(lg) for lg in det_langs])
+    best = hits.groupBy("_did", "_dh").agg(F.max(F.struct(
+        (F.col("_hits").cast("double") / F.col("_dn").cast("double"))
+        .alias("s"),
+        (-F.col("_pidx")).alias("ni"))).alias("_b"))
+    det = best.select(
+        "_did", "_dh",
+        F.when(F.col("_b.s") > 0.0,
+               F.element_at(lang_arr, (-F.col("_b.ni") + 1)
+                            .cast("int")))
+        .otherwise(F.lit("und")).alias("_dlang"))
+    staged0 = base.drop("_aad_dtoks").join(
+        det, (base[id_col].eqNullSafe(det["_did"]))
+        & (base[key_col] == det["_dh"]), "left")         .drop("_did", "_dh")
+    lang = F.coalesce(F.col("_dlang"), F.lit("und"))
+
+    # 2. routing + the shared tokenize chain (all small expressions)
+    letters = F.regexp_count(c, F.lit(r"\p{L}"))
+    cjk_letters = F.regexp_count(c, F.lit(_CJK_RANGE))
+    is_cjk = (letters > 0) & \
+        (cjk_letters.cast("double") / letters.cast("double") >= 0.3)
+    eff = F.when(is_cjk, F.lit("cjk")) \
+        .when(lang.isin(*ANALYZER_PROFILES), lang) \
+        .otherwise(F.lit(default_lang))
+    text2 = F.when(eff == "ga", F.regexp_replace(
+        F.regexp_replace(c, r"(?i)\b[tn]-(?=[aeiouáéíóú])", ""),
+        r"(?i)\b[dmb][’\'](?=\p{L})", "")).otherwise(c)
+    raw = F.when(is_cjk, analyze_cjk(c, min_token_length, to_lowercase)) \
+        .otherwise(tokenize(text2, min_token_length, to_lowercase))
+
+    pre_col = f"_aad_pre_{out_col}"
+    eff_col = f"_aad_lg_{out_col}"
+    staged = (staged0.withColumn(pre_col, raw)
+              .withColumn(eff_col, eff).drop("_dlang"))
+
+    # 3. stop sets as data — exactly analyze()'s default set per
+    # language: FULL ∪ legacy, lowercased
+    from .stopwords_full import FULL_STOPWORDS
+    stop_rows = []
+    for lg in ANALYZER_PROFILES:
+        sw = sorted({w.lower() for w in
+                     set(FULL_STOPWORDS.get(lg, []))
+                     | set(ANALYZER_STOPWORDS.get(lg, []))})
+        stop_rows += [(lg, w) for w in sw]
+    stops = spark.createDataFrame(stop_rows, "_lg string, _sw string")
+
+    ex = staged.where(F.col(eff_col) != "cjk").select(
+        F.col(id_col).alias("_aad_id"),
+        F.col(key_col).alias("_aad_h"),
+        F.col(eff_col).alias("_lg"),
+        F.posexplode(pre_col).alias("_pos", "_tok"))
+    ex = ex.join(F.broadcast(stops),
+                 (ex["_lg"] == stops["_lg"])
+                 & (F.lower(ex["_tok"]) == stops["_sw"]),
+                 "left_anti")
+    # 4. el final-sigma / fa Arabic-form normalization, post-stop
+    tok = (F.when(F.col("_lg") == "el",
+                  F.replace(F.col("_tok"), F.lit("ς"), F.lit("σ")))
+           .when(F.col("_lg") == "fa",
+                 F.replace(F.replace(F.col("_tok"), F.lit("ي"),
+                                     F.lit("ی")),
+                           F.lit("ك"), F.lit("ک")))
+           .otherwise(F.col("_tok")))
+    ex = ex.select("_aad_id", "_aad_h", "_lg", "_pos",
+                   tok.alias("_tok"))
+
+    # 5. the per-TYPE stem tier
+    if stem:
+        from .porter import porter_stem
+        from .snowball import SNOWBALL_LANGS, snowball_spark_steps
+        light_langs = [lg for lg in ANALYZER_PROFILES
+                       if lg not in SNOWBALL_LANGS and lg != "en"
+                       and _analyzer_stem_fn(lg) is not None]
+        stemmable = ["en"] + list(SNOWBALL_LANGS) + light_langs
+        pairs = ex.where(F.col("_lg").isin(*stemmable)) \
+            .select("_lg", "_tok").distinct()
+        parts = []
+        for lg in stemmable:
+            sub = pairs.where(F.col("_lg") == lg)
+            if lg in SNOWBALL_LANGS:
+                steps, fin = snowball_spark_steps(lg,
+                                                  input_col="_tok")
+                sub = sub
+                for name, val in steps:
+                    sub = sub.withColumn(name, F.expr(val))
+                parts.append(sub.selectExpr("_lg", "_tok",
+                                            f"({fin}) AS _stem"))
+            elif lg == "en":
+                parts.append(sub.select(
+                    "_lg", "_tok",
+                    porter_stem(F.col("_tok")).alias("_stem")))
+            else:
+                fn = _analyzer_stem_fn(lg)
+                parts.append(sub.select(
+                    "_lg", "_tok", fn(F.col("_tok")).alias("_stem")))
+        mapped = parts[0]
+        for prt in parts[1:]:
+            mapped = mapped.unionByName(prt)
+        ex = ex.join(mapped, ["_lg", "_tok"], "left")
+        stem_out = F.coalesce(F.col("_stem"), F.col("_tok"))
+    else:
+        stem_out = F.col("_tok")
+
+    # 6. ordered regroup on (id, text-hash) + guards
+    regrouped = (ex.groupBy("_aad_id", "_aad_h").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("_pos").alias("p"), stem_out.alias("s")))),
+            lambda s: s["s"]).alias("_aad_out"),
+        F.count(F.lit(1)).alias("_aad_n"),
+        F.count_distinct(F.col("_pos")).alias("_aad_nd")))
+    out = staged.join(
+        regrouped,
+        (staged[id_col] == regrouped["_aad_id"])
+        & (staged[key_col] == regrouped["_aad_h"]), "left") \
+        .drop("_aad_id", "_aad_h")
+    in_machine = F.col(eff_col) != "cjk"
+    guarded = (
+        F.when(~in_machine, F.col(pre_col))
+        .when(out[id_col].isNull() & F.col("_aad_out").isNull()
+              & (F.size(F.col(pre_col)) > 0),
+              F.raise_error(F.lit(
+                  f"analyze_auto_df: NULL in id_col {id_col!r} "
+                  "(ids must be non-null)")).cast("array<string>"))
+        .when(F.col("_aad_n").isNotNull()
+              & (F.col("_aad_n") != F.col("_aad_nd")),
+              F.raise_error(F.lit(
+                  f"analyze_auto_df: duplicate (id, text) rows in "
+                  f"{id_col!r} merged token lists"))
+              .cast("array<string>"))
+        .otherwise(F.coalesce(F.col("_aad_out"),
+                              F.array().cast("array<string>"))))
+    return out.withColumn(out_col, guarded) \
+        .drop(pre_col, eff_col, key_col, "_aad_out", "_aad_n",
+              "_aad_nd")
 
 
 # -- dictionary (lexicon) segmentation for unsegmented scripts --------------

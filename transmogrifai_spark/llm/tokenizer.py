@@ -344,6 +344,97 @@ def unigram_tokenize(df: DataFrame, text_col: str, vocab_df: DataFrame,
     return out.drop(pre)
 
 
+def unigram_tokenize_df(df: DataFrame, text_col: str,
+                        vocab_df: DataFrame, id_col: str,
+                        out_col: str = "pieces",
+                        unknown_cost: float | None = None) -> DataFrame:
+    """SentencePiece-unigram tokenization via a DISTINCT-WORD Viterbi —
+    the ``wordpiece_tokenize_df`` economics applied to the unigram
+    path: whitespace-pretokenize each document into ▁-prefixed words,
+    run the broadcast-join Viterbi ONCE per word TYPE (the
+    ``lexicon_segment_join`` default path dedupes by text value — the
+    words ARE the short distinct texts it was built for), join the
+    piece lists back and reassemble per document in word order. Under
+    a Zipfian corpus the heavy per-position dp runs once per type
+    instead of once per token instance.
+
+    Decomposition soundness: in ``unigram_tokenize`` the dp runs over
+    the whole ▁-marked text, but any arc covering a ▁ must start AT it
+    when no vocab piece contains ▁ past position 0 (SentencePiece's
+    ``split_by_whitespace=true`` training default — pieces never span
+    words), so every ▁ is a forced path boundary and the document dp
+    decomposes into independent per-word dps: same arcs, same costs,
+    same (cost, earlier-start) tie-break. The one delta vs the
+    whole-text form is the float OFFSET under which ties are compared
+    (the whole-text dp compares costs carrying the accumulated prefix
+    sum; the per-word dp compares from 0.0), so an adversarial
+    near-tie within 1 ulp of the document prefix sum may tie-break
+    differently — real -log-prob vocabs are far from that edge
+    (law-tested piece-equal). Vocabs WITH internal-▁ pieces
+    (``split_by_whitespace=false`` training) are detected with one
+    bounded probe and routed to the whole-text form unchanged —
+    correctness over speed.
+
+    ``id_col`` must be non-NULL and unique per row — the regroup joins
+    back on it; NULL ids on word-bearing rows and duplicate ids raise
+    at evaluation time (the ``lexicon_segment_join`` guard), never
+    silently returning a wrong piece list."""
+    internal = vocab_df.where(
+        F.locate(SPM_SPACE, F.col("piece"), 2) > 0).limit(1).count()
+    if internal:
+        return unigram_tokenize(df, text_col, vocab_df, out_col,
+                                unknown_cost, id_col)
+    if unknown_cost is None:
+        unknown_cost = float(
+            vocab_df.agg(F.max("cost")).head()[0]) + 10.0
+    from ..operators.segmentation import lexicon_segment_join
+    marked = _spm_pretokenize(F.col(text_col))
+    # every ▁ (including literal input ▁, which the whole-text dp also
+    # boundary-forces) opens a word; empty segments (▁ runs) stay as
+    # bare-▁ words so the piece stream matches the whole-text form
+    segs = F.split(marked, SPM_SPACE)
+    words = F.transform(F.slice(segs, 2, F.size(segs) - 1),
+                        lambda x: F.concat(F.lit(SPM_SPACE), x))
+    staged = df.withColumn("_ug_words", words)
+    ex = staged.select(F.col(id_col).alias("_ug_id"),
+                       F.posexplode("_ug_words").alias("_pos", "_w"))
+    segged = lexicon_segment_join(ex, "_w", vocab_df,
+                                  out_col="_ug_pieces",
+                                  word_col="piece", cost_col="cost",
+                                  unknown_cost=unknown_cost)
+    regrouped = (segged.groupBy("_ug_id").agg(
+        F.flatten(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("_pos").alias("p"),
+                         F.col("_ug_pieces").alias("pc")))),
+            lambda s: s["pc"])).alias(out_col),
+        # word count carried back so duplicate-id merges (which
+        # inflate it past the row's own word count) fail loudly
+        F.count(F.lit(1)).alias("_ug_n")))
+    out = (staged.join(regrouped,
+                       staged[id_col] == regrouped["_ug_id"], "left")
+           .drop("_ug_id", "_ug_words")
+           .withColumn(out_col,
+                       F.coalesce(F.col(out_col),
+                                  F.array().cast("array<string>"))))
+    nwords = F.greatest(F.size(F.split(marked, SPM_SPACE)) - 1,
+                        F.lit(0))
+    guarded = (
+        F.when(out[id_col].isNull() & (nwords > 0),
+               F.raise_error(F.lit(
+                   f"unigram_tokenize_df: NULL in id_col {id_col!r} "
+                   "(ids must be unique and non-null)"))
+               .cast("array<string>"))
+        .when(F.col("_ug_n").isNotNull() & (F.col("_ug_n") != nwords),
+              F.raise_error(F.lit(
+                  f"unigram_tokenize_df: duplicate values in id_col "
+                  f"{id_col!r} merged piece lists across rows "
+                  "(ids must be unique and non-null)"))
+              .cast("array<string>"))
+        .otherwise(F.col(out_col)))
+    return out.withColumn(out_col, guarded).drop("_ug_n")
+
+
 def unigram_ids(df: DataFrame, text_col: str, vocab_df: DataFrame,
                 id_col: str, out_col: str = "piece_ids",
                 unk_id: int = 0) -> DataFrame:
@@ -537,8 +628,13 @@ def wordpiece_tokenize_df(df: DataFrame, text_col: str, model: dict,
     Plan shape: one distinct on the 8-byte-ish word keys, one join back
     on the same keys (AQE broadcasts the scanned table when the type
     count is small), one groupBy on ``id_col`` with an array_sort
-    regroup — the shuffle never keys on document text. ``id_col`` must
-    be unique per row."""
+    regroup — the shuffle never keys on document text.
+
+    ``id_col`` must be non-NULL and unique per row — the regroup joins
+    back on it, so a NULL id could never equi-join its pieces and a
+    duplicate id would merge piece lists across rows. Both are detected
+    at evaluation time and raise (the ``lexicon_segment_join`` guard),
+    never silently returning a wrong piece list."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     if lowercase:
         text = F.lower(text)
@@ -563,14 +659,31 @@ def wordpiece_tokenize_df(df: DataFrame, text_col: str, model: dict,
             F.array_sort(F.collect_list(
                 F.struct(F.col("_pos").alias("p"),
                          F.col("_pieces").alias("pc")))),
-            lambda s: s["pc"])).alias(out_col)))
+            lambda s: s["pc"])).alias(out_col),
+             # word count carried back so duplicate-id merges (which
+             # inflate it past the row's own word count) fail loudly
+             F.count(F.lit(1)).alias("_wp_n")))
     out = (staged.join(regrouped,
                        staged[id_col] == regrouped["_wid"], "left")
            .drop("_wid", "_wp_words")
            .withColumn(out_col,
                        F.coalesce(F.col(out_col),
                                   F.array().cast("array<string>"))))
-    return out
+    nwords = F.size(F.regexp_extract_all(text, F.lit(_WP_PRE_RE), 1))
+    guarded = (
+        F.when(out[id_col].isNull() & (nwords > 0),
+               F.raise_error(F.lit(
+                   f"wordpiece_tokenize_df: NULL in id_col {id_col!r} "
+                   "(ids must be unique and non-null)"))
+               .cast("array<string>"))
+        .when(F.col("_wp_n").isNotNull() & (F.col("_wp_n") != nwords),
+              F.raise_error(F.lit(
+                  f"wordpiece_tokenize_df: duplicate values in id_col "
+                  f"{id_col!r} merged piece lists across rows "
+                  "(ids must be unique and non-null)"))
+              .cast("array<string>"))
+        .otherwise(F.col(out_col)))
+    return out.withColumn(out_col, guarded).drop("_wp_n")
 
 
 def wordpiece_ids(c: Column, model: dict,

@@ -389,7 +389,14 @@ def distinct_element_transform(df: DataFrame, arr_col: str, fn,
     case (the 12-step chain exceeds whole-stage codegen, so the per-row
     interpreted cost is large). NULL elements pass through as NULL
     outputs (``fn`` is never consulted for them); empty/NULL arrays
-    yield empty arrays. ``id_col`` must be unique per row."""
+    yield empty arrays.
+
+    ``id_col`` must be non-NULL and unique per row — the regroup joins
+    back on it, so a NULL id could never equi-join its array and a
+    duplicate id would merge arrays across rows. Both are detected at
+    evaluation time and raise (the ``lexicon_segment_join`` guard,
+    ``operators/segmentation.py``), never silently returning a wrong
+    array."""
     ex = df.select(F.col(id_col).alias("_det_id"),
                    F.posexplode(F.col(arr_col)).alias("_pos", "_el"))
     mapped = (ex.select("_el").where(F.col("_el").isNotNull())
@@ -412,4 +419,24 @@ def distinct_element_transform(df: DataFrame, arr_col: str, fn,
                        F.coalesce(F.col(out_col),
                                   F.expr(f"array()").cast(
                                       f"array<{etype}>"))))
-    return out
+    # fail loudly instead of silently mis-answering: a NULL id can
+    # never equi-join its regrouped array back (out would coalesce to
+    # array()); duplicate ids merge arrays across rows, which the
+    # size mismatch between the input and the regrouped output exposes
+    # (NULL elements keep their positions, so sizes match for valid
+    # ids). Both checks are cheap row-local expressions.
+    arr = F.col(arr_col)
+    guarded = (
+        F.when(df[id_col].isNull() & (F.size(arr) > 0),
+               F.raise_error(F.lit(
+                   f"distinct_element_transform: NULL in id_col "
+                   f"{id_col!r} (ids must be unique and non-null)"))
+               .cast(f"array<{etype}>"))
+        .when(arr.isNotNull() & (F.size(F.col(out_col)) != F.size(arr)),
+              F.raise_error(F.lit(
+                  f"distinct_element_transform: duplicate values in "
+                  f"id_col {id_col!r} merged arrays across rows "
+                  f"(ids must be unique and non-null)"))
+              .cast(f"array<{etype}>"))
+        .otherwise(F.col(out_col)))
+    return out.withColumn(out_col, guarded)
