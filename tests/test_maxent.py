@@ -347,6 +347,29 @@ def test_opennlp_zip_archive_load(tmp_path):
         load_opennlp_model_zip(str(zp2))
 
 
+def test_java_properties_backslash_parity_and_surrogate_decode():
+    """Two r11-ADVICE edges: (1) java.util.Properties counts
+    TRAILING-BACKSLASH PARITY for line continuations — a line ending
+    in an odd run (escaped backslash + real continuation, '...\\\\\\')
+    continues, an even run does not; (2) modified-UTF-8 data with an
+    unpaired UTF-16 surrogate raises at decode time instead of
+    producing a str that explodes on a later .encode()."""
+    from transmogrifai_spark.operators.maxent import (
+        _java_modified_utf8_decode, load_java_properties)
+    # odd run of 3: '\\' (escaped backslash) + '\' (continuation)
+    p = load_java_properties("a=x\\\\\\\ny\nb=z\\\\\nc=w\n")
+    assert p["a"] == "x\\y"      # continued onto 'y'
+    assert p["b"] == "z\\"       # even run: NOT continued
+    assert p["c"] == "w"
+    # unpaired high surrogate (CESU-8 high half with no low half)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unpaired UTF-16 surrogate"):
+        _java_modified_utf8_decode(b"\xed\xa0\x80ab")
+    # a proper CESU-8 pair still decodes
+    assert _java_modified_utf8_decode(
+        b"\xed\xa0\xb4\xed\xb4\x9e") == "\U0001d11e"
+
+
 def _mk_loaded_weights():
     m = _model()
     return {p: {o: float(w) for o, w in per.items()}
@@ -422,9 +445,11 @@ def test_beam_spans_expression_equals_mirror(spark):
         {"type": "person", "start": 0, "end": 2, "text": "Alice Smith"}]
 
 
-def test_beam_spans_cont_without_start_opens(spark):
-    """A -cont emitted with no live span of its type (possible with
-    validate=False) OPENS a mention — the NameFinderME convention."""
+def test_beam_spans_cont_without_start_ignored(spark):
+    """A -cont emitted with no live span (possible with
+    validate=False) is IGNORED — BioCodec.decode leaves start at -1
+    and emits no span (r12: fixed to match OpenNLP; r11 opened a
+    mention here, a divergence the r11 ADVICE flagged)."""
     from transmogrifai_spark.operators.maxent import (
         maxent_beam_spans, maxent_beam_spans_py)
     m = _beam_fix_model()
@@ -434,8 +459,32 @@ def test_beam_spans_cont_without_start_opens(spark):
         maxent_beam_spans(F.col("toks"), m, validate=False)
         .alias("s")).first()["s"]]
     assert got == maxent_beam_spans_py(toks, m, validate=False)
-    assert got == [{"type": "person", "start": 0, "end": 1,
-                    "text": "Smith"}]
+    assert got == []
+
+
+def test_beam_spans_mismatched_cont_extends(spark):
+    """A -cont whose type differs from the live span EXTENDS it
+    (BioCodec tracks positions only), and the closed span takes the
+    type of its LAST member tag (extractNameType(tags[li-1])) — so a
+    person-start + location-cont mention closes as 'location'."""
+    from transmogrifai_spark.operators.maxent import (
+        maxent_beam_spans, maxent_beam_spans_py)
+    m = {"type": "GIS",
+         "outcomes": ["other", "person-start", "location-cont"],
+         "labels": ["other", "person-start", "location-cont"],
+         "weights": {"wl=alice": {"person-start": 4.0},
+                     "wl=paris": {"location-cont": 4.0},
+                     "wl=went": {"other": 4.0}},
+         "correction_constant": 1, "correction_param": 0.0,
+         "context": False}
+    toks = ["Alice", "Paris", "went"]
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = [x.asDict() for x in df.select(
+        maxent_beam_spans(F.col("toks"), m, validate=False)
+        .alias("s")).first()["s"]]
+    assert got == maxent_beam_spans_py(toks, m, validate=False)
+    assert got == [{"type": "location", "start": 0, "end": 2,
+                    "text": "Alice Paris"}]
 
 
 def test_ner_find_end_to_end(spark, tmp_path):
@@ -461,3 +510,132 @@ def test_ner_find_end_to_end(spark, tmp_path):
         {"type": "person", "start": 0, "end": 2, "text": "Alice Smith"},
         {"type": "location", "start": 4, "end": 5, "text": "Paris"}]
     assert got[2] == [] and got[3] == []
+
+
+def test_featuregen_xml_parse_and_reject():
+    """The descriptor parser accepts the documented stateless subset
+    (cache/window/token/tokenclass/bigram/definition) and REJECTS
+    anything else with a clean error naming the element — the r11
+    'parse-the-subset-reject-the-rest' prescription: adaptive or
+    resource-backed generators must never silently mis-score."""
+    from transmogrifai_spark.operators.maxent import load_featuregen_xml
+    spec = load_featuregen_xml(
+        "<generators><cache><generators>"
+        '<window prevLength="2" nextLength="2"><token/></window>'
+        '<window prevLength="1" nextLength="1">'
+        '<tokenclass wordAndClass="false"/></window>'
+        "<bigram/><definition/>"
+        "</generators></cache></generators>")
+    assert spec == [
+        {"gen": "token", "prev": 2, "next": 2},
+        {"gen": "tokenclass", "prev": 1, "next": 1, "wac": False},
+        {"gen": "bigram"}, {"gen": "definition"}]
+    for bad in ("<generators><prevmap/></generators>",
+                "<generators><sentence/></generators>",
+                "<generators><charngram min='2' max='5'/></generators>",
+                "<generators><dictionary dict='x'/></generators>"):
+        with pytest.raises(ValueError, match="unsupported feature "
+                                             "generator element"):
+            load_featuregen_xml(bad)
+    with pytest.raises(ValueError, match="exactly one"):
+        load_featuregen_xml(
+            "<generators><window><token/><bigram/></window></generators>")
+    with pytest.raises(ValueError, match="no feature generators"):
+        load_featuregen_xml("<generators><cache/></generators>")
+    with pytest.raises(ValueError, match="malformed"):
+        load_featuregen_xml("<generators><token></generators>")
+
+
+def test_featuregen_expression_equals_mirror(spark):
+    """Backend law: descriptor-driven features and beam decoding are
+    identical between the Catalyst expressions and the python mirror
+    (window edges, bigram edges, w&c, def)."""
+    from transmogrifai_spark.operators.maxent import (
+        featuregen_token_features, load_featuregen_xml,
+        maxent_beam_decode, maxent_beam_decode_py)
+    spec = load_featuregen_xml(
+        "<generators>"
+        '<window prevLength="2" nextLength="2"><token/></window>'
+        '<window prevLength="1" nextLength="1"><tokenclass/></window>'
+        "<bigram/><definition/></generators>")
+    seqs = [["Alice", "went", "to", "Paris"], ["42"], ["a", "B"], []]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)],
+                               "i long, toks array<string>")
+    # feature law at every position
+    got = {r["i"]: r["fs"] for r in df.select("i", F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1))),
+        lambda p: F.when(p <= F.size("toks"), featuregen_token_features(
+            spec, F.col("toks"), p))).alias("fs")).collect()}
+    for i, s in enumerate(seqs):
+        want = [featuregen_token_features(spec, s, j)
+                for j in range(len(s))] or [None]
+        assert got[i] == want, (i, s)
+    # decode law end-to-end
+    m = {"type": "GIS", "outcomes": ["other", "ent-start", "ent-cont"],
+         "labels": ["other", "ent-start", "ent-cont"],
+         "weights": {"wc=ic": {"ent-start": 1.4},
+                     "p1w=alice": {"ent-cont": 0.9},
+                     "w,nw=went,to": {"other": 1.1},
+                     "pwc,wc=ic,lc": {"other": 0.7},
+                     "def": {"other": 0.2},
+                     "pd=ent-start": {"ent-cont": 0.8}},
+         "correction_constant": 2, "correction_param": 0.0,
+         "context": False}
+    out = {r["i"]: r["d"] for r in df.select("i", maxent_beam_decode(
+        F.col("toks"), m, featuregen=spec).alias("d")).collect()}
+    for i, s in enumerate(seqs):
+        tags, sc = maxent_beam_decode_py(s, m, featuregen=spec)
+        assert list(out[i]["tags"]) == tags and out[i]["sc"] == sc, (i, s)
+
+
+def test_featuregen_equals_fixed_set_on_renamed_model(spark):
+    """THE closing law for PARITY delta 3: a descriptor of
+    window(token,1,1) + tokenclass carries exactly the information of
+    the documented fixed set minus its BOS/EOS markers and cased w=,
+    so a model whose weights live on wl=/wc=/pw=/nw= (no marker or
+    cased-w predicates) scores BIT-IDENTICALLY under the
+    descriptor-driven path with the correspondingly renamed
+    predicates (wl=x -> w=x, pw=X -> p1w=x, nw=X -> n1w=x)."""
+    from transmogrifai_spark.operators.maxent import (
+        load_featuregen_xml, maxent_beam_decode)
+    fixed_w = {"wl=alice": {"person-start": 2.0},
+               "wl=smith": {"person-cont": 2.0},
+               "wc=ic": {"person-start": 0.6},
+               "pw=Alice": {"person-cont": 1.1},
+               "nw=Smith": {"person-start": 0.5},
+               "wl=went": {"other": 2.5},
+               "pd=person-start": {"person-cont": 0.7}}
+    ren = {}
+    for k, v in fixed_w.items():
+        if k.startswith("wl="):
+            ren["w=" + k[3:]] = v
+        elif k.startswith("pw="):
+            ren["p1w=" + k[3:].lower()] = v
+        elif k.startswith("nw="):
+            ren["n1w=" + k[3:].lower()] = v
+        else:
+            ren[k] = v
+    base = {"type": "GIS", "correction_constant": 2,
+            "correction_param": 0.0, "context": False,
+            "outcomes": ["other", "person-start", "person-cont"],
+            "labels": ["other", "person-start", "person-cont"]}
+    m_fixed = dict(base, weights=fixed_w)
+    m_desc = dict(base, weights=ren)
+    spec = load_featuregen_xml(
+        "<generators>"
+        '<window prevLength="1" nextLength="1"><token/></window>'
+        '<tokenclass wordAndClass="false"/>'
+        "</generators>")
+    seqs = [["Alice", "Smith", "went"], ["Alice"], ["went", "Alice",
+            "Smith"], []]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)],
+                               "i long, toks array<string>")
+    fx = {r["i"]: r["d"] for r in df.select("i", maxent_beam_decode(
+        F.col("toks"), m_fixed).alias("d")).collect()}
+    ds = {r["i"]: r["d"] for r in df.select("i", maxent_beam_decode(
+        F.col("toks"), m_desc, featuregen=spec).alias("d")).collect()}
+    for i in range(len(seqs)):
+        assert list(fx[i]["tags"]) == list(ds[i]["tags"]), i
+        assert fx[i]["sc"] == ds[i]["sc"], i
+    assert list(fx[0]["tags"]) == ["person-start", "person-cont",
+                                   "other"]
