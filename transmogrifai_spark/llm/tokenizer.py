@@ -446,9 +446,12 @@ def unigram_ids(df: DataFrame, text_col: str, vocab_df: DataFrame,
     with no pieces (empty/NULL text) get an empty array. Cost shape at
     100 TB: the explode triples row count but carries only (id, pos,
     piece); the join is broadcast; the single shuffle is the groupBy on
-    the unique id."""
-    toks = unigram_tokenize(df, text_col, vocab_df, out_col="_pieces",
-                            id_col=id_col)
+    the unique id. Since r12 the tokenization rides the distinct-WORD
+    form (``unigram_tokenize_df`` — Viterbi once per word type;
+    piece-equal by the ▁ decomposition law, with the internal-▁ vocab
+    probe falling back to the whole-text form)."""
+    toks = unigram_tokenize_df(df, text_col, vocab_df, id_col,
+                               out_col="_pieces")
     ex = toks.select(id_col, F.posexplode_outer("_pieces")
                      .alias("_pos", "_piece"))
     joined = ex.join(F.broadcast(vocab_df.select(
