@@ -339,6 +339,14 @@ class _SqlB:
         self.cols.append(name)
         return cont({**refs, name: name})
 
+    # NO subbind here (chunking stays step-backend-only): measured on
+    # the stopwords-gate oracle, DuckDB's ~20 s planning cost scales
+    # with the COUNT of MATERIALIZED CTEs, not with single-expression
+    # size — chunking the big amongs into extra CTEs made planning 3x
+    # WORSE (69 s). The opposite of ANTLR/Janino, whose costs are
+    # superlinear in one expression; each engine gets the shape its
+    # front-end prefers.
+
 
 class _SparkSqlB(_SqlB):
     """Spark-SQL-dialect text backend: same expression generator as the
@@ -347,6 +355,10 @@ class _SparkSqlB(_SqlB):
     as ONE parsed expression. Building the Column form costs 1-3.5 s of
     py4j round trips per language; this form is one F.expr call — the
     driver-gate path uses it."""
+
+    # no CTE machinery here — chunking is meaningless inside one
+    # nested expression (and _SqlB's subbind needs the CTE state)
+    subbind = None
 
     def __init__(self):
         self.depth = 0
