@@ -136,3 +136,19 @@ def test_unigram_df_plan_broadcasts_vocab_and_keys_on_ids(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+
+
+def test_analyze_auto_df_plan_resources_are_broadcast(spark, sf_dir):
+    """analyze_auto_df's plan must broadcast BOTH resource tables (the
+    detection profiles and the stop sets — small data joined against
+    the exploded token stream), contain no Python UDF, and never key
+    an exchange on the raw document text."""
+    from transmogrifai_spark.functions.text import analyze_auto_df
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = analyze_auto_df(docs, "text", id_col="doc_id")
+    plan = _formatted(out)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
