@@ -711,3 +711,34 @@ def test_analyze_auto_df_id_guards(spark):
            analyze_auto_df(ok, "t", "i").select("i", "tokens")
            .collect()}
     assert got[None] and got[2]
+
+
+def test_analyze_auto_df_languages_allowlist(spark):
+    """languages=: stem chains build only for the declared corpus
+    languages — declared languages stem exactly as analyze would,
+    routed languages OUTSIDE the list keep stop-filtered unstemmed
+    tokens, and unknown codes raise."""
+    import time
+
+    import pytest
+    from transmogrifai_spark.functions.text import (analyze,
+                                                    analyze_auto_df)
+    rows = [(1, "the cats are running in the garden with the dogs"),
+            (2, "der hund und die katze sind mit einem ball im garten")]
+    df = spark.createDataFrame(rows, "i long, t string")
+    t0 = time.time()
+    out = {r["i"]: list(r["tokens"]) for r in
+           analyze_auto_df(df, "t", "i", languages=["en"])
+           .select("i", "tokens").collect()}
+    en_build = time.time() - t0
+    want_en = df.where(F.col("i") == 1).select(
+        analyze(F.col("t"), "en").alias("a")).first()["a"]
+    want_de_nostem = df.where(F.col("i") == 2).select(
+        analyze(F.col("t"), "de", stem=False).alias("a")).first()["a"]
+    assert out[1] == list(want_en)          # declared: full en chain
+    assert out[2] == list(want_de_nostem)   # undeclared: stop, no stem
+    with pytest.raises(ValueError, match="unknown languages"):
+        analyze_auto_df(df, "t", "i", languages=["en", "xx"])
+    # the allowlist should make the build far cheaper than all-30 —
+    # sanity bound only (generous: full build measured ~17 s)
+    assert en_build < 60, en_build

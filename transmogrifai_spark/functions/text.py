@@ -960,7 +960,8 @@ def analyze_auto_df(df: "DataFrame", text_col: str, id_col: str,
                     out_col: str = "tokens", default_lang: str = "en",
                     min_token_length: int = 1,
                     to_lowercase: bool = True,
-                    stem: bool = True) -> "DataFrame":
+                    stem: bool = True,
+                    languages: list[str] | None = None) -> "DataFrame":
     """Corpus-scale ``analyze_auto``: per-row language routing with the
     language RESOURCES as DATA instead of plan literals, and the
     stemming tier applied once per distinct (language, token) pair.
@@ -1004,6 +1005,15 @@ def analyze_auto_df(df: "DataFrame", text_col: str, id_col: str,
     6. one ordered regroup keyed on (``id_col``, xxhash64(text)) —
        rows with duplicate ids but DIFFERENT texts regroup
        independently (correct output, not a silent merge).
+
+    ``languages``: optional caller-DECLARED list of corpus languages —
+    stem chains are built only for the stemmable ones among them, so a
+    mono/bilingual corpus pays one or two chains instead of thirty
+    (build time is dominated by chain construction). Detection and
+    routing are unaffected; a routed language outside the list keeps
+    its stop-filtered, UNSTEMMED tokens (equal to ``analyze_auto`` on
+    corpora that really are within the declared list). Unknown codes
+    raise. The list is declared, never discovered — no eager scan.
 
     Guards: a NULL id on a machinery row with any raw tokens raises
     (conservative: even if every token is a stopword); exact-duplicate
@@ -1104,32 +1114,48 @@ def analyze_auto_df(df: "DataFrame", text_col: str, id_col: str,
                        if lg not in SNOWBALL_LANGS and lg != "en"
                        and _analyzer_stem_fn(lg) is not None]
         stemmable = ["en"] + list(SNOWBALL_LANGS) + light_langs
-        pairs = ex.where(F.col("_lg").isin(*stemmable)) \
-            .select("_lg", "_tok").distinct()
-        parts = []
-        for lg in stemmable:
-            sub = pairs.where(F.col("_lg") == lg)
-            if lg in SNOWBALL_LANGS:
-                steps, fin = snowball_spark_steps(lg,
-                                                  input_col="_tok")
-                sub = sub
-                for name, val in steps:
-                    sub = sub.withColumn(name, F.expr(val))
-                parts.append(sub.selectExpr("_lg", "_tok",
-                                            f"({fin}) AS _stem"))
-            elif lg == "en":
-                parts.append(sub.select(
-                    "_lg", "_tok",
-                    porter_stem(F.col("_tok")).alias("_stem")))
-            else:
-                fn = _analyzer_stem_fn(lg)
-                parts.append(sub.select(
-                    "_lg", "_tok", fn(F.col("_tok")).alias("_stem")))
-        mapped = parts[0]
-        for prt in parts[1:]:
-            mapped = mapped.unionByName(prt)
-        ex = ex.join(mapped, ["_lg", "_tok"], "left")
-        stem_out = F.coalesce(F.col("_stem"), F.col("_tok"))
+        if languages is not None:
+            # caller-declared corpus languages: build stem chains only
+            # for them — a mono/bilingual corpus then pays 1-2 chains
+            # instead of 30 (detection/routing is unaffected, and a
+            # routed language OUTSIDE the list keeps its stop-filtered
+            # unstemmed tokens, stated below). No data scan: the list
+            # is declared, not discovered.
+            unknown = sorted(set(languages) - set(ANALYZER_PROFILES))
+            if unknown:
+                raise ValueError(
+                    f"analyze_auto_df: unknown languages {unknown}; "
+                    f"valid: sorted(ANALYZER_PROFILES)")
+            stemmable = [lg for lg in stemmable if lg in languages]
+        if not stemmable:
+            stem_out = F.col("_tok")
+        else:
+            pairs = ex.where(F.col("_lg").isin(*stemmable)) \
+                .select("_lg", "_tok").distinct()
+            parts = []
+            for lg in stemmable:
+                sub = pairs.where(F.col("_lg") == lg)
+                if lg in SNOWBALL_LANGS:
+                    steps, fin = snowball_spark_steps(lg,
+                                                      input_col="_tok")
+                    for name, val in steps:
+                        sub = sub.withColumn(name, F.expr(val))
+                    parts.append(sub.selectExpr("_lg", "_tok",
+                                                f"({fin}) AS _stem"))
+                elif lg == "en":
+                    parts.append(sub.select(
+                        "_lg", "_tok",
+                        porter_stem(F.col("_tok")).alias("_stem")))
+                else:
+                    fn = _analyzer_stem_fn(lg)
+                    parts.append(sub.select(
+                        "_lg", "_tok",
+                        fn(F.col("_tok")).alias("_stem")))
+            mapped = parts[0]
+            for prt in parts[1:]:
+                mapped = mapped.unionByName(prt)
+            ex = ex.join(mapped, ["_lg", "_tok"], "left")
+            stem_out = F.coalesce(F.col("_stem"), F.col("_tok"))
     else:
         stem_out = F.col("_tok")
 
