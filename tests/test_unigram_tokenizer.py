@@ -179,3 +179,23 @@ def test_df_form_null_or_duplicate_id_raises(spark, vocab):
     got = {r["i"]: r["pieces"] for r in
            unigram_tokenize_df(ok, "t", vocab, id_col="i").collect()}
     assert got[None] == [] and got[2] == [_ + "the"]
+
+
+def test_df_form_equals_column_form_random(spark, vocab):
+    """Property law: the ▁ boundary decomposition holds on random
+    texts over the vocab alphabet plus spaces, literal ▁, unknown
+    chars, and whitespace runs."""
+    import random
+    rng = random.Random(1234)
+    alphabet = "themsquick " + _ + "z  "
+    texts = ["".join(rng.choice(alphabet)
+                     for _i in range(rng.randrange(0, 24)))
+             for _n in range(40)]
+    from transmogrifai_spark.llm.tokenizer import unigram_tokenize_df
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "i long, t string")
+    via = {r["i"]: r["pieces"] for r in
+           unigram_tokenize_df(df, "t", vocab, id_col="i").collect()}
+    direct = {r["i"]: r["pieces"] for r in
+              unigram_tokenize(df, "t", vocab, id_col="i").collect()}
+    assert via == direct
