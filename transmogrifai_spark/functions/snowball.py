@@ -345,7 +345,11 @@ class _SqlB:
     # size — chunking the big amongs into extra CTEs made planning 3x
     # WORSE (69 s). The opposite of ANTLR/Janino, whose costs are
     # superlinear in one expression; each engine gets the shape its
-    # front-end prefers.
+    # front-end prefers. The third option — merging several steps into
+    # one CTE via DuckDB's lateral column aliases — is ALSO out:
+    # DuckDB binds lateral aliases by SUBSTITUTION, so chained step
+    # references re-inline multiplicatively (the ru chain never
+    # finished planning). One step, one CTE is the measured optimum.
 
 
 class _SparkSqlB(_SqlB):
