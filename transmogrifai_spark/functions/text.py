@@ -52,22 +52,42 @@ def text_len(c: Column) -> Column:
 
 def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
     """OpNGram.scala:52 — word n-grams over a token array (ml.feature.NGram
-    semantics: sliding window, joined by space)."""
-    size = F.size(tokens)
-    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(-1)))
-    return F.when(size >= n,
-                  F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), sep))
-                  ).otherwise(F.array().cast("array<string>"))
+    semantics: sliding window, joined by space).
+
+    ``tokens`` is bound once per row (util.bind_once): the sliding-window
+    transform's lambda used to embed the caller's token subtree in every
+    ``slice`` — when that subtree is itself a tokenizer, each output gram
+    re-ran the regex split over the whole text (O(tokens²) interpreted
+    work per row, since higher-order functions are CodegenFallback)."""
+    from ..util import bind_once
+
+    def per(toks: Column) -> Column:
+        size = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(-1)))
+        return F.when(size >= n,
+                      F.transform(idx, lambda i: F.array_join(
+                          F.slice(toks, i + 1, n), sep))
+                      ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens, per)
 
 
 def char_ngrams(c: Column, n: int = 3, to_lowercase: bool = True) -> Column:
     """Character n-gram shingles (NGramSimilarity.scala uses char ngrams).
     NULL -> empty list; texts shorter than n yield the single text itself."""
+    from ..util import bind_once
     base = F.lower(c) if to_lowercase else c
-    ln = F.length(base)
-    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
-    return F.when(base.isNull(), F.array().cast("array<string>")) \
-        .otherwise(F.transform(idx, lambda i: base.substr(i, F.lit(n))))
+
+    # bind the (lowercased) text once: the per-gram substr lambda would
+    # otherwise re-evaluate the whole lowercase copy per output gram —
+    # O(len²) bytes touched per row in interpreted HOF evaluation
+    def per(s: Column) -> Column:
+        ln = F.length(s)
+        idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+        return F.when(s.isNull(), F.array().cast("array<string>")) \
+            .otherwise(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+
+    return bind_once(base, per)
 
 
 def remove_stopwords(tokens: Column, stopwords: list[str]) -> Column:

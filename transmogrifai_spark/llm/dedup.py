@@ -156,18 +156,24 @@ def minhash_signature(c: Column, n: int = 3, num_hashes: int = 32,
     f-string, embedding the lambda variable's repr, which carries a
     global counter — so two plan constructions of the "same" signature
     disagreed). Found by the r6 incremental-LSH oracle gate: index-build
-    and probe plans hashed with different families and matched nothing."""
-    sh = word_shingles(c, n)
+    and probe plans hashed with different families and matched nothing.
+
+    The shingle array is bound ONCE per row (util.bind_once): the
+    ``num_hashes`` seed transforms each embedded the whole
+    tokenize→ngram→distinct subtree, so one signature evaluated the
+    shingle pipeline 16-32× per row in interpreted HOF mode (measured
+    464 s for a 500-doc portable scan at sf0.01; ~1 s bound)."""
+    from ..util import bind_once
 
     def hasher(seed: int):
         if portable:
             return lambda s: portable_hash64(s, seed)
         return lambda s: F.xxhash64(s, F.lit(seed))
 
-    return F.array(*[
+    return bind_once(word_shingles(c, n), lambda sh: F.array(*[
         F.array_min(F.transform(sh, hasher(i)))
         for i in range(num_hashes)
-    ])
+    ]))
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -183,12 +189,19 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     pass it to ``minhash_lsh_candidates(signatures=...)`` /
     ``build_lsh_index(signatures=...)`` instead of paying the scan per
     consumer. Docs with no shingles (shorter than n tokens) are dropped
-    here — an empty shingle set has no MinHash."""
-    sig = ensure_parallelism(df).select(
+    here — an empty shingle set has no MinHash.
+
+    The no-shingle drop is a CHEAP pre-filter on the token count
+    (``ngrams`` is empty iff the text has < n tokens, exactly when every
+    per-seed ``array_min`` is NULL): filtering on ``_sig`` after the
+    projection let the optimizer substitute the whole signature tree into
+    the pushed-down predicate and evaluate it twice per row."""
+    src = ensure_parallelism(df).where(
+        F.size(tokenize(F.col(text_col))) >= n)
+    return src.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), n, num_hashes,
                           portable=portable).alias("_sig"))
-    return sig.where(F.element_at("_sig", 1).isNotNull())
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -288,13 +301,22 @@ def simhash64(c: Column, portable: bool = False) -> Column:
             lambda a, p: a + F.when(bit(h, p) == 1, 1).otherwise(-1),
         ),
     )
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of int64
-        sig = sig.bitwiseOR(
-            F.when(F.element_at(counts, b + 1) > 0, F.lit(mask).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    return sig
+
+    # bind the folded bit-count array once (util.bind_once): the 64-OR
+    # assembly references it per bit, and each element_at would otherwise
+    # re-run the whole token-hash fold — 64 full signature folds per row
+    def assemble(cts: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for b in range(64):
+            mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit
+            sig = sig.bitwiseOR(
+                F.when(F.element_at(cts, b + 1) > 0,
+                       F.lit(mask).cast("long"))
+                .otherwise(F.lit(0).cast("long")))
+        return sig
+
+    from ..util import bind_once
+    return bind_once(counts, assemble)
 
 
 def simhash_groups(df: DataFrame, id_col: str, text_col: str,

@@ -44,12 +44,20 @@ def whitespace_token_count(c: Column) -> Column:
     return F.size(tokenize(c)).cast("long")
 
 
-def stopword_ratio(c: Column, stopwords: list[str]) -> Column:
-    toks = tokenize(c)
+def stopword_ratio_tokens(toks: Column, stopwords: list[str]) -> Column:
+    """``stopword_ratio`` over a pre-tokenized array — pass an attribute
+    (e.g. a materialized token column) so the token array is not
+    re-derived per reference."""
     sw = F.array(*[F.lit(w) for w in stopwords])
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(c: Column, stopwords: list[str]) -> Column:
+    from ..util import bind_once
+    return bind_once(tokenize(c),
+                     lambda toks: stopword_ratio_tokens(toks, stopwords))
 
 
 def punct_ratio(c: Column) -> Column:
@@ -64,11 +72,15 @@ def digit_ratio(c: Column) -> Column:
     return F.when(F.coalesce(n, F.lit(0)) == 0, F.lit(0.0)).otherwise(d.cast("double") / n.cast("double"))
 
 
-def mean_token_length(c: Column) -> Column:
-    toks = tokenize(c)
+def mean_token_length_tokens(toks: Column) -> Column:
     n = F.size(toks)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n.cast("double"))
+
+
+def mean_token_length(c: Column) -> Column:
+    from ..util import bind_once
+    return bind_once(tokenize(c), mean_token_length_tokens)
 
 
 def quality_score(c: Column, stopwords: list[str] | None = None) -> Column:
@@ -76,13 +88,24 @@ def quality_score(c: Column, stopwords: list[str] | None = None) -> Column:
     penalizes empty text, extreme punctuation/digit density, missing
     stopwords, degenerate token lengths. Weights fixed and documented so the
     score is stable across versions."""
+    from ..util import bind_once
+    return bind_once(tokenize(c),
+                     lambda toks: quality_score_tokens(c, toks, stopwords))
+
+
+def quality_score_tokens(c: Column, toks: Column,
+                         stopwords: list[str] | None = None) -> Column:
+    """``quality_score`` with the token-based signals read from a
+    pre-tokenized array (attribute or bound lambda variable)."""
     sw = stopwords or STOPWORD_PROFILES["en"]
     ln = F.coalesce(F.length(c), F.lit(0))
     len_ok = F.when((ln >= 50) & (ln <= 100000), 1.0).otherwise(0.0)
     punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
     digit_ok = F.when(digit_ratio(c) <= 0.3, 1.0).otherwise(0.0)
-    sw_ok = F.when(stopword_ratio(c, sw) >= 0.01, 1.0).otherwise(0.0)
-    tok_ok = F.when((mean_token_length(c) >= 2.0) & (mean_token_length(c) <= 12.0), 1.0).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio_tokens(toks, sw) >= 0.01, 1.0) \
+        .otherwise(0.0)
+    mtl = mean_token_length_tokens(toks)
+    tok_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
     # sum the 0/1 signals first (exact in double), scale once — a single
     # float rounding, deterministic across engines
     return (len_ok + punct_ok + digit_ok + sw_ok + tok_ok) * F.lit(0.2)
@@ -98,17 +121,34 @@ def language_id(c: Column, profiles: dict[str, list[str]] | None = None) -> Colu
     OOMs Catalyst past ~15 profiles). Struct comparison is lexicographic,
     so equal scores fall to max(-index) = the earliest (ascending) code —
     identical tie semantics to the strict-> chain this replaces."""
+    from ..util import bind_once
+
+    # bind the token array once: each language's ratio otherwise re-ran
+    # the regex tokenizer (N tokenizes per row for N profiles); the
+    # argmax winner is bound once more inside language_id_tokens
+    return bind_once(tokenize(c),
+                     lambda toks: language_id_tokens(toks, profiles))
+
+
+def language_id_tokens(toks: Column,
+                       profiles: dict[str, list[str]] | None = None) -> Column:
+    """``language_id`` over a pre-tokenized array (attribute) — the
+    text_metrics single-tokenize form. Same argmax/tie semantics."""
+    from ..util import bind_once
     profiles = profiles or STOPWORD_PROFILES
     langs = sorted(profiles)
+    lang_arr = F.array(*[F.lit(l) for l in langs])
     entries = F.array(*[
-        F.struct(F.coalesce(stopword_ratio(c, profiles[l]), F.lit(0.0)).alias("s"),
+        F.struct(F.coalesce(stopword_ratio_tokens(toks, profiles[l]),
+                            F.lit(0.0)).alias("s"),
                  F.lit(-i).alias("ni"))
         for i, l in enumerate(langs)])
-    best = F.array_max(entries)
-    lang_arr = F.array(*[F.lit(l) for l in langs])
-    return F.when(best["s"] > 0.0,
-                  F.element_at(lang_arr, (-best["ni"] + 1).cast("int"))) \
-        .otherwise(F.lit("und"))
+    return bind_once(
+        F.array_max(entries),
+        lambda best: F.when(
+            best["s"] > 0.0,
+            F.element_at(lang_arr, (-best["ni"] + 1).cast("int"))) \
+        .otherwise(F.lit("und")))
 
 
 # extended Latin-script detection profiles. Detection-only surface: the
@@ -252,7 +292,17 @@ def language_id_extended(c: Column, min_script_ratio: float = 0.3) -> Column:
     extended Latin stopword profiles decide, and confusable same-script
     groups (no/da, id/ms, hr/sr/bs) are re-routed by their discriminator
     lexicons (CONFUSABLE_DISCRIMINATORS — zero discriminator hits keep
-    the base guess). Deterministic, pure expressions, one projection."""
+    the base guess). Deterministic, pure expressions, one projection.
+
+    The token array and the base guess are each bound once (util.
+    bind_once): the old chain re-tokenized per marker filter, and its
+    ``out = when(out.isin(group), refined).otherwise(out)`` step
+    referenced the running expression 3× per group — the base language_id
+    (30 profile scans) was embedded 2^k times for k confusable groups.
+    The groups are DISJOINT language sets and a group's refinement only
+    yields languages of that group, so the nested chain flattens to one
+    when-chain keyed on the BASE guess — identical routing."""
+    from ..util import bind_once
     letters = F.regexp_count(c, F.lit(r"\p{L}"))
 
     def ratio(rng: str) -> Column:
@@ -260,28 +310,37 @@ def language_id_extended(c: Column, min_script_ratio: float = 0.3) -> Column:
                       F.regexp_count(c, F.lit(rng)).cast("double")
                       / letters.cast("double")).otherwise(F.lit(0.0))
 
-    out = language_id(c, STOPWORD_PROFILES_EXTENDED)
-    toks = tokenize(c)
+    def refine(toks: Column, base: Column) -> Column:
+        def marker_hits(words: list[str]) -> Column:
+            # unary-lambda factory: a default-arg lambda would be treated
+            # by F.filter as (element, index) — see minhash_signature
+            ws = F.array(*[F.lit(w) for w in words])
+            return F.size(F.filter(toks, lambda t: F.array_contains(ws, t)))
 
-    def marker_hits(words: list[str]) -> Column:
-        # unary-lambda factory: a default-arg lambda would be treated by
-        # F.filter as (element, index) — see minhash_signature's note
-        ws = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(ws, t)))
+        def picker(lang_arr: Column):
+            # unary-lambda factory again: bind_once's transform would read
+            # a two-parameter lambda as (element, index)
+            return lambda best: F.when(
+                best["h"] > 0,
+                F.element_at(lang_arr, (-best["ni"] + 1).cast("int"))) \
+                .otherwise(base)
 
-    for group, markers in CONFUSABLE_DISCRIMINATORS.items():
-        langs = sorted(markers)
-        entries = F.array(*[
-            F.struct(marker_hits(markers[l]).alias("h"),
-                     F.lit(-i).alias("ni"))
-            for i, l in enumerate(langs)])
-        best = F.array_max(entries)
-        lang_arr = F.array(*[F.lit(l) for l in langs])
-        refined = F.when(
-            best["h"] > 0,
-            F.element_at(lang_arr, (-best["ni"] + 1).cast("int"))) \
-            .otherwise(out)
-        out = F.when(out.isin(*group), refined).otherwise(out)
+        out = base
+        for group, markers in CONFUSABLE_DISCRIMINATORS.items():
+            langs = sorted(markers)
+            entries = F.array(*[
+                F.struct(marker_hits(markers[l]).alias("h"),
+                         F.lit(-i).alias("ni"))
+                for i, l in enumerate(langs)])
+            lang_arr = F.array(*[F.lit(l) for l in langs])
+            refined = bind_once(F.array_max(entries), picker(lang_arr))
+            out = F.when(base.isin(*group), refined).otherwise(out)
+        return out
+
+    out = bind_once(tokenize(c),
+                    lambda toks: bind_once(
+                        language_id_tokens(toks, STOPWORD_PROFILES_EXTENDED),
+                        lambda base: refine(toks, base)))
     # reversed: kana (listed first) ends up the outermost/winning WHEN
     for name, rng in reversed(_SCRIPT_RANGES):
         out = F.when(ratio(rng) >= min_script_ratio,
@@ -289,12 +348,16 @@ def language_id_extended(c: Column, min_script_ratio: float = 0.3) -> Column:
     return out
 
 
+def fingerprint_tokens(toks: Column) -> Column:
+    """``fingerprint`` over a pre-tokenized array."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
 def fingerprint(c: Column) -> Column:
     """Locality-insensitive document fingerprint: sorted distinct tokens
     joined and hashed (the classic key-collision / clustering fingerprint).
     Word order and duplication do not change the fingerprint."""
-    toks = F.array_sort(F.array_distinct(tokenize(c)))
-    return F.md5(F.array_join(toks, " "))
+    return fingerprint_tokens(tokenize(c))
 
 
 def winnow_fingerprints(c: Column, k: int = 5, w: int = 4,
@@ -377,22 +440,33 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def text_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One-pass per-document metric table (each metric one expression —
-    single projection over the scan)."""
+    """One-pass per-document metric table.
+
+    Two stacked projections over the scan: the first materializes the
+    token array ONCE per document, the second derives every token-based
+    metric from that attribute. The single-projection form re-ran the
+    regex tokenizer per metric column (≈10 tokenizes per row, each an
+    interpreted HOF eval with a fresh java.util.regex compile);
+    CollapseProject keeps the two projections separate because the token
+    column is a non-trivial alias referenced many times."""
     c = F.col(text_col)
-    return ensure_parallelism(df).select(
-        F.col(id_col),
-        F.coalesce(F.length(c), F.lit(0)).cast("long").alias("n_chars"),
-        whitespace_token_count(c).alias("n_tokens"),
-        token_count(c).alias("n_tokens_bpe"),
-        mean_token_length(c).alias("mean_token_len"),
-        punct_ratio(c).alias("punct_ratio"),
-        digit_ratio(c).alias("digit_ratio"),
-        stopword_ratio(c, STOPWORD_PROFILES["en"]).alias("stopword_ratio_en"),
-        quality_score(c).alias("quality"),
-        language_id(c).alias("lang_guess"),
-        fingerprint(c).alias("fingerprint"),
-    )
+    toks = F.col("_tm_toks")
+    return ensure_parallelism(df) \
+        .withColumn("_tm_toks", tokenize(c)) \
+        .select(
+            F.col(id_col),
+            F.coalesce(F.length(c), F.lit(0)).cast("long").alias("n_chars"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            token_count(c).alias("n_tokens_bpe"),
+            mean_token_length_tokens(toks).alias("mean_token_len"),
+            punct_ratio(c).alias("punct_ratio"),
+            digit_ratio(c).alias("digit_ratio"),
+            stopword_ratio_tokens(toks, STOPWORD_PROFILES["en"])
+            .alias("stopword_ratio_en"),
+            quality_score_tokens(c, toks).alias("quality"),
+            language_id_tokens(toks).alias("lang_guess"),
+            fingerprint_tokens(toks).alias("fingerprint"),
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -610,10 +610,14 @@ def _wp_scan_word(w: Column, tab: Column, model: dict) -> Column:
         F.lit(False).alias("bad"))
     state = F.aggregate(F.sequence(F.lit(1), F.length(w)),
                         init, step)
-    return F.when(F.length(w) > _WP_MAX_WORD,
-                  F.array(F.lit(unk))) \
-        .when(state["bad"], F.array(F.lit(unk))) \
-        .otherwise(state["pieces"])
+    # bind the final scan state once (util.bind_once): reading its "bad"
+    # and "pieces" fields separately would re-run the whole greedy cursor
+    # aggregate twice per word
+    from ..util import bind_once
+    return bind_once(state, lambda st: F.when(
+        F.length(w) > _WP_MAX_WORD, F.array(F.lit(unk))) \
+        .when(st["bad"], F.array(F.lit(unk))) \
+        .otherwise(st["pieces"]))
 
 
 def wordpiece_tokenize_df(df: DataFrame, text_col: str, model: dict,

@@ -21,7 +21,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
-from ..llm.textqual import STOPWORD_PROFILES, stopword_ratio
+from ..llm.textqual import STOPWORD_PROFILES
 
 # compact built-in given-name dictionary (NameDetectUtils ships a large one;
 # the operator contract is identical — swap the list for a fuller dictionary)
@@ -85,11 +85,17 @@ def is_human_name(c: Column, threshold: float = 0.5) -> Column:
 def language_scores(c: Column, profiles: dict[str, list[str]] | None = None) -> Column:
     """LangDetector.scala:46 — RealMap of per-language confidences
     (stopword-profile scores; keys sorted for determinism)."""
+    from ..llm.textqual import stopword_ratio_tokens
+    from ..util import bind_once
+
     profiles = profiles or STOPWORD_PROFILES
     langs = sorted(profiles)
-    return F.map_from_arrays(
+    # one tokenize shared by every language's ratio (bind_once — each
+    # per-language stopword_ratio would otherwise re-run the tokenizer)
+    return bind_once(tokenize(c), lambda toks: F.map_from_arrays(
         F.array(*[F.lit(l) for l in langs]),
-        F.array(*[stopword_ratio(c, profiles[l]) for l in langs]))
+        F.array(*[stopword_ratio_tokens(toks, profiles[l])
+                  for l in langs])))
 
 
 def candidate_entities(c: Column, min_len: int = 2) -> Column:

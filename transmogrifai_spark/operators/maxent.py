@@ -896,15 +896,21 @@ def maxent_beam_decode(tokens: Column, model: dict, beam: int = 3,
                     lambda r: F.struct(r["labs"].alias("labs"),
                                        (-r["ns"]).alias("sc")))
 
-            best = F.try_element_at(F.aggregate(bs, init, step), F.lit(1))
-            tags = F.when(
-                best.isNull(), F.array().cast("array<string>")) \
-                .otherwise(F.transform(
-                    best["labs"],
-                    lambda o: F.element_at(
-                        F.array(*[F.lit(x) for x in outcomes]), o + 1)))
-            sc = F.coalesce(best["sc"], F.lit(0.0))
-            return F.struct(tags.alias("tags"), sc.alias("sc"))
+            # bind the winning hypothesis once — its three reads (null
+            # check, labs, sc) would each re-run the whole beam aggregate
+            def with_best(best: Column) -> Column:
+                tags = F.when(
+                    best.isNull(), F.array().cast("array<string>")) \
+                    .otherwise(F.transform(
+                        best["labs"],
+                        lambda o: F.element_at(
+                            F.array(*[F.lit(x) for x in outcomes]), o + 1)))
+                sc = F.coalesce(best["sc"], F.lit(0.0))
+                return F.struct(tags.alias("tags"), sc.alias("sc"))
+
+            return F.get(F.transform(F.array(
+                F.try_element_at(F.aggregate(bs, init, step), F.lit(1))),
+                with_best), 0)
 
         return F.get(F.transform(F.array(base), with_base), 0)
 
@@ -983,21 +989,26 @@ def maxent_beam_spans(tokens: Column, model: dict, beam: int = 3,
                                     F.lit(False).alias("live"),
                                     F.lit(0).alias("cs")))
 
-        fin = F.aggregate(pos, init, step)
-        all_spans = F.when(
-            ~fin["live"], fin["spans"]) \
-            .otherwise(F.concat(fin["spans"], F.array(F.struct(
-                tag_type(F.element_at(tg, n)).alias("type"),
-                (fin["cs"] - 1).alias("start"),
-                n.cast("int").alias("end")))))
-        return F.transform(
-            all_spans,
-            lambda s: F.struct(
-                s["type"].alias("type"), s["start"].alias("start"),
-                s["end"].alias("end"),
-                F.array_join(F.slice(ts, s["start"] + 1,
-                                     s["end"] - s["start"]), " ")
-                .alias("text")))
+        # bind the final walk state once — its live/spans/cs reads would
+        # each re-run the whole span-walk aggregate
+        def with_fin(fin: Column) -> Column:
+            all_spans = F.when(
+                ~fin["live"], fin["spans"]) \
+                .otherwise(F.concat(fin["spans"], F.array(F.struct(
+                    tag_type(F.element_at(tg, n)).alias("type"),
+                    (fin["cs"] - 1).alias("start"),
+                    n.cast("int").alias("end")))))
+            return F.transform(
+                all_spans,
+                lambda s: F.struct(
+                    s["type"].alias("type"), s["start"].alias("start"),
+                    s["end"].alias("end"),
+                    F.array_join(F.slice(ts, s["start"] + 1,
+                                         s["end"] - s["start"]), " ")
+                    .alias("text")))
+
+        return F.get(F.transform(F.array(F.aggregate(pos, init, step)),
+                                 with_fin), 0)
 
     out = F.get(F.transform(
         F.array(F.struct(toks.alias("ts"), tags.alias("tg"))),

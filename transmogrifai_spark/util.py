@@ -55,6 +55,26 @@ def lit_matrix(rows) -> Column:
         for r in rows) + ")")
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and let ``fn`` build an expression over
+    the result through a lambda variable (a cheap slot read per reference).
+
+    Why this exists: higher-order functions (transform/filter/aggregate)
+    are CodegenFallback — their lambda bodies run interpreted, and any
+    non-trivial subtree EMBEDDED in a lambda body is re-evaluated per
+    array element (``ngrams``' old ``slice(tokenize(text), i, n)`` re-ran
+    the regex tokenizer once per output gram: O(tokens²) with a fresh
+    java.util.regex compile per call). Likewise an expression referenced N
+    times in one projection evaluates N times (``minhash_signature``'s 16
+    seed transforms each re-derived the whole shingle array). Wrapping the
+    shared subtree as the single element of a literal array and
+    ``transform``-ing over it binds the evaluated value to a
+    NamedLambdaVariable; every reference inside ``fn`` is then a slot
+    read. The same trick ``winnow_fingerprints`` documents for its window
+    sweep, packaged for reuse."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than the cluster has
     cores. Heavy per-row expression pipelines (tokenize + n-grams, minhash
