@@ -1898,14 +1898,19 @@ def q_text_quality(spark, sf_dir):
                     F.lit(_WEB_HTML[4]))
     url = F.concat(F.lit(_WEB_URL[0]), F.col("doc_id").cast("string"),
                    F.lit(_WEB_URL[1]), F.col("source"), F.lit(_WEB_URL[2]))
-    boiler = _web.remove_boilerplate(html)
-    wb = docs.select(
-        "doc_id",
-        _web.canonicalize_url(url).alias("canon_url"),
-        _web.url_domain(url).alias("url_dom"),
-        F.md5(boiler["text"]).alias("web_md5"),
-        boiler["n_blocks"].cast("long").alias("n_blocks"),
-        boiler["n_kept"].cast("long").alias("n_kept"))
+    # materialize the boilerplate struct ONCE per row (two stacked
+    # projections, the text_metrics pattern): reading its three fields
+    # off the expression directly re-ran the whole block-split machinery
+    # per field — CollapseProject keeps the projections separate because
+    # the alias is non-cheap and referenced three times
+    wb = docs.withColumn("_boiler", _web.remove_boilerplate(html)) \
+        .select(
+            "doc_id",
+            _web.canonicalize_url(url).alias("canon_url"),
+            _web.url_domain(url).alias("url_dom"),
+            F.md5(F.col("_boiler")["text"]).alias("web_md5"),
+            F.col("_boiler")["n_blocks"].cast("long").alias("n_blocks"),
+            F.col("_boiler")["n_kept"].cast("long").alias("n_kept"))
 
     # link graph (r6): extract_links over the same fixture -> host edges ->
     # 3 iterations of PORTABLE weighted PageRank (operators/graph.py —

@@ -205,22 +205,31 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
                          f"overlap={overlap} chunk_tokens={chunk_tokens}")
+    from ..util import bind_once
+
     stride = chunk_tokens - overlap
-    toks = tokenize(F.col(text_col))
-    n = F.size(toks)
-    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
-        .otherwise(F.array().cast("array<int>"))
-    starts = F.filter(
-        starts,
-        lambda s: (s == 0) | (s - F.lit(stride) + F.lit(chunk_tokens) < n))
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.cast("int").alias("chunk_id"),
-            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ")
-            .alias("chunk_text"),
-            F.size(F.slice(toks, s + 1, chunk_tokens))
-            .alias("n_chunk_tokens")))
+
+    # the token array is bound once per document (util.bind_once): the
+    # start filter referenced its size per candidate start and the chunk
+    # transform sliced it twice per chunk — each reference re-ran the
+    # regex tokenizer in interpreted HOF mode (O(tokens x chunks) work)
+    def per(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
+            .otherwise(F.array().cast("array<int>"))
+        starts = F.filter(
+            starts,
+            lambda s: (s == 0) | (s - F.lit(stride) + F.lit(chunk_tokens) < n))
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.array_join(F.slice(toks, s + 1, chunk_tokens), " ")
+                .alias("chunk_text"),
+                F.size(F.slice(toks, s + 1, chunk_tokens))
+                .alias("n_chunk_tokens")))
+
+    chunks = bind_once(tokenize(F.col(text_col)), per)
     return (df.withColumn("__c", F.explode(chunks))
             .select("*", "__c.chunk_id", "__c.chunk_text",
                     "__c.n_chunk_tokens")

@@ -492,8 +492,8 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
     SQL-expressible — that form is law-tested (n_clusters=1 equals
     brute-force pairs; identical vectors always co-cluster) rather than
     oracle-gated."""
-    from .similarity import (cosine_similarity, explicit_assignments,
-                             ivf_assignments)
+    from .similarity import (cosine_prenormed, cosine_similarity,
+                             explicit_assignments, ivf_assignments, l2_norm)
 
     if centroids is not None:
         assigned = explicit_assignments(df, id_col, vec_col, centroids)
@@ -517,22 +517,30 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
     # parsed SQL expression, not per-element py4j calls (r8)
     from .similarity import _lit_matrix
     ctr_mat = _lit_matrix(centroids)
+    # the per-row vector norm is computed ONCE here (and persisted with
+    # the frame): the within-cell pair mining below is quadratic per
+    # cell, and cosine_prenormed keeps its per-pair cost to the single
+    # dot fold instead of re-folding both norms per pair
     assigned = assigned.select(
         F.col("neighbor_id").alias("id"), F.col("_cv").alias("_v"), "_cell",
         cosine_similarity(F.col("_cv"),
                           F.element_at(ctr_mat, F.col("_cell") + 1))
-        .alias("centroid_sim"))
+        .alias("centroid_sim"),
+        l2_norm(F.col("_cv")).alias("_n"))
     assigned = assigned.persist()
     mined = assigned
     if max_cell is not None:
         ok = (assigned.groupBy("_cell").agg(F.count(F.lit(1)).alias("_m"))
               .where(F.col("_m") <= max_cell).select("_cell"))
         mined = mined.join(F.broadcast(ok), "_cell")
-    a = mined.select(F.col("id").alias("id1"), F.col("_v").alias("v1"), "_cell")
-    b = mined.select(F.col("id").alias("id2"), F.col("_v").alias("v2"), "_cell")
+    a = mined.select(F.col("id").alias("id1"), F.col("_v").alias("v1"),
+                     F.col("_n").alias("n1"), "_cell")
+    b = mined.select(F.col("id").alias("id2"), F.col("_v").alias("v2"),
+                     F.col("_n").alias("n2"), "_cell")
     pairs = (a.join(b, ["_cell"])
              .where(F.col("id1") < F.col("id2"))
-             .withColumn("cosine", cosine_similarity(F.col("v1"), F.col("v2")))
+             .withColumn("cosine", cosine_prenormed(
+                 F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")))
              .where(F.col("cosine") >= eps)
              .select("id1", "id2", "cosine"))
     return pairs, assigned.select("id", "_cell", "centroid_sim")
@@ -627,12 +635,15 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     one executor (debugging, oracle cross-checks at tiny SF). The scale path
     is ``embedding_near_dup_pairs_lsh`` (bucket equi-join, linear candidate
     generation), which is also the driver-verified path."""
-    from .similarity import cosine_similarity
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    from .similarity import cosine_prenormed, l2_norm
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+                  l2_norm(F.col(vec_col)).alias("n1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+                  l2_norm(F.col(vec_col)).alias("n2"))
     return (
         a.crossJoin(b).where(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", cosine_similarity(F.col("v1"), F.col("v2")))
+        .withColumn("cosine", cosine_prenormed(
+            F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")))
         .where(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
@@ -653,7 +664,7 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     exploded row per doc. True near-duplicates (theta ~ 0) are found with
     near-certainty. Planes are the md5-derived ±1 "signs" family with
     fixed-point dots, so the whole plan is SQL-oracle-replicable."""
-    from .similarity import cosine_similarity, plane_bits
+    from .similarity import cosine_prenormed, l2_norm, plane_bits
     bits = plane_bits(F.col(vec_col), dim, bands * planes_per_band, seed)
     band_buckets = []
     for b in range(bands):
@@ -661,7 +672,12 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
         for k in range(planes_per_band):
             bucket = bucket + bits[b * planes_per_band + k].cast("long") * F.lit(1 << k)
         band_buckets.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    # the row norm rides the banded projection (computed once per doc,
+    # below the explode Generate) so candidate scoring is one dot fold
+    # per pair; _n is norm-of-_v, so adding it to the candidate distinct
+    # key cannot split any (id1, id2, v1, v2) group
     bk = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                   l2_norm(F.col(vec_col)).alias("_n"),
                    F.explode(F.array(*band_buckets)).alias("_bb"))
     # persist: the banded projection feeds both sides of the self-join and
     # bucket computation is ~bands*planes_per_band*dim fused multiplies/row
@@ -670,11 +686,14 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     cand = (a.join(c, (F.col("a._bb") == F.col("b._bb")) &
                    (F.col("a._id") < F.col("b._id")))
             .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"),
-                    F.col("a._v").alias("_v1"), F.col("b._v").alias("_v2"))
+                    F.col("a._v").alias("_v1"), F.col("b._v").alias("_v2"),
+                    F.col("a._n").alias("_n1"), F.col("b._n").alias("_n2"))
             .distinct())
     return (cand
             .select("id1", "id2",
-                    cosine_similarity(F.col("_v1"), F.col("_v2")).alias("cosine"))
+                    cosine_prenormed(F.col("_v1"), F.col("_v2"),
+                                     F.col("_n1"), F.col("_n2"))
+                    .alias("cosine"))
             .where(F.col("cosine") >= threshold))
 
 

@@ -40,12 +40,22 @@ __all__ = ["fit_char_lm", "lm_log_prob", "perplexity", "perplexity_filter"]
 
 def _char_ngrams(c: Column, n: int) -> Column:
     """Array of character n-grams of the normalized text (lowercased,
-    whitespace collapsed to single spaces — the LM alphabet)."""
-    norm = F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " ")
-    starts = F.when(F.length(norm) >= n,
-                    F.sequence(F.lit(1), F.length(norm) - (n - 1))) \
-        .otherwise(F.array().cast("array<int>"))
-    return F.transform(starts, lambda i: F.substring(norm, i, F.lit(n)))
+    whitespace collapsed to single spaces — the LM alphabet).
+
+    The normalized text is bound once (util.bind_once): the per-gram
+    substring lambda used to embed the regexp_replace+lower chain, which
+    re-ran per output gram (O(len²) regex work per row — higher-order
+    functions are CodegenFallback)."""
+    from ..util import bind_once
+
+    def per(norm: Column) -> Column:
+        starts = F.when(F.length(norm) >= n,
+                        F.sequence(F.lit(1), F.length(norm) - (n - 1))) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(starts, lambda i: F.substring(norm, i, F.lit(n)))
+
+    return bind_once(
+        F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " "), per)
 
 
 def fit_char_lm(df: DataFrame, text_col: str = "text", n: int = 2,
@@ -80,18 +90,31 @@ def lm_log_prob(c: Column, model: dict) -> Column:
     """Average per-char log-probability of the text under the fitted model.
     Unseen grams get the floor ``log(k / (k * V))`` (an unseen context's
     add-k estimate). Empty/NULL text scores the floor."""
+    from ..util import bind_once
+
     k, v = model["add_k"], model["vocab_size"]
     floor = math.log(k / (k * v))
     lp = _log_prob_map(model)
     lp_map = F.create_map(*[F.lit(x) for kv in lp.items() for x in kv]) \
         if lp else F.create_map(F.lit(""), F.lit(floor))
-    grams = _char_ngrams(c, model["n"])
-    total = F.aggregate(
-        grams, F.lit(0.0),
-        lambda acc, g: acc + F.coalesce(F.element_at(lp_map, g),
-                                        F.lit(floor)))
-    return F.when(F.size(grams) > 0, total / F.size(grams)) \
-        .otherwise(F.lit(floor))
+
+    # bind the gram array AND the literal probability map once per row:
+    # ``grams`` was referenced three times (fold + two sizes), each
+    # re-deriving the O(len²) gram construction, and CreateMap is not
+    # constant-folded — embedded in the fold lambda it was rebuilt per
+    # GRAM (the nbmodel r8 lesson)
+    def score(s: Column) -> Column:
+        grams, m = s["grams"], s["m"]
+        total = F.aggregate(
+            grams, F.lit(0.0),
+            lambda acc, g: acc + F.coalesce(F.element_at(m, g),
+                                            F.lit(floor)))
+        return F.when(F.size(grams) > 0, total / F.size(grams)) \
+            .otherwise(F.lit(floor))
+
+    return bind_once(
+        F.struct(_char_ngrams(c, model["n"]).alias("grams"),
+                 lp_map.alias("m")), score)
 
 
 def perplexity(c: Column, model: dict) -> Column:

@@ -55,29 +55,42 @@ def _digit_array(c: Column) -> Column:
 def luhn_valid(c: Column) -> Column:
     """Luhn checksum (ISO/IEC 7812) over the digits of ``c``: from the right,
     double every second digit, subtract 9 when >9, total % 10 == 0."""
-    rev = F.reverse(_digit_array(c))
-    total = F.aggregate(
-        F.zip_with(rev, F.sequence(F.lit(0), F.size(rev) - 1),
-                   lambda d, i: F.when(i % 2 == 1,
-                                       F.when(d * 2 > 9, d * 2 - 9)
-                                       .otherwise(d * 2)).otherwise(d)),
-        F.lit(0), lambda acc, x: acc + x)
-    return (F.size(rev) >= 12) & (total % 10 == 0)
+    from ..util import bind_once
+
+    # the reversed digit array is referenced three times (fold input,
+    # sequence bound, length gate) — bound once so the split+filter digit
+    # extraction does not re-run per reference (HOFs are CodegenFallback)
+    def check(rev: Column) -> Column:
+        total = F.aggregate(
+            F.zip_with(rev, F.sequence(F.lit(0), F.size(rev) - 1),
+                       lambda d, i: F.when(i % 2 == 1,
+                                           F.when(d * 2 > 9, d * 2 - 9)
+                                           .otherwise(d * 2)).otherwise(d)),
+            F.lit(0), lambda acc, x: acc + x)
+        return (F.size(rev) >= 12) & (total % 10 == 0)
+
+    return bind_once(F.reverse(_digit_array(c)), check)
 
 
 def iban_valid(c: Column) -> Column:
     """ISO 13616 / ISO 7064 mod-97-10 IBAN check: move the first 4 chars to
     the end, map letters A..Z -> 10..35, running remainder mod 97 == 1.
     The fold keeps the accumulator < 97 so it never overflows."""
-    s = F.upper(F.regexp_replace(c, r"\s", ""))
-    rearranged = F.concat(F.substring(s, 5, 40), F.substring(s, 1, 4))
-    chars = F.split(rearranged, "(?!$)")
-    rem = F.aggregate(
-        chars, F.lit(0).cast("long"),
-        lambda acc, ch: F.when(
-            ch.rlike("[0-9]"), (acc * 10 + (F.ascii(ch) - 48)) % 97
-        ).otherwise((acc * 100 + (F.ascii(ch) - 55)) % 97))
-    return (F.length(s) >= 15) & (F.length(s) <= 34) & (rem == 1)
+    from ..util import bind_once
+
+    # the stripped/uppercased string is referenced four times (two
+    # substrings, two length gates) — bound once per candidate
+    def check(s: Column) -> Column:
+        rearranged = F.concat(F.substring(s, 5, 40), F.substring(s, 1, 4))
+        chars = F.split(rearranged, "(?!$)")
+        rem = F.aggregate(
+            chars, F.lit(0).cast("long"),
+            lambda acc, ch: F.when(
+                ch.rlike("[0-9]"), (acc * 10 + (F.ascii(ch) - 48)) % 97
+            ).otherwise((acc * 100 + (F.ascii(ch) - 55)) % 97))
+        return (F.length(s) >= 15) & (F.length(s) <= 34) & (rem == 1)
+
+    return bind_once(F.upper(F.regexp_replace(c, r"\s", "")), check)
 
 
 def _checked_count(c: Column, pattern: str, check) -> Column:

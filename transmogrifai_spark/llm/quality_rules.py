@@ -45,14 +45,20 @@ def _dup_char_fraction(arr: Column) -> Column:
     """Fraction of characters inside elements that are repeats of an
     earlier-seen element (the Gopher 'duplicate line/paragraph character
     fraction'). Expression-only: total chars minus chars of the distinct
-    set, over total."""
-    total = F.aggregate(F.transform(arr, lambda x: F.length(x)),
-                        F.lit(0), lambda a, x: a + x)
-    uniq = F.aggregate(F.transform(F.array_distinct(arr),
-                                   lambda x: F.length(x)),
-                       F.lit(0), lambda a, x: a + x)
-    return F.when(total > 0, (total - uniq) / total.cast("double")
-                  ).otherwise(F.lit(0.0))
+    set, over total. The two length folds are bound once (util.bind_once):
+    ``total`` is referenced three times below, and HOF folds re-evaluate
+    per reference."""
+    from ..util import bind_once
+    return bind_once(
+        F.struct(
+            F.aggregate(F.transform(arr, lambda x: F.length(x)),
+                        F.lit(0), lambda a, x: a + x).alias("total"),
+            F.aggregate(F.transform(F.array_distinct(arr),
+                                    lambda x: F.length(x)),
+                        F.lit(0), lambda a, x: a + x).alias("uniq")),
+        lambda s: F.when(s["total"] > 0,
+                         (s["total"] - s["uniq"]) / s["total"].cast("double")
+                         ).otherwise(F.lit(0.0)))
 
 
 GOPHER_DEFAULTS = {
@@ -79,66 +85,89 @@ def gopher_rules(text: Column, **overrides) -> Column:
     expression tree. Repetition here covers the line/paragraph families;
     n-gram repetition (which needs within-doc grouping) is
     :func:`repetition_metrics`."""
+    from ..util import bind_once
+
     p = {**GOPHER_DEFAULTS, **overrides}
     t = F.coalesce(text, F.lit(""))
-    words = _words(t)
-    lower_words = F.transform(words, lambda w: F.lower(w))
-    n_words = F.size(words)
-    nw = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
-    mean_wl = F.aggregate(F.transform(words, lambda w: F.length(w)),
-                          F.lit(0), lambda a, x: a + x) / nw
-    n_symbols = (F.size(F.filter(words, lambda w: w.contains("#")))
-                 + F.size(F.filter(words, lambda w: w.contains("..."))))
-    symbol_ratio = n_symbols / nw
-    alpha_frac = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}"))) / nw
-    stops = F.size(F.array_intersect(
-        F.array_distinct(lower_words),
-        F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])))
-    lines = _lines(t)
-    n_lines = F.when(F.size(lines) > 0,
-                     F.size(lines).cast("double")).otherwise(F.lit(1.0))
-    bullet_frac = F.size(F.filter(
-        lines, lambda l: F.trim(l).rlike(r"^([-*•‣▪◦])"))
-    ) / n_lines
-    ellipsis_frac = F.size(F.filter(
-        lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))) / n_lines
-    paras = F.filter(F.split(t, r"\n\n+"),
-                     lambda x: F.length(F.trim(x)) > 0)
-    dup_line = _dup_fraction(lines)
-    dup_para = _dup_fraction(paras)
-    dup_line_chars = _dup_char_fraction(lines)
-    dup_para_chars = _dup_char_fraction(paras)
 
-    checks = {
-        "word_count_ok": (n_words >= p["min_words"]) &
-                         (n_words <= p["max_words"]),
-        "mean_word_len_ok": (mean_wl >= p["min_mean_word_len"]) &
-                            (mean_wl <= p["max_mean_word_len"]),
-        "symbol_ratio_ok": symbol_ratio <= p["max_symbol_word_ratio"],
-        "bullet_frac_ok": bullet_frac <= p["max_bullet_line_frac"],
-        "ellipsis_frac_ok": ellipsis_frac <= p["max_ellipsis_line_frac"],
-        "alpha_frac_ok": alpha_frac >= p["min_alpha_word_frac"],
-        "stop_words_ok": stops >= p["min_stop_words"],
-        "dup_line_ok": dup_line <= p["max_dup_line_frac"],
-        "dup_para_ok": dup_para <= p["max_dup_para_frac"],
-        "dup_line_chars_ok": dup_line_chars <= p["max_dup_line_char_frac"],
-        "dup_para_chars_ok": dup_para_chars <= p["max_dup_para_char_frac"],
-    }
-    keep = None
-    for c in checks.values():
-        keep = c if keep is None else (keep & c)
-    return F.struct(
-        n_words.alias("n_words"), mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stops.alias("n_stop_words"),
-        dup_line.alias("dup_line_frac"), dup_para.alias("dup_para_frac"),
-        dup_line_chars.alias("dup_line_char_frac"),
-        dup_para_chars.alias("dup_para_char_frac"),
-        *[v.alias(k) for k, v in checks.items()],
-        keep.alias("keep"))
+    # two bind_once levels (HOFs are CodegenFallback — an expression
+    # referenced N times evaluates N times): first the three split+filter
+    # arrays (words/lines/paras — the old body re-split the text ~10x per
+    # row), then every measured metric (each is referenced twice below:
+    # its rule boolean + its output field). Identical values, each
+    # computed exactly once.
+    def metrics(words: Column, lines: Column, paras: Column) -> Column:
+        lower_words = F.transform(words, lambda w: F.lower(w))
+        n_words = F.size(words)
+        nw = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
+        mean_wl = F.aggregate(F.transform(words, lambda w: F.length(w)),
+                              F.lit(0), lambda a, x: a + x) / nw
+        n_symbols = (F.size(F.filter(words, lambda w: w.contains("#")))
+                     + F.size(F.filter(words, lambda w: w.contains("..."))))
+        symbol_ratio = n_symbols / nw
+        alpha_frac = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}"))) / nw
+        stops = F.size(F.array_intersect(
+            F.array_distinct(lower_words),
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])))
+        n_lines = F.when(F.size(lines) > 0,
+                         F.size(lines).cast("double")).otherwise(F.lit(1.0))
+        bullet_frac = F.size(F.filter(
+            lines, lambda l: F.trim(l).rlike(r"^([-*•‣▪◦])"))
+        ) / n_lines
+        ellipsis_frac = F.size(F.filter(
+            lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))) / n_lines
+        return F.struct(
+            n_words.alias("n_words"), mean_wl.alias("mean_wl"),
+            symbol_ratio.alias("symbol_ratio"),
+            bullet_frac.alias("bullet_frac"),
+            ellipsis_frac.alias("ellipsis_frac"),
+            alpha_frac.alias("alpha_frac"), stops.alias("stops"),
+            _dup_fraction(lines).alias("dup_line"),
+            _dup_fraction(paras).alias("dup_para"),
+            _dup_char_fraction(lines).alias("dup_line_chars"),
+            _dup_char_fraction(paras).alias("dup_para_chars"))
+
+    def assemble(m: Column) -> Column:
+        checks = {
+            "word_count_ok": (m["n_words"] >= p["min_words"]) &
+                             (m["n_words"] <= p["max_words"]),
+            "mean_word_len_ok": (m["mean_wl"] >= p["min_mean_word_len"]) &
+                                (m["mean_wl"] <= p["max_mean_word_len"]),
+            "symbol_ratio_ok": m["symbol_ratio"] <= p["max_symbol_word_ratio"],
+            "bullet_frac_ok": m["bullet_frac"] <= p["max_bullet_line_frac"],
+            "ellipsis_frac_ok":
+                m["ellipsis_frac"] <= p["max_ellipsis_line_frac"],
+            "alpha_frac_ok": m["alpha_frac"] >= p["min_alpha_word_frac"],
+            "stop_words_ok": m["stops"] >= p["min_stop_words"],
+            "dup_line_ok": m["dup_line"] <= p["max_dup_line_frac"],
+            "dup_para_ok": m["dup_para"] <= p["max_dup_para_frac"],
+            "dup_line_chars_ok":
+                m["dup_line_chars"] <= p["max_dup_line_char_frac"],
+            "dup_para_chars_ok":
+                m["dup_para_chars"] <= p["max_dup_para_char_frac"],
+        }
+        keep = None
+        for c in checks.values():
+            keep = c if keep is None else (keep & c)
+        return F.struct(
+            m["n_words"].alias("n_words"), m["mean_wl"].alias("mean_word_len"),
+            m["symbol_ratio"].alias("symbol_word_ratio"),
+            m["bullet_frac"].alias("bullet_line_frac"),
+            m["ellipsis_frac"].alias("ellipsis_line_frac"),
+            m["alpha_frac"].alias("alpha_word_frac"),
+            m["stops"].alias("n_stop_words"),
+            m["dup_line"].alias("dup_line_frac"),
+            m["dup_para"].alias("dup_para_frac"),
+            m["dup_line_chars"].alias("dup_line_char_frac"),
+            m["dup_para_chars"].alias("dup_para_char_frac"),
+            *[v.alias(k) for k, v in checks.items()],
+            keep.alias("keep"))
+
+    return bind_once(
+        F.struct(_words(t).alias("w"), _lines(t).alias("l"),
+                 F.filter(F.split(t, r"\n\n+"),
+                          lambda x: F.length(F.trim(x)) > 0).alias("p")),
+        lambda s: bind_once(metrics(s["w"], s["l"], s["p"]), assemble))
 
 
 C4_BAD_SUBSTRINGS = ["lorem ipsum", "{", "javascript"]

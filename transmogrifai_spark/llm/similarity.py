@@ -60,7 +60,32 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    denom = l2_norm(a) * l2_norm(b)
+    """Cosine over two array columns. The three vector folds (both norms,
+    the dot) are bound ONCE (util.bind_once): the old ``denom`` was
+    referenced twice (zero test + divisor), so each call evaluated FIVE
+    interpreted folds per row — HOFs are CodegenFallback and an
+    expression referenced N times evaluates N times. Same doubles,
+    combined in the same order -> bit-identical results.
+
+    Pair-scoring joins should not even pay the three folds: hoist the
+    per-row norms to each SIDE of the join (one ``l2_norm`` per input row
+    instead of per pair) and score with :func:`cosine_prenormed` — the
+    per-pair cost drops to the single dot fold."""
+    from ..util import bind_once
+    return bind_once(
+        F.struct(l2_norm(a).alias("na"), l2_norm(b).alias("nb"),
+                 dot(a, b).alias("d")),
+        lambda s: F.when(s["na"] * s["nb"] == 0, F.lit(0.0))
+                   .otherwise(s["d"] / (s["na"] * s["nb"])))
+
+
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine_similarity(a, b)`` with the norms supplied as (attribute)
+    columns computed per INPUT row rather than per pair. ``na``/``nb``
+    must be ``l2_norm(a)`` / ``l2_norm(b)`` — then the value is
+    bit-identical to ``cosine_similarity`` (same doubles, same multiply
+    order) while the join's per-pair work is one dot fold."""
+    denom = na * nb
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
@@ -70,14 +95,20 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
     ``queries`` is broadcast (query sets are small relative to the corpus);
     self-matches are excluded; ties broken by neighbor id ascending for
-    determinism."""
+    determinism. Norms are computed once per input row (cosine_prenormed),
+    so the O(|corpus| x |queries|) pair stage pays one dot fold per pair,
+    not five."""
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("_qv")))
-    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+                                   F.col(vec_col).alias("_qv"))
+                    .withColumn("_qn", l2_norm(F.col("_qv"))))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")) \
+        .withColumn("_cn", l2_norm(F.col("_cv")))
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", cosine_prenormed(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -171,7 +202,8 @@ def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     bucket and the probed ids are pairwise distinct, so a (query,
     neighbor) pair matches at most once."""
     cb = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-                       hyperplane_bucket(F.col(vec_col), dim, num_planes, seed, planes).alias("_bucket"))
+                       hyperplane_bucket(F.col(vec_col), dim, num_planes, seed, planes).alias("_bucket")) \
+        .withColumn("_cn", l2_norm(F.col("_cv")))
     base = hyperplane_bucket(F.col(vec_col), dim, num_planes, seed, planes)
     if n_flip:
         probes = F.array(*([base] + [
@@ -182,11 +214,12 @@ def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         bucket = base.alias("_bucket")
     qb = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-        bucket))
+        bucket).withColumn("_qn", l2_norm(F.col("_qv"))))
     scored = (
         cb.join(qb, "_bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", cosine_prenormed(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -295,11 +328,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     # n_probe nearest centroids per query, centroid coords inlined as literals
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_qn", l2_norm(F.col("_qv")))
         .withColumn("_cell", F.explode(_probe_cells(F.col("_qv"), centroids, n_probe))))
     scored = (
-        assigned.join(qb, "_cell")
+        assigned.withColumn("_cn", l2_norm(F.col("_cv")))
+        .join(qb, "_cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", cosine_prenormed(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
@@ -475,8 +511,12 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                                model=model)
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_qn", l2_norm(F.col("_qv")))
         .withColumn("_cell", F.explode(_probe_cells(F.col("_qv"), model["centroids"], n_probe))))
-    denom = l2_norm(F.col("_qv")) * F.col("_rnorm")
+    # _qn per query ROW, not per pair: denom is referenced twice (zero
+    # test + divisor), so an inline l2_norm would fold the query vector
+    # twice per candidate pair
+    denom = F.col("_qn") * F.col("_rnorm")
     cos = F.when(denom == 0, F.lit(0.0)) \
         .otherwise(pq_adc_score(F.col("_qv"), model) / denom)
     if quantize is not None:
@@ -667,11 +707,12 @@ def opq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"),
                        rotate_vector(F.col(vec_col), model["rotation"])
-                       .alias("_qv")))
+                       .alias("_qv"))
+        .withColumn("_qn", l2_norm(F.col("_qv"))))
     # flat ADC: no cell term — score = sum_j LUT_j[code_j]
     flat = {"centroids": [[0.0] * model["dim"]],
             "codebooks": model["codebooks"]}
-    denom = l2_norm(F.col("_qv")) * F.col("_rnorm")
+    denom = F.col("_qn") * F.col("_rnorm")
     cos = F.when(denom == 0, F.lit(0.0)) \
         .otherwise(pq_adc_score(F.col("_qv"), flat) / denom)
     if quantize is not None:
@@ -744,16 +785,23 @@ def sq_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         if dim is None:
             raise ValueError("sq_topk needs dim when no trained model given")
         model = sq_train(corpus, vec_col, dim, levels)
+    # reconstruct ONCE per corpus row in the scan projection (it used to
+    # sit inside cosine_similarity, whose old form referenced its b-side
+    # three times -> three reconstructions PER PAIR); the codes stay the
+    # storage/shuffle format, the reconstruction never outlives the stage
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
-        sq_encode(F.col(vec_col), model).alias("_codes"))
+        sq_encode(F.col(vec_col), model).alias("_codes")) \
+        .withColumn("_rv", sq_reconstruct(F.col("_codes"), model)) \
+        .withColumn("_rn", l2_norm(F.col("_rv")))
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("_qv")))
+                                   F.col(vec_col).alias("_qv"))
+                    .withColumn("_qn", l2_norm(F.col("_qv"))))
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity(
-            F.col("_qv"), sq_reconstruct(F.col("_codes"), model)))
+        .withColumn("cosine", cosine_prenormed(
+            F.col("_qv"), F.col("_rv"), F.col("_qn"), F.col("_rn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
@@ -856,14 +904,17 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, id_col: str,
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
+        .withColumn("_qn", l2_norm(F.col("_qv")))
         .withColumn("_cell", F.explode(
             _probe_cells(F.col("_qv"), meta["centroids"], n_probe))))
     probed = sorted({r["_cell"] for r in qb.select("_cell").distinct().collect()})
     scored = (
         assigned.where(F.col("_cell").isin(probed))   # partition pruning
+        .withColumn("_cn", l2_norm(F.col("_cv")))
         .join(qb, "_cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine", cosine_prenormed(
+            F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
@@ -985,10 +1036,11 @@ def ivfpq_topk_indexed(spark, path: str, queries: DataFrame, id_col: str,
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
+        .withColumn("_qn", l2_norm(F.col("_qv")))
         .withColumn("_cell", F.explode(
             _probe_cells(F.col("_qv"), meta["centroids"], n_probe))))
     probed = sorted({r["_cell"] for r in qb.select("_cell").distinct().collect()})
-    denom = l2_norm(F.col("_qv")) * F.col("_rnorm")
+    denom = F.col("_qn") * F.col("_rnorm")
     cos = F.when(denom == 0, F.lit(0.0)) \
         .otherwise(pq_adc_score(F.col("_qv"), model) / denom)
     if quantize is not None:

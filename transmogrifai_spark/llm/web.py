@@ -135,17 +135,25 @@ def html_blocks(c: Column) -> Column:
     dropped. Link density = (chars of text inside ``<a>`` elements) /
     (chars of the block's whole text) — the jusText boilerplate signal.
     In-row array processing: NO explode, NO shuffle."""
+    from ..util import bind_once
+
     raw = F.split(strip_html_noise(c), _BLOCK_RE)
 
     def per_block(b):
         anchors = F.regexp_extract_all(b, F.lit(_ANCHOR_RE), 1)
         alen = F.aggregate(anchors, F.lit(0),
                            lambda acc, a: acc + F.length(_block_text(a)))
-        text = _block_text(b)
-        ld = F.when(F.length(text) > 0,
-                    alen.cast("double") / F.length(text).cast("double")) \
-              .otherwise(F.lit(0.0))
-        return F.struct(text.alias("text"), ld.alias("link_density"))
+
+        # the block's stripped text is referenced three times (two
+        # lengths + the output field) — bound once per block, or the
+        # whole _block_text regex chain re-runs per reference
+        def with_text(text):
+            ld = F.when(F.length(text) > 0,
+                        alen.cast("double") / F.length(text).cast("double")) \
+                  .otherwise(F.lit(0.0))
+            return F.struct(text.alias("text"), ld.alias("link_density"))
+
+        return bind_once(_block_text(b), with_text)
 
     return F.filter(F.transform(raw, per_block),
                     lambda s: s["text"] != "")
@@ -159,15 +167,23 @@ def remove_boilerplate(c: Column, max_link_density: float = 0.5,
     (``>= min_chars``) and link-sparse (``link_density <=
     max_link_density``). Nav bars, footers, and link farms drop; body
     paragraphs stay. Pure expression, no shuffle."""
-    bl = html_blocks(c)
-    kept = F.filter(
-        bl, lambda s: (F.length(s["text"]) >= min_chars)
-        & (s["link_density"] <= F.lit(float(max_link_density))))
-    return F.struct(
-        F.array_join(F.transform(kept, lambda s: s["text"]), "\n")
-         .alias("text"),
-        F.size(bl).alias("n_blocks"),
-        F.size(kept).alias("n_kept"))
+    from ..util import bind_once
+
+    # blocks bound once, kept blocks bound once: ``bl`` (the whole
+    # split + per-block regex machinery) was referenced twice and
+    # ``kept`` twice more — four re-evaluations per row in interpreted
+    # HOF mode
+    def with_blocks(bl: Column) -> Column:
+        kept = F.filter(
+            bl, lambda s: (F.length(s["text"]) >= min_chars)
+            & (s["link_density"] <= F.lit(float(max_link_density))))
+        return bind_once(kept, lambda k: F.struct(
+            F.array_join(F.transform(k, lambda s: s["text"]), "\n")
+             .alias("text"),
+            F.size(bl).alias("n_blocks"),
+            F.size(k).alias("n_kept")))
+
+    return bind_once(html_blocks(c), with_blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -294,26 +310,32 @@ def extract_links(c: Column, base: Column | None = None) -> Column:
     dropped. With ``base``, urls are resolved via ``resolve_href``.
     Pure expression — no explode, no shuffle; feed the result to
     ``operators/graph.pagerank`` via a host-level groupBy."""
-    cleaned = strip_html_noise(c)
+    from ..util import bind_once
 
-    def pairs(pat):
-        urls = F.regexp_extract_all(cleaned, F.lit(pat), 1)
-        anchors = F.regexp_extract_all(cleaned, F.lit(pat), 2)
-        return F.zip_with(
-            urls, anchors,
-            lambda u, a: F.struct(F.trim(u).alias("url"),
-                                  _block_text(a).alias("anchor")))
+    # the noise-stripped document is referenced four times (two regex
+    # pulls per quoting style) — bound once per row, or the whole
+    # strip_html_noise regex chain re-runs per reference
+    def with_cleaned(cleaned: Column) -> Column:
+        def pairs(pat):
+            urls = F.regexp_extract_all(cleaned, F.lit(pat), 1)
+            anchors = F.regexp_extract_all(cleaned, F.lit(pat), 2)
+            return F.zip_with(
+                urls, anchors,
+                lambda u, a: F.struct(F.trim(u).alias("url"),
+                                      _block_text(a).alias("anchor")))
 
-    links = F.concat(pairs(_HREF_DQ), pairs(_HREF_SQ))
-    links = F.filter(
-        links, lambda s: (s["url"] != "") & ~s["url"].startswith("#")
-        & (F.regexp_extract(s["url"], _NON_HTTP, 0) == ""))
-    if base is not None:
-        links = F.transform(
-            links, lambda s: F.struct(
-                resolve_href(s["url"], base).alias("url"),
-                s["anchor"].alias("anchor")))
-    return links
+        links = F.concat(pairs(_HREF_DQ), pairs(_HREF_SQ))
+        links = F.filter(
+            links, lambda s: (s["url"] != "") & ~s["url"].startswith("#")
+            & (F.regexp_extract(s["url"], _NON_HTTP, 0) == ""))
+        if base is not None:
+            links = F.transform(
+                links, lambda s: F.struct(
+                    resolve_href(s["url"], base).alias("url"),
+                    s["anchor"].alias("anchor")))
+        return links
+
+    return bind_once(strip_html_noise(c), with_cleaned)
 
 
 def _attr_meta(c: Column, tag: str, key_attr: str, key: str,

@@ -101,11 +101,20 @@ def loco_linear(df: DataFrame, vec_col: str, intercept: float,
         sig = lambda m: m
     else:
         sig = lambda m: F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
-    base = sig(margin)
+    # materialize the margin, then the base score, as COLUMNS before the
+    # per-slot delta array references them: the single-projection form
+    # embedded the margin fold (a w·x aggregate over the whole vector) in
+    # every slot's delta — (1 + n_slots) fold evaluations per row, since
+    # HOF folds are CodegenFallback and re-evaluate per reference.
+    # CollapseProject keeps the stacked projections separate (non-cheap
+    # aliases referenced many times); values are bit-identical.
+    out = df.withColumn("_loco_margin", margin) \
+            .withColumn("base_score", sig(F.col("_loco_margin")))
+    m, base = F.col("_loco_margin"), F.col("base_score")
     deltas = F.array(*[
         F.struct(
             F.lit(i).alias("slot"),
-            (base - sig(margin - F.try_element_at(x, F.lit(i + 1)) * F.lit(coefficients[i])))
+            (base - sig(m - F.try_element_at(x, F.lit(i + 1)) * F.lit(coefficients[i])))
             .alias("delta"))
         for i in range(len(coefficients))])
     top = F.slice(F.array_sort(deltas, lambda a, b:
@@ -113,7 +122,7 @@ def loco_linear(df: DataFrame, vec_col: str, intercept: float,
                                .when(F.abs(a["delta"]) < F.abs(b["delta"]), 1)
                                .otherwise(F.when(a["slot"] < b["slot"], -1).otherwise(1))),
                   1, top_k)
-    return df.withColumn("base_score", base).withColumn("loco", top)
+    return out.withColumn("loco", top).drop("_loco_margin")
 
 
 def record_insights_corr(df: DataFrame, pred_col: str, features_col: str,
