@@ -115,9 +115,15 @@ def lexicon_segment_join(df: DataFrame, text_col: str,
 
     Shuffle key: by default the arc lists group and join back ON THE
     TEXT VALUE (deduping shared texts for free — right for short CJK
-    strings); pass ``id_col`` naming a UNIQUE, NON-NULL id column to
+    strings), and the dp itself runs ONCE PER DISTINCT TEXT with the
+    token arrays joined back (r12: the dp is interpreted-HOF heavy, so
+    evaluating it per input ROW after the join — the pre-r12 shape —
+    forfeited the dedup exactly where it mattered most; under a Zipfian
+    word stream this is the ``wordpiece_tokenize_df`` once-per-TYPE
+    economics). Pass ``id_col`` naming a UNIQUE, NON-NULL id column to
     key the grouping/join on the id instead, so long documents never
-    ride a shuffle as the key (the 100 TB form). A NULL id raises at
+    ride a shuffle as the key (the 100 TB form — rows are unique by
+    contract there, so per-row IS per-key). A NULL id raises at
     evaluation time (it can never join its arcs back — the row would
     silently mis-segment as all-unknown otherwise); id UNIQUENESS is
     the caller's contract (duplicate ids would merge arc lists across
@@ -155,9 +161,9 @@ def lexicon_segment_join(df: DataFrame, text_col: str,
             .agg(F.collect_list(F.struct(
                 F.col("sp.i").alias("i"), F.col("sp.j").alias("j"),
                 F.col("__c").alias("c"))).alias("__arcs")))
-    seg = _arcs_dp_tokens(F.col(text_col), F.col("__arcs"),
-                          unknown_cost=unknown_cost)
     if id_col:
+        seg = _arcs_dp_tokens(F.col(text_col), F.col("__arcs"),
+                              unknown_cost=unknown_cost)
         # a NULL id can never equi-join its arcs back — fail loudly at
         # evaluation time instead of silently segmenting all-unknown
         seg = F.when(
@@ -167,14 +173,26 @@ def lexicon_segment_join(df: DataFrame, text_col: str,
                 f"lexicon_segment_join: NULL in id_col {id_col!r} "
                 "(ids must be unique and non-null)"))
             .cast("array<string>")).otherwise(seg)
-        cond = df[id_col] == arcs["__id"]
-    else:
-        cond = df[text_col] == arcs["__t"]
-    out = (df.join(arcs, cond, "left")
-           .drop("__id" if id_col else "__t")
-           .withColumn(out_col, seg)
-           .drop("__arcs"))
-    return out
+        return (df.join(arcs, df[id_col] == arcs["__id"], "left")
+                .drop("__id")
+                .withColumn(out_col, seg)
+                .drop("__arcs"))
+    # text-value path: run the dp on the DISTINCT texts (left-joined
+    # with their arcs so no-match texts still segment all-unknown) and
+    # join the token arrays back — NULL/empty-text rows miss the join
+    # and coalesce to the empty array, exactly the dp's own null/empty
+    # branch
+    typed = (texts.join(arcs, "__t", "left")
+             .withColumn("__toks",
+                         _arcs_dp_tokens(F.col("__t"), F.col("__arcs"),
+                                         unknown_cost=unknown_cost))
+             .select("__t", "__toks"))
+    return (df.join(typed, df[text_col] == typed["__t"], "left")
+            .drop("__t")
+            .withColumn(out_col,
+                        F.coalesce(F.col("__toks"),
+                                   F.array().cast("array<string>")))
+            .drop("__toks"))
 
 
 def lexicon_segment_lattice_join(df: DataFrame, text_col: str,
@@ -297,8 +315,8 @@ def lexicon_segment_lattice_join(df: DataFrame, text_col: str,
         return F.coalesce(
             a, F.array().cast("array<struct<i:int,j:int,c:double,k:int>>"))
 
-    seg = seg_with_arcs(F.col(text_col), F.col("__arcs"))
     if id_col:
+        seg = seg_with_arcs(F.col(text_col), F.col("__arcs"))
         seg = F.when(
             df[id_col].isNull() & F.col(text_col).isNotNull()
             & (F.length(text_col) > 0),
@@ -306,13 +324,23 @@ def lexicon_segment_lattice_join(df: DataFrame, text_col: str,
                 f"lexicon_segment_lattice_join: NULL in id_col {id_col!r} "
                 "(ids must be unique and non-null)"))
             .cast("array<struct<token:string,cls:string>>")).otherwise(seg)
-        cond = df[id_col] == arcs["__id"]
-    else:
-        cond = df[text_col] == arcs["__t"]
-    return (df.join(arcs, cond, "left")
-            .drop("__id" if id_col else "__t")
-            .withColumn(out_col, seg)
-            .drop("__arcs"))
+        return (df.join(arcs, df[id_col] == arcs["__id"], "left")
+                .drop("__id")
+                .withColumn(out_col, seg)
+                .drop("__arcs"))
+    # text-value path: dp once per DISTINCT text, morpheme arrays joined
+    # back (see lexicon_segment_join — the r12 per-type dp relocation)
+    typed = (texts.join(arcs, "__t", "left")
+             .withColumn("__toks",
+                         seg_with_arcs(F.col("__t"), F.col("__arcs")))
+             .select("__t", "__toks"))
+    return (df.join(typed, df[text_col] == typed["__t"], "left")
+            .drop("__t")
+            .withColumn(out_col, F.coalesce(
+                F.col("__toks"),
+                F.array().cast(
+                    "array<struct<token:string,cls:string>>")))
+            .drop("__toks"))
 
 
 # ---------------------------------------------------------------------------
