@@ -87,8 +87,17 @@ def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int, max_n: int,
                    portable: bool):
     feats = df.select(F.explode(hashed_ngram_buckets(
         F.col(text_col), n_buckets, max_n, portable)).alias("bucket"))
-    counts = feats.groupBy("bucket").agg(F.count("*").alias("cnt"))
-    total = feats.count()  # 1-row scalar
+    counted = feats.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    # snapshot the CONFIG-sized counts (<= n_buckets rows) driver-side:
+    # the total is exactly sum(cnt), so one featurize pass yields both —
+    # the pre-r12 `feats.count()` burned a SECOND full featurize pass
+    # per corpus for a number the counts frame already contains, and a
+    # lazy counts frame would re-featurize AGAIN when the table is
+    # consumed (r12 batch 3; same bounded-snapshot pattern as the
+    # retrieval gate's bm25/weights frames)
+    rows = counted.collect()
+    total = sum(r["cnt"] for r in rows)
+    counts = df.sparkSession.createDataFrame(rows, counted.schema)
     return counts, total
 
 
@@ -191,10 +200,19 @@ def dsir_table_from_counts(raw_counts: DataFrame, target_counts: DataFrame,
     Totals are exact integer sums, the arithmetic is the shared helper —
     equals ``dsir_log_ratio_table`` over the same corpora exactly
     (law-tested)."""
-    rt = raw_counts.agg(F.sum("cnt")).first()[0] or 0
-    tt = target_counts.agg(F.sum("cnt")).first()[0] or 0
-    return _table_from_counts(raw_counts, rt, target_counts, tt,
-                              n_buckets, alpha)
+    # snapshot the config-sized count frames driver-side: the totals are
+    # sums over them, and a lazy frame (e.g. fresh dsir_count_partials)
+    # would otherwise be evaluated TWICE — once for the total, once when
+    # the table is consumed (r12 batch 3, the _bucket_counts fix)
+    spark = raw_counts.sparkSession
+    rrows = raw_counts.collect()
+    trows = target_counts.collect()
+    rt = sum(r["cnt"] for r in rrows)
+    tt = sum(r["cnt"] for r in trows)
+    return _table_from_counts(
+        spark.createDataFrame(rrows, raw_counts.schema), rt,
+        spark.createDataFrame(trows, target_counts.schema), tt,
+        n_buckets, alpha)
 
 
 def stream_dsir_counts(stream: DataFrame, path: str, text_col: str,
