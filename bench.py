@@ -369,11 +369,28 @@ def main() -> None:
     calibration["end"] = calibrate()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    # r13 (VERDICT r12 Next #1): emit calibration-NORMALIZED values next to
+    # the raw seconds so cross-round comparison consumes the probe instead
+    # of ignoring it (r12's 12/12 "regression" was a 2.3x slower box, proven
+    # by the probe + the 8-core artifact). Unit: seconds-at-calibration-1.0
+    # (raw seconds divided by the run's calibration median — the fixed
+    # 100M-row hash fold, ~0.16 s on the r11-era box). Raw values stay; the
+    # calibrated ones are additions only.
+    # two probes (start/end of the sweep): their mean is the fairest
+    # estimate of box speed DURING the timed region (each probe is itself
+    # a median-of-3)
+    cal_med = sum(calibration.values()) / max(len(calibration), 1)
+    cal = cal_med if cal_med > 0 else 1.0
+    times_cal = {k: (round(v / cal, 3) if v >= 0 else v)
+                 for k, v in times.items()}
+    total_cal = round(sum(t for t in times_cal.values() if t >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
+        "value_calibrated": total_cal,
+        "queries_calibrated": times_cal,
         "queries": times,
         # per-query raw samples (median is the scored number) — lets the
         # verdict separate machine-load inflation from real regressions

@@ -234,3 +234,40 @@ def test_stream_dsir_counts_batch_id_base_protects_bootstrap(
     oneshot = dsir_count_partials(docs, "text", n_buckets=B, portable=True)
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, oneshot.collect()))
+
+
+def test_table_from_counts_merges_guards_and_tolerates_nulls(spark, corpora):
+    """r13 (VERDICT r12 #7): dsir_table_from_counts aggregates its inputs
+    to one row per bucket BEFORE the driver snapshot (so an unaggregated
+    partials frame cannot trigger an unbounded collect), raises on bucket
+    ids from a different n_buckets, and counts NULL cnt as 0 (the pre-r12
+    agg(sum) tolerance)."""
+    from transmogrifai_spark.llm.dsir import (dsir_count_partials,
+                                              dsir_table_from_counts)
+    docs, target = corpora
+    rc = dsir_count_partials(docs, "text", n_buckets=B)
+    tc = dsir_count_partials(target, "text", n_buckets=B)
+    want = {(r["bucket"]): r["lr"]
+            for r in dsir_table_from_counts(rc, tc, n_buckets=B).collect()}
+    # split the raw side into two UNMERGED slices: same table
+    half_a = dsir_count_partials(docs.where(F.col("doc_id") % 2 == 0),
+                                 "text", n_buckets=B)
+    half_b = dsir_count_partials(docs.where(F.col("doc_id") % 2 == 1),
+                                 "text", n_buckets=B)
+    got = {(r["bucket"]): r["lr"]
+           for r in dsir_table_from_counts(half_a.unionByName(half_b), tc,
+                                           n_buckets=B).collect()}
+    assert got == want
+    # NULL cnt rows count as 0 (never a TypeError)
+    with_null = rc.unionByName(spark.createDataFrame(
+        [(int(B) - 1, None)], "bucket long, cnt long"))
+    got_null = {(r["bucket"]): r["lr"]
+                for r in dsir_table_from_counts(with_null, tc,
+                                                n_buckets=B).collect()}
+    assert got_null == want
+    # out-of-range bucket ids (counts hashed with a different n_buckets)
+    # raise instead of silently misaligning
+    bad = rc.unionByName(spark.createDataFrame(
+        [(int(B) + 7, 3)], "bucket long, cnt long"))
+    with pytest.raises(Exception, match="bucket ids outside"):
+        dsir_table_from_counts(bad, tc, n_buckets=B)

@@ -152,3 +152,54 @@ def test_analyze_auto_df_plan_resources_are_broadcast(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+
+
+def test_bind_once_shape_survives_optimizer(spark):
+    """VERDICT r12 #8: every r12 evaluate-once win rests on Catalyst NOT
+    rewriting element_at(transform(array(x), fn), 1) back into N inline
+    copies of x. Pin the shape on the OPTIMIZED plan of the minhash
+    signature (16 seed transforms referencing one bound shingle array):
+    the tokenizer subtree (split over the lowercased text) must appear
+    exactly once, while all 16 seed hashes are present. A Spark upgrade
+    that adds such a collapse rule fails here loudly instead of silently
+    re-inflating every HOF pipeline by the reference count."""
+    from pyspark.sql import functions as F
+
+    from transmogrifai_spark.llm.dedup import minhash_signature
+    df = spark.createDataFrame([("a b c d e f",)], "text string")
+    out = df.select(minhash_signature(F.col("text"), n=3,
+                                      num_hashes=16).alias("sig"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the tokenize lowering is split(lower(text)...) — one bound copy only
+    assert plan.count("split(lower(") == 1, plan
+    # all 16 seed transforms survived (they reference the bound variable)
+    assert plan.count("xxhash64(") >= 16, plan
+
+
+def test_minhash_prefilter_equals_signature_nullness(spark):
+    """ADVICE r12: minhash_signatures drops no-shingle docs with a CHEAP
+    token-count pre-filter (size(tokenize(text)) >= n) whose equivalence
+    to the old post-filter (element_at(_sig, 1) IS NOT NULL) is implicit
+    cross-module coupling with word_shingles/tokenize. Pin the law: the
+    prefilter keeps EXACTLY the rows whose signature head is non-null, so
+    a tokenizer-semantics change breaks loudly here instead of letting
+    empty-shingle docs flow through with NULL signature entries."""
+    from pyspark.sql import functions as F
+
+    from transmogrifai_spark.llm.dedup import (minhash_signature,
+                                               minhash_signatures)
+    rows = [(1, "one two three four tokens"), (2, "two words"),
+            (3, ""), (4, None), (5, "exactly three tokens"),
+            (6, "a b"), (7, "  punctuation, only !!  "),
+            (8, "x y z w")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3):
+        kept = {r["id"] for r in
+                minhash_signatures(docs, "doc_id", "text", n=n,
+                                   num_hashes=4).collect()}
+        unfiltered = docs.select(
+            "doc_id", minhash_signature(F.col("text"), n=n,
+                                        num_hashes=4).alias("_sig"))
+        expected = {r["doc_id"] for r in unfiltered.collect()
+                    if r["_sig"][0] is not None}
+        assert kept == expected, (n, kept, expected)

@@ -361,3 +361,31 @@ def test_stream_freq_partials_equal_batch_exact_regime(spark, sf_dir, tmp_path):
     batches = [d for d in os.listdir(str(tmp_path / "p"))
                if d.startswith("batch=")]
     assert len(batches) > 1
+
+
+def test_scaled_state_partitions_derive_from_bytes_and_restore(spark, sf_dir):
+    """r13 (VERDICT r12 #3): state partitions derive from INPUT BYTES —
+    a megabytes-scale backfill gets few state stores (1 per 32 MB,
+    floor 1), the clamp cannot exceed the session's shuffle partitions,
+    unknown paths return None (no override), and run_to_memory restores
+    the session conf afterwards."""
+    from transmogrifai_spark.streaming.windows import (
+        file_stream, run_to_memory, scaled_state_partitions,
+        windowed_event_aggregate)
+    src = f"{sf_dir}/events.parquet"
+    n = scaled_state_partitions(spark, src)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert n is not None and 1 <= n <= cur
+    assert scaled_state_partitions(spark, "/nonexistent/nowhere") is None
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = run_to_memory(
+        windowed_event_aggregate(file_stream(spark, src, ts_col="ts"), "ts",
+                                 "1 day", "1 day"),
+        "complete", state_partitions=n)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # and the scaled run equals the batch plan on the same files — the
+    # partition count must never change what the aggregation computes
+    batch = windowed_event_aggregate(
+        load_table(spark, sf_dir, "events"), "ts", "1 day", "1 day")
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, batch.collect()))

@@ -95,3 +95,27 @@ def test_null_and_empty_text(spark, corpus_model):
     rows = df.select(tok.bpe_encode(F.col("text"), corpus_model)
                      .alias("p")).collect()
     assert [list(r["p"]) for r in rows] == [[], []]
+
+
+def test_bpe_worker_state_persists_pid_guards_and_bounds(monkeypatch):
+    """r13 (VERDICT r12 #6): the BPE word cache is a module-global keyed
+    by model fingerprint — persistent across calls within a process,
+    rebuilt on a PID change (fork/fresh worker), cleared past the bound."""
+    merges = [("a", "b"), ("ab", "c")]
+    fp = tok._bpe_fingerprint(merges, True)
+    tok._BPE_STATE.pop(fp, None)
+    st1 = tok._bpe_state(fp, merges, True)
+    assert st1["model"]["_ranks"] == {("a", "b"): 0, ("ab", "c"): 1}
+    st1["cache"]["abc"] = ["abc"]
+    st2 = tok._bpe_state(fp, merges, True)
+    assert st2 is st1 and st2["cache"] == {"abc": ["abc"]}
+    # stale-PID entry (a fork's parent state) is rebuilt empty
+    st1["pid"] = -1
+    st3 = tok._bpe_state(fp, merges, True)
+    assert st3 is not st1 and st3["cache"] == {}
+    # the cache is bounded: past the max it clears instead of growing
+    monkeypatch.setattr(tok, "_BPE_CACHE_MAX", 3)
+    st3["cache"].update({"w1": [], "w2": [], "w3": [], "w4": []})
+    st4 = tok._bpe_state(fp, merges, True)
+    assert st4 is st3 and st4["cache"] == {}
+    tok._BPE_STATE.pop(fp, None)

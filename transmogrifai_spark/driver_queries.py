@@ -2154,10 +2154,10 @@ def q_sessionize(spark, sf_dir):
     session_end (last event + gap) < final watermark (max input event
     time - delay), strictly. Closes the last §2.13 surface without
     driver-row evidence."""
-    import uuid
-
     from .streaming.stateful import session_stats_batch
-    from .streaming.windows import file_stream, session_windowed_aggregate
+    from .streaming.windows import (file_stream, run_to_memory,
+                                    scaled_state_partitions,
+                                    session_windowed_aggregate)
     ev = _t(spark, sf_dir, "events")
     batch = session_stats_batch(ev, "user_id", "ts", gap_minutes=30.0).select(
         F.lit("batch").alias("part"), F.col("key"),
@@ -2169,11 +2169,12 @@ def q_sessionize(spark, sf_dir):
     stream = file_stream(spark, f"{sf_dir}/events.parquet", ts_col="ts")
     agg = session_windowed_aggregate(stream, "user_id", "ts",
                                      gap="30 minutes", watermark="1 hour")
-    name = f"sess_{uuid.uuid4().hex[:8]}"
-    qy = (agg.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    qy.awaitTermination()
-    streamed = spark.table(name).select(
+    # state partitions sized from input bytes (r13; guide §2/§5) — the
+    # session-window merge per key is partitioning-independent
+    streamed = run_to_memory(
+        agg, "append",
+        state_partitions=scaled_state_partitions(
+            spark, f"{sf_dir}/events.parquet")).select(
         F.lit("stream").alias("part"),
         F.col("user_id").cast("string").alias("key"),
         F.lit(None).cast("long").alias("session_id"),
@@ -2511,9 +2512,9 @@ def q_stream_stream_join(spark, sf_dir):
     empirically at sf0.001 AND sf0.01: global watermark = min(max event
     time per input AFTER its filter) - delay; a row emits iff
     l_ts + within < watermark, strictly."""
-    import uuid
-
-    from .streaming.windows import file_stream, stream_stream_interval_join
+    from .streaming.windows import (file_stream, run_to_memory,
+                                    scaled_state_partitions,
+                                    stream_stream_interval_join)
     left = file_stream(spark, f"{sf_dir}/events.parquet", ts_col="ts") \
         .where(F.col("event_type") == "purchase") \
         .select(F.col("user_id").alias("l_user"),
@@ -2525,11 +2526,12 @@ def q_stream_stream_join(spark, sf_dir):
     joined = stream_stream_interval_join(
         left, right, "l_user", "r_user", "l_ts", "r_ts",
         within="1 hour", watermark="2 hours", how="left_outer")
-    name = f"ssj_{uuid.uuid4().hex[:8]}"
-    qy = (joined.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    qy.awaitTermination()
-    return spark.table(name).select(
+    # state partitions sized from input bytes (r13; guide §2/§5) — the
+    # keyed interval join's matches/expiry are partitioning-independent
+    return run_to_memory(
+        joined, "append",
+        state_partitions=scaled_state_partitions(
+            spark, f"{sf_dir}/events.parquet")).select(
         F.col("l_user").cast("long").alias("l_user"),
         F.col("l_event").cast("long").alias("l_event"),
         F.col("r_event").cast("long").alias("r_event"))

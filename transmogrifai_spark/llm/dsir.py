@@ -89,6 +89,9 @@ def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int, max_n: int,
         F.col(text_col), n_buckets, max_n, portable)).alias("bucket"))
     counted = feats.groupBy("bucket").agg(F.count("*").alias("cnt"))
     # snapshot the CONFIG-sized counts (<= n_buckets rows) driver-side:
+    # NOTE the driver-memory coupling: the histogram crosses the driver
+    # (collect + createDataFrame), fine at the 10k default but a caller
+    # configuring millions of buckets pays it twice per corpus.
     # the total is exactly sum(cnt), so one featurize pass yields both —
     # the pre-r12 `feats.count()` burned a SECOND full featurize pass
     # per corpus for a number the counts frame already contains, and a
@@ -199,20 +202,34 @@ def dsir_table_from_counts(raw_counts: DataFrame, target_counts: DataFrame,
     """The log-ratio table from MERGED count frames (the streamed path).
     Totals are exact integer sums, the arithmetic is the shared helper —
     equals ``dsir_log_ratio_table`` over the same corpora exactly
-    (law-tested)."""
-    # snapshot the config-sized count frames driver-side: the totals are
-    # sums over them, and a lazy frame (e.g. fresh dsir_count_partials)
-    # would otherwise be evaluated TWICE — once for the total, once when
-    # the table is consumed (r12 batch 3, the _bucket_counts fix)
+    (law-tested).
+
+    Inputs are aggregated to one row per bucket BEFORE the driver-side
+    snapshot (identity on already-merged frames), so the collect is
+    bounded by the distinct buckets, never by the caller's row count —
+    an unaggregated partials frame no longer risks an unbounded driver
+    collect (guide §5). Bucket ids outside [0, n_buckets) mean the
+    counts were hashed with a different n_buckets and would silently
+    misalign in the join — that raises. NULL cnt values count as 0 (the
+    pre-r12 agg(sum) tolerance)."""
     spark = raw_counts.sparkSession
-    rrows = raw_counts.collect()
-    trows = target_counts.collect()
-    rt = sum(r["cnt"] for r in rrows)
-    tt = sum(r["cnt"] for r in trows)
-    return _table_from_counts(
-        spark.createDataFrame(rrows, raw_counts.schema), rt,
-        spark.createDataFrame(trows, target_counts.schema), tt,
-        n_buckets, alpha)
+
+    def snap(counts: DataFrame, name: str):
+        merged = counts.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+        rows = merged.collect()
+        bad = [r["bucket"] for r in rows
+               if r["bucket"] is None or not 0 <= r["bucket"] < n_buckets]
+        if bad:
+            raise ValueError(
+                f"dsir_table_from_counts: {name} has bucket ids outside "
+                f"[0, {n_buckets}) (e.g. {bad[:3]}) — counts built with a "
+                "different n_buckets would silently misalign")
+        total = sum(r["cnt"] or 0 for r in rows)
+        return spark.createDataFrame(rows, merged.schema), total
+
+    rc, rt = snap(raw_counts, "raw_counts")
+    tc, tt = snap(target_counts, "target_counts")
+    return _table_from_counts(rc, rt, tc, tt, n_buckets, alpha)
 
 
 def stream_dsir_counts(stream: DataFrame, path: str, text_col: str,

@@ -199,17 +199,55 @@ def encode_text(text: str, model: dict,
     return out
 
 
+# per-WORKER BPE state (guide §4.5): the word->pieces cache and the
+# precomputed ranks dict live in a module-level global so a REUSED Python
+# worker (spark.python.worker.reuse, the default) keeps them across Arrow
+# batches AND across tasks — the pre-r13 cache was rebuilt per batch, so
+# every task re-paid the merge loop for the corpus' head words. PID-guarded:
+# a fresh/forked worker never sees a stale parent entry. This works because
+# the cache lives in an importable module (cloudpickle serializes the
+# closure's reference to this module by name); a __main__-defined global
+# would be pickled by value and reset per task. The cache is bounded: past
+# _BPE_CACHE_MAX distinct words it is cleared (Zipf: the refilled head
+# covers most tokens again within one batch).
+_BPE_STATE: dict = {}
+_BPE_CACHE_MAX = 1_000_000
+
+
+def _bpe_state(fp: str, merges, lowercase: bool) -> dict:
+    import os
+    pid = os.getpid()
+    st = _BPE_STATE.get(fp)
+    if st is None or st["pid"] != pid:
+        st = {"pid": pid, "cache": {},
+              "model": {"merges": merges, "lowercase": lowercase,
+                        "_ranks": {tuple(p): i
+                                   for i, p in enumerate(merges)}}}
+        _BPE_STATE[fp] = st
+    elif len(st["cache"]) > _BPE_CACHE_MAX:
+        st["cache"].clear()
+    return st
+
+
+def _bpe_fingerprint(merges, lowercase: bool) -> str:
+    import hashlib
+    h = hashlib.md5(repr((merges, lowercase)).encode()).hexdigest()
+    return f"{h}:{len(merges)}"
+
+
 def bpe_encode(c: Column, model: dict) -> Column:
     """array<string> BPE pieces for a text column. Arrow-batched pandas UDF
-    with a per-batch word cache — the merge loop runs once per distinct
-    word per batch (Zipf: most tokens are cache hits)."""
+    with a per-WORKER word cache — the merge loop runs once per distinct
+    word per worker process (Zipf: most tokens are cache hits), persisting
+    across batches and tasks under worker reuse (guide §4.5)."""
     merges = [tuple(p) for p in model["merges"]]
     lowercase = bool(model.get("lowercase", True))
+    fp = _bpe_fingerprint(merges, lowercase)
 
     @pandas_udf("array<string>")
     def _enc(s: pd.Series) -> pd.Series:
-        m = {"merges": merges, "lowercase": lowercase}
-        cache: dict = {}
+        st = _bpe_state(fp, merges, lowercase)
+        m, cache = st["model"], st["cache"]
         return s.map(lambda t: encode_text(t, m, cache))
 
     return _enc(c)
@@ -217,15 +255,17 @@ def bpe_encode(c: Column, model: dict) -> Column:
 
 def bpe_ids(c: Column, model: dict) -> Column:
     """array<int> token ids (vocab order; unknown pieces -> id 0 = <unk>).
-    The piece->id map rides inside the same Arrow batch UDF."""
+    The piece->id map rides inside the same Arrow batch UDF; the word
+    cache is the same per-worker state as ``bpe_encode``."""
     merges = [tuple(p) for p in model["merges"]]
     lowercase = bool(model.get("lowercase", True))
     vocab_ids = {p: i for i, p in enumerate(model["vocab"])}
+    fp = _bpe_fingerprint(merges, lowercase)
 
     @pandas_udf("array<int>")
     def _ids(s: pd.Series) -> pd.Series:
-        m = {"merges": merges, "lowercase": lowercase}
-        cache: dict = {}
+        st = _bpe_state(fp, merges, lowercase)
+        m, cache = st["model"], st["cache"]
         return s.map(lambda t: [vocab_ids.get(p, 0)
                                 for p in encode_text(t, m, cache)])
 

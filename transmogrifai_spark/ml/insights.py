@@ -108,9 +108,14 @@ def loco_linear(df: DataFrame, vec_col: str, intercept: float,
     # HOF folds are CodegenFallback and re-evaluate per reference.
     # CollapseProject keeps the stacked projections separate (non-cheap
     # aliases referenced many times); values are bit-identical.
-    out = df.withColumn("_loco_margin", margin) \
-            .withColumn("base_score", sig(F.col("_loco_margin")))
-    m, base = F.col("_loco_margin"), F.col("base_score")
+    # collision-safe temp name (r12 advice): a caller column literally
+    # named "_loco_margin" must not be silently overwritten and dropped
+    mcol = "_loco_margin"
+    while mcol in df.columns:
+        mcol += "_"
+    out = df.withColumn(mcol, margin) \
+            .withColumn("base_score", sig(F.col(mcol)))
+    m, base = F.col(mcol), F.col("base_score")
     deltas = F.array(*[
         F.struct(
             F.lit(i).alias("slot"),
@@ -122,7 +127,7 @@ def loco_linear(df: DataFrame, vec_col: str, intercept: float,
                                .when(F.abs(a["delta"]) < F.abs(b["delta"]), 1)
                                .otherwise(F.when(a["slot"] < b["slot"], -1).otherwise(1))),
                   1, top_k)
-    return out.withColumn("loco", top).drop("_loco_margin")
+    return out.withColumn("loco", top).drop(mcol)
 
 
 def record_insights_corr(df: DataFrame, pred_col: str, features_col: str,
