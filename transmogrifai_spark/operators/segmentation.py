@@ -144,18 +144,26 @@ def lexicon_segment_join(df: DataFrame, text_col: str,
         base = df.select(F.col(text_col).alias("__t")).distinct()
     texts = base.where(F.col("__t").isNotNull() & (F.length("__t") > 0))
     # candidate spans: (key, i, j, word) for all 0 <= i < j <= n,
-    # j - i <= L — a map-side explode, never shuffled (the broadcast
-    # join keeps it local)
-    cands = texts.select(
-        key,
-        F.explode(F.flatten(F.transform(
-            F.sequence(F.lit(0), F.length("__t") - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.least(F.length("__t"), i + F.lit(L))),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"), j.cast("int").alias("j"),
-                    F.substr(F.col("__t"), i + 1, j - i).alias("w"))))))
-        .alias("sp"))
+    # j - i <= L — map-side explodes, never shuffled (the broadcast
+    # join keeps it local). r13: positions explode FIRST and the L spans
+    # per position are derived in a PLAIN projection, so substr and the
+    # struct building run under whole-stage CODEGEN — the r12 shape
+    # built a per-doc nested array<struct> through two interpreted
+    # transform lambdas, measured at ~2.4 us per candidate and 18-21 s
+    # of the 23 s sf0.1 document gate (the dp was a bystander). Same
+    # candidate set by construction: {(i, i+l, substr(i+1, l)) :
+    # 0 <= i < n, 1 <= l <= L, i+l <= n}.
+    pos = texts.select(
+        key, "__t",
+        F.explode(F.sequence(F.lit(0), F.length("__t") - 1)).alias("__i"))
+    spans = pos.select(key, F.explode(F.array(*[
+        F.when(F.col("__i") + l <= F.length("__t"),
+               F.struct(F.col("__i").cast("int").alias("i"),
+                        (F.col("__i") + l).cast("int").alias("j"),
+                        F.substr(F.col("__t"), F.col("__i") + 1,
+                                 F.lit(l)).alias("w")))
+        for l in range(1, L + 1)])).alias("sp"))
+    cands = spans.where(F.col("sp").isNotNull())
     arcs = (cands.join(F.broadcast(lex), cands["sp.w"] == lex["__w"])
             .groupBy(key)
             .agg(F.collect_list(F.struct(
@@ -265,16 +273,18 @@ def lexicon_segment_lattice_join(df: DataFrame, text_col: str,
     else:
         base = df.select(F.col(text_col).alias("__t")).distinct()
     texts = base.where(F.col("__t").isNotNull() & (F.length("__t") > 0))
-    cands = texts.select(
-        key,
-        F.explode(F.flatten(F.transform(
-            F.sequence(F.lit(0), F.length("__t") - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.least(F.length("__t"), i + F.lit(L))),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"), j.cast("int").alias("j"),
-                    F.substr(F.col("__t"), i + 1, j - i).alias("w"))))))
-        .alias("sp"))
+    # codegen candidate mining — see lexicon_segment_join (r13)
+    pos = texts.select(
+        key, "__t",
+        F.explode(F.sequence(F.lit(0), F.length("__t") - 1)).alias("__i"))
+    spans = pos.select(key, F.explode(F.array(*[
+        F.when(F.col("__i") + l <= F.length("__t"),
+               F.struct(F.col("__i").cast("int").alias("i"),
+                        (F.col("__i") + l).cast("int").alias("j"),
+                        F.substr(F.col("__t"), F.col("__i") + 1,
+                                 F.lit(l)).alias("w")))
+        for l in range(1, L + 1)])).alias("sp"))
+    cands = spans.where(F.col("sp").isNotNull())
     arcs = (cands.join(F.broadcast(lexk), cands["sp.w"] == lexk["__w"])
             .groupBy(key)
             .agg(F.collect_list(F.struct(
