@@ -133,6 +133,7 @@ def test_analyze_per_language(spark):
     assert und[0]["a"] == plain[0]["p"]
 
 
+@pytest.mark.slow
 def test_analyze_auto_routes_by_detected_language(spark):
     from transmogrifai_spark.functions.text import analyze, analyze_auto
     df = spark.createDataFrame(
@@ -232,6 +233,7 @@ def test_parse_phone_extended_regions(spark):
         assert r["r"]["valid"] == valid, s
 
 
+@pytest.mark.slow
 def test_analyze_round4_languages(spark):
     """it/pt/nl/sv analyzer chains: that language's stopwords drop and its
     light-stemmer endings strip."""
@@ -257,6 +259,7 @@ def test_analyze_round4_languages(spark):
         assert not (want_out & out), (lang, out)
 
 
+@pytest.mark.slow
 def test_analyze_auto_reaches_extended_languages(spark):
     """analyze_auto routes via the EXTENDED detection profiles, so an
     Italian sentence gets the Italian chain (not the en default)."""
@@ -268,6 +271,7 @@ def test_analyze_auto_reaches_extended_languages(spark):
     assert auto == it
 
 
+@pytest.mark.slow
 def test_analyze_session4_languages(spark):
     """no/da/fi/ru/ro/hu analyzer chains: that language's stopwords drop and
     its light-stemmer endings strip (Lucene *LightStemmer behavior subset)."""
@@ -298,6 +302,7 @@ def test_analyze_session4_languages(spark):
         assert not (want_out & out), (lang, out)
 
 
+@pytest.mark.slow
 def test_analyze_auto_routes_cyrillic_to_russian(spark):
     """With the ru detection profile added, a Russian sentence takes the
     Russian analyzer chain through analyze_auto, not the en default."""
@@ -355,6 +360,7 @@ def test_analyze_session4b_languages(spark):
         assert not (want_out & out), (lang, out)
 
 
+@pytest.mark.slow
 def test_analyze_auto_routes_greek_and_arabic(spark):
     from transmogrifai_spark.functions.text import analyze, analyze_auto
     for lang, t in [("el", "και το σπίτι της γάτας με τα παιδιά για που"),
@@ -393,6 +399,7 @@ def test_analyze_round5_languages(spark):
     assert not ({"این", "و", "از", "است"} & out), out
 
 
+@pytest.mark.slow
 def test_analyze_cjk_bigrams(spark):
     """CJK chain (Lucene CJKAnalyzer/CJKBigramFilter re-expression): runs
     of Han/kana/Hangul emit OVERLAPPING bigrams, an isolated CJK char
@@ -640,6 +647,7 @@ def test_analyze_df_null_and_duplicate_id_raise(spark):
     assert got[None] == [] and got[2] == direct
 
 
+@pytest.mark.slow
 def test_analyze_auto_df_equals_analyze_auto(spark):
     """analyze_auto_df (type-level stemming per (language, token)
     pair) tokenizes exactly like analyze_auto across routed languages
@@ -674,6 +682,7 @@ def test_analyze_auto_df_equals_analyze_auto(spark):
     assert nostem == pre
 
 
+@pytest.mark.slow
 def test_analyze_auto_df_id_guards(spark):
     """NULL ids on machinery token-bearing rows raise; duplicate ids
     with DIFFERENT texts regroup independently via the (id,

@@ -109,6 +109,7 @@ _word = st.one_of(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=30, deadline=None)
 @given(st.lists(_word, min_size=1, max_size=40, unique=True))
 def test_expression_equals_mirror_on_random_words(spark, words):

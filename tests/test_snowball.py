@@ -258,6 +258,7 @@ def test_step_backend_matches_mirror(spark, lang):
     assert got == {w: snowball_stem_py(w, lang) for w in words}
 
 
+@pytest.mark.slow
 def test_expression_null_passthrough(spark):
     df = spark.createDataFrame([(None,), ("",)], "w string")
     for lang in sorted(_PINNED):
@@ -369,6 +370,7 @@ def _words(lang):
         .map(lambda p: p[0] + p[1]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("lang", sorted(_PINNED))
 @settings(max_examples=20, deadline=None)
 @given(data=st.data())
