@@ -208,6 +208,39 @@ def test_duplicate_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}
 
 
+def test_duplicate_clusters_loop_conf_scoped_and_restored(spark):
+    """The r13 scale-adaptive loop machinery: on a provably small edge
+    frame the iteration runs at derived (1-partition) shuffles with AQE
+    paused, and BOTH confs are restored afterwards — including when the
+    derivation is forced to the session value (conf then never touched).
+    A long chain makes the loop take several rounds, so a restore bug
+    inside the loop would be visible."""
+    import os
+
+    chain = [(i, i + 1) for i in range(1, 14)]
+    pairs = spark.createDataFrame(chain, "id1 long, id2 long")
+    before = (spark.conf.get("spark.sql.shuffle.partitions"),
+              spark.conf.get("spark.sql.adaptive.enabled"))
+    out = {r["doc"]: r["cluster_id"] for r in
+           dedup.duplicate_clusters(pairs).collect()}
+    assert out == {i: 1 for i in range(1, 15)}
+    after = (spark.conf.get("spark.sql.shuffle.partitions"),
+             spark.conf.get("spark.sql.adaptive.enabled"))
+    assert after == before
+    # force the large-graph regime (1 edge per partition -> clamp to the
+    # session partition count): the conf must stay untouched mid-loop,
+    # and the labels are the same fixpoint
+    os.environ["SPARK_GRAFT_CC_EDGES_PER_PARTITION"] = "1"
+    try:
+        out2 = {r["doc"]: r["cluster_id"] for r in
+                dedup.duplicate_clusters(pairs).collect()}
+    finally:
+        del os.environ["SPARK_GRAFT_CC_EDGES_PER_PARTITION"]
+    assert out2 == out
+    assert (spark.conf.get("spark.sql.shuffle.partitions"),
+            spark.conf.get("spark.sql.adaptive.enabled")) == before
+
+
 def test_simhash_near_dup_pairs(docs, spark):
     pairs = dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=10)
     found = {(r["id1"], r["id2"]): r["hamming"] for r in pairs.collect()}

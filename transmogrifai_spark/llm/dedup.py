@@ -28,6 +28,8 @@ verifies the operator.
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
@@ -400,7 +402,8 @@ def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
     rebound each round, dropping the only handle on round k-1), so the
     JVM ContextCleaner reclaims each orphaned round's blocks promptly
     rather than accumulating the whole history."""
-    sc = pairs.sparkSession.sparkContext
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
     reliable = sc.getCheckpointDir() is not None
 
     def chk(df: DataFrame) -> DataFrame:
@@ -411,25 +414,63 @@ def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
              .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
              .distinct())
     edges = chk(edges)
-    labels = chk(edges.select(F.col("src").alias("node")).distinct()
-                 .withColumn("lbl", F.col("node")))
-    for _ in range(max_iter):
-        neighbor_min = (edges.join(labels, edges.dst == labels.node)
-                        .groupBy("src").agg(F.min("lbl").alias("nlbl")))
-        new_labels = chk(
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(F.col("node"),
-                    F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
-                    .alias("lbl")))
-        changed = (new_labels.alias("n").join(labels.alias("o"), "node")
-                   .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count())
-        # new_labels is materialized (eager) and carries no lineage into
-        # the old round; rebinding drops the last handle on the old
-        # snapshot so ContextCleaner can reclaim its blocks (unpersist()
-        # would be a no-op here — checkpointed frames have no cache entry)
-        labels = new_labels
-        if changed == 0:
-            break
+    # Scale-adaptive loop machinery (guide §2/§6, the streaming
+    # state-partition pattern): the edge frame is materialized, so its
+    # size is KNOWN before the loop runs. Each round is join + groupBy +
+    # join — three exchanges — and on a near-dup graph of a few thousand
+    # edges the default session partitioning turns every round into a
+    # fixed-cost task storm, with AQE re-planning each tiny query stage
+    # on the driver (measured at sf0.1: 5,242 edges, 13 rounds, ~4.4 s
+    # of pure machinery -> ~1.8 s with 1-partition shuffles and AQE
+    # paused). Partitions derive from EDGE COUNT, not core count — the
+    # same inputs give the same plan at any $SPARK_GRAFT_CPUS — and
+    # clamp to the session value, so a genuinely large graph keeps the
+    # session partitioning AND its AQE (the conf is only touched in the
+    # provably small regime, where there is nothing to coalesce or
+    # skew-split). Partitioning cannot change a min() fixpoint.
+    n_edges = edges.count()
+    per_part = int(os.environ.get(
+        "SPARK_GRAFT_CC_EDGES_PER_PARTITION", "1000000"))
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = max(1, min((n_edges + per_part - 1) // per_part, sess_parts))
+    saved: dict = {}
+    if n_parts < sess_parts:
+        saved["spark.sql.shuffle.partitions"] = str(sess_parts)
+        saved["spark.sql.adaptive.enabled"] = \
+            spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        edges = edges.coalesce(n_parts)
+    try:
+        labels = chk(edges.select(F.col("src").alias("node")).distinct()
+                     .withColumn("lbl", F.col("node")))
+        for _ in range(max_iter):
+            neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                            .groupBy("src").agg(F.min("lbl").alias("nlbl")))
+            # the changed flag rides the SAME materialization — one job
+            # per round instead of a separate join-and-count against the
+            # old labels (the flag never leaves the loop)
+            new_labels = chk(
+                labels.join(neighbor_min, labels.node == neighbor_min.src,
+                            "left")
+                .select(F.col("node"),
+                        F.least(F.col("lbl"),
+                                F.coalesce(F.col("nlbl"), F.col("lbl")))
+                        .alias("lbl"),
+                        (F.coalesce(F.col("nlbl"), F.col("lbl"))
+                         < F.col("lbl")).alias("_chg")))
+            changed = new_labels.where(F.col("_chg")).limit(1).count()
+            # new_labels is materialized (eager) and carries no lineage
+            # into the old round; rebinding drops the last handle on the
+            # old snapshot so ContextCleaner can reclaim its blocks
+            # (unpersist() would be a no-op here — checkpointed frames
+            # have no cache entry)
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster_id"))
 
 
