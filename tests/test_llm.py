@@ -443,6 +443,38 @@ def test_pq_adc_score_equals_reconstruction_dot(spark):
         assert abs(r["_rnorm"] - float(np.linalg.norm(recon))) < 1e-9
 
 
+def test_pq_adc_tables_score_bit_equals_per_pair_score(spark):
+    """r13 hoist law: the ADC score assembled from the per-query tables
+    (pq_adc_tables + pq_adc_score_from_tables — evaluated once per query
+    row on the broadcast side of the pair join) is BIT-identical to
+    pq_adc_score's per-pair re-derivation: the table entries are the same
+    dot/slice expressions and the picked terms are added in the same
+    left-to-right order."""
+    rng = np.random.RandomState(43)
+    vecs = rng.rand(60, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    encoded, model = similarity.pq_encode(df, "vec_id", "embedding", dim=8,
+                                          n_lists=4, m=2, k_codes=8, seed=13)
+    q = np.asarray(vecs[3], dtype=np.float64)
+    qv = F.array(*[F.lit(float(x)) for x in q])
+    cd, lut = similarity.pq_adc_tables(qv, model)
+    both = (encoded
+            .withColumn("_qv", qv)
+            .withColumn("_cdots", cd).withColumn("_luts", lut)
+            .withColumn("per_pair",
+                        similarity.pq_adc_score(F.col("_qv"), model))
+            .withColumn("from_tables", similarity.pq_adc_score_from_tables(
+                F.col("_cdots"), F.col("_luts"), len(model["codebooks"])))
+            .select("neighbor_id", "per_pair", "from_tables").collect())
+    assert len(both) == 60
+    import struct
+    for r in both:
+        assert struct.pack("<d", r["per_pair"]) == \
+            struct.pack("<d", r["from_tables"]), r["neighbor_id"]
+
+
 def test_ivf_pq_topk_recall_and_compression(spark):
     """IVF-PQ keeps useful recall on clustered data while the scanned payload
     per corpus row is m codes + one norm — no embedding column survives

@@ -483,6 +483,51 @@ def pq_adc_score(qv: Column, model: dict) -> Column:
     return score
 
 
+def pq_adc_tables(qv: Column, model: dict) -> tuple[Column, Column]:
+    """The two per-QUERY tables behind :func:`pq_adc_score`, as columns to
+    materialize on the query side of a pair join (r13; guide §4 — the
+    cosine_prenormed hoist applied to ADC):
+
+      * ``cdots[c]``  = dot(q, centroids[c])
+      * ``luts[j][k]`` = dot(q_sub_j, codebooks[j][k])
+
+    ``pq_adc_score`` embeds these expressions per PAIR row, so every
+    candidate re-evaluates ~m·k_codes interpreted dot folds that depend
+    only on the query vector (measured: the pq_adc/opq gate arms spent
+    ~2 s each re-deriving LUTs for 20-40k pairs). Computed once per query
+    row on the broadcast side, the per-pair work drops to m+1
+    ``element_at`` picks and m+1 additions. The entries are built from
+    the IDENTICAL dot/slice expressions in the identical order, and
+    :func:`pq_adc_score_from_tables` combines the picked entries in
+    :func:`pq_adc_score`'s exact addition order, so the score is
+    bit-identical (law-pinned)."""
+    codebooks = model["codebooks"]
+    sub_d = len(codebooks[0][0])
+    cdots = F.transform(_lit_matrix(model["centroids"]),
+                        lambda ct: dot(qv, ct))
+
+    # unary closure factory, NOT a defaulted two-param lambda (see
+    # pq_adc_score): F.transform's second parameter is the array INDEX
+    def lut_for(i: int):
+        return lambda cw: dot(F.slice(qv, i * sub_d + 1, sub_d), cw)
+
+    luts = F.array(*[F.transform(_lit_matrix(codebooks[i]), lut_for(i))
+                     for i in range(len(codebooks))])
+    return cdots, luts
+
+
+def pq_adc_score_from_tables(cdots: Column, luts: Column, m: int) -> Column:
+    """ADC score from :func:`pq_adc_tables` columns (needs ``_cell`` and
+    ``_codes`` in scope, like ``pq_adc_score``): the same
+    ``centroid-dot + sum_j LUT_j[code_j]`` left-to-right addition chain,
+    each term an ``element_at`` pick instead of a re-derived fold."""
+    score = F.element_at(cdots, F.col("_cell") + 1)
+    for i in range(m):
+        score = score + F.element_at(F.element_at(luts, i + 1),
+                                     F.element_at(F.col("_codes"), i + 1) + 1)
+    return score
+
+
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 vec_col: str, dim: int, k: int = 5, n_lists: int = 16,
                 n_probe: int = 2, m: int = 4, k_codes: int = 16,
@@ -509,16 +554,21 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     encoded, model = pq_encode(corpus, id_col, vec_col, dim, n_lists, m,
                                k_codes, seed, max_iter, fit_sample,
                                model=model)
+    _cd, _lut = pq_adc_tables(F.col("_qv"), model)
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
         .withColumn("_qn", l2_norm(F.col("_qv")))
+        .withColumn("_cdots", _cd).withColumn("_luts", _lut)
         .withColumn("_cell", F.explode(_probe_cells(F.col("_qv"), model["centroids"], n_probe))))
-    # _qn per query ROW, not per pair: denom is referenced twice (zero
-    # test + divisor), so an inline l2_norm would fold the query vector
-    # twice per candidate pair
+    # _qn (and the ADC tables) per query ROW, not per pair: denom is
+    # referenced twice (zero test + divisor), so an inline l2_norm would
+    # fold the query vector twice per candidate pair — and the ADC
+    # LUT/centroid dots depend only on the query, so they ride the
+    # broadcast side (pq_adc_tables) instead of re-deriving per candidate
     denom = F.col("_qn") * F.col("_rnorm")
     cos = F.when(denom == 0, F.lit(0.0)) \
-        .otherwise(pq_adc_score(F.col("_qv"), model) / denom)
+        .otherwise(pq_adc_score_from_tables(F.col("_cdots"), F.col("_luts"),
+                                            len(model["codebooks"])) / denom)
     if quantize is not None:
         cos = F.round(cos, quantize)
     scored = (
@@ -704,17 +754,20 @@ def opq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         model = opq_train(corpus, vec_col, dim, m=m, k_codes=k_codes,
                           iters=iters, seed=seed, id_col=id_col)
     enc = opq_encode_frame(corpus, id_col, vec_col, model)
+    # flat ADC: no cell term — score = sum_j LUT_j[code_j]
+    flat = {"centroids": [[0.0] * model["dim"]],
+            "codebooks": model["codebooks"]}
+    _cd, _lut = pq_adc_tables(F.col("_qv"), flat)
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"),
                        rotate_vector(F.col(vec_col), model["rotation"])
                        .alias("_qv"))
-        .withColumn("_qn", l2_norm(F.col("_qv"))))
-    # flat ADC: no cell term — score = sum_j LUT_j[code_j]
-    flat = {"centroids": [[0.0] * model["dim"]],
-            "codebooks": model["codebooks"]}
+        .withColumn("_qn", l2_norm(F.col("_qv")))
+        .withColumn("_cdots", _cd).withColumn("_luts", _lut))
     denom = F.col("_qn") * F.col("_rnorm")
     cos = F.when(denom == 0, F.lit(0.0)) \
-        .otherwise(pq_adc_score(F.col("_qv"), flat) / denom)
+        .otherwise(pq_adc_score_from_tables(F.col("_cdots"), F.col("_luts"),
+                                            len(flat["codebooks"])) / denom)
     if quantize is not None:
         cos = F.round(cos, quantize)
     scored = (enc.withColumn("_cell", F.lit(0)).crossJoin(qb)
@@ -1033,16 +1086,19 @@ def ivfpq_topk_indexed(spark, path: str, queries: DataFrame, id_col: str,
                        F.lit(0.0).alias("_rnorm"),
                        F.lit(0).alias("_cell"),
                        F.lit(0).alias("batch")))
+    _cd, _lut = pq_adc_tables(F.col("_qv"), model)
     qb = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
         .withColumn("_qn", l2_norm(F.col("_qv")))
+        .withColumn("_cdots", _cd).withColumn("_luts", _lut)
         .withColumn("_cell", F.explode(
             _probe_cells(F.col("_qv"), meta["centroids"], n_probe))))
     probed = sorted({r["_cell"] for r in qb.select("_cell").distinct().collect()})
     denom = F.col("_qn") * F.col("_rnorm")
     cos = F.when(denom == 0, F.lit(0.0)) \
-        .otherwise(pq_adc_score(F.col("_qv"), model) / denom)
+        .otherwise(pq_adc_score_from_tables(F.col("_cdots"), F.col("_luts"),
+                                            len(model["codebooks"])) / denom)
     if quantize is not None:
         cos = F.round(cos, quantize)
     scored = (
