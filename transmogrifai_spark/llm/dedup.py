@@ -450,7 +450,7 @@ def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
             # the changed flag rides the SAME materialization — one job
             # per round instead of a separate join-and-count against the
             # old labels (the flag never leaves the loop)
-            new_labels = chk(
+            stepped = (
                 labels.join(neighbor_min, labels.node == neighbor_min.src,
                             "left")
                 .select(F.col("node"),
@@ -459,6 +459,28 @@ def duplicate_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
                         .alias("lbl"),
                         (F.coalesce(F.col("nlbl"), F.col("lbl"))
                          < F.col("lbl")).alias("_chg")))
+            # pointer jumping (r13): lbl <- min(lbl, lbl(lbl)). Every lbl
+            # value IS a node id of the same component (labels start as
+            # the node and only ever take other ids reachable from it),
+            # so the hop stays inside the component and is monotone
+            # non-increasing — the loop converges to the SAME unique
+            # min-id fixpoint in O(log diameter) rounds instead of
+            # O(diameter) (measured: 13 -> 5 rounds on the sf0.1 graphs,
+            # and each round is fixed-cost machinery). One extra tiny
+            # self-join per round; the per-round small subtree computing
+            # `stepped` is evaluated twice, both sides reading only the
+            # checkpointed edges/labels snapshots.
+            parent = stepped.select(F.col("node").alias("_pn"),
+                                    F.col("lbl").alias("_pl"))
+            new_labels = chk(
+                stepped.join(parent, stepped.lbl == parent._pn, "left")
+                .select(F.col("node"),
+                        F.least(F.col("lbl"),
+                                F.coalesce(F.col("_pl"), F.col("lbl")))
+                        .alias("lbl"),
+                        (F.col("_chg")
+                         | (F.coalesce(F.col("_pl"), F.col("lbl"))
+                            < F.col("lbl"))).alias("_chg")))
             changed = new_labels.where(F.col("_chg")).limit(1).count()
             # new_labels is materialized (eager) and carries no lineage
             # into the old round; rebinding drops the last handle on the
