@@ -433,12 +433,16 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, dim: int,
                               for c in km.fit(fit_on).clusterCenters()])
 
     def argmin_code(res_slice: Column, book: list[list[float]]) -> Column:
-        # two-param transform lambda intentional: the index IS the code
+        # two-param transform lambda intentional: the index IS the code.
+        # array_min, not array_sort(...)[0] (r13): the same least struct
+        # under the same (d, code) ordering — ties by lowest code — in
+        # one O(k) pass instead of an O(k log k) sort + copy, and encode
+        # runs per CORPUS row (the 100 TB-volume path).
         cands = F.transform(
             _lit_matrix(book),
             lambda cw, c: F.struct(_sq_dist_cols(res_slice, cw).alias("d"),
                                    c.alias("code")))
-        return F.array_sort(cands)[0]["code"]
+        return F.array_min(cands)["code"]
 
     codes = F.array(*[
         argmin_code(F.slice(F.col("_res"), i * sub_d + 1, sub_d), codebooks[i])
@@ -707,12 +711,14 @@ def _opq_flat_codes(rot: Column, model: dict) -> Column:
     out = []
     for j in range(model["m"]):
         sub = F.slice(rot, j * dsub + 1, dsub)
-        # two-param transform lambda intentional: the index IS the code
+        # two-param transform lambda intentional: the index IS the code;
+        # array_min = array_sort[0] under the same (d, c) ordering in one
+        # pass (see pq_encode.argmin_code)
         cands = F.transform(
             _lit_matrix(model["codebooks"][j]),
             lambda cw, c: F.struct(_sq_dist_cols(sub, cw).alias("d"),
                                    c.alias("c")))
-        out.append(F.element_at(F.array_sort(cands), 1)["c"])
+        out.append(F.array_min(cands)["c"])
     return F.array(*out)
 
 
